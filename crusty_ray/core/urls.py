@@ -1,0 +1,84 @@
+"""URL / domain kernels shared by the distributed stages and the simulator.
+
+Semantics mirror the reference's use of ``url::Url`` via crusty-core's
+``Link::new`` (relative resolution against the task's base,
+``workspace/main/src/parsers/lolhtml.rs:25-37``) and the domain filter-map
+(``workspace/main/src/crusty.rs:250-274``) / normalizer
+(``workspace/main/src/rules.rs:28-34``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+from urllib.parse import urljoin, urlsplit, urlunsplit
+
+from .tld import DEFAULT_TLD_SET
+
+
+def host_of(url: str) -> Optional[str]:
+    """Lowercased host of an absolute URL, or None."""
+    try:
+        h = urlsplit(url).hostname
+    except ValueError:
+        return None
+    return h.lower() if h else None
+
+
+def normalize_url(url: str) -> str:
+    """Canonical form: lowercase scheme+host, drop fragment, default path '/'.
+
+    The reference relies on the WHATWG normalization done inside ``url::Url``;
+    this is the subset our synthetic web exercises.
+    """
+    try:
+        s = urlsplit(url)
+    except ValueError:
+        return url
+    scheme = (s.scheme or "http").lower()
+    host = (s.hostname or "").lower()
+    port = f":{s.port}" if s.port else ""
+    path = s.path or "/"
+    return urlunsplit((scheme, host + port, path, s.query, ""))
+
+
+def resolve_link(base_url: str, href: str) -> Optional[str]:
+    """Resolve ``href`` against the page URL (Link::new base resolution,
+    parsers/lolhtml.rs:33). Only http(s) results survive."""
+    href = href.strip()
+    if not href or href.startswith(("#", "javascript:", "mailto:", "data:")):
+        return None
+    try:
+        absu = urljoin(base_url, href)
+    except ValueError:
+        return None
+    if not absu.startswith(("http://", "https://")):
+        return None
+    return normalize_url(absu)
+
+
+def domain_filter(domain: Optional[str], task_domain: str, tlds=DEFAULT_TLD_SET) -> bool:
+    """The discovery filter-map predicate (crusty.rs:250-262):
+
+    keep iff len>=4, contains '.', differs from the crawling job's domain, and
+    the uppercased last label is an IANA TLD.
+    """
+    if not domain or len(domain) < 4 or "." not in domain or domain == task_domain:
+        return False
+    return domain.rpartition(".")[2].upper() in tlds
+
+
+def transform_domain(domain: str, second_level_only: bool = False) -> str:
+    """Top-k normalizer (rules.rs:28-34): reduce to second-level domain when
+    configured (``topk.collect.second_level_only``), else strip ``www.``."""
+    if second_level_only:
+        parts = domain.split(".")
+        return ".".join(parts[-2:])
+    return domain[4:] if domain.startswith("www.") else domain
+
+
+def same_domain(link_host: str, job_domain: str) -> bool:
+    """www-aware same-domain test (crusty-core ``SameDomain::new(false)`` — the
+    flag keeps www/non-www equivalent, rules.rs:63)."""
+    def strip(d: str) -> str:
+        return d[4:] if d.startswith("www.") else d
+    return strip(link_host) == strip(job_domain)

@@ -1,0 +1,124 @@
+"""Unit tests for sharding / URL / TLD kernels (SURVEY.md §5 layer 1).
+
+Vectors mirror the reference's semantics at types.rs:22-55 and
+crusty.rs:250-274.
+"""
+
+import base64
+import zlib
+
+import numpy as np
+
+from crusty_ray.core import sharding, tld, urls
+from crusty_ray.core.hashing import fingerprint64, hash64, hash64_batch, stable_rng
+
+
+class TestSelectAddr:
+    def test_v4_sorted_first(self):
+        # v4 and v6 sorted separately; fallback policy picks v4 first
+        addrs = ["10.0.0.5:80", "10.0.0.2:80", "[2001:db8::1]:80"]
+        assert sharding.select_addr(addrs) == "10.0.0.2:80"
+
+    def test_v6_preferred(self):
+        addrs = ["10.0.0.5:80", "[2001:db8::2]:80", "[2001:db8::1]:80"]
+        assert sharding.select_addr(addrs, sharding.IPV6_PREFERRED) == "[2001:db8::1]:80"
+
+    def test_v6_disabled(self):
+        assert sharding.select_addr(["[2001:db8::1]:80"], sharding.IPV6_DISABLED) is None
+
+    def test_fallback_to_v6(self):
+        assert sharding.select_addr(["[2001:db8::1]:80"]) == "[2001:db8::1]:80"
+
+    def test_numeric_sort_not_lexicographic(self):
+        # 10.0.0.10 > 10.0.0.9 numerically even though "10" < "9" as strings
+        assert sharding.select_addr(["10.0.0.10:80", "10.0.0.9:80"]) == "10.0.0.9:80"
+
+
+class TestAddrKey:
+    def test_v4_mask_24(self):
+        # /24: last octet masked off → same politeness group
+        k1 = sharding.addr_key("192.168.1.7:80")
+        k2 = sharding.addr_key("192.168.1.250:8080")
+        assert k1 == k2
+        assert base64.b64decode(k1) == bytes([192, 168, 1, 0])
+
+    def test_v4_different_subnet(self):
+        assert sharding.addr_key("192.168.1.7:80") != sharding.addr_key("192.168.2.7:80")
+
+    def test_v6_mask(self):
+        k = sharding.addr_key("[2001:db8::1]:80", v6_mask=24)
+        raw = base64.b64decode(k)
+        assert len(raw) == 16 and raw[3:] == bytes(13)
+
+    def test_shard_is_crc32_mod(self):
+        key = sharding.addr_key("10.1.2.3:80")
+        assert sharding.shard_of_addr_key(key, 7) == zlib.crc32(key.encode()) % 7
+
+    def test_vectorized_matches_scalar(self):
+        keys = [sharding.addr_key(f"10.{i}.{i}.1:80") for i in range(50)]
+        vec = sharding.shard_of_addr_keys(keys, 8)
+        assert list(vec) == [sharding.shard_of_addr_key(k, 8) for k in keys]
+
+    def test_resolve_domain_row(self):
+        sel, key, shard = sharding.resolve_domain_row(["10.0.0.2:80", "10.0.0.1:80"], 4)
+        assert sel == "10.0.0.1:80"
+        assert shard == sharding.shard_of_addr_key(key, 4)
+        assert sharding.resolve_domain_row([], 4) is None
+        assert sharding.resolve_domain_row(None, 4) is None
+
+
+class TestUrls:
+    def test_host_and_normalize(self):
+        assert urls.host_of("http://Example.COM/a") == "example.com"
+        assert urls.normalize_url("HTTP://Example.com") == "http://example.com/"
+        assert urls.normalize_url("http://a.com/x#frag") == "http://a.com/x"
+
+    def test_resolve_relative(self):
+        assert urls.resolve_link("http://a.com/dir/page", "../x") == "http://a.com/x"
+        assert urls.resolve_link("http://a.com/", "b.html") == "http://a.com/b.html"
+        assert urls.resolve_link("http://a.com/", "https://b.org/z") == "https://b.org/z"
+        assert urls.resolve_link("http://a.com/", "#anchor") is None
+        assert urls.resolve_link("http://a.com/", "mailto:x@y.z") is None
+
+    def test_domain_filter(self):
+        # crusty.rs:250-262: len>=4, has dot, != task domain, valid TLD
+        assert urls.domain_filter("example.com", "other.com")
+        assert not urls.domain_filter("a.b", "other.com")      # len < 4
+        assert not urls.domain_filter("localhost", "other.com")  # no dot
+        assert not urls.domain_filter("other.com", "other.com")  # same
+        assert not urls.domain_filter("site.invalidtld", "other.com")
+        assert not urls.domain_filter(None, "other.com")
+
+    def test_transform_domain(self):
+        assert urls.transform_domain("www.example.com") == "example.com"
+        assert urls.transform_domain("a.b.example.com", second_level_only=True) == "example.com"
+        assert urls.transform_domain("sub.example.com") == "sub.example.com"
+
+    def test_same_domain_www_aware(self):
+        assert urls.same_domain("www.a.com", "a.com")
+        assert urls.same_domain("a.com", "www.a.com")
+        assert not urls.same_domain("b.a.com", "a.com")
+
+
+class TestTld:
+    def test_mask(self):
+        doms = np.array(["a.com", "b.xx-notatld", "c.de", "d.io"])
+        mask = tld.valid_tld_mask(doms)
+        assert list(mask) == [True, False, True, True]
+
+
+class TestHashing:
+    def test_stability(self):
+        assert hash64("abc") == hash64("abc")
+        assert hash64("abc", 1) != hash64("abc", 2)
+        assert list(hash64_batch(["a", "b"])) == [hash64("a"), hash64("b")]
+
+    def test_fingerprint_stable(self):
+        assert fingerprint64("x") == fingerprint64("x")
+
+    def test_stable_rng(self):
+        a = stable_rng("k", 1).integers(0, 1 << 30, 5)
+        b = stable_rng("k", 1).integers(0, 1 << 30, 5)
+        c = stable_rng("k", 2).integers(0, 1 << 30, 5)
+        assert list(a) == list(b)
+        assert list(a) != list(c)
