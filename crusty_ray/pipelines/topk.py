@@ -1,0 +1,78 @@
+"""Decayed per-TLD heavy hitters — the redis-calc top-k re-expressed exactly.
+
+Reference semantics (``workspace/redis-calc/src/lib.rs:33-136``; counting at
+``workspace/main/src/redis_operators.rs:92-124``): each finished job's
+``DomainLinks{name, linked_domains}`` contributes 1 count for ``name`` and 1
+per linked domain; counts feed a decayed TOPK sketch per TLD plus a global
+``""`` bucket (k=100, w=25000, d=8, decay=0.92, conf/default.yaml:172-178); a
+leader-elected consumer snapshots LIST+COUNT every 15 s.
+
+Ours is **exact** (groupby-sum + top-k) with the sketch's decay mapped onto
+epochs deterministically: carried totals are multiplied by ``decay`` once per
+epoch before new counts are added (SURVEY.md §7.4.4), and a snapshot is taken
+every ``consume_every_epochs``. An exact aggregate strictly dominates the
+sketch at any scale where the distinct-domain count fits a shard's memory; at
+10^10-URL scale the same class runs sharded by ``tld`` behind a
+``groupby("tld")`` with per-batch partial counting in front (A1,
+redis_operators.rs:93-100).
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+from ..config import TopKConfig
+
+
+class TopKState:
+    def __init__(self, cfg: TopKConfig):
+        self.cfg = cfg
+        self.scores: defaultdict[str, float] = defaultdict(float)
+        self.epoch = -1
+
+    def advance_epoch(self) -> None:
+        """Apply one decay step to carried totals (epoch-mapped HeavyKeeper decay)."""
+        self.epoch += 1
+        if self.cfg.decay < 1.0 and self.scores:
+            dead = []
+            for k in self.scores:
+                self.scores[k] *= self.cfg.decay
+                if self.scores[k] < 1e-6:
+                    dead.append(k)
+            for k in dead:
+                del self.scores[k]
+
+    def add_domain_links(self, domain_links: list[tuple[str, list[str]]]) -> None:
+        """Count 1 per job name + 1 per linked mention (redis_operators.rs:93-100)."""
+        counts: Counter[str] = Counter()
+        for name, linked in domain_links:
+            counts[name] += 1
+            for d in linked:
+                counts[d] += 1
+        for dom, cnt in counts.items():
+            self.scores[dom] += cnt
+
+    def snapshot(self, epoch: int) -> list[dict]:
+        """TopHits rows per TLD + global '' bucket (redis-calc/src/lib.rs:37-73,
+        92-133): (epoch, tld, domain, hits), top-k per bucket, deterministic
+        ordering (score desc, domain asc)."""
+        by_tld: defaultdict[str, list] = defaultdict(list)
+        for dom, score in self.scores.items():
+            tld = dom.rpartition(".")[2]
+            by_tld[tld].append((dom, score))
+            by_tld[""].append((dom, score))
+        rows: list[dict] = []
+        for tld in sorted(by_tld):
+            ranked = sorted(by_tld[tld], key=lambda t: (-t[1], t[0]))[: self.cfg.k]
+            for dom, score in ranked:
+                rows.append({"epoch": epoch, "tld": tld, "domain": dom,
+                             "hits": int(round(score))})
+        return rows
+
+    # -- checkpointing -----------------------------------------------------
+    def checkpoint(self) -> dict:
+        return {"scores": dict(self.scores), "epoch": self.epoch}
+
+    def restore(self, snap: dict) -> None:
+        self.scores = defaultdict(float, snap["scores"])
+        self.epoch = snap["epoch"]

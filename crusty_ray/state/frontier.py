@@ -1,0 +1,356 @@
+"""Sharded frontier state — queue, politeness, dedup tiers, job lifecycle.
+
+This is the Ray-Data-native replacement for the reference's redis-queue module
+(``workspace/redis-queue/src/lib.rs``) plus crusty-core's per-job scheduling
+state. One ``ShardState`` owns one shard (``shard = crc32(addr_key) %
+shard_total``, ``workspace/main/src/types.rs:51-53``) and holds:
+
+- **pending domains** per addr_key + available-key set (ST4,
+  redis-queue/src/lib.rs:21-27), upgraded from the reference's random SPOP to
+  the north_rule's deterministic weighted priority (discovery depth, discovery
+  epoch, domain name);
+- **politeness locks**: at most one in-flight domain per addr_key, TTL'd
+  (ST3, redis-queue/src/lib.rs:13-15,133-141);
+- **seen set**: bloom pre-filter → cuckoo authoritative (replaces ST1 LRU +
+  ST2 redis scaling bloom; enqueue skip-cases mirror
+  redis-queue/src/lib.rs:59-95: already-seen / same-domain-in-processing /
+  already-pending);
+- **ddc**: discovery LRU dedup before cross-shard routing (ST1,
+  crusty.rs:58,100,265-270);
+- **active jobs**: per-domain URL-seen set, task queue, budgets, linked-domain
+  set (crusty-core filter chain as configured in rules.rs:56-77, JobState
+  rules.rs:12-47).
+
+The class is *pure Python and deterministic*: the distributed engine wraps it
+in a Ray actor; the single-threaded simulator composes the same objects
+directly — both produce identical crawl order and seen sets under the epochal
+BSP protocol (take_ready → absorb → end_epoch → apply_enqueues).
+"""
+
+from __future__ import annotations
+
+from bisect import insort
+from collections import OrderedDict
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from ..config import Config
+from ..core.urls import host_of, same_domain, transform_domain
+from ..stages.robots import allowed, parse_disallows
+from .bloom import ScalingBloom
+from .cuckoo import CuckooFilter
+
+
+@dataclass
+class DomainMsg:
+    """Wire twin of interop::Domain (interop/src/lib.rs:4-9) + priority fields."""
+    domain: str
+    addr_key: str
+    shard: int
+    url: Optional[str] = None       # seeds carry an explicit URL (M9, crusty.rs:306-353)
+    disc_depth: int = 0             # depth of the discovering task + 1
+    disc_epoch: int = 0
+
+    def priority(self) -> tuple:
+        # north_rule weighted priority: shallow first, older discovery first,
+        # name as the deterministic tie-break
+        return (self.disc_depth, self.disc_epoch, self.domain)
+
+
+@dataclass
+class JobState:
+    """Per-domain crawl job (reference JobState rules.rs:12-17 + crusty-core
+    task scheduling state)."""
+    domain: str
+    addr_key: str
+    root_url: str
+    start_epoch: int
+    url_seen: set = field(default_factory=set)       # F1 HashSetDedup
+    queue: list = field(default_factory=list)        # sorted [(depth, url)]
+    pages_scheduled: int = 0                          # F4 TotalPageBudget counter
+    pages_fetched: int = 0
+    linked: set = field(default_factory=set)          # rules.rs:36-43
+    last_fetch_epoch: int = -(10 ** 9)
+    in_flight: int = 0
+    term_by: str = ""
+
+
+class ShardState:
+    def __init__(self, shard: int, cfg: Config, web_cfg=None, seed: int = 0):
+        self.shard = shard
+        self.cfg = cfg
+        # robots for scheduling-time task filter F7 (pure function of domain)
+        if web_cfg is not None:
+            from ..datagen.webgraph import SyntheticWeb
+            self._web = SyntheticWeb(web_cfg)
+        else:
+            self._web = None
+        self._robots_cache: dict[str, list[str]] = {}
+
+        self.pending: dict[str, list] = {}            # addr_key -> sorted [(prio, DomainMsg)]
+        self.pending_domains: set[str] = set()
+        self.in_processing: dict[str, tuple[str, int]] = {}  # addr_key -> (domain, deadline)
+        self.jobs: dict[str, JobState] = {}
+
+        e = cfg.engine
+        self.bloom = ScalingBloom(e.seen_bloom_capacity, e.seen_bloom_fpp, seed=seed)
+        self.cuckoo = CuckooFilter(e.cuckoo_capacity, seed=seed)
+        self.ddc: OrderedDict[str, None] = OrderedDict()
+
+        self._absorbed: list[dict] = []
+        self._enqueue_buf: list[DomainMsg] = []
+        self.lock_ttl_epochs = 600  # dequeue ttl 10m ≈ 600 epochs (conf/default.yaml:83-87)
+
+        # per-epoch outputs, drained by the pipeline
+        self.stats = {"enqueued": 0, "skipped_seen": 0, "skipped_pending": 0,
+                      "skipped_processing": 0, "ddc_hits": 0, "jobs_finished": 0,
+                      "tasks_emitted": 0}
+
+    # ------------------------------------------------------------- seen tiers
+    def _seen(self, domain: str) -> bool:
+        """bloom pre-filter (no false negatives) → cuckoo authoritative."""
+        if domain not in self.bloom:
+            return False
+        return domain in self.cuckoo
+
+    def _mark_seen(self, domain: str) -> None:
+        self.bloom.add_batch([domain])
+        self.cuckoo.add_batch([domain])
+
+    def _ddc_admit(self, domain: str) -> bool:
+        """Node-local discovery LRU (crusty.rs:265-270): False if recently sent."""
+        if domain in self.ddc:
+            self.ddc.move_to_end(domain)
+            self.stats["ddc_hits"] += 1
+            return False
+        self.ddc[domain] = None
+        if len(self.ddc) > self.cfg.discovery.ddc_cap:
+            self.ddc.popitem(last=False)
+        return True
+
+    def _robots(self, domain: str) -> list[str]:
+        got = self._robots_cache.get(domain)
+        if got is None:
+            body = self._web.robots_body(domain) if self._web is not None else None
+            got = parse_disallows(body)
+            self._robots_cache[domain] = got
+        return got
+
+    # ------------------------------------------------------------- enqueue side
+    def enqueue(self, msgs: list[DomainMsg]) -> None:
+        """Buffer incoming discovered domains (cross-shard messages)."""
+        self._enqueue_buf.extend(msgs)
+
+    def apply_enqueues(self, epoch: int) -> None:
+        """Apply buffered enqueues deterministically (sorted), mirroring the
+        redis-queue enqueue skip-cases (lib.rs:59-95)."""
+        msgs = sorted(self._enqueue_buf, key=lambda m: (m.priority(), m.addr_key))
+        self._enqueue_buf = []
+        for m in msgs:
+            if m.domain in self.pending_domains:
+                self.stats["skipped_pending"] += 1
+                continue
+            proc = self.in_processing.get(m.addr_key)
+            if proc is not None and proc[0] == m.domain:
+                self.stats["skipped_processing"] += 1
+                continue
+            if self._seen(m.domain):
+                self.stats["skipped_seen"] += 1
+                continue
+            insort(self.pending.setdefault(m.addr_key, []), (m.priority(), m))
+            self.pending_domains.add(m.domain)
+            self.stats["enqueued"] += 1
+
+    # ------------------------------------------------------------- dequeue side
+    def _expire_locks(self, epoch: int) -> None:
+        for key in [k for k, (_, dl) in self.in_processing.items() if dl < epoch]:
+            del self.in_processing[key]
+
+    def take_ready(self, epoch: int) -> list[dict]:
+        """Dequeue new jobs (≤ dequeue_limit, one per unlocked addr_key,
+        priority order — S2) and emit this epoch's fetch tasks (≤ per-domain
+        ``concurrency`` per ``delay_epochs`` — the politeness budget)."""
+        cfg = self.cfg
+        self._expire_locks(epoch)
+
+        candidates = []
+        for key, q in self.pending.items():
+            if q and key not in self.in_processing:
+                candidates.append((q[0][0], key))
+        candidates.sort()
+        for _, key in candidates[: cfg.jobs.dequeue_limit]:
+            _, msg = self.pending[key].pop(0)
+            if not self.pending[key]:
+                del self.pending[key]
+            self.pending_domains.discard(msg.domain)
+            self.in_processing[key] = (msg.domain, epoch + self.lock_ttl_epochs)
+            root = msg.url or f"http://{msg.domain}/"
+            job = JobState(domain=msg.domain, addr_key=key, root_url=root,
+                           start_epoch=epoch)
+            job.url_seen.add(root)           # root committed like a scheduled task
+            job.queue.append((0, root))
+            self.jobs[msg.domain] = job
+
+        tasks: list[dict] = []
+        for domain in sorted(self.jobs):
+            job = self.jobs[domain]
+            if epoch - job.start_epoch > cfg.crawl.job_soft_timeout_epochs:
+                job.term_by = job.term_by or "soft_timeout"
+                continue  # no new tasks; finishes at end_epoch
+            if not job.queue or epoch - job.last_fetch_epoch < cfg.crawl.delay_epochs:
+                continue
+            n = min(cfg.crawl.concurrency, len(job.queue))
+            for _ in range(n):
+                depth, url = job.queue.pop(0)
+                tasks.append({"url": url, "domain": domain, "depth": depth,
+                              "shard": self.shard})
+            job.in_flight += n
+            job.last_fetch_epoch = epoch
+        self.stats["tasks_emitted"] += len(tasks)
+        return tasks
+
+    # ------------------------------------------------------------- result side
+    def absorb(self, rows: list[dict]) -> int:
+        """Buffer fetch results routed to this shard (order-independent)."""
+        self._absorbed.extend(rows)
+        return len(rows)
+
+    def end_epoch(self, epoch: int) -> dict[str, Any]:
+        """Epoch barrier: process absorbed results deterministically, expand
+        links through the task-filter chain (rules.rs:56-77), accumulate
+        discovery, finish jobs. Returns cross-shard enqueue messages, finished
+        DomainLinks and job metric rows."""
+        cfg = self.cfg
+        rows = sorted(self._absorbed, key=lambda r: (r["domain"], r["depth"], r["url"]))
+        self._absorbed = []
+
+        outgoing: dict[int, list[DomainMsg]] = {}
+        sent_this_epoch: set[str] = set()
+
+        for row in rows:
+            job = self.jobs.get(row["domain"])
+            if job is None:
+                continue  # late result for an expired/killed job
+            job.in_flight = max(0, job.in_flight - 1)
+            job.pages_fetched += 1
+
+            links: list[str] = row.get("links") or []
+            rels: list[str] = row.get("rels") or []
+
+            # -- task-filter chain over scheduled candidates (order matters,
+            #    rules.rs:56-77); commit-at-tail dedup semantics (F1)
+            per_page = 0
+            for link, rel in zip(links, rels):
+                if link in job.url_seen:
+                    continue                                   # F1 check
+                h = host_of(link)
+                if h is None or not same_domain(h, job.domain):
+                    continue                                   # F2 SameDomain
+                if cfg.rules.skip_no_follow_links and "nofollow" in rel:
+                    continue                                   # F3
+                if job.pages_scheduled >= cfg.rules.total_link_budget:
+                    continue                                   # F4
+                if per_page >= cfg.rules.links_per_task_budget:
+                    continue                                   # F5
+                child_depth = row["depth"] + 1
+                if child_depth >= cfg.rules.max_level:
+                    continue                                   # F6 PageLevel
+                if cfg.rules.robots_txt and not allowed(link, self._robots(job.domain)):
+                    continue                                   # F7 RobotsTxt
+                job.url_seen.add(link)                         # F1 commit
+                insort(job.queue, (child_depth, link))
+                job.pages_scheduled += 1
+                per_page += 1
+
+            # -- discovery path (crusty.rs:250-274): candidates were computed
+            #    vectorized in DiscoverStage; stateful gates run here
+            cand = zip(row.get("cand_domains") or [],
+                       row.get("cand_addr_keys") or [],
+                       row.get("cand_shards") or [])
+            job_sld = transform_domain(job.domain, cfg.topk.second_level_only)
+            for d, akey, dshard in cand:
+                sld = transform_domain(d, cfg.topk.second_level_only)
+                if sld != job_sld:
+                    job.linked.add(sld)                        # M6 link_domain
+                if dshard < 0:                                 # unresolvable (M7 drop)
+                    continue
+                if d in sent_this_epoch or not self._ddc_admit(d):
+                    continue
+                sent_this_epoch.add(d)
+                outgoing.setdefault(int(dshard), []).append(
+                    DomainMsg(domain=d, addr_key=akey, shard=int(dshard),
+                              disc_depth=row["depth"] + 1, disc_epoch=epoch))
+
+        # -- finish jobs (S6 semantics, redis-queue/src/lib.rs:153-197)
+        domain_links: list[tuple[str, list[str]]] = []
+        job_metrics: list[dict] = []
+        for domain in sorted(self.jobs):
+            job = self.jobs[domain]
+            done = (not job.queue and job.in_flight == 0) or (
+                job.term_by == "soft_timeout" and job.in_flight == 0)
+            if not done:
+                continue
+            proc = self.in_processing.get(job.addr_key)
+            if proc is not None and proc[0] == domain:
+                del self.in_processing[job.addr_key]
+            self._mark_seen(domain)
+            name = transform_domain(domain, cfg.topk.second_level_only)
+            domain_links.append((name, sorted(job.linked)))
+            job_metrics.append({
+                "epoch": epoch, "shard": self.shard, "domain": domain,
+                "pages_fetched": job.pages_fetched,
+                "pages_scheduled": job.pages_scheduled,
+                "linked_domains": len(job.linked),
+                "duration_epochs": epoch - job.start_epoch,
+                "term_by": job.term_by or "done",
+            })
+            del self.jobs[domain]
+            self.stats["jobs_finished"] += 1
+
+        return {"outgoing": outgoing, "domain_links": domain_links,
+                "job_metrics": job_metrics}
+
+    # ------------------------------------------------------------- introspection
+    def gauges(self, epoch: int) -> dict:
+        """Queue-gauge sampling (A5, crusty.rs:31-54): per-epoch state sizes."""
+        return {
+            "epoch": epoch, "shard": self.shard,
+            "pending_domains": len(self.pending_domains),
+            "pending_addr_keys": len(self.pending),
+            "in_processing": len(self.in_processing),
+            "active_jobs": len(self.jobs),
+            "seen_count": self.cuckoo.count,
+        }
+
+    def idle(self) -> bool:
+        return not (self.pending_domains or self.jobs or self._enqueue_buf
+                    or self._absorbed)
+
+    # ------------------------------------------------------------- checkpointing
+    def checkpoint(self) -> dict:
+        """Full state snapshot — everything resume-exactness needs
+        (SURVEY.md §7.4.6): frontier order, locks, budgets, filters, ddc."""
+        import pickle
+        return {
+            "shard": self.shard,
+            "pending": pickle.dumps(self.pending, protocol=4),
+            "pending_domains": pickle.dumps(self.pending_domains, protocol=4),
+            "in_processing": pickle.dumps(self.in_processing, protocol=4),
+            "jobs": pickle.dumps(self.jobs, protocol=4),
+            "ddc": pickle.dumps(self.ddc, protocol=4),
+            "bloom": self.bloom.to_bytes(),
+            "cuckoo": self.cuckoo.to_bytes(),
+            "stats": pickle.dumps(self.stats, protocol=4),
+        }
+
+    def restore(self, snap: dict) -> None:
+        import pickle
+        assert snap["shard"] == self.shard
+        self.pending = pickle.loads(snap["pending"])
+        self.pending_domains = pickle.loads(snap["pending_domains"])
+        self.in_processing = pickle.loads(snap["in_processing"])
+        self.jobs = pickle.loads(snap["jobs"])
+        self.ddc = pickle.loads(snap["ddc"])
+        self.bloom = ScalingBloom.from_bytes(snap["bloom"])
+        self.cuckoo = CuckooFilter.from_bytes(snap["cuckoo"])
+        self.stats = pickle.loads(snap["stats"])

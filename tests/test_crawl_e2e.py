@@ -1,0 +1,137 @@
+"""End-to-end conformance: distributed engine ≡ single-threaded simulator.
+
+The BASELINE.md correctness gate: crawl ordering + URL-seen set exact match
+under the same seed list + politeness budget, resume ≡ uninterrupted, and the
+serialized seen-set filters byte-identical.
+"""
+
+import pandas as pd
+import pytest
+
+from crusty_ray.config import test_config as _test_config
+from crusty_ray.datagen.webgraph import WebConfig
+from crusty_ray.sim.simulator import CrawlSimulator
+
+WEB_CFG = WebConfig(n_domains=60, max_pages_per_domain=20)
+
+
+def small_cfg(**over):
+    cfg = _test_config()
+    cfg.rules.total_link_budget = 30
+    cfg.rules.links_per_task_budget = 10
+    cfg.rules.max_level = 6
+    cfg.engine.max_epochs = 25
+    for k, v in over.items():
+        obj = cfg
+        *parts, last = k.split(".")
+        for p in parts:
+            obj = getattr(obj, p)
+        setattr(obj, last, v)
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def sim_result():
+    return CrawlSimulator(small_cfg(), WEB_CFG).run()
+
+
+def log_df(rows_or_table):
+    if hasattr(rows_or_table, "to_pandas"):
+        df = rows_or_table.to_pandas()
+    else:
+        df = pd.DataFrame(rows_or_table)
+    df["image_ids"] = df["image_ids"].map(tuple)
+    return (df.sort_values(["epoch", "seq"]).reset_index(drop=True)
+            .astype({"status_code": "int64", "depth": "int64", "shard": "int64"}))
+
+
+class TestSimulatorProperties:
+    def test_crawl_is_nontrivial(self, sim_result):
+        assert len(sim_result.crawl_log) > 300
+        assert len(sim_result.finished_domains) > 20
+        assert sim_result.epochs_run > 5
+
+    def test_politeness_one_domain_per_addr_key(self):
+        """Invariant: never two simultaneously active jobs on one addr_key."""
+        cfg = small_cfg()
+        sim = CrawlSimulator(cfg, WEB_CFG).seed()
+        # instrument: after each epoch every in_processing map is consistent
+        msgs_seen = []
+        for epoch in range(10):
+            tasks = []
+            for s in sim.shards:
+                tasks.extend(s.take_ready(epoch))
+            for s in sim.shards:
+                active_keys = [j.addr_key for j in s.jobs.values()]
+                assert len(active_keys) == len(set(active_keys)), "politeness violated"
+                msgs_seen.append(len(active_keys))
+            if not tasks and all(s.idle() for s in sim.shards):
+                break
+            sim._run_epoch(epoch, tasks)
+        assert sum(msgs_seen) > 0
+
+    def test_budgets_respected(self, sim_result):
+        cfg = small_cfg()
+        by_domain = {}
+        for m in sim_result.job_metrics:
+            by_domain[m["domain"]] = m
+            assert m["pages_scheduled"] <= cfg.rules.total_link_budget
+        depth_max = max(r["depth"] for r in sim_result.crawl_log)
+        assert depth_max < cfg.rules.max_level
+
+    def test_no_url_fetched_twice_within_job(self, sim_result):
+        seen = {}
+        for r in sim_result.crawl_log:
+            key = (r["domain"], r["url"])
+            # a domain may be re-crawled only if it was never finished+seen
+            assert key not in seen, f"{key} fetched twice"
+            seen[key] = True
+
+    def test_determinism(self):
+        a = CrawlSimulator(small_cfg(), WEB_CFG).run()
+        b = CrawlSimulator(small_cfg(), WEB_CFG).run()
+        assert a.crawl_log == b.crawl_log
+        assert a.finished_domains == b.finished_domains
+        assert a.topk_rows == b.topk_rows
+        assert a.seen_filter_bytes() == b.seen_filter_bytes()
+
+
+class TestEngineMatchesSimulator:
+    def _engine(self, tmp_path, cfg):
+        from crusty_ray.pipelines.crawl import CrawlEngine
+        return CrawlEngine(cfg, WEB_CFG, str(tmp_path / "out"))
+
+    def test_inline_path_exact_match(self, ray_session, tmp_path, sim_result):
+        eng = self._engine(tmp_path, small_cfg()).run()
+        edf, sdf = log_df(eng.read_crawl_log()), log_df(sim_result.crawl_log)
+        pd.testing.assert_frame_equal(edf, sdf, check_dtype=False)
+        assert eng.finished_domains == sim_result.finished_domains
+        assert eng.topk_rows == sim_result.topk_rows
+        assert eng.job_metrics == sim_result.job_metrics
+        assert eng.seen_filter_bytes() == sim_result.seen_filter_bytes()
+
+    def test_ray_dataset_path_exact_match(self, ray_session, tmp_path, sim_result):
+        # force every epoch through the distributed Dataset pipeline
+        cfg = small_cfg(**{"engine.min_epoch_rows_for_ray": 0,
+                           "engine.fetch_batch_size": 16,
+                           "engine.fetch_concurrency": 2})
+        eng = self._engine(tmp_path, cfg).run()
+        edf, sdf = log_df(eng.read_crawl_log()), log_df(sim_result.crawl_log)
+        pd.testing.assert_frame_equal(edf, sdf, check_dtype=False)
+        assert sorted(eng.finished_domains) == sorted(sim_result.finished_domains)
+        assert eng.seen_filter_bytes() == sim_result.seen_filter_bytes()
+
+
+class TestResume:
+    def test_resume_equals_uninterrupted(self, ray_session, tmp_path, sim_result):
+        from crusty_ray.pipelines.crawl import CrawlEngine
+        cfg = small_cfg()
+        # interrupted run: stop after 7 epochs (checkpoint every epoch)
+        eng1 = CrawlEngine(cfg, WEB_CFG, str(tmp_path / "o")).run(max_epochs=7)
+        assert eng1.epochs_run == 7
+        eng2 = CrawlEngine.resume(cfg, WEB_CFG, str(tmp_path / "o")).run()
+        edf, sdf = log_df(eng2.read_crawl_log()), log_df(sim_result.crawl_log)
+        pd.testing.assert_frame_equal(edf, sdf, check_dtype=False)
+        assert eng2.finished_domains == sim_result.finished_domains
+        assert eng2.topk_rows == sim_result.topk_rows
+        assert eng2.seen_filter_bytes() == sim_result.seen_filter_bytes()
