@@ -163,6 +163,7 @@ def test_config(**overrides) -> Config:
     cfg.jobs.shard_total = 4
     cfg.jobs.shard_max = 4
     cfg.jobs.dequeue_limit = 100
+    cfg.engine.fetch_concurrency = 2  # tests run in a 4-CPU Ray session
     cfg.engine.seen_bloom_capacity = 1 << 14
     cfg.engine.cuckoo_capacity = 1 << 14
     cfg.engine.max_epochs = 30

@@ -1,0 +1,47 @@
+"""Image payload pipeline: decode invariants over a real crawl's references."""
+
+import pytest
+
+from crusty_ray.config import test_config as _tc
+from crusty_ray.datagen.webgraph import WebConfig
+
+WEB_CFG = WebConfig(n_domains=40, max_pages_per_domain=10)
+
+
+@pytest.fixture(scope="module")
+def crawl_out(ray_session, tmp_path_factory):
+    from crusty_ray.pipelines.crawl import CrawlEngine
+    cfg = _tc()
+    cfg.rules.total_link_budget = 20
+    cfg.rules.links_per_task_budget = 8
+    cfg.rules.max_level = 5
+    out = str(tmp_path_factory.mktemp("crawl"))
+    CrawlEngine(cfg, WEB_CFG, out).run(15)
+    return out
+
+
+def test_image_pipeline_invariants(ray_session, crawl_out, tmp_path):
+    from crusty_ray.pipelines.images import run_image_pipeline
+    cfg = _tc()
+    summary = run_image_pipeline(f"{crawl_out}/crawl_log", str(tmp_path / "images"),
+                                 WEB_CFG, cfg)
+    assert summary["n_images"] > 10
+    assert summary["decode_ok_rate"] == 1.0
+    assert summary["caption_ok_rate"] == 1.0
+    assert summary["min_lossy_psnr_db"] >= 40.0
+    assert summary["max_phash_dist"] <= 8
+
+
+def test_image_table_schema(ray_session, crawl_out, tmp_path):
+    import pyarrow.dataset as pads
+    from crusty_ray.pipelines.images import IMAGE_SCHEMA, run_image_pipeline
+    out = str(tmp_path / "img2")
+    run_image_pipeline(f"{crawl_out}/crawl_log", out, WEB_CFG, _tc())
+    t = pads.dataset(out, format="parquet").to_table()
+    assert set(t.column_names) == set(IMAGE_SCHEMA.names)
+    # input_hint columns all present with right types
+    assert t.schema.field("bytes").type == "binary"
+    assert t.schema.field("phash").type == "int64"
+    # one row per distinct referenced image
+    ids = t["image_id"].to_pylist()
+    assert len(ids) == len(set(ids))
