@@ -1,44 +1,272 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The driver initialises Ray BEFORE importing this module; nothing here calls
+``ray.init``/``ray.shutdown``. ``queries()`` maps every implemented operator
+(SURVEY.md §2 + the training-data ops) to a callable over ``sf_dir``;
+``oracle_sql()`` gives the DuckDB-equivalent SQL where the op is
+SQL-expressible (column names match exactly; floats exit as integers —
+per-mille similarities, cents — so cross-engine value hashes agree).
+Crawl-engine pipelines run on the deterministic synthetic web and are
+registered as rows-only checks (their true oracle is the simulator,
+enforced by ``tests/test_crawl_e2e.py``).
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+_CRAWL_CACHE: dict[str, Any] = {}
+
+
+def _crawl_outputs() -> dict:
+    """Run one small deterministic crawl (engine, not simulator) and memoize
+    its artifacts for the crawl-facing rows-only queries."""
+    if _CRAWL_CACHE:
+        return _CRAWL_CACHE
+    from crusty_ray.config import test_config
+    from crusty_ray.datagen.webgraph import WebConfig
+    from crusty_ray.pipelines.crawl import CrawlEngine
+
+    cfg = test_config()
+    cfg.rules.total_link_budget = 20
+    cfg.rules.links_per_task_budget = 8
+    cfg.rules.max_level = 5
+    web_cfg = WebConfig(n_domains=40, max_pages_per_domain=10)
+    out = os.path.join(tempfile.mkdtemp(prefix="crusty_ray_entry_"), "crawl")
+    eng = CrawlEngine(cfg, web_cfg, out).run(15)
+    _CRAWL_CACHE.update({"engine": eng, "out": out, "cfg": cfg, "web_cfg": web_cfg})
+    return _CRAWL_CACHE
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: the epochal crawl over the synthetic web — returns the
+    deterministic crawl log (the engine's primary product)."""
+    c = _crawl_outputs()
+    return c["engine"].read_crawl_log().drop_columns(["image_ids"])
 
+
+# --------------------------------------------------------------------- queries
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from crusty_ray.ops import analog, dedup, similarity, text
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def lang_distribution(sf_dir: str):
+        import ray
+        from ray.data.aggregate import Count
+        return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["lang"]) \
+            .groupby("lang").aggregate(Count(alias_name="n_docs"))
 
+    def crawl_log(sf_dir: str):
+        return _crawl_outputs()["engine"].read_crawl_log().drop_columns(["image_ids"])
+
+    def crawl_topk(sf_dir: str):
+        import pandas as pd
+        return pd.DataFrame(_crawl_outputs()["engine"].topk_rows,
+                            columns=["epoch", "tld", "domain", "hits"])
+
+    def crawl_job_metrics(sf_dir: str):
+        import pandas as pd
+        return pd.DataFrame(_crawl_outputs()["engine"].job_metrics)
+
+    def crawl_images(sf_dir: str):
+        import pyarrow.dataset as pads
+        from crusty_ray.pipelines.images import run_image_pipeline
+        c = _crawl_outputs()
+        img_dir = f"{c['out']}/images"
+        if not os.path.exists(img_dir):
+            run_image_pipeline(f"{c['out']}/crawl_log", img_dir,
+                               c["web_cfg"], c["cfg"])
+        return pads.dataset(img_dir, format="parquet").to_table() \
+            .drop_columns(["bytes"]).sort_by("image_id")
+
+    def multimodal_thumbs(sf_dir: str):
+        import ray
+        from crusty_ray.datagen.webgraph import SyntheticWeb
+        from crusty_ray.ops.multimodal import DecodeResizeStage
+        web = SyntheticWeb(_crawl_outputs()["web_cfg"])
+        recs = [web.image_record(f"im{i}_0_0") for i in range(30)]
+        ds = ray.data.from_items(recs).map_batches(
+            DecodeResizeStage, batch_format="pyarrow", batch_size=16,
+            concurrency=2)
+        df = ds.to_pandas()[["image_id", "w", "h", "fmt", "decode_ok"]]
+        return df.sort_values("image_id").reset_index(drop=True)
+
+    return {
+        # -- text analysis (SQL-checked)
+        "token_stats": text.token_stats_ds,
+        "fingerprint_md5": text.fingerprint_ds,
+        "quality_class": text.quality_ds,
+        "lang_distribution": lang_distribution,
+        # -- dedup family
+        "exact_dedup": dedup.exact_dedup_ds,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs_ds,
+        "embedding_quant_dedup": dedup.embedding_quant_dedup_ds,
+        "minhash_candidates": dedup.minhash_candidates_ds,        # rows-only
+        "minhash_near_dups": dedup.minhash_dedup_pairs,           # rows-only
+        "simhash_near_dups": dedup.simhash_pairs,                 # rows-only
+        # -- similarity search
+        "ann_quantized": similarity.ann_quantized_ds,
+        "ann_bruteforce": similarity.ann_bruteforce_ds,           # rows-only
+        "ann_lsh": similarity.ann_lsh_ds,                         # rows-only
+        # -- language id (heuristic; rows-only)
+        "langid": text.langid_ds,
+        # -- crawl-operator analogs (SQL-checked)
+        "topk_heavy_hitters": analog.topk_heavy_hitters_ds,
+        "per_group_budget": analog.per_group_budget_ds,
+        "depth_filter": analog.depth_filter_ds,
+        "shard_assignment": analog.shard_assignment_ds,
+        "segment_order_counts": analog.segment_order_counts_ds,
+        "event_minute_buckets": analog.event_minute_buckets_ds,
+        "pricing_summary": analog.pricing_summary_ds,
+        "priority_dequeue": analog.priority_dequeue_ds,
+        # -- the crawl engine itself (simulator-oracled; rows-only here)
+        "crawl_log": crawl_log,
+        "crawl_topk": crawl_topk,
+        "crawl_job_metrics": crawl_job_metrics,
+        "crawl_images": crawl_images,
+        "multimodal_thumbs": multimodal_thumbs,
+    }
+
+
+# ------------------------------------------------------------------ oracle SQL
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "token_stats": """
+            SELECT doc_id,
+                   CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+                   CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper
+            FROM documents
+        """,
+        "fingerprint_md5": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        "quality_class": """
+            SELECT doc_id,
+                   CAST(CASE WHEN length(text) BETWEEN 100 AND 2000
+                             AND (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) > 0
+                        THEN 2 WHEN length(text) >= 30 THEN 1 ELSE 0 END AS BIGINT) AS quality_bucket
+            FROM documents
+        """,
+        "lang_distribution":
+            "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+        "exact_dedup": """
+            SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "ngram_jaccard_pairs": """
+            WITH toks AS (
+              SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+            ), ex AS (
+              SELECT doc_id, source, unnest(t) AS w,
+                     generate_subscripts(t, 1) AS i, len(t) AS n
+              FROM toks
+            ), g0 AS (
+              SELECT doc_id, source,
+                     w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS gram,
+                     i, n
+              FROM ex WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+            ), grams AS (
+              SELECT DISTINCT doc_id, source, gram FROM g0 WHERE i + 2 <= n
+            ), cnts AS (
+              SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+              FROM grams a
+              JOIN grams b ON a.source = b.source AND a.gram = b.gram
+                          AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   (1000 * shared) // (ca.n + cb.n - shared) AS jaccard_pm
+            FROM inter
+            JOIN cnts ca ON ca.doc_id = doc_a
+            JOIN cnts cb ON cb.doc_id = doc_b
+            WHERE (1000 * shared) // (ca.n + cb.n - shared) >= 500
+        """,
+        "embedding_quant_dedup": """
+            WITH q AS (
+              SELECT vec_id, label,
+                     list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+              FROM embeddings
+            )
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   CAST(list_inner_product(a.qe, b.qe) AS BIGINT) AS qdot
+            FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_inner_product(a.qe, b.qe) >= 300000
+        """,
+        "ann_quantized": """
+            WITH d AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+              FROM embeddings
+            ), q AS (
+              SELECT vec_id AS query_id, qe AS qq FROM d ORDER BY vec_id LIMIT 5
+            ), scored AS (
+              SELECT q.query_id, d.vec_id,
+                     CAST(list_inner_product(qq, qe) AS BIGINT) AS qdot
+              FROM q CROSS JOIN d
+            )
+            SELECT query_id, vec_id, qdot, rnk FROM (
+              SELECT *, CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY qdot DESC, vec_id) AS BIGINT) AS rnk
+              FROM scored) WHERE rnk <= 10
+        """,
+        "topk_heavy_hitters": """
+            SELECT event_type, user_id, cnt, rnk FROM (
+              SELECT event_type, user_id, count(*) AS cnt,
+                     CAST(row_number() OVER (PARTITION BY event_type
+                          ORDER BY count(*) DESC, user_id) AS BIGINT) AS rnk
+              FROM events GROUP BY event_type, user_id) WHERE rnk <= 5
+        """,
+        "per_group_budget": """
+            SELECT l_orderkey, l_linenumber FROM (
+              SELECT l_orderkey, l_linenumber,
+                     row_number() OVER (PARTITION BY l_orderkey
+                                        ORDER BY l_linenumber) AS rn
+              FROM lineitem) WHERE rn <= 3
+        """,
+        "depth_filter": """
+            SELECT l_returnflag, count(*) AS n_rows
+            FROM lineitem WHERE l_linenumber <= 3 GROUP BY 1
+        """,
+        "shard_assignment": """
+            SELECT ('0x' || substr(md5(c_name), 1, 8))::BIGINT % 8 AS shard,
+                   count(*) AS n_customers
+            FROM customer GROUP BY 1
+        """,
+        "segment_order_counts": """
+            SELECT c_mktsegment, count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1
+        """,
+        "event_minute_buckets": """
+            SELECT event_type,
+                   (CAST(floor(epoch(ts)) AS BIGINT) // 60) AS minute,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(floor(sum(l_quantity) * 100 + 0.5) AS BIGINT) AS sum_qty,
+                   CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)
+                       AS sum_disc_price_cents,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "priority_dequeue": """
+            SELECT o_orderpriority, o_orderkey, price_cents FROM (
+              SELECT o_orderpriority, o_orderkey,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                       ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DESC,
+                                o_orderkey) AS rn
+              FROM orders) WHERE rn <= 10
+        """,
+    }

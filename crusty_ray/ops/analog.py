@@ -1,0 +1,170 @@
+"""Crawl-operator analogs over the driver's TPC-H-ish tables.
+
+The driver's correctness gate (CORRECTNESS_r{N}.json) compares Ray pipelines
+against DuckDB SQL on ``/root/testdata/sf*``. The crawl engine's own operators
+run on the synthetic web, so each one ALSO gets an SQL-expressible analog here
+exercising the identical Ray Data plan shape on the shared tables
+(FIXTURES.md driver-contract section):
+
+- top-k heavy hitters (A2)            → groupby + per-partition rank
+- per-group budget (F5)               → row_number ≤ N inside map_groups
+- depth filter (F6)                   → vectorized predicate + agg
+- shard assignment (types.rs:51-53)   → md5-hash mod bucketing + counts
+- link counts (A1/A4)                 → broadcast join + grouped sum
+- queue gauges (A5/A6)                → time-bucket counts
+- pricing agg (flagship wide agg)     → multi-aggregate groupby
+
+Float discipline: money sums exit as integer cents via
+``floor(sum·100 + 0.5)`` — bit-exact between numpy float64 and DuckDB double,
+immune to summation-order ulps (the +0.5 keeps the floor boundary half a cent
+away from the true value).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ------------------------------------------------------------- top-k (A2/A3)
+def topk_heavy_hitters_ds(sf_dir: str, k: int = 5):
+    """Per event_type, top-k users by event count (per-TLD heavy hitters)."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    counts = ds.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="cnt"))
+
+    def rank(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cnt", "user_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return counts.groupby("event_type").map_groups(rank, batch_format="pandas")
+
+
+# ------------------------------------------------------------- budgets (F4/F5)
+def per_group_budget_ds(sf_dir: str, budget: int = 3):
+    """First ``budget`` lineitems per order by linenumber (LinkPerPageBudget)."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def head_n(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values("l_linenumber").head(budget)[
+            ["l_orderkey", "l_linenumber"]]
+
+    return ds.groupby("l_orderkey").map_groups(head_n, batch_format="pandas")
+
+
+# ------------------------------------------------------------- depth filter (F6)
+def depth_filter_ds(sf_dir: str, max_depth: int = 3):
+    """Vectorized depth mask + grouped count (PageLevel analog)."""
+    ds = _read(sf_dir, "lineitem", ["l_linenumber", "l_returnflag"])
+    import pyarrow.compute as pc
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.less_equal(t["l_linenumber"], max_depth)),
+        batch_format="pyarrow")
+    return ds.groupby("l_returnflag").aggregate(Count(alias_name="n_rows"))
+
+
+# ------------------------------------------------------------- sharding
+def md5_shard(values: pd.Series, shard_total: int) -> np.ndarray:
+    """First 8 md5 hex digits as int, mod shards — DuckDB-replicable hash."""
+    return np.array(
+        [int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % shard_total
+         for v in values], dtype=np.int64)
+
+
+def shard_assignment_ds(sf_dir: str, shard_total: int = 8):
+    """customer → shard histogram (crc32-style partitioning, types.rs:51-53)."""
+    ds = _read(sf_dir, "customer", ["c_name"])
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"shard": md5_shard(batch["c_name"], shard_total)})
+
+    return ds.map_batches(assign, batch_format="pandas") \
+        .groupby("shard").aggregate(Count(alias_name="n_customers"))
+
+
+# ------------------------------------------------------------- link counts (A1/A4)
+def segment_order_counts_ds(sf_dir: str):
+    """Orders per market segment — small-side broadcast join (no shuffle join):
+    customer dim is ray.put once and read in each batch task."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(lookup_ref)
+        seg = batch["o_custkey"].map(lookup)
+        return pd.DataFrame({"c_mktsegment": seg[seg.notna()]})  # inner-join semantics
+
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+    return ds.map_batches(tag, batch_format="pandas") \
+        .groupby("c_mktsegment").aggregate(Count(alias_name="n_orders"))
+
+
+# ------------------------------------------------------------- gauges (A5/A6)
+def event_minute_buckets_ds(sf_dir: str):
+    """Events per (type, minute bucket) — the queue-gauge/dashboard shape."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        epoch_s = batch["ts"].astype("int64") // 1_000_000
+        return pd.DataFrame({"event_type": batch["event_type"],
+                             "minute": (epoch_s // 60).astype("int64")})
+
+    return ds.map_batches(bucket, batch_format="pandas") \
+        .groupby(["event_type", "minute"]).aggregate(Count(alias_name="n_events"))
+
+
+# ------------------------------------------------------------- pricing agg
+def pricing_summary_ds(sf_dir: str):
+    """TPC-H Q1-shaped flagship agg; money as integer cents (see module doc)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def extend(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        disc = pc.multiply(batch["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return batch.append_column("disc_price", disc)
+
+    ds = ds.map_batches(extend, batch_format="pyarrow")
+    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("disc_price", alias_name="sum_disc_price"),
+        Count(alias_name="count_order"))
+
+    def to_cents(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["sum_qty"] = np.floor(batch["sum_qty"] * 100.0 + 0.5).astype("int64")
+        batch["sum_disc_price_cents"] = np.floor(
+            batch["sum_disc_price"] * 100.0 + 0.5).astype("int64")
+        return batch[["l_returnflag", "l_linestatus", "sum_qty",
+                      "sum_disc_price_cents", "count_order"]]
+
+    return agg.map_batches(to_cents, batch_format="pandas")
+
+
+# ------------------------------------------------------------- priority queue (S2)
+def priority_dequeue_ds(sf_dir: str, k: int = 10):
+    """Top-k orders per priority class by value — the frontier's weighted
+    priority dequeue as a rank query."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def rank(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.copy()
+        g["price_cents"] = np.floor(g["o_totalprice"] * 100.0 + 0.5).astype("int64")
+        g = g.sort_values(["price_cents", "o_orderkey"],
+                          ascending=[False, True]).head(k)
+        return g[["o_orderpriority", "o_orderkey", "price_cents"]]
+
+    return ds.groupby("o_orderpriority").map_groups(rank, batch_format="pandas")

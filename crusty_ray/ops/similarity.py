@@ -1,0 +1,207 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Baseline: brute-force cosine top-k — numpy matmul per batch against a
+broadcast query matrix (``ray.put`` once, ``ray.get`` in each actor's
+``__init__``; never re-shipped per batch). Each batch emits its local top-k
+per query (partial agg); a tiny ``groupby(query_id)`` merge produces the
+global top-k — the shuffle moves only k rows per (query, block).
+
+Scale path: LSH bucketing by random-hyperplane signs (seed-stable planes) —
+probes only matching buckets, trading recall for a ~2^bits fan-in reduction.
+
+The SQL-oracle-checked face (`ann_quantized`) scores with integer quantized
+inner products (``floor(float64(x)·1000)``), bit-exact vs DuckDB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+
+from ..core.hashing import stable_rng
+
+
+def _load_queries(sf_dir: str, n_queries: int) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    return t.nsmallest(n_queries, "vec_id").reset_index(drop=True)
+
+
+class BruteForceScorer:
+    """Actor: holds the normalized query matrix (fetched from the object
+    store once, in __init__)."""
+
+    def __init__(self, queries_ref, k: int):
+        q = ray.get(queries_ref)
+        self.qids = q["vec_id"].to_numpy()
+        qm = np.stack(q["embedding"].to_list()).astype(np.float64)
+        self.qmat = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        self.k = k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["vec_id"].to_numpy()
+        mat = np.stack(batch["embedding"].to_list()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = self.qmat @ mat.T                     # (Q, B)
+        k = min(self.k, sims.shape[1])
+        rows = {"query_id": [], "vec_id": [], "sim_pm": []}
+        for qi, qid in enumerate(self.qids):
+            # batch-local top-k (partial), deterministic tie-break by vec_id
+            order = np.lexsort((ids, -sims[qi]))[:k]
+            rows["query_id"].extend([qid] * len(order))
+            rows["vec_id"].extend(ids[order])
+            rows["sim_pm"].extend(
+                np.floor(sims[qi][order] * 1000.0).astype(np.int64))
+        return pd.DataFrame(rows)
+
+
+def _merge_topk(k: int):
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim_pm", "vec_id"],
+                              ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+    return merge
+
+
+def ann_bruteforce_ds(sf_dir: str, n_queries: int = 8, k: int = 10):
+    """Global cosine top-k per query (self-search over the embeddings table)."""
+    queries_ref = ray.put(_load_queries(sf_dir, n_queries))
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    partial = ds.map_batches(
+        BruteForceScorer,
+        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
+        batch_format="pandas", batch_size=4096, concurrency=2)
+    return partial.groupby("query_id").map_groups(
+        _merge_topk(k), batch_format="pandas")
+
+
+# ---------------------------------------------------------------- LSH variant
+
+class LshBucketStage:
+    """Random-hyperplane signature: seed-stable planes built once per actor."""
+
+    def __init__(self, dim: int, n_bits: int = 8, seed: int = 42):
+        self.planes = stable_rng("lsh-planes", seed).standard_normal((n_bits, dim))
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(batch["embedding"].to_list()).astype(np.float64)
+        signs = (self.planes @ mat.T) > 0                       # (bits, B)
+        bucket = np.zeros(mat.shape[0], dtype=np.int64)
+        for b in range(signs.shape[0]):
+            bucket = (bucket << 1) | signs[b]
+        out = batch[["vec_id"]].copy()
+        out["bucket"] = bucket
+        out["embedding"] = batch["embedding"]
+        return out
+
+
+def ann_lsh_ds(sf_dir: str, n_queries: int = 8, k: int = 10, n_bits: int = 8):
+    """Bucketed ANN: queries probe only their own hyperplane bucket.
+
+    Recall < 1 by design (reported vs brute force in tests); fan-in per query
+    drops ~2^n_bits — the 10^10-row path.
+    """
+    import pyarrow.parquet as pq
+    dim = len(pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 1)
+              .to_pandas()["embedding"][0])
+    queries = _load_queries(sf_dir, n_queries)
+    stage = LshBucketStage(dim, n_bits)
+    qmat = np.stack(queries["embedding"].to_list()).astype(np.float64)
+    qsigns = (stage.planes @ qmat.T) > 0
+    qbucket = np.zeros(len(queries), dtype=np.int64)
+    for b in range(qsigns.shape[0]):
+        qbucket = (qbucket << 1) | qsigns[b]
+    queries = queries.assign(bucket=qbucket)
+    queries_ref = ray.put(queries)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    # instance (not class) → stateless tasks: the plane matrix is tiny, and
+    # task-based stages avoid reserving a whole actor pool on small clusters
+    bucketed = ds.map_batches(LshBucketStage(dim, n_bits),
+                              batch_format="pandas", batch_size=4096)
+
+    class BucketScorer:
+        def __init__(self):
+            q = ray.get(queries_ref)
+            self.by_bucket: dict[int, pd.DataFrame] = {
+                int(b): g for b, g in q.groupby("bucket")}
+            self.k = k
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            frames = []
+            for b, g in batch.groupby("bucket"):
+                qs = self.by_bucket.get(int(b))
+                if qs is None or not len(g):
+                    continue
+                ids = g["vec_id"].to_numpy()
+                mat = np.stack(g["embedding"].to_list()).astype(np.float64)
+                mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+                qm = np.stack(qs["embedding"].to_list()).astype(np.float64)
+                qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+                sims = qm @ mat.T
+                for qi, qid in enumerate(qs["vec_id"].to_numpy()):
+                    order = np.lexsort((ids, -sims[qi]))[: self.k]
+                    frames.append(pd.DataFrame({
+                        "query_id": qid, "vec_id": ids[order],
+                        "sim_pm": np.floor(sims[qi][order] * 1000.0).astype(np.int64),
+                    }))
+            if not frames:
+                return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                     "vec_id": pd.Series([], dtype="int64"),
+                                     "sim_pm": pd.Series([], dtype="int64")})
+            return pd.concat(frames, ignore_index=True)
+
+    partial = bucketed.map_batches(BucketScorer(), batch_format="pandas",
+                                   batch_size=8192)
+    return partial.groupby("query_id").map_groups(
+        _merge_topk(k), batch_format="pandas")
+
+
+# ---------------------------------------------------------------- SQL-parity face
+
+def ann_quantized_ds(sf_dir: str, n_queries: int = 5, k: int = 10):
+    """Top-k by integer quantized inner product — DuckDB-bit-exact ANN."""
+    queries = _load_queries(sf_dir, n_queries)
+    qq = [np.floor(np.asarray(v, np.float64) * 1000.0).astype(np.int64)
+          for v in queries["embedding"]]
+    queries_ref = ray.put((queries["vec_id"].to_numpy(), np.stack(qq)))
+
+    class QuantScorer:
+        def __init__(self):
+            self.qids, self.qmat = ray.get(queries_ref)
+            self.k = k
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids = batch["vec_id"].to_numpy()
+            mat = np.stack([
+                np.floor(np.asarray(v, np.float64) * 1000.0).astype(np.int64)
+                for v in batch["embedding"]])
+            dots = self.qmat @ mat.T
+            rows = {"query_id": [], "vec_id": [], "qdot": []}
+            for qi, qid in enumerate(self.qids):
+                order = np.lexsort((ids, -dots[qi]))[: self.k]
+                rows["query_id"].extend([qid] * len(order))
+                rows["vec_id"].extend(ids[order])
+                rows["qdot"].extend(dots[qi][order])
+            return pd.DataFrame(rows).astype(
+                {"query_id": "int64", "vec_id": "int64", "qdot": "int64"})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    partial = ds.map_batches(QuantScorer, batch_format="pandas",
+                             batch_size=4096, concurrency=2)
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["qdot", "vec_id"],
+                              ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")

@@ -1,0 +1,135 @@
+"""Text analysis operators over a documents table.
+
+Each operator is a vectorized ``map_batches`` kernel (pandas string methods /
+compiled regex, compiled once per actor where stateful) designed for the
+``documents(doc_id, text, lang, source, n_chars)`` shape. The SQL-oracle-
+checked variants emit *integer* features only — cross-engine float equality is
+a trap the driver's value-hash would catch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+import ray
+
+_WORD_RE = re.compile(r"\w+")
+_PUNCT_RE = re.compile(r"[.,!?;:]")
+# tiny per-language stopword profiles for the n-gram/stopword language heuristic
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "for", "on"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"},
+    "es": {"el", "la", "los", "y", "es", "un", "una", "por", "con", "para"},
+}
+
+
+def token_stats(batch: pd.DataFrame) -> pd.DataFrame:
+    """Integer token/char/punct counts (SQL-oracle-parity features).
+
+    token definition = whitespace split of the trimmed text, matching
+    ``len(string_split(trim(text), ' '))`` in the DuckDB oracle.
+    """
+    text = batch["text"].fillna("")
+    out = pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        # strip spaces only — DuckDB's trim() default charset
+        "n_tokens": text.str.strip(" ").str.split(" ").map(len).astype("int64"),
+        "n_chars": text.str.len().astype("int64"),
+        "n_punct": text.str.count(_PUNCT_RE).astype("int64"),
+        "n_upper": text.str.count(r"[A-Z]").astype("int64"),
+    })
+    return out
+
+
+def fingerprint(batch: pd.DataFrame) -> pd.DataFrame:
+    """Document fingerprint = md5 hex of the text (exactly DuckDB's ``md5``),
+    plus a 64-bit rolling hash used internally by the near-dup ops."""
+    texts = batch["text"].fillna("")
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "md5": [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts],
+        "rhash64": np.array(
+            [_rolling_hash(t) for t in texts], dtype=np.uint64
+        ).astype(np.int64),
+    })
+
+
+def _rolling_hash(text: str, base: int = 1000003, mod: int = (1 << 61) - 1) -> int:
+    h = 0
+    for ch in text:
+        h = (h * base + ord(ch)) % mod
+    return h
+
+
+class LangId:
+    """Stopword-profile language heuristic — stateful stage (profiles + regex
+    compiled once per actor, ray_guide actor-pool pattern)."""
+
+    def __init__(self):
+        self.word = _WORD_RE
+        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.lower().str.findall(self.word)
+
+        def classify(words: list[str]) -> tuple[str, int]:
+            best, best_hits = "unknown", 0
+            for lang in sorted(self.profiles):
+                hits = sum(1 for w in words if w in self.profiles[lang])
+                if hits > best_hits:
+                    best, best_hits = lang, hits
+            return best, best_hits
+
+        res = toks.map(classify)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "lang_pred": res.map(lambda t: t[0]),
+            "lang_hits": res.map(lambda t: t[1]).astype("int64"),
+        })
+
+
+def quality_class(batch: pd.DataFrame) -> pd.DataFrame:
+    """Integer quality bucket from length/punct/casing features.
+
+    bucket = 2 (good) if 100 <= n_chars <= 2000 and has punctuation,
+             1 (fair) if n_chars >= 30, else 0 — integers only, so the DuckDB
+    CASE-expression oracle matches exactly.
+    """
+    text = batch["text"].fillna("")
+    n_chars = text.str.len()
+    n_punct = text.str.count(_PUNCT_RE)
+    bucket = np.where((n_chars >= 100) & (n_chars <= 2000) & (n_punct > 0), 2,
+                      np.where(n_chars >= 30, 1, 0))
+    return pd.DataFrame({"doc_id": batch["doc_id"],
+                         "quality_bucket": bucket.astype("int64")})
+
+
+# ------------------------------------------------------------------ pipelines
+def token_stats_ds(sf_dir: str):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"]) \
+        .map_batches(token_stats, batch_format="pandas")
+
+
+def fingerprint_ds(sf_dir: str):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"]) \
+        .map_batches(fingerprint, batch_format="pandas") \
+        .select_columns(["doc_id", "md5"])
+
+
+def quality_ds(sf_dir: str):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"]) \
+        .map_batches(quality_class, batch_format="pandas")
+
+
+def langid_ds(sf_dir: str):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"]) \
+        .map_batches(LangId, batch_format="pandas", concurrency=2)
