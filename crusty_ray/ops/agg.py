@@ -1,0 +1,58 @@
+"""High-cardinality grouped aggregation — coarse partitions, pandas inside.
+
+Ray Data's ``groupby().aggregate()`` / ``map_groups`` pay a per-distinct-group
+fixed cost (measured ~5 ms/group: an 80k-group count over 100k rows took 200 s
+single-block, 12 s at 32 blocks, 84 s with hash_shuffle). The scalable shape
+for high-cardinality keys is:
+
+    ds.groupby(hash(key) % P).map_groups(pandas-groupby-inside)
+
+— one shuffle into P coarse partitions (P ≈ cluster CPUs, not n_groups), with
+the real per-key aggregation done by pandas' C groupby within each partition.
+Same result, same single shuffle, per-partition instead of per-group overhead.
+Partition hash is ``pandas.util.hash_pandas_object`` (siphash, fixed key —
+process-independent), so layouts are deterministic.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+
+
+def partitioned_group_apply(ds, key_cols: list[str],
+                            fn: Callable[[pd.DataFrame], pd.DataFrame],
+                            num_partitions: int = 32):
+    """Apply ``fn`` (pandas in/out, must do its own per-key groupby) once per
+    coarse hash partition of ``key_cols``. All rows of any key land in exactly
+    one partition."""
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        key = batch[key_cols[0]].astype(str)
+        for c in key_cols[1:]:
+            key = key + "\x1f" + batch[c].astype(str)
+        batch["__part"] = (
+            pd.util.hash_pandas_object(key, index=False) % num_partitions
+        ).astype("int64")
+        return batch
+
+    def apply_in_part(group: pd.DataFrame) -> pd.DataFrame:
+        return fn(group.drop(columns="__part"))
+
+    return ds.map_batches(add_part, batch_format="pandas") \
+        .groupby("__part").map_groups(apply_in_part, batch_format="pandas")
+
+
+def grouped_count(ds, key_cols: list[str], out_name: str,
+                  num_partitions: int = 32):
+    """COUNT(*) GROUP BY key_cols for high-cardinality keys."""
+
+    def count_in_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(key_cols, as_index=False).size() \
+                .rename(columns={"size": out_name})
+        out[out_name] = out[out_name].astype("int64")
+        return out
+
+    return partitioned_group_apply(ds, key_cols, count_in_part, num_partitions)

@@ -33,14 +33,16 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from .io import read_table
+    return read_table(sf_dir, table, columns=columns)
 
 
 # ------------------------------------------------------------- top-k (A2/A3)
 def topk_heavy_hitters_ds(sf_dir: str, k: int = 5):
     """Per event_type, top-k users by event count (per-TLD heavy hitters)."""
+    from .agg import grouped_count
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
-    counts = ds.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="cnt"))
+    counts = grouped_count(ds, ["event_type", "user_id"], "cnt")
 
     def rank(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["cnt", "user_id"], ascending=[False, True]).head(k)
@@ -120,8 +122,9 @@ def event_minute_buckets_ds(sf_dir: str):
         return pd.DataFrame({"event_type": batch["event_type"],
                              "minute": (epoch_s // 60).astype("int64")})
 
-    return ds.map_batches(bucket, batch_format="pandas") \
-        .groupby(["event_type", "minute"]).aggregate(Count(alias_name="n_events"))
+    from .agg import grouped_count
+    return grouped_count(ds.map_batches(bucket, batch_format="pandas"),
+                         ["event_type", "minute"], "n_events")
 
 
 # ------------------------------------------------------------- pricing agg

@@ -26,6 +26,8 @@ import pandas as pd
 
 import ray
 
+from .io import read_parquet as _io_read
+
 from ..core.hashing import hash64_batch, hash_family
 
 # ---------------------------------------------------------------- exact dedup
@@ -38,13 +40,18 @@ def exact_dedup_ds(sf_dir: str):
                              for t in batch["text"].fillna("")]
         return batch[["doc_id", "text_md5"]]
 
-    from ray.data.aggregate import Count, Min
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    from .agg import partitioned_group_apply
+    ds = _io_read(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     ds = ds.map_batches(add_hash, batch_format="pandas")
-    return ds.groupby("text_md5").aggregate(
-        Min("doc_id", alias_name="keep_doc_id"),
-        Count(alias_name="n_dups"))
+
+    def first_per_hash(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("text_md5", as_index=False).agg(
+            keep_doc_id=("doc_id", "min"), n_dups=("doc_id", "size"))
+        return out.astype({"keep_doc_id": "int64", "n_dups": "int64"})
+
+    # high-cardinality key (one group per distinct text) → coarse partitions
+    return partitioned_group_apply(ds, ["text_md5"], first_per_hash)
 
 
 # ---------------------------------------------------------------- shingling
@@ -63,12 +70,20 @@ N_BANDS = 16        # 16 bands × 4 rows: catches Jaccard ≳ 0.5 w.h.p.
 ROWS_PER_BAND = N_PERM // N_BANDS
 
 
+_PERM_OFFSETS = (np.arange(N_PERM, dtype=np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15))
+
+
 def minhash_signature(grams: set[str]) -> np.ndarray:
-    """64-perm MinHash from one base hash + splitmix-derived families."""
+    """64-perm MinHash from one base hash + splitmix-derived families,
+    computed in one vectorized (n_grams × N_PERM) pass."""
     if not grams:
         return np.full(N_PERM, np.iinfo(np.uint64).max, dtype=np.uint64)
     base = hash64_batch(sorted(grams))
-    return np.stack([hash_family(base, k).min() for k in range(N_PERM)])
+    from ..core.hashing import mix64
+    with np.errstate(over="ignore"):
+        fam = mix64(base[:, None] + _PERM_OFFSETS[None, :])
+    return fam.min(axis=0)
 
 
 def minhash_bands_batch(batch: pd.DataFrame) -> pd.DataFrame:
@@ -102,15 +117,31 @@ def _pairs_from_buckets(group: pd.DataFrame) -> pd.DataFrame:
 
 
 def minhash_candidates_ds(sf_dir: str):
-    """documents → LSH candidate pairs (distinct)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    """documents → LSH candidate pairs (distinct, with matching-band counts).
+
+    Both groupbys key on high-cardinality values (band buckets; pairs), so
+    they run as coarse hash partitions with pandas inside (ops/agg.py)."""
+    from .agg import partitioned_group_apply
+    ds = _io_read(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     bands = ds.map_batches(minhash_bands_batch, batch_format="pandas")
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        _pairs_from_buckets, batch_format="pandas")
-    from ray.data.aggregate import Count
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Count(alias_name="n_bands"))
+
+    def pairs_in_part(df: pd.DataFrame) -> pd.DataFrame:
+        frames = [_pairs_from_buckets(g)
+                  for _, g in df.groupby(["band_id", "band_hash"])]
+        if not frames:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+        return pd.concat(frames, ignore_index=True)
+
+    pairs = partitioned_group_apply(bands, ["band_hash"], pairs_in_part)
+
+    def count_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["doc_a", "doc_b"], as_index=False).size() \
+                .rename(columns={"size": "n_bands"})
+        return out.astype({"n_bands": "int64"})
+
+    return partitioned_group_apply(pairs, ["doc_a", "doc_b"], count_pairs)
 
 
 def minhash_dedup_pairs(sf_dir: str, threshold: float = 0.7) -> pd.DataFrame:
@@ -131,7 +162,7 @@ def minhash_dedup_pairs(sf_dir: str, threshold: float = 0.7) -> pd.DataFrame:
         want = ray.get(need_ref)
         return batch[batch["doc_id"].isin(want)]
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _io_read(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"]) \
         .map_batches(project, batch_format="pandas").to_pandas()
     grams = {r.doc_id: word_ngrams(r.text or "") for r in docs.itertuples()}
@@ -173,7 +204,7 @@ def simhash_batch(batch: pd.DataFrame) -> pd.DataFrame:
 
 def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     """Near-dup pairs by SimHash: quadrant-bucket candidates → hamming verify."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _io_read(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     sh = ds.map_batches(simhash_batch, batch_format="pandas").to_pandas()
     sig = dict(zip(sh["doc_id"], sh["simhash"].astype(np.uint64)))
@@ -218,7 +249,7 @@ def ngram_jaccard_pairs_ds(sf_dir: str, n: int = 3, threshold_pm: int = 500):
                 gram.append(g)
         return pd.DataFrame({"doc_id": doc, "source": src, "gram": gram})
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _io_read(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "source", "text"])
     grams = ds.map_batches(explode, batch_format="pandas")
 
@@ -258,7 +289,7 @@ def embedding_quant_dedup_ds(sf_dir: str, threshold: int = 300_000):
         return pd.DataFrame({"vec_id": batch["vec_id"], "label": batch["label"],
                              "q": q})
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _io_read(f"{sf_dir}/embeddings.parquet")
     qds = ds.map_batches(quantize, batch_format="pandas")
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:

@@ -20,6 +20,8 @@ import pandas as pd
 
 import ray
 
+from .io import read_parquet as _io_read
+
 from ..core.hashing import stable_rng
 
 
@@ -70,7 +72,7 @@ def _merge_topk(k: int):
 def ann_bruteforce_ds(sf_dir: str, n_queries: int = 8, k: int = 10):
     """Global cosine top-k per query (self-search over the embeddings table)."""
     queries_ref = ray.put(_load_queries(sf_dir, n_queries))
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _io_read(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     partial = ds.map_batches(
         BruteForceScorer,
@@ -119,7 +121,7 @@ def ann_lsh_ds(sf_dir: str, n_queries: int = 8, k: int = 10, n_bits: int = 8):
     queries = queries.assign(bucket=qbucket)
     queries_ref = ray.put(queries)
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _io_read(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     # instance (not class) → stateless tasks: the plane matrix is tiny, and
     # task-based stages avoid reserving a whole actor pool on small clusters
@@ -192,7 +194,7 @@ def ann_quantized_ds(sf_dir: str, n_queries: int = 5, k: int = 10):
             return pd.DataFrame(rows).astype(
                 {"query_id": "int64", "vec_id": "int64", "qdot": "int64"})
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _io_read(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     partial = ds.map_batches(QuantScorer, batch_format="pandas",
                              batch_size=4096, concurrency=2)

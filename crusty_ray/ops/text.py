@@ -17,6 +17,8 @@ import pandas as pd
 
 import ray
 
+from .io import read_parquet as _io_read
+
 _WORD_RE = re.compile(r"\w+")
 _PUNCT_RE = re.compile(r"[.,!?;:]")
 # tiny per-language stopword profiles for the n-gram/stopword language heuristic
@@ -111,25 +113,25 @@ def quality_class(batch: pd.DataFrame) -> pd.DataFrame:
 
 # ------------------------------------------------------------------ pipelines
 def token_stats_ds(sf_dir: str):
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    return _io_read(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"]) \
         .map_batches(token_stats, batch_format="pandas")
 
 
 def fingerprint_ds(sf_dir: str):
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    return _io_read(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"]) \
         .map_batches(fingerprint, batch_format="pandas") \
         .select_columns(["doc_id", "md5"])
 
 
 def quality_ds(sf_dir: str):
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    return _io_read(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"]) \
         .map_batches(quality_class, batch_format="pandas")
 
 
 def langid_ds(sf_dir: str):
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    return _io_read(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"]) \
         .map_batches(LangId, batch_format="pandas", concurrency=2)

@@ -92,7 +92,8 @@ class ImageFetchStage:
 def run_image_pipeline(crawl_log_dir: str, out_dir: str, web_cfg: WebConfig,
                        cfg: Config) -> dict:
     """Decode every image referenced by the crawl; returns invariant summary."""
-    ds = ray.data.read_parquet(crawl_log_dir, columns=["image_ids"])
+    from ..ops.io import read_parquet as io_read
+    ds = io_read(crawl_log_dir, columns=["image_ids"])
     ds = ds.map_batches(explode_image_ids, batch_format="pyarrow")
     # exact distinct via hash-partitioned groupby (streaming; ds.unique()
     # materializes a driver-side list)
@@ -103,7 +104,8 @@ def run_image_pipeline(crawl_log_dir: str, out_dir: str, web_cfg: WebConfig,
         concurrency=cfg.engine.fetch_concurrency, num_cpus=1)
     ds.write_parquet(out_dir)
 
-    check = ray.data.read_parquet(
+    from ..ops.io import read_parquet as io_read
+    check = io_read(
         out_dir, columns=["fmt", "psnr_db", "caption_ok", "phash_dist", "decode_ok"])
     import pandas as pd  # small result — fine to materialize
     df = check.to_pandas()
