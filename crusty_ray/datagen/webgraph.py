@@ -49,6 +49,10 @@ class WebConfig:
     robots_fraction: float = 0.25       # domains with a robots.txt
     disallow_all_fraction: float = 0.04
     images_per_page: int = 2
+    image_page_fraction: float = 1.0   # <1.0: only this fraction of pages carry images
+    link_lo: int = 2                   # internal links per page ~ U[link_lo, link_hi)
+    link_hi: int = 7
+    hub_links: int = 30                # links on hub roots (LinkPerPageBudget stress)
     img_min: int = 8
     img_max: int = 48
 
@@ -193,10 +197,10 @@ class SyntheticWeb:
 
         # ---- links
         npages = self.n_pages(i)
-        n_int = int(rng.integers(2, 7))
+        n_int = int(rng.integers(self.cfg.link_lo, self.cfg.link_hi))
         # hubs link to MANY pages → exercises LinkPerPageBudget at low budgets
         if i < self.cfg.hub_domains and j == 0:
-            n_int = min(npages, 30)
+            n_int = min(npages, self.cfg.hub_links)
         int_targets = sorted(set(int(x) for x in rng.integers(0, npages, n_int)) - {j})
         n_ext = int(rng.integers(0, 4)) if rng.random() < 0.5 else int(rng.integers(0, 2))
         # zipf-ish external target selection → hot hub domains (skew)
@@ -244,9 +248,12 @@ class SyntheticWeb:
                 out_links.append(res)
                 out_rels.append(rel)
 
-        image_ids = [
-            f"im{i}_{j}_{k}" for k in range(int(rng.integers(0, self.cfg.images_per_page + 1)))
-        ]
+        if self.cfg.image_page_fraction >= 1.0:
+            n_img = int(rng.integers(0, self.cfg.images_per_page + 1))
+        else:  # extra draw only on the non-default path (keeps default streams)
+            n_img = (int(rng.integers(1, self.cfg.images_per_page + 1))
+                     if rng.random() < self.cfg.image_page_fraction else 0)
+        image_ids = [f"im{i}_{j}_{k}" for k in range(n_img)]
         body = self._render_html(i, j, hrefs, rels, image_ids, rng)
         return {
             "url": base, "domain": self.domain_name(i), "status_code": 200,

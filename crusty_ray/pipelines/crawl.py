@@ -67,11 +67,52 @@ class FrontierShardActor:
     def take_ready(self, epoch: int) -> list[dict]:
         return self.state.take_ready(epoch)
 
+    def take_ready_table(self, epoch: int) -> "pa.Table":
+        """Arrow variant: the task table is built in parallel inside the
+        actors instead of serially on the driver."""
+        tasks = self.state.take_ready(epoch)
+        return pa.table({
+            "url": [t["url"] for t in tasks],
+            "domain": [t["domain"] for t in tasks],
+            "depth": pa.array([t["depth"] for t in tasks], pa.int32()),
+            "shard": pa.array([t["shard"] for t in tasks], pa.int32()),
+        })
+
     def absorb(self, rows: list[dict]) -> int:
         return self.state.absorb(rows)
 
+    def absorb_table(self, table) -> int:
+        return self.state.absorb_table(table)
+
+    def pending_result_rows(self) -> int:
+        return self.state.pending_result_rows()
+
     def end_epoch(self, epoch: int) -> dict:
         return self.state.end_epoch(epoch)
+
+    def finish_epoch(self, epoch: int, absorb_dir: str | None = None) -> dict:
+        """(optionally read this shard's routed rows from storage, then)
+        end_epoch + gauges in one round trip (barrier-cost discipline)."""
+        if absorb_dir is not None:
+            import pyarrow.compute as pc
+            g = self.state.shard // EpochStage.SHARDS_PER_GROUP
+            d = f"{absorb_dir}/group={g}"
+            if os.path.isdir(d):
+                for f in os.listdir(d):
+                    if f.endswith(".parquet"):
+                        t = pq.read_table(
+                            f"{d}/{f}",
+                            filters=[("shard", "==", self.state.shard)])
+                        if t.num_rows:
+                            self.state.absorb_table(t)
+        out = self.state.end_epoch(epoch)
+        out["gauges"] = self.state.gauges(epoch)
+        return out
+
+    def deliver(self, msgs: list[DomainMsg], epoch: int) -> None:
+        """enqueue + apply in one round trip."""
+        self.state.enqueue(msgs)
+        self.state.apply_enqueues(epoch)
 
     def gauges(self, epoch: int) -> dict:
         return self.state.gauges(epoch)
@@ -89,29 +130,87 @@ class FrontierShardActor:
         return self.state.cuckoo.to_bytes()
 
 
+class EpochStage:
+    """Fused fetch → discover → route → log-projection in ONE task stage.
+
+    Chained ``map_batches`` materialize every intermediate block through the
+    object store; the epoch pipeline touches each block three times for no
+    reason. One fused stage does a single pass — the component classes stay
+    usable standalone (and as actor pools) for deployments where fetch state
+    is heavy.
+
+    Routing is **shuffle-via-storage**: each task writes its results
+    shard-partitioned under ``absorb_dir/shard=S/``; the owning actors read
+    their partition at the epoch barrier. Direct actor RPCs convoyed every
+    task behind 32 single-threaded mailboxes and pushed every sub-table
+    through the plasma store (measured 28k → 14k pages/s); files make the
+    exchange parallel on both ends and double as epoch lineage. The dataset's
+    own sink completing IS the delivery barrier."""
+
+    def __init__(self, web_cfg: WebConfig, cfg: Config, absorb_dir: str):
+        # one logical CPU per task: stop pyarrow's process-wide thread pool
+        # from silently using every host core (skews scaling measurements and
+        # oversubscribes shared nodes)
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+        self.fetch = FetchStage(web_cfg, cfg)
+        self.discover = DiscoverStage(web_cfg, cfg)
+        self.absorb_dir = absorb_dir
+
+    SHARDS_PER_GROUP = 8  # absorb-file granularity: fewer files per task;
+                          # readers prune by the shard column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import uuid
+
+        import pyarrow.compute as pc
+        out = self.discover(self.fetch(batch))
+        slim = out.select(RouterStage.ABSORB_COLUMNS)
+        groups = pc.divide(out["shard"], self.SHARDS_PER_GROUP)
+        blob = uuid.uuid4().hex[:12]
+        for g in pc.unique(groups).to_pylist():
+            sub = slim.filter(pc.equal(groups, g))
+            d = f"{self.absorb_dir}/group={g}"
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(sub, f"{d}/part-{blob}.parquet")
+        return log_projection(out)
+
+
 class RouterStage:
     """Routes fetch results to their owning shard actor and projects the
-    crawl-log columns for the parquet sink. The blocking ``ray.get`` on the
+    crawl-log columns for the parquet sink. Results travel as Arrow sub-tables
+    (object-store IPC — no per-row pickling); the blocking ``ray.get`` on the
     absorb acks gives the epoch barrier its happens-before edge: when the
     epoch's Dataset finishes, every result row has reached its shard."""
 
     def __init__(self, handles: list):
         self.handles = handles
 
+    # only what the stateful chain needs crosses the shuffle (the raw links /
+    # rels stay task-local; pure filters already ran in DiscoverStage);
+    # "shard" lets group-file readers prune to their own rows
+    ABSORB_COLUMNS = ["url", "domain", "depth", "shard", "sched_links",
+                      "cand_domains", "cand_addr_keys", "cand_shards"]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        shards = batch["shard"].to_pylist()
-        rows = batch.to_pylist()
-        by_shard: dict[int, list[dict]] = {}
-        for s, r in zip(shards, rows):
-            by_shard.setdefault(s, []).append(r)
-        ray.get([self.handles[s].absorb.remote(rs) for s, rs in by_shard.items()])
+        import pyarrow.compute as pc
+        shards = batch["shard"]
+        slim = batch.select(self.ABSORB_COLUMNS)
+        for s in pc.unique(shards).to_pylist():
+            sub = slim.filter(pc.equal(shards, s))
+            # fire-and-forget: blocking on per-call acks convoys every task
+            # behind 32 single-threaded actor mailboxes (measured 28k -> 14k
+            # pages/s). The engine's epoch barrier instead polls the actors
+            # until every routed row is accounted for (count-based barrier).
+            self.handles[s].absorb_table.remote(sub)
         return log_projection(batch)
 
 
 def log_projection(batch: pa.Table) -> pa.Table:
-    n_links = pa.array([len(x) if x is not None else 0
-                        for x in batch["links"].to_pylist()], pa.int32())
-    batch = batch.append_column("n_links", n_links)
+    import pyarrow.compute as pc
+    n_links = pc.list_value_length(batch["links"]).cast(pa.int32())
+    batch = batch.append_column("n_links", pa.array(n_links.to_pylist(), pa.int32())
+                                if n_links.null_count else n_links)
     return batch.select(LOG_COLUMNS)
 
 
@@ -135,6 +234,7 @@ class CrawlEngine:
         self.topk_rows: list[dict] = []
         self.gauges: list[dict] = []
         self.finished_domains: list[str] = []
+        self.epoch_stats: list[dict] = []  # per-epoch (tasks, seconds) for steady-state throughput
         self.start_epoch = 0
         self.epochs_run = 0
         # inline-path stage objects (same classes the Ray path instantiates)
@@ -155,34 +255,48 @@ class CrawlEngine:
 
         # max_epochs is the absolute epoch horizon (resume continues toward the
         # same horizon the uninterrupted run would have had)
+        import os as _os
+        import sys as _sys
+        import time as _time
+        trace = _os.environ.get("CRUSTY_EPOCH_TRACE")
         for epoch in range(self.start_epoch, max_epochs):
-            task_lists = ray.get([a.take_ready.remote(epoch) for a in self.actors])
-            tasks = [t for lst in task_lists for t in lst]
-            if not tasks and all(ray.get([a.idle.remote() for a in self.actors])):
+            t0 = _time.time()
+            shard_tables = ray.get([a.take_ready_table.remote(epoch)
+                                    for a in self.actors])
+            n_tasks = sum(t.num_rows for t in shard_tables)
+            if not n_tasks and all(ray.get([a.idle.remote() for a in self.actors])):
                 break
-            self._run_epoch(epoch, tasks)
+            # deterministic task order: shard asc, per-shard emission order
+            table = pa.concat_tables([t for t in shard_tables if t.num_rows])
+            table = table.append_column(
+                "epoch", pa.array([epoch] * n_tasks, pa.int32()))
+            table = table.append_column(
+                "seq", pa.array(range(n_tasks), pa.int64()))
+            t1 = _time.time()
+            self._run_epoch(epoch, table)
+            self.epoch_stats.append({"epoch": epoch, "tasks": n_tasks,
+                                     "seconds": _time.time() - t0})
+            if trace:
+                print(f"[epoch {epoch}] tasks={n_tasks} take_ready={t1-t0:.2f}s "
+                      f"run={_time.time()-t1:.2f}s", file=_sys.stderr, flush=True)
             self.epochs_run = epoch + 1
             if (epoch + 1) % cfg.engine.checkpoint_every_epochs == 0:
                 self._write_checkpoint(epoch)
         self._write_outputs()
         return self
 
-    def _task_table(self, epoch: int, tasks: list[dict]) -> pa.Table:
-        return pa.table({
-            "url": [t["url"] for t in tasks],
-            "domain": [t["domain"] for t in tasks],
-            "depth": pa.array([t["depth"] for t in tasks], pa.int32()),
-            "shard": pa.array([t["shard"] for t in tasks], pa.int32()),
-            "epoch": pa.array([epoch] * len(tasks), pa.int32()),
-            "seq": pa.array(range(len(tasks)), pa.int64()),
-        })
-
-    def _run_epoch(self, epoch: int, tasks: list[dict]) -> None:
+    def _run_epoch(self, epoch: int, table: pa.Table) -> None:
         cfg = self.cfg
-        table = self._task_table(epoch, tasks)
+        import os as _os2
+        import sys as _sys2
+        import time as _time2
+        _t0 = _time2.time()
+        n_tasks = table.num_rows
         log_dir = f"{self.out_dir}/crawl_log/epoch={epoch}"
+        absorb_dir: str | None = f"{self.out_dir}/absorb/epoch={epoch}"
 
-        if len(tasks) < cfg.engine.min_epoch_rows_for_ray:
+        if n_tasks < cfg.engine.min_epoch_rows_for_ray:
+            absorb_dir = None  # inline path absorbs via direct RPC
             # inline fast path: identical stage objects, no task launches
             out = self._fetcher(table)
             out = self._discoverer(out)
@@ -198,46 +312,65 @@ class CrawlEngine:
             # parallelism is per BLOCK, and a single from_arrow table is one
             # block (measured: 1-block epoch runs serial, 4.7s vs 0.5s)
             nblocks = max(1, min(cfg.engine.fetch_concurrency * 2,
-                                 len(tasks) // 64 + 1))
-            step = (len(tasks) + nblocks - 1) // nblocks
-            chunks = [table.slice(i, step) for i in range(0, len(tasks), step)]
+                                 n_tasks // 64 + 1))
+            step = (n_tasks + nblocks - 1) // nblocks
+            chunks = [table.slice(i, step) for i in range(0, n_tasks, step)]
             ds = ray.data.from_arrow(chunks)
-            # instance-passed stages = stateless Ray tasks. The classes remain
-            # actor-pool-ready (pass the CLASS + concurrency for a deployment
-            # whose fetch state — HTTP sessions, robots caches — is expensive);
-            # with the synthetic web the state is a pure function and task
-            # mode avoids re-spinning an actor pool every epoch.
-            ds = ds.map_batches(FetchStage(self.web_cfg, cfg),
+            # one fused task stage (fetch+discover+route) = one object-store
+            # pass per block. Instance-passed → stateless Ray tasks; the
+            # component classes remain actor-pool-ready for deployments whose
+            # fetch state (HTTP sessions, robots caches) is expensive.
+            ds = ds.map_batches(EpochStage(self.web_cfg, cfg, absorb_dir),
                                 batch_format="pyarrow",
                                 batch_size=cfg.engine.fetch_batch_size)
-            ds = ds.map_batches(DiscoverStage(self.web_cfg, cfg),
-                                batch_format="pyarrow",
-                                batch_size=cfg.engine.fetch_batch_size)
-            ds = ds.map_batches(RouterStage(self.actors),
-                                batch_format="pyarrow",
-                                batch_size=cfg.engine.fetch_batch_size)
-            try:  # few large files per epoch partition, not one per block
-                ds.write_parquet(log_dir, min_rows_per_file=1 << 20)
-            except TypeError:  # older Ray: num_rows_per_file
-                ds.write_parquet(log_dir, num_rows_per_file=1 << 20)
+            # parallel writers over a handful of blocks: min_rows_per_file
+            # coalescing funnels everything through ONE writer (14s -> 82s per
+            # epoch), while per-block files leave thousands of tiny files for
+            # the readers. The projected log rows are small, so a coarse
+            # repartition right before the sink is cheap and bounded; tiny
+            # epochs skip it (barrier cost > benefit).
+            if nblocks > 16:
+                ds = ds.repartition(max(2, nblocks // 16))
+            ds.write_parquet(log_dir)
+            if _os2.environ.get("CRUSTY_EPOCH_TRACE"):
+                print(f"  [e{epoch}] dataset+write done at +{_time2.time()-_t0:.2f}s",
+                      file=_sys2.stderr, flush=True)
 
-        # ---- epoch barrier
+        # ---- epoch barrier. The log sink completing is the delivery barrier:
+        # every stage task has finished, so every shard's absorb partition is
+        # fully written (inline path delivered via ray.get on absorb acks).
+        import os as _os
+        import sys as _sys
+        import time as _time
+        trace = _os.environ.get("CRUSTY_EPOCH_TRACE")
+        _t_ds = _time.time()
         self.topk.advance_epoch()
-        results = ray.get([a.end_epoch.remote(epoch) for a in self.actors])
+        results = ray.get([a.finish_epoch.remote(epoch, absorb_dir)
+                           for a in self.actors])
+        if absorb_dir is not None:
+            import shutil
+            shutil.rmtree(absorb_dir, ignore_errors=True)  # consumed; log+checkpoints carry lineage
+        if trace:
+            print(f"  [e{epoch}] end_epoch barrier done at +{_time.time()-_t_ds:.2f}s",
+                  file=_sys.stderr, flush=True)
         all_links: list[tuple[str, list[str]]] = []
-        outgoing: dict[int, list[DomainMsg]] = {}
+        outgoing: dict[int, dict] = {}
         for res in results:  # actor order = shard order (deterministic merge)
             all_links.extend(res["domain_links"])
             self.job_metrics.extend(res["job_metrics"])
             self.finished_domains.extend(m["domain"] for m in res["job_metrics"])
+            self.gauges.append(res["gauges"])
             for tgt, msgs in res["outgoing"].items():
-                outgoing.setdefault(tgt, []).extend(msgs)
+                acc = outgoing.setdefault(tgt, {
+                    "domain": [], "addr_key": [], "disc_depth": [], "disc_epoch": []})
+                for k in acc:
+                    acc[k].extend(msgs[k])
         self.topk.add_domain_links(all_links)
         if (epoch + 1) % cfg.topk.consume_every_epochs == 0:
             self.topk_rows.extend(self.topk.snapshot(epoch))
-        ray.get([self.actors[t].enqueue.remote(ms) for t, ms in outgoing.items()])
-        ray.get([a.apply_enqueues.remote(epoch) for a in self.actors])
-        self.gauges.extend(ray.get([a.gauges.remote(epoch) for a in self.actors]))
+        # every shard must apply (even with no messages) so late state settles
+        ray.get([self.actors[s].deliver.remote(outgoing.get(s, []), epoch)
+                 for s in range(len(self.actors))])
 
     # ------------------------------------------------------------- checkpoint
     def _write_checkpoint(self, epoch: int) -> None:

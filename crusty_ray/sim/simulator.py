@@ -92,6 +92,8 @@ class CrawlSimulator:
             row = self.fetcher.fetch_one(t["url"], t["domain"], t["depth"], t["shard"])
             doms, keys, shards = self.discoverer.candidates_for(t["domain"], row["links"])
             row["cand_domains"], row["cand_addr_keys"], row["cand_shards"] = doms, keys, shards
+            row["sched_links"] = self.discoverer.sched_filter(
+                t["domain"], t["depth"], row["links"], row["rels"])
             self.shards[t["shard"]].absorb([row])
             self.crawl_log.append({
                 "epoch": epoch, "seq": seq, "url": row["url"], "domain": row["domain"],
@@ -104,14 +106,18 @@ class CrawlSimulator:
 
         self.topk.advance_epoch()
         all_links: list[tuple[str, list[str]]] = []
-        outgoing_merged: dict[int, list[DomainMsg]] = {}
+        outgoing_merged: dict[int, dict] = {}
         for s in self.shards:
             res = s.end_epoch(epoch)
+            self.gauges.append(s.gauges(epoch))  # sampled at the barrier, pre-enqueue
             all_links.extend(res["domain_links"])
             self.job_metrics.extend(res["job_metrics"])
             self.finished_domains.extend(m["domain"] for m in res["job_metrics"])
             for tgt, msgs in res["outgoing"].items():
-                outgoing_merged.setdefault(tgt, []).extend(msgs)
+                acc = outgoing_merged.setdefault(tgt, {
+                    "domain": [], "addr_key": [], "disc_depth": [], "disc_epoch": []})
+                for k in acc:
+                    acc[k].extend(msgs[k])
         self.topk.add_domain_links(all_links)
         if (epoch + 1) % cfg.topk.consume_every_epochs == 0:
             self.topk_rows.extend(self.topk.snapshot(epoch))
@@ -119,7 +125,6 @@ class CrawlSimulator:
             self.shards[tgt].enqueue(msgs)
         for s in self.shards:
             s.apply_enqueues(epoch)
-            self.gauges.append(s.gauges(epoch))
 
     # -- oracle outputs ----------------------------------------------------
     def seen_domain_set(self) -> set[str]:

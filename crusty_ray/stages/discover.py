@@ -44,6 +44,7 @@ class DiscoverStage:
         self.cfg = cfg
         self.tlds = DEFAULT_TLD_SET
         self._dns_cache: dict[str, object] = {}
+        self._robots_cache: dict[str, list] = {}
 
     def _resolve(self, domain: str):
         """(addr_key, shard) or None — memoized per actor."""
@@ -86,16 +87,61 @@ class DiscoverStage:
                 shards.append(got[1])
         return doms, keys, shards
 
+    def _robots(self, domain: str) -> list:
+        got = self._robots_cache.get(domain)
+        if got is None:
+            from .robots import parse_disallows
+            got = parse_disallows(self.web.robots_body(domain)
+                                  if self.web is not None else None)
+            self._robots_cache[domain] = got
+        return got
+
+    def sched_filter(self, task_domain: str, depth: int,
+                     links: list[str], rels: list[str]) -> list[str]:
+        """Pre-apply the *pure* task filters F2/F3/F6/F7 (rules.rs:63-72).
+
+        These checks are side-effect-free and budgets (F4/F5) only count
+        committed links, so dropping pure-filter rejects before the stateful
+        chain (F1 seen / F4 / F5 / commit, run in the owning shard) is exactly
+        equivalent to the reference's in-order chain — and it keeps the link
+        payload that crosses the shuffle 2-3× smaller.
+        """
+        from ..core.urls import host_of, same_domain
+        cfg = self.cfg
+        if depth + 1 >= cfg.rules.max_level:        # F6 PageLevel (for children)
+            return []
+        out = []
+        robots = None
+        for link, rel in zip(links, rels):
+            h = host_of(link)
+            if h is None or not same_domain(h, task_domain):      # F2
+                continue
+            if cfg.rules.skip_no_follow_links and "nofollow" in rel:  # F3
+                continue
+            if cfg.rules.robots_txt:                              # F7
+                if robots is None:
+                    robots = self._robots(task_domain)
+                from .robots import allowed
+                if not allowed(link, robots):
+                    continue
+            out.append(link)
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         domains = batch["domain"].to_pylist()
+        depths = batch["depth"].to_pylist()
         links_col = batch["links"].to_pylist()
-        cd, ck, cs = [], [], []
-        for task_domain, links in zip(domains, links_col):
+        rels_col = batch["rels"].to_pylist()
+        cd, ck, cs, sched = [], [], [], []
+        for task_domain, depth, links, rels in zip(domains, depths,
+                                                   links_col, rels_col):
             doms, keys, shards = self.candidates_for(task_domain, links or [])
             cd.append(doms)
             ck.append(keys)
             cs.append(shards)
+            sched.append(self.sched_filter(task_domain, depth,
+                                           links or [], rels or []))
         out = batch
         for (name, typ), vals in zip(CANDIDATE_FIELDS, (cd, ck, cs)):
             out = out.append_column(name, pa.array(vals, type=typ))
-        return out
+        return out.append_column("sched_links", pa.array(sched, pa.list_(pa.string())))

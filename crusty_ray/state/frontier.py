@@ -35,8 +35,7 @@ from dataclasses import dataclass, field
 from typing import Any, Optional
 
 from ..config import Config
-from ..core.urls import host_of, same_domain, transform_domain
-from ..stages.robots import allowed, parse_disallows
+from ..core.urls import transform_domain
 from .bloom import ScalingBloom
 from .cuckoo import CuckooFilter
 
@@ -79,13 +78,9 @@ class ShardState:
     def __init__(self, shard: int, cfg: Config, web_cfg=None, seed: int = 0):
         self.shard = shard
         self.cfg = cfg
-        # robots for scheduling-time task filter F7 (pure function of domain)
-        if web_cfg is not None:
-            from ..datagen.webgraph import SyntheticWeb
-            self._web = SyntheticWeb(web_cfg)
-        else:
-            self._web = None
-        self._robots_cache: dict[str, list[str]] = {}
+        # web_cfg kept for interface stability; the pure task filters (incl.
+        # robots, F7) now run in DiscoverStage.sched_filter before routing
+        self._web_cfg = web_cfg
 
         self.pending: dict[str, list] = {}            # addr_key -> sorted [(prio, DomainMsg)]
         self.pending_domains: set[str] = set()
@@ -98,6 +93,7 @@ class ShardState:
         self.ddc: OrderedDict[str, None] = OrderedDict()
 
         self._absorbed: list[dict] = []
+        self._absorbed_tables: list = []
         self._enqueue_buf: list[DomainMsg] = []
         self.lock_ttl_epochs = 600  # dequeue ttl 10m ≈ 600 epochs (conf/default.yaml:83-87)
 
@@ -128,18 +124,23 @@ class ShardState:
             self.ddc.popitem(last=False)
         return True
 
-    def _robots(self, domain: str) -> list[str]:
-        got = self._robots_cache.get(domain)
-        if got is None:
-            body = self._web.robots_body(domain) if self._web is not None else None
-            got = parse_disallows(body)
-            self._robots_cache[domain] = got
-        return got
-
     # ------------------------------------------------------------- enqueue side
-    def enqueue(self, msgs: list[DomainMsg]) -> None:
-        """Buffer incoming discovered domains (cross-shard messages)."""
-        self._enqueue_buf.extend(msgs)
+    def enqueue(self, msgs) -> None:
+        """Buffer incoming discovered domains (cross-shard messages).
+
+        Accepts a list of DomainMsg or the columnar wire form
+        ``{"domain": [...], "addr_key": [...], "disc_depth": [...],
+        "disc_epoch": [...]}`` — columnar costs ~10× less to serialize than
+        dataclass objects on the driver-mediated exchange."""
+        if isinstance(msgs, dict):
+            it = zip(msgs["domain"], msgs["addr_key"],
+                     msgs["disc_depth"], msgs["disc_epoch"])
+            self._enqueue_buf.extend(
+                DomainMsg(domain=d, addr_key=k, shard=self.shard,
+                          disc_depth=dd, disc_epoch=de)
+                for d, k, dd, de in it)
+        else:
+            self._enqueue_buf.extend(msgs)
 
     def apply_enqueues(self, epoch: int) -> None:
         """Apply buffered enqueues deterministically (sorted), mirroring the
@@ -215,16 +216,36 @@ class ShardState:
         self._absorbed.extend(rows)
         return len(rows)
 
+    def absorb_table(self, table) -> int:
+        """Arrow-table variant (zero-pickle transport); converted to row dicts
+        lazily at the epoch barrier."""
+        self._absorbed_tables.append(table)
+        return table.num_rows
+
+    def pending_result_rows(self) -> int:
+        """Rows routed here but not yet processed — the epoch barrier's
+        delivery check."""
+        return len(self._absorbed) + sum(t.num_rows for t in self._absorbed_tables)
+
+    def _drain_absorbed(self) -> list[dict]:
+        rows = self._absorbed
+        self._absorbed = []
+        for t in self._absorbed_tables:
+            rows.extend(t.to_pylist())
+        self._absorbed_tables = []
+        return rows
+
     def end_epoch(self, epoch: int) -> dict[str, Any]:
         """Epoch barrier: process absorbed results deterministically, expand
         links through the task-filter chain (rules.rs:56-77), accumulate
         discovery, finish jobs. Returns cross-shard enqueue messages, finished
         DomainLinks and job metric rows."""
         cfg = self.cfg
-        rows = sorted(self._absorbed, key=lambda r: (r["domain"], r["depth"], r["url"]))
-        self._absorbed = []
+        rows = sorted(self._drain_absorbed(),
+                      key=lambda r: (r["domain"], r["depth"], r["url"]))
 
-        outgoing: dict[int, list[DomainMsg]] = {}
+        # columnar outgoing (cheap to ship through the driver-mediated exchange)
+        outgoing: dict[int, dict] = {}
         sent_this_epoch: set[str] = set()
 
         for row in rows:
@@ -234,29 +255,20 @@ class ShardState:
             job.in_flight = max(0, job.in_flight - 1)
             job.pages_fetched += 1
 
-            links: list[str] = row.get("links") or []
-            rels: list[str] = row.get("rels") or []
-
-            # -- task-filter chain over scheduled candidates (order matters,
-            #    rules.rs:56-77); commit-at-tail dedup semantics (F1)
+            # -- stateful tail of the task-filter chain (rules.rs:56-77).
+            #    The pure filters F2/F3/F6/F7 were pre-applied in
+            #    DiscoverStage.sched_filter (side-effect-free, so the split is
+            #    exactly order-equivalent); here: F1 check → F4 → F5 →
+            #    F1 commit-at-tail.
             per_page = 0
-            for link, rel in zip(links, rels):
+            child_depth = row["depth"] + 1
+            for link in row.get("sched_links") or []:
                 if link in job.url_seen:
                     continue                                   # F1 check
-                h = host_of(link)
-                if h is None or not same_domain(h, job.domain):
-                    continue                                   # F2 SameDomain
-                if cfg.rules.skip_no_follow_links and "nofollow" in rel:
-                    continue                                   # F3
                 if job.pages_scheduled >= cfg.rules.total_link_budget:
                     continue                                   # F4
                 if per_page >= cfg.rules.links_per_task_budget:
                     continue                                   # F5
-                child_depth = row["depth"] + 1
-                if child_depth >= cfg.rules.max_level:
-                    continue                                   # F6 PageLevel
-                if cfg.rules.robots_txt and not allowed(link, self._robots(job.domain)):
-                    continue                                   # F7 RobotsTxt
                 job.url_seen.add(link)                         # F1 commit
                 insort(job.queue, (child_depth, link))
                 job.pages_scheduled += 1
@@ -277,9 +289,12 @@ class ShardState:
                 if d in sent_this_epoch or not self._ddc_admit(d):
                     continue
                 sent_this_epoch.add(d)
-                outgoing.setdefault(int(dshard), []).append(
-                    DomainMsg(domain=d, addr_key=akey, shard=int(dshard),
-                              disc_depth=row["depth"] + 1, disc_epoch=epoch))
+                out = outgoing.setdefault(int(dshard), {
+                    "domain": [], "addr_key": [], "disc_depth": [], "disc_epoch": []})
+                out["domain"].append(d)
+                out["addr_key"].append(akey)
+                out["disc_depth"].append(row["depth"] + 1)
+                out["disc_epoch"].append(epoch)
 
         # -- finish jobs (S6 semantics, redis-queue/src/lib.rs:153-197)
         domain_links: list[tuple[str, list[str]]] = []
@@ -324,7 +339,7 @@ class ShardState:
 
     def idle(self) -> bool:
         return not (self.pending_domains or self.jobs or self._enqueue_buf
-                    or self._absorbed)
+                    or self._absorbed or self._absorbed_tables)
 
     # ------------------------------------------------------------- checkpointing
     def checkpoint(self) -> dict:
