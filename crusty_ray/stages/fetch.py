@@ -60,9 +60,12 @@ class FetchStage:
     """Callable class for ``ds.map_batches(FetchStage, fn_constructor_kwargs=…,
     concurrency=N, batch_format="pyarrow")``."""
 
-    def __init__(self, web_cfg: WebConfig, cfg: Config):
+    def __init__(self, web_cfg: WebConfig, cfg: Config, parser: str = "regex"):
+        from .parse import PARSERS
         self.web = SyntheticWeb(web_cfg)
         self.cfg = cfg
+        # pluggable parser slot (reference cargo feature, main/Cargo.toml:13-18)
+        self._extract = PARSERS[parser]
         self._robots_cache: dict[str, list[str]] = {}
 
     # robots are fetched once per domain and cached per actor (reference ST9)
@@ -96,7 +99,7 @@ class FetchStage:
         if rec["content_type"] not in cfg.crawl.accept_content_types_load:
             return self._row(url, domain, depth, shard, rec, redirects, "load_content_type")
 
-        links, rels = extract_links(rec["body"], rec["url"])
+        links, rels = self._extract(rec["body"], rec["url"])
         row = self._row(url, domain, depth, shard, rec, redirects, "")
         row["links"], row["rels"], row["image_ids"] = links, rels, rec["image_ids"]
         return row

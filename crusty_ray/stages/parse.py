@@ -51,3 +51,52 @@ def extract_links(body: bytes, base_url: str) -> tuple[list[str], list[str]]:
         hrefs.append(resolved)
         rels.append(_attr(_REL.search(attrs)))
     return hrefs, rels
+
+
+class _ATagParser:
+    """Stdlib-tokenizer variant — the reference's feature-gated html5ever
+    parser (``workspace/main/src/parsers/html5ever.rs:69-134``,
+    ``main/Cargo.toml:13-18``): a full start-tag tokenizer instead of a
+    selector rewriter, proving the parser slot is a pluggable UDF."""
+
+    def __init__(self):
+        from html.parser import HTMLParser
+
+        outer = self
+
+        class P(HTMLParser):
+            def handle_starttag(self, tag, attrs):
+                if tag != "a":
+                    return
+                d = dict(attrs)
+                href = d.get("href")
+                if href:
+                    outer.found.append((href, d.get("rel") or ""))
+
+        self._cls = P
+        self.found: list[tuple[str, str]] = []
+
+    def parse(self, body: bytes) -> list[tuple[str, str]]:
+        self.found = []
+        p = self._cls(convert_charrefs=True)
+        p.feed(body.decode("utf-8", "replace"))
+        p.close()
+        return self.found
+
+
+def extract_links_htmlparser(body: bytes, base_url: str) -> tuple[list[str], list[str]]:
+    """Alternate implementation of ``extract_links`` (same contract) built on
+    the stdlib HTML tokenizer — select via ``CrawlSettings``/FetchStage
+    ``parser="htmlparser"``."""
+    hrefs: list[str] = []
+    rels: list[str] = []
+    for href, rel in _ATagParser().parse(body):
+        resolved = resolve_link(base_url, href)
+        if resolved is None:
+            continue
+        hrefs.append(resolved)
+        rels.append(rel)
+    return hrefs, rels
+
+
+PARSERS = {"regex": extract_links, "htmlparser": extract_links_htmlparser}
