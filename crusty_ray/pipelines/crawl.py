@@ -259,12 +259,17 @@ class CrawlEngine:
         import sys as _sys
         import time as _time
         trace = _os.environ.get("CRUSTY_EPOCH_TRACE")
+        # scoped shards: this node dequeues only [shard_min, shard_max) but
+        # enqueues/routes to ALL shards (conf/default.yaml:35-43 semantics; in
+        # the Ray re-expression "another node's shards" are simply actors this
+        # driver never polls — multi-node placement is the actor pool's job)
+        scoped = self.actors[cfg.jobs.shard_min:cfg.jobs.shard_max]
         for epoch in range(self.start_epoch, max_epochs):
             t0 = _time.time()
             shard_tables = ray.get([a.take_ready_table.remote(epoch)
-                                    for a in self.actors])
+                                    for a in scoped])
             n_tasks = sum(t.num_rows for t in shard_tables)
-            if not n_tasks and all(ray.get([a.idle.remote() for a in self.actors])):
+            if not n_tasks and all(ray.get([a.idle.remote() for a in scoped])):
                 break
             # deterministic task order: shard asc, per-shard emission order
             table = pa.concat_tables([t for t in shard_tables if t.num_rows])

@@ -76,11 +76,12 @@ class CrawlSimulator:
         max_epochs = max_epochs or self.cfg.engine.max_epochs
         self.seed()
 
+        scoped = self.shards[self.cfg.jobs.shard_min:self.cfg.jobs.shard_max]
         for epoch in range(max_epochs):
             tasks: list[dict] = []
-            for s in self.shards:
+            for s in scoped:
                 tasks.extend(s.take_ready(epoch))
-            if not tasks and all(s.idle() for s in self.shards):
+            if not tasks and all(s.idle() for s in scoped):
                 break
             self._run_epoch(epoch, tasks)
             self.epochs_run = epoch + 1

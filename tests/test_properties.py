@@ -1,0 +1,102 @@
+"""Property-based invariants over random crawl configurations (SURVEY §5.2).
+
+Run against the simulator (the engine is exact-match-equal to it by
+tests/test_crawl_e2e.py, so simulator invariants transfer).
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from crusty_ray.config import test_config as _tc
+from crusty_ray.datagen.webgraph import WebConfig
+from crusty_ray.sim.simulator import CrawlSimulator
+
+CFG_STRATEGY = dict(
+    seed=st.integers(0, 10_000),
+    n_domains=st.integers(20, 80),
+    shard_total=st.integers(1, 8),
+    total_budget=st.integers(3, 40),
+    per_page=st.integers(1, 12),
+    max_level=st.integers(1, 8),
+    concurrency=st.integers(1, 6),
+    delay=st.integers(1, 3),
+)
+
+
+def build(seed, n_domains, shard_total, total_budget, per_page, max_level,
+          concurrency, delay):
+    cfg = _tc()
+    cfg.jobs.shard_total = shard_total
+    cfg.jobs.shard_max = shard_total
+    cfg.rules.total_link_budget = total_budget
+    cfg.rules.links_per_task_budget = per_page
+    cfg.rules.max_level = max_level
+    cfg.crawl.concurrency = concurrency
+    cfg.crawl.delay_epochs = delay
+    cfg.engine.max_epochs = 25
+    web_cfg = WebConfig(seed=seed, n_domains=n_domains, max_pages_per_domain=12)
+    return cfg, web_cfg
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(**CFG_STRATEGY)
+def test_crawl_invariants(seed, n_domains, shard_total, total_budget,
+                          per_page, max_level, concurrency, delay):
+    cfg, web_cfg = build(seed, n_domains, shard_total, total_budget, per_page,
+                         max_level, concurrency, delay)
+    sim = CrawlSimulator(cfg, web_cfg)
+
+    # instrumented run: politeness invariant checked every epoch
+    sim.seed()
+    for epoch in range(cfg.engine.max_epochs):
+        tasks = []
+        for s in sim.shards:
+            tasks.extend(s.take_ready(epoch))
+        for s in sim.shards:
+            keys = [j.addr_key for j in s.jobs.values()]
+            assert len(keys) == len(set(keys)), "two in-flight jobs share an addr_key"
+            for j in s.jobs.values():
+                assert j.pages_scheduled <= total_budget
+        if not tasks and all(s.idle() for s in sim.shards):
+            break
+        sim._run_epoch(epoch, tasks)
+
+    # depth bound (PageLevel)
+    assert all(r["depth"] < max_level for r in sim.crawl_log)
+    # per-(domain,url) fetched at most once; at most one job per domain ever
+    pairs = [(r["domain"], r["url"]) for r in sim.crawl_log]
+    assert len(pairs) == len(set(pairs))
+    assert len(sim.finished_domains) == len(set(sim.finished_domains))
+    # seen-set monotone: every finished domain is in the shard's cuckoo filter
+    for d in sim.finished_domains:
+        from crusty_ray.core.urls import host_of  # noqa: F401 (doc aid)
+        assert any(d in s.cuckoo for s in sim.shards)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 10_000), cut=st.integers(1, 12))
+def test_resume_equivalence_random_cutpoints(ray_session, tmp_path_factory,
+                                             seed, cut):
+    """resume(checkpoint at any epoch) ≡ uninterrupted run (north_rule)."""
+    from crusty_ray.pipelines.crawl import CrawlEngine
+
+    cfg, web_cfg = build(seed, 40, 4, 15, 6, 5, 2, 1)
+    cfg.engine.max_epochs = 14
+    base = tmp_path_factory.mktemp(f"res{seed}_{cut}")
+
+    full = CrawlEngine(cfg, web_cfg, str(base / "full")).run()
+    part = CrawlEngine(cfg, web_cfg, str(base / "part")).run(max_epochs=cut)
+    resumed = CrawlEngine.resume(cfg, web_cfg, str(base / "part")).run()
+
+    assert resumed.finished_domains == full.finished_domains
+    assert resumed.topk_rows == full.topk_rows
+    assert resumed.seen_filter_bytes() == full.seen_filter_bytes()
+    f = full.read_crawl_log().to_pandas().drop(columns=["image_ids"])
+    r = resumed.read_crawl_log().to_pandas().drop(columns=["image_ids"])
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        f.sort_values(["epoch", "seq"]).reset_index(drop=True),
+        r.sort_values(["epoch", "seq"]).reset_index(drop=True),
+        check_dtype=False)
