@@ -41,6 +41,14 @@ def _crawl_outputs() -> dict:
     return _CRAWL_CACHE
 
 
+def _crawl_metric(fn_name: str):
+    def q(sf_dir: str):
+        from crusty_ray.pipelines import metrics
+        c = _crawl_outputs()
+        return getattr(metrics, fn_name)(f"{c['out']}/crawl_log")
+    return q
+
+
 def entry() -> Any:
     """Flagship: the epochal crawl over the synthetic web — returns the
     deterministic crawl log (the engine's primary product)."""
@@ -51,7 +59,7 @@ def entry() -> Any:
 # --------------------------------------------------------------------- queries
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from crusty_ray.ops import analog, dedup, similarity, text
+    from crusty_ray.ops import analog, dedup, joins, similarity, text, windows
 
     def lang_distribution(sf_dir: str):
         import ray
@@ -123,6 +131,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_minute_buckets": analog.event_minute_buckets_ds,
         "pricing_summary": analog.pricing_summary_ds,
         "priority_dequeue": analog.priority_dequeue_ds,
+        # -- windowed aggregates (SQL-checked)
+        "sliding_window_counts": windows.sliding_window_counts_ds,
+        "session_windows": windows.session_windows_ds,
+        # -- joins beyond equi (SQL-checked)
+        "asof_latest_order": joins.asof_latest_order_ds,
+        "anti_join_customers": joins.anti_join_customers_ds,
+        "semi_join_events": joins.semi_join_events_ds,
+        # -- float cosine near-dup (rows-only; quantized face is the oracle)
+        "embedding_cosine_pairs": dedup.embedding_cosine_pairs,
+        # -- crawl dashboard metrics over the crawl's own output (A6)
+        "crawl_pages_per_epoch": _crawl_metric("pages_per_epoch_ds"),
+        "crawl_term_breakdown": _crawl_metric("term_breakdown_ds"),
         # -- the crawl engine itself (simulator-oracled; rows-only here)
         "crawl_log": crawl_log,
         "crawl_topk": crawl_topk,
@@ -259,6 +279,57 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_disc_price_cents,
                    count(*) AS count_order
             FROM lineitem GROUP BY 1, 2
+        """,
+        "sliding_window_counts": """
+            WITH c AS (
+              SELECT event_type,
+                     (CAST(floor(epoch(ts)) AS BIGINT) // 60) AS minute,
+                     count(*) AS cnt
+              FROM events GROUP BY 1, 2
+            )
+            SELECT event_type, minute, cnt,
+                   CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY minute
+                        RANGE BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT)
+                       AS window_cnt
+            FROM c
+        """,
+        "session_windows": """
+            WITH e AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                     THEN 1 ELSE 0 END AS new_s
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM e
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events,
+                   min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+            FROM s GROUP BY user_id, session_id
+        """,
+        "asof_latest_order": """
+            SELECT event_id, o_orderkey FROM (
+              SELECT e.event_id, o.o_orderkey,
+                     row_number() OVER (PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+              FROM events e
+              JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            ) WHERE rn = 1
+        """,
+        "anti_join_customers": """
+            SELECT c_custkey FROM customer
+            WHERE c_custkey NOT IN
+                  (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        """,
+        "semi_join_events": """
+            SELECT event_type, count(*) AS n_events
+            FROM events
+            WHERE user_id IN (SELECT c_custkey FROM customer
+                              WHERE c_mktsegment = 'BUILDING')
+            GROUP BY 1
         """,
         "priority_dequeue": """
             SELECT o_orderpriority, o_orderkey, price_cents FROM (

@@ -308,3 +308,26 @@ def embedding_quant_dedup_ds(sf_dir: str, threshold: int = 300_000):
             {"vec_a": "int64", "vec_b": "int64", "qdot": "int64"})
 
     return qds.groupby("label").map_groups(pairs, batch_format="pandas")
+
+
+def embedding_cosine_pairs(sf_dir: str, threshold_pm: int = 300) -> pd.DataFrame:
+    """Float cosine near-dup pairs within each ``label`` block (the real
+    embedding-dedup path; rows-only check — the bit-exact oracle face is
+    ``embedding_quant_dedup_ds``). Output similarity as per-mille ints."""
+    ds = _io_read(f"{sf_dir}/embeddings.parquet")
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.stack(group["embedding"].to_numpy()[order]).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        pm = np.floor(sims[iu, ju] * 1000.0).astype(np.int64)
+        keep = pm >= threshold_pm
+        return pd.DataFrame({"vec_a": pd.Series(ids[iu][keep], dtype="int64"),
+                             "vec_b": pd.Series(ids[ju][keep], dtype="int64"),
+                             "sim_pm": pd.Series(pm[keep], dtype="int64")})
+
+    return ds.groupby("label").map_groups(pairs, batch_format="pandas")

@@ -1,0 +1,52 @@
+"""Dashboard metric aggregations over the crawl's own output tables (A6).
+
+The reference's Grafana panels are SQL over ClickHouse metrics tables
+(``infra/grafana/dashboards/crusty.json:1680-1692`` Pages/sec = count of
+follow_ok per interval; ``:106-107`` RX = sum(read_size_b)). Ours are the same
+aggregations as Ray pipelines over the ``crawl_log`` parquet — runnable on a
+live crawl's partial output (each epoch dir is complete once written).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from ..ops.io import read_parquet
+
+
+def pages_per_epoch_ds(crawl_log_dir: str):
+    """Per epoch: fetched pages, follow_ok pages (term_by == ''), RX bytes,
+    distinct domains — the Pages/sec + RX dashboard row (integers only)."""
+    ds = read_parquet(crawl_log_dir,
+                      columns=["epoch", "term_by", "read_size_b", "domain"])
+
+    def agg(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("epoch").agg(
+            pages=("term_by", "size"),
+            follow_ok=("term_by", lambda s: int((s == "").sum())),
+            rx_bytes=("read_size_b", "sum"),
+            domains=("domain", "nunique"),
+        ).reset_index()
+        return g.astype({"pages": "int64", "follow_ok": "int64",
+                         "rx_bytes": "int64", "domains": "int64"})
+
+    # partial per-batch agg, exact combine per epoch (few epochs -> tiny)
+    partial = ds.map_batches(agg, batch_format="pandas")
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.groupby("epoch").agg(
+            pages=("pages", "sum"), follow_ok=("follow_ok", "sum"),
+            rx_bytes=("rx_bytes", "sum"), domains=("domains", "max")).reset_index()
+        # 'domains' via max-of-partials is approximate when a domain spans
+        # batches; exact distinct is a separate groupby — documented tradeoff
+        return out.astype("int64")
+
+    return partial.groupby("epoch").map_groups(combine, batch_format="pandas")
+
+
+def term_breakdown_ds(crawl_log_dir: str):
+    """Counts per termination reason (the reference's per-term metrics_task
+    columns, types.rs:170-197)."""
+    from ray.data.aggregate import Count
+    ds = read_parquet(crawl_log_dir, columns=["term_by"])
+    return ds.groupby("term_by").aggregate(Count(alias_name="n_tasks"))

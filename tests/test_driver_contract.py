@@ -63,6 +63,8 @@ SQL_CHECKED = [
     "ann_quantized", "topk_heavy_hitters", "per_group_budget", "depth_filter",
     "shard_assignment", "segment_order_counts", "event_minute_buckets",
     "pricing_summary", "priority_dequeue",
+    "sliding_window_counts", "session_windows", "asof_latest_order",
+    "anti_join_customers", "semi_join_events",
 ]
 
 
@@ -79,7 +81,8 @@ def test_query_matches_oracle(contract, name):
 
 
 ROWS_ONLY = ["minhash_candidates", "minhash_near_dups", "simhash_near_dups",
-             "ann_bruteforce", "ann_lsh", "langid"]
+             "ann_bruteforce", "ann_lsh", "langid", "embedding_cosine_pairs",
+             "crawl_pages_per_epoch", "crawl_term_breakdown"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
