@@ -41,6 +41,19 @@ def _crawl_outputs() -> dict:
     return _CRAWL_CACHE
 
 
+def _image_dedup(fn_name: str):
+    def q(sf_dir: str):
+        from crusty_ray.ops import image_dedup
+        from crusty_ray.pipelines.images import run_image_pipeline
+        c = _crawl_outputs()
+        img_dir = f"{c['out']}/images"
+        if not os.path.exists(img_dir):
+            run_image_pipeline(f"{c['out']}/crawl_log", img_dir,
+                               c["web_cfg"], c["cfg"])
+        return getattr(image_dedup, fn_name)(img_dir)
+    return q
+
+
 def _crawl_metric(fn_name: str):
     def q(sf_dir: str):
         from crusty_ray.pipelines import metrics
@@ -143,6 +156,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- crawl dashboard metrics over the crawl's own output (A6)
         "crawl_pages_per_epoch": _crawl_metric("pages_per_epoch_ds"),
         "crawl_term_breakdown": _crawl_metric("term_breakdown_ds"),
+        # -- image payload dedup over the crawled images table (rows-only)
+        "image_exact_dedup": _image_dedup("image_exact_dedup"),
+        "image_phash_near_dups": _image_dedup("image_phash_pairs"),
         # -- the crawl engine itself (simulator-oracled; rows-only here)
         "crawl_log": crawl_log,
         "crawl_topk": crawl_topk,

@@ -147,14 +147,15 @@ class EpochStage:
     exchange parallel on both ends and double as epoch lineage. The dataset's
     own sink completing IS the delivery barrier."""
 
-    def __init__(self, web_cfg: WebConfig, cfg: Config, absorb_dir: str):
+    def __init__(self, web_cfg: WebConfig, cfg: Config, absorb_dir: str,
+                 rules=None):
         # one logical CPU per task: stop pyarrow's process-wide thread pool
         # from silently using every host core (skews scaling measurements and
         # oversubscribes shared nodes)
         pa.set_cpu_count(1)
         pa.set_io_thread_count(2)
-        self.fetch = FetchStage(web_cfg, cfg)
-        self.discover = DiscoverStage(web_cfg, cfg)
+        self.fetch = FetchStage(web_cfg, cfg, rules=rules)
+        self.discover = DiscoverStage(web_cfg, cfg, rules=rules)
         self.absorb_dir = absorb_dir
 
     SHARDS_PER_GROUP = 8  # absorb-file granularity: fewer files per task;
@@ -216,7 +217,8 @@ def log_projection(batch: pa.Table) -> pa.Table:
 
 class CrawlEngine:
     def __init__(self, cfg: Config, web_cfg: WebConfig, out_dir: str,
-                 seeds: Optional[list[str]] = None):
+                 seeds: Optional[list[str]] = None, rules=None):
+        self.rules = rules
         self.cfg = cfg
         self.web_cfg = web_cfg
         self.out_dir = out_dir
@@ -238,8 +240,8 @@ class CrawlEngine:
         self.start_epoch = 0
         self.epochs_run = 0
         # inline-path stage objects (same classes the Ray path instantiates)
-        self._fetcher = FetchStage(web_cfg, cfg)
-        self._discoverer = DiscoverStage(web_cfg, cfg)
+        self._fetcher = FetchStage(web_cfg, cfg, rules=rules)
+        self._discoverer = DiscoverStage(web_cfg, cfg, rules=rules)
 
     # ------------------------------------------------------------------ run
     def run(self, max_epochs: Optional[int] = None) -> "CrawlEngine":
@@ -325,7 +327,8 @@ class CrawlEngine:
             # pass per block. Instance-passed → stateless Ray tasks; the
             # component classes remain actor-pool-ready for deployments whose
             # fetch state (HTTP sessions, robots caches) is expensive.
-            ds = ds.map_batches(EpochStage(self.web_cfg, cfg, absorb_dir),
+            ds = ds.map_batches(EpochStage(self.web_cfg, cfg, absorb_dir,
+                                           rules=self.rules),
                                 batch_format="pyarrow",
                                 batch_size=cfg.engine.fetch_batch_size)
             # parallel writers over a handful of blocks: min_rows_per_file

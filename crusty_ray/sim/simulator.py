@@ -47,12 +47,13 @@ def seed_messages(seeds: list[str], cfg: Config, web: SyntheticWeb) -> list[Doma
 
 
 class CrawlSimulator:
-    def __init__(self, cfg: Config, web_cfg: WebConfig, seeds: Optional[list[str]] = None):
+    def __init__(self, cfg: Config, web_cfg: WebConfig,
+                 seeds: Optional[list[str]] = None, rules=None):
         self.cfg = cfg
         self.web_cfg = web_cfg
         self.web = SyntheticWeb(web_cfg)
-        self.fetcher = FetchStage(web_cfg, cfg)
-        self.discoverer = DiscoverStage(web_cfg, cfg)
+        self.fetcher = FetchStage(web_cfg, cfg, rules=rules)
+        self.discoverer = DiscoverStage(web_cfg, cfg, rules=rules)
         self.shards = [ShardState(s, cfg, web_cfg) for s in range(cfg.jobs.shard_total)]
         self.topk = TopKState(cfg.topk)
         self.seeds = seeds if seeds is not None else self.web.seeds()

@@ -39,7 +39,9 @@ CANDIDATE_FIELDS = [
 class DiscoverStage:
     """Appends candidate-domain columns to fetch-result batches."""
 
-    def __init__(self, web_cfg: WebConfig, cfg: Config):
+    def __init__(self, web_cfg: WebConfig, cfg: Config, rules=None):
+        from ..rules import DEFAULT_RULES
+        self.rules = rules or DEFAULT_RULES
         self.web = SyntheticWeb(web_cfg)
         self.cfg = cfg
         self.tlds = DEFAULT_TLD_SET
@@ -124,6 +126,10 @@ class DiscoverStage:
                 from .robots import allowed
                 if not allowed(link, robots):
                     continue
+            # user task filter (JobRules extension slot, rules.rs:55-77)
+            if (self.rules.link_filter is not None
+                    and not self.rules.link_filter(link, task_domain)):
+                continue
             out.append(link)
         return out
 

@@ -60,12 +60,15 @@ class FetchStage:
     """Callable class for ``ds.map_batches(FetchStage, fn_constructor_kwargs=…,
     concurrency=N, batch_format="pyarrow")``."""
 
-    def __init__(self, web_cfg: WebConfig, cfg: Config, parser: str = "regex"):
+    def __init__(self, web_cfg: WebConfig, cfg: Config, parser: str = "regex",
+                 rules=None):
         from .parse import PARSERS
+        from ..rules import DEFAULT_RULES
         self.web = SyntheticWeb(web_cfg)
         self.cfg = cfg
+        self.rules = rules or DEFAULT_RULES
         # pluggable parser slot (reference cargo feature, main/Cargo.toml:13-18)
-        self._extract = PARSERS[parser]
+        self._extract = PARSERS[self.rules.parser if rules else parser]
         self._robots_cache: dict[str, list[str]] = {}
 
     # robots are fetched once per domain and cached per actor (reference ST9)
@@ -90,6 +93,9 @@ class FetchStage:
             return self._row(url, domain, depth, shard, rec, redirects, f"status_{rec['status_code']}")
         if rec["content_type"] not in cfg.crawl.accept_content_types_status:
             return self._row(url, domain, depth, shard, rec, redirects, "status_content_type")
+        if (self.rules.status_filter is not None
+                and not self.rules.status_filter(rec["status_code"], rec["content_type"])):
+            return self._row(url, domain, depth, shard, rec, redirects, "status_user")
         if rec["size_b"] > cfg.crawl.max_response_size:
             return self._row(url, domain, depth, shard, rec, redirects, "load_size")
         if rec["fetch_ms"] > cfg.crawl.load_timeout_ms:

