@@ -55,14 +55,19 @@ def topk_heavy_hitters_ds(sf_dir: str, k: int = 5):
 
 # ------------------------------------------------------------- budgets (F4/F5)
 def per_group_budget_ds(sf_dir: str, budget: int = 3):
-    """First ``budget`` lineitems per order by linenumber (LinkPerPageBudget)."""
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    """First ``budget`` lineitems per order by linenumber (LinkPerPageBudget).
 
-    def head_n(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values("l_linenumber").head(budget)[
+    High-cardinality group key (one per order) → coarse partitions with the
+    per-key head() done by pandas inside (ops/agg.py pattern)."""
+    from .agg import partitioned_group_apply
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def head_n(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["l_orderkey", "l_linenumber"])
+        return g.groupby("l_orderkey", as_index=False).head(budget)[
             ["l_orderkey", "l_linenumber"]]
 
-    return ds.groupby("l_orderkey").map_groups(head_n, batch_format="pandas")
+    return partitioned_group_apply(ds, ["l_orderkey"], head_n)
 
 
 # ------------------------------------------------------------- depth filter (F6)
