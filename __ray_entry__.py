@@ -144,6 +144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_minute_buckets": analog.event_minute_buckets_ds,
         "pricing_summary": analog.pricing_summary_ds,
         "priority_dequeue": analog.priority_dequeue_ds,
+        "global_sort_topn": analog.global_sort_topn_ds,
+        "union_event_classes": analog.union_event_classes_ds,
         # -- windowed aggregates (SQL-checked)
         "sliding_window_counts": windows.sliding_window_counts_ds,
         "session_windows": windows.session_windows_ds,
@@ -295,6 +297,23 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_disc_price_cents,
                    count(*) AS count_order
             FROM lineitem GROUP BY 1, 2
+        """,
+        "global_sort_topn": """
+            SELECT qty, l_orderkey, l_linenumber,
+                   CAST(row_number() OVER (
+                     ORDER BY qty DESC, l_orderkey, l_linenumber) AS BIGINT) AS rnk
+            FROM (
+              SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty,
+                     l_orderkey, l_linenumber
+              FROM lineitem
+              ORDER BY qty DESC, l_orderkey, l_linenumber LIMIT 20)
+        """,
+        "union_event_classes": """
+            SELECT klass, count(*) AS n_events FROM (
+              SELECT 'err' AS klass FROM events WHERE event_type = 'error'
+              UNION ALL
+              SELECT 'new' AS klass FROM events WHERE event_type = 'signup'
+            ) GROUP BY 1
         """,
         "sliding_window_counts": """
             WITH c AS (

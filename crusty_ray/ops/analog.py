@@ -176,3 +176,43 @@ def priority_dequeue_ds(sf_dir: str, k: int = 10):
         return g[["o_orderpriority", "o_orderkey", "price_cents"]]
 
     return ds.groupby("o_orderpriority").map_groups(rank, batch_format="pandas")
+
+
+# ------------------------------------------------------------- global sort / union
+def global_sort_topn_ds(sf_dir: str, n: int = 20):
+    """Global multi-key sort + limit (Dataset.sort is an all-to-all range
+    shuffle; the limit prunes to the first blocks). Deterministic tie-break
+    chain, integer outputs."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def to_int(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["qty"] = np.floor(batch["l_quantity"] * 100 + 0.5).astype("int64")
+        return batch[["qty", "l_orderkey", "l_linenumber"]]
+
+    ds = ds.map_batches(to_int, batch_format="pandas")
+    out = ds.sort(["qty", "l_orderkey", "l_linenumber"],
+                  descending=[True, False, False]).limit(n)
+    import pyarrow as pa_
+    df = out.to_pandas()
+    df["rnk"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    return df
+
+
+def union_event_classes_ds(sf_dir: str):
+    """Two filtered streams unioned then counted — Dataset.union coverage
+    (error events tagged 'err' ∪ signup events tagged 'new')."""
+    from ray.data.aggregate import Count
+
+    def pick(event_type: str, tag: str):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            sub = batch[batch["event_type"] == event_type]
+            return pd.DataFrame({"klass": [tag] * len(sub),
+                                 "user_id": sub["user_id"].astype("int64")})
+        return fn
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    errors = ds.map_batches(pick("error", "err"), batch_format="pandas")
+    signups = ds.map_batches(pick("signup", "new"), batch_format="pandas")
+    return errors.union(signups).groupby("klass").aggregate(
+        Count(alias_name="n_events"))

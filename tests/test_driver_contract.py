@@ -64,7 +64,8 @@ SQL_CHECKED = [
     "shard_assignment", "segment_order_counts", "event_minute_buckets",
     "pricing_summary", "priority_dequeue",
     "sliding_window_counts", "session_windows", "asof_latest_order",
-    "anti_join_customers", "semi_join_events",
+    "anti_join_customers", "semi_join_events", "global_sort_topn",
+    "union_event_classes",
 ]
 
 
