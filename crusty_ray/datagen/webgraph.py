@@ -278,8 +278,8 @@ class SyntheticWeb:
         return "".join(parts).encode("utf-8")
 
     # ------------------------------------------------------------------ images
-    def image_record(self, image_id: str) -> dict:
-        """input_hint row: (image_id, bytes, w, h, fmt, caption, phash)."""
+    def image_pixels_raw(self, image_id: str) -> tuple[np.ndarray, str, str]:
+        """(original pixels, fmt, caption) — the generation step alone."""
         rng = stable_rng(self.cfg.seed, "image", image_id)
         w = int(rng.integers(self.cfg.img_min, self.cfg.img_max + 1))
         h = int(rng.integers(self.cfg.img_min, self.cfg.img_max + 1))
@@ -297,6 +297,12 @@ class SyntheticWeb:
         fmt = ["png", "jpeg", "webp"][int(rng.integers(0, 3))]
         cap_words = rng.choice(_CAPTION_WORDS, size=int(rng.integers(3, 8)), replace=True)
         caption = f"a photo of {' '.join(cap_words)} ({image_id})"
+        return pixels, fmt, caption
+
+    def image_record(self, image_id: str) -> dict:
+        """input_hint row: (image_id, bytes, w, h, fmt, caption, phash)."""
+        pixels, fmt, caption = self.image_pixels_raw(image_id)
+        h, w = pixels.shape[:2]
         return {
             "image_id": image_id, "bytes": encode_image(pixels, fmt),
             "w": w, "h": h, "fmt": fmt, "caption": caption,

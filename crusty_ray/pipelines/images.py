@@ -63,10 +63,16 @@ class ImageFetchStage:
         self.web = SyntheticWeb(web_cfg)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..codecs.images import encode_image
         rows = []
         for iid in batch["image_id"].to_pylist():
-            rec = self.web.image_record(iid)          # the "HTTP fetch"
-            raw = self.web.image_pixels(iid)          # ground truth via decode
+            # one generation pass: pixels → encode once ("HTTP fetch" payload)
+            raw, fmt, caption = self.web.image_pixels_raw(iid)
+            h, w = raw.shape[:2]
+            from ..codecs.images import phash64 as _ph
+            rec = {"image_id": iid, "bytes": encode_image(raw, fmt),
+                   "w": w, "h": h, "fmt": fmt, "caption": caption,
+                   "phash": _ph(raw)}
             try:
                 px = decode_image(rec["bytes"], rec["fmt"])
                 decode_ok = px.shape == (rec["h"], rec["w"], 3)
@@ -95,13 +101,18 @@ def run_image_pipeline(crawl_log_dir: str, out_dir: str, web_cfg: WebConfig,
     from ..ops.io import read_parquet as io_read
     ds = io_read(crawl_log_dir, columns=["image_ids"])
     ds = ds.map_batches(explode_image_ids, batch_format="pyarrow")
-    # exact distinct via hash-partitioned groupby (streaming; ds.unique()
-    # materializes a driver-side list)
-    ds = ds.groupby("image_id").count().select_columns(["image_id"])
-    ds = ds.map_batches(
-        ImageFetchStage, fn_constructor_kwargs={"web_cfg": web_cfg},
-        batch_format="pyarrow", batch_size=cfg.engine.decode_batch_size,
-        concurrency=cfg.engine.fetch_concurrency, num_cpus=1)
+    # exact distinct via coarse hash partitions with pandas drop_duplicates
+    # inside (ops/agg.py pattern — Ray's per-group aggregate pays ~ms per
+    # distinct id; one group per image id would dominate the pipeline)
+    from ..ops.agg import partitioned_group_apply
+    ds = partitioned_group_apply(
+        ds, ["image_id"],
+        lambda df: df.drop_duplicates("image_id")[["image_id"]])
+    # instance → task mode: codec state is cheap here, and spinning an actor
+    # pool doubles wall time (14.4s vs 6.4s for 27k images measured); a real
+    # deployment with heavy codec/model state passes the CLASS + concurrency
+    ds = ds.map_batches(ImageFetchStage(web_cfg), batch_format="pyarrow",
+                        batch_size=cfg.engine.decode_batch_size)
     ds.write_parquet(out_dir)
 
     from ..ops.io import read_parquet as io_read
