@@ -94,17 +94,16 @@ class FrontierShardActor:
         """(optionally read this shard's routed rows from storage, then)
         end_epoch + gauges in one round trip (barrier-cost discipline)."""
         if absorb_dir is not None:
-            import pyarrow.compute as pc
             g = self.state.shard // EpochStage.SHARDS_PER_GROUP
             d = f"{absorb_dir}/group={g}"
             if os.path.isdir(d):
-                for f in os.listdir(d):
-                    if f.endswith(".parquet"):
-                        t = pq.read_table(
-                            f"{d}/{f}",
-                            filters=[("shard", "==", self.state.shard)])
-                        if t.num_rows:
-                            self.state.absorb_table(t)
+                import pyarrow.dataset as pads
+                # one dataset scan with a shard predicate beats per-file
+                # filtered reads (row-group pruning + batched IO)
+                t = pads.dataset(d, format="parquet").to_table(
+                    filter=pads.field("shard") == self.state.shard)
+                if t.num_rows:
+                    self.state.absorb_table(t)
         out = self.state.end_epoch(epoch)
         out["gauges"] = self.state.gauges(epoch)
         return out
