@@ -55,10 +55,14 @@ class CrawlSettings:
     concurrency: int = 2          # pages per domain per epoch
     max_response_size: int = 2 * 1024 * 1024
     delay_epochs: int = 1         # delay:1s → one fetch round per domain per epoch
+    delay_jitter_epochs: int = 0  # delay_jitter:1s → +hash(domain) % (j+1) epochs,
+                                  # deterministic per domain (vs the reference's prng)
     status_timeout_ms: int = 5000
     load_timeout_ms: int = 10000
     job_soft_timeout_epochs: int = 180   # stop queueing new tasks for the job
     job_hard_timeout_epochs: int = 300   # kill the job
+    job_hard_timeout_jitter_epochs: int = 0  # +hash(domain)%(j+1), deterministic
+                                             # (conf/default.yaml:215-217 jitter)
     accept_content_types_status: tuple[str, ...] = ("text/html", "text/plain")
     accept_content_types_load: tuple[str, ...] = ("text/html",)
 
@@ -72,6 +76,7 @@ class TopKConfig:
     depth: int = 8
     decay: float = 0.92
     consume_every_epochs: int = 15  # consume_interval 15s → every 15 epochs
+    use_sketch: bool = False        # exact agg default; sketch for unbounded key spaces
 
 
 @dataclass

@@ -42,7 +42,7 @@ from ..sim.simulator import seed_messages
 from ..stages.discover import DiscoverStage
 from ..stages.fetch import FetchStage
 from ..state.frontier import DomainMsg, ShardState
-from .topk import TopKState
+from .topk import make_topk_state
 
 LOG_COLUMNS = [
     "epoch", "seq", "url", "domain", "depth", "shard", "status_code",
@@ -230,7 +230,7 @@ class CrawlEngine:
             FrontierShardActor.remote(s, cfg, web_cfg)
             for s in range(cfg.jobs.shard_total)
         ]
-        self.topk = TopKState(cfg.topk)
+        self.topk = make_topk_state(cfg.topk)
         self.job_metrics: list[dict] = []
         self.topk_rows: list[dict] = []
         self.gauges: list[dict] = []

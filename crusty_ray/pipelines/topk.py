@@ -76,3 +76,65 @@ class TopKState:
     def restore(self, snap: dict) -> None:
         self.scores = defaultdict(float, snap["scores"])
         self.epoch = snap["epoch"]
+
+
+class SketchTopKState:
+    """Sketch-backed variant of TopKState — per-TLD + global TOPK sketches
+    exactly as the reference reserves them (redis-calc/src/lib.rs:53-72),
+    bounded memory per bucket. Same interface as TopKState; select with
+    ``TopKConfig``-driven ``make_topk_state``. Epoch decay is applied inside
+    the sketch's eviction dynamics (HeavyKeeper), not per epoch."""
+
+    def __init__(self, cfg: TopKConfig):
+        from ..state.topk_sketch import TopKSketch
+        self.cfg = cfg
+        self._mk = lambda: TopKSketch(cfg.k, cfg.width, cfg.depth, cfg.decay)
+        self.sketches: dict[str, "TopKSketch"] = {}
+        self.epoch = -1
+
+    def advance_epoch(self) -> None:
+        self.epoch += 1
+
+    def _sketch(self, tld: str):
+        got = self.sketches.get(tld)
+        if got is None:
+            got = self.sketches[tld] = self._mk()
+        return got
+
+    def add_domain_links(self, domain_links: list[tuple[str, list[str]]]) -> None:
+        from collections import Counter
+        counts: Counter[str] = Counter()
+        for name, linked in domain_links:
+            counts[name] += 1
+            for d in linked:
+                counts[d] += 1
+        # per-TLD bucket + global "" bucket (redis-calc/src/lib.rs:37-50)
+        for dom, cnt in sorted(counts.items()):
+            tld = dom.rpartition(".")[2]
+            self._sketch(tld).add(dom, cnt)
+            self._sketch("").add(dom, cnt)
+
+    def snapshot(self, epoch: int) -> list[dict]:
+        rows: list[dict] = []
+        for tld in sorted(self.sketches):
+            for dom, hits in self.sketches[tld].topk():
+                rows.append({"epoch": epoch, "tld": tld, "domain": dom,
+                             "hits": int(hits)})
+        return rows
+
+    def checkpoint(self) -> dict:
+        return {"epoch": self.epoch,
+                "sketches": {t: s.to_state() for t, s in self.sketches.items()}}
+
+    def restore(self, snap: dict) -> None:
+        from ..state.topk_sketch import TopKSketch
+        self.epoch = snap["epoch"]
+        self.sketches = {t: TopKSketch.from_state(s)
+                         for t, s in snap["sketches"].items()}
+
+
+def make_topk_state(cfg: TopKConfig):
+    """Exact aggregation by default; sketch when configured (bounded-memory
+    path for key spaces beyond a shard's heap)."""
+    return SketchTopKState(cfg) if getattr(cfg, "use_sketch", False) \
+        else TopKState(cfg)

@@ -21,7 +21,7 @@ from ..config import Config
 from ..core.sharding import resolve_domain_row
 from ..core.urls import host_of
 from ..datagen.webgraph import SyntheticWeb, WebConfig
-from ..pipelines.topk import TopKState
+from ..pipelines.topk import make_topk_state
 from ..stages.discover import DiscoverStage
 from ..stages.fetch import FetchStage
 from ..state.frontier import DomainMsg, ShardState
@@ -55,7 +55,7 @@ class CrawlSimulator:
         self.fetcher = FetchStage(web_cfg, cfg, rules=rules)
         self.discoverer = DiscoverStage(web_cfg, cfg, rules=rules)
         self.shards = [ShardState(s, cfg, web_cfg) for s in range(cfg.jobs.shard_total)]
-        self.topk = TopKState(cfg.topk)
+        self.topk = make_topk_state(cfg.topk)
         self.seeds = seeds if seeds is not None else self.web.seeds()
 
         self.crawl_log: list[dict] = []

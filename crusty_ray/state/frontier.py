@@ -195,10 +195,26 @@ class ShardState:
         tasks: list[dict] = []
         for domain in sorted(self.jobs):
             job = self.jobs[domain]
+            hard = cfg.crawl.job_hard_timeout_epochs
+            if cfg.crawl.job_hard_timeout_jitter_epochs:
+                from ..core.hashing import hash64
+                hard += hash64(domain, seed=13) % (
+                    cfg.crawl.job_hard_timeout_jitter_epochs + 1)
+            if epoch - job.start_epoch > hard:
+                # forcible kill (job_hard_timeout): drop remaining queue
+                job.term_by = "hard_timeout"
+                job.queue.clear()
+                continue
             if epoch - job.start_epoch > cfg.crawl.job_soft_timeout_epochs:
                 job.term_by = job.term_by or "soft_timeout"
                 continue  # no new tasks; finishes at end_epoch
-            if not job.queue or epoch - job.last_fetch_epoch < cfg.crawl.delay_epochs:
+            # politeness delay + deterministic per-domain jitter
+            # (conf/default.yaml:205-209: delay 1s + delay_jitter 1s)
+            delay = cfg.crawl.delay_epochs
+            if cfg.crawl.delay_jitter_epochs:
+                from ..core.hashing import hash64
+                delay += hash64(domain, seed=11) % (cfg.crawl.delay_jitter_epochs + 1)
+            if not job.queue or epoch - job.last_fetch_epoch < delay:
                 continue
             n = min(cfg.crawl.concurrency, len(job.queue))
             for _ in range(n):

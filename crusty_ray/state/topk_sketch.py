@@ -85,3 +85,16 @@ class TopKSketch:
         fresh = [(m, c) for m, c in fresh if c > 0]
         fresh.sort(key=lambda t: (-t[1], t[0]))
         return fresh[: self.k]
+
+    # -- checkpointing ------------------------------------------------------
+    def to_state(self) -> dict:
+        return {"k": self.k, "width": self.width, "depth": self.depth,
+                "decay": self.decay, "seed": self.seed,
+                "fps": self.fps.copy(), "counts": self.counts.copy(),
+                "heap": dict(self.heap)}
+
+    @classmethod
+    def from_state(cls, d: dict) -> "TopKSketch":
+        sk = cls(d["k"], d["width"], d["depth"], d["decay"], d["seed"])
+        sk.fps, sk.counts, sk.heap = d["fps"], d["counts"], dict(d["heap"])
+        return sk

@@ -1,0 +1,48 @@
+"""Fault injection: a dead frontier actor mid-crawl → resume from the latest
+checkpoint reproduces the uninterrupted run exactly (the reference tolerates
+lost nodes via redis TTLs + rediscovery, conf/default.yaml:56-61; our stronger
+guarantee is exact resume, north_rule)."""
+
+import pandas as pd
+import pytest
+
+import ray
+
+from crusty_ray.config import test_config as _tc
+from crusty_ray.datagen.webgraph import WebConfig
+
+WEB_CFG = WebConfig(n_domains=50, max_pages_per_domain=14)
+
+
+def _cfg():
+    cfg = _tc()
+    cfg.rules.total_link_budget = 20
+    cfg.rules.links_per_task_budget = 8
+    cfg.rules.max_level = 5
+    cfg.engine.max_epochs = 16
+    return cfg
+
+
+def test_actor_death_then_resume(ray_session, tmp_path):
+    from crusty_ray.pipelines.crawl import CrawlEngine
+
+    cfg = _cfg()
+    full = CrawlEngine(cfg, WEB_CFG, str(tmp_path / "full")).run()
+
+    # crash scenario: run 6 epochs (checkpoint every epoch), then an actor dies
+    eng = CrawlEngine(cfg, WEB_CFG, str(tmp_path / "crash")).run(max_epochs=6)
+    ray.kill(eng.actors[1])
+    with pytest.raises(Exception):
+        eng.run()  # dead actor surfaces on the next epoch's RPCs
+
+    # recovery: fresh engine (fresh actors) restores the checkpointed state
+    rec = CrawlEngine.resume(cfg, WEB_CFG, str(tmp_path / "crash")).run()
+    assert rec.finished_domains == full.finished_domains
+    assert rec.topk_rows == full.topk_rows
+    assert rec.seen_filter_bytes() == full.seen_filter_bytes()
+    f = full.read_crawl_log().to_pandas().drop(columns=["image_ids"])
+    r = rec.read_crawl_log().to_pandas().drop(columns=["image_ids"])
+    pd.testing.assert_frame_equal(
+        f.sort_values(["epoch", "seq"]).reset_index(drop=True),
+        r.sort_values(["epoch", "seq"]).reset_index(drop=True),
+        check_dtype=False)

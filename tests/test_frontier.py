@@ -227,3 +227,59 @@ class TestCheckpoint:
         assert a == b
         assert s.gauges(1) == s2.gauges(1)
         assert s.cuckoo.to_bytes() == s2.cuckoo.to_bytes()
+
+
+class TestTimeoutsAndJitter:
+    def test_soft_timeout_finishes_job(self):
+        s = mk(**{"crawl.job_soft_timeout_epochs": 2})
+        s.enqueue([msg("a.com")])
+        s.apply_enqueues(0)
+        s.take_ready(0)
+        # keep the job alive with pending queue but never absorb its tail
+        s.absorb([result_row("a.com", "http://a.com/",
+                             links=[f"http://a.com/p{i}" for i in range(5)])])
+        s.end_epoch(0)
+        assert "a.com" in s.jobs
+        terms = []
+        for e in (1, 2, 3, 4):
+            tasks = s.take_ready(e)
+            # BSP contract: absorb every emitted task (childless results)
+            s.absorb([result_row("a.com", t["url"], depth=t["depth"])
+                      for t in tasks])
+            terms.extend(m["term_by"] for m in s.end_epoch(e)["job_metrics"])
+        assert "a.com" not in s.jobs
+        assert "soft_timeout" in terms or "done" in terms
+
+    def test_hard_timeout_kills_queued_job(self):
+        s = mk(**{"crawl.job_hard_timeout_epochs": 3,
+                  "crawl.delay_epochs": 100})  # delay blocks fetching → queue stuck
+        s.enqueue([msg("a.com")])
+        s.apply_enqueues(0)
+        s.take_ready(0)
+        s.absorb([result_row("a.com", "http://a.com/",
+                             links=["http://a.com/p1"])])
+        s.end_epoch(0)
+        metrics = []
+        for e in range(1, 6):
+            s.take_ready(e)
+            metrics.extend(s.end_epoch(e)["job_metrics"])
+        assert any(m["term_by"] == "hard_timeout" for m in metrics)
+        assert "a.com" not in s.jobs
+
+    def test_delay_jitter_deterministic_and_bounded(self):
+        from crusty_ray.core.hashing import hash64
+        s = mk(**{"crawl.delay_epochs": 1, "crawl.delay_jitter_epochs": 2,
+                  "crawl.concurrency": 1})
+        s.enqueue([msg("a.com")])
+        s.apply_enqueues(0)
+        assert len(s.take_ready(0)) == 1
+        s.absorb([result_row("a.com", "http://a.com/",
+                             links=["http://a.com/p1"])])
+        s.end_epoch(0)
+        expect_delay = 1 + hash64("a.com", seed=11) % 3
+        fetched_at = None
+        for e in range(1, 6):
+            if s.take_ready(e):
+                fetched_at = e
+                break
+        assert fetched_at == expect_delay

@@ -87,3 +87,41 @@ class TestImagePhashDedup:
         dup_groups = df[df["n_dups"] > 1]
         assert len(dup_groups) == 1
         assert dup_groups.iloc[0]["keep_image_id"] == "a0"  # min("a0","copy0")
+
+
+def test_sketch_mode_engine_matches_simulator(ray_session, tmp_path):
+    """cfg.topk.use_sketch=True: engine and simulator still agree exactly
+    (both run the same deterministic sketch)."""
+    import pandas as pd
+    from crusty_ray.config import test_config
+    from crusty_ray.datagen.webgraph import WebConfig
+    from crusty_ray.pipelines.crawl import CrawlEngine
+    from crusty_ray.sim.simulator import CrawlSimulator
+
+    cfg = test_config()
+    cfg.rules.total_link_budget = 20
+    cfg.rules.links_per_task_budget = 8
+    cfg.rules.max_level = 5
+    cfg.engine.max_epochs = 12
+    cfg.topk.use_sketch = True
+    cfg.topk.consume_every_epochs = 5
+    cfg.topk.width = 512
+    cfg.topk.depth = 4
+    web_cfg = WebConfig(n_domains=40, max_pages_per_domain=10)
+
+    sim = CrawlSimulator(cfg, web_cfg).run()
+    eng = CrawlEngine(cfg, web_cfg, str(tmp_path / "o")).run()
+    assert eng.topk_rows == sim.topk_rows
+    assert len(sim.topk_rows) > 0
+    # sketch top-k should broadly agree with exact top-k at this scale
+    cfg2 = test_config()
+    cfg2.rules.total_link_budget = 20
+    cfg2.rules.links_per_task_budget = 8
+    cfg2.rules.max_level = 5
+    cfg2.engine.max_epochs = 12
+    cfg2.topk.consume_every_epochs = 5
+    exact = CrawlSimulator(cfg2, web_cfg).run()
+    top_exact = {r["domain"] for r in exact.topk_rows if r["tld"] == ""}
+    top_sketch = {r["domain"] for r in sim.topk_rows if r["tld"] == ""}
+    if top_exact:
+        assert len(top_exact & top_sketch) / len(top_exact) >= 0.6
