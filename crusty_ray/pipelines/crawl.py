@@ -177,11 +177,10 @@ class EpochStage:
 
 
 class RouterStage:
-    """Routes fetch results to their owning shard actor and projects the
-    crawl-log columns for the parquet sink. Results travel as Arrow sub-tables
-    (object-store IPC — no per-row pickling); the blocking ``ray.get`` on the
-    absorb acks gives the epoch barrier its happens-before edge: when the
-    epoch's Dataset finishes, every result row has reached its shard."""
+    """Direct actor-RPC routing variant (Arrow sub-tables via the object
+    store). The engine's live path is EpochStage's shuffle-via-storage — this
+    stage remains as the low-latency alternative for small shard counts and
+    documents the absorb column contract (ABSORB_COLUMNS)."""
 
     def __init__(self, handles: list):
         self.handles = handles
