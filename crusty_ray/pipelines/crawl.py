@@ -172,7 +172,13 @@ class EpochStage:
             sub = slim.filter(pc.equal(groups, g))
             d = f"{self.absorb_dir}/group={g}"
             os.makedirs(d, exist_ok=True)
-            pq.write_table(sub, f"{d}/part-{blob}.parquet")
+            # sort by shard + shard-aligned row groups → each of the group's
+            # readers prunes to its own row groups instead of re-reading the
+            # whole file (the group is shared by SHARDS_PER_GROUP actors)
+            sub = sub.sort_by("shard")
+            pq.write_table(sub, f"{d}/part-{blob}.parquet",
+                           row_group_size=max(256, sub.num_rows
+                                              // self.SHARDS_PER_GROUP + 1))
         return log_projection(out)
 
 
