@@ -45,3 +45,28 @@ def test_image_table_schema(ray_session, crawl_out, tmp_path):
     # one row per distinct referenced image
     ids = t["image_id"].to_pylist()
     assert len(ids) == len(set(ids))
+
+
+def test_wide_binary_rows_small_batches(ray_session, tmp_path):
+    """SURVEY §7.4.5: large image payloads with small decode batches — the
+    pipeline streams wide binary rows without blowing up block sizes."""
+    import pyarrow.dataset as pads
+    import ray
+    from crusty_ray.datagen.webgraph import SyntheticWeb, WebConfig
+    from crusty_ray.pipelines.images import ImageFetchStage
+
+    big_cfg = WebConfig(n_domains=4, img_min=256, img_max=384)  # ~0.2-0.4 MB rows
+    ids = [f"im{i}_0_0" for i in range(24)]
+    ds = ray.data.from_items([{"image_id": i} for i in ids])
+    ds = ds.map_batches(ImageFetchStage(big_cfg), batch_format="pyarrow",
+                        batch_size=4)  # small batches for wide rows
+    out = str(tmp_path / "wide")
+    ds.write_parquet(out)
+    t = pads.dataset(out, format="parquet").to_table()
+    assert t.num_rows == 24
+    assert t["decode_ok"].to_pylist() == [True] * 24
+    sizes = [len(b) for b in t["bytes"].to_pylist()]
+    assert min(sizes) > 50_000  # genuinely wide rows
+    lossy = [p for p, f in zip(t["psnr_db"].to_pylist(), t["fmt"].to_pylist())
+             if f != "png"]
+    assert all(p >= 40.0 for p in lossy)
