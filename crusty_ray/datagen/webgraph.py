@@ -22,7 +22,7 @@ invalid-TLD / short / no-dot link targets, depth chains, >budget link fanouts.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np

@@ -29,7 +29,7 @@ import pandas as pd
 import pyarrow as pa
 
 import ray
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from ray.data.aggregate import Count, Sum
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -193,7 +193,6 @@ def global_sort_topn_ds(sf_dir: str, n: int = 20):
     ds = ds.map_batches(to_int, batch_format="pandas")
     out = ds.sort(["qty", "l_orderkey", "l_linenumber"],
                   descending=[True, False, False]).limit(n)
-    import pyarrow as pa_
     df = out.to_pandas()
     df["rnk"] = np.arange(1, len(df) + 1, dtype=np.int64)
     return df

@@ -28,7 +28,7 @@ import ray
 
 from .io import read_parquet as _io_read
 
-from ..core.hashing import hash64_batch, hash_family
+from ..core.hashing import hash64_batch
 
 # ---------------------------------------------------------------- exact dedup
 

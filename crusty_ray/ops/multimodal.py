@@ -18,7 +18,6 @@ are the tested product; codecs are swappable):
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ..codecs.images import decode_image, encode_image

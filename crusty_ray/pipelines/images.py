@@ -118,8 +118,7 @@ def run_image_pipeline(crawl_log_dir: str, out_dir: str, web_cfg: WebConfig,
     from ..ops.io import read_parquet as io_read
     check = io_read(
         out_dir, columns=["fmt", "psnr_db", "caption_ok", "phash_dist", "decode_ok"])
-    import pandas as pd  # small result — fine to materialize
-    df = check.to_pandas()
+    df = check.to_pandas()  # small result — fine to materialize
     lossy = df[df["fmt"] != "png"]
     return {
         "n_images": len(df),

@@ -30,13 +30,12 @@ across CPUs. This stage is where a real deployment would do network I/O.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import pyarrow as pa
 
 from ..config import Config
 from ..datagen.webgraph import SyntheticWeb, WebConfig
-from .parse import extract_links
 from .robots import allowed, parse_disallows
 
 RESULT_SCHEMA = pa.schema([

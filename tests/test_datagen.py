@@ -1,6 +1,5 @@
 """Synthetic web determinism + structure tests (FIXTURES.md shapes)."""
 
-import numpy as np
 
 from crusty_ray.codecs.images import decode_image, phash64, psnr
 from crusty_ray.datagen.webgraph import SyntheticWeb, WebConfig

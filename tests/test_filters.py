@@ -1,6 +1,5 @@
 """Bloom / cuckoo membership structure tests (SURVEY.md §5 layer 1)."""
 
-import numpy as np
 
 from crusty_ray.state.bloom import ScalingBloom
 from crusty_ray.state.cuckoo import CuckooFilter

@@ -7,8 +7,6 @@ addr_key politeness, lock TTL expiry, priority ordering, budget enforcement,
 delay cadence, and checkpoint/restore equivalence.
 """
 
-import pytest
-
 from crusty_ray.config import test_config as _tc
 from crusty_ray.state.frontier import DomainMsg, ShardState
 

@@ -52,7 +52,7 @@ def test_wide_binary_rows_small_batches(ray_session, tmp_path):
     pipeline streams wide binary rows without blowing up block sizes."""
     import pyarrow.dataset as pads
     import ray
-    from crusty_ray.datagen.webgraph import SyntheticWeb, WebConfig
+    from crusty_ray.datagen.webgraph import WebConfig
     from crusty_ray.pipelines.images import ImageFetchStage
 
     big_cfg = WebConfig(n_domains=4, img_min=256, img_max=384)  # ~0.2-0.4 MB rows

@@ -70,7 +70,6 @@ def test_crawl_invariants(seed, n_domains, shard_total, total_budget,
     assert len(sim.finished_domains) == len(set(sim.finished_domains))
     # seen-set monotone: every finished domain is in the shard's cuckoo filter
     for d in sim.finished_domains:
-        from crusty_ray.core.urls import host_of  # noqa: F401 (doc aid)
         assert any(d in s.cuckoo for s in sim.shards)
 
 
