@@ -171,11 +171,12 @@ def run_scaling() -> dict:
         # taskset: ray.init(num_cpus=N) only caps TASK scheduling — actor
         # processes and the raylet would still spread over every host core,
         # silently inflating the small-"cluster" run. OS affinity is the
-        # honest small-cluster emulation.
+        # honest small-cluster emulation (skipped if taskset is unavailable).
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
         out = subprocess.run(
-            ["taskset", "-c", f"0-{ncpu - 1}",
-             sys.executable, os.path.abspath(__file__)], env=env,
-            capture_output=True, text=True, check=True,
+            cmd, env=env, capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)))
         r = json.loads(out.stdout.strip().splitlines()[-1])
         _log(f"  steady {r['steady_pages_per_sec']} pages/s")
