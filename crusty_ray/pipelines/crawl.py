@@ -161,13 +161,15 @@ class EpochStage:
                           # readers prune by the shard column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import uuid
-
         import pyarrow.compute as pc
         out = self.discover(self.fetch(batch))
         slim = out.select(RouterStage.ABSORB_COLUMNS)
         groups = pc.divide(out["shard"], self.SHARDS_PER_GROUP)
-        blob = uuid.uuid4().hex[:12]
+        # deterministic per-batch name: seq values partition the epoch's task
+        # table, so (epoch, min seq) uniquely names this batch and a Ray task
+        # RETRY overwrites its own file instead of duplicating rows (uuid
+        # names double-absorbed on retry — exact-resume breaker)
+        blob = f"e{batch['epoch'][0].as_py()}-s{pc.min(batch['seq']).as_py()}"
         for g in pc.unique(groups).to_pylist():
             sub = slim.filter(pc.equal(groups, g))
             d = f"{self.absorb_dir}/group={g}"
@@ -277,8 +279,12 @@ class CrawlEngine:
             n_tasks = sum(t.num_rows for t in shard_tables)
             if not n_tasks and all(ray.get([a.idle.remote() for a in scoped])):
                 break
-            # deterministic task order: shard asc, per-shard emission order
-            table = pa.concat_tables([t for t in shard_tables if t.num_rows])
+            # deterministic task order: shard asc, per-shard emission order.
+            # n_tasks may be 0 with non-idle shards (delay_epochs>1 / timeout
+            # jitter parks every domain) — keep the typed empty schema and
+            # still run the barrier below, exactly like the simulator.
+            nonempty = [t for t in shard_tables if t.num_rows]
+            table = pa.concat_tables(nonempty) if nonempty else shard_tables[0]
             table = table.append_column(
                 "epoch", pa.array([epoch] * n_tasks, pa.int32()))
             table = table.append_column(
@@ -306,7 +312,13 @@ class CrawlEngine:
         log_dir = f"{self.out_dir}/crawl_log/epoch={epoch}"
         absorb_dir: str | None = f"{self.out_dir}/absorb/epoch={epoch}"
 
-        if n_tasks < cfg.engine.min_epoch_rows_for_ray:
+        if n_tasks == 0:
+            # zero ready tasks but shards not idle (delayed domains): no
+            # pipeline, no log partition — the simulator writes no rows for
+            # such an epoch either — but the barrier below must still run so
+            # delay state advances.
+            absorb_dir = None
+        elif n_tasks < cfg.engine.min_epoch_rows_for_ray:
             absorb_dir = None  # inline path absorbs via direct RPC
             # inline fast path: identical stage objects, no task launches
             out = self._fetcher(table)
@@ -319,6 +331,11 @@ class CrawlEngine:
             os.makedirs(log_dir, exist_ok=True)
             pq.write_table(log_projection(out), f"{log_dir}/part-0.parquet")
         else:
+            # a prior crashed attempt at this epoch (driver died between the
+            # absorb writes and the post-barrier cleanup) may have left stale
+            # absorb files — clear them so re-running never double-absorbs
+            import shutil as _shutil
+            _shutil.rmtree(absorb_dir, ignore_errors=True)
             # split the task table into ~fetch_concurrency blocks: map_batches
             # parallelism is per BLOCK, and a single from_arrow table is one
             # block (measured: 1-block epoch runs serial, 4.7s vs 0.5s)
@@ -428,6 +445,9 @@ class CrawlEngine:
             if d.startswith("epoch=") and int(d.split("=")[1]) > snap["epoch"]:
                 import shutil
                 shutil.rmtree(f"{out_dir}/crawl_log/{d}")
+        # stale absorb files from a crashed epoch would double-absorb on replay
+        import shutil
+        shutil.rmtree(f"{out_dir}/absorb", ignore_errors=True)
         return eng
 
     # ------------------------------------------------------------- outputs

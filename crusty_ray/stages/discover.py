@@ -107,6 +107,18 @@ class DiscoverStage:
         chain (F1 seen / F4 / F5 / commit, run in the owning shard) is exactly
         equivalent to the reference's in-order chain — and it keeps the link
         payload that crosses the shuffle 2-3× smaller.
+
+        DELIBERATE DIVERGENCE (documented per ADVICE r1): rules.rs:63-72
+        registers TotalPageBudget/LinkPerPageBudget *before* PageLevel and
+        RobotsTxt in crusty-core's filter chain. If crusty-core charged
+        budgets on *accept* (i.e. a link that later filters reject still
+        consumes budget), the reference would under-schedule relative to us
+        when budgets bind. crusty-core v0.82's source is not available in
+        this sandbox to verify its accept-vs-commit semantics; this engine
+        defines budgets as counting only *committed* links (links that pass
+        every filter), which is the self-consistent reading and the one the
+        simulator oracle implements. Both sides of the conformance suite use
+        this definition, so the divergence is a spec choice, not a bug.
         """
         from ..core.urls import host_of, same_domain
         cfg = self.cfg

@@ -100,11 +100,15 @@ class CuckooFilter:
                     self.count -= 1
                     break
             else:
-                key = (int(idx) << 16) | int(fp)
-                if key in self.stash:
-                    self.stash.discard(key)
-                    deleted += 1
-                    self.count -= 1
+                # Stash records may carry either bucket index (see
+                # _contains_fp) — probe both.
+                for bucket in (int(idx), int(self._alt_index(int(idx), int(fp)))):
+                    key = (bucket << 16) | int(fp)
+                    if key in self.stash:
+                        self.stash.discard(key)
+                        deleted += 1
+                        self.count -= 1
+                        break
         return deleted
 
     # -- vectorized membership ---------------------------------------------
@@ -113,9 +117,15 @@ class CuckooFilter:
         hit = (self.table[idxs] == fps[:, None]).any(axis=1)
         hit |= (self.table[alt] == fps[:, None]).any(axis=1)
         if self.stash:
-            keys = (idxs.astype(np.int64) << 16) | fps.astype(np.int64)
+            # A stashed entry records whichever of the item's two buckets it
+            # was evicted at, so membership must probe BOTH (idx, fp) and
+            # (alt, fp) keys — probing only the primary key loses items whose
+            # stash record carries the alt index (false negatives).
+            fps64 = fps.astype(np.int64)
+            keys_pri = (idxs.astype(np.int64) << 16) | fps64
+            keys_alt = (alt.astype(np.int64) << 16) | fps64
             stash = np.fromiter(self.stash, dtype=np.int64, count=len(self.stash))
-            hit |= np.isin(keys, stash)
+            hit |= np.isin(keys_pri, stash) | np.isin(keys_alt, stash)
         return hit
 
     def contains_batch(self, items: Sequence[str]) -> np.ndarray:

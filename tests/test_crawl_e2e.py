@@ -121,6 +121,22 @@ class TestEngineMatchesSimulator:
         assert sorted(eng.finished_domains) == sorted(sim_result.finished_domains)
         assert eng.seen_filter_bytes() == sim_result.seen_filter_bytes()
 
+    def test_empty_epoch_with_delay_matches_sim(self, ray_session, tmp_path):
+        # Regression (ADVICE r1): delay_epochs>1 parks every domain on some
+        # epochs → zero ready tasks while shards are NOT idle. The engine used
+        # to hit pa.concat_tables([]) (ArrowInvalid) there; it must instead
+        # run the barrier like the simulator and stay exact-equal.
+        cfg = small_cfg(**{"crawl.delay_epochs": 3, "engine.max_epochs": 60})
+        sim = CrawlSimulator(cfg, WEB_CFG).run()
+        logged_epochs = {r["epoch"] for r in sim.crawl_log}
+        assert len(logged_epochs) < sim.epochs_run  # empty epochs occurred
+        eng = self._engine(tmp_path, cfg).run()
+        edf, sdf = log_df(eng.read_crawl_log()), log_df(sim.crawl_log)
+        pd.testing.assert_frame_equal(edf, sdf, check_dtype=False)
+        assert eng.epochs_run == sim.epochs_run
+        assert eng.finished_domains == sim.finished_domains
+        assert eng.seen_filter_bytes() == sim.seen_filter_bytes()
+
 
 class TestResume:
     def test_resume_equals_uninterrupted(self, ray_session, tmp_path, sim_result):

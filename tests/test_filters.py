@@ -84,3 +84,16 @@ class TestCuckooFilter:
         items = [f"k{i}" for i in range(1000)]
         cf.add_batch(items)
         assert cf.contains_batch(items).all()  # stash absorbs overflow
+
+    def test_forced_overflow_no_false_negatives(self):
+        # Regression (ADVICE r1): stash entries recorded under the alt bucket
+        # index were invisible to membership/delete — overload the table far
+        # past capacity so the stash engages heavily, then demand zero FNs.
+        cf = CuckooFilter(capacity=256, seed=11)
+        items = [f"overflow-{i}" for i in range(2000)]
+        cf.add_batch(items)
+        assert len(cf.stash) > 0  # the stress must actually engage the stash
+        assert cf.contains_batch(items).all()
+        # and deletes must find stash entries too
+        sample = items[::7]
+        assert cf.delete_batch(sample) == len(sample)
