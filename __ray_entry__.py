@@ -128,12 +128,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quant_dedup": dedup.embedding_quant_dedup_ds,
         "minhash_candidates": dedup.minhash_candidates_ds,        # rows-only
         "minhash_near_dups": dedup.minhash_dedup_pairs,           # rows-only
-        "simhash_near_dups": dedup.simhash_pairs,                 # rows-only
+        "simhash_near_dups": dedup.simhash_pairs,  # SQL-checked (md5 face)
         # -- similarity search
         "ann_quantized": similarity.ann_quantized_ds,
         "ann_bruteforce": similarity.ann_bruteforce_ds,           # rows-only
         "ann_lsh": similarity.ann_lsh_ds,                         # rows-only
-        # -- language id (heuristic; rows-only)
+        # -- language id (stopword heuristic, profile frozen into the oracle)
         "langid": text.langid_ds,
         # -- crawl-operator analogs (SQL-checked)
         "topk_heavy_hitters": analog.topk_heavy_hitters_ds,
@@ -173,7 +173,75 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ------------------------------------------------------------------ oracle SQL
 
 def oracle_sql() -> dict[str, str]:
+    # langid oracle: the stopword profiles frozen into SQL (single source of
+    # truth is crusty_ray.ops.text._LANG_PROFILES; ties resolve to the
+    # alphabetically-first language, zero hits -> 'unknown')
+    from crusty_ray.ops.text import _LANG_PROFILES
+    langs = sorted(_LANG_PROFILES)
+    hit_cols = ",\n                     ".join(
+        "sum(CASE WHEN w IN ({}) THEN 1 ELSE 0 END) AS {}".format(
+            ", ".join(f"'{s}'" for s in sorted(_LANG_PROFILES[lg])), lg)
+        for lg in langs)
+    mx = "greatest({})".format(", ".join(langs))
+    pred_case = " ".join(f"WHEN {lg} = mx THEN '{lg}'" for lg in langs[:-1])
+    langid_sql = f"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(coalesce(text, '')), '\\w+')) AS w
+              FROM documents
+            ), hits AS (
+              SELECT doc_id,
+                     {hit_cols}
+              FROM w GROUP BY doc_id
+            ), scored AS (
+              SELECT d.doc_id,
+                     {", ".join(f"coalesce(h.{lg}, 0) AS {lg}" for lg in langs)},
+                     coalesce({mx}, 0) AS mx
+              FROM documents d LEFT JOIN hits h USING (doc_id)
+            )
+            SELECT doc_id,
+                   CASE WHEN mx = 0 THEN 'unknown' {pred_case}
+                        ELSE '{langs[-1]}' END AS lang_pred,
+                   CAST(mx AS BIGINT) AS lang_hits
+            FROM scored
+    """
     return {
+        "simhash_near_dups": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                                        x -> x <> '')) AS tok
+              FROM documents
+            ), th AS (
+              SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks
+            ), ntok AS (
+              SELECT doc_id, count(*) AS n FROM th GROUP BY doc_id
+            ), bits AS (
+              SELECT t.doc_id, k.range AS k,
+                     CASE WHEN 2 * sum(((t.h >> k.range::int) & 1)::BIGINT) > max(n.n)
+                          THEN 1 ELSE 0 END AS bit
+              FROM th t JOIN ntok n USING (doc_id) CROSS JOIN range(64) k
+              GROUP BY t.doc_id, k.range
+            ), sims AS (
+              SELECT doc_id, sum((bit::UBIGINT << k::int))::UBIGINT AS sh
+              FROM bits GROUP BY doc_id
+            ), sim AS (
+              SELECT d.doc_id, coalesce(s.sh, 0::UBIGINT) AS sh
+              FROM documents d LEFT JOIN sims s USING (doc_id)
+            ), quad AS (
+              SELECT doc_id, sh, q.range AS q,
+                     ((sh >> (16 * q.range)::int) & 65535::UBIGINT) AS qv
+              FROM sim CROSS JOIN range(4) q
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                              a.sh AS sa, b.sh AS sb
+              FROM quad a JOIN quad b
+                ON a.q = b.q AND a.qv = b.qv AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+            FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+        """,
+        "langid": langid_sql,
         "token_stats": """
             SELECT doc_id,
                    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,

@@ -14,7 +14,6 @@ pattern).
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 
 import ray
@@ -25,38 +24,56 @@ from .io import read_table
 def asof_latest_order_ds(sf_dir: str):
     """event → latest (o_orderdate, o_orderkey) with o_custkey == user_id and
     o_orderdate ≤ the event's date. Events without a match are dropped
-    (inner as-of). Output ints only."""
+    (inner as-of). Output ints only.
+
+    Co-partitioned sorted merge (the r1 VERDICT fix #3): events and orders
+    both hash-partition on the customer key — the orders *fact* side never
+    materializes on the driver — and each partition runs one vectorized
+    ``pd.merge_asof(..., by=key)``. The tie rule (latest o_orderdate, then
+    max o_orderkey) holds because orders sort by (date, orderkey) and
+    merge_asof backward takes the last qualifying row per key.
+    """
+    from .agg import partitioned_group_apply
+
+    def orders_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": batch["o_custkey"].astype("int64"),
+            "ts_us": batch["o_orderdate"].astype("int64"),
+            "o_orderkey": batch["o_orderkey"].astype("int64"),
+            "event_id": pd.Series([-1] * len(batch), dtype="int64"),
+        })
+
+    def event_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": batch["user_id"].astype("int64"),
+            "ts_us": batch["ts"].astype("int64"),
+            "o_orderkey": pd.Series([-1] * len(batch), dtype="int64"),
+            "event_id": batch["event_id"].astype("int64"),
+        })
+
     orders = read_table(sf_dir, "orders",
-                        ["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
-    orders["date_us"] = orders["o_orderdate"].astype("int64")  # timestamp[us] -> µs
-    by_cust: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-    for ck, g in orders.groupby("o_custkey"):
-        g = g.sort_values(["date_us", "o_orderkey"])
-        by_cust[int(ck)] = (g["date_us"].to_numpy(), g["o_orderkey"].to_numpy())
-    lookup_ref = ray.put(by_cust)
+                        ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(orders_rows, batch_format="pandas")
+    events = read_table(sf_dir, "events", ["event_id", "user_id", "ts"]) \
+        .map_batches(event_rows, batch_format="pandas")
 
-    def asof(batch: pd.DataFrame) -> pd.DataFrame:
-        lk = ray.get(lookup_ref)
-        ev, okey = [], []
-        ts = batch["ts"].astype("int64")
-        for eid, uid, t in zip(batch["event_id"], batch["user_id"], ts):
-            got = lk.get(int(uid))
-            if got is None:
-                continue
-            dates, keys = got
-            i = np.searchsorted(dates, t, side="right") - 1
-            if i < 0:
-                continue
-            # tie rule: among equal latest dates take the max orderkey — the
-            # sort above puts it at the last position of the date run
-            j = np.searchsorted(dates, dates[i], side="right") - 1
-            ev.append(int(eid))
-            okey.append(int(keys[j]))
-        return pd.DataFrame({"event_id": pd.Series(ev, dtype="int64"),
-                             "o_orderkey": pd.Series(okey, dtype="int64")})
+    def asof_in_part(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                              "o_orderkey": pd.Series([], dtype="int64")})
+        ords = df[df["event_id"] < 0]
+        evs = df[df["event_id"] >= 0]
+        if not len(ords) or not len(evs):
+            return empty
+        ords = ords.sort_values(["ts_us", "o_orderkey"], kind="mergesort")
+        evs = evs.sort_values("ts_us", kind="mergesort")
+        m = pd.merge_asof(evs[["event_id", "key", "ts_us"]],
+                          ords[["key", "ts_us", "o_orderkey"]],
+                          on="ts_us", by="key", direction="backward")
+        m = m.dropna(subset=["o_orderkey"])
+        return pd.DataFrame({"event_id": m["event_id"].astype("int64"),
+                             "o_orderkey": m["o_orderkey"].astype("int64")})
 
-    ds = read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
-    return ds.map_batches(asof, batch_format="pandas")
+    return partitioned_group_apply(orders.union(events), ["key"], asof_in_part)
 
 
 def anti_join_customers_ds(sf_dir: str, priority: str = "1-URGENT"):

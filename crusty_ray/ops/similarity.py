@@ -26,9 +26,20 @@ from ..core.hashing import stable_rng
 
 
 def _load_queries(sf_dir: str, n_queries: int) -> pd.DataFrame:
-    import pyarrow.parquet as pq
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
-    return t.nsmallest(n_queries, "vec_id").reset_index(drop=True)
+    """The n query rows (smallest vec_ids). Pruned two-phase read (r1
+    VERDICT fix #5): an id-column-only scan finds the cutoff, then a
+    predicate-pushdown read fetches just those rows — never the whole
+    embedding table into driver memory."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    dset = pads.dataset(f"{sf_dir}/embeddings.parquet", format="parquet")
+    ids = dset.to_table(columns=["vec_id"])["vec_id"].to_numpy()
+    if len(ids) > n_queries:
+        cutoff = np.partition(ids, n_queries - 1)[n_queries - 1]
+    else:
+        cutoff = ids.max() if len(ids) else 0
+    t = dset.to_table(filter=pads.field("vec_id") <= pc.scalar(cutoff))
+    return t.to_pandas().nsmallest(n_queries, "vec_id").reset_index(drop=True)
 
 
 class BruteForceScorer:

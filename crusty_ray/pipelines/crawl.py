@@ -78,6 +78,17 @@ class FrontierShardActor:
             "shard": pa.array([t["shard"] for t in tasks], pa.int32()),
         })
 
+    def deliver_and_take(self, msgs: list[DomainMsg], epoch: int,
+                         next_epoch: int) -> tuple:
+        """Fused epoch-boundary round trip: deliver epoch N's cross-shard
+        messages, then immediately dequeue epoch N+1's tasks and report
+        idleness — one actor RPC instead of two/three (the take_ready and
+        idle-poll rounds were a measured part of the parallelism-independent
+        per-epoch cost, BASELINE.md)."""
+        self.state.enqueue(msgs)
+        self.state.apply_enqueues(epoch)
+        return self.take_ready_table(next_epoch), self.state.idle()
+
     def absorb(self, rows: list[dict]) -> int:
         return self.state.absorb(rows)
 
@@ -272,13 +283,21 @@ class CrawlEngine:
         # the Ray re-expression "another node's shards" are simply actors this
         # driver never polls — multi-node placement is the actor pool's job)
         scoped = self.actors[cfg.jobs.shard_min:cfg.jobs.shard_max]
+        prefetched: tuple | None = None  # (shard_tables, idles) for this epoch
         for epoch in range(self.start_epoch, max_epochs):
             t0 = _time.time()
-            shard_tables = ray.get([a.take_ready_table.remote(epoch)
-                                    for a in scoped])
+            if prefetched is None:
+                shard_tables = ray.get([a.take_ready_table.remote(epoch)
+                                        for a in scoped])
+                idles = None
+            else:
+                shard_tables, idles = prefetched
             n_tasks = sum(t.num_rows for t in shard_tables)
-            if not n_tasks and all(ray.get([a.idle.remote() for a in scoped])):
-                break
+            if not n_tasks:
+                if idles is None:
+                    idles = ray.get([a.idle.remote() for a in scoped])
+                if all(idles):
+                    break
             # deterministic task order: shard asc, per-shard emission order.
             # n_tasks may be 0 with non-idle shards (delay_epochs>1 / timeout
             # jitter parks every domain) — keep the typed empty schema and
@@ -290,19 +309,28 @@ class CrawlEngine:
             table = table.append_column(
                 "seq", pa.array(range(n_tasks), pa.int64()))
             t1 = _time.time()
-            self._run_epoch(epoch, table)
+            # prefetch epoch N+1's dequeue inside the delivery RPC — except
+            # past the horizon (the sim never calls take_ready(max_epochs))
+            # and on checkpoint epochs (the checkpoint must snapshot
+            # pre-dequeue state or resume would double-dequeue)
+            is_ckpt = (epoch + 1) % cfg.engine.checkpoint_every_epochs == 0
+            prefetched = self._run_epoch(
+                epoch, table,
+                next_epoch=None if (is_ckpt or epoch + 1 >= max_epochs)
+                else epoch + 1)
             self.epoch_stats.append({"epoch": epoch, "tasks": n_tasks,
                                      "seconds": _time.time() - t0})
             if trace:
                 print(f"[epoch {epoch}] tasks={n_tasks} take_ready={t1-t0:.2f}s "
                       f"run={_time.time()-t1:.2f}s", file=_sys.stderr, flush=True)
             self.epochs_run = epoch + 1
-            if (epoch + 1) % cfg.engine.checkpoint_every_epochs == 0:
+            if is_ckpt:
                 self._write_checkpoint(epoch)
         self._write_outputs()
         return self
 
-    def _run_epoch(self, epoch: int, table: pa.Table) -> None:
+    def _run_epoch(self, epoch: int, table: pa.Table,
+                   next_epoch: int | None = None) -> tuple | None:
         cfg = self.cfg
         import os as _os2
         import sys as _sys2
@@ -397,9 +425,24 @@ class CrawlEngine:
         self.topk.add_domain_links(all_links)
         if (epoch + 1) % cfg.topk.consume_every_epochs == 0:
             self.topk_rows.extend(self.topk.snapshot(epoch))
-        # every shard must apply (even with no messages) so late state settles
-        ray.get([self.actors[s].deliver.remote(outgoing.get(s, []), epoch)
-                 for s in range(len(self.actors))])
+        # every shard must apply (even with no messages) so late state settles.
+        # Scoped shards fuse next epoch's dequeue into the same round trip
+        # (deliver_and_take) when the caller asked for a prefetch.
+        cfg_j = self.cfg.jobs
+        futures, take_futures = [], []
+        for s in range(len(self.actors)):
+            msgs = outgoing.get(s, [])
+            if (next_epoch is not None
+                    and cfg_j.shard_min <= s < cfg_j.shard_max):
+                take_futures.append(self.actors[s].deliver_and_take.remote(
+                    msgs, epoch, next_epoch))
+            else:
+                futures.append(self.actors[s].deliver.remote(msgs, epoch))
+        ray.get(futures)
+        if next_epoch is None:
+            return None
+        results2 = ray.get(take_futures)  # scoped order preserved
+        return [t for t, _ in results2], [i for _, i in results2]
 
     # ------------------------------------------------------------- checkpoint
     def _write_checkpoint(self, epoch: int) -> None:

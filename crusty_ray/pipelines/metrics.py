@@ -20,25 +20,26 @@ def pages_per_epoch_ds(crawl_log_dir: str):
     ds = read_parquet(crawl_log_dir,
                       columns=["epoch", "term_by", "read_size_b", "domain"])
 
+    # partial rows keyed by (epoch, domain): pages/rx combine by sum, and
+    # the per-epoch distinct-domain count is EXACT at the combine (every
+    # (epoch, domain) partial row reaches the epoch's group) — fixes the r1
+    # max-of-partial-nunique approximation
     def agg(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.groupby("epoch").agg(
+        g = batch.groupby(["epoch", "domain"]).agg(
             pages=("term_by", "size"),
             follow_ok=("term_by", lambda s: int((s == "").sum())),
             rx_bytes=("read_size_b", "sum"),
-            domains=("domain", "nunique"),
         ).reset_index()
         return g.astype({"pages": "int64", "follow_ok": "int64",
-                         "rx_bytes": "int64", "domains": "int64"})
+                         "rx_bytes": "int64"})
 
-    # partial per-batch agg, exact combine per epoch (few epochs -> tiny)
     partial = ds.map_batches(agg, batch_format="pandas")
 
     def combine(group: pd.DataFrame) -> pd.DataFrame:
         out = group.groupby("epoch").agg(
             pages=("pages", "sum"), follow_ok=("follow_ok", "sum"),
-            rx_bytes=("rx_bytes", "sum"), domains=("domains", "max")).reset_index()
-        # 'domains' via max-of-partials is approximate when a domain spans
-        # batches; exact distinct is a separate groupby — documented tradeoff
+            rx_bytes=("rx_bytes", "sum"),
+            domains=("domain", "nunique")).reset_index()
         return out.astype("int64")
 
     return partial.groupby("epoch").map_groups(combine, batch_format="pandas")

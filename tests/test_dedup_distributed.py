@@ -1,0 +1,71 @@
+"""Distributed pair-generation ≡ single-process brute force (r2 rewrites).
+
+The r1 versions of simhash_pairs / minhash_dedup_pairs materialized tables on
+the driver; the r2 versions are bucketed shuffles. These tests pin the exact
+output semantics to a brute-force recomputation at sf0.001.
+"""
+
+from collections import defaultdict
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from crusty_ray.ops import dedup
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+
+
+def test_simhash_pairs_match_bruteforce(ray_session, docs):
+    res = dedup.simhash_pairs(SF, 3, "md5").to_pandas() \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True).astype("int64")
+    sigs = {int(d): np.uint64(dedup.simhash64(t or "", dedup.md5_token_hash))
+            for d, t in zip(docs.doc_id, docs.text)}
+    cand = set()
+    for q in range(4):
+        buckets = defaultdict(list)
+        for d, v in sigs.items():
+            buckets[int((v >> np.uint64(16 * q)) & np.uint64(0xFFFF))].append(d)
+        for ids in buckets.values():
+            ids = sorted(ids)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    cand.add((ids[i], ids[j]))
+    rows = [{"doc_a": a, "doc_b": b,
+             "hamming": bin(int(sigs[a]) ^ int(sigs[b])).count("1")}
+            for a, b in sorted(cand)
+            if bin(int(sigs[a]) ^ int(sigs[b])).count("1") <= 3]
+    exp = pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"]).astype("int64")
+    pd.testing.assert_frame_equal(res, exp)
+
+
+def test_simhash_crc_path_runs(ray_session):
+    # the fast (crc) engine path shares the plan; just confirm it executes
+    res = dedup.simhash_pairs(SF, 3, "crc").to_pandas()
+    assert set(res.columns) == {"doc_a", "doc_b", "hamming"}
+
+
+def test_minhash_verify_matches_bruteforce(ray_session, docs):
+    res = dedup.minhash_dedup_pairs(SF).to_pandas() \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True).astype("int64")
+    cands = dedup.minhash_candidates_ds(SF).to_pandas()
+    grams = {int(r.doc_id): dedup.word_ngrams(r.text or "")
+             for r in docs.itertuples()}
+    rows = []
+    for a, b in zip(cands.doc_a, cands.doc_b):
+        ga, gb = grams.get(int(a), set()), grams.get(int(b), set())
+        union = len(ga | gb) or 1
+        j = len(ga & gb) / union
+        if j >= 0.7:
+            rows.append({"doc_a": int(a), "doc_b": int(b),
+                         "jaccard_pm": int(round(j * 1000))})
+    exp = pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard_pm"]) \
+        .astype("int64").sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(res, exp)

@@ -74,12 +74,43 @@ class TestImagePhashDedup:
 
     def test_phash_pairs(self, ray_session, images_path):
         from crusty_ray.ops.image_dedup import image_phash_pairs
-        pairs = image_phash_pairs(images_path, max_hamming=2)
+        pairs = image_phash_pairs(images_path, max_hamming=2).to_pandas()
         got = {tuple(sorted(t)) for t in
                zip(pairs["image_a"], pairs["image_b"])}
         for i in range(5):
             assert tuple(sorted((f"a{i}", f"dup{i}"))) in got
         assert tuple(sorted(("a0", "copy0"))) in got
+
+    def test_phash_pairs_match_bruteforce(self, ray_session, images_path):
+        """Distributed quadrant plan ≡ brute-force quadrant candidates +
+        hamming verify (the exact pre-r2 driver-side semantics)."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+        from crusty_ray.ops.image_dedup import image_phash_pairs
+        res = image_phash_pairs(images_path, max_hamming=6).to_pandas() \
+            .sort_values(["image_a", "image_b"]).reset_index(drop=True)
+        t = pq.read_table(images_path, columns=["image_id", "phash"])
+        sig = {i: np.int64(p).astype(np.uint64)
+               for i, p in zip(t["image_id"].to_pylist(), t["phash"].to_pylist())}
+        from collections import defaultdict
+        cand = set()
+        for q in range(4):
+            buckets = defaultdict(list)
+            for iid, v in sig.items():
+                buckets[int((v >> np.uint64(16 * q)) & np.uint64(0xFFFF))].append(iid)
+            for ids in buckets.values():
+                ids = sorted(ids)
+                for i in range(len(ids)):
+                    for j in range(i + 1, len(ids)):
+                        cand.add((ids[i], ids[j]))
+        rows = [{"image_a": a, "image_b": b,
+                 "hamming": bin(int(sig[a]) ^ int(sig[b])).count("1")}
+                for a, b in sorted(cand)
+                if bin(int(sig[a]) ^ int(sig[b])).count("1") <= 6]
+        exp = pd.DataFrame(rows, columns=["image_a", "image_b", "hamming"])
+        exp["hamming"] = exp["hamming"].astype("int64")
+        pd.testing.assert_frame_equal(res, exp)
 
     def test_exact_dedup(self, ray_session, images_path):
         from crusty_ray.ops.image_dedup import image_exact_dedup
