@@ -80,8 +80,13 @@ def bench_crawl(num_cpus: int) -> dict:
                                          f"{out}/images", web_cfg, cfg)
         images_sec = time.time() - t0
         # steady-state throughput: the big epochs only (excludes the discovery
-        # ramp/tail whose fixed per-epoch costs are parallelism-independent)
-        big = [s for s in eng.epoch_stats if s["tasks"] >= 4096]
+        # ramp/tail whose fixed per-epoch costs are parallelism-independent).
+        # "big" = within 3× of the largest epoch: epoch boundaries are
+        # deterministic and parallelism-independent, so both scaling levels
+        # select the identical epoch set.
+        max_tasks = max((s["tasks"] for s in eng.epoch_stats), default=0)
+        big = [s for s in eng.epoch_stats if s["tasks"] * 3 >= max_tasks
+               and s["tasks"] >= 4096]
         steady_pps = (round(sum(s["tasks"] for s in big)
                             / sum(s["seconds"] for s in big), 1)
                       if big else round(log_rows / crawl_sec, 1))

@@ -42,3 +42,43 @@ def read_parquet(path: str, columns=None, max_blocks: int | None = None):
 
 def read_table(sf_dir: str, name: str, columns=None):
     return read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+# ----------------------------------------------------------- storage backend
+#
+# BASELINE.json's north_rule/input_hint specify *Lance* tables for the
+# image+caption payload. The `lance` package is NOT installed in this sandbox
+# (documented substitution: README / BASELINE.md), so parquet is the runnable
+# backend; every table sink/source that the rule names goes through this seam
+# so the swap is one import away.
+
+_BACKEND: str | None = None
+
+
+def storage_backend() -> str:
+    """'lance' when the lance package is importable, else 'parquet'."""
+    global _BACKEND
+    if _BACKEND is None:
+        try:
+            import lance  # noqa: F401
+            _BACKEND = "lance"
+        except ImportError:
+            _BACKEND = "parquet"
+    return _BACKEND
+
+
+def write_dataset(ds, path: str) -> None:
+    """Dataset sink through the storage seam (Lance when available)."""
+    if storage_backend() == "lance":
+        ds.write_lance(path)
+    else:
+        ds.write_parquet(path)
+
+
+def read_dataset(path: str, columns=None, max_blocks: int | None = None):
+    """Dataset source through the storage seam. A directory is a Lance
+    dataset iff it has Lance's `_versions` manifest dir (so parquet output
+    written before a backend switch still reads)."""
+    if storage_backend() == "lance" and os.path.isdir(f"{path}/_versions"):
+        return ray.data.read_lance(path, columns=columns)
+    return read_parquet(path, columns=columns, max_blocks=max_blocks)

@@ -79,12 +79,15 @@ class FrontierShardActor:
         })
 
     def deliver_and_take(self, msgs: list[DomainMsg], epoch: int,
-                         next_epoch: int) -> tuple:
+                         next_epoch: int,
+                         exchange_dir: str | None = None) -> tuple:
         """Fused epoch-boundary round trip: deliver epoch N's cross-shard
         messages, then immediately dequeue epoch N+1's tasks and report
         idleness — one actor RPC instead of two/three (the take_ready and
         idle-poll rounds were a measured part of the parallelism-independent
         per-epoch cost, BASELINE.md)."""
+        if exchange_dir is not None:
+            self._read_exchange(exchange_dir)
         self.state.enqueue(msgs)
         self.state.apply_enqueues(epoch)
         return self.take_ready_table(next_epoch), self.state.idle()
@@ -101,9 +104,17 @@ class FrontierShardActor:
     def end_epoch(self, epoch: int) -> dict:
         return self.state.end_epoch(epoch)
 
-    def finish_epoch(self, epoch: int, absorb_dir: str | None = None) -> dict:
+    def finish_epoch(self, epoch: int, absorb_dir: str | None = None,
+                     exchange_dir: str | None = None) -> dict:
         """(optionally read this shard's routed rows from storage, then)
-        end_epoch + gauges in one round trip (barrier-cost discipline)."""
+        end_epoch + gauges in one round trip (barrier-cost discipline).
+
+        With ``exchange_dir`` set, outgoing cross-shard discovery messages are
+        written shard-grouped to storage instead of returned — the receiving
+        actors read their own partition at delivery (reference semantics:
+        nodes only meet at the shard store, crusty.rs:550-560). This removes
+        the r1 driver-mediated enqueue funnel: the driver never touches the
+        O(discovered-domains) message volume."""
         if absorb_dir is not None:
             g = self.state.shard // EpochStage.SHARDS_PER_GROUP
             d = f"{absorb_dir}/group={g}"
@@ -117,10 +128,59 @@ class FrontierShardActor:
                     self.state.absorb_table(t)
         out = self.state.end_epoch(epoch)
         out["gauges"] = self.state.gauges(epoch)
+        if exchange_dir is not None:
+            self._write_exchange(out.pop("outgoing"), exchange_dir)
+            out["outgoing"] = {}
         return out
 
-    def deliver(self, msgs: list[DomainMsg], epoch: int) -> None:
-        """enqueue + apply in one round trip."""
+    def _write_exchange(self, outgoing: dict[int, dict],
+                        exchange_dir: str) -> None:
+        """One parquet per (target-shard-group, source shard), deterministic
+        names so a replay overwrites instead of duplicating."""
+        by_group: dict[int, dict] = {}
+        for tgt, msgs in outgoing.items():
+            acc = by_group.setdefault(tgt // EpochStage.SHARDS_PER_GROUP, {
+                "tgt_shard": [], "domain": [], "addr_key": [],
+                "disc_depth": [], "disc_epoch": []})
+            n = len(msgs["domain"])
+            acc["tgt_shard"].extend([tgt] * n)
+            for k in ("domain", "addr_key", "disc_depth", "disc_epoch"):
+                acc[k].extend(msgs[k])
+        for g, acc in by_group.items():
+            d = f"{exchange_dir}/group={g}"
+            os.makedirs(d, exist_ok=True)
+            t = pa.table({
+                "tgt_shard": pa.array(acc["tgt_shard"], pa.int32()),
+                "domain": pa.array(acc["domain"], pa.string()),
+                "addr_key": pa.array(acc["addr_key"], pa.string()),
+                "disc_depth": pa.array(acc["disc_depth"], pa.int32()),
+                "disc_epoch": pa.array(acc["disc_epoch"], pa.int32()),
+            })
+            pq.write_table(t, f"{d}/from-{self.state.shard:05d}.parquet")
+
+    def _read_exchange(self, exchange_dir: str) -> None:
+        """Enqueue this shard's incoming messages from the exchange files."""
+        g = self.state.shard // EpochStage.SHARDS_PER_GROUP
+        d = f"{exchange_dir}/group={g}"
+        if not os.path.isdir(d):
+            return
+        import pyarrow.dataset as pads
+        t = pads.dataset(d, format="parquet").to_table(
+            filter=pads.field("tgt_shard") == self.state.shard)
+        if t.num_rows:
+            self.state.enqueue({
+                "domain": t["domain"].to_pylist(),
+                "addr_key": t["addr_key"].to_pylist(),
+                "disc_depth": t["disc_depth"].to_pylist(),
+                "disc_epoch": t["disc_epoch"].to_pylist(),
+            })
+
+    def deliver(self, msgs: list[DomainMsg], epoch: int,
+                exchange_dir: str | None = None) -> None:
+        """enqueue (direct and/or from the storage exchange) + apply in one
+        round trip."""
+        if exchange_dir is not None:
+            self._read_exchange(exchange_dir)
         self.state.enqueue(msgs)
         self.state.apply_enqueues(epoch)
 
@@ -135,6 +195,20 @@ class FrontierShardActor:
 
     def restore(self, snap: dict) -> None:
         self.state.restore(snap)
+
+    def checkpoint_to(self, path: str) -> None:
+        """Write this shard's snapshot to its own file (atomic) — per-shard
+        checkpointing keeps the driver O(1) as shard_total grows (the r1
+        monolithic driver-gathered pickle was a scale funnel)."""
+        blob = pickle.dumps(self.state.checkpoint(), protocol=4)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+
+    def restore_from(self, path: str) -> None:
+        with open(path, "rb") as f:
+            self.state.restore(pickle.loads(f.read()))
 
     def seen_filter_bytes(self) -> bytes:
         return self.state.cuckoo.to_bytes()
@@ -256,34 +330,73 @@ class CrawlEngine:
         self.epoch_stats: list[dict] = []  # per-epoch (tasks, seconds) for steady-state throughput
         self.start_epoch = 0
         self.epochs_run = 0
+        self._stop_requested = False
         # inline-path stage objects (same classes the Ray path instantiates)
         self._fetcher = FetchStage(web_cfg, cfg, rules=rules)
         self._discoverer = DiscoverStage(web_cfg, cfg, rules=rules)
+
+    # ------------------------------------------------------------- shutdown
+    def request_stop(self) -> None:
+        """Graceful-drain request (reference crusty.rs:355-403: SIGTERM →
+        stop accepting → drain → exit). The engine finishes the epoch in
+        flight (plus at most one more if the next dequeue was already
+        prefetched — its take_ready side effects are otherwise lost),
+        checkpoints, writes outputs, and returns normally; ``resume()``
+        continues exactly."""
+        self._stop_requested = True
+
+    def _install_signal_handlers(self):
+        """SIGTERM/SIGINT → request_stop. Returns the previous handlers (or
+        None when not on the main thread, where signal.signal raises)."""
+        import signal as _signal
+        import threading
+        if threading.current_thread() is not threading.main_thread():
+            return None
+        prev = {}
+        for sig in (_signal.SIGTERM, _signal.SIGINT):
+            prev[sig] = _signal.signal(
+                sig, lambda *_a: self.request_stop())
+        return prev
 
     # ------------------------------------------------------------------ run
     def run(self, max_epochs: Optional[int] = None) -> "CrawlEngine":
         cfg = self.cfg
         max_epochs = max_epochs or cfg.engine.max_epochs
-        if self.start_epoch == 0:
-            msgs = seed_messages(self.seeds, cfg, self.web)
-            by_shard: dict[int, list[DomainMsg]] = {}
-            for m in msgs:
-                by_shard.setdefault(m.shard, []).append(m)
-            ray.get([self.actors[s].enqueue.remote(ms) for s, ms in by_shard.items()])
-            ray.get([a.apply_enqueues.remote(0) for a in self.actors])
+        # handlers first: the seed round below blocks on fresh-actor startup,
+        # and a signal landing there must already mean "drain", not "die"
+        prev_handlers = self._install_signal_handlers()
+        try:
+            if self.start_epoch == 0:
+                msgs = seed_messages(self.seeds, cfg, self.web)
+                by_shard: dict[int, list[DomainMsg]] = {}
+                for m in msgs:
+                    by_shard.setdefault(m.shard, []).append(m)
+                ray.get([self.actors[s].enqueue.remote(ms)
+                         for s, ms in by_shard.items()])
+                ray.get([a.apply_enqueues.remote(0) for a in self.actors])
 
-        # max_epochs is the absolute epoch horizon (resume continues toward the
-        # same horizon the uninterrupted run would have had)
-        import os as _os
+            # max_epochs is the absolute epoch horizon (resume continues
+            # toward the same horizon the uninterrupted run would have had)
+            import os as _os
+            trace = _os.environ.get("CRUSTY_EPOCH_TRACE")
+            # scoped shards: this node dequeues only [shard_min, shard_max)
+            # but enqueues/routes to ALL shards (conf/default.yaml:35-43
+            # semantics; in the Ray re-expression "another node's shards" are
+            # simply actors this driver never polls — multi-node placement is
+            # the actor pool's job)
+            scoped = self.actors[cfg.jobs.shard_min:cfg.jobs.shard_max]
+            self._run_loop(cfg, max_epochs, scoped, None, trace)
+        finally:
+            if prev_handlers is not None:
+                import signal as _signal
+                for sig, h in prev_handlers.items():
+                    _signal.signal(sig, h)
+        self._write_outputs()
+        return self
+
+    def _run_loop(self, cfg, max_epochs, scoped, prefetched, trace) -> None:
         import sys as _sys
         import time as _time
-        trace = _os.environ.get("CRUSTY_EPOCH_TRACE")
-        # scoped shards: this node dequeues only [shard_min, shard_max) but
-        # enqueues/routes to ALL shards (conf/default.yaml:35-43 semantics; in
-        # the Ray re-expression "another node's shards" are simply actors this
-        # driver never polls — multi-node placement is the actor pool's job)
-        scoped = self.actors[cfg.jobs.shard_min:cfg.jobs.shard_max]
-        prefetched: tuple | None = None  # (shard_tables, idles) for this epoch
         for epoch in range(self.start_epoch, max_epochs):
             t0 = _time.time()
             if prefetched is None:
@@ -310,13 +423,14 @@ class CrawlEngine:
                 "seq", pa.array(range(n_tasks), pa.int64()))
             t1 = _time.time()
             # prefetch epoch N+1's dequeue inside the delivery RPC — except
-            # past the horizon (the sim never calls take_ready(max_epochs))
-            # and on checkpoint epochs (the checkpoint must snapshot
-            # pre-dequeue state or resume would double-dequeue)
+            # past the horizon (the sim never calls take_ready(max_epochs)),
+            # on checkpoint epochs (the checkpoint must snapshot pre-dequeue
+            # state or resume would double-dequeue), and while draining
             is_ckpt = (epoch + 1) % cfg.engine.checkpoint_every_epochs == 0
             prefetched = self._run_epoch(
                 epoch, table,
-                next_epoch=None if (is_ckpt or epoch + 1 >= max_epochs)
+                next_epoch=None if (is_ckpt or self._stop_requested
+                                    or epoch + 1 >= max_epochs)
                 else epoch + 1)
             self.epoch_stats.append({"epoch": epoch, "tasks": n_tasks,
                                      "seconds": _time.time() - t0})
@@ -326,8 +440,15 @@ class CrawlEngine:
             self.epochs_run = epoch + 1
             if is_ckpt:
                 self._write_checkpoint(epoch)
-        self._write_outputs()
-        return self
+            if self._stop_requested and prefetched is None:
+                # graceful drain: epoch finished, no dequeue outstanding —
+                # checkpoint here (unless this epoch already did) and stop
+                if not is_ckpt:
+                    self._write_checkpoint(epoch)
+                if trace:
+                    print(f"[drain] stopped after epoch {epoch}",
+                          file=_sys.stderr, flush=True)
+                break
 
     def _run_epoch(self, epoch: int, table: pa.Table,
                    next_epoch: int | None = None) -> tuple | None:
@@ -339,15 +460,18 @@ class CrawlEngine:
         n_tasks = table.num_rows
         log_dir = f"{self.out_dir}/crawl_log/epoch={epoch}"
         absorb_dir: str | None = f"{self.out_dir}/absorb/epoch={epoch}"
+        # Ray-path epochs exchange cross-shard discoveries through storage
+        # (shard-to-shard); tiny inline epochs keep the O(tiny) driver merge
+        exchange_dir: str | None = f"{self.out_dir}/exchange/epoch={epoch}"
 
         if n_tasks == 0:
             # zero ready tasks but shards not idle (delayed domains): no
             # pipeline, no log partition — the simulator writes no rows for
             # such an epoch either — but the barrier below must still run so
             # delay state advances.
-            absorb_dir = None
+            absorb_dir = exchange_dir = None
         elif n_tasks < cfg.engine.min_epoch_rows_for_ray:
-            absorb_dir = None  # inline path absorbs via direct RPC
+            absorb_dir = exchange_dir = None  # inline path absorbs via direct RPC
             # inline fast path: identical stage objects, no task launches
             out = self._fetcher(table)
             out = self._discoverer(out)
@@ -364,11 +488,16 @@ class CrawlEngine:
             # absorb files — clear them so re-running never double-absorbs
             import shutil as _shutil
             _shutil.rmtree(absorb_dir, ignore_errors=True)
+            _shutil.rmtree(exchange_dir, ignore_errors=True)
             # split the task table into ~fetch_concurrency blocks: map_batches
             # parallelism is per BLOCK, and a single from_arrow table is one
             # block (measured: 1-block epoch runs serial, 4.7s vs 0.5s)
+            # ≥256 rows per block: mid-size (tail) epochs otherwise shatter
+            # into ~100-row blocks whose per-task scheduling overhead
+            # dominates (measured ~6k pages/s on 5k-task epochs vs 12.5k on
+            # big epochs)
             nblocks = max(1, min(cfg.engine.fetch_concurrency * 2,
-                                 n_tasks // 64 + 1))
+                                 n_tasks // 256 + 1))
             step = (n_tasks + nblocks - 1) // nblocks
             chunks = [table.slice(i, step) for i in range(0, n_tasks, step)]
             ds = ray.data.from_arrow(chunks)
@@ -402,7 +531,7 @@ class CrawlEngine:
         trace = _os.environ.get("CRUSTY_EPOCH_TRACE")
         _t_ds = _time.time()
         self.topk.advance_epoch()
-        results = ray.get([a.finish_epoch.remote(epoch, absorb_dir)
+        results = ray.get([a.finish_epoch.remote(epoch, absorb_dir, exchange_dir)
                            for a in self.actors])
         if absorb_dir is not None:
             import shutil
@@ -435,34 +564,44 @@ class CrawlEngine:
             if (next_epoch is not None
                     and cfg_j.shard_min <= s < cfg_j.shard_max):
                 take_futures.append(self.actors[s].deliver_and_take.remote(
-                    msgs, epoch, next_epoch))
+                    msgs, epoch, next_epoch, exchange_dir))
             else:
-                futures.append(self.actors[s].deliver.remote(msgs, epoch))
+                futures.append(self.actors[s].deliver.remote(
+                    msgs, epoch, exchange_dir))
         ray.get(futures)
+        results2 = ray.get(take_futures)  # scoped order preserved
+        if exchange_dir is not None:
+            import shutil
+            shutil.rmtree(exchange_dir, ignore_errors=True)  # consumed
         if next_epoch is None:
             return None
-        results2 = ray.get(take_futures)  # scoped order preserved
         return [t for t, _ in results2], [i for _, i in results2]
 
     # ------------------------------------------------------------- checkpoint
     def _write_checkpoint(self, epoch: int) -> None:
-        snaps = ray.get([a.checkpoint.remote() for a in self.actors])
+        """One snapshot file PER SHARD, written by the owning actor in
+        parallel (driver stays O(1) in shard_total), plus a small driver
+        manifest. LATEST flips atomically only after every file is durable —
+        a torn checkpoint never becomes visible."""
+        ckpt_dir = f"{self.out_dir}/checkpoints/epoch_{epoch:06d}"
+        os.makedirs(ckpt_dir, exist_ok=True)
+        ray.get([a.checkpoint_to.remote(f"{ckpt_dir}/shard_{s:05d}.pkl")
+                 for s, a in enumerate(self.actors)])
         blob = pickle.dumps({
             "epoch": epoch,
-            "shards": snaps,
+            "n_shards": len(self.actors),
             "topk": self.topk.checkpoint(),
             "job_metrics": self.job_metrics,
             "topk_rows": self.topk_rows,
             "gauges": self.gauges,
             "finished_domains": self.finished_domains,
         }, protocol=4)
-        path = f"{self.out_dir}/checkpoints/epoch_{epoch:06d}.pkl"
-        tmp = path + ".tmp"
+        tmp = f"{ckpt_dir}/driver.pkl.tmp"
         with open(tmp, "wb") as f:
             f.write(blob)
-        os.replace(tmp, path)  # atomic: a torn write never becomes a checkpoint
+        os.replace(tmp, f"{ckpt_dir}/driver.pkl")
         with open(f"{self.out_dir}/checkpoints/LATEST.tmp", "w") as f:
-            f.write(os.path.basename(path))
+            f.write(os.path.basename(ckpt_dir))
         os.replace(f"{self.out_dir}/checkpoints/LATEST.tmp",
                    f"{self.out_dir}/checkpoints/LATEST")
 
@@ -472,10 +611,12 @@ class CrawlEngine:
         """Exact resume from the latest checkpoint (north_rule requirement)."""
         with open(f"{out_dir}/checkpoints/LATEST") as f:
             name = f.read().strip()
-        with open(f"{out_dir}/checkpoints/{name}", "rb") as f:
+        ckpt_dir = f"{out_dir}/checkpoints/{name}"
+        with open(f"{ckpt_dir}/driver.pkl", "rb") as f:
             snap = pickle.loads(f.read())
         eng = cls(cfg, web_cfg, out_dir, seeds=seeds)
-        ray.get([a.restore.remote(s) for a, s in zip(eng.actors, snap["shards"])])
+        ray.get([a.restore_from.remote(f"{ckpt_dir}/shard_{s:05d}.pkl")
+                 for s, a in enumerate(eng.actors)])
         eng.topk.restore(snap["topk"])
         eng.job_metrics = snap["job_metrics"]
         eng.topk_rows = snap["topk_rows"]
@@ -488,9 +629,11 @@ class CrawlEngine:
             if d.startswith("epoch=") and int(d.split("=")[1]) > snap["epoch"]:
                 import shutil
                 shutil.rmtree(f"{out_dir}/crawl_log/{d}")
-        # stale absorb files from a crashed epoch would double-absorb on replay
+        # stale absorb/exchange files from a crashed epoch would double-apply
+        # on replay
         import shutil
         shutil.rmtree(f"{out_dir}/absorb", ignore_errors=True)
+        shutil.rmtree(f"{out_dir}/exchange", ignore_errors=True)
         return eng
 
     # ------------------------------------------------------------- outputs

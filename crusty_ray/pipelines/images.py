@@ -113,10 +113,12 @@ def run_image_pipeline(crawl_log_dir: str, out_dir: str, web_cfg: WebConfig,
     # deployment with heavy codec/model state passes the CLASS + concurrency
     ds = ds.map_batches(ImageFetchStage(web_cfg), batch_format="pyarrow",
                         batch_size=cfg.engine.decode_batch_size)
-    ds.write_parquet(out_dir)
+    # the image+caption table goes through the storage seam (Lance per the
+    # north rule when available; parquet in this sandbox — ops/io.py)
+    from ..ops.io import read_dataset, write_dataset
+    write_dataset(ds, out_dir)
 
-    from ..ops.io import read_parquet as io_read
-    check = io_read(
+    check = read_dataset(
         out_dir, columns=["fmt", "psnr_db", "caption_ok", "phash_dist", "decode_ok"])
     df = check.to_pandas()  # small result — fine to materialize
     lossy = df[df["fmt"] != "png"]

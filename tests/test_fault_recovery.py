@@ -46,3 +46,59 @@ def test_actor_death_then_resume(ray_session, tmp_path):
         f.sort_values(["epoch", "seq"]).reset_index(drop=True),
         r.sort_values(["epoch", "seq"]).reset_index(drop=True),
         check_dtype=False)
+
+
+def _assert_matches_full(eng, full):
+    assert eng.finished_domains == full.finished_domains
+    assert eng.topk_rows == full.topk_rows
+    assert eng.seen_filter_bytes() == full.seen_filter_bytes()
+    f = full.read_crawl_log().to_pandas().drop(columns=["image_ids"])
+    r = eng.read_crawl_log().to_pandas().drop(columns=["image_ids"])
+    pd.testing.assert_frame_equal(
+        f.sort_values(["epoch", "seq"]).reset_index(drop=True),
+        r.sort_values(["epoch", "seq"]).reset_index(drop=True),
+        check_dtype=False)
+
+
+def test_graceful_drain_then_resume(ray_session, tmp_path):
+    """request_stop mid-run (the SIGTERM handler's path): the engine drains
+    the in-flight epoch, checkpoints, returns; resume completes exactly."""
+    import threading
+    from crusty_ray.pipelines.crawl import CrawlEngine
+
+    cfg = _cfg()
+    full = CrawlEngine(cfg, WEB_CFG, str(tmp_path / "full")).run()
+
+    eng = CrawlEngine(cfg, WEB_CFG, str(tmp_path / "drain"))
+    # fire the stop request shortly after the crawl starts — wherever it
+    # lands, drain must checkpoint a resumable state
+    threading.Timer(0.35, eng.request_stop).start()
+    eng.run()
+    assert eng._stop_requested
+    assert eng.epochs_run < full.epochs_run  # actually stopped early
+
+    rec = CrawlEngine.resume(cfg, WEB_CFG, str(tmp_path / "drain")).run()
+    _assert_matches_full(rec, full)
+
+
+def test_sigterm_handler_drains(ray_session, tmp_path):
+    """A real SIGTERM delivered mid-run stops the engine cleanly (no
+    exception, checkpoint written) and resume completes exactly."""
+    import os
+    import signal
+    import threading
+    from crusty_ray.pipelines.crawl import CrawlEngine
+
+    cfg = _cfg()
+    full = CrawlEngine(cfg, WEB_CFG, str(tmp_path / "full2")).run()
+
+    eng = CrawlEngine(cfg, WEB_CFG, str(tmp_path / "sig"))
+    prev_handler = signal.getsignal(signal.SIGTERM)
+    threading.Timer(0.35, lambda: os.kill(os.getpid(), signal.SIGTERM)).start()
+    eng.run()  # handler converts the signal into a drain; no exception
+    assert eng.epochs_run < full.epochs_run
+    # handler was restored after run()
+    assert signal.getsignal(signal.SIGTERM) == prev_handler
+
+    rec = CrawlEngine.resume(cfg, WEB_CFG, str(tmp_path / "sig")).run()
+    _assert_matches_full(rec, full)
