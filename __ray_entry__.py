@@ -93,6 +93,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pandas as pd
         return pd.DataFrame(_crawl_outputs()["engine"].job_metrics)
 
+    def crawl_stage_gauges(sf_dir: str):
+        # sub-epoch pipeline throughput samples (A5 1s-cadence analog)
+        import pandas as pd
+        c = _crawl_outputs()
+        p = f"{c['out']}/metrics_stage.parquet"
+        if os.path.exists(p):
+            import pyarrow.parquet as pq
+            return pq.read_table(p).to_pandas()
+        return pd.DataFrame(columns=["epoch", "t_s", "rows", "bytes",
+                                     "batches"])
+
     def crawl_images(sf_dir: str):
         import pyarrow.dataset as pads
         from crusty_ray.pipelines.images import run_image_pipeline
@@ -165,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_log": crawl_log,
         "crawl_topk": crawl_topk,
         "crawl_job_metrics": crawl_job_metrics,
+        "crawl_stage_gauges": crawl_stage_gauges,
         "crawl_images": crawl_images,
         "multimodal_thumbs": multimodal_thumbs,
     }

@@ -26,9 +26,15 @@ def _log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def bench_crawl(num_cpus: int) -> dict:
+def bench_crawl(num_cpus: int, large: bool = False) -> dict:
     """Headline: the epochal crawl + image decode over the bench-scale
-    synthetic web (identical input at every parallelism level)."""
+    synthetic web (identical input at every parallelism level).
+
+    ``large=True`` is the large-epoch scaling profile: ~3× the domains and
+    all of them seeded, so the big epochs carry 300k+ tasks and every
+    parallelism-independent per-epoch cost (take_ready, barrier python, log
+    bookkeeping — measured 0.1-0.5 s) is <1% of epoch wall time. This is the
+    regime the north rule's 10^10-URL target lives in."""
     import ray
     from crusty_ray.config import test_config
     from crusty_ray.datagen.webgraph import WebConfig
@@ -48,9 +54,14 @@ def bench_crawl(num_cpus: int) -> dict:
     cfg.engine.checkpoint_every_epochs = 10
     cfg.engine.min_epoch_rows_for_ray = 256
     cfg.engine.max_epochs = 6       # steady-state throughput, not the long tail
+    n_domains = 180_000 if large else 60_000
+    seed_step = 1 if large else 2
+    if large:
+        cfg.jobs.dequeue_limit = 30_000
+        cfg.engine.max_epochs = 4
     # realistic page weight: 15-40 links/page makes parse+resolve the dominant
     # cost (as on real HTML), not the BSP barrier
-    web_cfg = WebConfig(n_domains=60_000, max_pages_per_domain=40, hub_domains=8,
+    web_cfg = WebConfig(n_domains=n_domains, max_pages_per_domain=40, hub_domains=8,
                         images_per_page=1, image_page_fraction=0.15,
                         link_lo=30, link_hi=70)
 
@@ -58,7 +69,7 @@ def bench_crawl(num_cpus: int) -> dict:
     try:
         from crusty_ray.datagen.webgraph import SyntheticWeb
         seeds = [f"http://{SyntheticWeb(web_cfg).domain_name(i)}/"
-                 for i in range(0, 60_000, 2)]  # 30k seeds: refresh-crawl frontier
+                 for i in range(0, n_domains, seed_step)]
 
         # pre-warm the worker pool (process spawn + numpy/pandas imports are
         # paid once per worker; they belong to cluster start-up, not crawl
@@ -139,8 +150,9 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
-    _log(f"headline crawl (num_cpus={num_cpus})...")
-    crawl = bench_crawl(num_cpus)
+    large = bool(os.environ.get("GRAFT_BENCH_LARGE"))
+    _log(f"headline crawl (num_cpus={num_cpus}{', large' if large else ''})...")
+    crawl = bench_crawl(num_cpus, large=large)
     _log(f"  crawl: {crawl['crawl_sec']}s, {crawl['pages_per_sec']} pages/s")
     if os.environ.get("GRAFT_BENCH_MODE") == "crawl":
         queries = {}
@@ -162,16 +174,22 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-def run_scaling() -> dict:
+def run_scaling(large: bool = False) -> dict:
     """Fresh processes, identical input, 8 vs 32 CPUs (BASELINE.md).
 
     This host shows heavy, bursty hypervisor CPU steal (cumulative steal ≈ 3×
     user in /proc/stat), so trials are interleaved (8,32,8,32) and each level
     keeps its best steady-state throughput — best-of-N under one-sided noise
-    estimates the undisturbed value."""
+    estimates the undisturbed value.
+
+    ``large=True`` (bench.py --scaling-large): the ≥300k-task-epoch profile
+    where per-epoch fixed costs are <1% of wall time — the scaling number
+    that corresponds to the north rule's production regime."""
     results: dict[int, dict] = {}
     for ncpu in (8, 32, 8, 32):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_MODE="crawl")
+        if large:
+            env["GRAFT_BENCH_LARGE"] = "1"
         _log(f"scaling run num_cpus={ncpu}...")
         # taskset: ray.init(num_cpus=N) only caps TASK scheduling — actor
         # processes and the raylet would still spread over every host core,
@@ -191,7 +209,8 @@ def run_scaling() -> dict:
     thr8 = results[8]["steady_pages_per_sec"]
     thr32 = results[32]["steady_pages_per_sec"]
     return {
-        "metric": "scaling efficiency (steady-state pages/sec, 8 vs 32 cpus)",
+        "metric": "scaling efficiency (steady-state pages/sec, 8 vs 32 cpus"
+                  + (", large epochs)" if large else ")"),
         "value": round((thr32 / thr8) / 4.0, 3),
         "unit": "efficiency",
         "sec_8": results[8]["queries"]["crawl"],
@@ -209,7 +228,9 @@ def run_scaling() -> dict:
 def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    if "--scaling" in sys.argv:
+    if "--scaling-large" in sys.argv:
+        print(json.dumps(run_scaling(large=True)))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_full(sf_dir, num_cpus)))

@@ -100,6 +100,13 @@ class EngineConfig:
     cuckoo_capacity: int = 1 << 20       # per-shard authoritative seen set
     min_epoch_rows_for_ray: int = 2048   # below this, run the epoch inline (driver) —
                                          # task launch overhead would dominate
+    gauge_interval_s: float = 1.0     # sub-epoch stage-gauge cadence (A5)
+    mode: str = "bsp"                 # "bsp" (deterministic epochal barriers)
+                                      # | "streaming" (free-running permits,
+                                      # bounded in-flight — crusty.rs:216-230)
+    streaming_window: int = 3         # max permits in flight (streaming mode);
+                                      # ≈ relabuf soft_cap backpressure
+                                      # (config.rs:87-96)
 
 
 @dataclass

@@ -1,0 +1,206 @@
+"""Streaming (non-BSP) crawl mode — free-running permits, bounded in-flight.
+
+The reference is a free-running streaming system: a 1 s-cadence permit lets
+the frontier emit up to ``dequeue_limit`` jobs (``crusty.rs:216-230``),
+relabuf micro-batching smooths the flow (``config.rs:87-96``), and bounded
+channels provide backpressure (``crusty.rs:109-127``). The BSP engine
+(`pipelines/crawl.py`) trades that latency for determinism; this mode trades
+the determinism back:
+
+- each **permit** dequeues every scoped shard immediately — *without*
+  waiting for earlier permits' results to be absorbed;
+- a permit's fetch→discover→route Dataset pipeline runs in a background
+  thread; up to ``engine.streaming_window`` permits are in flight at once
+  (the bounded-channel analog — the window is the backpressure);
+- permit *completions* (absorb + end_epoch + enqueue delivery) are applied
+  strictly in permit order from the driver thread, so shard-state mutation
+  stays sequential per shard while fetch compute overlaps freely.
+
+Politeness still holds: ``take_ready`` marks domains in-flight inside the
+shard actor, so overlapping permits can never double-fetch a domain, and the
+per-addr_key lock/delay bookkeeping uses the permit counter as its clock.
+
+Correctness contract (vs BSP, same seed list): when the crawl budgets do not
+bind (every reachable page within ``max_level`` fits the link budgets), both
+modes fetch exactly the same URL set, finish the same domain set, and end
+with semantically-equal seen sets — asserted by
+``tests/test_streaming_mode.py``. When budgets bind, absorb *order* decides
+which links consume budget, so page sets may differ between modes (and
+between streaming runs); that nondeterminism is inherent to free-running
+crawlers, including the reference.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import threading
+from collections import deque
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+from .crawl import CrawlEngine, EpochStage, log_projection
+
+
+class StreamingCrawlEngine(CrawlEngine):
+    """`engine.mode: streaming` — build via ``make_engine`` or directly."""
+
+    def run(self, max_epochs: Optional[int] = None) -> "StreamingCrawlEngine":
+        cfg = self.cfg
+        max_permits = max_epochs or cfg.engine.max_epochs
+        prev_handlers = self._install_signal_handlers()
+        try:
+            self._stream_loop(max_permits)
+        finally:
+            if prev_handlers is not None:
+                import signal as _signal
+                for sig, h in prev_handlers.items():
+                    _signal.signal(sig, h)
+        self._write_outputs()
+        return self
+
+    # ------------------------------------------------------------- main loop
+    def _stream_loop(self, max_permits: int) -> None:
+        cfg = self.cfg
+        from ..sim.simulator import seed_messages
+        from ..state.frontier import DomainMsg
+
+        if self.start_epoch == 0:
+            msgs = seed_messages(self.seeds, cfg, self.web)
+            by_shard: dict[int, list[DomainMsg]] = {}
+            for m in msgs:
+                by_shard.setdefault(m.shard, []).append(m)
+            ray.get([self.actors[s].enqueue.remote(ms)
+                     for s, ms in by_shard.items()])
+            ray.get([a.apply_enqueues.remote(0) for a in self.actors])
+
+        scoped = self.actors[cfg.jobs.shard_min:cfg.jobs.shard_max]
+        window: deque[dict] = deque()
+        for permit in range(self.start_epoch, max_permits):
+            if self._stop_requested:
+                break
+            # backpressure: bounded in-flight permits
+            while len(window) >= cfg.engine.streaming_window:
+                self._complete(window.popleft())
+            tables = ray.get([a.take_ready_table.remote(permit)
+                              for a in scoped])
+            n_tasks = sum(t.num_rows for t in tables)
+            self.epochs_run = permit + 1
+            if n_tasks == 0:
+                if window:
+                    self._complete(window.popleft())  # let results land
+                    continue
+                if all(ray.get([a.idle.remote() for a in scoped])):
+                    break
+                # buffered enqueues/delay gating: settle one round
+                self._complete({"permit": permit, "thread": None,
+                                "absorb_dir": None, "exchange_dir": None,
+                                "n_tasks": 0})
+                continue
+            window.append(self._launch(permit, tables, n_tasks))
+        while window:
+            self._complete(window.popleft())
+        if self.epochs_run:
+            # one quiesced checkpoint at the end (drain point) — periodic
+            # exact-resume checkpointing is the BSP mode's contract
+            self._write_checkpoint(self.epochs_run - 1)
+
+    # ------------------------------------------------------ permit pipeline
+    def _launch(self, permit: int, tables: list[pa.Table],
+                n_tasks: int) -> dict:
+        """Start the permit's fetch→discover→route Dataset in a thread; the
+        absorb/exchange barriers happen later, in order, in _complete()."""
+        cfg = self.cfg
+        nonempty = [t for t in tables if t.num_rows]
+        table = pa.concat_tables(nonempty) if nonempty else tables[0]
+        table = table.append_column(
+            "epoch", pa.array([permit] * n_tasks, pa.int32()))
+        table = table.append_column(
+            "seq", pa.array(range(n_tasks), pa.int64()))
+        log_dir = f"{self.out_dir}/crawl_log/epoch={permit}"
+        absorb_dir = f"{self.out_dir}/absorb/epoch={permit}"
+        exchange_dir = f"{self.out_dir}/exchange/epoch={permit}"
+        shutil.rmtree(absorb_dir, ignore_errors=True)
+
+        if n_tasks < cfg.engine.min_epoch_rows_for_ray:
+            # small permit: inline compute (same stage objects), absorb via
+            # direct RPC — still asynchronous w.r.t. completion order
+            def run_inline():
+                out = self._discoverer(self._fetcher(table))
+                by_shard: dict[int, list[dict]] = {}
+                for r in out.to_pylist():
+                    by_shard.setdefault(r["shard"], []).append(r)
+                ray.get([self.actors[s].absorb.remote(rs)
+                         for s, rs in by_shard.items()])
+                os.makedirs(log_dir, exist_ok=True)
+                pq.write_table(log_projection(out), f"{log_dir}/part-0.parquet")
+            thread = threading.Thread(target=run_inline, daemon=True)
+            thread.start()
+            return {"permit": permit, "thread": thread, "absorb_dir": None,
+                    "exchange_dir": None, "n_tasks": n_tasks}
+
+        def run_pipeline():
+            nblocks = max(1, min(cfg.engine.fetch_concurrency * 2,
+                                 n_tasks // 256 + 1))
+            step = (n_tasks + nblocks - 1) // nblocks
+            chunks = [table.slice(i, step) for i in range(0, n_tasks, step)]
+            ds = ray.data.from_arrow(chunks)
+            ds = ds.map_batches(EpochStage(self.web_cfg, cfg, absorb_dir,
+                                           rules=self.rules),
+                                batch_format="pyarrow",
+                                batch_size=cfg.engine.fetch_batch_size)
+            # no pre-sink repartition (see crawl.py: the all-to-all halved
+            # 32-core throughput); per-block log files are fine
+            ds.write_parquet(log_dir)
+
+        thread = threading.Thread(target=run_pipeline, daemon=True)
+        thread.start()
+        return {"permit": permit, "thread": thread, "absorb_dir": absorb_dir,
+                "exchange_dir": exchange_dir, "n_tasks": n_tasks}
+
+    # --------------------------------------------------------- completion
+    def _complete(self, entry: dict) -> None:
+        """Apply one permit's results — strictly in permit order (caller
+        guarantees FIFO), so shard state advances sequentially even though
+        fetch compute overlapped."""
+        permit = entry["permit"]
+        if entry["thread"] is not None:
+            entry["thread"].join()
+        absorb_dir, exchange_dir = entry["absorb_dir"], entry["exchange_dir"]
+        self.topk.advance_epoch()
+        results = ray.get([a.finish_epoch.remote(permit, absorb_dir,
+                                                 exchange_dir)
+                           for a in self.actors])
+        if absorb_dir is not None:
+            shutil.rmtree(absorb_dir, ignore_errors=True)
+        all_links: list[tuple[str, list[str]]] = []
+        outgoing: dict[int, dict] = {}
+        for res in results:
+            all_links.extend(res["domain_links"])
+            self.job_metrics.extend(res["job_metrics"])
+            self.finished_domains.extend(m["domain"] for m in res["job_metrics"])
+            self.gauges.append(res["gauges"])
+            for tgt, msgs in res["outgoing"].items():
+                acc = outgoing.setdefault(tgt, {
+                    "domain": [], "addr_key": [], "disc_depth": [],
+                    "disc_epoch": []})
+                for k in acc:
+                    acc[k].extend(msgs[k])
+        self.topk.add_domain_links(all_links)
+        if (permit + 1) % self.cfg.topk.consume_every_epochs == 0:
+            self.topk_rows.extend(self.topk.snapshot(permit))
+        ray.get([self.actors[s].deliver.remote(outgoing.get(s, []), permit,
+                                               exchange_dir)
+                 for s in range(len(self.actors))])
+        if exchange_dir is not None:
+            shutil.rmtree(exchange_dir, ignore_errors=True)
+
+
+def make_engine(cfg, web_cfg, out_dir, seeds=None, rules=None) -> CrawlEngine:
+    """Engine factory honoring ``cfg.engine.mode`` ("bsp" | "streaming")."""
+    cls = StreamingCrawlEngine if cfg.engine.mode == "streaming" else CrawlEngine
+    return cls(cfg, web_cfg, out_dir, seeds=seeds, rules=rules)

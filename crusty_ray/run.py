@@ -28,6 +28,9 @@ def main(argv=None) -> int:
     ap.add_argument("--epochs", type=int, default=None, help="epoch horizon")
     ap.add_argument("--resume", action="store_true",
                     help="resume exactly from the latest checkpoint in --out")
+    ap.add_argument("--mode", choices=("bsp", "streaming"), default=None,
+                    help="override engine.mode (bsp = deterministic epochal "
+                         "barriers; streaming = free-running permits)")
     ap.add_argument("--images", action="store_true",
                     help="run the image decode/verify pipeline after the crawl")
     ap.add_argument("--num-cpus", type=int,
@@ -55,11 +58,15 @@ def main(argv=None) -> int:
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
+    if args.mode:
+        cfg.engine.mode = args.mode
     from .pipelines.crawl import CrawlEngine
+    from .pipelines.streaming import StreamingCrawlEngine, make_engine
+    cls = StreamingCrawlEngine if cfg.engine.mode == "streaming" else CrawlEngine
     if args.resume:
-        eng = CrawlEngine.resume(cfg, web_cfg, args.out, seeds=cfg.seeds)
+        eng = cls.resume(cfg, web_cfg, args.out, seeds=cfg.seeds)
     else:
-        eng = CrawlEngine(cfg, web_cfg, args.out, seeds=cfg.seeds)
+        eng = make_engine(cfg, web_cfg, args.out, seeds=cfg.seeds)
     eng.run(args.epochs)
 
     summary = json.load(open(f"{args.out}/summary.json"))

@@ -83,7 +83,8 @@ def test_query_matches_oracle(contract, name):
 
 ROWS_ONLY = ["minhash_candidates", "minhash_near_dups",
              "ann_bruteforce", "ann_lsh", "embedding_cosine_pairs",
-             "crawl_pages_per_epoch", "crawl_term_breakdown"]
+             "crawl_pages_per_epoch", "crawl_term_breakdown",
+             "crawl_stage_gauges"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)

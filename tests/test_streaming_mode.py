@@ -1,0 +1,76 @@
+"""Streaming (non-BSP) mode e2e: set-equality with BSP mode.
+
+With non-binding budgets both modes must fetch the identical URL set, finish
+the identical domain set, and agree on totals — the streaming-mode
+correctness contract (see pipelines/streaming.py docstring). Epoch/seq/depth
+assignments may legitimately differ (free-running absorb order).
+"""
+
+import pandas as pd
+
+from crusty_ray.config import test_config as _tc
+from crusty_ray.datagen.webgraph import WebConfig
+
+WEB_CFG = WebConfig(n_domains=50, max_pages_per_domain=12)
+
+
+def _cfg(mode: str):
+    cfg = _tc()
+    # budgets must NOT bind for cross-mode set-equality (module docstring)
+    cfg.rules.total_link_budget = 1000
+    cfg.rules.links_per_task_budget = 100
+    cfg.rules.max_level = 12
+    cfg.engine.max_epochs = 60
+    cfg.engine.mode = mode
+    return cfg
+
+
+def test_streaming_matches_bsp_sets(ray_session, tmp_path):
+    from crusty_ray.pipelines.streaming import make_engine
+
+    bsp = make_engine(_cfg("bsp"), WEB_CFG, str(tmp_path / "bsp")).run()
+    stream = make_engine(_cfg("streaming"), WEB_CFG,
+                         str(tmp_path / "stream")).run()
+    assert type(stream).__name__ == "StreamingCrawlEngine"
+
+    blog = bsp.read_crawl_log().to_pandas()
+    slog = stream.read_crawl_log().to_pandas()
+    # each (domain, url) fetched at most once — URL dedup is per-JOB
+    # (reference F1 semantics), so the same bare-host URL may legitimately
+    # be fetched by both the www.X and X jobs in EITHER mode
+    assert not slog.duplicated(["domain", "url"]).any()
+    # identical (domain, url) multiset — stronger than URL-set equality
+    assert (sorted(zip(slog["domain"], slog["url"]))
+            == sorted(zip(blog["domain"], blog["url"])))
+    # identical finished-domain set and totals
+    assert sorted(stream.finished_domains) == sorted(bsp.finished_domains)
+    assert (sum(m["pages_fetched"] for m in stream.job_metrics)
+            == sum(m["pages_fetched"] for m in bsp.job_metrics))
+    # per-domain page sets identical too (stronger than global set equality)
+    b_by = blog.groupby("domain")["url"].apply(set)
+    s_by = slog.groupby("domain")["url"].apply(set)
+    pd.testing.assert_series_equal(b_by, s_by, check_names=False)
+    # semantically-equal seen sets: every finished domain is in some shard's
+    # cuckoo filter in both modes
+    import ray as _ray  # noqa: F401
+    for eng in (bsp, stream):
+        from crusty_ray.state.cuckoo import CuckooFilter
+        filters = [CuckooFilter.from_bytes(b) for b in eng.seen_filter_bytes()]
+        for d in eng.finished_domains:
+            assert any(d in f for f in filters)
+
+
+def test_streaming_overlaps_permits(ray_session, tmp_path):
+    """The window must actually overlap: with streaming_window=1 the loop
+    degrades to sequential; with the default it must still terminate and
+    produce a complete crawl (sanity against deadlock)."""
+    from crusty_ray.pipelines.streaming import make_engine
+
+    cfg = _cfg("streaming")
+    cfg.engine.streaming_window = 2
+    cfg.engine.min_epoch_rows_for_ray = 0  # force Dataset pipelines
+    eng = make_engine(cfg, WEB_CFG, str(tmp_path / "s2")).run()
+    assert eng.epochs_run > 2
+    log = eng.read_crawl_log().to_pandas()
+    assert len(log) > 100
+    assert not log.duplicated(["domain", "url"]).any()
