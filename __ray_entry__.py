@@ -93,6 +93,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pandas as pd
         return pd.DataFrame(_crawl_outputs()["engine"].job_metrics)
 
+    def crawl_db_metrics(sf_dir: str):
+        # per-sink write notifications (DBNotificationDBE, types.rs:119-128)
+        import pandas as pd
+        return pd.DataFrame(_crawl_outputs()["engine"].db_metrics,
+                            columns=["epoch", "op", "rows", "ms"])
+
     def crawl_stage_gauges(sf_dir: str):
         # sub-epoch pipeline throughput samples (A5 1s-cadence analog)
         import pandas as pd
@@ -177,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_topk": crawl_topk,
         "crawl_job_metrics": crawl_job_metrics,
         "crawl_stage_gauges": crawl_stage_gauges,
+        "crawl_db_metrics": crawl_db_metrics,
         "crawl_images": crawl_images,
         "multimodal_thumbs": multimodal_thumbs,
     }

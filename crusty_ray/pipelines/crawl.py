@@ -359,6 +359,9 @@ class CrawlEngine:
         self.topk = make_topk_state(cfg.topk)
         self.metrics_actor = StageMetricsActor.remote()
         self.stage_gauges: list[dict] = []  # sub-epoch throughput samples
+        self.db_metrics: list[dict] = []    # per-sink write notifications
+                                            # (DBNotificationDBE analog,
+                                            # types.rs:119-128)
         self.job_metrics: list[dict] = []
         self.topk_rows: list[dict] = []
         self.gauges: list[dict] = []
@@ -523,7 +526,11 @@ class CrawlEngine:
                 by_shard.setdefault(r["shard"], []).append(r)
             ray.get([self.actors[s].absorb.remote(rs) for s, rs in by_shard.items()])
             os.makedirs(log_dir, exist_ok=True)
+            _t_w = _time2.time()
             pq.write_table(log_projection(out), f"{log_dir}/part-0.parquet")
+            self.db_metrics.append({
+                "epoch": epoch, "op": "crawl_log_write", "rows": n_tasks,
+                "ms": round((_time2.time() - _t_w) * 1000, 1)})
         else:
             # a prior crashed attempt at this epoch (driver died between the
             # absorb writes and the post-barrier cleanup) may have left stale
@@ -581,11 +588,16 @@ class CrawlEngine:
 
             sampler = _threading.Thread(target=_sample, daemon=True)
             sampler.start()
+            _t_w = _time2.time()
             try:
                 ds.write_parquet(log_dir)
             finally:
                 stop_evt.set()
                 sampler.join()
+            self.db_metrics.append({
+                "epoch": epoch, "op": "pipeline_and_log_write",
+                "rows": n_tasks,
+                "ms": round((_time2.time() - _t_w) * 1000, 1)})
             if _os2.environ.get("CRUSTY_EPOCH_TRACE"):
                 print(f"  [e{epoch}] dataset+write done at +{_time2.time()-_t0:.2f}s",
                       file=_sys2.stderr, flush=True)
@@ -604,6 +616,9 @@ class CrawlEngine:
         if absorb_dir is not None:
             import shutil
             shutil.rmtree(absorb_dir, ignore_errors=True)  # consumed; log+checkpoints carry lineage
+        self.db_metrics.append({
+            "epoch": epoch, "op": "absorb_read_end_epoch", "rows": n_tasks,
+            "ms": round((_time.time() - _t_ds) * 1000, 1)})
         if trace:
             print(f"  [e{epoch}] end_epoch barrier done at +{_time.time()-_t_ds:.2f}s",
                   file=_sys.stderr, flush=True)
@@ -636,8 +651,13 @@ class CrawlEngine:
             else:
                 futures.append(self.actors[s].deliver.remote(
                     msgs, epoch, exchange_dir))
+        _t_dl = _time.time()
         ray.get(futures)
         results2 = ray.get(take_futures)  # scoped order preserved
+        self.db_metrics.append({
+            "epoch": epoch, "op": "enqueue_deliver",
+            "rows": sum(len(m["domain"]) for m in outgoing.values()),
+            "ms": round((_time.time() - _t_dl) * 1000, 1)})
         if exchange_dir is not None:
             import shutil
             shutil.rmtree(exchange_dir, ignore_errors=True)  # consumed
@@ -651,10 +671,15 @@ class CrawlEngine:
         parallel (driver stays O(1) in shard_total), plus a small driver
         manifest. LATEST flips atomically only after every file is durable —
         a torn checkpoint never becomes visible."""
+        import time as _time
+        _t0 = _time.time()
         ckpt_dir = f"{self.out_dir}/checkpoints/epoch_{epoch:06d}"
         os.makedirs(ckpt_dir, exist_ok=True)
         ray.get([a.checkpoint_to.remote(f"{ckpt_dir}/shard_{s:05d}.pkl")
                  for s, a in enumerate(self.actors)])
+        self.db_metrics.append({
+            "epoch": epoch, "op": "checkpoint_write", "rows": len(self.actors),
+            "ms": round((_time.time() - _t0) * 1000, 1)})
         blob = pickle.dumps({
             "epoch": epoch,
             "n_shards": len(self.actors),
@@ -714,6 +739,7 @@ class CrawlEngine:
         write(self.topk_rows, "domain_topk")
         write(self.gauges, "metrics_queue")
         write(self.stage_gauges, "metrics_stage")
+        write(self.db_metrics, "metrics_db")
         with open(f"{self.out_dir}/summary.json", "w") as f:
             json.dump({
                 "epochs_run": self.epochs_run,
