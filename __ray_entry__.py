@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- text analysis (SQL-checked)
         "token_stats": text.token_stats_ds,
+        "bpe_token_count": text.bpe_token_count_ds,
         "fingerprint_md5": text.fingerprint_ds,
         "quality_class": text.quality_ds,
         "lang_distribution": lang_distribution,
@@ -150,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_quantized": similarity.ann_quantized_ds,
         "ann_bruteforce": similarity.ann_bruteforce_ds,           # rows-only
         "ann_lsh": similarity.ann_lsh_ds,                         # rows-only
+        "ann_ivf": similarity.ann_ivf_ds,                         # rows-only
         # -- language id (stopword heuristic, profile frozen into the oracle)
         "langid": text.langid_ds,
         # -- crawl-operator analogs (SQL-checked)
@@ -261,6 +263,13 @@ def oracle_sql() -> dict[str, str]:
             FROM cand WHERE bit_count(xor(sa, sb)) <= 3
         """,
         "langid": langid_sql,
+        "bpe_token_count": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(coalesce(text, ''),
+                                               '\w+|[^\w\s]')) AS BIGINT)
+                       AS n_bpe_tokens
+            FROM documents
+        """,
         "token_stats": """
             SELECT doc_id,
                    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,

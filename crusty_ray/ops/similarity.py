@@ -176,6 +176,107 @@ def ann_lsh_ds(sf_dir: str, n_queries: int = 8, k: int = 10, n_bits: int = 8):
         _merge_topk(k), batch_format="pandas")
 
 
+# ---------------------------------------------------------------- IVF variant
+
+def _train_centroids(sf_dir: str, n_lists: int, iters: int = 5,
+                     sample: int = 2048) -> np.ndarray:
+    """Deterministic coarse quantizer: spherical k-means (few Lloyd rounds)
+    on a bounded head-sample of the table. Seeded via stable_rng, so every
+    run and every worker sees identical lists. At 100 TB the sample read
+    stays O(sample) — train once, broadcast the (n_lists × dim) matrix."""
+    import pyarrow.dataset as pads
+    dset = pads.dataset(f"{sf_dir}/embeddings.parquet", format="parquet")
+    X = []
+    need = sample
+    for b in dset.to_batches(columns=["embedding"], batch_size=1024):
+        X.extend(b.column("embedding").to_pylist())
+        need -= b.num_rows
+        if need <= 0:
+            break
+    X = np.asarray(X[:sample], dtype=np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rng = stable_rng("ivf-centroids", n_lists)
+    C = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(C @ X.T, axis=0)           # cosine (unit norms)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    C[j] = m / n
+    return C
+
+
+def ann_ivf_ds(sf_dir: str, n_queries: int = 8, k: int = 10,
+               n_lists: int = 16, nprobe: int = 2):
+    """IVF ANN: coarse-quantizer inverted lists, queries probe the nprobe
+    nearest lists only (the classic IVF-Flat plan; recall vs brute force is
+    asserted in tests). Fan-in per query drops ~n_lists/nprobe — the other
+    10^10-row path next to ann_lsh_ds."""
+    C = _train_centroids(sf_dir, n_lists)
+    queries = _load_queries(sf_dir, n_queries)
+    qm = np.stack(queries["embedding"].to_list()).astype(np.float64)
+    qm_n = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    probe = np.argsort(-(C @ qm_n.T), axis=0)[:nprobe].T   # (Q, nprobe)
+    queries = queries.assign(probes=[set(map(int, p)) for p in probe])
+    queries_ref = ray.put(queries)
+    cent_ref = ray.put(C)
+
+    class IvfAssign:
+        def __init__(self):
+            self.C = ray.get(cent_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            mat = np.stack(batch["embedding"].to_list()).astype(np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            out = batch[["vec_id"]].copy()
+            out["list_id"] = np.argmax(self.C @ mat.T, axis=0).astype(np.int64)
+            out["embedding"] = batch["embedding"]
+            return out
+
+    class ListScorer:
+        def __init__(self):
+            q = ray.get(queries_ref)
+            self.qids = q["vec_id"].to_numpy()
+            qmat = np.stack(q["embedding"].to_list()).astype(np.float64)
+            self.qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+            self.probes = list(q["probes"])
+            self.k = k
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            frames = []
+            for lid, g in batch.groupby("list_id"):
+                q_idx = [i for i, p in enumerate(self.probes) if int(lid) in p]
+                if not q_idx or not len(g):
+                    continue
+                ids = g["vec_id"].to_numpy()
+                mat = np.stack(g["embedding"].to_list()).astype(np.float64)
+                mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+                sims = self.qmat[q_idx] @ mat.T
+                for row, qi in enumerate(q_idx):
+                    order = np.lexsort((ids, -sims[row]))[: self.k]
+                    frames.append(pd.DataFrame({
+                        "query_id": self.qids[qi], "vec_id": ids[order],
+                        "sim_pm": np.floor(sims[row][order] * 1000.0)
+                        .astype(np.int64)}))
+            if not frames:
+                return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                     "vec_id": pd.Series([], dtype="int64"),
+                                     "sim_pm": pd.Series([], dtype="int64")})
+            return pd.concat(frames, ignore_index=True)
+
+    ds = _io_read(f"{sf_dir}/embeddings.parquet",
+                  columns=["vec_id", "embedding"])
+    assigned = ds.map_batches(IvfAssign(), batch_format="pandas",
+                              batch_size=4096)
+    partial = assigned.map_batches(ListScorer(), batch_format="pandas",
+                                   batch_size=8192)
+    return partial.groupby("query_id").map_groups(
+        _merge_topk(k), batch_format="pandas")
+
+
 # ---------------------------------------------------------------- SQL-parity face
 
 def ann_quantized_ds(sf_dir: str, n_queries: int = 5, k: int = 10):

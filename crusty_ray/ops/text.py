@@ -117,6 +117,21 @@ def quality_class(batch: pd.DataFrame) -> pd.DataFrame:
                          "quality_bucket": bucket.astype("int64")})
 
 
+_BPE_RE = re.compile(r"\w+|[^\w\s]")
+
+
+def bpe_token_count(batch: pd.DataFrame) -> pd.DataFrame:
+    """BPE-ish pre-tokenizer count: word runs plus standalone punctuation
+    marks (the GPT-2-style pre-split shape), one integer per doc. The regex
+    is chosen to be exactly reproducible in DuckDB
+    (``len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))``) for the oracle."""
+    text = batch["text"].fillna("")
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "n_bpe_tokens": text.str.count(_BPE_RE).astype("int64"),
+    })
+
+
 # ------------------------------------------------------------------ pipelines
 def token_stats_ds(sf_dir: str):
     return _io_read(f"{sf_dir}/documents.parquet",
@@ -135,6 +150,12 @@ def quality_ds(sf_dir: str):
     return _io_read(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"]) \
         .map_batches(quality_class, batch_format="pandas")
+
+
+def bpe_token_count_ds(sf_dir: str):
+    return _io_read(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"]) \
+        .map_batches(bpe_token_count, batch_format="pandas")
 
 
 def langid_ds(sf_dir: str):

@@ -352,8 +352,13 @@ class CrawlEngine:
         os.makedirs(f"{out_dir}/crawl_log", exist_ok=True)
         os.makedirs(f"{out_dir}/checkpoints", exist_ok=True)
 
+        # SPREAD the frontier shards across the cluster: on a multi-node
+        # deployment each node then hosts ~shard_total/n_nodes shards, so
+        # absorb/exchange IO and seen-set memory distribute evenly instead
+        # of packing onto the head node (single-node: no-op).
         self.actors = [
-            FrontierShardActor.remote(s, cfg, web_cfg)
+            FrontierShardActor.options(
+                scheduling_strategy="SPREAD").remote(s, cfg, web_cfg)
             for s in range(cfg.jobs.shard_total)
         ]
         self.topk = make_topk_state(cfg.topk)

@@ -1,0 +1,61 @@
+"""ANN scale paths (LSH buckets, IVF inverted lists) vs brute-force ground
+truth: structural guarantees plus a recall floor.
+
+Bucketed ANN trades recall for fan-in — the tests pin (a) every returned
+neighbor is scored correctly (sim_pm matches brute force for the same pair),
+and (b) aggregate recall@k stays above a floor that the default parameters
+comfortably clear on the test tables.
+"""
+
+import pandas as pd
+import pytest
+
+from crusty_ray.ops import similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def brute(ray_session):
+    df = similarity.ann_bruteforce_ds(SF, n_queries=8, k=10).to_pandas()
+    return df
+
+
+def _recall(approx: pd.DataFrame, brute: pd.DataFrame) -> float:
+    got = approx.groupby("query_id")["vec_id"].apply(set)
+    want = brute.groupby("query_id")["vec_id"].apply(set)
+    hits = total = 0
+    for q, w in want.items():
+        hits += len(w & got.get(q, set()))
+        total += len(w)
+    return hits / total
+
+
+def test_lsh_recall_and_scores(ray_session, brute):
+    # 4 bits (16 buckets) on the tiny test table: the 8-bit default is sized
+    # for the sf0.1+ tables where buckets still hold hundreds of vectors
+    approx = similarity.ann_lsh_ds(SF, n_queries=8, k=10, n_bits=4).to_pandas()
+    assert _recall(approx, brute) >= 0.2
+    # scored pairs agree with brute force where they overlap (±1 per-mille:
+    # BLAS accumulation order differs with matrix shape, so floor(sim·1000)
+    # can flip by one at quantization boundaries)
+    merged = approx.merge(brute, on=["query_id", "vec_id"],
+                          suffixes=("_a", "_b"))
+    assert (merged["sim_pm_a"] - merged["sim_pm_b"]).abs().le(1).all()
+
+
+def test_ivf_recall_and_scores(ray_session, brute):
+    approx = similarity.ann_ivf_ds(SF, n_queries=8, k=10,
+                                   n_lists=16, nprobe=4).to_pandas()
+    assert _recall(approx, brute) >= 0.5  # nprobe=4 of 16 lists
+    merged = approx.merge(brute, on=["query_id", "vec_id"],
+                          suffixes=("_a", "_b"))
+    assert (merged["sim_pm_a"] - merged["sim_pm_b"]).abs().le(1).all()
+
+
+def test_ivf_deterministic(ray_session):
+    a = similarity.ann_ivf_ds(SF, n_queries=4, k=5).to_pandas() \
+        .sort_values(["query_id", "rnk"]).reset_index(drop=True)
+    b = similarity.ann_ivf_ds(SF, n_queries=4, k=5).to_pandas() \
+        .sort_values(["query_id", "rnk"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

@@ -65,7 +65,7 @@ SQL_CHECKED = [
     "pricing_summary", "priority_dequeue",
     "sliding_window_counts", "session_windows", "asof_latest_order",
     "anti_join_customers", "semi_join_events", "global_sort_topn",
-    "union_event_classes", "simhash_near_dups", "langid",
+    "union_event_classes", "simhash_near_dups", "langid", "bpe_token_count",
 ]
 
 
@@ -82,7 +82,7 @@ def test_query_matches_oracle(contract, name):
 
 
 ROWS_ONLY = ["minhash_candidates", "minhash_near_dups",
-             "ann_bruteforce", "ann_lsh", "embedding_cosine_pairs",
+             "ann_bruteforce", "ann_lsh", "ann_ivf", "embedding_cosine_pairs",
              "crawl_pages_per_epoch", "crawl_term_breakdown",
              "crawl_stage_gauges", "crawl_db_metrics"]
 
