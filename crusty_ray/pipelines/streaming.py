@@ -81,7 +81,10 @@ class StreamingCrawlEngine(CrawlEngine):
         scoped = self.actors[cfg.jobs.shard_min:cfg.jobs.shard_max]
         window: deque[dict] = deque()
         for permit in range(self.start_epoch, max_permits):
-            if self._stop_requested:
+            # honor a drain request only after ≥1 permit completed (BSP
+            # parity: a signal during startup must still leave a resumable
+            # checkpoint, not a clean-exit-with-nothing)
+            if self._stop_requested and self.epochs_run > self.start_epoch:
                 break
             # backpressure: bounded in-flight permits
             while len(window) >= cfg.engine.streaming_window:

@@ -121,6 +121,22 @@ class TestEngineMatchesSimulator:
         assert sorted(eng.finished_domains) == sorted(sim_result.finished_domains)
         assert eng.seen_filter_bytes() == sim_result.seen_filter_bytes()
 
+    def test_multigroup_shards_exact_match(self, ray_session, tmp_path):
+        # shard_total > SHARDS_PER_GROUP (8) exercises the grouped
+        # absorb/exchange storage layout with MULTIPLE group dirs and
+        # cross-group routing — the bench topology (32 shards), previously
+        # uncovered by the conformance suite (tests used 4 shards = 1 group)
+        cfg = small_cfg(**{"jobs.shard_total": 20, "jobs.shard_max": 20,
+                           "engine.min_epoch_rows_for_ray": 0,
+                           "engine.fetch_batch_size": 16,
+                           "engine.fetch_concurrency": 2})
+        sim = CrawlSimulator(cfg, WEB_CFG).run()
+        eng = self._engine(tmp_path, cfg).run()
+        edf, sdf = log_df(eng.read_crawl_log()), log_df(sim.crawl_log)
+        pd.testing.assert_frame_equal(edf, sdf, check_dtype=False)
+        assert eng.finished_domains == sim.finished_domains
+        assert eng.seen_filter_bytes() == sim.seen_filter_bytes()
+
     def test_empty_epoch_with_delay_matches_sim(self, ray_session, tmp_path):
         # Regression (ADVICE r1): delay_epochs>1 parks every domain on some
         # epochs → zero ready tasks while shards are NOT idle. The engine used

@@ -60,6 +60,29 @@ def test_streaming_matches_bsp_sets(ray_session, tmp_path):
             assert any(d in f for f in filters)
 
 
+def test_streaming_drain_and_resume(ray_session, tmp_path):
+    """request_stop mid-stream: drain the window, checkpoint at the quiesce
+    point, and a resumed run completes with the same final sets as BSP."""
+    import threading
+    from crusty_ray.pipelines.streaming import StreamingCrawlEngine, make_engine
+
+    bsp = make_engine(_cfg("bsp"), WEB_CFG, str(tmp_path / "bspref")).run()
+
+    cfg = _cfg("streaming")
+    eng = make_engine(cfg, WEB_CFG, str(tmp_path / "sd"))
+    threading.Timer(0.4, eng.request_stop).start()
+    eng.run()
+    assert eng.epochs_run < bsp.epochs_run or eng._stop_requested
+
+    rec = StreamingCrawlEngine.resume(cfg, WEB_CFG, str(tmp_path / "sd")).run()
+    rlog = rec.read_crawl_log().to_pandas()
+    blog = bsp.read_crawl_log().to_pandas()
+    assert not rlog.duplicated(["domain", "url"]).any()
+    assert (sorted(zip(rlog["domain"], rlog["url"]))
+            == sorted(zip(blog["domain"], blog["url"])))
+    assert sorted(rec.finished_domains) == sorted(bsp.finished_domains)
+
+
 def test_streaming_overlaps_permits(ray_session, tmp_path):
     """The window must actually overlap: with streaming_window=1 the loop
     degrades to sequential; with the default it must still terminate and
