@@ -52,6 +52,68 @@ def test_simhash_crc_path_runs(ray_session):
     assert set(res.columns) == {"doc_a", "doc_b", "hamming"}
 
 
+def test_blocked_self_join_equals_allpairs(ray_session, tmp_path):
+    """blocked_self_join (chunk-pair decomposition) produces exactly the
+    all-pairs-within-label result, including on a skewed hot label."""
+    import pyarrow as pa
+    import ray
+
+    rng = np.random.default_rng(7)
+    n = 400
+    labels = ["hot"] * 300 + [f"l{i % 5}" for i in range(100)]  # skew
+    ids = np.arange(n, dtype=np.int64)
+    vecs = rng.integers(-50, 50, size=(n, 8)).astype(np.int64)
+    t = pa.table({"vec_id": ids, "label": labels,
+                  "q": [v.tolist() for v in vecs]})
+    ds = ray.data.from_arrow(t).map_batches(lambda b: b,
+                                            batch_format="pandas")
+    THRESH = 2000
+
+    def score(ga, gb):
+        if not len(ga):
+            return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                                 "vec_b": pd.Series([], dtype="int64"),
+                                 "qdot": pd.Series([], dtype="int64")})
+        ia = ga["vec_id"].to_numpy().astype(np.int64)
+        ma = np.stack(ga["q"].to_list())
+        if gb is None:
+            order = np.argsort(ia)
+            ia, ma = ia[order], ma[order]
+            dots = ma @ ma.T
+            iu, ju = np.triu_indices(len(ia), k=1)
+            keep = dots[iu, ju] >= THRESH
+            return pd.DataFrame({"vec_a": ia[iu[keep]], "vec_b": ia[ju[keep]],
+                                 "qdot": dots[iu, ju][keep].astype("int64")})
+        ib = gb["vec_id"].to_numpy().astype(np.int64)
+        mb = np.stack(gb["q"].to_list())
+        dots = ma @ mb.T
+        r, c = np.nonzero(dots >= THRESH)
+        return pd.DataFrame({"vec_a": np.minimum(ia[r], ib[c]),
+                             "vec_b": np.maximum(ia[r], ib[c]),
+                             "qdot": dots[r, c].astype("int64")})
+
+    got = dedup.blocked_self_join(ds, "label", "vec_id", score).to_pandas() \
+        .sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+    # naive all-pairs reference
+    rows = []
+    df = t.to_pandas()
+    for _, g in df.groupby("label"):
+        gi = g["vec_id"].to_numpy()
+        gm = np.stack(g["q"].to_list())
+        order = np.argsort(gi)
+        gi, gm = gi[order], gm[order]
+        dots = gm @ gm.T
+        for i in range(len(gi)):
+            for j in range(i + 1, len(gi)):
+                if dots[i, j] >= THRESH:
+                    rows.append((gi[i], gi[j], dots[i, j]))
+    exp = pd.DataFrame(rows, columns=["vec_a", "vec_b", "qdot"]) \
+        .astype("int64").sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    assert len(exp) > 50  # non-trivial pair volume
+    pd.testing.assert_frame_equal(got, exp)
+
+
 def test_minhash_verify_matches_bruteforce(ray_session, docs):
     res = dedup.minhash_dedup_pairs(SF).to_pandas() \
         .sort_values(["doc_a", "doc_b"]).reset_index(drop=True).astype("int64")
