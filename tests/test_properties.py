@@ -73,6 +73,44 @@ def test_crawl_invariants(seed, n_domains, shard_total, total_budget,
         assert any(d in s.cuckoo for s in sim.shards)
 
 
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 10_000),
+       shard_total=st.integers(2, 12),
+       delay=st.integers(1, 3),
+       delay_jitter=st.integers(0, 2),
+       hard_jitter=st.integers(0, 2),
+       concurrency=st.integers(1, 6))
+def test_engine_equals_simulator_random_configs(
+        ray_session, tmp_path_factory, seed, shard_total, delay,
+        delay_jitter, hard_jitter, concurrency):
+    """Distributed engine ≡ simulator across random politeness/jitter/shard
+    configs, FORCING the Ray Dataset path (storage exchange active) — the
+    conformance net for the delay/jitter/empty-epoch state space."""
+    from crusty_ray.pipelines.crawl import CrawlEngine
+
+    cfg, web_cfg = build(seed, 40, shard_total, 15, 6, 5, concurrency, delay)
+    cfg.crawl.delay_jitter_epochs = delay_jitter
+    cfg.crawl.job_hard_timeout_jitter_epochs = hard_jitter
+    cfg.engine.max_epochs = 20
+    cfg.engine.min_epoch_rows_for_ray = 0
+    cfg.engine.fetch_batch_size = 32
+
+    sim = CrawlSimulator(cfg, web_cfg).run()
+    base = tmp_path_factory.mktemp(f"prop{seed}")
+    eng = CrawlEngine(cfg, web_cfg, str(base / "out")).run()
+
+    assert eng.finished_domains == sim.finished_domains
+    assert eng.seen_filter_bytes() == sim.seen_filter_bytes()
+    import pandas as pd
+    e = pd.DataFrame(eng.read_crawl_log().to_pylist()).drop(columns=["image_ids"])
+    s = pd.DataFrame(sim.crawl_log).drop(columns=["image_ids"])
+    pd.testing.assert_frame_equal(
+        e.sort_values(["epoch", "seq"]).reset_index(drop=True),
+        s.sort_values(["epoch", "seq"]).reset_index(drop=True),
+        check_dtype=False)
+
+
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(seed=st.integers(0, 10_000), cut=st.integers(1, 12))
