@@ -86,32 +86,29 @@ def minhash_signature(grams: set[str]) -> np.ndarray:
 
 def minhash_bands_batch(batch: pd.DataFrame) -> pd.DataFrame:
     """doc → N_BANDS rows (band_id, band_hash, doc_id): the only thing that
-    shuffles."""
-    out_doc, out_band, out_hash = [], [], []
-    for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
-        sig = minhash_signature(word_ngrams(text))
-        for b in range(N_BANDS):
-            chunk = sig[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]
-            h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-            out_doc.append(doc_id)
-            out_band.append(b)
-            out_hash.append(h)
-    return pd.DataFrame({"doc_id": out_doc, "band_id": out_band,
-                         "band_hash": out_hash})
+    shuffles.
 
-
-def _pairs_from_buckets(group: pd.DataFrame) -> pd.DataFrame:
-    ids = sorted(set(group["doc_id"]))
-    if len(ids) < 2:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64")})
-    a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
-    return pd.DataFrame({"doc_a": pd.Series(a, dtype="int64"),
-                         "doc_b": pd.Series(b, dtype="int64")})
+    Band hashes are a vectorized splitmix chain over each band's
+    ROWS_PER_BAND signature words (r1 used one Python blake2b call per
+    (doc, band) — ~800k calls at sf0.1, the stage's hot loop)."""
+    from ..core.hashing import mix64
+    if not len(batch):
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "band_id": pd.Series([], dtype="int64"),
+                             "band_hash": pd.Series([], dtype="int64")})
+    sigs = np.stack([minhash_signature(word_ngrams(t))
+                     for t in batch["text"].fillna("")])        # (N, 64)
+    bands = sigs.reshape(len(sigs), N_BANDS, ROWS_PER_BAND)     # (N, B, R)
+    with np.errstate(over="ignore"):
+        h = np.zeros((len(sigs), N_BANDS), dtype=np.uint64)
+        for r in range(ROWS_PER_BAND):  # R=4 vectorized combine steps
+            h = mix64(h + bands[:, :, r] + np.uint64(r) * _PERM_OFFSETS[1])
+    n = len(sigs)
+    return pd.DataFrame({
+        "doc_id": np.repeat(batch["doc_id"].to_numpy(), N_BANDS),
+        "band_id": np.tile(np.arange(N_BANDS, dtype=np.int64), n),
+        "band_hash": h.reshape(-1).astype(np.int64),
+    })
 
 
 def minhash_candidates_ds(sf_dir: str):
@@ -125,12 +122,15 @@ def minhash_candidates_ds(sf_dir: str):
     bands = ds.map_batches(minhash_bands_batch, batch_format="pandas")
 
     def pairs_in_part(df: pd.DataFrame) -> pd.DataFrame:
-        frames = [_pairs_from_buckets(g)
-                  for _, g in df.groupby(["band_id", "band_hash"])]
-        if not frames:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64")})
-        return pd.concat(frames, ignore_index=True)
+        # vectorized bucket self-join (the r1 per-bucket Python loop +
+        # pd.concat of thousands of mostly-empty frames was 8 s of the
+        # stage's 10 s at sf0.1; this merge is ~0.1 s for the same rows).
+        # A pathologically hot bucket is still quadratic — at production
+        # scale cap bucket size (drop too-common bands as stop-hashes).
+        m = df.merge(df, on=["band_id", "band_hash"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        return pd.DataFrame({"doc_a": m["doc_id_x"].astype("int64"),
+                             "doc_b": m["doc_id_y"].astype("int64")})
 
     pairs = partitioned_group_apply(bands, ["band_hash"], pairs_in_part)
 

@@ -57,6 +57,19 @@ def test_all_oracle_keys_have_queries(contract):
     assert not missing, f"oracle without query: {missing}"
 
 
+def test_every_query_is_covered_by_some_check(contract):
+    """Completeness guard: every queries() entry must appear in exactly one
+    of the check lists below — a new query that lands in none would silently
+    skip conformance."""
+    queries, _ = contract
+    crawl_checked = {"crawl_log", "crawl_topk", "crawl_job_metrics",
+                     "crawl_images", "multimodal_thumbs",
+                     "image_exact_dedup", "image_phash_near_dups"}
+    listed = set(SQL_CHECKED) | set(ROWS_ONLY) | crawl_checked
+    assert set(queries) == listed, (
+        f"unlisted: {set(queries) - listed}; stale: {listed - set(queries)}")
+
+
 SQL_CHECKED = [
     "token_stats", "fingerprint_md5", "quality_class", "lang_distribution",
     "exact_dedup", "ngram_jaccard_pairs", "embedding_quant_dedup",
@@ -106,6 +119,9 @@ def test_entry_smoke(ray_session):
 def test_crawl_queries_run(contract):
     queries, _ = contract
     for name in ["crawl_log", "crawl_topk", "crawl_job_metrics",
-                 "crawl_images", "multimodal_thumbs"]:
+                 "crawl_images", "multimodal_thumbs",
+                 "image_exact_dedup", "image_phash_near_dups"]:
         df = _to_df(queries[name](SF_DIR))
-        assert len(df) > 0, name
+        assert df is not None and len(df.columns) > 0, name
+        if name != "image_phash_near_dups":  # near-dup pairs may be empty
+            assert len(df) > 0, name
