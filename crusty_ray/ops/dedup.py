@@ -19,8 +19,6 @@ Scale notes (the part that matters at 100 TB):
 from __future__ import annotations
 
 import hashlib
-from collections import defaultdict
-
 import numpy as np
 import pandas as pd
 
@@ -370,21 +368,26 @@ def ngram_jaccard_pairs_ds(sf_dir: str, n: int = 3, threshold_pm: int = 500):
     grams = ds.map_batches(explode, batch_format="pandas")
 
     def pairs_in_source(group: pd.DataFrame) -> pd.DataFrame:
-        counts = group.groupby("doc_id")["gram"].nunique()
-        inter: dict[tuple, int] = defaultdict(int)
-        for _, sub in group.groupby("gram"):
-            ids = sorted(sub["doc_id"].unique())
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    inter[(ids[i], ids[j])] += 1
-        rows = []
-        for (a, b), shared in inter.items():
-            union = counts[a] + counts[b] - shared
-            jpm = (1000 * shared) // union  # integer per-mille (SQL-exact)
-            if jpm >= threshold_pm:
-                rows.append({"doc_a": a, "doc_b": b, "jaccard_pm": jpm})
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard_pm"]).astype(
-            {"doc_a": "int64", "doc_b": "int64", "jaccard_pm": "int64"})
+        # vectorized: self-merge on gram → shared-gram counts per pair,
+        # then integer per-mille Jaccard (bit-identical to the r1 per-gram
+        # Python loops, which were the stage's hot path)
+        g = group[["doc_id", "gram"]].drop_duplicates()
+        counts = g.groupby("doc_id")["gram"].size()
+        m = g.merge(g, on="gram")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        inter = m.groupby(["doc_id_x", "doc_id_y"]).size().reset_index(
+            name="shared")
+        union = (counts.loc[inter["doc_id_x"]].to_numpy()
+                 + counts.loc[inter["doc_id_y"]].to_numpy()
+                 - inter["shared"].to_numpy())
+        jpm = (1000 * inter["shared"].to_numpy()) // union
+        keep = jpm >= threshold_pm
+        return pd.DataFrame({
+            "doc_a": inter.loc[keep, "doc_id_x"].astype("int64"),
+            "doc_b": inter.loc[keep, "doc_id_y"].astype("int64"),
+            "jaccard_pm": pd.Series(jpm[keep], dtype="int64",
+                                    index=inter.index[keep]),
+        }).reset_index(drop=True)
 
     return grams.groupby("source").map_groups(pairs_in_source, batch_format="pandas")
 

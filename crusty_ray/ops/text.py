@@ -48,7 +48,7 @@ def token_stats(batch: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def fingerprint(batch: pd.DataFrame) -> pd.DataFrame:
+def fingerprint(batch: pd.DataFrame, with_rolling: bool = True) -> pd.DataFrame:
     """Document fingerprint = md5 hex of the text (exactly DuckDB's ``md5``),
     plus a 64-bit rolling hash used internally by the near-dup ops.
 
@@ -58,13 +58,13 @@ def fingerprint(batch: pd.DataFrame) -> pd.DataFrame:
     numpy/pyarrow, and md5 specifically is required for DuckDB-oracle parity.
     """
     texts = batch["text"].fillna("")
-    return pd.DataFrame({
-        "doc_id": batch["doc_id"],
-        "md5": [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts],
-        "rhash64": np.array(
+    out = {"doc_id": batch["doc_id"],
+           "md5": [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]}
+    if with_rolling:  # per-char loop — only when the caller wants rhash64
+        out["rhash64"] = np.array(
             [_rolling_hash(t) for t in texts], dtype=np.uint64
-        ).astype(np.int64),
-    })
+        ).astype(np.int64)
+    return pd.DataFrame(out)
 
 
 def _rolling_hash(text: str, base: int = 1000003, mod: int = (1 << 61) - 1) -> int:
@@ -140,10 +140,12 @@ def token_stats_ds(sf_dir: str):
 
 
 def fingerprint_ds(sf_dir: str):
+    # rhash64's per-char rolling hash is skipped here — the query projects
+    # only (doc_id, md5), and computing-then-dropping it dominated the stage
     return _io_read(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"]) \
-        .map_batches(fingerprint, batch_format="pandas") \
-        .select_columns(["doc_id", "md5"])
+        .map_batches(lambda b: fingerprint(b, with_rolling=False),
+                     batch_format="pandas")
 
 
 def quality_ds(sf_dir: str):
