@@ -66,11 +66,10 @@ class StreamingCrawlEngine(CrawlEngine):
     # ------------------------------------------------------------- main loop
     def _stream_loop(self, max_permits: int) -> None:
         cfg = self.cfg
-        from ..sim.simulator import seed_messages
         from ..state.frontier import DomainMsg
 
         if self.start_epoch == 0:
-            msgs = seed_messages(self.seeds, cfg, self.web)
+            msgs = self._resolve_seeds()
             by_shard: dict[int, list[DomainMsg]] = {}
             for m in msgs:
                 by_shard.setdefault(m.shard, []).append(m)
