@@ -15,7 +15,6 @@ import re
 import numpy as np
 import pandas as pd
 
-import ray
 
 from .io import read_parquet as _io_read
 

@@ -21,11 +21,9 @@ decoded pixels — the part the rule actually grades.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-import ray
 
 from ..codecs.images import decode_image, phash64, psnr
 from ..config import Config

@@ -9,7 +9,6 @@ determinism, and per-row (not per-batch) failure isolation.
 
 import numpy as np
 import pyarrow as pa
-import pytest
 
 import ray
 
