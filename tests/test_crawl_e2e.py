@@ -154,6 +154,51 @@ class TestEngineMatchesSimulator:
         assert eng.seen_filter_bytes() == sim.seen_filter_bytes()
 
 
+class TestAbsorbRetryIdempotent:
+    def test_epoch_stage_retry_overwrites(self, tmp_path):
+        """A Ray task retry re-executes EpochStage on the same batch; the
+        deterministic (epoch, min-seq) file names must make the second
+        attempt overwrite, not duplicate (ADVICE r1 #3)."""
+        import os
+        import pyarrow as pa
+        from crusty_ray.pipelines.crawl import EpochStage
+        cfg = small_cfg()
+        absorb = str(tmp_path / "absorb")
+        stage = EpochStage(WEB_CFG, cfg, absorb)
+        n = 12
+        web_seeds = [f"http://site{i:05d}.com/" for i in range(n)]
+        batch = pa.table({
+            "url": web_seeds,
+            "domain": [u[7:-1] for u in web_seeds],
+            "depth": pa.array([0] * n, pa.int32()),
+            "shard": pa.array([i % cfg.jobs.shard_total for i in range(n)],
+                              pa.int32()),
+            "epoch": pa.array([3] * n, pa.int32()),
+            "seq": pa.array(range(n), pa.int64()),
+        })
+        out1 = stage(batch)
+
+        def snapshot():
+            got = {}
+            for root, _, files in os.walk(absorb):
+                for f in files:
+                    p = os.path.join(root, f)
+                    got[os.path.relpath(p, absorb)] = os.path.getsize(p)
+            return got
+
+        files1 = snapshot()
+        assert files1, "absorb files written"
+        out2 = stage(batch)  # the "retry"
+        files2 = snapshot()
+        assert files1 == files2  # same names, same sizes — overwritten
+        assert out1.equals(out2)  # deterministic log projection
+        # total absorbed rows across files == ONE attempt's rows
+        import pyarrow.feather as pf
+        total = sum(pf.read_table(os.path.join(absorb, rel)).num_rows
+                    for rel in files2)
+        assert total == n
+
+
 class TestResume:
     def test_resume_equals_uninterrupted(self, ray_session, tmp_path, sim_result):
         from crusty_ray.pipelines.crawl import CrawlEngine
