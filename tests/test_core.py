@@ -122,3 +122,51 @@ class TestHashing:
         c = stable_rng("k", 2).integers(0, 1 << 30, 5)
         assert list(a) == list(b)
         assert list(a) != list(c)
+
+
+def test_resolve_link_fast_path_equivalence():
+    """The string fast paths in resolve_link must agree exactly with the
+    urljoin reference (_resolve_link_slow) — fuzzed over URL-ish shapes plus
+    every href the synthetic web actually emits."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from crusty_ray.core.urls import _resolve_link_slow, resolve_link
+
+    seg = st.text(alphabet="abcdefgz019.-_~%/:?#@ \t", min_size=0, max_size=12)
+    base = st.one_of(
+        st.just("http://site00001.net/"),
+        st.just("http://a.com/dir/page"),
+        st.just("https://www.x.org/a/b/c"),
+        st.just("HTTP://UP.com/p"),
+        st.just("http://h.com:8080/p"),
+        st.just("http://u@h.com/p"),
+    )
+
+    def reference(base, href):  # the complete pre-fast-path semantics
+        href = href.strip()
+        if not href or href.startswith(("#", "javascript:", "mailto:", "data:")):
+            return None
+        return _resolve_link_slow(base, href)
+
+    @settings(max_examples=400, deadline=None)
+    @given(base=base, href=seg)
+    def fuzz(base, href):
+        assert resolve_link(base, href) == reference(base, href)
+
+    fuzz()
+
+    # plus the real corpus: every RAW href in the first pages of 40 domains
+    # (absolute / root-relative / bare-relative mix straight from the HTML)
+    import re
+    from crusty_ray.datagen.webgraph import SyntheticWeb, WebConfig
+    web = SyntheticWeb(WebConfig(n_domains=40, max_pages_per_domain=10))
+    checked = 0
+    for i in range(40):
+        for j in range(4):
+            rec = web.page_record(web.page_url(i, j))
+            base_url = rec["url"]
+            body = (rec.get("body") or b"").decode("utf-8", "replace")
+            for href in re.findall(r'href="([^"]*)"', body):
+                assert resolve_link(base_url, href) == reference(base_url, href)
+                checked += 1
+    assert checked > 500
