@@ -17,6 +17,9 @@ from .tld import DEFAULT_TLD_SET
 
 def host_of(url: str) -> Optional[str]:
     """Lowercased host of an absolute URL, or None."""
+    c = _split_canonical(url)
+    if c is not None:
+        return c[1]
     try:
         h = urlsplit(url).hostname
     except ValueError:
@@ -28,8 +31,13 @@ def normalize_url(url: str) -> str:
     """Canonical form: lowercase scheme+host, drop fragment, default path '/'.
 
     The reference relies on the WHATWG normalization done inside ``url::Url``;
-    this is the subset our synthetic web exercises.
+    this is the subset our synthetic web exercises. Already-canonical URLs
+    take a string fast path (equivalence fuzz-tested next to resolve_link's).
     """
+    c = _split_canonical(url)
+    if c is not None:
+        scheme, host, path = c
+        return f"{scheme}://{host}{path or '/'}"
     try:
         s = urlsplit(url)
     except ValueError:

@@ -155,6 +155,39 @@ def test_resolve_link_fast_path_equivalence():
 
     fuzz()
 
+    # normalize_url / host_of fast paths vs their urlsplit reference
+    from urllib.parse import urlsplit, urlunsplit
+    from crusty_ray.core.urls import host_of, normalize_url
+
+    def norm_ref(url):
+        try:
+            s = urlsplit(url)
+        except ValueError:
+            return url
+        scheme = (s.scheme or "http").lower()
+        host = (s.hostname or "").lower()
+        port = f":{s.port}" if s.port else ""
+        return urlunsplit((scheme, host + port, s.path or "/", s.query, ""))
+
+    def host_ref(url):
+        try:
+            h = urlsplit(url).hostname
+        except ValueError:
+            return None
+        return h.lower() if h else None
+
+    urlish = st.text(alphabet="htps:/abz019.-_~%?#@ \t", min_size=0,
+                     max_size=24)
+
+    @settings(max_examples=400, deadline=None)
+    @given(url=st.one_of(urlish, st.just("http://a.com/p"),
+                         st.just("https://B.com:80/x?q#f")))
+    def fuzz_norm(url):
+        assert normalize_url(url) == norm_ref(url)
+        assert host_of(url) == host_ref(url)
+
+    fuzz_norm()
+
     # plus the real corpus: every RAW href in the first pages of 40 domains
     # (absolute / root-relative / bare-relative mix straight from the HTML)
     import re
