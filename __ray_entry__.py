@@ -93,6 +93,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pandas as pd
         return pd.DataFrame(_crawl_outputs()["engine"].job_metrics)
 
+    def crawl_streaming_log(sf_dir: str):
+        # the streaming (non-BSP) mode end-to-end: free-running permits,
+        # bounded in-flight window (rows-only; its oracle is set-equality
+        # with BSP mode, tests/test_streaming_mode.py)
+        c = _crawl_outputs()
+        if "streaming_log" not in c:
+            import copy
+            import tempfile
+            from crusty_ray.pipelines.streaming import make_engine
+            cfg = copy.deepcopy(c["cfg"])  # engine sub-config is shared
+            cfg.engine.mode = "streaming"
+            out = os.path.join(tempfile.mkdtemp(prefix="crusty_stream_"), "s")
+            eng = make_engine(cfg, c["web_cfg"], out).run(15)
+            c["streaming_log"] = eng.read_crawl_log().drop_columns(["image_ids"])
+        return c["streaming_log"]
+
     def crawl_db_metrics(sf_dir: str):
         # per-sink write notifications (DBNotificationDBE, types.rs:119-128)
         import pandas as pd
@@ -186,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_job_metrics": crawl_job_metrics,
         "crawl_stage_gauges": crawl_stage_gauges,
         "crawl_db_metrics": crawl_db_metrics,
+        "crawl_streaming_log": crawl_streaming_log,
         "crawl_images": crawl_images,
         "multimodal_thumbs": multimodal_thumbs,
     }

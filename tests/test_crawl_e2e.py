@@ -154,6 +154,20 @@ class TestEngineMatchesSimulator:
         assert eng.seen_filter_bytes() == sim.seen_filter_bytes()
 
 
+def test_parallel_seed_resolution_equals_serial(ray_session, tmp_path):
+    """>20k seeds resolve via chunked Ray tasks — byte-identical to the
+    serial path (pure function, chunked in order)."""
+    from crusty_ray.datagen.webgraph import SyntheticWeb
+    from crusty_ray.pipelines.crawl import CrawlEngine
+    from crusty_ray.sim.simulator import seed_messages
+
+    cfg = small_cfg()
+    wc = WebConfig(n_domains=25_000, max_pages_per_domain=4)
+    seeds = [f"http://{SyntheticWeb(wc).domain_name(i)}/" for i in range(22_000)]
+    eng = CrawlEngine(cfg, wc, str(tmp_path / "o"), seeds=seeds)
+    assert eng._resolve_seeds() == seed_messages(seeds, cfg, SyntheticWeb(wc))
+
+
 class TestAbsorbRetryIdempotent:
     def test_epoch_stage_retry_overwrites(self, tmp_path):
         """A Ray task retry re-executes EpochStage on the same batch; the
