@@ -57,6 +57,11 @@ def bench_crawl(num_cpus: int, large: bool = False) -> dict:
     # still but quadruples per-task batch memory (wrong trade for
     # image-heavy payload rows).
     cfg.engine.fetch_batch_size = int(os.environ.get("GRAFT_FETCH_BS", "1024"))
+    # transient absorb/exchange files in RAM on this single node (/tmp is
+    # disk-backed ext4 here); a multi-node deployment must leave this None
+    # so the exchange lands on storage every node shares
+    if os.path.isdir("/dev/shm"):
+        cfg.engine.scratch_dir = "/dev/shm"
     cfg.engine.checkpoint_every_epochs = 10
     cfg.engine.min_epoch_rows_for_ray = 256
     cfg.engine.max_epochs = 6       # steady-state throughput, not the long tail

@@ -101,6 +101,12 @@ class EngineConfig:
     min_epoch_rows_for_ray: int = 2048   # below this, run the epoch inline (driver) —
                                          # task launch overhead would dominate
     gauge_interval_s: float = 1.0     # sub-epoch stage-gauge cadence (A5)
+    scratch_dir: Optional[str] = None  # transient absorb/exchange file root.
+                                      # None → under out_dir (CORRECT for
+                                      # multi-node: the exchange must live on
+                                      # storage every node shares). On a
+                                      # single node, /dev/shm makes the
+                                      # intra-epoch exchange RAM-speed.
     mode: str = "bsp"                 # "bsp" (deterministic epochal barriers)
                                       # | "streaming" (free-running permits,
                                       # bounded in-flight — crusty.rs:216-230)

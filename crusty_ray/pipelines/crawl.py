@@ -358,6 +358,16 @@ class CrawlEngine:
         self.seeds = seeds if seeds is not None else self.web.seeds()
         os.makedirs(f"{out_dir}/crawl_log", exist_ok=True)
         os.makedirs(f"{out_dir}/checkpoints", exist_ok=True)
+        # transient absorb/exchange root: cfg.engine.scratch_dir (e.g.
+        # /dev/shm on a single node) or out_dir (multi-node shared storage).
+        # Keyed by a hash of out_dir so concurrent engines never collide and
+        # resume() can find (and clean) the same scratch deterministically.
+        if cfg.engine.scratch_dir:
+            import hashlib as _hashlib
+            tag = _hashlib.md5(os.path.abspath(out_dir).encode()).hexdigest()[:10]
+            self.scratch = f"{cfg.engine.scratch_dir}/crusty-{tag}"
+        else:
+            self.scratch = out_dir
 
         # SPREAD the frontier shards across the cluster: on a multi-node
         # deployment each node then hosts ~shard_total/n_nodes shards, so
@@ -527,10 +537,10 @@ class CrawlEngine:
         _t0 = _time2.time()
         n_tasks = table.num_rows
         log_dir = f"{self.out_dir}/crawl_log/epoch={epoch}"
-        absorb_dir: str | None = f"{self.out_dir}/absorb/epoch={epoch}"
+        absorb_dir: str | None = f"{self.scratch}/absorb/epoch={epoch}"
         # Ray-path epochs exchange cross-shard discoveries through storage
         # (shard-to-shard); tiny inline epochs keep the O(tiny) driver merge
-        exchange_dir: str | None = f"{self.out_dir}/exchange/epoch={epoch}"
+        exchange_dir: str | None = f"{self.scratch}/exchange/epoch={epoch}"
 
         if n_tasks == 0:
             # zero ready tasks but shards not idle (delayed domains): no
@@ -754,8 +764,8 @@ class CrawlEngine:
         # stale absorb/exchange files from a crashed epoch would double-apply
         # on replay
         import shutil
-        shutil.rmtree(f"{out_dir}/absorb", ignore_errors=True)
-        shutil.rmtree(f"{out_dir}/exchange", ignore_errors=True)
+        shutil.rmtree(f"{eng.scratch}/absorb", ignore_errors=True)
+        shutil.rmtree(f"{eng.scratch}/exchange", ignore_errors=True)
         return eng
 
     # ------------------------------------------------------------- outputs
@@ -764,6 +774,9 @@ class CrawlEngine:
             if rows:
                 pq.write_table(pa.Table.from_pylist(rows), f"{self.out_dir}/{name}.parquet")
 
+        if self.scratch != self.out_dir:
+            import shutil
+            shutil.rmtree(self.scratch, ignore_errors=True)  # no shm litter
         write(self.job_metrics, "metrics_job")
         write(self.topk_rows, "domain_topk")
         write(self.gauges, "metrics_queue")

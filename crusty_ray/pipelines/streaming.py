@@ -124,8 +124,8 @@ class StreamingCrawlEngine(CrawlEngine):
         table = table.append_column(
             "seq", pa.array(range(n_tasks), pa.int64()))
         log_dir = f"{self.out_dir}/crawl_log/epoch={permit}"
-        absorb_dir = f"{self.out_dir}/absorb/epoch={permit}"
-        exchange_dir = f"{self.out_dir}/exchange/epoch={permit}"
+        absorb_dir = f"{self.scratch}/absorb/epoch={permit}"
+        exchange_dir = f"{self.scratch}/exchange/epoch={permit}"
         shutil.rmtree(absorb_dir, ignore_errors=True)
 
         if n_tasks < cfg.engine.min_epoch_rows_for_ray:

@@ -137,6 +137,19 @@ class TestEngineMatchesSimulator:
         assert eng.finished_domains == sim.finished_domains
         assert eng.seen_filter_bytes() == sim.seen_filter_bytes()
 
+    def test_scratch_dir_exact_match(self, ray_session, tmp_path, sim_result):
+        # transient exchange on a RAM-backed scratch dir (bench setting) —
+        # identical results, and the scratch root is cleaned up afterwards
+        import os
+        cfg = small_cfg(**{"engine.min_epoch_rows_for_ray": 0,
+                           "engine.fetch_batch_size": 16,
+                           "engine.scratch_dir": str(tmp_path / "shm")})
+        eng = self._engine(tmp_path, cfg).run()
+        edf, sdf = log_df(eng.read_crawl_log()), log_df(sim_result.crawl_log)
+        pd.testing.assert_frame_equal(edf, sdf, check_dtype=False)
+        assert eng.seen_filter_bytes() == sim_result.seen_filter_bytes()
+        assert not os.path.exists(eng.scratch)  # cleaned at _write_outputs
+
     def test_empty_epoch_with_delay_matches_sim(self, ray_session, tmp_path):
         # Regression (ADVICE r1): delay_epochs>1 parks every domain on some
         # epochs → zero ready tasks while shards are NOT idle. The engine used
