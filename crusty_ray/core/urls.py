@@ -12,7 +12,13 @@ from __future__ import annotations
 from typing import Optional
 from urllib.parse import urljoin, urlsplit, urlunsplit
 
+import re as _re
+
 from .tld import DEFAULT_TLD_SET
+
+# "." or ".." as a full path segment — urljoin applies RFC dot-segment
+# removal to these; the fast paths must defer them
+_DOT_SEGMENT = _re.compile(r"(^|/)\.{1,2}(/|$)")
 
 
 def host_of(url: str) -> Optional[str]:
@@ -39,14 +45,19 @@ def normalize_url(url: str) -> str:
         scheme, host, path = c
         return f"{scheme}://{host}{path or '/'}"
     try:
+        # .hostname/.port are LAZY properties — a malformed authority (e.g.
+        # "//::") raises at access time, so they must be inside the try
+        # (pre-r2 bug found by the equivalence fuzz: a crafted href could
+        # crash the fetch stage)
         s = urlsplit(url)
+        scheme = (s.scheme or "http").lower()
+        host = (s.hostname or "").lower()
+        port = f":{s.port}" if s.port else ""
+        path = s.path or "/"
+        query = s.query
     except ValueError:
         return url
-    scheme = (s.scheme or "http").lower()
-    host = (s.hostname or "").lower()
-    port = f":{s.port}" if s.port else ""
-    path = s.path or "/"
-    return urlunsplit((scheme, host + port, path, s.query, ""))
+    return urlunsplit((scheme, host + port, path, query, ""))
 
 
 def _split_canonical(url: str):
@@ -90,15 +101,21 @@ def resolve_link(base_url: str, href: str) -> Optional[str]:
         return _resolve_link_slow(base_url, href)
     if (":" not in href.partition("/")[0]
             and not any(c in href for c in "?#\t\r\n ")
-            and "./" not in href
-            and not href.startswith((".", "//"))):
+            and not _DOT_SEGMENT.search(href)
+            and not href.startswith("//")):
         b = _split_canonical(base_url)
         if b is not None:
             scheme, host, bpath = b
             if href.startswith("/"):
+                # root-relative: urljoin removes dot segments (guarded
+                # above) but preserves empty ("//") segments here
                 return f"{scheme}://{host}{href}"
-            base_dir = bpath[: bpath.rfind("/") + 1] if "/" in bpath else "/"
-            return f"{scheme}://{host}{base_dir}{href}"
+            if "//" not in href and "//" not in bpath:
+                # bare-relative goes through urljoin's segment merge, which
+                # collapses empty segments — defer those to the slow path
+                base_dir = (bpath[: bpath.rfind("/") + 1]
+                            if "/" in bpath else "/")
+                return f"{scheme}://{host}{base_dir}{href}"
     return _resolve_link_slow(base_url, href)
 
 

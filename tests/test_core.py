@@ -162,12 +162,13 @@ def test_resolve_link_fast_path_equivalence():
     def norm_ref(url):
         try:
             s = urlsplit(url)
-        except ValueError:
+            scheme = (s.scheme or "http").lower()
+            host = (s.hostname or "").lower()
+            port = f":{s.port}" if s.port else ""
+            path, query = s.path or "/", s.query
+        except ValueError:  # lazy .hostname/.port raise on malformed input
             return url
-        scheme = (s.scheme or "http").lower()
-        host = (s.hostname or "").lower()
-        port = f":{s.port}" if s.port else ""
-        return urlunsplit((scheme, host + port, s.path or "/", s.query, ""))
+        return urlunsplit((scheme, host + port, path, query, ""))
 
     def host_ref(url):
         try:
