@@ -75,7 +75,9 @@ def _split_canonical(url: str):
             or host != host.lower()):
         return None
     # urllib strips \t\r\n anywhere and treats ?/# specially — defer those
-    if any(c in url for c in "?#\t\r\n "):
+    # (chained `in` is memchr-speed; a generator-any here profiled hot)
+    if ("?" in url or "#" in url or "\t" in url or "\r" in url
+            or "\n" in url or " " in url):
         return None
     return scheme, host, path
 
@@ -100,7 +102,8 @@ def resolve_link(base_url: str, href: str) -> Optional[str]:
             return f"{scheme}://{host}{path or '/'}"
         return _resolve_link_slow(base_url, href)
     if (":" not in href.partition("/")[0]
-            and not any(c in href for c in "?#\t\r\n ")
+            and "?" not in href and "#" not in href and "\t" not in href
+            and "\r" not in href and "\n" not in href and " " not in href
             and not _DOT_SEGMENT.search(href)
             and not href.startswith("//")):
         b = _split_canonical(base_url)

@@ -60,6 +60,28 @@ def test_streaming_matches_bsp_sets(ray_session, tmp_path):
             assert any(d in f for f in filters)
 
 
+def test_streaming_with_delay_settles(ray_session, tmp_path):
+    """delay_epochs>1 parks every domain on some permits → the settle
+    branch (zero tasks, empty window, non-idle shards) must keep the clock
+    advancing and the crawl completing with BSP-equal sets."""
+    from crusty_ray.pipelines.streaming import make_engine
+
+    def delayed(mode):
+        cfg = _cfg(mode)
+        cfg.crawl.delay_epochs = 2
+        cfg.engine.max_epochs = 120
+        return cfg
+
+    bsp = make_engine(delayed("bsp"), WEB_CFG, str(tmp_path / "b")).run()
+    stream = make_engine(delayed("streaming"), WEB_CFG,
+                         str(tmp_path / "s")).run()
+    blog = bsp.read_crawl_log().to_pandas()
+    slog = stream.read_crawl_log().to_pandas()
+    assert (sorted(zip(slog["domain"], slog["url"]))
+            == sorted(zip(blog["domain"], blog["url"])))
+    assert sorted(stream.finished_domains) == sorted(bsp.finished_domains)
+
+
 def test_streaming_drain_and_resume(ray_session, tmp_path):
     """request_stop mid-stream: drain the window, checkpoint at the quiesce
     point, and a resumed run completes with the same final sets as BSP."""
