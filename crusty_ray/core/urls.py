@@ -72,7 +72,7 @@ def _split_canonical(url: str):
     slash = rest.find("/")
     host, path = (rest, "") if slash < 0 else (rest[:slash], rest[slash:])
     if (not host or "@" in host or ":" in host or "[" in host
-            or host != host.lower()):
+            or "]" in host or host != host.lower()):
         return None
     # urllib strips \t\r\n anywhere and treats ?/# specially — defer those
     # (chained `in` is memchr-speed; a generator-any here profiled hot)
@@ -96,6 +96,11 @@ def resolve_link(base_url: str, href: str) -> Optional[str]:
     if not href or href.startswith(("#", "javascript:", "mailto:", "data:")):
         return None
     if href.startswith(("http://", "https://")):
+        # urljoin routes even absolute hrefs through urlparse/urlunparse,
+        # which silently drops a trailing ';' (empty params) from the last
+        # path segment — defer those to the slow path
+        if ";" in href:
+            return _resolve_link_slow(base_url, href)
         c = _split_canonical(href)
         if c is not None:
             scheme, host, path = c
@@ -104,6 +109,7 @@ def resolve_link(base_url: str, href: str) -> Optional[str]:
     if (":" not in href.partition("/")[0]
             and "?" not in href and "#" not in href and "\t" not in href
             and "\r" not in href and "\n" not in href and " " not in href
+            and ";" not in href
             and not _DOT_SEGMENT.search(href)
             and not href.startswith("//")):
         b = _split_canonical(base_url)
@@ -113,7 +119,11 @@ def resolve_link(base_url: str, href: str) -> Optional[str]:
                 # root-relative: urljoin removes dot segments (guarded
                 # above) but preserves empty ("//") segments here
                 return f"{scheme}://{host}{href}"
-            if "//" not in href and "//" not in bpath:
+            if ("//" not in href and "//" not in bpath
+                    # urljoin's segment merge dot-normalizes the BASE path
+                    # too; such bases reach the crawl via absolute hrefs
+                    # that _split_canonical passes verbatim
+                    and not _DOT_SEGMENT.search(bpath)):
                 # bare-relative goes through urljoin's segment merge, which
                 # collapses empty segments — defer those to the slow path
                 base_dir = (bpath[: bpath.rfind("/") + 1]

@@ -431,13 +431,20 @@ def blocked_self_join(ds, label_col: str, id_col: str,
 
     def score_group(df: pd.DataFrame) -> pd.DataFrame:
         outs = []
-        for _, g in df.groupby("__pair", sort=False):
-            chunks = sorted(g["__chunk"].unique())
-            if len(chunks) == 1:
+        for key, g in df.groupby("__pair", sort=False):
+            # Decode (a, b) from the key — never infer from which chunks
+            # happen to be populated: a cross-chunk group whose label has
+            # rows in only one of its two chunks would otherwise be
+            # mis-scored as a diagonal, duplicating the true diagonal
+            # group's pairs.
+            a, b = divmod(int(key.rsplit("\x1f", 1)[1]), n_chunks)
+            if a == b:
                 outs.append(score_fn(g, None))
             else:
-                outs.append(score_fn(g[g["__chunk"] == chunks[0]],
-                                     g[g["__chunk"] == chunks[1]]))
+                ga = g[g["__chunk"] == a]
+                gb = g[g["__chunk"] == b]
+                if len(ga) and len(gb):
+                    outs.append(score_fn(ga, gb))
         outs = [o for o in outs if o is not None and len(o)]
         if not outs:
             return score_fn(df.iloc[0:0], None)  # typed empty frame

@@ -132,14 +132,23 @@ def test_resolve_link_fast_path_equivalence():
     from hypothesis import strategies as st
     from crusty_ray.core.urls import _resolve_link_slow, resolve_link
 
-    seg = st.text(alphabet="abcdefgz019.-_~%/:?#@ \t", min_size=0, max_size=12)
+    seg = st.text(alphabet="abcdefgz019.-_~%/:?#@; \t", min_size=0,
+                  max_size=12)
+    # generated bases too (r2 ADVICE: fixed-base fuzz missed dot-segment
+    # bases like http://h/./x, which enter via absolute hrefs)
+    bhost = st.text(alphabet="abz01.-w", min_size=1, max_size=8)
+    bpath = st.text(alphabet="abz01./:%;~.", min_size=0, max_size=12)
+    genbase = st.builds(lambda h, p: f"http://{h}/{p}", bhost, bpath)
     base = st.one_of(
+        genbase,
         st.just("http://site00001.net/"),
         st.just("http://a.com/dir/page"),
         st.just("https://www.x.org/a/b/c"),
         st.just("HTTP://UP.com/p"),
         st.just("http://h.com:8080/p"),
         st.just("http://u@h.com/p"),
+        st.just("http://h/./x"),
+        st.just("http://h/a/../b/c"),
     )
 
     def reference(base, href):  # the complete pre-fast-path semantics
@@ -154,6 +163,12 @@ def test_resolve_link_fast_path_equivalence():
         assert resolve_link(base, href) == reference(base, href)
 
     fuzz()
+
+    # r2 ADVICE regression cases, pinned explicitly
+    assert resolve_link("http://h/./x", "a/b") == "http://h/a/b"
+    assert resolve_link("http://a.com/d/", "p;") == "http://a.com/d/p"
+    assert resolve_link("http://b.com/", "http://a.com/d/p;") == \
+        reference("http://b.com/", "http://a.com/d/p;")
 
     # normalize_url / host_of fast paths vs their urlsplit reference
     from urllib.parse import urlsplit, urlunsplit
@@ -177,12 +192,13 @@ def test_resolve_link_fast_path_equivalence():
             return None
         return h.lower() if h else None
 
-    urlish = st.text(alphabet="htps:/abz019.-_~%?#@ \t", min_size=0,
+    urlish = st.text(alphabet="htps:/abz019.-_~%?#@[] \t", min_size=0,
                      max_size=24)
 
     @settings(max_examples=400, deadline=None)
     @given(url=st.one_of(urlish, st.just("http://a.com/p"),
-                         st.just("https://B.com:80/x?q#f")))
+                         st.just("https://B.com:80/x?q#f"),
+                         st.just("http://]x")))
     def fuzz_norm(url):
         assert normalize_url(url) == norm_ref(url)
         assert host_of(url) == host_ref(url)

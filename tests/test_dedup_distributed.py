@@ -114,6 +114,44 @@ def test_blocked_self_join_equals_allpairs(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, exp)
 
 
+def test_blocked_self_join_single_chunk_label(ray_session):
+    """Regression (r2 ADVICE, high): a label whose ids all share id % K
+    lands in ONE chunk; its cross-chunk (a,b) groups then contain rows from
+    only chunk a and were mis-scored as diagonals, emitting every pair K
+    times. Pairs must appear exactly once."""
+    import pyarrow as pa
+    import ray
+
+    # every id ≡ 0 (mod 8) → all rows of the label live in chunk 0
+    ids = np.arange(0, 5 * 8, 8, dtype=np.int64)
+    vecs = np.eye(5, 4, dtype=np.int64) + 10  # all pairs exceed THRESH
+    t = pa.table({"vec_id": ids, "label": ["solo"] * 5,
+                  "q": [v.tolist() for v in vecs]})
+    ds = ray.data.from_arrow(t).map_batches(lambda b: b,
+                                            batch_format="pandas")
+
+    def score(ga, gb):
+        if not len(ga):
+            return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                                 "vec_b": pd.Series([], dtype="int64")})
+        ia = np.sort(ga["vec_id"].to_numpy().astype(np.int64))
+        if gb is None:
+            iu, ju = np.triu_indices(len(ia), k=1)
+            return pd.DataFrame({"vec_a": ia[iu], "vec_b": ia[ju]})
+        ib = gb["vec_id"].to_numpy().astype(np.int64)
+        a = np.repeat(ia, len(ib))
+        b = np.tile(ib, len(ia))
+        return pd.DataFrame({"vec_a": np.minimum(a, b),
+                             "vec_b": np.maximum(a, b)})
+
+    got = dedup.blocked_self_join(ds, "label", "vec_id", score).to_pandas() \
+        .sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    iu, ju = np.triu_indices(5, k=1)
+    exp = pd.DataFrame({"vec_a": ids[iu], "vec_b": ids[ju]}) \
+        .sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)  # each pair exactly once
+
+
 def test_minhash_verify_matches_bruteforce(ray_session, docs):
     res = dedup.minhash_dedup_pairs(SF).to_pandas() \
         .sort_values(["doc_a", "doc_b"]).reset_index(drop=True).astype("int64")
