@@ -119,10 +119,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sub-epoch pipeline throughput samples (A5 1s-cadence analog)
         import pandas as pd
         c = _crawl_outputs()
-        p = f"{c['out']}/metrics_stage.parquet"
-        if os.path.exists(p):
-            import pyarrow.parquet as pq
-            return pq.read_table(p).to_pandas()
+        # metrics_stage is now a partition directory (per-epoch flushed
+        # parquet, pipelines/spool.py), not a single run-end file
+        rows = c["engine"].stage_gauges
+        if rows:
+            return pd.DataFrame(rows)
         return pd.DataFrame(columns=["epoch", "t_s", "rows", "bytes",
                                      "batches"])
 

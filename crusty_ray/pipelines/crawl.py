@@ -42,7 +42,8 @@ from ..sim.simulator import seed_messages
 from ..stages.discover import DiscoverStage
 from ..stages.fetch import FetchStage
 from ..state.frontier import DomainMsg, ShardState
-from .topk import make_topk_state
+from .spool import MetricsSpool
+from .topk import route_topk_counts
 
 LOG_COLUMNS = [
     "epoch", "seq", "url", "domain", "depth", "shard", "status_code",
@@ -87,7 +88,8 @@ class FrontierShardActor:
 
     def deliver_and_take(self, msgs: list[DomainMsg], epoch: int,
                          next_epoch: int,
-                         exchange_dir: str | None = None) -> tuple:
+                         exchange_dir: str | None = None,
+                         topk: dict | None = None) -> tuple:
         """Fused epoch-boundary round trip: deliver epoch N's cross-shard
         messages, then immediately dequeue epoch N+1's tasks and report
         idleness — one actor RPC instead of two/three (the take_ready and
@@ -95,6 +97,7 @@ class FrontierShardActor:
         per-epoch cost, BASELINE.md)."""
         if exchange_dir is not None:
             self._read_exchange(exchange_dir)
+        self.state.topk_store.advance_and_add(epoch, topk or {})
         self.state.enqueue(msgs)
         self.state.apply_enqueues(epoch)
         return self.take_ready_table(next_epoch), self.state.idle()
@@ -138,6 +141,16 @@ class FrontierShardActor:
                     self.state.absorb_table(pa.concat_tables(parts))
         out = self.state.end_epoch(epoch)
         out["gauges"] = self.state.gauges(epoch)
+        # A1 pre-agg (redis_operators.rs:93-100): count this shard's
+        # domain_links HERE — only the small {domain: int} dict crosses to
+        # the driver, never the O(links) mention lists (r2 VERDICT #1a)
+        from collections import Counter
+        counts: Counter[str] = Counter()
+        for name, linked in out.pop("domain_links"):
+            counts[name] += 1
+            for d in linked:
+                counts[d] += 1
+        out["topk_counts"] = dict(counts)
         if exchange_dir is not None:
             self._write_exchange(out.pop("outgoing"), exchange_dir)
             out["outgoing"] = {}
@@ -186,13 +199,19 @@ class FrontierShardActor:
             })
 
     def deliver(self, msgs: list[DomainMsg], epoch: int,
-                exchange_dir: str | None = None) -> None:
-        """enqueue (direct and/or from the storage exchange) + apply in one
-        round trip."""
+                exchange_dir: str | None = None,
+                topk: dict | None = None) -> None:
+        """enqueue (direct and/or from the storage exchange) + top-k owner
+        update + apply, in one round trip."""
         if exchange_dir is not None:
             self._read_exchange(exchange_dir)
+        self.state.topk_store.advance_and_add(epoch, topk or {})
         self.state.enqueue(msgs)
         self.state.apply_enqueues(epoch)
+
+    def topk_snapshot(self, epoch: int) -> dict:
+        """Ranked rows for the top-k buckets this shard owns."""
+        return self.state.topk_store.snapshot(epoch)
 
     def gauges(self, epoch: int) -> dict:
         return self.state.gauges(epoch)
@@ -378,16 +397,19 @@ class CrawlEngine:
                 scheduling_strategy="SPREAD").remote(s, cfg, web_cfg)
             for s in range(cfg.jobs.shard_total)
         ]
-        self.topk = make_topk_state(cfg.topk)
         self.metrics_actor = StageMetricsActor.remote()
-        self.stage_gauges: list[dict] = []  # sub-epoch throughput samples
-        self.db_metrics: list[dict] = []    # per-sink write notifications
-                                            # (DBNotificationDBE analog,
-                                            # types.rs:119-128)
-        self.job_metrics: list[dict] = []
-        self.topk_rows: list[dict] = []
-        self.gauges: list[dict] = []
-        self.finished_domains: list[str] = []
+        # run telemetry streams to per-epoch parquet partitions via bounded
+        # buffers (reference: ClickHouse buffered writers,
+        # clickhouse_utils.rs:37-121) — the driver holds NO run-length lists
+        # (r2 VERDICT #1b). Streams: job metrics, top-k snapshots, queue
+        # gauges, sub-epoch stage gauges, DB-op notifications
+        # (DBNotificationDBE analog, types.rs:119-128).
+        self.spool = MetricsSpool(out_dir, {
+            "job_metrics": "metrics_job", "topk_rows": "domain_topk",
+            "gauges": "metrics_queue", "stage_gauges": "metrics_stage",
+            "db_metrics": "metrics_db"})
+        self._pages_fetched_total = 0
+        self._jobs_finished_total = 0
         self.epoch_stats: list[dict] = []  # per-epoch (tasks, seconds) for steady-state throughput
         self.start_epoch = 0
         self.epochs_run = 0
@@ -395,6 +417,32 @@ class CrawlEngine:
         # inline-path stage objects (same classes the Ray path instantiates)
         self._fetcher = FetchStage(web_cfg, cfg, rules=rules)
         self._discoverer = DiscoverStage(web_cfg, cfg, rules=rules)
+
+    # Run-telemetry read-back (tests / small-scale summaries; at scale read
+    # the parquet partitions directly — these materialize O(run) rows).
+    @property
+    def job_metrics(self) -> list[dict]:
+        return self.spool.read("job_metrics")
+
+    @property
+    def finished_domains(self) -> list[str]:
+        return [m["domain"] for m in self.spool.read("job_metrics")]
+
+    @property
+    def topk_rows(self) -> list[dict]:
+        return self.spool.read("topk_rows")
+
+    @property
+    def gauges(self) -> list[dict]:
+        return self.spool.read("gauges")
+
+    @property
+    def stage_gauges(self) -> list[dict]:
+        return self.spool.read("stage_gauges")
+
+    @property
+    def db_metrics(self) -> list[dict]:
+        return self.spool.read("db_metrics")
 
     # ------------------------------------------------------------- shutdown
     def request_stop(self) -> None:
@@ -445,6 +493,7 @@ class CrawlEngine:
         prev_handlers = self._install_signal_handlers()
         try:
             if self.start_epoch == 0:
+                self.spool.reset()  # fresh run over a reused out_dir
                 msgs = self._resolve_seeds()
                 by_shard: dict[int, list[DomainMsg]] = {}
                 for m in msgs:
@@ -512,6 +561,7 @@ class CrawlEngine:
                 else epoch + 1)
             self.epoch_stats.append({"epoch": epoch, "tasks": n_tasks,
                                      "seconds": _time.time() - t0})
+            self.spool.maybe_flush(epoch)
             if trace:
                 print(f"[epoch {epoch}] tasks={n_tasks} take_ready={t1-t0:.2f}s "
                       f"run={_time.time()-t1:.2f}s", file=_sys.stderr, flush=True)
@@ -554,11 +604,11 @@ class CrawlEngine:
             out = self._fetcher(table)
             out = self._discoverer(out)
             import pyarrow.compute as _pc
-            self.stage_gauges.append({
+            self.spool.add("stage_gauges", [{
                 "epoch": epoch, "t_s": round(_time2.time() - _t0, 3),
                 "rows": out.num_rows,
                 "bytes": int(_pc.sum(out["read_size_b"]).as_py() or 0),
-                "batches": 1})
+                "batches": 1}])
             rows = out.to_pylist()
             by_shard: dict[int, list[dict]] = {}
             for r in rows:
@@ -567,9 +617,9 @@ class CrawlEngine:
             os.makedirs(log_dir, exist_ok=True)
             _t_w = _time2.time()
             pq.write_table(log_projection(out), f"{log_dir}/part-0.parquet")
-            self.db_metrics.append({
+            self.spool.add("db_metrics", [{
                 "epoch": epoch, "op": "crawl_log_write", "rows": n_tasks,
-                "ms": round((_time2.time() - _t_w) * 1000, 1)})
+                "ms": round((_time2.time() - _t_w) * 1000, 1)}])
         else:
             # a prior crashed attempt at this epoch (driver died between the
             # absorb writes and the post-barrier cleanup) may have left stale
@@ -616,12 +666,14 @@ class CrawlEngine:
                 while True:
                     finished = stop_evt.wait(cfg.engine.gauge_interval_s)
                     snap = ray.get(self.metrics_actor.snapshot.remote())
-                    self.stage_gauges.append({
+                    # buffer append only (GIL-atomic); flushes happen on the
+                    # driver thread between epochs, never concurrently
+                    self.spool.add("stage_gauges", [{
                         "epoch": epoch,
                         "t_s": round(_time2.time() - t_start, 3),
                         "rows": snap["rows"] - base["rows"],
                         "bytes": snap["bytes"] - base["bytes"],
-                        "batches": snap["batches"] - base["batches"]})
+                        "batches": snap["batches"] - base["batches"]}])
                     if finished:
                         return
 
@@ -633,10 +685,10 @@ class CrawlEngine:
             finally:
                 stop_evt.set()
                 sampler.join()
-            self.db_metrics.append({
+            self.spool.add("db_metrics", [{
                 "epoch": epoch, "op": "pipeline_and_log_write",
                 "rows": n_tasks,
-                "ms": round((_time2.time() - _t_w) * 1000, 1)})
+                "ms": round((_time2.time() - _t_w) * 1000, 1)}])
             if _os2.environ.get("CRUSTY_EPOCH_TRACE"):
                 print(f"  [e{epoch}] dataset+write done at +{_time2.time()-_t0:.2f}s",
                       file=_sys2.stderr, flush=True)
@@ -649,60 +701,81 @@ class CrawlEngine:
         import time as _time
         trace = _os.environ.get("CRUSTY_EPOCH_TRACE")
         _t_ds = _time.time()
-        self.topk.advance_epoch()
         results = ray.get([a.finish_epoch.remote(epoch, absorb_dir, exchange_dir)
                            for a in self.actors])
         if absorb_dir is not None:
             import shutil
             shutil.rmtree(absorb_dir, ignore_errors=True)  # consumed; log+checkpoints carry lineage
-        self.db_metrics.append({
+        self.spool.add("db_metrics", [{
             "epoch": epoch, "op": "absorb_read_end_epoch", "rows": n_tasks,
-            "ms": round((_time.time() - _t_ds) * 1000, 1)})
+            "ms": round((_time.time() - _t_ds) * 1000, 1)}])
         if trace:
             print(f"  [e{epoch}] end_epoch barrier done at +{_time.time()-_t_ds:.2f}s",
                   file=_sys.stderr, flush=True)
-        all_links: list[tuple[str, list[str]]] = []
+        # merge the shards' pre-aggregated counts (exact int adds) and route
+        # per owner bucket — transient O(distinct domains this epoch) on the
+        # driver; the decayed score state lives in the owner shards
+        from collections import Counter
+        total_counts: Counter[str] = Counter()
         outgoing: dict[int, dict] = {}
         for res in results:  # actor order = shard order (deterministic merge)
-            all_links.extend(res["domain_links"])
-            self.job_metrics.extend(res["job_metrics"])
-            self.finished_domains.extend(m["domain"] for m in res["job_metrics"])
-            self.gauges.append(res["gauges"])
+            total_counts.update(res["topk_counts"])
+            jm = res["job_metrics"]
+            self.spool.add("job_metrics", jm)
+            self._pages_fetched_total += sum(m["pages_fetched"] for m in jm)
+            self._jobs_finished_total += len(jm)
+            self.spool.add("gauges", [res["gauges"]])
             for tgt, msgs in res["outgoing"].items():
                 acc = outgoing.setdefault(tgt, {
                     "domain": [], "addr_key": [], "disc_depth": [], "disc_epoch": []})
                 for k in acc:
                     acc[k].extend(msgs[k])
-        self.topk.add_domain_links(all_links)
-        if (epoch + 1) % cfg.topk.consume_every_epochs == 0:
-            self.topk_rows.extend(self.topk.snapshot(epoch))
-        # every shard must apply (even with no messages) so late state settles.
-        # Scoped shards fuse next epoch's dequeue into the same round trip
-        # (deliver_and_take) when the caller asked for a prefetch.
+        topk_by_owner = route_topk_counts(total_counts, len(self.actors))
+        # every shard must apply (even with no messages) so late state settles
+        # and every top-k owner takes its decay step. Scoped shards fuse next
+        # epoch's dequeue into the same round trip (deliver_and_take) when
+        # the caller asked for a prefetch.
         cfg_j = self.cfg.jobs
         futures, take_futures = [], []
         for s in range(len(self.actors)):
             msgs = outgoing.get(s, [])
+            tk = topk_by_owner.get(s)
             if (next_epoch is not None
                     and cfg_j.shard_min <= s < cfg_j.shard_max):
                 take_futures.append(self.actors[s].deliver_and_take.remote(
-                    msgs, epoch, next_epoch, exchange_dir))
+                    msgs, epoch, next_epoch, exchange_dir, tk))
             else:
                 futures.append(self.actors[s].deliver.remote(
-                    msgs, epoch, exchange_dir))
+                    msgs, epoch, exchange_dir, tk))
         _t_dl = _time.time()
         ray.get(futures)
         results2 = ray.get(take_futures)  # scoped order preserved
-        self.db_metrics.append({
+        self.spool.add("db_metrics", [{
             "epoch": epoch, "op": "enqueue_deliver",
             "rows": sum(len(m["domain"]) for m in outgoing.values()),
-            "ms": round((_time.time() - _t_dl) * 1000, 1)})
+            "ms": round((_time.time() - _t_dl) * 1000, 1)}])
+        if (epoch + 1) % cfg.topk.consume_every_epochs == 0:
+            self.spool.add("topk_rows", self._collect_topk_snapshot(epoch))
         if exchange_dir is not None:
             import shutil
             shutil.rmtree(exchange_dir, ignore_errors=True)  # consumed
         if next_epoch is None:
             return None
         return [t for t, _ in results2], [i for _, i in results2]
+
+    def _collect_topk_snapshot(self, epoch: int) -> list[dict]:
+        """Gather owners' ranked buckets and emit them in the central
+        snapshot's sorted-bucket order (bucket ownership is disjoint, so no
+        cross-owner merging is needed — bit-identical to the simulator's
+        TopKState.snapshot)."""
+        parts = ray.get([a.topk_snapshot.remote(epoch) for a in self.actors])
+        merged: dict[str, list[dict]] = {}
+        for p in parts:
+            merged.update(p)
+        rows: list[dict] = []
+        for bucket in sorted(merged):
+            rows.extend(merged[bucket])
+        return rows
 
     # ------------------------------------------------------------- checkpoint
     def _write_checkpoint(self, epoch: int) -> None:
@@ -716,17 +789,19 @@ class CrawlEngine:
         os.makedirs(ckpt_dir, exist_ok=True)
         ray.get([a.checkpoint_to.remote(f"{ckpt_dir}/shard_{s:05d}.pkl")
                  for s, a in enumerate(self.actors)])
-        self.db_metrics.append({
+        self.spool.add("db_metrics", [{
             "epoch": epoch, "op": "checkpoint_write", "rows": len(self.actors),
-            "ms": round((_time.time() - _t0) * 1000, 1)})
+            "ms": round((_time.time() - _t0) * 1000, 1)}])
+        # flush telemetry buffers so the durable partitions agree with this
+        # checkpoint (resume drops anything flushed after it); the driver
+        # manifest carries only O(1) counters — the top-k state is inside the
+        # per-shard files
+        self.spool.flush_all(epoch)
         blob = pickle.dumps({
             "epoch": epoch,
             "n_shards": len(self.actors),
-            "topk": self.topk.checkpoint(),
-            "job_metrics": self.job_metrics,
-            "topk_rows": self.topk_rows,
-            "gauges": self.gauges,
-            "finished_domains": self.finished_domains,
+            "pages_fetched_total": self._pages_fetched_total,
+            "jobs_finished_total": self._jobs_finished_total,
         }, protocol=4)
         tmp = f"{ckpt_dir}/driver.pkl.tmp"
         with open(tmp, "wb") as f:
@@ -749,11 +824,11 @@ class CrawlEngine:
         eng = cls(cfg, web_cfg, out_dir, seeds=seeds)
         ray.get([a.restore_from.remote(f"{ckpt_dir}/shard_{s:05d}.pkl")
                  for s, a in enumerate(eng.actors)])
-        eng.topk.restore(snap["topk"])
-        eng.job_metrics = snap["job_metrics"]
-        eng.topk_rows = snap["topk_rows"]
-        eng.gauges = snap["gauges"]
-        eng.finished_domains = snap["finished_domains"]
+        # top-k state rides in the per-shard files; telemetry partitions
+        # flushed after the checkpoint are stale lineage
+        eng.spool.drop_after(snap["epoch"])
+        eng._pages_fetched_total = snap["pages_fetched_total"]
+        eng._jobs_finished_total = snap["jobs_finished_total"]
         eng.start_epoch = snap["epoch"] + 1
         eng.epochs_run = eng.start_epoch  # summary stays correct if no new epochs run
         # drop crawl-log partitions written after the checkpoint (stale lineage)
@@ -770,24 +845,17 @@ class CrawlEngine:
 
     # ------------------------------------------------------------- outputs
     def _write_outputs(self) -> None:
-        def write(rows: list[dict], name: str) -> None:
-            if rows:
-                pq.write_table(pa.Table.from_pylist(rows), f"{self.out_dir}/{name}.parquet")
-
         if self.scratch != self.out_dir:
             import shutil
             shutil.rmtree(self.scratch, ignore_errors=True)  # no shm litter
-        write(self.job_metrics, "metrics_job")
-        write(self.topk_rows, "domain_topk")
-        write(self.gauges, "metrics_queue")
-        write(self.stage_gauges, "metrics_stage")
-        write(self.db_metrics, "metrics_db")
+        # telemetry partitions were flushed continuously; drain the tails
+        self.spool.flush_all(max(0, self.epochs_run - 1))
         with open(f"{self.out_dir}/summary.json", "w") as f:
             json.dump({
                 "epochs_run": self.epochs_run,
-                "pages_fetched": sum(m["pages_fetched"] for m in self.job_metrics),
-                "jobs_finished": len(self.finished_domains),
-                "topk_rows": len(self.topk_rows),
+                "pages_fetched": self._pages_fetched_total,
+                "jobs_finished": self._jobs_finished_total,
+                "topk_rows": self.spool.rows_total["topk_rows"],
             }, f, indent=2)
 
     def read_crawl_log(self) -> pa.Table:

@@ -69,6 +69,7 @@ class StreamingCrawlEngine(CrawlEngine):
         from ..state.frontier import DomainMsg
 
         if self.start_epoch == 0:
+            self.spool.reset()  # fresh run over a reused out_dir
             msgs = self._resolve_seeds()
             by_shard: dict[int, list[DomainMsg]] = {}
             for m in msgs:
@@ -173,31 +174,37 @@ class StreamingCrawlEngine(CrawlEngine):
         if entry["thread"] is not None:
             entry["thread"].join()
         absorb_dir, exchange_dir = entry["absorb_dir"], entry["exchange_dir"]
-        self.topk.advance_epoch()
         results = ray.get([a.finish_epoch.remote(permit, absorb_dir,
                                                  exchange_dir)
                            for a in self.actors])
         if absorb_dir is not None:
             shutil.rmtree(absorb_dir, ignore_errors=True)
-        all_links: list[tuple[str, list[str]]] = []
+        from collections import Counter
+
+        from .topk import route_topk_counts
+        total_counts: Counter[str] = Counter()
         outgoing: dict[int, dict] = {}
         for res in results:
-            all_links.extend(res["domain_links"])
-            self.job_metrics.extend(res["job_metrics"])
-            self.finished_domains.extend(m["domain"] for m in res["job_metrics"])
-            self.gauges.append(res["gauges"])
+            total_counts.update(res["topk_counts"])
+            jm = res["job_metrics"]
+            self.spool.add("job_metrics", jm)
+            self._pages_fetched_total += sum(m["pages_fetched"] for m in jm)
+            self._jobs_finished_total += len(jm)
+            self.spool.add("gauges", [res["gauges"]])
             for tgt, msgs in res["outgoing"].items():
                 acc = outgoing.setdefault(tgt, {
                     "domain": [], "addr_key": [], "disc_depth": [],
                     "disc_epoch": []})
                 for k in acc:
                     acc[k].extend(msgs[k])
-        self.topk.add_domain_links(all_links)
-        if (permit + 1) % self.cfg.topk.consume_every_epochs == 0:
-            self.topk_rows.extend(self.topk.snapshot(permit))
+        topk_by_owner = route_topk_counts(total_counts, len(self.actors))
         ray.get([self.actors[s].deliver.remote(outgoing.get(s, []), permit,
-                                               exchange_dir)
+                                               exchange_dir,
+                                               topk_by_owner.get(s))
                  for s in range(len(self.actors))])
+        if (permit + 1) % self.cfg.topk.consume_every_epochs == 0:
+            self.spool.add("topk_rows", self._collect_topk_snapshot(permit))
+        self.spool.maybe_flush(permit)
         if exchange_dir is not None:
             shutil.rmtree(exchange_dir, ignore_errors=True)
 

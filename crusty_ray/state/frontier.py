@@ -97,6 +97,13 @@ class ShardState:
         self._enqueue_buf: list[DomainMsg] = []
         self.lock_ttl_epochs = 600  # dequeue ttl 10m ≈ 600 epochs (conf/default.yaml:83-87)
 
+        # this shard's share of the distributed top-k (owner of the buckets
+        # bucket_owner() routes here; per-shard sketches in the reference,
+        # redis-calc/src/lib.rs:21-31). Fed by the engine at the epoch
+        # barrier; the simulator keeps the central TopKState instead.
+        from ..pipelines.topk import BucketTopK
+        self.topk_store = BucketTopK(cfg.topk)
+
         # per-epoch outputs, drained by the pipeline
         self.stats = {"enqueued": 0, "skipped_seen": 0, "skipped_pending": 0,
                       "skipped_processing": 0, "ddc_hits": 0, "jobs_finished": 0,
@@ -372,6 +379,7 @@ class ShardState:
             "bloom": self.bloom.to_bytes(),
             "cuckoo": self.cuckoo.to_bytes(),
             "stats": pickle.dumps(self.stats, protocol=4),
+            "topk_store": pickle.dumps(self.topk_store.checkpoint(), protocol=4),
         }
 
     def restore(self, snap: dict) -> None:
@@ -385,3 +393,4 @@ class ShardState:
         self.bloom = ScalingBloom.from_bytes(snap["bloom"])
         self.cuckoo = CuckooFilter.from_bytes(snap["cuckoo"])
         self.stats = pickle.loads(snap["stats"])
+        self.topk_store.restore(pickle.loads(snap["topk_store"]))
