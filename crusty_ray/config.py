@@ -113,6 +113,13 @@ class EngineConfig:
     streaming_window: int = 3         # max permits in flight (streaming mode);
                                       # ≈ relabuf soft_cap backpressure
                                       # (config.rs:87-96)
+    streaming_checkpoint_every_permits: int = 0
+                                      # >0: every K permits, drain the window
+                                      # (quiesce) and write an exact-resume
+                                      # checkpoint mid-stream; 0 = checkpoint
+                                      # only at the final drain. The quiesce
+                                      # costs the window's overlap once per K
+                                      # permits — size K >> streaming_window.
 
 
 @dataclass

@@ -109,11 +109,21 @@ def minhash_bands_batch(batch: pd.DataFrame) -> pd.DataFrame:
     })
 
 
-def minhash_candidates_ds(sf_dir: str):
+def minhash_candidates_ds(sf_dir: str, max_bucket: int | None = None):
     """documents → LSH candidate pairs (distinct, with matching-band counts).
 
     Both groupbys key on high-cardinality values (band buckets; pairs), so
-    they run as coarse hash partitions with pandas inside (ops/agg.py)."""
+    they run as coarse hash partitions with pandas inside (ops/agg.py).
+
+    **Stop-hash cap** (``max_bucket``): a (band_id, band_hash) bucket larger
+    than the cap is dropped WHOLE before pairing — the standard stop-hash
+    rule: an over-common band hash is the n-gram analog of a stopword and
+    each of its pairs would otherwise cost O(bucket²). Deterministic (pure
+    size predicate, no sampling). Output contract under a cap: a candidate
+    pair survives iff the two docs share at least one non-hot band; genuine
+    near-dups almost always share several bands, so recall loss concentrates
+    on degenerate clusters (e.g. thousands of identical shells). ``None``
+    (default) disables the cap — the conformance/oracle mode."""
     from .agg import partitioned_group_apply
     ds = _io_read(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
@@ -122,9 +132,11 @@ def minhash_candidates_ds(sf_dir: str):
     def pairs_in_part(df: pd.DataFrame) -> pd.DataFrame:
         # vectorized bucket self-join (the r1 per-bucket Python loop +
         # pd.concat of thousands of mostly-empty frames was 8 s of the
-        # stage's 10 s at sf0.1; this merge is ~0.1 s for the same rows).
-        # A pathologically hot bucket is still quadratic — at production
-        # scale cap bucket size (drop too-common bands as stop-hashes).
+        # stage's 10 s at sf0.1; this merge is ~0.1 s for the same rows)
+        if max_bucket is not None:
+            sz = df.groupby(["band_id", "band_hash"])["doc_id"] \
+                   .transform("size")
+            df = df[sz <= max_bucket]
         m = df.merge(df, on=["band_id", "band_hash"])
         m = m[m["doc_id_x"] < m["doc_id_y"]]
         return pd.DataFrame({"doc_a": m["doc_id_x"].astype("int64"),
@@ -230,7 +242,8 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 
 def signature_quadrant_pairs(sig_ds, id_col: str, sig_col: str,
                              max_hamming: int, out_a: str, out_b: str,
-                             num_partitions: int = 32):
+                             num_partitions: int = 32,
+                             max_bucket: int | None = None):
     """Distributed near-dup pairs over 64-bit signatures (shared by SimHash
     text dedup and image phash dedup).
 
@@ -245,7 +258,14 @@ def signature_quadrant_pairs(sig_ds, id_col: str, sig_col: str,
        in-partition with no second lookup;
     3. per-bucket all-pairs xor+popcount (vectorized), keep ≤ max_hamming;
     4. one more small shuffle to dedup pairs found via multiple quadrants.
-    """
+
+    **Stop-hash cap** (``max_bucket``): a quadrant bucket larger than the cap
+    is skipped whole (deterministic size predicate) — a 16-bit quadrant value
+    shared by a huge crowd (all-zero signatures, boilerplate shells) is a
+    stop-hash whose O(bucket²) verify buys almost no true pairs; a true
+    near-dup pair at radius ≤ 3 has ≥ 1 equal quadrant and usually several,
+    so it survives via its non-hot quadrants. ``None`` disables (oracle/
+    conformance mode)."""
     from .agg import partitioned_group_apply
     id_dtype = None  # discovered from the first batch; used for empty frames
 
@@ -265,7 +285,7 @@ def signature_quadrant_pairs(sig_ds, id_col: str, sig_col: str,
         id_np = df[id_col].to_numpy()
         acc_a, acc_b, acc_d = [], [], []
         for _, g in df.groupby("qk", sort=False):
-            if len(g) < 2:
+            if len(g) < 2 or (max_bucket is not None and len(g) > max_bucket):
                 continue
             ids = g[id_col].to_numpy()
             sigs = g[sig_col].to_numpy().astype(np.int64).view(np.uint64)
@@ -323,13 +343,15 @@ def simhash_batch(batch: pd.DataFrame, token_hash=hash64_batch) -> pd.DataFrame:
     return out
 
 
-def simhash_pairs(sf_dir: str, max_hamming: int = 3, hash_impl: str = "md5"):
+def simhash_pairs(sf_dir: str, max_hamming: int = 3, hash_impl: str = "md5",
+                  max_bucket: int | None = None):
     """Near-dup pairs by SimHash: quadrant-bucket candidates → hamming verify,
     fully distributed (signature_quadrant_pairs).
 
     ``hash_impl="md5"`` is the oracle face (token hashes DuckDB can
     reproduce); ``"crc"`` is the fast engine path (hash64_batch) with
-    identical plan shape.
+    identical plan shape. ``max_bucket`` is the stop-hash cap on hot
+    quadrant buckets (see signature_quadrant_pairs; None = oracle mode).
     """
     hasher = md5_token_hash if hash_impl == "md5" else hash64_batch
     ds = _io_read(f"{sf_dir}/documents.parquet",
@@ -337,12 +359,13 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, hash_impl: str = "md5"):
     sh = ds.map_batches(lambda b: simhash_batch(b, hasher),
                         batch_format="pandas")
     return signature_quadrant_pairs(sh, "doc_id", "simhash", max_hamming,
-                                    "doc_a", "doc_b")
+                                    "doc_a", "doc_b", max_bucket=max_bucket)
 
 
 # ---------------------------------------------------------------- ngram jaccard (SQL-parity)
 
-def ngram_jaccard_pairs_ds(sf_dir: str, n: int = 3, threshold_pm: int = 500):
+def ngram_jaccard_pairs_ds(sf_dir: str, n: int = 3, threshold_pm: int = 500,
+                           max_gram_df: int | None = None):
     """Exact word-n-gram Jaccard pairs within each ``source`` partition.
 
     Fully SQL-expressible (explode n-grams → self-join on gram within source →
@@ -350,7 +373,14 @@ def ngram_jaccard_pairs_ds(sf_dir: str, n: int = 3, threshold_pm: int = 500):
     partition bound is the blocking key that keeps the pair space tractable —
     same role as an LSH band, but deterministic and SQL-checkable. Output uses
     integer per-mille jaccard for cross-engine hash equality.
-    """
+
+    **Stop-gram cap** (``max_gram_df``): a gram appearing in more than
+    ``max_gram_df`` docs of a source is removed from EVERY doc's gram set
+    before pairing — intersection AND union both shrink, i.e. Jaccard is
+    computed exactly over the non-stop grams (the classic stop-word-removal
+    contract, still deterministic and order-free). This bounds the self-merge
+    at O(max_gram_df²) per gram instead of O(hot-gram-df²). ``None``
+    (default) disables — the bit-exact oracle face."""
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         doc, src, gram = [], [], []
         for d, s, t in zip(batch["doc_id"], batch["source"], batch["text"].fillna("")):
@@ -372,6 +402,9 @@ def ngram_jaccard_pairs_ds(sf_dir: str, n: int = 3, threshold_pm: int = 500):
         # then integer per-mille Jaccard (bit-identical to the r1 per-gram
         # Python loops, which were the stage's hot path)
         g = group[["doc_id", "gram"]].drop_duplicates()
+        if max_gram_df is not None:
+            df_ = g.groupby("gram")["doc_id"].transform("size")
+            g = g[df_ <= max_gram_df]
         counts = g.groupby("doc_id")["gram"].size()
         m = g.merge(g, on="gram")
         m = m[m["doc_id_x"] < m["doc_id_y"]]

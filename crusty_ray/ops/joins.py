@@ -77,35 +77,50 @@ def asof_latest_order_ds(sf_dir: str):
 
 
 def anti_join_customers_ds(sf_dir: str, priority: str = "1-URGENT"):
-    """Customers with no order of the given priority — broadcast anti join
-    (key set via ray.put; every customer has SOME order in this data)."""
-    orders = read_table(sf_dir, "orders",
-                        ["o_custkey", "o_orderpriority"]).to_pandas()
-    urgent = orders.loc[orders["o_orderpriority"] == priority, "o_custkey"]
-    have_ref = ray.put(frozenset(int(x) for x in urgent.unique()))
+    """Customers with no order of the given priority — distributed distinct
+    of the urgent keys, then broadcast anti join.
+
+    The key set is built IN the cluster (per-batch filter + local distinct →
+    ``Dataset.unique``), so only the small distinct result ever reaches the
+    driver — never an O(orders) fact column (r2 VERDICT wrong-item #1).
+    Membership is a vectorized ``np.isin`` against the broadcast sorted
+    array, not a per-row Python lookup."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def urgent_keys(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(pc.equal(batch["o_orderpriority"], priority))
+        return pa.table({"k": pc.unique(sel["o_custkey"].combine_chunks())})
+
+    keys = read_table(sf_dir, "orders", ["o_custkey", "o_orderpriority"]) \
+        .map_batches(urgent_keys, batch_format="pyarrow").unique("k")
+    have_ref = ray.put(np.sort(np.asarray(keys, dtype=np.int64)))
 
     def anti(batch: pd.DataFrame) -> pd.DataFrame:
         have = ray.get(have_ref)
-        mask = ~batch["c_custkey"].map(lambda k: int(k) in have)
-        return batch.loc[mask, ["c_custkey"]].astype({"c_custkey": "int64"})
+        ck = batch["c_custkey"].to_numpy().astype(np.int64)
+        return pd.DataFrame({"c_custkey": ck[~np.isin(ck, have)]})
 
     ds = read_table(sf_dir, "customer", ["c_custkey"])
     return ds.map_batches(anti, batch_format="pandas")
 
 
 def semi_join_events_ds(sf_dir: str, segment: str = "BUILDING"):
-    """Events whose user is a customer in ``segment`` — broadcast semi join +
-    grouped count (integer outputs)."""
+    """Events whose user is a customer in ``segment`` — broadcast semi join
+    (the customer side is a genuine dimension table) + grouped count
+    (integer outputs). Vectorized ``np.isin`` membership."""
+    import numpy as np
     cust = read_table(sf_dir, "customer",
                       ["c_custkey", "c_mktsegment"]).to_pandas()
-    keys = frozenset(int(k) for k in
-                     cust.loc[cust["c_mktsegment"] == segment, "c_custkey"])
-    keys_ref = ray.put(keys)
+    keys = cust.loc[cust["c_mktsegment"] == segment, "c_custkey"] \
+        .to_numpy().astype(np.int64)
+    keys_ref = ray.put(np.sort(np.unique(keys)))
 
     def semi(batch: pd.DataFrame) -> pd.DataFrame:
         want = ray.get(keys_ref)
-        mask = batch["user_id"].map(lambda k: int(k) in want)
-        return batch.loc[mask, ["event_type"]]
+        uid = batch["user_id"].to_numpy().astype(np.int64)
+        return batch.loc[np.isin(uid, want), ["event_type"]]
 
     from ray.data.aggregate import Count
     ds = read_table(sf_dir, "events", ["user_id", "event_type"])

@@ -82,21 +82,29 @@ class LangId:
         self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].fillna("").str.lower().str.findall(self.word)
-
-        def classify(words: list[str]) -> tuple[str, int]:
-            best, best_hits = "unknown", 0
-            for lang in sorted(self.profiles):
-                hits = sum(1 for w in words if w in self.profiles[lang])
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            return best, best_hits
-
-        res = toks.map(classify)
+        # vectorized: explode tokens once, one isin + bincount per profile,
+        # argmax across the (docs × langs) hit matrix. argmax's first-max
+        # rule reproduces the scalar loop's sorted-lang tie-break; zero hits
+        # → "unknown" (same contract as the per-row version; r2 VERDICT
+        # wrong-item #5).
+        toks = batch["text"].fillna("").str.lower().str.findall(self.word) \
+            .reset_index(drop=True)
+        n = len(toks)
+        ex = toks.explode()
+        ex = ex[ex.notna()]
+        rows = ex.index.to_numpy(dtype=np.int64)
+        langs = sorted(self.profiles)
+        hit_mat = np.zeros((n, len(langs)), dtype=np.int64)
+        for j, lang in enumerate(langs):
+            mask = ex.isin(self.profiles[lang]).to_numpy()
+            hit_mat[:, j] = np.bincount(rows[mask], minlength=n)
+        best_hits = hit_mat.max(axis=1) if n else np.zeros(0, dtype=np.int64)
+        best_j = hit_mat.argmax(axis=1) if n else np.zeros(0, dtype=np.int64)
+        lang_arr = np.array(langs, dtype=object)[best_j]
         return pd.DataFrame({
-            "doc_id": batch["doc_id"],
-            "lang_pred": res.map(lambda t: t[0]),
-            "lang_hits": res.map(lambda t: t[1]).astype("int64"),
+            "doc_id": batch["doc_id"].to_numpy(),
+            "lang_pred": np.where(best_hits > 0, lang_arr, "unknown"),
+            "lang_hits": pd.Series(best_hits, dtype="int64"),
         })
 
 

@@ -49,20 +49,42 @@ def sliding_window_counts_ds(sf_dir: str, width: int = 5):
 def session_windows_ds(sf_dir: str, gap_minutes: int = 30):
     """Gap-based sessions per user: a new session starts when the time since
     the previous event exceeds ``gap_minutes``. Output: one row per session
-    with integer bounds (µs) and event count."""
+    with integer bounds (µs) and event count.
+
+    Coarse hash partitions on user_id (``partitioned_group_apply``), with one
+    vectorized sessionization over ALL users in the partition — not
+    ``groupby(user_id).map_groups``, whose ~5 ms per-distinct-group cost (the
+    measured ops/agg.py number) dominates at high user cardinality (r2
+    VERDICT wrong-item #2)."""
     gap_us = gap_minutes * 60 * 1_000_000
     ds = read_table(sf_dir, "events", ["ts", "user_id", "event_id"])
+    from .agg import partitioned_group_apply
 
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        ts = g["ts"].astype("int64")
-        new = (ts.diff().fillna(gap_us + 1) > gap_us).astype("int64")
-        g["session_id"] = new.cumsum()
-        out = g.groupby("session_id").agg(
+    def sessions_in_part(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ["user_id", "session_id",
+                                           "n_events", "start_us", "end_us"]})
+        g = df.sort_values(["user_id", "ts", "event_id"],
+                           kind="mergesort").reset_index(drop=True)
+        ts = g["ts"].astype("int64").to_numpy()
+        uid = g["user_id"].to_numpy()
+        new_user = np.empty(len(g), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap_hit = np.empty(len(g), dtype=bool)
+        gap_hit[0] = True
+        gap_hit[1:] = (ts[1:] - ts[:-1]) > gap_us
+        g["__sess"] = np.cumsum(new_user | gap_hit)
+        out = g.groupby("__sess").agg(
             user_id=("user_id", "first"), n_events=("event_id", "size"),
-            start_us=("ts", "min"), end_us=("ts", "max")).reset_index()
+            start_us=("ts", "min"), end_us=("ts", "max")).reset_index(drop=True)
+        # per-user session_id 1..n in time order (sessions of a user are
+        # contiguous and ordered after the (user_id, ts) sort)
+        out["session_id"] = (out.groupby("user_id").cumcount() + 1).astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
         out["start_us"] = out["start_us"].astype("int64")
         out["end_us"] = out["end_us"].astype("int64")
         return out[["user_id", "session_id", "n_events", "start_us", "end_us"]]
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return partitioned_group_apply(ds, ["user_id"], sessions_in_part)

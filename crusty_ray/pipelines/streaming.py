@@ -105,6 +105,16 @@ class StreamingCrawlEngine(CrawlEngine):
                                 "n_tasks": 0})
                 continue
             window.append(self._launch(permit, tables, n_tasks))
+            # periodic mid-stream checkpoint (r2 VERDICT missing #3): every K
+            # permits, quiesce — drain the whole window so no permit is in
+            # flight — then checkpoint exactly like the final drain does. A
+            # crash between checkpoints now loses at most K permits, not the
+            # entire streaming run.
+            every = cfg.engine.streaming_checkpoint_every_permits
+            if every > 0 and (permit + 1) % every == 0:
+                while window:
+                    self._complete(window.popleft())
+                self._write_checkpoint(permit)
         while window:
             self._complete(window.popleft())
         if self.epochs_run:

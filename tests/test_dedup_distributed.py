@@ -169,3 +169,84 @@ def test_minhash_verify_matches_bruteforce(ray_session, docs):
     exp = pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard_pm"]) \
         .astype("int64").sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(res, exp)
+
+
+class TestStopHashCaps:
+    """Deterministic hot-bucket caps (r2 VERDICT #5): a pathological bucket
+    is dropped whole, bounding per-bucket work; uncapped mode is unchanged
+    (the oracle faces run uncapped — their bit-exact tests stay green)."""
+
+    def test_quadrant_cap_drops_hot_bucket_only(self, ray_session):
+        import pyarrow as pa
+        import ray
+
+        # 40 all-zero signatures: every quadrant bucket is hot (the classic
+        # boilerplate-shell pathology) + one genuine near pair off to the
+        # side that shares only cold buckets
+        n_hot = 40
+        sigs = [0] * n_hot + [int(0x0101010101010101), int(0x0101010101010111)]
+        ids = list(range(len(sigs)))
+        t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "sig": pa.array(sigs, pa.int64())})
+        ds = ray.data.from_arrow(t).map_batches(lambda b: b,
+                                                batch_format="pandas")
+        capped = dedup.signature_quadrant_pairs(
+            ds, "doc_id", "sig", 3, "doc_a", "doc_b", max_bucket=8) \
+            .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        # hot-bucket (all-zero crowd) pairs gone; the cold genuine pair kept
+        assert list(capped.doc_a) == [n_hot]
+        assert list(capped.doc_b) == [n_hot + 1]
+
+        uncapped = dedup.signature_quadrant_pairs(
+            ds, "doc_id", "sig", 3, "doc_a", "doc_b").to_pandas()
+        assert len(uncapped) == n_hot * (n_hot - 1) // 2 + 1
+
+    def test_minhash_band_cap(self, ray_session, tmp_path, docs):
+        import pyarrow.parquet as pq
+
+        # clone one doc 30x: its band buckets all exceed the cap; normal
+        # docs' candidates must be unaffected
+        base = docs.head(20).copy()
+        clones = pd.concat([base.iloc[[0]]] * 30, ignore_index=True)
+        clones["doc_id"] = 10_000 + pd.RangeIndex(30)
+        skewed = pd.concat([base, clones], ignore_index=True)
+        d = tmp_path / "skew"
+        d.mkdir()
+        pq.write_table(__import__("pyarrow").Table.from_pandas(
+            skewed, preserve_index=False), str(d / "documents.parquet"))
+
+        capped = dedup.minhash_candidates_ds(str(d), max_bucket=10) \
+            .to_pandas()
+        uncapped = dedup.minhash_candidates_ds(str(d)).to_pandas()
+        clone_ids = set(range(10_000, 10_030)) | {int(base.iloc[0].doc_id)}
+        # every clone-cluster pair came only from hot (capped) buckets
+        hot = uncapped[uncapped.doc_a.isin(clone_ids)
+                       & uncapped.doc_b.isin(clone_ids)]
+        assert len(hot) == len(clone_ids) * (len(clone_ids) - 1) // 2
+        assert not capped.doc_a.isin(clone_ids).any()
+        # non-hot candidates identical to the uncapped plan
+        cold_un = uncapped[~uncapped.doc_a.isin(clone_ids)
+                           & ~uncapped.doc_b.isin(clone_ids)]
+        pd.testing.assert_frame_equal(
+            capped.sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
+            cold_un.sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+
+    def test_ngram_stop_gram_cap(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        # one gram ("a b c") shared by every doc; pairs must survive with
+        # jaccard over the remaining grams only
+        texts = [f"a b c u{i} v{i} w{i}" for i in range(6)]
+        texts += ["a b c x y z", "a b c x y z"]  # true dups incl. stop gram
+        t = pa.table({"doc_id": pa.array(range(8), pa.int64()),
+                      "source": ["s"] * 8, "text": texts})
+        d = tmp_path / "g"
+        d.mkdir()
+        pq.write_table(t, str(d / "documents.parquet"))
+        capped = dedup.ngram_jaccard_pairs_ds(
+            str(d), threshold_pm=500, max_gram_df=4).to_pandas() \
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        # docs 6,7 share all non-stop grams → jaccard 1000; others share
+        # nothing once the stop gram is removed
+        assert list(capped.itertuples(index=False)) == [(6, 7, 1000)]

@@ -119,3 +119,48 @@ def test_streaming_overlaps_permits(ray_session, tmp_path):
     log = eng.read_crawl_log().to_pandas()
     assert len(log) > 100
     assert not log.duplicated(["domain", "url"]).any()
+
+
+def test_streaming_periodic_checkpoint_hard_crash(ray_session, tmp_path):
+    """streaming_checkpoint_every_permits > 0: a hard mid-run crash (no
+    drain, no final checkpoint — the engine dies between periodic
+    checkpoints) must leave a resumable state; the resumed crawl's final
+    sets equal BSP's."""
+    from crusty_ray.pipelines.streaming import StreamingCrawlEngine, make_engine
+
+    bsp = make_engine(_cfg("bsp"), WEB_CFG, str(tmp_path / "bspref")).run()
+
+    cfg = _cfg("streaming")
+    cfg.engine.streaming_checkpoint_every_permits = 4
+
+    class Boom(RuntimeError):
+        pass
+
+    eng = make_engine(cfg, WEB_CFG, str(tmp_path / "hc"))
+    orig = eng._launch
+    calls = {"n": 0}
+
+    def crashing_launch(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] > 6:  # past the first periodic checkpoint (permit 3)
+            raise Boom()    # driver dies: no drain, no final checkpoint
+        return orig(*a, **kw)
+
+    eng._launch = crashing_launch
+    try:
+        eng.run()
+    except Boom:
+        pass
+    assert calls["n"] > 6  # the crash actually fired mid-run
+
+    # the periodic checkpoint (permit 3) is the latest durable state
+    with open(tmp_path / "hc" / "checkpoints" / "LATEST") as f:
+        assert f.read().strip() == "epoch_000003"
+
+    rec = StreamingCrawlEngine.resume(cfg, WEB_CFG, str(tmp_path / "hc")).run()
+    rlog = rec.read_crawl_log().to_pandas()
+    blog = bsp.read_crawl_log().to_pandas()
+    assert not rlog.duplicated(["domain", "url"]).any()
+    assert (sorted(zip(rlog["domain"], rlog["url"]))
+            == sorted(zip(blog["domain"], blog["url"])))
+    assert sorted(rec.finished_domains) == sorted(bsp.finished_domains)
