@@ -236,10 +236,99 @@ def run_scaling(large: bool = False) -> dict:
     }
 
 
+def run_nodes_child(n_nodes: int, cpus_per_node: int = 8) -> dict:
+    """One multi-raylet trial: a local cluster of ``n_nodes`` genuine Ray
+    nodes (each its own raylet + object store, so cross-node block transfer
+    and per-node plasma really happen), the crawl spread across them."""
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
+    os.environ.setdefault("ARROW_IO_THREADS", "2")
+    import ray
+    from ray.cluster_utils import Cluster
+
+    store = 6_000_000_000  # per node — aggregate store scales with nodes,
+                           # exactly as a real N- vs 4N-node cluster's would
+    cluster = Cluster(initialize_head=True,
+                      head_node_args={"num_cpus": cpus_per_node,
+                                      "object_store_memory": store})
+    for _ in range(n_nodes - 1):
+        cluster.add_node(num_cpus=cpus_per_node, object_store_memory=store)
+    ray.init(address=cluster.address, include_dashboard=False,
+             logging_level="ERROR")
+    want = n_nodes * cpus_per_node
+    for _ in range(100):
+        if ray.cluster_resources().get("CPU", 0) >= want:
+            break
+        time.sleep(0.2)
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    n_alive = len([n for n in ray.nodes() if n["Alive"]])
+    _log(f"cluster up: {n_alive} nodes × {cpus_per_node} cpus")
+    large = bool(os.environ.get("GRAFT_BENCH_LARGE"))
+    crawl = bench_crawl(want, large=large)
+    crawl["n_nodes"] = n_alive
+    ray.shutdown()
+    cluster.shutdown()
+    return crawl
+
+
+def run_scaling_nodes(large: bool = False) -> dict:
+    """Two-cluster-size scaling evidence (the north rule's N vs 4N nodes),
+    as close as one host allows: 1 node × 8 cpus vs 4 nodes × 8 cpus, each a
+    REAL raylet with its own object store (ray.cluster_utils.Cluster — the
+    harness Ray's own multi-node tests use). Frontier shards SPREAD across
+    nodes; the absorb/exchange shard store lands on the host FS, which every
+    node shares (the multi-node shared-storage semantics). Same interleaved
+    best-of protocol as run_scaling (this host's CPU steal, BASELINE.md)."""
+    results: dict[int, dict] = {}
+    for n_nodes in (1, 4, 1, 4):
+        env = dict(os.environ)
+        if large:
+            env["GRAFT_BENCH_LARGE"] = "1"
+        _log(f"scaling-nodes run n_nodes={n_nodes}...")
+        ncores = 8 * n_nodes
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--nodes-child", str(n_nodes)]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{ncores - 1}"] + cmd
+        out = subprocess.run(
+            cmd, env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        _log(f"  steady {r['steady_pages_per_sec']} pages/s "
+             f"({r['n_nodes']} nodes)")
+        if (n_nodes not in results
+                or r["steady_pages_per_sec"]
+                > results[n_nodes]["steady_pages_per_sec"]):
+            results[n_nodes] = r
+    thr1 = results[1]["steady_pages_per_sec"]
+    thr4 = results[4]["steady_pages_per_sec"]
+    return {
+        "metric": "node scaling efficiency (steady-state pages/sec, "
+                  "1 node vs 4 nodes × 8 cpus, multi-raylet"
+                  + (", large epochs)" if large else ")"),
+        "value": round((thr4 / thr1) / 4.0, 3),
+        "unit": "efficiency",
+        "nodes_1": {k: results[1][k] for k in
+                    ("crawl_sec", "pages_per_sec", "steady_pages_per_sec",
+                     "n_nodes")},
+        "nodes_4": {k: results[4][k] for k in
+                    ("crawl_sec", "pages_per_sec", "steady_pages_per_sec",
+                     "n_nodes")},
+        "scaling_efficiency": round((thr4 / thr1) / 4.0, 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    if "--scaling-large" in sys.argv:
+    if "--nodes-child" in sys.argv:
+        k = int(sys.argv[sys.argv.index("--nodes-child") + 1])
+        print(json.dumps(run_nodes_child(k)))
+    elif "--scaling-nodes-large" in sys.argv:
+        print(json.dumps(run_scaling_nodes(large=True)))
+    elif "--scaling-nodes" in sys.argv:
+        print(json.dumps(run_scaling_nodes()))
+    elif "--scaling-large" in sys.argv:
         print(json.dumps(run_scaling(large=True)))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))

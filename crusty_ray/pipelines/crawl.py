@@ -86,6 +86,29 @@ class FrontierShardActor:
             "shard": pa.array([t["shard"] for t in tasks], pa.int32()),
         })
 
+    def take_ready_refs(self, epoch: int) -> list[tuple]:
+        """Epoch task blocks as actor-LOCAL ObjectRefs + row counts.
+
+        The blocks are born in this shard's node's object store, so on a
+        multi-node cluster the Dataset built from them (from_arrow_refs)
+        schedules fetch tasks next to their input instead of pulling every
+        block from the head node — and the driver never materializes the
+        O(epoch-tasks) table at all (it sees only refs + counts). Rows carry
+        ``local_seq``; the fused stage turns that into the global (epoch,
+        seq) ordering via the per-shard offsets the driver computes from the
+        counts."""
+        t = self.take_ready_table(epoch)
+        t = t.append_column("local_seq",
+                            pa.array(range(t.num_rows), pa.int64()))
+        step = max(256, self.state.cfg.engine.fetch_batch_size * 2)
+        out = []
+        for i in range(0, t.num_rows, step):
+            # combine_chunks: a pickled slice would serialize the whole
+            # parent buffers; combining copies exactly the slice
+            sub = t.slice(i, step).combine_chunks()
+            out.append((ray.put(sub), sub.num_rows))
+        return out
+
     def deliver_and_take(self, msgs: list[DomainMsg], epoch: int,
                          next_epoch: int,
                          exchange_dir: str | None = None,
@@ -100,7 +123,7 @@ class FrontierShardActor:
         self.state.topk_store.advance_and_add(epoch, topk or {})
         self.state.enqueue(msgs)
         self.state.apply_enqueues(epoch)
-        return self.take_ready_table(next_epoch), self.state.idle()
+        return self.take_ready_refs(next_epoch), self.state.idle()
 
     def absorb(self, rows: list[dict]) -> int:
         return self.state.absorb(rows)
@@ -284,7 +307,8 @@ class EpochStage:
     own sink completing IS the delivery barrier."""
 
     def __init__(self, web_cfg: WebConfig, cfg: Config, absorb_dir: str,
-                 rules=None, metrics=None):
+                 rules=None, metrics=None, epoch: int | None = None,
+                 seq_offsets=None):
         # one logical CPU per task: stop pyarrow's process-wide thread pool
         # from silently using every host core (skews scaling measurements and
         # oversubscribes shared nodes)
@@ -294,12 +318,26 @@ class EpochStage:
         self.discover = DiscoverStage(web_cfg, cfg, rules=rules)
         self.absorb_dir = absorb_dir
         self.metrics = metrics  # StageMetricsActor handle (optional)
+        # ref-fed path (take_ready_refs): blocks carry local_seq; this stage
+        # derives the global ordering columns from the per-shard offsets
+        self.epoch = epoch
+        self.seq_offsets = seq_offsets  # np.int64[shard_total]
 
     SHARDS_PER_GROUP = 8  # absorb-file granularity: fewer files per task;
                           # readers prune by the shard column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
         import pyarrow.compute as pc
+        if self.seq_offsets is not None:
+            shard_np = batch.column("shard").to_numpy(zero_copy_only=False)
+            seq = (self.seq_offsets[shard_np]
+                   + batch.column("local_seq").to_numpy(zero_copy_only=False))
+            batch = batch.drop_columns(["local_seq"])
+            batch = batch.append_column(
+                "epoch", pa.array(np.full(len(seq), self.epoch,
+                                          dtype=np.int32), pa.int32()))
+            batch = batch.append_column("seq", pa.array(seq, pa.int64()))
         out = self.discover(self.fetch(batch))
         slim = out.select(RouterStage.ABSORB_COLUMNS)
         groups = pc.divide(out["shard"], self.SHARDS_PER_GROUP)
@@ -524,30 +562,33 @@ class CrawlEngine:
     def _run_loop(self, cfg, max_epochs, scoped, prefetched, trace) -> None:
         import sys as _sys
         import time as _time
+        import numpy as _np
         for epoch in range(self.start_epoch, max_epochs):
             t0 = _time.time()
             if prefetched is None:
-                shard_tables = ray.get([a.take_ready_table.remote(epoch)
-                                        for a in scoped])
+                shard_refs = ray.get([a.take_ready_refs.remote(epoch)
+                                      for a in scoped])
                 idles = None
             else:
-                shard_tables, idles = prefetched
-            n_tasks = sum(t.num_rows for t in shard_tables)
+                shard_refs, idles = prefetched
+            n_tasks = sum(n for refs in shard_refs for _, n in refs)
             if not n_tasks:
                 if idles is None:
                     idles = ray.get([a.idle.remote() for a in scoped])
                 if all(idles):
                     break
-            # deterministic task order: shard asc, per-shard emission order.
+            # deterministic task order: shard asc, per-shard emission order
+            # (ref order = shard order, local_seq order within a shard).
             # n_tasks may be 0 with non-idle shards (delay_epochs>1 / timeout
-            # jitter parks every domain) — keep the typed empty schema and
-            # still run the barrier below, exactly like the simulator.
-            nonempty = [t for t in shard_tables if t.num_rows]
-            table = pa.concat_tables(nonempty) if nonempty else shard_tables[0]
-            table = table.append_column(
-                "epoch", pa.array([epoch] * n_tasks, pa.int32()))
-            table = table.append_column(
-                "seq", pa.array(range(n_tasks), pa.int64()))
+            # jitter parks every domain) — still run the barrier below,
+            # exactly like the simulator.
+            off_arr = _np.zeros(len(self.actors), dtype=_np.int64)
+            acc = 0
+            for i, refs in enumerate(shard_refs):
+                off_arr[cfg.jobs.shard_min + i] = acc
+                acc += sum(n for _, n in refs)
+            flat_refs = [(r, n) for refs in shard_refs for r, n in refs
+                         if n > 0]
             t1 = _time.time()
             # prefetch epoch N+1's dequeue inside the delivery RPC — except
             # past the horizon (the sim never calls take_ready(max_epochs)),
@@ -555,7 +596,7 @@ class CrawlEngine:
             # state or resume would double-dequeue), and while draining
             is_ckpt = (epoch + 1) % cfg.engine.checkpoint_every_epochs == 0
             prefetched = self._run_epoch(
-                epoch, table,
+                epoch, flat_refs, n_tasks, off_arr,
                 next_epoch=None if (is_ckpt or self._stop_requested
                                     or epoch + 1 >= max_epochs)
                 else epoch + 1)
@@ -578,14 +619,13 @@ class CrawlEngine:
                           file=_sys.stderr, flush=True)
                 break
 
-    def _run_epoch(self, epoch: int, table: pa.Table,
-                   next_epoch: int | None = None) -> tuple | None:
+    def _run_epoch(self, epoch: int, refs: list[tuple], n_tasks: int,
+                   off_arr, next_epoch: int | None = None) -> tuple | None:
         cfg = self.cfg
         import os as _os2
         import sys as _sys2
         import time as _time2
         _t0 = _time2.time()
-        n_tasks = table.num_rows
         log_dir = f"{self.out_dir}/crawl_log/epoch={epoch}"
         absorb_dir: str | None = f"{self.scratch}/absorb/epoch={epoch}"
         # Ray-path epochs exchange cross-shard discoveries through storage
@@ -600,7 +640,15 @@ class CrawlEngine:
             absorb_dir = exchange_dir = None
         elif n_tasks < cfg.engine.min_epoch_rows_for_ray:
             absorb_dir = exchange_dir = None  # inline path absorbs via direct RPC
-            # inline fast path: identical stage objects, no task launches
+            # inline fast path: identical stage objects, no task launches.
+            # ref order = shard asc + local_seq asc, so the global seq is a
+            # plain arange (identical to the offsets the Ray path applies).
+            table = pa.concat_tables(ray.get([r for r, _ in refs]))
+            table = table.drop_columns(["local_seq"])
+            table = table.append_column(
+                "epoch", pa.array([epoch] * n_tasks, pa.int32()))
+            table = table.append_column(
+                "seq", pa.array(range(n_tasks), pa.int64()))
             out = self._fetcher(table)
             out = self._discoverer(out)
             import pyarrow.compute as _pc
@@ -627,25 +675,20 @@ class CrawlEngine:
             import shutil as _shutil
             _shutil.rmtree(absorb_dir, ignore_errors=True)
             _shutil.rmtree(exchange_dir, ignore_errors=True)
-            # split the task table into ~fetch_concurrency blocks: map_batches
-            # parallelism is per BLOCK, and a single from_arrow table is one
-            # block (measured: 1-block epoch runs serial, 4.7s vs 0.5s)
-            # ≥256 rows per block: mid-size (tail) epochs otherwise shatter
-            # into ~100-row blocks whose per-task scheduling overhead
-            # dominates (measured ~6k pages/s on 5k-task epochs vs 12.5k on
-            # big epochs)
-            nblocks = max(1, min(cfg.engine.fetch_concurrency * 2,
-                                 n_tasks // 256 + 1))
-            step = (n_tasks + nblocks - 1) // nblocks
-            chunks = [table.slice(i, step) for i in range(0, n_tasks, step)]
-            ds = ray.data.from_arrow(chunks)
+            # Dataset straight from the actor-local block refs: blocks are
+            # already ≥256-row chunks (take_ready_refs), they never pass
+            # through the driver, and on a multi-node cluster the map tasks
+            # schedule next to their input block's node (locality) instead
+            # of all pulling from the head node.
+            ds = ray.data.from_arrow_refs([r for r, _ in refs])
             # one fused task stage (fetch+discover+route) = one object-store
             # pass per block. Instance-passed → stateless Ray tasks; the
             # component classes remain actor-pool-ready for deployments whose
             # fetch state (HTTP sessions, robots caches) is expensive.
             ds = ds.map_batches(EpochStage(self.web_cfg, cfg, absorb_dir,
                                            rules=self.rules,
-                                           metrics=self.metrics_actor),
+                                           metrics=self.metrics_actor,
+                                           epoch=epoch, seq_offsets=off_arr),
                                 batch_format="pyarrow",
                                 batch_size=cfg.engine.fetch_batch_size)
             # NO repartition before the sink: the r1 coarse repartition

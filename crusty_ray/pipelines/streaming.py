@@ -89,9 +89,9 @@ class StreamingCrawlEngine(CrawlEngine):
             # backpressure: bounded in-flight permits
             while len(window) >= cfg.engine.streaming_window:
                 self._complete(window.popleft())
-            tables = ray.get([a.take_ready_table.remote(permit)
-                              for a in scoped])
-            n_tasks = sum(t.num_rows for t in tables)
+            shard_refs = ray.get([a.take_ready_refs.remote(permit)
+                                  for a in scoped])
+            n_tasks = sum(n for refs in shard_refs for _, n in refs)
             self.epochs_run = permit + 1
             if n_tasks == 0:
                 if window:
@@ -104,7 +104,7 @@ class StreamingCrawlEngine(CrawlEngine):
                                 "absorb_dir": None, "exchange_dir": None,
                                 "n_tasks": 0})
                 continue
-            window.append(self._launch(permit, tables, n_tasks))
+            window.append(self._launch(permit, shard_refs, n_tasks))
             # periodic mid-stream checkpoint (r2 VERDICT missing #3): every K
             # permits, quiesce — drain the whole window so no permit is in
             # flight — then checkpoint exactly like the final drain does. A
@@ -123,17 +123,19 @@ class StreamingCrawlEngine(CrawlEngine):
             self._write_checkpoint(self.epochs_run - 1)
 
     # ------------------------------------------------------ permit pipeline
-    def _launch(self, permit: int, tables: list[pa.Table],
-                n_tasks: int) -> dict:
+    def _launch(self, permit: int, shard_refs: list[list], n_tasks: int) -> dict:
         """Start the permit's fetch→discover→route Dataset in a thread; the
-        absorb/exchange barriers happen later, in order, in _complete()."""
+        absorb/exchange barriers happen later, in order, in _complete().
+        Task blocks stay as actor-local refs (locality on multi-node; the
+        driver never materializes them — see crawl.py take_ready_refs)."""
+        import numpy as np
         cfg = self.cfg
-        nonempty = [t for t in tables if t.num_rows]
-        table = pa.concat_tables(nonempty) if nonempty else tables[0]
-        table = table.append_column(
-            "epoch", pa.array([permit] * n_tasks, pa.int32()))
-        table = table.append_column(
-            "seq", pa.array(range(n_tasks), pa.int64()))
+        off_arr = np.zeros(len(self.actors), dtype=np.int64)
+        acc = 0
+        for i, refs in enumerate(shard_refs):
+            off_arr[cfg.jobs.shard_min + i] = acc
+            acc += sum(n for _, n in refs)
+        flat_refs = [r for refs in shard_refs for r, n in refs if n > 0]
         log_dir = f"{self.out_dir}/crawl_log/epoch={permit}"
         absorb_dir = f"{self.scratch}/absorb/epoch={permit}"
         exchange_dir = f"{self.scratch}/exchange/epoch={permit}"
@@ -143,6 +145,12 @@ class StreamingCrawlEngine(CrawlEngine):
             # small permit: inline compute (same stage objects), absorb via
             # direct RPC — still asynchronous w.r.t. completion order
             def run_inline():
+                table = pa.concat_tables(ray.get(flat_refs)) \
+                    .drop_columns(["local_seq"])
+                table = table.append_column(
+                    "epoch", pa.array([permit] * n_tasks, pa.int32()))
+                table = table.append_column(
+                    "seq", pa.array(range(n_tasks), pa.int64()))
                 out = self._discoverer(self._fetcher(table))
                 by_shard: dict[int, list[dict]] = {}
                 for r in out.to_pylist():
@@ -157,13 +165,10 @@ class StreamingCrawlEngine(CrawlEngine):
                     "exchange_dir": None, "n_tasks": n_tasks}
 
         def run_pipeline():
-            nblocks = max(1, min(cfg.engine.fetch_concurrency * 2,
-                                 n_tasks // 256 + 1))
-            step = (n_tasks + nblocks - 1) // nblocks
-            chunks = [table.slice(i, step) for i in range(0, n_tasks, step)]
-            ds = ray.data.from_arrow(chunks)
+            ds = ray.data.from_arrow_refs(flat_refs)
             ds = ds.map_batches(EpochStage(self.web_cfg, cfg, absorb_dir,
-                                           rules=self.rules),
+                                           rules=self.rules, epoch=permit,
+                                           seq_offsets=off_arr),
                                 batch_format="pyarrow",
                                 batch_size=cfg.engine.fetch_batch_size)
             # no pre-sink repartition (see crawl.py: the all-to-all halved
