@@ -250,13 +250,40 @@ class ShardState:
         delivery check."""
         return len(self._absorbed) + sum(t.num_rows for t in self._absorbed_tables)
 
-    def _drain_absorbed(self) -> list[dict]:
+    _RESULT_COLS = ("domain", "depth", "url", "sched_links",
+                    "cand_domains", "cand_addr_keys", "cand_shards")
+
+    def _drain_absorbed_sorted(self) -> tuple:
+        """Absorbed results as column lists sorted by (domain, depth, url).
+
+        Tables sort via pyarrow's C sort and decode column-wise — no
+        per-row dict construction (the r2-measured ~1 s barrier python on
+        100k-row epochs was dominated by to_pylist + sorting dicts). UTF-8
+        byte order ≡ Python code-point order, and (domain, depth, url) is a
+        total order within an epoch (a job fetches a URL at most once), so
+        the result is identical to the dict path the inline epochs use."""
         rows = self._absorbed
         self._absorbed = []
-        for t in self._absorbed_tables:
-            rows.extend(t.to_pylist())
+        tables = self._absorbed_tables
         self._absorbed_tables = []
-        return rows
+        if rows or not tables:
+            for t in tables:  # mixed/legacy path (engine never mixes)
+                rows.extend(t.to_pylist())
+            rows.sort(key=lambda r: (r["domain"], r["depth"], r["url"]))
+            return ([r["domain"] for r in rows], [r["depth"] for r in rows],
+                    [r["url"] for r in rows],
+                    [r.get("sched_links") for r in rows],
+                    [r.get("cand_domains") for r in rows],
+                    [r.get("cand_addr_keys") for r in rows],
+                    [r.get("cand_shards") for r in rows])
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        t = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+        idx = pc.sort_indices(t, sort_keys=[("domain", "ascending"),
+                                            ("depth", "ascending"),
+                                            ("url", "ascending")])
+        t = t.take(idx)
+        return tuple(t.column(c).to_pylist() for c in self._RESULT_COLS)
 
     def end_epoch(self, epoch: int) -> dict[str, Any]:
         """Epoch barrier: process absorbed results deterministically, expand
@@ -264,15 +291,16 @@ class ShardState:
         discovery, finish jobs. Returns cross-shard enqueue messages, finished
         DomainLinks and job metric rows."""
         cfg = self.cfg
-        rows = sorted(self._drain_absorbed(),
-                      key=lambda r: (r["domain"], r["depth"], r["url"]))
+        domains, depths, urls, sched_cols, cd_cols, ck_cols, cs_cols = \
+            self._drain_absorbed_sorted()
 
         # columnar outgoing (cheap to ship through the driver-mediated exchange)
         outgoing: dict[int, dict] = {}
         sent_this_epoch: set[str] = set()
 
-        for row in rows:
-            job = self.jobs.get(row["domain"])
+        for r_domain, r_depth, sched_links, cand_d, cand_k, cand_s in zip(
+                domains, depths, sched_cols, cd_cols, ck_cols, cs_cols):
+            job = self.jobs.get(r_domain)
             if job is None:
                 continue  # late result for an expired/killed job
             job.in_flight = max(0, job.in_flight - 1)
@@ -284,8 +312,8 @@ class ShardState:
             #    exactly order-equivalent); here: F1 check → F4 → F5 →
             #    F1 commit-at-tail.
             per_page = 0
-            child_depth = row["depth"] + 1
-            for link in row.get("sched_links") or []:
+            child_depth = r_depth + 1
+            for link in sched_links or []:
                 if link in job.url_seen:
                     continue                                   # F1 check
                 if job.pages_scheduled >= cfg.rules.total_link_budget:
@@ -299,11 +327,9 @@ class ShardState:
 
             # -- discovery path (crusty.rs:250-274): candidates were computed
             #    vectorized in DiscoverStage; stateful gates run here
-            cand = zip(row.get("cand_domains") or [],
-                       row.get("cand_addr_keys") or [],
-                       row.get("cand_shards") or [])
             job_sld = transform_domain(job.domain, cfg.topk.second_level_only)
-            for d, akey, dshard in cand:
+            for d, akey, dshard in zip(cand_d or [], cand_k or [],
+                                       cand_s or []):
                 sld = transform_domain(d, cfg.topk.second_level_only)
                 if sld != job_sld:
                     job.linked.add(sld)                        # M6 link_domain
@@ -316,7 +342,7 @@ class ShardState:
                     "domain": [], "addr_key": [], "disc_depth": [], "disc_epoch": []})
                 out["domain"].append(d)
                 out["addr_key"].append(akey)
-                out["disc_depth"].append(row["depth"] + 1)
+                out["disc_depth"].append(child_depth)
                 out["disc_epoch"].append(epoch)
 
         # -- finish jobs (S6 semantics, redis-queue/src/lib.rs:153-197)
