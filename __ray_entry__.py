@@ -162,6 +162,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs_ds,
         "embedding_quant_dedup": dedup.embedding_quant_dedup_ds,
         "minhash_candidates": dedup.minhash_candidates_ds,        # rows-only
+        # production-scale posture: hot band buckets dropped as stop-hashes
+        # (deterministic cap; see ops/dedup.py docstring) — rows-only
+        "minhash_candidates_capped":
+            lambda sf: dedup.minhash_candidates_ds(sf, max_bucket=64),
         "minhash_near_dups": dedup.minhash_dedup_pairs,           # rows-only
         "simhash_near_dups": dedup.simhash_pairs,  # SQL-checked (md5 face)
         # -- similarity search

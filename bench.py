@@ -38,10 +38,13 @@ def bench_crawl(num_cpus: int, large: bool = False) -> dict:
     import ray
     from crusty_ray.config import test_config
     from crusty_ray.datagen.webgraph import WebConfig
-    from crusty_ray.pipelines.crawl import CrawlEngine
     from crusty_ray.pipelines.images import run_image_pipeline
+    from crusty_ray.pipelines.streaming import make_engine
 
     cfg = test_config()
+    # GRAFT_CRAWL_MODE=streaming benches the free-running permit mode
+    # (bounded in-flight window) instead of the deterministic BSP loop
+    cfg.engine.mode = os.environ.get("GRAFT_CRAWL_MODE", "bsp")
     cfg.jobs.shard_total = 32
     cfg.jobs.shard_max = 32
     cfg.jobs.dequeue_limit = 8000
@@ -92,7 +95,7 @@ def bench_crawl(num_cpus: int, large: bool = False) -> dict:
             .map_batches(_warm, batch_size=1000).count()
 
         t0 = time.time()
-        eng = CrawlEngine(cfg, web_cfg, f"{out}/crawl", seeds=seeds).run()
+        eng = make_engine(cfg, web_cfg, f"{out}/crawl", seeds=seeds).run()
         crawl_sec = time.time() - t0
         pages = sum(m["pages_fetched"] for m in eng.job_metrics)
         log_rows = eng.read_crawl_log().num_rows
