@@ -505,6 +505,17 @@ class CrawlEngine:
                 sig, lambda *_a: self.request_stop())
         return prev
 
+    def _reset_outputs(self) -> None:
+        """Fresh (non-resume) run over a reused out_dir: drop prior telemetry
+        partitions AND stale crawl-log epoch dirs — parquet sink filenames
+        are unique per run, so leftovers would otherwise double-count."""
+        import shutil
+        self.spool.reset()
+        log_root = f"{self.out_dir}/crawl_log"
+        for d in os.listdir(log_root):
+            if d.startswith("epoch="):
+                shutil.rmtree(f"{log_root}/{d}", ignore_errors=True)
+
     def _resolve_seeds(self) -> list[DomainMsg]:
         """Seed URL → DomainMsg resolution. Serial for small lists; chunked
         Ray tasks for large ones (driver-side resolution of 125k seeds was
@@ -531,7 +542,7 @@ class CrawlEngine:
         prev_handlers = self._install_signal_handlers()
         try:
             if self.start_epoch == 0:
-                self.spool.reset()  # fresh run over a reused out_dir
+                self._reset_outputs()  # fresh run over a reused out_dir
                 msgs = self._resolve_seeds()
                 by_shard: dict[int, list[DomainMsg]] = {}
                 for m in msgs:

@@ -69,7 +69,7 @@ class StreamingCrawlEngine(CrawlEngine):
         from ..state.frontier import DomainMsg
 
         if self.start_epoch == 0:
-            self.spool.reset()  # fresh run over a reused out_dir
+            self._reset_outputs()  # fresh run over a reused out_dir
             msgs = self._resolve_seeds()
             by_shard: dict[int, list[DomainMsg]] = {}
             for m in msgs:

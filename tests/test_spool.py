@@ -123,3 +123,16 @@ class TestEngineStreamsTelemetry:
         assert rec.finished_domains == full.finished_domains
         assert rec.topk_rows == full.topk_rows
         assert rec.job_metrics == full.job_metrics
+
+    def test_fresh_run_clears_stale_crawl_log(self, ray_session, tmp_path):
+        """A fresh (non-resume) run over a reused out_dir must not
+        double-count: parquet sink filenames are unique per run, so stale
+        epoch partitions would otherwise survive alongside the new ones."""
+        from crusty_ray.pipelines.crawl import CrawlEngine
+        cfg = small_cfg()
+        cfg.engine.max_epochs = 6
+        out = str(tmp_path / "o")
+        first = CrawlEngine(cfg, WEB_CFG, out).run()
+        n_first = first.read_crawl_log().num_rows
+        second = CrawlEngine(cfg, WEB_CFG, out).run()
+        assert second.read_crawl_log().num_rows == n_first  # not 2x
