@@ -542,7 +542,12 @@ class CrawlEngine:
         prev_handlers = self._install_signal_handlers()
         try:
             if self.start_epoch == 0:
-                self._reset_outputs()  # fresh run over a reused out_dir
+                if self.epochs_run == 0:
+                    # fresh run over a reused out_dir — but NOT a re-entered
+                    # run() on an engine that already crawled epochs (e.g.
+                    # retrying after an actor death): its logs must survive
+                    # for the subsequent checkpoint resume
+                    self._reset_outputs()
                 msgs = self._resolve_seeds()
                 by_shard: dict[int, list[DomainMsg]] = {}
                 for m in msgs:

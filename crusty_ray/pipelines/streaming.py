@@ -69,7 +69,9 @@ class StreamingCrawlEngine(CrawlEngine):
         from ..state.frontier import DomainMsg
 
         if self.start_epoch == 0:
-            self._reset_outputs()  # fresh run over a reused out_dir
+            if self.epochs_run == 0:
+                self._reset_outputs()  # fresh run over a reused out_dir
+                # (skipped on a re-entered run() — see crawl.py)
             msgs = self._resolve_seeds()
             by_shard: dict[int, list[DomainMsg]] = {}
             for m in msgs:
