@@ -97,7 +97,7 @@ def bench_crawl(num_cpus: int, large: bool = False) -> dict:
         t0 = time.time()
         eng = make_engine(cfg, web_cfg, f"{out}/crawl", seeds=seeds).run()
         crawl_sec = time.time() - t0
-        pages = sum(m["pages_fetched"] for m in eng.job_metrics)
+        pages = eng.pages_fetched_total  # O(1) counter, no telemetry re-read
         log_rows = eng.read_crawl_log().num_rows
 
         t0 = time.time()
@@ -121,7 +121,7 @@ def bench_crawl(num_cpus: int, large: bool = False) -> dict:
             "pages_fetched": pages,
             "crawl_log_rows": log_rows,
             "epochs": eng.epochs_run,
-            "jobs_finished": len(eng.finished_domains),
+            "jobs_finished": eng.jobs_finished_total,
             "pages_per_sec": round(log_rows / crawl_sec, 1),
             "steady_pages_per_sec": steady_pps,
             "n_images": img_summary["n_images"],
@@ -164,7 +164,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
-    large = bool(os.environ.get("GRAFT_BENCH_LARGE"))
+    large = os.environ.get("GRAFT_BENCH_LARGE") not in (None, "", "0")
     _log(f"headline crawl (num_cpus={num_cpus}{', large' if large else ''})...")
     crawl = bench_crawl(num_cpus, large=large)
     _log(f"  crawl: {crawl['crawl_sec']}s, {crawl['pages_per_sec']} pages/s")
@@ -204,6 +204,8 @@ def run_scaling(large: bool = False) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_MODE="crawl")
         if large:
             env["GRAFT_BENCH_LARGE"] = "1"
+        else:
+            env.pop("GRAFT_BENCH_LARGE", None)
         _log(f"scaling run num_cpus={ncpu}...")
         # taskset: ray.init(num_cpus=N) only caps TASK scheduling — actor
         # processes and the raylet would still spread over every host core,
@@ -266,7 +268,7 @@ def run_nodes_child(n_nodes: int, cpus_per_node: int = 8) -> dict:
     DataContext.get_current().enable_progress_bars = False
     n_alive = len([n for n in ray.nodes() if n["Alive"]])
     _log(f"cluster up: {n_alive} nodes × {cpus_per_node} cpus")
-    large = bool(os.environ.get("GRAFT_BENCH_LARGE"))
+    large = os.environ.get("GRAFT_BENCH_LARGE") not in (None, "", "0")
     crawl = bench_crawl(want, large=large)
     crawl["n_nodes"] = n_alive
     ray.shutdown()
@@ -287,6 +289,9 @@ def run_scaling_nodes(large: bool = False) -> dict:
         env = dict(os.environ)
         if large:
             env["GRAFT_BENCH_LARGE"] = "1"
+        else:
+            env.pop("GRAFT_BENCH_LARGE", None)  # inherited var must not
+                                                # silently flip the profile
         _log(f"scaling-nodes run n_nodes={n_nodes}...")
         ncores = 8 * n_nodes
         cmd = [sys.executable, os.path.abspath(__file__),

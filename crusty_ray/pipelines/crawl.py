@@ -396,6 +396,25 @@ class RouterStage:
         return log_projection(batch)
 
 
+def flatten_shard_refs(shard_refs: list[list], shard_min: int,
+                       n_shards: int):
+    """(off_arr, flat_pairs): per-shard global-seq offsets plus the
+    non-empty (ref, rows) pairs in shard-asc order — ONE implementation
+    shared by the BSP loop and the streaming launcher so the seq rule can
+    never diverge between modes."""
+    import numpy as np
+    off_arr = np.zeros(n_shards, dtype=np.int64)
+    acc = 0
+    flat: list[tuple] = []
+    for i, refs in enumerate(shard_refs):
+        off_arr[shard_min + i] = acc
+        for r, n in refs:
+            if n > 0:
+                flat.append((r, n))
+            acc += n
+    return off_arr, flat
+
+
 def log_projection(batch: pa.Table) -> pa.Table:
     import pyarrow.compute as pc
     n_links = pc.list_value_length(batch["links"]).cast(pa.int32())
@@ -457,7 +476,16 @@ class CrawlEngine:
         self._discoverer = DiscoverStage(web_cfg, cfg, rules=rules)
 
     # Run-telemetry read-back (tests / small-scale summaries; at scale read
-    # the parquet partitions directly — these materialize O(run) rows).
+    # the parquet partitions directly — each property access re-reads the
+    # flushed partitions, O(run)). For totals, use the O(1) counters below.
+    @property
+    def pages_fetched_total(self) -> int:
+        return self._pages_fetched_total
+
+    @property
+    def jobs_finished_total(self) -> int:
+        return self._jobs_finished_total
+
     @property
     def job_metrics(self) -> list[dict]:
         return self.spool.read("job_metrics")
@@ -507,14 +535,23 @@ class CrawlEngine:
 
     def _reset_outputs(self) -> None:
         """Fresh (non-resume) run over a reused out_dir: drop prior telemetry
-        partitions AND stale crawl-log epoch dirs — parquet sink filenames
-        are unique per run, so leftovers would otherwise double-count."""
+        partitions, stale crawl-log epoch dirs (parquet sink filenames are
+        unique per run, so leftovers would double-count) AND the previous
+        run's checkpoints — a stale LATEST would otherwise let a resume()
+        after an early crash silently restore the OLD run's state against
+        the NEW run's crawl log."""
         import shutil
         self.spool.reset()
         log_root = f"{self.out_dir}/crawl_log"
         for d in os.listdir(log_root):
             if d.startswith("epoch="):
                 shutil.rmtree(f"{log_root}/{d}", ignore_errors=True)
+        ckpt_root = f"{self.out_dir}/checkpoints"
+        for d in os.listdir(ckpt_root):
+            if d == "LATEST":
+                os.remove(f"{ckpt_root}/{d}")
+            else:
+                shutil.rmtree(f"{ckpt_root}/{d}", ignore_errors=True)
 
     def _resolve_seeds(self) -> list[DomainMsg]:
         """Seed URL → DomainMsg resolution. Serial for small lists; chunked
@@ -537,6 +574,13 @@ class CrawlEngine:
     def run(self, max_epochs: Optional[int] = None) -> "CrawlEngine":
         cfg = self.cfg
         max_epochs = max_epochs or cfg.engine.max_epochs
+        if self.epochs_run > self.start_epoch:
+            # a used engine instance can't restart its epoch loop against
+            # its advanced shard state (re-dequeues, second-generation log
+            # files); the supported continuation is resume() from the
+            # checkpoint the earlier run() left behind
+            raise RuntimeError(
+                "engine already ran; use CrawlEngine.resume(out_dir)")
         # handlers first: the seed round below blocks on fresh-actor startup,
         # and a signal landing there must already mean "drain", not "die"
         prev_handlers = self._install_signal_handlers()
@@ -578,7 +622,6 @@ class CrawlEngine:
     def _run_loop(self, cfg, max_epochs, scoped, prefetched, trace) -> None:
         import sys as _sys
         import time as _time
-        import numpy as _np
         for epoch in range(self.start_epoch, max_epochs):
             t0 = _time.time()
             if prefetched is None:
@@ -598,13 +641,8 @@ class CrawlEngine:
             # n_tasks may be 0 with non-idle shards (delay_epochs>1 / timeout
             # jitter parks every domain) — still run the barrier below,
             # exactly like the simulator.
-            off_arr = _np.zeros(len(self.actors), dtype=_np.int64)
-            acc = 0
-            for i, refs in enumerate(shard_refs):
-                off_arr[cfg.jobs.shard_min + i] = acc
-                acc += sum(n for _, n in refs)
-            flat_refs = [(r, n) for refs in shard_refs for r, n in refs
-                         if n > 0]
+            off_arr, flat_refs = flatten_shard_refs(
+                shard_refs, cfg.jobs.shard_min, len(self.actors))
             t1 = _time.time()
             # prefetch epoch N+1's dequeue inside the delivery RPC — except
             # past the horizon (the sim never calls take_ready(max_epochs)),

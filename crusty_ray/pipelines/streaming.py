@@ -52,10 +52,20 @@ class StreamingCrawlEngine(CrawlEngine):
     def run(self, max_epochs: Optional[int] = None) -> "StreamingCrawlEngine":
         cfg = self.cfg
         max_permits = max_epochs or cfg.engine.max_epochs
+        if self.epochs_run > self.start_epoch:
+            raise RuntimeError(
+                "engine already ran; use StreamingCrawlEngine.resume(out_dir)")
         prev_handlers = self._install_signal_handlers()
+        self._window: deque[dict] = deque()
         try:
             self._stream_loop(max_permits)
         finally:
+            # an exception mid-stream must not leave orphan permit threads
+            # writing crawl_log/absorb files behind our back (a subsequent
+            # resume() would race their late writes); join without applying
+            for entry in self._window:
+                if entry.get("thread") is not None:
+                    entry["thread"].join()
             if prev_handlers is not None:
                 import signal as _signal
                 for sig, h in prev_handlers.items():
@@ -81,7 +91,7 @@ class StreamingCrawlEngine(CrawlEngine):
             ray.get([a.apply_enqueues.remote(0) for a in self.actors])
 
         scoped = self.actors[cfg.jobs.shard_min:cfg.jobs.shard_max]
-        window: deque[dict] = deque()
+        window = self._window  # shared with run()'s finally for orphan joins
         for permit in range(self.start_epoch, max_permits):
             # honor a drain request only after ≥1 permit completed (BSP
             # parity: a signal during startup must still leave a resumable
@@ -130,14 +140,11 @@ class StreamingCrawlEngine(CrawlEngine):
         absorb/exchange barriers happen later, in order, in _complete().
         Task blocks stay as actor-local refs (locality on multi-node; the
         driver never materializes them — see crawl.py take_ready_refs)."""
-        import numpy as np
+        from .crawl import flatten_shard_refs
         cfg = self.cfg
-        off_arr = np.zeros(len(self.actors), dtype=np.int64)
-        acc = 0
-        for i, refs in enumerate(shard_refs):
-            off_arr[cfg.jobs.shard_min + i] = acc
-            acc += sum(n for _, n in refs)
-        flat_refs = [r for refs in shard_refs for r, n in refs if n > 0]
+        off_arr, flat_pairs = flatten_shard_refs(
+            shard_refs, cfg.jobs.shard_min, len(self.actors))
+        flat_refs = [r for r, _ in flat_pairs]
         log_dir = f"{self.out_dir}/crawl_log/epoch={permit}"
         absorb_dir = f"{self.scratch}/absorb/epoch={permit}"
         exchange_dir = f"{self.scratch}/exchange/epoch={permit}"
