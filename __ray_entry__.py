@@ -168,6 +168,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: dedup.minhash_candidates_ds(sf, max_bucket=64),
         "minhash_near_dups": dedup.minhash_dedup_pairs,           # rows-only
         "simhash_near_dups": dedup.simhash_pairs,  # SQL-checked (md5 face)
+        # near-dup pairs → dedup GROUPS: distributed connected components
+        # (hash-min label propagation), SQL-checked vs a recursive CTE
+        "neardup_components": dedup.neardup_components_ds,
         # -- similarity search
         "ann_quantized": similarity.ann_quantized_ds,
         "ann_bruteforce": similarity.ann_bruteforce_ds,           # rows-only
@@ -356,6 +359,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_inner_product(a.qe, b.qe) AS BIGINT) AS qdot
             FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_inner_product(a.qe, b.qe) >= 300000
+        """,
+        "neardup_components": """
+            WITH RECURSIVE q AS (
+              SELECT vec_id, label,
+                     list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+              FROM embeddings
+            ), pairs AS (
+              SELECT a.vec_id AS pu, b.vec_id AS pv
+              FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+              WHERE list_inner_product(a.qe, b.qe) >= 300000
+            ), edges AS (
+              SELECT pu AS u, pv AS v FROM pairs
+              UNION ALL SELECT pv, pu FROM pairs
+            ), reach(u, r) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+            )
+            SELECT u AS vec_id, MIN(r) AS component_id
+            FROM reach GROUP BY u
         """,
         "ann_quantized": """
             WITH d AS (

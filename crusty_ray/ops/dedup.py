@@ -583,3 +583,153 @@ def embedding_cosine_pairs(sf_dir: str, threshold_pm: int = 300) -> pd.DataFrame
 
     # blocked self-join — same hot-label decomposition as the quantized face
     return blocked_self_join(nds, "label", "vec_id", score)
+
+
+# ---------------------------------------------------- dedup components
+
+def connected_components(edges_ds, nodes_ds, id_col: str,
+                         out_label: str = "component_id",
+                         num_partitions: int = 32, max_rounds: int = 50,
+                         driver_threshold: int = 2_000_000):
+    """Distributed connected components by hash-min label propagation —
+    the canonical-representative step of a dedup pipeline (near-dup PAIRS →
+    dedup GROUPS, each doc labeled with the min id reachable through
+    near-dup edges).
+
+    BSP rounds, each two coarse-partition shuffles (ops/agg.py pattern):
+    co-partition (labels ∪ directed edges) on ``src`` to attach each edge's
+    source label, emit (dst, candidate); co-partition on ``node`` to
+    min-combine. The labels table (one row per node) materializes between
+    rounds — it IS the algorithm state, exactly like a pagerank vector.
+    Each round ALSO treats the current labels as extra node↔label edges
+    (shortcutting — the pointer-jumping idea of the hash-to-min /
+    large-star CC algorithms), so a path of length d converges in O(log d)
+    rounds instead of O(d). The label sum is the monotone convergence
+    witness, one scalar aggregate per round on the driver.
+
+    ``edges_ds``: columns (u, v); ``nodes_ds``: column ``id_col``.
+    Returns a Dataset (id_col, out_label) covering every node.
+
+    **Adaptive**: the edge set is the OUTPUT of near-dup detection —
+    O(duplicate pairs), typically minuscule next to the corpus. Below
+    ``driver_threshold`` edges, a driver union-find over just the int pairs
+    + a broadcast label map (``ray.put``) beats ~10 s/round of fixed
+    Ray-Data overhead on the BSP path; above it, the BSP rounds run (set
+    ``driver_threshold=0`` to force them — the conformance tests do).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .agg import partitioned_group_apply
+
+    n_edges = edges_ds.count()
+    if n_edges < driver_threshold:
+        pairs = edges_ds.to_pandas()  # int pairs only, never corpus rows
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for u, v in zip(pairs["u"].astype("int64"),
+                        pairs["v"].astype("int64")):
+            ru, rv = find(int(u)), find(int(v))
+            if ru != rv:
+                # union by min id so roots ARE the component minima
+                lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                parent[hi] = lo
+        comp = {x: find(x) for x in list(parent)}
+        comp_ref = ray.put(comp)
+
+        def label(batch: pd.DataFrame) -> pd.DataFrame:
+            m = ray.get(comp_ref)
+            ids = batch[id_col].astype("int64")
+            return pd.DataFrame({
+                id_col: ids,
+                out_label: ids.map(lambda i: m.get(i, i)).astype("int64")})
+
+        return nodes_ds.map_batches(label, batch_format="pandas")
+
+    def to_nodes(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].astype("int64")
+        return pd.DataFrame({"src": ids, "dst": -1, "lab": ids})
+
+    def to_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        u = batch["u"].astype("int64")
+        v = batch["v"].astype("int64")
+        return pd.DataFrame({
+            "src": pd.concat([u, v], ignore_index=True),
+            "dst": pd.concat([v, u], ignore_index=True),
+            "lab": pd.Series([-1] * (2 * len(batch)), dtype="int64"),
+        })
+
+    edges = edges_ds.map_batches(to_edges, batch_format="pandas") \
+        .materialize()  # static across rounds
+    labels = nodes_ds.map_batches(to_nodes, batch_format="pandas") \
+        .materialize()
+    prev_sum = None
+
+    def propagate(df: pd.DataFrame) -> pd.DataFrame:
+        lab_rows = df[df["dst"] < 0]
+        out = [pd.DataFrame({"node": lab_rows["src"],
+                             "cand": lab_rows["lab"]})]
+        e = df[df["dst"] >= 0]
+        if len(e):
+            m = e.merge(lab_rows[["src", "lab"]], on="src",
+                        suffixes=("", "_l"))
+            out.append(pd.DataFrame({"node": m["dst"], "cand": m["lab_l"]}))
+        return pd.concat(out, ignore_index=True)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("node", as_index=False)["cand"].min()
+        return pd.DataFrame({"src": out["node"].astype("int64"),
+                             "dst": pd.Series([-1] * len(out), dtype="int64"),
+                             "lab": out["cand"].astype("int64")})
+
+    def lab_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        # shortcut edges node↔label (self-labels carry no information)
+        nz = batch[batch["src"] != batch["lab"]]
+        return pd.DataFrame({
+            "src": pd.concat([nz["src"], nz["lab"]], ignore_index=True)
+                     .astype("int64"),
+            "dst": pd.concat([nz["lab"], nz["src"]], ignore_index=True)
+                     .astype("int64"),
+            "lab": pd.Series([-1] * (2 * len(nz)), dtype="int64"),
+        })
+
+    for _ in range(max_rounds):
+        shortcuts = labels.map_batches(lab_edges, batch_format="pandas")
+        msgs = partitioned_group_apply(labels.union(edges).union(shortcuts),
+                                       ["src"], propagate, num_partitions)
+        labels = partitioned_group_apply(msgs, ["node"], combine,
+                                         num_partitions).materialize()
+        s = labels.aggregate(Sum("lab"))["sum(lab)"]
+        if s == prev_sum:
+            break
+        prev_sum = s
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({id_col: batch["src"].astype("int64"),
+                             out_label: batch["lab"].astype("int64")})
+
+    return labels.map_batches(project, batch_format="pandas")
+
+
+def neardup_components_ds(sf_dir: str, threshold: int = 300_000):
+    """Dedup groups over the quantized-embedding near-dup graph: every
+    vector labeled with the min vec_id of its connected component (vectors
+    with no near-dup edge are their own component). SQL-checkable via a
+    recursive-CTE min-reachability oracle."""
+    pairs = embedding_quant_dedup_ds(sf_dir, threshold=threshold)
+
+    def as_uv(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"u": batch["vec_a"].astype("int64"),
+                             "v": batch["vec_b"].astype("int64")})
+
+    edges = pairs.map_batches(as_uv, batch_format="pandas")
+    nodes = _io_read(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+    return connected_components(edges, nodes, "vec_id")

@@ -250,3 +250,58 @@ class TestStopHashCaps:
         # docs 6,7 share all non-stop grams → jaccard 1000; others share
         # nothing once the stop gram is removed
         assert list(capped.itertuples(index=False)) == [(6, 7, 1000)]
+
+
+def test_connected_components_matches_union_find(ray_session):
+    """Hash-min label propagation ≡ union-find, including a long chain
+    (diameter ≫ 1 → multiple propagation rounds) and isolated nodes."""
+    import pyarrow as pa
+    import ray
+
+    rng = np.random.default_rng(3)
+    n = 200
+    edges = [(i, i + 1) for i in range(40)]            # chain 0..40
+    edges += [(100, 101), (101, 102), (100, 103)]      # small star
+    edges += [(150 + i, 150 + rng.integers(0, i + 1)) for i in range(1, 20)]
+    nodes = list(range(n))
+
+    parent = list(range(n))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for u, v in edges:
+        parent[find(u)] = find(v)
+    exp = {i: min(j for j in nodes if find(j) == find(i)) for i in nodes}
+
+    e_t = pa.table({"u": pa.array([u for u, _ in edges], pa.int64()),
+                    "v": pa.array([v for _, v in edges], pa.int64())})
+    n_t = pa.table({"nid": pa.array(nodes, pa.int64())})
+    got = dedup.connected_components(
+        ray.data.from_arrow(e_t).map_batches(lambda b: b, batch_format="pandas"),
+        ray.data.from_arrow(n_t).map_batches(lambda b: b, batch_format="pandas"),
+        "nid").to_pandas().sort_values("nid").reset_index(drop=True)
+    assert dict(zip(got.nid, got.component_id)) == exp
+
+
+def test_connected_components_bsp_path(ray_session):
+    """driver_threshold=0 forces the BSP label-propagation rounds; a chain
+    (diameter 12) exercises the shortcut-edge convergence."""
+    import pyarrow as pa
+    import ray
+
+    edges = [(i, i + 1) for i in range(12)] + [(30, 31)]
+    nodes = list(range(40))
+    e_t = pa.table({"u": pa.array([u for u, _ in edges], pa.int64()),
+                    "v": pa.array([v for _, v in edges], pa.int64())})
+    n_t = pa.table({"nid": pa.array(nodes, pa.int64())})
+    got = dedup.connected_components(
+        ray.data.from_arrow(e_t).map_batches(lambda b: b, batch_format="pandas"),
+        ray.data.from_arrow(n_t).map_batches(lambda b: b, batch_format="pandas"),
+        "nid", num_partitions=4, driver_threshold=0) \
+        .to_pandas().sort_values("nid").reset_index(drop=True)
+    comp = dict(zip(got.nid, got.component_id))
+    assert all(comp[i] == 0 for i in range(13))
+    assert comp[30] == 30 and comp[31] == 30
+    assert all(comp[i] == i for i in range(13, 30))

@@ -79,6 +79,7 @@ SQL_CHECKED = [
     "sliding_window_counts", "session_windows", "asof_latest_order",
     "anti_join_customers", "semi_join_events", "global_sort_topn",
     "union_event_classes", "simhash_near_dups", "langid", "bpe_token_count",
+    "neardup_components",
 ]
 
 
