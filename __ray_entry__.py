@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- image payload dedup over the crawled images table (rows-only)
         "image_exact_dedup": _image_dedup("image_exact_dedup"),
         "image_phash_near_dups": _image_dedup("image_phash_pairs"),
+        "image_dedup_groups": _image_dedup("image_dedup_groups"),
         # -- the crawl engine itself (simulator-oracled; rows-only here)
         "crawl_log": crawl_log,
         "crawl_topk": crawl_topk,

@@ -624,10 +624,12 @@ def connected_components(edges_ds, nodes_ds, id_col: str,
 
     n_edges = edges_ds.count()
     if n_edges < driver_threshold:
-        pairs = edges_ds.to_pandas()  # int pairs only, never corpus rows
-        parent: dict[int, int] = {}
+        # id pairs only, never corpus rows; any orderable id type (the BSP
+        # path below needs int64 ids — dictionary-encode first at scale)
+        pairs = edges_ds.to_pandas()
+        parent: dict = {}
 
-        def find(x: int) -> int:
+        def find(x):
             r = x
             while parent.get(r, r) != r:
                 r = parent[r]
@@ -635,9 +637,8 @@ def connected_components(edges_ds, nodes_ds, id_col: str,
                 parent[x], x = r, parent[x]
             return r
 
-        for u, v in zip(pairs["u"].astype("int64"),
-                        pairs["v"].astype("int64")):
-            ru, rv = find(int(u)), find(int(v))
+        for u, v in zip(pairs["u"], pairs["v"]):
+            ru, rv = find(u), find(v)
             if ru != rv:
                 # union by min id so roots ARE the component minima
                 lo, hi = (ru, rv) if ru < rv else (rv, ru)
@@ -647,10 +648,10 @@ def connected_components(edges_ds, nodes_ds, id_col: str,
 
         def label(batch: pd.DataFrame) -> pd.DataFrame:
             m = ray.get(comp_ref)
-            ids = batch[id_col].astype("int64")
+            ids = batch[id_col]
             return pd.DataFrame({
                 id_col: ids,
-                out_label: ids.map(lambda i: m.get(i, i)).astype("int64")})
+                out_label: ids.map(lambda i: m.get(i, i)).astype(ids.dtype)})
 
         return nodes_ds.map_batches(label, batch_format="pandas")
 

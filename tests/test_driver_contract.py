@@ -64,7 +64,8 @@ def test_every_query_is_covered_by_some_check(contract):
     queries, _ = contract
     crawl_checked = {"crawl_log", "crawl_topk", "crawl_job_metrics",
                      "crawl_images", "multimodal_thumbs",
-                     "image_exact_dedup", "image_phash_near_dups"}
+                     "image_exact_dedup", "image_phash_near_dups",
+                     "image_dedup_groups"}
     listed = set(SQL_CHECKED) | set(ROWS_ONLY) | crawl_checked
     assert set(queries) == listed, (
         f"unlisted: {set(queries) - listed}; stale: {listed - set(queries)}")
@@ -122,7 +123,8 @@ def test_crawl_queries_run(contract):
     queries, _ = contract
     for name in ["crawl_log", "crawl_topk", "crawl_job_metrics",
                  "crawl_images", "multimodal_thumbs",
-                 "image_exact_dedup", "image_phash_near_dups"]:
+                 "image_exact_dedup", "image_phash_near_dups",
+                 "image_dedup_groups"]:
         df = _to_df(queries[name](SF_DIR))
         assert df is not None and len(df.columns) > 0, name
         if name != "image_phash_near_dups":  # near-dup pairs may be empty
