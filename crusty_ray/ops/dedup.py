@@ -622,7 +622,16 @@ def connected_components(edges_ds, nodes_ds, id_col: str,
 
     from .agg import partitioned_group_apply
 
+    # edges are consumed twice (count, then either collect or explode) and
+    # are the OUTPUT of the expensive near-dup join — materialize so the
+    # upstream pipeline runs once, not per consumption
+    edges_ds = edges_ds.materialize()
     n_edges = edges_ds.count()
+    if n_edges == 0:
+        def ident(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({id_col: batch[id_col],
+                                 out_label: batch[id_col]})
+        return nodes_ds.map_batches(ident, batch_format="pandas")
     if n_edges < driver_threshold:
         # id pairs only, never corpus rows; any orderable id type (the BSP
         # path below needs int64 ids — dictionary-encode first at scale)
@@ -646,8 +655,10 @@ def connected_components(edges_ds, nodes_ds, id_col: str,
         comp = {x: find(x) for x in list(parent)}
         comp_ref = ray.put(comp)
 
-        def label(batch: pd.DataFrame) -> pd.DataFrame:
-            m = ray.get(comp_ref)
+        def label(batch: pd.DataFrame, _cache={}) -> pd.DataFrame:
+            if "m" not in _cache:  # one fetch/deserialize per worker process
+                _cache["m"] = ray.get(comp_ref)
+            m = _cache["m"]
             ids = batch[id_col]
             return pd.DataFrame({
                 id_col: ids,
@@ -667,6 +678,21 @@ def connected_components(edges_ds, nodes_ds, id_col: str,
             "dst": pd.concat([v, u], ignore_index=True),
             "lab": pd.Series([-1] * (2 * len(batch)), dtype="int64"),
         })
+
+    # BSP path requires integer ids (labels ARE ids, min-combined as ints);
+    # fail with direction instead of a deep astype ValueError. The schema
+    # may be arrow- or pandas-block-backed depending on upstream stages.
+    import pyarrow as _pa
+    schema = nodes_ds.schema()
+    id_type = dict(zip(schema.names, schema.types))[id_col]
+    is_int = (_pa.types.is_integer(id_type)
+              if isinstance(id_type, _pa.DataType)
+              else np.issubdtype(np.dtype(id_type), np.integer))
+    if not is_int:
+        raise TypeError(
+            f"connected_components BSP path needs integer {id_col!r} ids "
+            f"(got {id_type}); dictionary-encode ids first, or stay under "
+            f"driver_threshold")
 
     edges = edges_ds.map_batches(to_edges, batch_format="pandas") \
         .materialize()  # static across rounds

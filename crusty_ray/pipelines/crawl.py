@@ -586,12 +586,9 @@ class CrawlEngine:
         prev_handlers = self._install_signal_handlers()
         try:
             if self.start_epoch == 0:
-                if self.epochs_run == 0:
-                    # fresh run over a reused out_dir — but NOT a re-entered
-                    # run() on an engine that already crawled epochs (e.g.
-                    # retrying after an actor death): its logs must survive
-                    # for the subsequent checkpoint resume
-                    self._reset_outputs()
+                # fresh run (the guard above rejects re-entry): clear any
+                # previous run's partitions on a reused out_dir
+                self._reset_outputs()
                 msgs = self._resolve_seeds()
                 by_shard: dict[int, list[DomainMsg]] = {}
                 for m in msgs:

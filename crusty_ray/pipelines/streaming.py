@@ -79,9 +79,7 @@ class StreamingCrawlEngine(CrawlEngine):
         from ..state.frontier import DomainMsg
 
         if self.start_epoch == 0:
-            if self.epochs_run == 0:
-                self._reset_outputs()  # fresh run over a reused out_dir
-                # (skipped on a re-entered run() — see crawl.py)
+            self._reset_outputs()  # fresh run over a reused out_dir
             msgs = self._resolve_seeds()
             by_shard: dict[int, list[DomainMsg]] = {}
             for m in msgs:

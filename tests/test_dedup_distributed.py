@@ -305,3 +305,36 @@ def test_connected_components_bsp_path(ray_session):
     assert all(comp[i] == 0 for i in range(13))
     assert comp[30] == 30 and comp[31] == 30
     assert all(comp[i] == i for i in range(13, 30))
+
+
+def test_connected_components_no_edges(ray_session):
+    """Zero near-dup pairs (contract queries note this is reachable): every
+    node is its own component; no KeyError on the empty edge frame."""
+    import pyarrow as pa
+    import ray
+
+    e_t = pa.table({"u": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.int64())})
+    n_t = pa.table({"nid": pa.array([3, 1, 2], pa.int64())})
+    got = dedup.connected_components(
+        ray.data.from_arrow(e_t).map_batches(lambda b: b, batch_format="pandas"),
+        ray.data.from_arrow(n_t).map_batches(lambda b: b, batch_format="pandas"),
+        "nid").to_pandas().sort_values("nid").reset_index(drop=True)
+    assert list(got.nid) == [1, 2, 3]
+    assert list(got.component_id) == [1, 2, 3]
+
+
+def test_connected_components_bsp_rejects_string_ids(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray
+
+    e_t = pa.table({"u": ["a"], "v": ["b"]})
+    n_t = pa.table({"nid": ["a", "b", "c"]})
+    with pytest.raises(TypeError, match="integer"):
+        dedup.connected_components(
+            ray.data.from_arrow(e_t).map_batches(lambda b: b,
+                                                 batch_format="pandas"),
+            ray.data.from_arrow(n_t).map_batches(lambda b: b,
+                                                 batch_format="pandas"),
+            "nid", driver_threshold=0)

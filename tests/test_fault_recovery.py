@@ -29,11 +29,12 @@ def test_actor_death_then_resume(ray_session, tmp_path):
     cfg = _cfg()
     full = CrawlEngine(cfg, WEB_CFG, str(tmp_path / "full")).run()
 
-    # crash scenario: run 6 epochs (checkpoint every epoch), then an actor dies
+    # crash scenario: run 6 epochs (checkpoint every epoch), then an actor
+    # dies; a re-entered run() is refused (continuation is resume())
     eng = CrawlEngine(cfg, WEB_CFG, str(tmp_path / "crash")).run(max_epochs=6)
     ray.kill(eng.actors[1])
     with pytest.raises(Exception):
-        eng.run()  # dead actor surfaces on the next epoch's RPCs
+        eng.run()
 
     # recovery: fresh engine (fresh actors) restores the checkpointed state
     rec = CrawlEngine.resume(cfg, WEB_CFG, str(tmp_path / "crash")).run()
