@@ -171,6 +171,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # near-dup pairs → dedup GROUPS: distributed connected components
         # (hash-min label propagation), SQL-checked vs a recursive CTE
         "neardup_components": dedup.neardup_components_ds,
+        # the full corpus keep/drop table: exact + n-gram-Jaccard edges →
+        # components → canonical doc + keep flag (SQL-checked end-to-end)
+        "doc_dedup_groups": dedup.doc_dedup_groups_ds,
         # -- similarity search
         "ann_quantized": similarity.ann_quantized_ds,
         "ann_bruteforce": similarity.ann_bruteforce_ds,           # rows-only
@@ -360,6 +363,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_inner_product(a.qe, b.qe) AS BIGINT) AS qdot
             FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_inner_product(a.qe, b.qe) >= 300000
+        """,
+        "doc_dedup_groups": """
+            WITH RECURSIVE md5g AS (
+              SELECT doc_id, md5(text) AS h FROM documents
+            ), mins AS (
+              SELECT h, MIN(doc_id) AS m FROM md5g GROUP BY h
+            ), e1 AS (
+              SELECT m AS pu, doc_id AS pv
+              FROM md5g JOIN mins USING (h) WHERE doc_id <> m
+            ), toks AS (
+              SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+            ), ex AS (
+              SELECT doc_id, source, unnest(t) AS w,
+                     generate_subscripts(t, 1) AS i, len(t) AS n
+              FROM toks
+            ), g0 AS (
+              SELECT doc_id, source,
+                     w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS gram,
+                     i, n
+              FROM ex WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+            ), grams AS (
+              SELECT DISTINCT doc_id, source, gram FROM g0 WHERE i + 2 <= n
+            ), cnts AS (
+              SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+              FROM grams a
+              JOIN grams b ON a.source = b.source AND a.gram = b.gram
+                          AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), e2 AS (
+              SELECT doc_a AS pu, doc_b AS pv
+              FROM inter
+              JOIN cnts ca ON ca.doc_id = doc_a
+              JOIN cnts cb ON cb.doc_id = doc_b
+              WHERE (1000 * shared) // (ca.n + cb.n - shared) >= 500
+            ), pairs AS (
+              SELECT pu, pv FROM e1 UNION SELECT pu, pv FROM e2
+            ), edges AS (
+              SELECT pu AS u, pv AS v FROM pairs
+              UNION ALL SELECT pv, pu FROM pairs
+            ), reach(u, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+            )
+            SELECT u AS doc_id, MIN(r) AS canonical_id,
+                   CAST(CASE WHEN u = MIN(r) THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM reach GROUP BY u
         """,
         "neardup_components": """
             WITH RECURSIVE q AS (

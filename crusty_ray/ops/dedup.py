@@ -760,3 +760,51 @@ def neardup_components_ds(sf_dir: str, threshold: int = 300_000):
     edges = pairs.map_batches(as_uv, batch_format="pandas")
     nodes = _io_read(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
     return connected_components(edges, nodes, "vec_id")
+
+
+def doc_dedup_groups_ds(sf_dir: str, threshold_pm: int = 500):
+    """End-to-end corpus dedup decision surface: exact-duplicate edges
+    (identical md5) ∪ exact n-gram-Jaccard near-dup edges → connected
+    components → one canonical doc (min doc_id) per group plus an integer
+    ``keep`` flag. This is the keep/drop table a training-data pipeline
+    joins against the corpus; SQL-checked end-to-end (md5 grouping +
+    Jaccard self-join + recursive-CTE reachability)."""
+    from .agg import partitioned_group_apply
+
+    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "text_md5": [hashlib.md5(t.encode("utf-8")).hexdigest()
+                         for t in batch["text"].fillna("")]})
+
+    docs = _io_read(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"]) \
+        .map_batches(add_hash, batch_format="pandas")
+
+    def exact_edges(df: pd.DataFrame) -> pd.DataFrame:
+        mins = df.groupby("text_md5")["doc_id"].transform("min")
+        sel = df["doc_id"] != mins
+        return pd.DataFrame({"u": mins[sel].astype("int64"),
+                             "v": df.loc[sel, "doc_id"].astype("int64")})
+
+    e1 = partitioned_group_apply(docs, ["text_md5"], exact_edges)
+
+    def as_uv(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"u": batch["doc_a"].astype("int64"),
+                             "v": batch["doc_b"].astype("int64")})
+
+    e2 = ngram_jaccard_pairs_ds(sf_dir, threshold_pm=threshold_pm) \
+        .map_batches(as_uv, batch_format="pandas")
+
+    nodes = _io_read(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    comp = connected_components(e1.union(e2), nodes, "doc_id",
+                                out_label="canonical_id")
+
+    def decide(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "canonical_id": batch["canonical_id"].astype("int64"),
+            "keep": (batch["doc_id"] == batch["canonical_id"])
+                    .astype("int64")})
+
+    return comp.map_batches(decide, batch_format="pandas")

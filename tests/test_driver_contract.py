@@ -80,7 +80,7 @@ SQL_CHECKED = [
     "sliding_window_counts", "session_windows", "asof_latest_order",
     "anti_join_customers", "semi_join_events", "global_sort_topn",
     "union_event_classes", "simhash_near_dups", "langid", "bpe_token_count",
-    "neardup_components",
+    "neardup_components", "doc_dedup_groups",
 ]
 
 
