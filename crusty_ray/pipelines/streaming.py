@@ -192,9 +192,22 @@ class StreamingCrawlEngine(CrawlEngine):
         """Apply one permit's results — strictly in permit order (caller
         guarantees FIFO), so shard state advances sequentially even though
         fetch compute overlapped."""
+        import time as _time
         permit = entry["permit"]
         if entry["thread"] is not None:
             entry["thread"].join()
+        # per-permit completion-stream stats: `seconds` is the wall gap
+        # since the previous completion, so summing tasks/seconds over big
+        # permits gives the same steady-state throughput measure the BSP
+        # epoch_stats feed bench.py (overlap means a permit's own latency
+        # would double-count)
+        now = _time.time()
+        last = getattr(self, "_last_complete_ts", None)
+        if last is not None and entry["n_tasks"]:
+            self.epoch_stats.append({"epoch": permit,
+                                     "tasks": entry["n_tasks"],
+                                     "seconds": now - last})
+        self._last_complete_ts = now
         absorb_dir, exchange_dir = entry["absorb_dir"], entry["exchange_dir"]
         results = ray.get([a.finish_epoch.remote(permit, absorb_dir,
                                                  exchange_dir)
