@@ -120,6 +120,7 @@ class FrontierShardActor:
         per-epoch cost, BASELINE.md)."""
         if exchange_dir is not None:
             self._read_exchange(exchange_dir)
+            topk = self._read_topk_exchange(exchange_dir) or topk
         self.state.topk_store.advance_and_add(epoch, topk or {})
         self.state.enqueue(msgs)
         self.state.apply_enqueues(epoch)
@@ -165,19 +166,73 @@ class FrontierShardActor:
         out = self.state.end_epoch(epoch)
         out["gauges"] = self.state.gauges(epoch)
         # A1 pre-agg (redis_operators.rs:93-100): count this shard's
-        # domain_links HERE — only the small {domain: int} dict crosses to
-        # the driver, never the O(links) mention lists (r2 VERDICT #1a)
+        # domain_links HERE — only the small {domain: int} dict ever leaves,
+        # never the O(links) mention lists (r2 VERDICT #1a)
         from collections import Counter
         counts: Counter[str] = Counter()
         for name, linked in out.pop("domain_links"):
             counts[name] += 1
             for d in linked:
                 counts[d] += 1
-        out["topk_counts"] = dict(counts)
         if exchange_dir is not None:
+            # storage-exchange epochs ship the counts shard-to-owner through
+            # the same exchange files as the enqueue messages — the driver
+            # never touches even the pre-aggregated dicts (integer merging
+            # at the owner is associative, so per-shard partials are exactly
+            # the centrally-merged totals)
+            self._write_topk_exchange(counts, exchange_dir)
+            out["topk_counts"] = {}
             self._write_exchange(out.pop("outgoing"), exchange_dir)
             out["outgoing"] = {}
+        else:
+            out["topk_counts"] = dict(counts)
         return out
+
+    def _write_topk_exchange(self, counts, exchange_dir: str) -> None:
+        """(owner, bucket, domain, cnt) rows grouped by owner-shard group,
+        deterministic filename (replay overwrites)."""
+        from .topk import bucket_owner
+        n_shards = self.state.cfg.jobs.shard_total
+        by_group: dict[int, dict] = {}
+        for dom, cnt in counts.items():
+            tld = dom.rpartition(".")[2]
+            for bucket in (tld, ""):
+                owner = bucket_owner(bucket, n_shards)
+                acc = by_group.setdefault(
+                    owner // EpochStage.SHARDS_PER_GROUP,
+                    {"owner": [], "bucket": [], "domain": [], "cnt": []})
+                acc["owner"].append(owner)
+                acc["bucket"].append(bucket)
+                acc["domain"].append(dom)
+                acc["cnt"].append(cnt)
+        for g, acc in by_group.items():
+            d = f"{exchange_dir}/topk/group={g}"
+            os.makedirs(d, exist_ok=True)
+            t = pa.table({
+                "owner": pa.array(acc["owner"], pa.int32()),
+                "bucket": pa.array(acc["bucket"], pa.string()),
+                "domain": pa.array(acc["domain"], pa.string()),
+                "cnt": pa.array(acc["cnt"], pa.int64()),
+            })
+            pq.write_table(t, f"{d}/from-{self.state.shard:05d}.parquet")
+
+    def _read_topk_exchange(self, exchange_dir: str) -> dict:
+        """This shard's owned-bucket counts, int-merged across source
+        shards (exactly the central merge — integer addition commutes)."""
+        g = self.state.shard // EpochStage.SHARDS_PER_GROUP
+        d = f"{exchange_dir}/topk/group={g}"
+        if not os.path.isdir(d):
+            return {}
+        import pyarrow.dataset as pads
+        t = pads.dataset(d, format="parquet").to_table(
+            filter=pads.field("owner") == self.state.shard)
+        merged: dict[str, dict[str, int]] = {}
+        for bucket, dom, cnt in zip(t["bucket"].to_pylist(),
+                                    t["domain"].to_pylist(),
+                                    t["cnt"].to_pylist()):
+            b = merged.setdefault(bucket, {})
+            b[dom] = b.get(dom, 0) + cnt
+        return merged
 
     def _write_exchange(self, outgoing: dict[int, dict],
                         exchange_dir: str) -> None:
@@ -228,6 +283,7 @@ class FrontierShardActor:
         update + apply, in one round trip."""
         if exchange_dir is not None:
             self._read_exchange(exchange_dir)
+            topk = self._read_topk_exchange(exchange_dir) or topk
         self.state.topk_store.advance_and_add(epoch, topk or {})
         self.state.enqueue(msgs)
         self.state.apply_enqueues(epoch)
