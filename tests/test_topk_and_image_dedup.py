@@ -156,3 +156,30 @@ def test_sketch_mode_engine_matches_simulator(ray_session, tmp_path):
     top_sketch = {r["domain"] for r in sim.topk_rows if r["tld"] == ""}
     if top_exact:
         assert len(top_exact & top_sketch) / len(top_exact) >= 0.6
+
+
+def test_sketch_mode_exchange_path_matches_simulator(ray_session, tmp_path):
+    """Sketch-mode top-k THROUGH the storage exchange (forced Dataset path):
+    per-shard (owner, bucket, domain, cnt) exchange rows, int-merged at the
+    owner, must still reproduce the central sketch bit-exactly."""
+    from crusty_ray.config import test_config
+    from crusty_ray.datagen.webgraph import WebConfig
+    from crusty_ray.pipelines.crawl import CrawlEngine
+    from crusty_ray.sim.simulator import CrawlSimulator
+
+    cfg = test_config()
+    cfg.rules.total_link_budget = 20
+    cfg.rules.links_per_task_budget = 8
+    cfg.rules.max_level = 5
+    cfg.engine.max_epochs = 12
+    cfg.engine.min_epoch_rows_for_ray = 0   # force exchange epochs
+    cfg.topk.use_sketch = True
+    cfg.topk.consume_every_epochs = 5
+    cfg.topk.width = 512
+    cfg.topk.depth = 4
+    web_cfg = WebConfig(n_domains=40, max_pages_per_domain=10)
+
+    sim = CrawlSimulator(cfg, web_cfg).run()
+    eng = CrawlEngine(cfg, web_cfg, str(tmp_path / "o")).run()
+    assert len(sim.topk_rows) > 0
+    assert eng.topk_rows == sim.topk_rows
