@@ -679,9 +679,12 @@ def connected_components(edges_ds, nodes_ds, id_col: str,
             "lab": pd.Series([-1] * (2 * len(batch)), dtype="int64"),
         })
 
-    # BSP path requires integer ids (labels ARE ids, min-combined as ints);
-    # fail with direction instead of a deep astype ValueError. The schema
-    # may be arrow- or pandas-block-backed depending on upstream stages.
+    # The BSP rounds need integer ids (labels ARE ids, min-combined as
+    # ints). Non-integer ids (image_id strings, URLs) go through a
+    # distributed dictionary encoding first, then decode + canonicalize so
+    # the output labels are still the per-component MIN ORIGINAL id —
+    # identical to the driver union-find path. The schema may be arrow- or
+    # pandas-block-backed depending on upstream stages.
     import pyarrow as _pa
     schema = nodes_ds.schema()
     id_type = dict(zip(schema.names, schema.types))[id_col]
@@ -689,10 +692,8 @@ def connected_components(edges_ds, nodes_ds, id_col: str,
               if isinstance(id_type, _pa.DataType)
               else np.issubdtype(np.dtype(id_type), np.integer))
     if not is_int:
-        raise TypeError(
-            f"connected_components BSP path needs integer {id_col!r} ids "
-            f"(got {id_type}); dictionary-encode ids first, or stay under "
-            f"driver_threshold")
+        return _cc_bsp_encoded(edges_ds, nodes_ds, id_col, out_label,
+                               num_partitions, max_rounds)
 
     edges = edges_ds.map_batches(to_edges, batch_format="pandas") \
         .materialize()  # static across rounds
@@ -744,6 +745,130 @@ def connected_components(edges_ds, nodes_ds, id_col: str,
                              out_label: batch["lab"].astype("int64")})
 
     return labels.map_batches(project, batch_format="pandas")
+
+
+def _dict_encode_ids(nodes_ds, id_col: str, num_partitions: int):
+    """Distributed dictionary encoding: (id_col, __code:int64), one row per
+    distinct id. Codes are ``partition << 40 | rank-within-partition`` —
+    globally unique without any driver pass or prefix-sum exchange, and
+    deterministic (hash partitioning + sorted rank are both seed-free)."""
+    from .agg import partitioned_group_apply
+
+    def enc(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].drop_duplicates().sort_values() \
+                        .reset_index(drop=True)
+        if not len(ids):
+            return pd.DataFrame({id_col: ids,
+                                 "__code": pd.Series([], dtype="int64")})
+        # recompute this partition's index the same way add_part assigned
+        # it. The scalar goes through Python int BEFORE the modulo: numpy
+        # uint64 % python-int coerces to float64 and loses low bits.
+        part = int(pd.util.hash_pandas_object(
+            ids.iloc[:1].astype(str), index=False).iloc[0]) % num_partitions
+        return pd.DataFrame({
+            id_col: ids,
+            "__code": (np.int64(part) << np.int64(40))
+                      + np.arange(len(ids), dtype="int64")})
+
+    return partitioned_group_apply(nodes_ds, [id_col], enc, num_partitions)
+
+
+def _cc_bsp_encoded(edges_ds, nodes_ds, id_col: str, out_label: str,
+                    num_partitions: int, max_rounds: int):
+    """connected_components BSP path for NON-integer ids: dictionary-encode
+    distributed (never a driver id map), translate edge endpoints through two
+    co-partitioned joins, run the int BSP rounds, decode, and re-canonicalize
+    labels to the per-component min ORIGINAL id so the output is identical to
+    the driver union-find path. Every exchanged row is fixed-width (ids +
+    int64 codes); the corpus never shuffles."""
+    from .agg import partitioned_group_apply
+
+    codes = _dict_encode_ids(nodes_ds, id_col, num_partitions).materialize()
+
+    # -- translate u: union (id, "", code) with (u, v, -1), co-partition on
+    # the key, merge inside. Edges with endpoints absent from nodes_ds drop.
+    def codes_as_u(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"__key": batch[id_col],
+                             "__v": [""] * len(batch),
+                             "__code": batch["__code"].astype("int64")})
+
+    def edges_keyed_u(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"__key": batch["u"],
+                             "__v": batch["v"],
+                             "__code": pd.Series([-1] * len(batch),
+                                                 dtype="int64")})
+
+    def attach_u(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.loc[df["__code"] >= 0, ["__key", "__code"]]
+        e = df.loc[df["__code"] < 0, ["__key", "__v"]]
+        m = e.merge(c, on="__key")
+        return pd.DataFrame({"__key": m["__v"],
+                             "__cu": m["__code"].astype("int64"),
+                             "__code": pd.Series([-1] * len(m),
+                                                 dtype="int64")})
+
+    half = partitioned_group_apply(
+        codes.map_batches(codes_as_u, batch_format="pandas")
+             .union(edges_ds.map_batches(edges_keyed_u,
+                                         batch_format="pandas")),
+        ["__key"], attach_u, num_partitions)
+
+    # -- translate v the same way (edge rows now carry __cu >= 0)
+    def codes_as_v(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"__key": batch[id_col],
+                             "__cu": pd.Series([-1] * len(batch),
+                                               dtype="int64"),
+                             "__code": batch["__code"].astype("int64")})
+
+    def attach_v(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.loc[df["__code"] >= 0, ["__key", "__code"]]
+        e = df.loc[df["__code"] < 0, ["__key", "__cu"]]
+        m = e.merge(c, on="__key")
+        return pd.DataFrame({"u": m["__cu"].astype("int64"),
+                             "v": m["__code"].astype("int64")})
+
+    int_edges = partitioned_group_apply(
+        codes.map_batches(codes_as_v, batch_format="pandas").union(half),
+        ["__key"], attach_v, num_partitions)
+
+    def int_nodes(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"__code": batch["__code"].astype("int64")})
+
+    labels = connected_components(
+        int_edges, codes.map_batches(int_nodes, batch_format="pandas"),
+        "__code", out_label="__lab", num_partitions=num_partitions,
+        max_rounds=max_rounds, driver_threshold=0)
+
+    # -- decode codes back to original ids (co-partition labels ∪ codes on
+    # the int code), then canonicalize: component label = min original id.
+    def codes_keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"__code": batch["__code"].astype("int64"),
+                             "__id": batch[id_col],
+                             "__lab": pd.Series([-1] * len(batch),
+                                                dtype="int64")})
+
+    def labels_keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"__code": batch["__code"].astype("int64"),
+                             "__id": [""] * len(batch),
+                             "__lab": batch["__lab"].astype("int64")})
+
+    def decode(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.loc[df["__lab"] < 0, ["__code", "__id"]]
+        l = df.loc[df["__lab"] >= 0, ["__code", "__lab"]]
+        m = l.merge(c, on="__code")
+        return pd.DataFrame({"__id": m["__id"],
+                             "__lab": m["__lab"].astype("int64")})
+
+    decoded = partitioned_group_apply(
+        codes.map_batches(codes_keyed, batch_format="pandas")
+             .union(labels.map_batches(labels_keyed, batch_format="pandas")),
+        ["__code"], decode, num_partitions)
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        rep = df.groupby("__lab")["__id"].transform("min")
+        return pd.DataFrame({id_col: df["__id"], out_label: rep})
+
+    return partitioned_group_apply(decoded, ["__lab"], canon, num_partitions)
 
 
 def neardup_components_ds(sf_dir: str, threshold: int = 300_000):

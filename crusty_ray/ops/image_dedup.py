@@ -43,13 +43,13 @@ def image_exact_dedup(images_path: str):
     return partitioned_group_apply(ds, ["phash"], first_per_key)
 
 
-def image_dedup_groups(images_path: str, max_hamming: int = 6):
+def image_dedup_groups(images_path: str, max_hamming: int = 6, **cc_kwargs):
     """Image near-dup pairs → dedup GROUPS: every image labeled with the
     (lexicographic) min image_id of its phash-near-dup component — the
     keep/drop decision surface of an image dedup pipeline. Reuses the
     adaptive connected-components operator (driver union-find on the tiny
-    pair graph; BSP label propagation at scale, which needs int ids —
-    dictionary-encode image_id first in that regime)."""
+    pair graph; BSP label propagation at scale — string image_ids go
+    through its distributed dictionary encoding automatically)."""
     from .dedup import connected_components
     from .io import read_dataset
 
@@ -60,4 +60,4 @@ def image_dedup_groups(images_path: str, max_hamming: int = 6):
 
     edges = pairs.map_batches(as_uv, batch_format="pandas")
     nodes = read_dataset(images_path, columns=["image_id"])
-    return connected_components(edges, nodes, "image_id")
+    return connected_components(edges, nodes, "image_id", **cc_kwargs)

@@ -324,17 +324,51 @@ def test_connected_components_no_edges(ray_session):
     assert list(got.component_id) == [1, 2, 3]
 
 
-def test_connected_components_bsp_rejects_string_ids(ray_session):
+def test_connected_components_bsp_string_ids(ray_session):
+    """String ids on the forced BSP path go through the distributed
+    dictionary encoding and must label every node with the min ORIGINAL id
+    of its component — identical to the driver union-find path. Chain +
+    star + isolated nodes; ids deliberately NOT in hash order."""
     import pyarrow as pa
-    import pytest
     import ray
 
-    e_t = pa.table({"u": ["a"], "v": ["b"]})
-    n_t = pa.table({"nid": ["a", "b", "c"]})
-    with pytest.raises(TypeError, match="integer"):
-        dedup.connected_components(
+    nodes = [f"img-{i:03d}" for i in range(30)]
+    edges = [(f"img-{i:03d}", f"img-{i+1:03d}") for i in range(8)]   # chain
+    edges += [("img-020", "img-025"), ("img-025", "img-021")]        # star
+    e_t = pa.table({"u": [u for u, _ in edges],
+                    "v": [v for _, v in edges]})
+    n_t = pa.table({"nid": nodes})
+
+    def run(thresh):
+        got = dedup.connected_components(
             ray.data.from_arrow(e_t).map_batches(lambda b: b,
                                                  batch_format="pandas"),
             ray.data.from_arrow(n_t).map_batches(lambda b: b,
                                                  batch_format="pandas"),
-            "nid", driver_threshold=0)
+            "nid", num_partitions=4, driver_threshold=thresh) \
+            .to_pandas().sort_values("nid").reset_index(drop=True)
+        return dict(zip(got.nid, got.component_id))
+
+    bsp, driver = run(0), run(10 ** 9)
+    assert bsp == driver
+    assert all(bsp[f"img-{i:03d}"] == "img-000" for i in range(9))
+    assert bsp["img-020"] == bsp["img-021"] == bsp["img-025"] == "img-020"
+    assert bsp["img-029"] == "img-029"
+
+
+def test_connected_components_bsp_string_ids_empty_translate(ray_session):
+    """Edges whose endpoints are absent from nodes_ds drop in translation;
+    the encoded path must still label every node (as itself here)."""
+    import pyarrow as pa
+    import ray
+
+    e_t = pa.table({"u": ["ghost-1"], "v": ["ghost-2"]})
+    n_t = pa.table({"nid": ["a", "b"]})
+    got = dedup.connected_components(
+        ray.data.from_arrow(e_t).map_batches(lambda b: b,
+                                             batch_format="pandas"),
+        ray.data.from_arrow(n_t).map_batches(lambda b: b,
+                                             batch_format="pandas"),
+        "nid", num_partitions=4, driver_threshold=0) \
+        .to_pandas().sort_values("nid").reset_index(drop=True)
+    assert dict(zip(got.nid, got.component_id)) == {"a": "a", "b": "b"}

@@ -112,6 +112,21 @@ class TestImagePhashDedup:
         exp["hamming"] = exp["hamming"].astype("int64")
         pd.testing.assert_frame_equal(res, exp)
 
+    def test_dedup_groups_bsp_equals_driver(self, ray_session, images_path):
+        """The scale path (forced BSP components over dictionary-encoded
+        string image_ids) labels every image identically to the driver
+        union-find path."""
+        from crusty_ray.ops.image_dedup import image_dedup_groups
+
+        def run(**kw):
+            df = image_dedup_groups(images_path, max_hamming=2, **kw) \
+                .to_pandas().sort_values("image_id").reset_index(drop=True)
+            return dict(zip(df["image_id"], df["component_id"]))
+
+        driver, bsp = run(), run(driver_threshold=0, num_partitions=4)
+        assert bsp == driver
+        assert driver["copy0"] == driver["dup0"] == driver["a0"] == "a0"
+
     def test_exact_dedup(self, ray_session, images_path):
         from crusty_ray.ops.image_dedup import image_exact_dedup
         df = image_exact_dedup(images_path).to_pandas()
