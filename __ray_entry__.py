@@ -72,7 +72,8 @@ def entry() -> Any:
 # --------------------------------------------------------------------- queries
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from crusty_ray.ops import analog, dedup, joins, similarity, text, windows
+    from crusty_ray.ops import (analog, dedup, joins, quantiles, similarity,
+                                text, windows)
 
     def lang_distribution(sf_dir: str):
         import ray
@@ -190,6 +191,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_minute_buckets": analog.event_minute_buckets_ds,
         "pricing_summary": analog.pricing_summary_ds,
         "priority_dequeue": analog.priority_dequeue_ds,
+        "top_docs_per_source": analog.top_docs_per_source_ds,
+        "order_price_quantiles": quantiles.order_price_quantiles_ds,
         "global_sort_topn": analog.global_sort_topn_ds,
         "union_event_classes": analog.union_event_classes_ds,
         # -- windowed aggregates (SQL-checked)
@@ -197,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": windows.session_windows_ds,
         # -- joins beyond equi (SQL-checked)
         "asof_latest_order": joins.asof_latest_order_ds,
+        "range_join_prior_events": joins.range_join_events_ds,
         "anti_join_customers": joins.anti_join_customers_ds,
         "semi_join_events": joins.semi_join_events_ds,
         # -- float cosine near-dup (rows-only; quantized face is the oracle)
@@ -570,4 +574,25 @@ def oracle_sql() -> dict[str, str]:
                                 o_orderkey) AS rn
               FROM orders) WHERE rn <= 10
         """,
+        "top_docs_per_source": """
+            SELECT lang, source, doc_id, n_chars, rn FROM (
+              SELECT lang, source, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY lang, source
+                       ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents) WHERE rn <= 3
+        """,
+        "range_join_prior_events": """
+            SELECT e.event_id,
+                   count(p.event_id) AS n_prior,
+                   coalesce(min(p.event_id), -1) AS first_prior
+            FROM events e LEFT JOIN events p
+              ON p.user_id = e.user_id
+             AND p.ts >= e.ts - INTERVAL 10 MINUTE
+             AND p.ts < e.ts
+            GROUP BY e.event_id
+        """,
+        "order_price_quantiles": " UNION ALL ".join(
+            f"SELECT {p} AS p_pm, percentile_disc({p / 1000.0}) WITHIN GROUP "
+            f"(ORDER BY o_totalprice) AS value FROM orders"
+            for p in (250, 500, 750, 900, 990)),
     }

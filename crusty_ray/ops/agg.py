@@ -45,6 +45,36 @@ def partitioned_group_apply(ds, key_cols: list[str],
         .groupby("__part").map_groups(apply_in_part, batch_format="pandas")
 
 
+def grouped_top_n(ds, key_cols: list[str], order_col: str, n: int,
+                  ascending: bool = False, tie_cols: list[str] | None = None,
+                  rank_col: str = "rn", num_partitions: int = 32):
+    """Top-``n`` rows per group, ranked 1..n — the window-function
+    ``row_number() OVER (PARTITION BY keys ORDER BY order_col) <= n`` shape.
+
+    Scale plan: a LOCAL per-batch prune first (each block keeps at most n
+    rows per group it sees — vectorized pandas sort + groupby.head), so the
+    shuffle moves ≤ n·groups-per-block rows instead of the whole table; then
+    one coarse hash partition per ``partitioned_group_apply`` finishes the
+    global top-n and assigns ranks. ``tie_cols`` (ascending) must make the
+    order total or ranks are nondeterministic."""
+    sort_cols = [order_col] + list(tie_cols or [])
+    asc = [ascending] + [True] * len(tie_cols or [])
+
+    def local_prune(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(sort_cols, ascending=asc, kind="mergesort") \
+                 .groupby(key_cols, sort=False).head(n)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(sort_cols, ascending=asc, kind="mergesort") \
+              .groupby(key_cols, sort=False).head(n).copy()
+        g[rank_col] = (g.groupby(key_cols, sort=False).cumcount() + 1) \
+            .astype("int64")
+        return g.reset_index(drop=True)
+
+    pruned = ds.map_batches(local_prune, batch_format="pandas")
+    return partitioned_group_apply(pruned, key_cols, finish, num_partitions)
+
+
 def grouped_count(ds, key_cols: list[str], out_name: str,
                   num_partitions: int = 32):
     """COUNT(*) GROUP BY key_cols for high-cardinality keys."""

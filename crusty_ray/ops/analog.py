@@ -215,3 +215,16 @@ def union_event_classes_ds(sf_dir: str):
     signups = ds.map_batches(pick("signup", "new"), batch_format="pandas")
     return errors.union(signups).groupby("klass").aggregate(
         Count(alias_name="n_events"))
+
+
+# ------------------------------------------------------------- top-n per group
+def top_docs_per_source_ds(sf_dir: str, n: int = 3):
+    """Top-``n`` documents per (lang, source) by length — the window-function
+    ``row_number() OVER (PARTITION BY ... ORDER BY ...) <= n`` operator, on
+    the generic ``agg.grouped_top_n`` plan (local per-batch prune, then one
+    coarse-partition shuffle; the corpus never shuffles whole). Deterministic
+    total order: (n_chars DESC, doc_id ASC)."""
+    from .agg import grouped_top_n
+    ds = _read(sf_dir, "documents", ["lang", "source", "doc_id", "n_chars"])
+    return grouped_top_n(ds, ["lang", "source"], "n_chars", n,
+                         ascending=False, tie_cols=["doc_id"])

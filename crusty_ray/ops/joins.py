@@ -126,3 +126,50 @@ def semi_join_events_ds(sf_dir: str, segment: str = "BUILDING"):
     ds = read_table(sf_dir, "events", ["user_id", "event_type"])
     return ds.map_batches(semi, batch_format="pandas") \
         .groupby("event_type").aggregate(Count(alias_name="n_events"))
+
+
+def range_join_events_ds(sf_dir: str, window_minutes: int = 10):
+    """Range join (self): for each event, the STRICTLY PRIOR events of the
+    same user within the trailing window [ts - window_minutes, ts) —
+    aggregated to integer outputs (n_prior, min prior event_id; -1 when
+    none, LEFT-join semantics).
+
+    Plan: one hash partition on the user key (fixed-width int rows only);
+    inside each partition a vectorized pandas equi-merge on the key, then
+    the range predicate as a FILTER — key co-location makes time-bucket
+    replication unnecessary. A pure range join with no equality key would
+    instead bucket time and replicate each probe row to the buckets its
+    window overlaps (the interval-bucketing analog of ops/windows.py's
+    sliding windows). Per-partition work is Σ_user |events(u)|² within the
+    merge — hot-user skew would salt the key and replicate the build side,
+    the same lever as the crawl's hot-domain plan; at this table's
+    cardinality the quadratic term is bounded by the window instead."""
+    from .agg import partitioned_group_apply
+
+    win_us = window_minutes * 60_000_000
+
+    def event_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": batch["user_id"].astype("int64"),
+            "ts_us": batch["ts"].astype("int64"),
+            "event_id": batch["event_id"].astype("int64"),
+        })
+
+    events = read_table(sf_dir, "events", ["event_id", "user_id", "ts"]) \
+        .map_batches(event_rows, batch_format="pandas")
+
+    def range_in_part(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="key", suffixes=("", "_p"))
+        m = m[(m["ts_us_p"] >= m["ts_us"] - win_us)
+              & (m["ts_us_p"] < m["ts_us"])]
+        agg = m.groupby("event_id").agg(
+            n_prior=("event_id_p", "size"),
+            first_prior=("event_id_p", "min"))
+        out = df.set_index("event_id").join(agg).reset_index()
+        return pd.DataFrame({
+            "event_id": out["event_id"].astype("int64"),
+            "n_prior": out["n_prior"].fillna(0).astype("int64"),
+            "first_prior": out["first_prior"].fillna(-1).astype("int64"),
+        })
+
+    return partitioned_group_apply(events, ["key"], range_in_part)

@@ -1,0 +1,90 @@
+"""Exact distributed quantiles — two-phase bucket selection.
+
+``percentile_disc``-style exact order statistics over a numeric column
+without ever sorting or materializing the column globally:
+
+1. **Histogram pass** — each batch buckets values (``floor(x / bucket_width)``,
+   vectorized) and a coarse-partition grouped count produces one
+   ``(bucket, n)`` row per DISTINCT bucket. Only the histogram — bounded by
+   the value RANGE over the width, independent of row count — reaches the
+   driver, which locates the bucket containing each requested order statistic
+   by cumulative sum.
+2. **Refine pass** — a second read filters to just the buckets that contain a
+   target statistic (predicate on the raw column, so parquet row-group stats
+   prune the scan) and pulls only those values; the exact k-th element is
+   selected among them. Pulled volume is the population of the few hit
+   buckets — pick ``bucket_width`` so an average bucket fits the driver
+   comfortably (a skew-robust engine would re-split a pathological bucket
+   recursively; one level suffices for every distribution the driver ships).
+
+The k convention matches SQL ``percentile_disc(p)``: the smallest value whose
+cumulative distribution ≥ p, i.e. the element at 1-based index
+``max(1, ceil(p·n))`` of the sorted column.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+
+def exact_quantiles(ds, col: str, ps_pm: list[int], bucket_width: float = 1.0,
+                    num_partitions: int = 32) -> pd.DataFrame:
+    """Exact per-mille quantiles of ``ds[col]``. Returns a small DataFrame
+    (p_pm:int64, value:float64), one row per requested per-mille point."""
+    from .agg import grouped_count
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[col].to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "bucket": np.floor(v / bucket_width).astype(np.int64)})
+
+    hist = grouped_count(ds.map_batches(bucketize, batch_format="pandas"),
+                         ["bucket"], "n", num_partitions).to_pandas()
+    if hist.empty:  # empty input: no histogram rows (and maybe no schema)
+        return pd.DataFrame({"p_pm": pd.Series(ps_pm, dtype="int64"),
+                             "value": pd.Series([np.nan] * len(ps_pm))})
+    hist = hist.sort_values("bucket").reset_index(drop=True)
+    total = int(hist["n"].sum())
+    cum = hist["n"].cumsum().to_numpy()
+    ks = {p: max(1, math.ceil(p / 1000.0 * total)) for p in ps_pm}
+    # bucket index (into hist) holding each k, + the k's offset within it
+    hits: dict[int, list[tuple[int, int]]] = {}
+    for p, k in ks.items():
+        i = int(np.searchsorted(cum, k, side="left"))
+        before = int(cum[i - 1]) if i else 0
+        hits.setdefault(i, []).append((p, k - before))  # 1-based in-bucket
+
+    need = {int(hist["bucket"].iloc[i]) for i in hits}
+    lo = min(need) * bucket_width
+    hi = (max(need) + 1) * bucket_width
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[col].to_numpy(dtype=np.float64)
+        v = v[(v >= lo) & (v < hi)]
+        b = np.floor(v / bucket_width).astype(np.int64)
+        keep = np.isin(b, np.fromiter(need, dtype=np.int64))
+        return pd.DataFrame({"v": v[keep], "b": b[keep]})
+
+    vals = ds.map_batches(pick, batch_format="pandas").to_pandas()
+    out = []
+    for i, targets in hits.items():
+        b = int(hist["bucket"].iloc[i])
+        inb = np.sort(vals.loc[vals["b"] == b, "v"].to_numpy())
+        for p, off in targets:
+            out.append((p, float(inb[off - 1])))
+    return pd.DataFrame(sorted(out), columns=["p_pm", "value"]) \
+        .astype({"p_pm": "int64", "value": "float64"})
+
+
+def order_price_quantiles_ds(sf_dir: str,
+                             ps_pm: tuple = (250, 500, 750, 900, 990)):
+    """Exact o_totalprice percentiles (disc) — the SQL-checked face of
+    ``exact_quantiles``. bucket_width 100.0 keeps the histogram a few
+    thousand rows at any scale factor (prices are range-bounded)."""
+    from .io import read_table
+    ds = read_table(sf_dir, "orders", ["o_totalprice"])
+    return exact_quantiles(ds, "o_totalprice", list(ps_pm),
+                           bucket_width=100.0)

@@ -81,6 +81,7 @@ SQL_CHECKED = [
     "anti_join_customers", "semi_join_events", "global_sort_topn",
     "union_event_classes", "simhash_near_dups", "langid", "bpe_token_count",
     "neardup_components", "doc_dedup_groups",
+    "top_docs_per_source", "range_join_prior_events", "order_price_quantiles",
 ]
 
 

@@ -1,0 +1,129 @@
+"""Unit tests for grouped_top_n, the self range join, and exact_quantiles —
+small synthetic inputs with brute-force / duckdb cross-checks (the sf0.01
+driver-contract conformance runs separately in test_driver_contract.py)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _ds(df, n_blocks=4):
+    import pyarrow as pa
+    import ray
+    parts = np.array_split(df, n_blocks)
+    return ray.data.from_arrow([pa.Table.from_pandas(p, preserve_index=False)
+                                for p in parts if len(p)])
+
+
+class TestGroupedTopN:
+    def test_matches_window_function(self, ray_session):
+        from crusty_ray.ops.agg import grouped_top_n
+        rng = np.random.default_rng(5)
+        df = pd.DataFrame({
+            "g": rng.integers(0, 37, 500),
+            "id": np.arange(500, dtype=np.int64),
+            "score": rng.integers(0, 50, 500).astype(np.int64),
+        })
+        got = grouped_top_n(_ds(df), ["g"], "score", 3, ascending=False,
+                            tie_cols=["id"], num_partitions=4).to_pandas() \
+            .sort_values(["g", "rn"]).reset_index(drop=True)
+
+        exp_rows = []
+        for g, sub in df.groupby("g"):
+            sub = sub.sort_values(["score", "id"], ascending=[False, True])
+            for rn, (_, r) in enumerate(sub.head(3).iterrows(), 1):
+                exp_rows.append((g, r["id"], r["score"], rn))
+        exp = pd.DataFrame(exp_rows, columns=["g", "id", "score", "rn"]) \
+            .sort_values(["g", "rn"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype("int64")[["g", "id", "score", "rn"]],
+            exp.astype("int64"), check_dtype=False)
+
+    def test_group_smaller_than_n(self, ray_session):
+        from crusty_ray.ops.agg import grouped_top_n
+        df = pd.DataFrame({"g": [1, 1, 2], "id": [10, 11, 12],
+                           "score": [5, 7, 1]})
+        got = grouped_top_n(_ds(df, 2), ["g"], "score", 5,
+                            tie_cols=["id"], num_partitions=2).to_pandas() \
+            .sort_values(["g", "rn"]).reset_index(drop=True)
+        assert got.to_dict("records") == [
+            {"g": 1, "id": 11, "score": 7, "rn": 1},
+            {"g": 1, "id": 10, "score": 5, "rn": 2},
+            {"g": 2, "id": 12, "score": 1, "rn": 1}]
+
+
+class TestRangeJoin:
+    def test_matches_bruteforce(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from crusty_ray.ops.joins import range_join_events_ds
+        rng = np.random.default_rng(11)
+        n = 400
+        base = np.int64(1_700_000_000_000_000)
+        df = pd.DataFrame({
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 12, n),
+            "ts": base + rng.integers(0, 3_600_000_000, n),  # 1h span, us
+        })
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        t = t.set_column(t.schema.get_field_index("ts"),
+                         pa.field("ts", pa.timestamp("us")),
+                         t["ts"].cast(pa.timestamp("us")))
+        pq.write_table(t, tmp_path / "events.parquet")
+
+        got = range_join_events_ds(str(tmp_path), window_minutes=10) \
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+
+        win = 10 * 60_000_000
+        exp_rows = []
+        for _, e in df.iterrows():
+            prior = df[(df.user_id == e.user_id)
+                       & (df.ts >= e.ts - win) & (df.ts < e.ts)]
+            exp_rows.append((e.event_id, len(prior),
+                             prior.event_id.min() if len(prior) else -1))
+        exp = pd.DataFrame(exp_rows,
+                           columns=["event_id", "n_prior", "first_prior"])
+        pd.testing.assert_frame_equal(got.astype("int64"),
+                                      exp.astype("int64"))
+        assert (got.n_prior > 0).any()  # the window actually matched
+
+
+class TestExactQuantiles:
+    @pytest.mark.parametrize("bucket_width", [1.0, 7.5, 1000.0])
+    def test_matches_numpy_order_statistic(self, ray_session, bucket_width):
+        """percentile_disc = sorted[max(1, ceil(p*n)) - 1] for any bucket
+        width, including one so wide everything lands in one bucket."""
+        from crusty_ray.ops.quantiles import exact_quantiles
+        rng = np.random.default_rng(2)
+        vals = np.round(rng.uniform(0, 500, 1111), 2)
+        df = pd.DataFrame({"x": vals})
+        ps = [1, 250, 500, 750, 990, 1000]
+        got = exact_quantiles(_ds(df), "x", ps, bucket_width=bucket_width,
+                              num_partitions=4)
+        s = np.sort(vals)
+        exp = {p: s[max(1, math.ceil(p / 1000.0 * len(s))) - 1] for p in ps}
+        assert dict(zip(got.p_pm, got.value)) == pytest.approx(exp, abs=0)
+
+    def test_duckdb_percentile_disc_convention(self, ray_session):
+        """Our k convention must equal DuckDB's percentile_disc exactly,
+        including on tiny inputs where off-by-one shows."""
+        import duckdb
+        from crusty_ray.ops.quantiles import exact_quantiles
+        vals = [3.5, 1.25, 9.0, 7.75, 5.5]
+        df = pd.DataFrame({"x": vals})
+        ps = [100, 200, 333, 500, 700, 999, 1000]
+        got = exact_quantiles(_ds(df, 2), "x", ps, bucket_width=2.0,
+                              num_partitions=2)
+        for p, v in zip(got.p_pm, got.value):
+            exp = duckdb.sql(
+                f"SELECT percentile_disc({p / 1000.0}) WITHIN GROUP "
+                f"(ORDER BY x) FROM (SELECT unnest({vals}) AS x)").fetchone()[0]
+            assert v == exp, (p, v, exp)
+
+    def test_empty_input(self, ray_session):
+        from crusty_ray.ops.quantiles import exact_quantiles
+        df = pd.DataFrame({"x": pd.Series([], dtype="float64")})
+        got = exact_quantiles(_ds(df, 1), "x", [500])
+        assert list(got.p_pm) == [500] and np.isnan(got.value.iloc[0])
