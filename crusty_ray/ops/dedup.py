@@ -733,8 +733,14 @@ def connected_components(edges_ds, nodes_ds, id_col: str,
         shortcuts = labels.map_batches(lab_edges, batch_format="pandas")
         msgs = partitioned_group_apply(labels.union(edges).union(shortcuts),
                                        ["src"], propagate, num_partitions)
+        # re-cap the block count every round: the sort shuffle emits as many
+        # blocks as its (union-widened) input has, so without this coalesce
+        # blocks roughly double per round — by round 5 the loop is thousands
+        # of tiny tasks of pure scheduling overhead (measured: a 100k-node
+        # probe went from stuck-past-12-min to 53 s total)
         labels = partitioned_group_apply(msgs, ["node"], combine,
-                                         num_partitions).materialize()
+                                         num_partitions) \
+            .repartition(num_partitions).materialize()
         s = labels.aggregate(Sum("lab"))["sum(lab)"]
         if s == prev_sum:
             break
