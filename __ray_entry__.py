@@ -72,8 +72,8 @@ def entry() -> Any:
 # --------------------------------------------------------------------- queries
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from crusty_ray.ops import (analog, dedup, joins, quantiles, similarity,
-                                text, windows)
+    from crusty_ray.ops import (analog, dedup, joins, quantiles, sample,
+                                similarity, text, windows)
 
     def lang_distribution(sf_dir: str):
         import ray
@@ -193,6 +193,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_dequeue": analog.priority_dequeue_ds,
         "top_docs_per_source": analog.top_docs_per_source_ds,
         "order_price_quantiles": quantiles.order_price_quantiles_ds,
+        "sample_stratified": sample.sample_stratified_ds,
+        "split_assignment": sample.split_assignment_ds,
         "global_sort_topn": analog.global_sort_topn_ds,
         "union_event_classes": analog.union_event_classes_ds,
         # -- windowed aggregates (SQL-checked)
@@ -590,6 +592,20 @@ def oracle_sql() -> dict[str, str]:
              AND p.ts >= e.ts - INTERVAL 10 MINUTE
              AND p.ts < e.ts
             GROUP BY e.event_id
+        """,
+        "sample_stratified": """
+            SELECT doc_id, source FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 1000 < 50 * (CAST(substr(source, 4) AS BIGINT) + 1)
+        """,
+        "split_assignment": """
+            SELECT doc_id,
+                   CASE WHEN b < 900 THEN 'train'
+                        WHEN b < 950 THEN 'val' ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         % 1000 AS b
+                  FROM documents)
         """,
         "order_price_quantiles": " UNION ALL ".join(
             f"SELECT {p} AS p_pm, percentile_disc({p / 1000.0}) WITHIN GROUP "

@@ -1,0 +1,85 @@
+"""Deterministic sampling / splitting — training-data pipeline staples.
+
+Both ops key every decision off a stable per-row hash (first 8 md5 hex digits
+of the id — the same DuckDB-replicable face as ``analog.md5_shard``), so:
+
+- results are reproducible run-to-run and engine-to-engine (no RNG state,
+  no partition-order dependence — the decision is a pure row function, so it
+  commutes with any repartitioning and streams at any scale);
+- membership is stable under corpus growth: a doc's sample/split assignment
+  never changes when other docs are added or removed (the property that
+  keeps train/test splits honest across dataset versions).
+
+Per-row md5 costs what ``text.fingerprint`` already pays (measured
+compute-bound, required for oracle parity); swap in ``hash64_batch`` when
+cross-engine SQL parity is not needed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+
+def _md5_bucket_pm(values: pd.Series) -> np.ndarray:
+    """Per-mille bucket (0..999) from the first 8 md5 hex digits of str(v)."""
+    return np.array(
+        [int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % 1000
+         for v in values], dtype=np.int64)
+
+
+def sample_stratified(ds, id_col: str, stratum_col: str,
+                      rate_pm: dict[str, int], default_pm: int = 0):
+    """Keep each row iff its id's per-mille bucket < its stratum's rate —
+    per-stratum Bernoulli sampling with deterministic membership. One
+    embarrassingly-parallel ``map_batches``; no shuffle, no driver pass."""
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        b = _md5_bucket_pm(batch[id_col])
+        rates = batch[stratum_col].map(rate_pm).fillna(default_pm) \
+            .to_numpy(dtype=np.int64)
+        return batch.loc[b < rates, [id_col, stratum_col]]
+
+    return ds.map_batches(pick, batch_format="pandas")
+
+
+def assign_splits(ds, id_col: str, bounds_pm: dict[str, int],
+                  out_col: str = "split"):
+    """Deterministic train/val/test assignment: ``bounds_pm`` maps split name
+    to the EXCLUSIVE per-mille upper bound, e.g. {"train": 900, "val": 950,
+    "test": 1000} → buckets [0,900) train, [900,950) val, [950,1000) test.
+    Emits (id_col, out_col); same stability guarantees as the sampler."""
+    names = sorted(bounds_pm, key=bounds_pm.get)
+    cuts = [bounds_pm[n] for n in names]
+    assert cuts[-1] == 1000, "last bound must be 1000 (cover all buckets)"
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        b = _md5_bucket_pm(batch[id_col])
+        idx = np.searchsorted(cuts, b, side="right")
+        return pd.DataFrame({
+            id_col: batch[id_col].reset_index(drop=True),
+            out_col: pd.Series([names[i] for i in idx], dtype="object")})
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
+# ----------------------------------------------------------- contract faces
+
+def sample_stratified_ds(sf_dir: str):
+    """Per-source document sampling, rate_pm = 50·(src_index+1) — src0 keeps
+    ~5%, src19 keeps 100% (the up/down-weighting shape of a training-data
+    mixture)."""
+    from .io import read_table
+    rates = {f"src{i}": 50 * (i + 1) for i in range(20)}
+    ds = read_table(sf_dir, "documents", ["doc_id", "source"])
+    return sample_stratified(ds, "doc_id", "source", rates)
+
+
+def split_assignment_ds(sf_dir: str):
+    """documents → (doc_id, split) with the 90/5/5 md5-bucket split."""
+    from .io import read_table
+    ds = read_table(sf_dir, "documents", ["doc_id"])
+    return assign_splits(ds, "doc_id",
+                         {"train": 900, "val": 950, "test": 1000})

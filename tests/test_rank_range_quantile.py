@@ -127,3 +127,42 @@ class TestExactQuantiles:
         df = pd.DataFrame({"x": pd.Series([], dtype="float64")})
         got = exact_quantiles(_ds(df, 1), "x", [500])
         assert list(got.p_pm) == [500] and np.isnan(got.value.iloc[0])
+
+
+class TestDeterministicSampling:
+    def test_membership_stable_under_corpus_change(self, ray_session):
+        """A doc's sample decision must not depend on which other docs are
+        present (the dataset-versioning stability guarantee)."""
+        from crusty_ray.ops.sample import sample_stratified
+        df = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64),
+                           "source": ["a", "b"] * 100})
+        rates = {"a": 300, "b": 800}
+        full = sample_stratified(_ds(df), "doc_id", "source", rates) \
+            .to_pandas()
+        half = sample_stratified(_ds(df.iloc[:100]), "doc_id", "source",
+                                 rates).to_pandas()
+        kept_full = set(full[full.doc_id < 100].doc_id)
+        assert kept_full == set(half.doc_id)
+
+    def test_unknown_stratum_uses_default(self, ray_session):
+        from crusty_ray.ops.sample import sample_stratified
+        df = pd.DataFrame({"doc_id": np.arange(50, dtype=np.int64),
+                           "source": ["mystery"] * 50})
+        none = sample_stratified(_ds(df, 2), "doc_id", "source", {}) \
+            .to_pandas()
+        assert len(none) == 0
+        everything = sample_stratified(_ds(df, 2), "doc_id", "source", {},
+                                       default_pm=1000).to_pandas()
+        assert len(everything) == 50
+
+    def test_splits_partition_the_corpus(self, ray_session):
+        from crusty_ray.ops.sample import assign_splits
+        df = pd.DataFrame({"doc_id": np.arange(1000, dtype=np.int64)})
+        got = assign_splits(_ds(df), "doc_id",
+                            {"train": 900, "val": 950, "test": 1000}) \
+            .to_pandas()
+        assert len(got) == 1000 and got.doc_id.is_unique
+        counts = got.split.value_counts()
+        # buckets are ~uniform; bounds are exact per-mille cuts
+        assert 850 < counts["train"] < 950
+        assert set(got.split) == {"train", "val", "test"}
