@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": similarity.ann_ivf_ds,                         # rows-only
         # -- language id (stopword heuristic, profile frozen into the oracle)
         "langid": text.langid_ds,
+        "build_vocab": text.build_vocab_ds,
         # -- crawl-operator analogs (SQL-checked)
         "topk_heavy_hitters": analog.topk_heavy_hitters_ds,
         "per_group_budget": analog.per_group_budget_ds,
@@ -592,6 +593,16 @@ def oracle_sql() -> dict[str, str]:
              AND p.ts >= e.ts - INTERVAL 10 MINUTE
              AND p.ts < e.ts
             GROUP BY e.event_id
+        """,
+        "build_vocab": """
+            SELECT w, cnt, token_id FROM (
+              SELECT w, cnt,
+                     row_number() OVER (ORDER BY cnt DESC, w) AS token_id
+              FROM (SELECT w, count(*) AS cnt
+                    FROM (SELECT unnest(string_split(text, ' ')) AS w
+                          FROM documents)
+                    WHERE w <> '' GROUP BY w))
+            WHERE token_id <= 500
         """,
         "sample_stratified": """
             SELECT doc_id, source FROM documents

@@ -171,3 +171,42 @@ def langid_ds(sf_dir: str):
     return _io_read(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"]) \
         .map_batches(LangId, batch_format="pandas", concurrency=2)
+
+
+def build_vocab_ds(sf_dir: str, vocab_size: int = 500):
+    """Vocabulary construction: the top-``vocab_size`` tokens by global count,
+    each with a dense integer id ranked by (count DESC, token ASC) — the
+    vocab-building step of a tokenizer pipeline.
+
+    Plan: explode to (token) rows vectorized (pandas split+explode), one
+    coarse-partition ``grouped_count``, then ``grouped_top_n`` under a
+    constant key — its local per-batch prune means the single final rank
+    task sees at most blocks×V candidate rows, so the op stays bounded no
+    matter how large the corpus vocabulary is (the unbounded full-vocab
+    table exists only as the distributed counts dataset). Token definition
+    matches the DuckDB oracle: single-space split, empty strings dropped."""
+    from .agg import grouped_count, grouped_top_n
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        w = batch["text"].fillna("").str.split(" ").explode()
+        w = w[w != ""]
+        return pd.DataFrame({"w": w.astype(str)})
+
+    toks = _io_read(f"{sf_dir}/documents.parquet", columns=["text"]) \
+        .map_batches(explode, batch_format="pandas")
+    counts = grouped_count(toks, ["w"], "cnt")
+
+    def add_const(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__all"] = 0
+        return batch
+
+    ranked = grouped_top_n(counts.map_batches(add_const,
+                                              batch_format="pandas"),
+                           ["__all"], "cnt", vocab_size, ascending=False,
+                           tie_cols=["w"], rank_col="token_id")
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["w", "cnt", "token_id"]]
+
+    return ranked.map_batches(project, batch_format="pandas")

@@ -82,7 +82,7 @@ SQL_CHECKED = [
     "union_event_classes", "simhash_near_dups", "langid", "bpe_token_count",
     "neardup_components", "doc_dedup_groups",
     "top_docs_per_source", "range_join_prior_events", "order_price_quantiles",
-    "sample_stratified", "split_assignment",
+    "sample_stratified", "split_assignment", "build_vocab",
 ]
 
 

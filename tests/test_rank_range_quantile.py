@@ -166,3 +166,22 @@ class TestDeterministicSampling:
         # buckets are ~uniform; bounds are exact per-mille cuts
         assert 850 < counts["train"] < 950
         assert set(got.split) == {"train", "val", "test"}
+
+
+def test_build_vocab_caps_and_ranks(ray_session, tmp_path):
+    """Vocab op: ids are dense ranks by (count desc, token asc) and the
+    output is capped at vocab_size even when the corpus vocabulary is
+    larger (the local-prune + bounded-final-rank scale contract)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from crusty_ray.ops.text import build_vocab_ds
+    docs = (["aa bb aa cc"] * 5 + ["bb  cc dd"] * 3
+            + [f"rare{i}" for i in range(40)])
+    pq.write_table(pa.table({"doc_id": list(range(len(docs))),
+                             "text": docs}), tmp_path / "documents.parquet")
+    got = build_vocab_ds(str(tmp_path), vocab_size=4).to_pandas() \
+        .sort_values("token_id").reset_index(drop=True)
+    assert len(got) == 4
+    assert list(got.w) == ["aa", "bb", "cc", "dd"]
+    assert list(got.cnt) == [10, 8, 8, 3]
+    assert list(got.token_id) == [1, 2, 3, 4]
