@@ -194,6 +194,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_dequeue": analog.priority_dequeue_ds,
         "top_docs_per_source": analog.top_docs_per_source_ds,
         "order_price_quantiles": quantiles.order_price_quantiles_ds,
+        "price_quantiles_by_priority":
+            quantiles.order_price_quantiles_by_priority_ds,
         "sample_stratified": sample.sample_stratified_ds,
         "split_assignment": sample.split_assignment_ds,
         "global_sort_topn": analog.global_sort_topn_ds,
@@ -622,4 +624,10 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {p} AS p_pm, percentile_disc({p / 1000.0}) WITHIN GROUP "
             f"(ORDER BY o_totalprice) AS value FROM orders"
             for p in (250, 500, 750, 900, 990)),
+        "price_quantiles_by_priority": " UNION ALL ".join(
+            f"SELECT o_orderpriority, {p} AS p_pm, "
+            f"percentile_disc({p / 1000.0}) WITHIN GROUP "
+            f"(ORDER BY o_totalprice) AS value FROM orders "
+            f"GROUP BY o_orderpriority"
+            for p in (500, 900)),
     }

@@ -88,3 +88,69 @@ def order_price_quantiles_ds(sf_dir: str,
     ds = read_table(sf_dir, "orders", ["o_totalprice"])
     return exact_quantiles(ds, "o_totalprice", list(ps_pm),
                            bucket_width=100.0)
+
+
+def exact_group_quantiles(ds, key_col: str, col: str, ps_pm: list[int],
+                          bucket_width: float = 1.0,
+                          num_partitions: int = 32) -> pd.DataFrame:
+    """Per-group exact per-mille quantiles — the GROUP BY generalization of
+    ``exact_quantiles``. Same two-phase plan: the histogram is grouped by
+    (key, bucket) so its size is Σ_g range_g/width (still row-count
+    independent); the refine pass pulls only the (key, bucket) populations
+    that contain a target statistic. Returns (key_col, p_pm, value), one row
+    per group × requested point."""
+    from .agg import grouped_count
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[col].to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            key_col: batch[key_col].reset_index(drop=True),
+            "bucket": np.floor(v / bucket_width).astype(np.int64)})
+
+    hist = grouped_count(ds.map_batches(bucketize, batch_format="pandas"),
+                         [key_col, "bucket"], "n", num_partitions).to_pandas()
+    if hist.empty:
+        return pd.DataFrame({key_col: [], "p_pm": pd.Series([], dtype="int64"),
+                             "value": pd.Series([], dtype="float64")})
+    hist = hist.sort_values([key_col, "bucket"]).reset_index(drop=True)
+
+    # per group: locate the bucket holding each k = max(1, ceil(p/1000 · n))
+    need: set[tuple] = set()
+    targets: dict[tuple, list[tuple[int, int]]] = {}
+    for key, g in hist.groupby(key_col, sort=False):
+        cum = g["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        for p in ps_pm:
+            k = max(1, math.ceil(p / 1000.0 * total))
+            i = int(np.searchsorted(cum, k, side="left"))
+            b = int(g["bucket"].iloc[i])
+            before = int(cum[i - 1]) if i else 0
+            need.add((key, b))
+            targets.setdefault((key, b), []).append((p, k - before))
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[col].to_numpy(dtype=np.float64)
+        b = np.floor(v / bucket_width).astype(np.int64)
+        keep = [(kk, bb) in need for kk, bb in zip(batch[key_col], b)]
+        return pd.DataFrame({key_col: batch[key_col].reset_index(drop=True)[keep],
+                             "v": v[keep], "b": b[keep]})
+
+    vals = ds.map_batches(pick, batch_format="pandas").to_pandas()
+    out = []
+    for (key, b), pts in targets.items():
+        inb = np.sort(vals.loc[(vals[key_col] == key) & (vals["b"] == b),
+                               "v"].to_numpy())
+        for p, off in pts:
+            out.append((key, p, float(inb[off - 1])))
+    res = pd.DataFrame(sorted(out), columns=[key_col, "p_pm", "value"])
+    return res.astype({"p_pm": "int64", "value": "float64"})
+
+
+def order_price_quantiles_by_priority_ds(sf_dir: str,
+                                         ps_pm: tuple = (500, 900)):
+    """Exact o_totalprice percentiles per o_orderpriority — the SQL-checked
+    face of ``exact_group_quantiles``."""
+    from .io import read_table
+    ds = read_table(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    return exact_group_quantiles(ds, "o_orderpriority", "o_totalprice",
+                                 list(ps_pm), bucket_width=100.0)

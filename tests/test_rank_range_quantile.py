@@ -185,3 +185,22 @@ def test_build_vocab_caps_and_ranks(ray_session, tmp_path):
     assert list(got.w) == ["aa", "bb", "cc", "dd"]
     assert list(got.cnt) == [10, 8, 8, 3]
     assert list(got.token_id) == [1, 2, 3, 4]
+
+
+def test_group_quantiles_match_per_group_numpy(ray_session):
+    """Per-group two-phase selection ≡ per-group numpy order statistic,
+    including a single-row group (k clamps to 1)."""
+    import math
+    from crusty_ray.ops.quantiles import exact_group_quantiles
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({"g": list(rng.integers(0, 5, 999)) + [99],
+                       "x": list(np.round(rng.uniform(0, 80, 999), 3)) + [42.0]})
+    ps = [250, 500, 900]
+    got = exact_group_quantiles(_ds(df), "g", "x", ps, bucket_width=5.0,
+                                num_partitions=4)
+    for g, sub in df.groupby("g"):
+        s = np.sort(sub.x.to_numpy())
+        for p in ps:
+            exp = s[max(1, math.ceil(p / 1000.0 * len(s))) - 1]
+            row = got[(got.g == g) & (got.p_pm == p)]
+            assert float(row.value.iloc[0]) == exp, (g, p)
