@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- joins beyond equi (SQL-checked)
         "asof_latest_order": joins.asof_latest_order_ds,
         "range_join_prior_events": joins.range_join_events_ds,
+        "revenue_by_nation": joins.revenue_by_nation_ds,
         "anti_join_customers": joins.anti_join_customers_ds,
         "semi_join_events": joins.semi_join_events_ds,
         # -- float cosine near-dup (rows-only; quantized face is the oracle)
@@ -619,6 +620,14 @@ def oracle_sql() -> dict[str, str]:
                          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                          % 1000 AS b
                   FROM documents)
+        """,
+        "revenue_by_nation": """
+            SELECT n_name, count(*) AS n_orders,
+                   sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                       AS revenue_cents
+            FROM orders JOIN customer ON c_custkey = o_custkey
+                        JOIN nation ON n_nationkey = c_nationkey
+            GROUP BY n_name
         """,
         "order_price_quantiles": " UNION ALL ".join(
             f"SELECT {p} AS p_pm, percentile_disc({p / 1000.0}) WITHIN GROUP "

@@ -173,3 +173,46 @@ def range_join_events_ds(sf_dir: str, window_minutes: int = 10):
         })
 
     return partitioned_group_apply(events, ["key"], range_in_part)
+
+
+def revenue_by_nation_ds(sf_dir: str):
+    """Star join: orders(fact) ⋈ customer ⋈ nation → per-nation order count
+    and revenue (integer cents, per-row conversion so the distributed sum is
+    order-independent and bit-exact vs SQL).
+
+    Both dimension sides are broadcast once (`ray.put` of plain int/str
+    arrays — the ray_guide broadcast-join pattern chained through two dims);
+    the fact table streams through one `map_batches` + a low-cardinality
+    groupby. No shuffle touches the fact rows except the final ≤25-group
+    aggregation."""
+    import numpy as np
+    from ray.data.aggregate import Count, Sum
+
+    cust = read_table(sf_dir, "customer",
+                      ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = read_table(sf_dir, "nation",
+                        ["n_nationkey", "n_name"]).to_pandas()
+    cust_to_nation = dict(zip(cust["c_custkey"].astype(int),
+                              cust["c_nationkey"].astype(int)))
+    nation_name = dict(zip(nation["n_nationkey"].astype(int),
+                           nation["n_name"]))
+    maps_ref = ray.put((cust_to_nation, nation_name))
+
+    def attach(batch: pd.DataFrame) -> pd.DataFrame:
+        c2n, names = ray.get(maps_ref)
+        ck = batch["o_custkey"].astype(int)
+        nk = ck.map(c2n)
+        keep = nk.notna()
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(dtype=np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        return pd.DataFrame({
+            "n_name": nk[keep].map(names),
+            "price_cents": cents[keep.to_numpy()],
+        })
+
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    return orders.map_batches(attach, batch_format="pandas") \
+        .groupby("n_name").aggregate(Count(alias_name="n_orders"),
+                                     Sum("price_cents",
+                                         alias_name="revenue_cents"))

@@ -83,7 +83,7 @@ SQL_CHECKED = [
     "neardup_components", "doc_dedup_groups",
     "top_docs_per_source", "range_join_prior_events", "order_price_quantiles",
     "sample_stratified", "split_assignment", "build_vocab",
-    "price_quantiles_by_priority",
+    "price_quantiles_by_priority", "revenue_by_nation",
 ]
 
 
