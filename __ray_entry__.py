@@ -72,8 +72,8 @@ def entry() -> Any:
 # --------------------------------------------------------------------- queries
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from crusty_ray.ops import (analog, dedup, joins, quantiles, sample,
-                                similarity, text, windows)
+    from crusty_ray.ops import (analog, analytic, dedup, joins, quantiles,
+                                sample, similarity, text, windows)
 
     def lang_distribution(sf_dir: str):
         import ray
@@ -203,6 +203,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- windowed aggregates (SQL-checked)
         "sliding_window_counts": windows.sliding_window_counts_ds,
         "session_windows": windows.session_windows_ds,
+        # -- analytic windows / rollup / pivot (SQL-checked)
+        "running_order_totals": analytic.running_order_totals_ds,
+        "lag_event_deltas": analytic.lag_event_deltas_ds,
+        "rollup_order_counts": analytic.rollup_order_counts_ds,
+        "pivot_event_dow": analytic.pivot_event_dow_ds,
         # -- joins beyond equi (SQL-checked)
         "asof_latest_order": joins.asof_latest_order_ds,
         "range_join_prior_events": joins.range_join_events_ds,
@@ -621,6 +626,40 @@ def oracle_sql() -> dict[str, str]:
                          % 1000 AS b
                   FROM documents)
         """,
+        "running_order_totals": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(row_number() OVER w AS BIGINT) AS rn,
+                   sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                       OVER w AS run_cents
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+        """,
+        "lag_event_deltas": """
+            SELECT event_id, user_id,
+                   coalesce(lag(event_id) OVER w, -1) AS prev_event_id,
+                   coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1)
+                       AS delta_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "rollup_order_counts": """
+            SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+                   coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+                   count(*) AS n_orders,
+                   sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                       AS cents
+            FROM orders
+            GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        """,
+        "pivot_event_dow": """
+            SELECT event_type,
+                   {dows}
+            FROM events
+            GROUP BY event_type
+        """.format(dows=", ".join(
+            f"sum(CASE WHEN (epoch_us(ts) // 1000000 // 86400 + 4) % 7 = {d}"
+            f" THEN 1 ELSE 0 END) AS dow_{d}" for d in range(7))),
         "revenue_by_nation": """
             SELECT n_name, count(*) AS n_orders,
                    sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))

@@ -1,0 +1,165 @@
+"""Analytic (window-function) operators — running totals, lag deltas,
+rollup, pivot — expressed Ray-Data-first.
+
+Ray Data has no SQL window functions. The scalable shape mirrors
+ops/windows.py: ONE coarse hash-partition shuffle on the PARTITION BY key
+(`partitioned_group_apply`), then the whole window computation runs
+vectorized (pandas sort + cumsum/shift) over every key in the partition at
+once — per-partition overhead, not per-key. Rollup/pivot aggregate the
+finest grouping distributed first; the coarser levels / column spread are
+derived from that tiny result.
+
+All value columns are integer-typed (price cents, µs deltas) so the DuckDB
+window-function oracles hash identically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .agg import partitioned_group_apply
+from .io import read_table
+
+
+def _price_cents(prices: pd.Series) -> np.ndarray:
+    """o_totalprice (2-decimal float) → exact integer cents, the repo-wide
+    convention for order-independent bit-exact distributed sums."""
+    return np.floor(prices.to_numpy(dtype=np.float64) * 100 + 0.5) \
+        .astype(np.int64)
+
+
+def running_order_totals_ds(sf_dir: str):
+    """Per-customer running revenue: `sum(cents) OVER (PARTITION BY
+    o_custkey ORDER BY o_orderdate, o_orderkey)` + `row_number()` — the
+    cumulative-sum analytic window.
+
+    One shuffle (coarse partitions on o_custkey); inside a partition one
+    mergesort over all its customers, then a single vectorized
+    groupby-cumsum/cumcount across every customer at once."""
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_custkey", "o_orderdate",
+                         "o_totalprice"])
+
+    def window(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                           kind="mergesort").reset_index(drop=True)
+        g["__cents"] = _price_cents(g["o_totalprice"])
+        grp = g.groupby("o_custkey", sort=False)
+        return pd.DataFrame({
+            "o_orderkey": g["o_orderkey"].astype("int64"),
+            "o_custkey": g["o_custkey"].astype("int64"),
+            "rn": (grp.cumcount() + 1).astype("int64"),
+            "run_cents": grp["__cents"].cumsum().astype("int64"),
+        })
+
+    return partitioned_group_apply(orders, ["o_custkey"], window)
+
+
+def lag_event_deltas_ds(sf_dir: str):
+    """Per-user inter-event gap: `lag(ts) / lag(event_id) OVER (PARTITION BY
+    user_id ORDER BY ts, event_id)`, NULL-as--1 so the output stays integer.
+
+    Same one-shuffle plan; the lag is a vectorized shift over the
+    user-ordered partition with a new-user mask — no per-user loop."""
+    events = read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def window(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["user_id", "ts", "event_id"],
+                           kind="mergesort").reset_index(drop=True)
+        ts = g["ts"].astype("int64").to_numpy()
+        uid = g["user_id"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        first = np.empty(len(g), dtype=bool)
+        if len(g):
+            first[0] = True
+            first[1:] = uid[1:] != uid[:-1]
+        prev_eid = np.empty(len(g), dtype=np.int64)
+        delta = np.empty(len(g), dtype=np.int64)
+        if len(g):
+            prev_eid[0] = -1
+            delta[0] = -1
+            prev_eid[1:] = eid[:-1]
+            delta[1:] = ts[1:] - ts[:-1]
+        prev_eid[first] = -1
+        delta[first] = -1
+        return pd.DataFrame({
+            "event_id": eid.astype("int64"),
+            "user_id": uid.astype("int64"),
+            "prev_event_id": prev_eid,
+            "delta_us": delta,
+        })
+
+    return partitioned_group_apply(events, ["user_id"], window)
+
+
+def rollup_order_counts_ds(sf_dir: str):
+    """GROUP BY ROLLUP(o_orderpriority, o_orderstatus): order count + revenue
+    cents at the (priority, status), (priority), and () levels, rolled-up
+    columns as the 'ALL' sentinel (so the face stays string-typed, no NULL
+    hash ambiguity).
+
+    Scale plan: the FACT scan aggregates once, distributed, to the finest
+    level (≤ priorities×statuses rows); the coarser levels are derived from
+    that tiny finest table by re-summing — never a second pass over the fact
+    rows (the classic rollup-from-partials identity)."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def add_cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderpriority": df["o_orderpriority"],
+            "o_orderstatus": df["o_orderstatus"],
+            "cents": _price_cents(df["o_totalprice"]),
+        })
+
+    finest = orders.map_batches(add_cents, batch_format="pandas") \
+        .groupby(["o_orderpriority", "o_orderstatus"]) \
+        .aggregate(Count(alias_name="n_orders"),
+                   Sum("cents", alias_name="cents")) \
+        .to_pandas()  # tiny: |priorities| × |statuses| rows
+
+    lvl1 = finest.groupby("o_orderpriority", as_index=False)[
+        ["n_orders", "cents"]].sum()
+    lvl1["o_orderstatus"] = "ALL"
+    lvl0 = pd.DataFrame({"o_orderpriority": ["ALL"], "o_orderstatus": ["ALL"],
+                         "n_orders": [finest["n_orders"].sum()],
+                         "cents": [finest["cents"].sum()]})
+    out = pd.concat([finest, lvl1, lvl0], ignore_index=True)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["cents"] = out["cents"].astype("int64")
+    cols = ["o_orderpriority", "o_orderstatus", "n_orders", "cents"]
+    return out[cols].sort_values(cols[:2]).reset_index(drop=True)
+
+
+def pivot_event_dow_ds(sf_dir: str):
+    """Pivot: event counts per event_type spread across day-of-week columns
+    dow_0..dow_6 (epoch-day convention: 0 = Thursday 1970-01-01, identical
+    arithmetic in the SQL oracle — no locale/week-start ambiguity).
+
+    The distributed work is one narrow groupby on (event_type, dow); the
+    spread-to-columns happens on the ≤ |types|×7-row result."""
+    from ray.data.aggregate import Count
+
+    events = read_table(sf_dir, "events", ["event_type", "ts"])
+
+    def keys(df: pd.DataFrame) -> pd.DataFrame:
+        epoch_s = df["ts"].astype("int64") // 1_000_000
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "dow": ((epoch_s // 86_400 + 4) % 7).astype("int64"),
+        })
+
+    counts = events.map_batches(keys, batch_format="pandas") \
+        .groupby(["event_type", "dow"]).aggregate(Count(alias_name="cnt")) \
+        .to_pandas()  # tiny: |types| × 7
+    wide = counts.pivot_table(index="event_type", columns="dow",
+                              values="cnt", fill_value=0, aggfunc="sum")
+    out = pd.DataFrame({"event_type": wide.index})
+    for d in range(7):
+        col = wide[d] if d in wide.columns else 0
+        out[f"dow_{d}"] = pd.Series(col).to_numpy(dtype="int64") \
+            if d in wide.columns else np.zeros(len(wide), dtype="int64")
+    return out.sort_values("event_type").reset_index(drop=True)

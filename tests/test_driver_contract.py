@@ -84,6 +84,8 @@ SQL_CHECKED = [
     "top_docs_per_source", "range_join_prior_events", "order_price_quantiles",
     "sample_stratified", "split_assignment", "build_vocab",
     "price_quantiles_by_priority", "revenue_by_nation",
+    "running_order_totals", "lag_event_deltas", "rollup_order_counts",
+    "pivot_event_dow",
 ]
 
 
