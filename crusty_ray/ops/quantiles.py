@@ -30,10 +30,11 @@ import numpy as np
 import pandas as pd
 
 
-def exact_quantiles(ds, col: str, ps_pm: list[int], bucket_width: float = 1.0,
-                    num_partitions: int = 32) -> pd.DataFrame:
-    """Exact per-mille quantiles of ``ds[col]``. Returns a small DataFrame
-    (p_pm:int64, value:float64), one row per requested per-mille point."""
+def _order_stats(ds, col: str, ks: set[int], bucket_width: float,
+                 num_partitions: int) -> tuple[dict[int, float], int]:
+    """The shared two-phase selection: exact values of the 1-based order
+    statistics ``ks`` of ``ds[col]``, plus the total row count. Returns
+    ({} , 0) on empty input; ks outside [1, n] are clamped by callers."""
     from .agg import grouped_count
 
     def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
@@ -44,18 +45,17 @@ def exact_quantiles(ds, col: str, ps_pm: list[int], bucket_width: float = 1.0,
     hist = grouped_count(ds.map_batches(bucketize, batch_format="pandas"),
                          ["bucket"], "n", num_partitions).to_pandas()
     if hist.empty:  # empty input: no histogram rows (and maybe no schema)
-        return pd.DataFrame({"p_pm": pd.Series(ps_pm, dtype="int64"),
-                             "value": pd.Series([np.nan] * len(ps_pm))})
+        return {}, 0
     hist = hist.sort_values("bucket").reset_index(drop=True)
     total = int(hist["n"].sum())
     cum = hist["n"].cumsum().to_numpy()
-    ks = {p: max(1, math.ceil(p / 1000.0 * total)) for p in ps_pm}
     # bucket index (into hist) holding each k, + the k's offset within it
     hits: dict[int, list[tuple[int, int]]] = {}
-    for p, k in ks.items():
+    for k in ks:
+        k = min(max(1, k), total)
         i = int(np.searchsorted(cum, k, side="left"))
         before = int(cum[i - 1]) if i else 0
-        hits.setdefault(i, []).append((p, k - before))  # 1-based in-bucket
+        hits.setdefault(i, []).append((k, k - before))  # 1-based in-bucket
 
     need = {int(hist["bucket"].iloc[i]) for i in hits}
     lo = min(need) * bucket_width
@@ -69,13 +69,59 @@ def exact_quantiles(ds, col: str, ps_pm: list[int], bucket_width: float = 1.0,
         return pd.DataFrame({"v": v[keep], "b": b[keep]})
 
     vals = ds.map_batches(pick, batch_format="pandas").to_pandas()
-    out = []
+    stats: dict[int, float] = {}
     for i, targets in hits.items():
         b = int(hist["bucket"].iloc[i])
         inb = np.sort(vals.loc[vals["b"] == b, "v"].to_numpy())
-        for p, off in targets:
-            out.append((p, float(inb[off - 1])))
-    return pd.DataFrame(sorted(out), columns=["p_pm", "value"]) \
+        for k, off in targets:
+            stats[k] = float(inb[off - 1])
+    return stats, total
+
+
+def exact_quantiles(ds, col: str, ps_pm: list[int], bucket_width: float = 1.0,
+                    num_partitions: int = 32) -> pd.DataFrame:
+    """Exact per-mille quantiles of ``ds[col]``. Returns a small DataFrame
+    (p_pm:int64, value:float64), one row per requested per-mille point."""
+    # k = ceil(p/1000·n) needs n up front; on the parquet-read faces this
+    # count is metadata-only, no data scan.
+    total = ds.count()
+    if not total:
+        return pd.DataFrame({"p_pm": pd.Series(ps_pm, dtype="int64"),
+                             "value": pd.Series([np.nan] * len(ps_pm))})
+    ks = {p: max(1, math.ceil(p / 1000.0 * total)) for p in ps_pm}
+    stats, _ = _order_stats(ds, col, set(ks.values()), bucket_width,
+                            num_partitions)
+    out = sorted((p, stats[k]) for p, k in ks.items())
+    return pd.DataFrame(out, columns=["p_pm", "value"]) \
+        .astype({"p_pm": "int64", "value": "float64"})
+
+
+def exact_quantiles_cont(ds, col: str, ps_pm: list[int],
+                         bucket_width: float = 1.0,
+                         num_partitions: int = 32) -> pd.DataFrame:
+    """Interpolated (``percentile_cont``) exact quantiles. Same two-phase
+    selection for the two bracketing order statistics, then DuckDB's exact
+    interpolation arithmetic (``lo·(⌈rn⌉−rn) + hi·(rn−⌊rn⌋)`` on
+    ``rn = (n−1)·p`` doubles) so results hash bit-identically."""
+    total = ds.count()
+    if not total:
+        return pd.DataFrame({"p_pm": pd.Series(ps_pm, dtype="int64"),
+                             "value": pd.Series([np.nan] * len(ps_pm))})
+    plan: dict[int, tuple[int, int, float, float]] = {}
+    ks: set[int] = set()
+    for p in ps_pm:
+        rn = (total - 1) * (p / 1000.0)
+        frn, crn = math.floor(rn), math.ceil(rn)
+        plan[p] = (frn + 1, crn + 1, crn - rn, rn - frn)  # 1-based ks
+        ks.update((frn + 1, crn + 1))
+    stats, _ = _order_stats(ds, col, ks, bucket_width, num_partitions)
+    out = []
+    for p, (klo, khi, w_lo, w_hi) in sorted(plan.items()):
+        if klo == khi:
+            out.append((p, stats[klo]))
+        else:
+            out.append((p, stats[klo] * w_lo + stats[khi] * w_hi))
+    return pd.DataFrame(out, columns=["p_pm", "value"]) \
         .astype({"p_pm": "int64", "value": "float64"})
 
 
@@ -88,6 +134,17 @@ def order_price_quantiles_ds(sf_dir: str,
     ds = read_table(sf_dir, "orders", ["o_totalprice"])
     return exact_quantiles(ds, "o_totalprice", list(ps_pm),
                            bucket_width=100.0)
+
+
+def order_price_quantiles_cont_ds(sf_dir: str,
+                                  ps_pm: tuple = (250, 500, 613, 750, 990)):
+    """Interpolated o_totalprice percentiles — the SQL-checked face of
+    ``exact_quantiles_cont`` (bit-exact vs DuckDB ``percentile_cont``,
+    including the 0.613 point that falls strictly between order stats)."""
+    from .io import read_table
+    ds = read_table(sf_dir, "orders", ["o_totalprice"])
+    return exact_quantiles_cont(ds, "o_totalprice", list(ps_pm),
+                                bucket_width=100.0)
 
 
 def exact_group_quantiles(ds, key_col: str, col: str, ps_pm: list[int],

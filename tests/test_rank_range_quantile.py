@@ -128,6 +128,35 @@ class TestExactQuantiles:
         got = exact_quantiles(_ds(df, 1), "x", [500])
         assert list(got.p_pm) == [500] and np.isnan(got.value.iloc[0])
 
+    def test_cont_matches_duckdb_bitexact(self, ray_session):
+        """percentile_cont parity including points strictly between order
+        statistics — value equality is EXACT float bits, not approx."""
+        import duckdb
+        from crusty_ray.ops.quantiles import exact_quantiles_cont
+        rng = np.random.default_rng(11)
+        vals = np.round(rng.uniform(0, 10000, 733), 2)
+        df = pd.DataFrame({"x": vals})
+        ps = [0, 13, 250, 500, 613, 750, 999, 1000]
+        got = exact_quantiles_cont(_ds(df), "x", ps, bucket_width=50.0,
+                                   num_partitions=4)
+        for p, v in zip(got.p_pm, got.value):
+            exp = duckdb.sql(
+                f"SELECT percentile_cont({p / 1000.0!r}) WITHIN GROUP "
+                f"(ORDER BY x) FROM (SELECT CAST(unnest({vals.tolist()}) "
+                f"AS DOUBLE) AS x)"  # parquet faces are DOUBLE, not DECIMAL
+            ).fetchone()[0]
+            assert v == exp, (p, v, exp)
+
+    def test_cont_single_row_and_empty(self, ray_session):
+        from crusty_ray.ops.quantiles import exact_quantiles_cont
+        one = exact_quantiles_cont(_ds(pd.DataFrame({"x": [42.0]}), 1),
+                                   "x", [0, 500, 1000])
+        assert list(one.value) == [42.0, 42.0, 42.0]
+        empty = exact_quantiles_cont(
+            _ds(pd.DataFrame({"x": pd.Series([], dtype="float64")}), 1),
+            "x", [500])
+        assert list(empty.p_pm) == [500] and np.isnan(empty.value.iloc[0])
+
 
 class TestDeterministicSampling:
     def test_membership_stable_under_corpus_change(self, ray_session):
