@@ -41,16 +41,27 @@ def _crawl_outputs() -> dict:
     return _CRAWL_CACHE
 
 
+def _images_dir() -> str:
+    from crusty_ray.pipelines.images import run_image_pipeline
+    c = _crawl_outputs()
+    img_dir = f"{c['out']}/images"
+    if not os.path.exists(img_dir):
+        run_image_pipeline(f"{c['out']}/crawl_log", img_dir,
+                           c["web_cfg"], c["cfg"])
+    return img_dir
+
+
 def _image_dedup(fn_name: str):
     def q(sf_dir: str):
         from crusty_ray.ops import image_dedup
-        from crusty_ray.pipelines.images import run_image_pipeline
-        c = _crawl_outputs()
-        img_dir = f"{c['out']}/images"
-        if not os.path.exists(img_dir):
-            run_image_pipeline(f"{c['out']}/crawl_log", img_dir,
-                               c["web_cfg"], c["cfg"])
-        return getattr(image_dedup, fn_name)(img_dir)
+        return getattr(image_dedup, fn_name)(_images_dir())
+    return q
+
+
+def _image_quality(fn_name: str):
+    def q(sf_dir: str):
+        from crusty_ray.ops import image_quality
+        return getattr(image_quality, fn_name)(_images_dir())
     return q
 
 
@@ -224,6 +235,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_exact_dedup": _image_dedup("image_exact_dedup"),
         "image_phash_near_dups": _image_dedup("image_phash_pairs"),
         "image_dedup_groups": _image_dedup("image_dedup_groups"),
+        # -- image curation gate (rows-only here; duckdb-oracled in pytest)
+        "image_quality_filter": _image_quality("image_quality_filter"),
+        "image_quality_report": _image_quality("image_quality_report"),
         # -- the crawl engine itself (simulator-oracled; rows-only here)
         "crawl_log": crawl_log,
         "crawl_topk": crawl_topk,

@@ -1,0 +1,96 @@
+"""Image quality filtering + per-format curation report — the gate a
+training-data pipeline runs between crawl and dedup.
+
+All decisions are pure column math over the image table's typed metadata
+(w, h, fmt, decode_ok, psnr_db, caption) — ``bytes`` is never read, so at
+100 TB only narrow columns leave storage (``read_dataset(columns=...)``
+prunes at the reader). Filtering is one vectorized ``map_batches`` (no
+shuffle); the report pre-aggregates per-batch partials and reduces with a
+tiny per-format groupby sum.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_META_COLS = ["image_id", "w", "h", "fmt", "decode_ok", "psnr_db", "caption"]
+
+
+def _quality_flags(df: pd.DataFrame, min_w: int, min_h: int,
+                   max_aspect_pm: int, min_caption_chars: int) -> pd.DataFrame:
+    """Vectorized reject reasons. aspect is per-mille of max(w,h)/min(w,h)
+    (integer math — no float-threshold ambiguity in the oracles)."""
+    w = df["w"].to_numpy(dtype=np.int64)
+    h = df["h"].to_numpy(dtype=np.int64)
+    long_side = np.maximum(w, h)
+    short_side = np.maximum(np.minimum(w, h), 1)
+    aspect_pm = long_side * 1000 // short_side
+    cap_len = df["caption"].str.len().fillna(0).to_numpy(dtype=np.int64)
+    return pd.DataFrame({
+        "image_id": df["image_id"],
+        "fmt": df["fmt"],
+        "r_decode": ~df["decode_ok"].to_numpy(dtype=bool),
+        "r_small": (w < min_w) | (h < min_h),
+        "r_aspect": aspect_pm > max_aspect_pm,
+        "r_caption": cap_len < min_caption_chars,
+    })
+
+
+def image_quality_filter(images_path: str, min_w: int = 32, min_h: int = 32,
+                         max_aspect_pm: int = 3000,
+                         min_caption_chars: int = 8):
+    """Kept image ids + dims after the standard curation gate: decodable,
+    ≥ min resolution, aspect ratio ≤ max_aspect_pm/1000, caption long
+    enough. Returns a Dataset(image_id, w, h, fmt) — a pure streaming
+    filter, one pass, no shuffle."""
+    from .io import read_dataset
+    ds = read_dataset(images_path, columns=_META_COLS)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        f = _quality_flags(df, min_w, min_h, max_aspect_pm,
+                           min_caption_chars)
+        ok = ~(f["r_decode"] | f["r_small"] | f["r_aspect"] | f["r_caption"])
+        out = df.loc[ok.to_numpy(), ["image_id", "w", "h", "fmt"]].copy()
+        out["w"] = out["w"].astype("int64")
+        out["h"] = out["h"].astype("int64")
+        return out
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def image_quality_report(images_path: str, min_w: int = 32, min_h: int = 32,
+                         max_aspect_pm: int = 3000,
+                         min_caption_chars: int = 8) -> pd.DataFrame:
+    """Per-format curation report: total rows, kept rows, and per-reason
+    reject counts (a row can fail several gates; reasons count
+    independently). Partial counts per batch, then one per-format sum —
+    only |formats| rows ever shuffle."""
+    from ray.data.aggregate import Sum
+
+    from .io import read_dataset
+    ds = read_dataset(images_path, columns=_META_COLS)
+
+    reason_cols = ["n_undecodable", "n_too_small", "n_bad_aspect",
+                   "n_short_caption"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        f = _quality_flags(df, min_w, min_h, max_aspect_pm,
+                           min_caption_chars)
+        f["n_total"] = 1
+        f["n_kept"] = ~(f["r_decode"] | f["r_small"] | f["r_aspect"]
+                        | f["r_caption"])
+        agg = f.groupby("fmt", as_index=False).agg(
+            n_total=("n_total", "sum"), n_kept=("n_kept", "sum"),
+            n_undecodable=("r_decode", "sum"), n_too_small=("r_small", "sum"),
+            n_bad_aspect=("r_aspect", "sum"),
+            n_short_caption=("r_caption", "sum"))
+        return agg.astype({c: "int64"
+                           for c in ["n_total", "n_kept"] + reason_cols})
+
+    cols = ["n_total", "n_kept"] + reason_cols
+    out = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("fmt").aggregate(*[Sum(c, alias_name=c) for c in cols]) \
+        .to_pandas()  # |formats| rows
+    return out.astype({c: "int64" for c in cols}) \
+        .sort_values("fmt").reset_index(drop=True)

@@ -65,7 +65,8 @@ def test_every_query_is_covered_by_some_check(contract):
     crawl_checked = {"crawl_log", "crawl_topk", "crawl_job_metrics",
                      "crawl_images", "multimodal_thumbs",
                      "image_exact_dedup", "image_phash_near_dups",
-                     "image_dedup_groups"}
+                     "image_dedup_groups", "image_quality_filter",
+                     "image_quality_report"}
     listed = set(SQL_CHECKED) | set(ROWS_ONLY) | crawl_checked
     assert set(queries) == listed, (
         f"unlisted: {set(queries) - listed}; stale: {listed - set(queries)}")
@@ -129,7 +130,8 @@ def test_crawl_queries_run(contract):
     for name in ["crawl_log", "crawl_topk", "crawl_job_metrics",
                  "crawl_images", "multimodal_thumbs",
                  "image_exact_dedup", "image_phash_near_dups",
-                 "image_dedup_groups"]:
+                 "image_dedup_groups", "image_quality_filter",
+                 "image_quality_report"]:
         df = _to_df(queries[name](SF_DIR))
         assert df is not None and len(df.columns) > 0, name
         if name != "image_phash_near_dups":  # near-dup pairs may be empty

@@ -198,3 +198,82 @@ def test_sketch_mode_exchange_path_matches_simulator(ray_session, tmp_path):
     eng = CrawlEngine(cfg, web_cfg, str(tmp_path / "o")).run()
     assert len(sim.topk_rows) > 0
     assert eng.topk_rows == sim.topk_rows
+
+
+class TestImageQualityGate:
+    @pytest.fixture(scope="class")
+    def meta_path(self, tmp_path_factory):
+        """Synthetic image-metadata table exercising every reject reason."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        rng = stable_rng("imgquality", 0)
+        n = 400
+        w = rng.integers(8, 300, n)
+        h = rng.integers(8, 300, n)
+        fmts = np.array(["png", "jpeg", "bmp"])[rng.integers(0, 3, n)]
+        decode_ok = rng.random(n) > 0.1
+        captions = np.array(
+            ["", "short", "a perfectly fine caption about the picture"]
+        )[rng.integers(0, 3, n)]
+        t = pa.table({
+            "image_id": pa.array([f"im{i}" for i in range(n)]),
+            "w": pa.array(w, type=pa.int32()),
+            "h": pa.array(h, type=pa.int32()),
+            "fmt": pa.array(fmts.tolist()),
+            "decode_ok": pa.array(decode_ok.tolist()),
+            "psnr_db": pa.array(rng.uniform(30, 60, n).tolist()),
+            "caption": pa.array(captions.tolist()),
+        })
+        p = tmp_path_factory.mktemp("imgq") / "images.parquet"
+        pq.write_table(t, p)
+        return str(p)
+
+    ORACLE_KEEP = """
+        SELECT image_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h, fmt
+        FROM read_parquet('{p}')
+        WHERE decode_ok AND w >= 32 AND h >= 32
+          AND greatest(w, h) * 1000 // greatest(least(w, h), 1) <= 3000
+          AND length(caption) >= 8
+    """
+
+    def test_filter_matches_duckdb(self, ray_session, meta_path):
+        import duckdb
+        from crusty_ray.ops.image_quality import image_quality_filter
+        got = image_quality_filter(meta_path).to_pandas() \
+            .sort_values("image_id").reset_index(drop=True)
+        exp = duckdb.sql(self.ORACLE_KEEP.format(p=meta_path)).df() \
+            .sort_values("image_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        assert 0 < len(got) < 400  # both sides of the gate exercised
+
+    def test_report_matches_duckdb(self, ray_session, meta_path):
+        import duckdb
+        from crusty_ray.ops.image_quality import image_quality_report
+        got = image_quality_report(meta_path)
+        exp = duckdb.sql(f"""
+            SELECT fmt, count(*) AS n_total,
+                   sum(CASE WHEN decode_ok AND w >= 32 AND h >= 32
+                        AND greatest(w,h)*1000 // greatest(least(w,h),1) <= 3000
+                        AND length(caption) >= 8 THEN 1 ELSE 0 END) AS n_kept,
+                   sum(CASE WHEN NOT decode_ok THEN 1 ELSE 0 END)
+                       AS n_undecodable,
+                   sum(CASE WHEN w < 32 OR h < 32 THEN 1 ELSE 0 END)
+                       AS n_too_small,
+                   sum(CASE WHEN greatest(w,h)*1000
+                        // greatest(least(w,h),1) > 3000
+                        THEN 1 ELSE 0 END) AS n_bad_aspect,
+                   sum(CASE WHEN length(caption) < 8 THEN 1 ELSE 0 END)
+                       AS n_short_caption
+            FROM read_parquet('{meta_path}') GROUP BY fmt ORDER BY fmt
+        """).df()
+        pd.testing.assert_frame_equal(
+            got, exp[got.columns], check_dtype=False)
+        assert (got["n_total"] > got["n_kept"]).any()
+
+    def test_report_totals_consistent(self, ray_session, meta_path):
+        from crusty_ray.ops.image_quality import (image_quality_filter,
+                                                  image_quality_report)
+        rep = image_quality_report(meta_path)
+        kept = image_quality_filter(meta_path).to_pandas()
+        assert int(rep["n_kept"].sum()) == len(kept)
+        assert int(rep["n_total"].sum()) == 400
