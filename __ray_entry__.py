@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- language id (stopword heuristic, profile frozen into the oracle)
         "langid": text.langid_ds,
         "build_vocab": text.build_vocab_ds,
+        "doc_top_terms": text.doc_top_terms_ds,
         # -- crawl-operator analogs (SQL-checked)
         "topk_heavy_hitters": analog.topk_heavy_hitters_ds,
         "per_group_budget": analog.per_group_budget_ds,
@@ -626,6 +627,23 @@ def oracle_sql() -> dict[str, str]:
                           FROM documents)
                     WHERE w <> '' GROUP BY w))
             WHERE token_id <= 500
+        """,
+        "doc_top_terms": """
+            WITH tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                    FROM documents)
+              WHERE term <> '' GROUP BY doc_id, term
+            ), dfreq AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), ranked AS (
+              SELECT doc_id, term, tf,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY tf DESC, term) AS rn
+              FROM tf
+            )
+            SELECT r.doc_id, r.term, r.tf, CAST(r.rn AS BIGINT) AS rn, d.df
+            FROM ranked r JOIN dfreq d USING (term) WHERE rn <= 3
         """,
         "sample_stratified": """
             SELECT doc_id, source FROM documents

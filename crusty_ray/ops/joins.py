@@ -216,3 +216,82 @@ def revenue_by_nation_ds(sf_dir: str):
         .groupby("n_name").aggregate(Count(alias_name="n_orders"),
                                      Sum("price_cents",
                                          alias_name="revenue_cents"))
+
+
+def hash_join(left, right, on: list[str], num_partitions: int = 32):
+    """Generic distributed inner equi-join — the shuffle hash join Ray Data
+    2.49 lacks. Both sides co-partition on the join key through ONE
+    coarse-partition shuffle (``partitioned_group_apply`` over their union);
+    the per-partition merge is pandas' C hash join. Neither side is
+    broadcast or driver-materialized, so both may be fact-scale; skew on a
+    hot key is bounded by the partition, not the driver.
+
+    Non-key columns must be disjoint between the sides (rename first, as in
+    SQL SELECT aliases). To keep the union schema-aligned WITHOUT nulling
+    (an all-null int64 pad would coerce the whole column to float64 in
+    pandas blocks and corrupt 64-bit values), each side pads the other
+    side's columns with dtype-true sentinels that are dropped after the
+    split inside the partition."""
+    import numpy as np
+    import pyarrow as pa
+
+    lsch, rsch = left.schema(), right.schema()
+    lcols = [n for n in lsch.names if n not in on]
+    rcols = [n for n in rsch.names if n not in on]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"non-key columns must be disjoint: {overlap}")
+
+    def _fill(t):
+        # ray.data Schema types are pyarrow DataTypes for arrow blocks,
+        # numpy dtypes for pandas blocks — accept both
+        if isinstance(t, pa.DataType):
+            if pa.types.is_integer(t):
+                return np.int64(0)
+            if pa.types.is_floating(t):
+                return np.float64(0.0)
+            if pa.types.is_boolean(t):
+                return False
+            if pa.types.is_string(t) or pa.types.is_large_string(t):
+                return ""
+            if pa.types.is_timestamp(t):
+                return pd.Timestamp(0)
+        else:
+            t = np.dtype(t) if not isinstance(t, np.dtype) else t
+            if np.issubdtype(t, np.bool_):
+                return False
+            if np.issubdtype(t, np.integer):
+                return np.int64(0)
+            if np.issubdtype(t, np.floating):
+                return np.float64(0.0)
+            if np.issubdtype(t, np.datetime64):
+                return pd.Timestamp(0)
+            if t == np.dtype(object):
+                return ""
+        raise TypeError(f"hash_join cannot pad column type {t}")
+
+    ltypes = dict(zip(lsch.names, lsch.types))
+    rtypes = dict(zip(rsch.names, rsch.types))
+    lpad = {n: _fill(rtypes[n]) for n in rcols}
+    rpad = {n: _fill(ltypes[n]) for n in lcols}
+
+    def _tag(side: int, pad: dict, order: list[str]):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            for c, v in pad.items():
+                batch[c] = v
+            batch["__side"] = np.int64(side)
+            return batch[order + ["__side"]]
+        return fn
+
+    order = on + lcols + rcols
+    unioned = left.map_batches(_tag(0, lpad, order), batch_format="pandas") \
+        .union(right.map_batches(_tag(1, rpad, order), batch_format="pandas"))
+
+    def join_in_part(df: pd.DataFrame) -> pd.DataFrame:
+        a = df.loc[df["__side"] == 0, on + lcols]
+        b = df.loc[df["__side"] == 1, on + rcols]
+        return a.merge(b, on=on, how="inner")
+
+    from .agg import partitioned_group_apply
+    return partitioned_group_apply(unioned, on, join_in_part, num_partitions)

@@ -210,3 +210,49 @@ def build_vocab_ds(sf_dir: str, vocab_size: int = 500):
         return batch[["w", "cnt", "token_id"]]
 
     return ranked.map_batches(project, batch_format="pandas")
+
+
+def doc_top_terms_ds(sf_dir: str, n: int = 3):
+    """TF-IDF-style doc×term statistics: each document's top-``n`` terms by
+    (tf DESC, term ASC), with the term's corpus document frequency attached
+    — the feature row a relevance/quality model consumes.
+
+    Scale plan — two fully local passes + one generic shuffle join:
+    - **tf + per-doc rank are shuffle-free**: a document's text lives in one
+      row, so per-(doc,term) counts and the per-doc top-n both complete
+      inside ``map_batches`` (vectorized explode → pandas groupby → head).
+    - **df is one coarse-partition count** over the already-distinct
+      (doc,term) rows (``grouped_count`` on term).
+    - the df table is vocabulary-sized (too big to broadcast at corpus
+      scale), so it joins back via ``ops.joins.hash_join`` — the
+      co-partitioned shuffle hash join, never a driver lookup.
+    Token definition matches build_vocab's oracle: single-space split,
+    empty strings dropped."""
+    from .agg import grouped_count
+    from .joins import hash_join
+
+    def tf_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        w = batch.set_index("doc_id")["text"].fillna("").str.split(" ") \
+            .explode()
+        w = w[w != ""]
+        tf = w.groupby([w.index, w]).size().rename("tf").reset_index()
+        tf.columns = ["doc_id", "term", "tf"]
+        return tf.astype({"doc_id": "int64", "tf": "int64"})
+
+    tf = _io_read(f"{sf_dir}/documents.parquet",
+                  columns=["doc_id", "text"]) \
+        .map_batches(tf_rows, batch_format="pandas")
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["doc_id", "tf", "term"],
+                           ascending=[True, False, True], kind="mergesort")
+        g = g.groupby("doc_id", sort=False).head(n).copy()
+        g["rn"] = (g.groupby("doc_id", sort=False).cumcount() + 1) \
+            .astype("int64")
+        return g
+
+    top = tf.map_batches(local_top, batch_format="pandas")
+    df_counts = grouped_count(
+        tf.map_batches(lambda b: b[["term"]], batch_format="pandas"),
+        ["term"], "df")
+    return hash_join(top, df_counts, on=["term"])

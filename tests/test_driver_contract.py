@@ -86,7 +86,7 @@ SQL_CHECKED = [
     "sample_stratified", "split_assignment", "build_vocab",
     "price_quantiles_by_priority", "revenue_by_nation",
     "running_order_totals", "lag_event_deltas", "rollup_order_counts",
-    "pivot_event_dow", "order_price_quantiles_cont",
+    "pivot_event_dow", "order_price_quantiles_cont", "doc_top_terms",
 ]
 
 

@@ -233,3 +233,50 @@ def test_group_quantiles_match_per_group_numpy(ray_session):
             exp = s[max(1, math.ceil(p / 1000.0 * len(s))) - 1]
             row = got[(got.g == g) & (got.p_pm == p)]
             assert float(row.value.iloc[0]) == exp, (g, p)
+
+
+class TestHashJoin:
+    def test_matches_pandas_merge_with_64bit_values(self, ray_session):
+        """Inner equi-join parity incl. int64 payloads near 2^63 (the case a
+        null-padded union would silently corrupt via float64 coercion)."""
+        from crusty_ray.ops.joins import hash_join
+        rng = np.random.default_rng(3)
+        left = pd.DataFrame({
+            "k": rng.integers(0, 40, 300),
+            "lv": rng.integers(1 << 62, (1 << 63) - 1, 300, dtype=np.int64),
+        })
+        right = pd.DataFrame({
+            "k": rng.integers(0, 50, 120),  # some keys unmatched either side
+            "rv": rng.integers(1 << 62, (1 << 63) - 1, 120, dtype=np.int64),
+            "tag": [f"t{i}" for i in range(120)],
+        })
+        got = hash_join(_ds(left), _ds(right, 3), on=["k"],
+                        num_partitions=4).to_pandas()
+        exp = left.merge(right, on="k", how="inner")
+        key = ["k", "lv", "rv", "tag"]
+        got = got[key].sort_values(key).reset_index(drop=True)
+        exp = exp[key].sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=True)
+
+    def test_multi_key(self, ray_session):
+        from crusty_ray.ops.joins import hash_join
+        rng = np.random.default_rng(4)
+        left = pd.DataFrame({"a": rng.integers(0, 5, 80),
+                             "b": rng.integers(0, 5, 80),
+                             "x": np.arange(80, dtype=np.int64)})
+        right = pd.DataFrame({"a": rng.integers(0, 5, 40),
+                              "b": rng.integers(0, 5, 40),
+                              "y": np.arange(40, dtype=np.int64)})
+        got = hash_join(_ds(left), _ds(right, 2), on=["a", "b"],
+                        num_partitions=3).to_pandas()
+        exp = left.merge(right, on=["a", "b"], how="inner")
+        key = ["a", "b", "x", "y"]
+        pd.testing.assert_frame_equal(
+            got[key].sort_values(key).reset_index(drop=True),
+            exp[key].sort_values(key).reset_index(drop=True))
+
+    def test_rejects_overlapping_value_columns(self, ray_session):
+        from crusty_ray.ops.joins import hash_join
+        df = pd.DataFrame({"k": [1], "v": [2]})
+        with pytest.raises(ValueError, match="disjoint"):
+            hash_join(_ds(df, 1), _ds(df, 1), on=["k"])
