@@ -82,6 +82,11 @@ def entry() -> Any:
 
 # --------------------------------------------------------------------- queries
 
+def _approx_distinct_users(sf_dir: str):
+    from crusty_ray.ops.sketch import approx_distinct_users_ds
+    return approx_distinct_users_ds(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from crusty_ray.ops import (analog, analytic, dedup, joins, quantiles,
                                 sample, similarity, text, windows)
@@ -195,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": text.langid_ds,
         "build_vocab": text.build_vocab_ds,
         "doc_top_terms": text.doc_top_terms_ds,
+        "approx_distinct_users": _approx_distinct_users,
         # -- crawl-operator analogs (SQL-checked)
         "topk_heavy_hitters": analog.topk_heavy_hitters_ds,
         "per_group_budget": analog.per_group_budget_ds,

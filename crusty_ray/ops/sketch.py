@@ -1,0 +1,91 @@
+"""Distributed cardinality sketch — HyperLogLog approximate COUNT(DISTINCT).
+
+At 100 TB an exact distinct is a full shuffle of every key; the HLL answer
+is one streaming pass with O(2^p) state:
+
+- **partial pass** (`map_batches`): each batch folds its values into a
+  2^p-register sketch, vectorized (siphash via
+  ``pandas.util.hash_pandas_object`` — process-independent — finalized with
+  splitmix64), and emits ONE row carrying the register array as bytes.
+- **tree reduce**: a second ``map_batches`` with a large ``batch_size``
+  elementwise-maxes ~hundreds of partials per task, so the driver merges a
+  handful of 2^p-byte rows, never O(blocks) of them.
+- register max is associative/commutative → the estimate is independent of
+  block layout (asserted in tests).
+
+Estimator: Flajolet et al. 2007 bias-corrected harmonic mean with the
+standard small-range linear-counting correction. σ ≈ 1.04/√(2^p):
+p=14 → ~0.8 % typical error.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..core.hashing import mix64
+
+
+def _partial_registers(values: pd.Series, p: int) -> np.ndarray:
+    """Fold a value array into a fresh 2^p uint8 register sketch."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if not len(values):
+        return regs
+    h = mix64(pd.util.hash_pandas_object(values, index=False).to_numpy())
+    idx = (h & np.uint64(m - 1)).astype(np.int64)
+    w = h >> np.uint64(p)  # (64-p)-bit suffix, < 2^50 for p ≥ 14
+    # rho = leading zeros of the (64-p)-bit word + 1 = (64-p) - bitlen + 1
+    bitlen = np.zeros(len(w), dtype=np.int64)
+    nz = w != 0
+    # exact for w < 2^53: frexp exponent IS the bit length
+    bitlen[nz] = np.frexp(w[nz].astype(np.float64))[1]
+    rho = ((64 - p) - bitlen + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def _estimate(regs: np.ndarray) -> float:
+    m = float(len(regs))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.float64(2.0) ** -regs.astype(np.float64))
+    if est <= 2.5 * m:
+        zeros = int(np.count_nonzero(regs == 0))
+        if zeros:
+            est = m * np.log(m / zeros)  # linear counting
+    return float(est)
+
+
+def approx_distinct(ds, col: str, p: int = 14,
+                    merge_batch: int = 256) -> pd.DataFrame:
+    """≈ COUNT(DISTINCT col). Returns DataFrame(estimate:int64, p:int64)."""
+    m = 1 << p
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"regs": [_partial_registers(df[col], p).tobytes()]})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(m, dtype=np.uint8)
+        for b in df["regs"]:
+            np.maximum(acc, np.frombuffer(b, dtype=np.uint8), out=acc)
+        return pd.DataFrame({"regs": [acc.tobytes()]})
+
+    partials = ds.map_batches(partial, batch_format="pandas") \
+        .map_batches(merge, batch_format="pandas", batch_size=merge_batch) \
+        .to_pandas()  # ≤ blocks/merge_batch rows of 2^p bytes each
+    acc = np.zeros(m, dtype=np.uint8)
+    if "regs" in partials.columns:  # empty input yields no partial rows
+        for b in partials["regs"]:
+            np.maximum(acc, np.frombuffer(b, dtype=np.uint8), out=acc)
+    est = _estimate(acc) if acc.any() else 0.0
+    return pd.DataFrame({"estimate": [int(round(est))],
+                         "p": [p]}).astype("int64")
+
+
+def approx_distinct_users_ds(sf_dir: str):
+    """HLL distinct users over the events stream — the sketch face (rows-only
+    in the driver contract; the pytest oracle bounds error vs exact)."""
+    from .io import read_table
+    ds = read_table(sf_dir, "events", ["user_id"])
+    return approx_distinct(ds, "user_id")

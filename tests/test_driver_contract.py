@@ -102,7 +102,8 @@ def test_query_matches_oracle(contract, name):
                                   check_exact=True, obj=name)
 
 
-ROWS_ONLY = ["minhash_candidates", "minhash_candidates_capped",
+ROWS_ONLY = ["approx_distinct_users",
+             "minhash_candidates", "minhash_candidates_capped",
              "minhash_near_dups",
              "ann_bruteforce", "ann_lsh", "ann_ivf", "embedding_cosine_pairs",
              "crawl_pages_per_epoch", "crawl_term_breakdown",

@@ -277,3 +277,42 @@ class TestImageQualityGate:
         kept = image_quality_filter(meta_path).to_pandas()
         assert int(rep["n_kept"].sum()) == len(kept)
         assert int(rep["n_total"].sum()) == 400
+
+
+class TestApproxDistinct:
+    def _ds(self, values, n_blocks=6):
+        import pyarrow as pa
+        import ray
+        parts = np.array_split(pd.DataFrame({"v": values}), n_blocks)
+        return ray.data.from_arrow([
+            pa.Table.from_pandas(p, preserve_index=False)
+            for p in parts if len(p)])
+
+    @pytest.mark.parametrize("true_n", [50, 5_000, 60_000])
+    def test_error_within_hll_bound(self, ray_session, true_n):
+        from crusty_ray.ops.sketch import approx_distinct
+        rng = stable_rng("hll", true_n)
+        vals = rng.integers(0, true_n, true_n * 3)  # dups; ~true_n distinct
+        exact = len(np.unique(vals))
+        got = int(approx_distinct(self._ds(vals), "v")["estimate"].iloc[0])
+        # p=14 → σ ≈ 0.81%; 5σ ≈ 4% (linear counting is tighter below 2.5m)
+        assert abs(got - exact) / exact < 0.04, (got, exact)
+
+    def test_block_layout_independent(self, ray_session):
+        """Register max is associative: the estimate must not depend on how
+        rows are split into blocks."""
+        from crusty_ray.ops.sketch import approx_distinct
+        rng = stable_rng("hll-layout", 0)
+        vals = rng.integers(0, 10_000, 30_000)
+        a = approx_distinct(self._ds(vals, 2), "v")["estimate"].iloc[0]
+        b = approx_distinct(self._ds(vals, 17), "v")["estimate"].iloc[0]
+        assert a == b
+
+    def test_strings_and_empty(self, ray_session):
+        from crusty_ray.ops.sketch import approx_distinct
+        strs = [f"user-{i % 700}" for i in range(5_000)]
+        got = int(approx_distinct(self._ds(strs, 4), "v")["estimate"].iloc[0])
+        assert abs(got - 700) / 700 < 0.04
+        empty = approx_distinct(
+            self._ds(pd.Series([], dtype="int64"), 1), "v")
+        assert int(empty["estimate"].iloc[0]) == 0
