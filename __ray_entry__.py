@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_latest_order": joins.asof_latest_order_ds,
         "range_join_prior_events": joins.range_join_events_ds,
         "revenue_by_nation": joins.revenue_by_nation_ds,
+        "customer_order_profile": joins.customer_order_profile_ds,
         "anti_join_customers": joins.anti_join_customers_ds,
         "semi_join_events": joins.semi_join_events_ds,
         # -- float cosine near-dup (rows-only; quantized face is the oracle)
@@ -699,6 +700,17 @@ def oracle_sql() -> dict[str, str]:
         """.format(dows=", ".join(
             f"sum(CASE WHEN (epoch_us(ts) // 1000000 // 86400 + 4) % 7 = {d}"
             f" THEN 1 ELSE 0 END) AS dow_{d}" for d in range(7))),
+        "customer_order_profile": """
+            SELECT c.c_custkey, c.c_mktsegment,
+                   coalesce(o.n, 0) AS n_orders,
+                   coalesce(o.mx, -1) AS max_cents
+            FROM customer c LEFT JOIN (
+              SELECT o_custkey, count(*) AS n,
+                     max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                         AS mx
+              FROM orders GROUP BY o_custkey) o
+            ON o.o_custkey = c.c_custkey
+        """,
         "revenue_by_nation": """
             SELECT n_name, count(*) AS n_orders,
                    sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))

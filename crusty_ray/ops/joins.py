@@ -218,13 +218,20 @@ def revenue_by_nation_ds(sf_dir: str):
                                          alias_name="revenue_cents"))
 
 
-def hash_join(left, right, on: list[str], num_partitions: int = 32):
-    """Generic distributed inner equi-join — the shuffle hash join Ray Data
+def hash_join(left, right, on: list[str], num_partitions: int = 32,
+              how: str = "inner", fill: dict | None = None):
+    """Generic distributed equi-join — the shuffle hash join Ray Data
     2.49 lacks. Both sides co-partition on the join key through ONE
     coarse-partition shuffle (``partitioned_group_apply`` over their union);
     the per-partition merge is pandas' C hash join. Neither side is
     broadcast or driver-materialized, so both may be fact-scale; skew on a
     hot key is bounded by the partition, not the driver.
+
+    ``how`` is ``"inner"`` or ``"left"``. A left join fills unmatched right
+    columns from ``fill`` (column → sentinel, the COALESCE the SQL face
+    writes); dtypes are restored after the fill, so int64 payload columns
+    stay exact. Every right column must have a fill — pandas would otherwise
+    coerce the whole column to float64 via NaN and corrupt 64-bit values.
 
     Non-key columns must be disjoint between the sides (rename first, as in
     SQL SELECT aliases). To keep the union schema-aligned WITHOUT nulling
@@ -241,6 +248,12 @@ def hash_join(left, right, on: list[str], num_partitions: int = 32):
     overlap = set(lcols) & set(rcols)
     if overlap:
         raise ValueError(f"non-key columns must be disjoint: {overlap}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how == "left" and set(fill or {}) != set(rcols):
+        raise ValueError(
+            f"left join needs a fill sentinel for every right column "
+            f"{sorted(rcols)}, got {sorted(fill or {})}")
 
     def _fill(t):
         # ray.data Schema types are pyarrow DataTypes for arrow blocks,
@@ -291,7 +304,49 @@ def hash_join(left, right, on: list[str], num_partitions: int = 32):
     def join_in_part(df: pd.DataFrame) -> pd.DataFrame:
         a = df.loc[df["__side"] == 0, on + lcols]
         b = df.loc[df["__side"] == 1, on + rcols]
-        return a.merge(b, on=on, how="inner")
+        out = a.merge(b, on=on, how="inner")
+        if how == "left":
+            # a pandas how="left" merge would round-trip unmatched right
+            # int64 columns through NaN/float64 and corrupt values ≥ 2^53;
+            # instead append the unmatched left rows with typed fills
+            probe = a.merge(b[on].drop_duplicates(), on=on, how="left",
+                            indicator=True)
+            miss = probe.loc[probe["_merge"] == "left_only",
+                             on + lcols].copy()
+            if len(miss):
+                for c, v in fill.items():
+                    miss[c] = pd.Series([v] * len(miss),
+                                        index=miss.index).astype(b[c].dtype)
+                out = pd.concat([out, miss], ignore_index=True)
+        return out
 
     from .agg import partitioned_group_apply
     return partitioned_group_apply(unioned, on, join_in_part, num_partitions)
+
+
+def customer_order_profile_ds(sf_dir: str):
+    """Every customer with their order count and max order value — zero-order
+    customers kept (the LEFT JOIN face). The orders fact table reduces to a
+    per-customer aggregate first (coarse-partition pandas agg), then joins
+    back through ``hash_join(how="left")`` with explicit COALESCE sentinels
+    (0 orders, -1 cents) so the output stays integer-typed end-to-end."""
+    import numpy as np
+
+    from .agg import partitioned_group_apply
+
+    def per_cust(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["cents"] = np.floor(
+            df["o_totalprice"].to_numpy(dtype=np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        out = df.groupby("o_custkey", as_index=False).agg(
+            n_orders=("cents", "size"), max_cents=("cents", "max"))
+        out = out.rename(columns={"o_custkey": "c_custkey"})
+        return out.astype({"c_custkey": "int64", "n_orders": "int64",
+                           "max_cents": "int64"})
+
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    per_cust_agg = partitioned_group_apply(orders, ["o_custkey"], per_cust)
+    customers = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    return hash_join(customers, per_cust_agg, on=["c_custkey"], how="left",
+                     fill={"n_orders": 0, "max_cents": -1})

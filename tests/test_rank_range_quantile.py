@@ -280,3 +280,24 @@ class TestHashJoin:
         df = pd.DataFrame({"k": [1], "v": [2]})
         with pytest.raises(ValueError, match="disjoint"):
             hash_join(_ds(df, 1), _ds(df, 1), on=["k"])
+
+    def test_left_join_fills_and_preserves_dtypes(self, ray_session):
+        from crusty_ray.ops.joins import hash_join
+        left = pd.DataFrame({"k": [1, 2, 3, 4], "name": list("abcd")})
+        right = pd.DataFrame({"k": [2, 4],
+                              "big": np.array([1 << 62, (1 << 62) + 1],
+                                              dtype=np.int64)})
+        got = hash_join(_ds(left, 2), _ds(right, 1), on=["k"], how="left",
+                        fill={"big": -1}, num_partitions=2).to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+        assert got["big"].dtype == np.int64
+        assert got["big"].tolist() == [-1, 1 << 62, -1, (1 << 62) + 1]
+        assert got["name"].tolist() == list("abcd")
+
+    def test_left_join_requires_complete_fill(self, ray_session):
+        from crusty_ray.ops.joins import hash_join
+        left = pd.DataFrame({"k": [1], "x": [1]})
+        right = pd.DataFrame({"k": [1], "y": [2], "z": [3]})
+        with pytest.raises(ValueError, match="fill"):
+            hash_join(_ds(left, 1), _ds(right, 1), on=["k"], how="left",
+                      fill={"y": 0})
