@@ -227,6 +227,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag_event_deltas": analytic.lag_event_deltas_ds,
         "rollup_order_counts": analytic.rollup_order_counts_ds,
         "pivot_event_dow": analytic.pivot_event_dow_ds,
+        "user_event_sequences": analytic.user_event_sequences_ds,
+        "distinct_users_per_type": analytic.distinct_users_per_type_ds,
         # -- joins beyond equi (SQL-checked)
         "asof_latest_order": joins.asof_latest_order_ds,
         "range_join_prior_events": joins.range_join_events_ds,
@@ -700,6 +702,16 @@ def oracle_sql() -> dict[str, str]:
         """.format(dows=", ".join(
             f"sum(CASE WHEN (epoch_us(ts) // 1000000 // 86400 + 4) % 7 = {d}"
             f" THEN 1 ELSE 0 END) AS dow_{d}" for d in range(7))),
+        "user_event_sequences": """
+            SELECT user_id,
+                   string_agg(event_type, ',' ORDER BY ts, event_id) AS seq,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id
+        """,
+        "distinct_users_per_type": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
         "customer_order_profile": """
             SELECT c.c_custkey, c.c_mktsegment,
                    coalesce(o.n, 0) AS n_orders,

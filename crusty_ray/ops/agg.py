@@ -86,3 +86,26 @@ def grouped_count(ds, key_cols: list[str], out_name: str,
         return out
 
     return partitioned_group_apply(ds, key_cols, count_in_part, num_partitions)
+
+
+def grouped_count_distinct(ds, key_cols: list[str], distinct_col: str,
+                           out_name: str, num_partitions: int = 32):
+    """Exact COUNT(DISTINCT distinct_col) GROUP BY key_cols. Two-level plan:
+    a vectorized per-batch (key, value) dedup shrinks the shuffle to the
+    distinct pairs each block sees, then one coarse partition on the KEY
+    dedups globally and counts — the (key, value) pair never becomes its own
+    Ray group (per-distinct-group overhead, see module docstring)."""
+    pair = key_cols + [distinct_col]
+
+    def local_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df[pair].drop_duplicates()
+
+    def count_in_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(pair)
+        out = d.groupby(key_cols, as_index=False).agg(
+            **{out_name: (distinct_col, "size")})
+        return out.astype({out_name: "int64"})
+
+    pruned = ds.map_batches(local_dedup, batch_format="pandas")
+    return partitioned_group_apply(pruned, key_cols, count_in_part,
+                                   num_partitions)

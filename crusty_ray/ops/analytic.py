@@ -163,3 +163,34 @@ def pivot_event_dow_ds(sf_dir: str):
         out[f"dow_{d}"] = pd.Series(col).to_numpy(dtype="int64") \
             if d in wide.columns else np.zeros(len(wide), dtype="int64")
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def user_event_sequences_ds(sf_dir: str):
+    """Per-user ordered behavior sequence: event types joined in (ts,
+    event_id) order — the feature string a sequence model or sessionizer
+    consumes (`string_agg(event_type, ',' ORDER BY ts, event_id)`).
+
+    One coarse shuffle on user_id; inside a partition a single mergesort +
+    one pandas groupby-join builds every user's sequence at once."""
+    events = read_table(sf_dir, "events", ["user_id", "ts", "event_id",
+                                           "event_type"])
+
+    def seqs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["user_id", "ts", "event_id"],
+                           kind="mergesort")
+        out = g.groupby("user_id", sort=False).agg(
+            seq=("event_type", ",".join), n_events=("event_id", "size"))
+        out = out.reset_index()
+        return out.astype({"user_id": "int64", "n_events": "int64"})
+
+    return partitioned_group_apply(events, ["user_id"], seqs)
+
+
+def distinct_users_per_type_ds(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type — the exact counterpart
+    of the HLL sketch (`ops/sketch.py`), via the two-level distinct plan in
+    ``ops.agg.grouped_count_distinct``."""
+    from .agg import grouped_count_distinct
+    events = read_table(sf_dir, "events", ["event_type", "user_id"])
+    return grouped_count_distinct(events, ["event_type"], "user_id",
+                                  "n_users")

@@ -87,7 +87,8 @@ SQL_CHECKED = [
     "price_quantiles_by_priority", "revenue_by_nation",
     "running_order_totals", "lag_event_deltas", "rollup_order_counts",
     "pivot_event_dow", "order_price_quantiles_cont", "doc_top_terms",
-    "customer_order_profile",
+    "customer_order_profile", "user_event_sequences",
+    "distinct_users_per_type",
 ]
 
 
