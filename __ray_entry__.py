@@ -215,6 +215,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles_by_priority":
             quantiles.order_price_quantiles_by_priority_ds,
         "order_price_quantiles_cont": quantiles.order_price_quantiles_cont_ds,
+        "price_quantiles_by_priority_cont":
+            quantiles.price_quantiles_by_priority_cont_ds,
         "sample_stratified": sample.sample_stratified_ds,
         "split_assignment": sample.split_assignment_ds,
         "global_sort_topn": analog.global_sort_topn_ds,
@@ -739,6 +741,12 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {p} AS p_pm, percentile_cont({p / 1000.0!r}) "
             f"WITHIN GROUP (ORDER BY o_totalprice) AS value FROM orders"
             for p in (250, 500, 613, 750, 990)),
+        "price_quantiles_by_priority_cont": " UNION ALL ".join(
+            f"SELECT o_orderpriority, {p} AS p_pm, "
+            f"percentile_cont({p / 1000.0!r}) WITHIN GROUP "
+            f"(ORDER BY o_totalprice) AS value FROM orders "
+            f"GROUP BY o_orderpriority"
+            for p in (500, 613, 900)),
         "price_quantiles_by_priority": " UNION ALL ".join(
             f"SELECT o_orderpriority, {p} AS p_pm, "
             f"percentile_disc({p / 1000.0}) WITHIN GROUP "

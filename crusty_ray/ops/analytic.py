@@ -159,9 +159,9 @@ def pivot_event_dow_ds(sf_dir: str):
                               values="cnt", fill_value=0, aggfunc="sum")
     out = pd.DataFrame({"event_type": wide.index})
     for d in range(7):
-        col = wide[d] if d in wide.columns else 0
-        out[f"dow_{d}"] = pd.Series(col).to_numpy(dtype="int64") \
-            if d in wide.columns else np.zeros(len(wide), dtype="int64")
+        out[f"dow_{d}"] = (wide[d].to_numpy(dtype="int64")
+                           if d in wide.columns
+                           else np.zeros(len(wide), dtype="int64"))
     return out.sort_values("event_type").reset_index(drop=True)
 
 

@@ -211,3 +211,89 @@ def order_price_quantiles_by_priority_ds(sf_dir: str,
     ds = read_table(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
     return exact_group_quantiles(ds, "o_orderpriority", "o_totalprice",
                                  list(ps_pm), bucket_width=100.0)
+
+
+def exact_group_quantiles_cont(ds, key_col: str, col: str, ps_pm: list[int],
+                               bucket_width: float = 1.0,
+                               num_partitions: int = 32) -> pd.DataFrame:
+    """Per-group interpolated (``percentile_cont``) quantiles — the GROUP BY
+    generalization of ``exact_quantiles_cont``. The same grouped histogram
+    locates, per group, the TWO bracketing order statistics of each point
+    (group totals fall out of the histogram — no extra count pass); the
+    refine pass pulls only the hit (key, bucket) populations; interpolation
+    uses DuckDB's exact double arithmetic. Returns (key_col, p_pm, value)."""
+    import math as _math
+
+    from .agg import grouped_count
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[col].to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            key_col: batch[key_col].reset_index(drop=True),
+            "bucket": np.floor(v / bucket_width).astype(np.int64)})
+
+    hist = grouped_count(ds.map_batches(bucketize, batch_format="pandas"),
+                         [key_col, "bucket"], "n", num_partitions).to_pandas()
+    if hist.empty:
+        return pd.DataFrame({key_col: [], "p_pm": pd.Series([], dtype="int64"),
+                             "value": pd.Series([], dtype="float64")})
+    hist = hist.sort_values([key_col, "bucket"]).reset_index(drop=True)
+
+    # per group: the plan (which ks, with which interpolation weights) and
+    # the (key, bucket, in-bucket offset) address of every needed k
+    need: set[tuple] = set()
+    stat_addr: dict[tuple, list[tuple[int, int]]] = {}  # (key,b) -> [(k,off)]
+    plans: dict[tuple, tuple[int, int, float, float]] = {}  # (key,p)
+
+    def _locate(key, cum, buckets, k):
+        i = int(np.searchsorted(cum, k, side="left"))
+        b = int(buckets[i])
+        before = int(cum[i - 1]) if i else 0
+        need.add((key, b))
+        stat_addr.setdefault((key, b), []).append((k, k - before))
+
+    for key, g in hist.groupby(key_col, sort=False):
+        cum = g["n"].cumsum().to_numpy()
+        buckets = g["bucket"].to_numpy()
+        total = int(cum[-1])
+        for p in ps_pm:
+            rn = (total - 1) * (p / 1000.0)
+            frn, crn = _math.floor(rn), _math.ceil(rn)
+            plans[(key, p)] = (frn + 1, crn + 1, crn - rn, rn - frn)
+            _locate(key, cum, buckets, frn + 1)
+            if crn != frn:
+                _locate(key, cum, buckets, crn + 1)
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[col].to_numpy(dtype=np.float64)
+        b = np.floor(v / bucket_width).astype(np.int64)
+        keep = [(kk, bb) in need for kk, bb in zip(batch[key_col], b)]
+        return pd.DataFrame({key_col: batch[key_col].reset_index(drop=True)[keep],
+                             "v": v[keep], "b": b[keep]})
+
+    vals = ds.map_batches(pick, batch_format="pandas").to_pandas()
+    stats: dict[tuple, float] = {}  # (key, k) -> order stat
+    for (key, b), reqs in stat_addr.items():
+        inb = np.sort(vals.loc[(vals[key_col] == key) & (vals["b"] == b),
+                               "v"].to_numpy())
+        for k, off in reqs:
+            stats[(key, k)] = float(inb[off - 1])
+    out = []
+    for (key, p), (klo, khi, w_lo, w_hi) in plans.items():
+        if klo == khi:
+            out.append((key, p, stats[(key, klo)]))
+        else:
+            out.append((key, p,
+                        stats[(key, klo)] * w_lo + stats[(key, khi)] * w_hi))
+    res = pd.DataFrame(sorted(out), columns=[key_col, "p_pm", "value"])
+    return res.astype({"p_pm": "int64", "value": "float64"})
+
+
+def price_quantiles_by_priority_cont_ds(sf_dir: str,
+                                        ps_pm: tuple = (500, 613, 900)):
+    """Interpolated o_totalprice percentiles per o_orderpriority — the
+    SQL-checked face of ``exact_group_quantiles_cont``."""
+    from .io import read_table
+    ds = read_table(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    return exact_group_quantiles_cont(ds, "o_orderpriority", "o_totalprice",
+                                      list(ps_pm), bucket_width=100.0)

@@ -88,7 +88,7 @@ SQL_CHECKED = [
     "running_order_totals", "lag_event_deltas", "rollup_order_counts",
     "pivot_event_dow", "order_price_quantiles_cont", "doc_top_terms",
     "customer_order_profile", "user_event_sequences",
-    "distinct_users_per_type",
+    "distinct_users_per_type", "price_quantiles_by_priority_cont",
 ]
 
 

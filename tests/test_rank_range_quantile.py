@@ -301,3 +301,32 @@ class TestHashJoin:
         with pytest.raises(ValueError, match="fill"):
             hash_join(_ds(left, 1), _ds(right, 1), on=["k"], how="left",
                       fill={"y": 0})
+
+
+def test_group_quantiles_cont_match_duckdb(ray_session):
+    """Per-group percentile_cont parity, exact float bits, incl. a group of
+    size 1 (rn=0) and between-stat points."""
+    import duckdb
+    import pyarrow as pa
+    import ray
+    from crusty_ray.ops.quantiles import exact_group_quantiles_cont
+    rng = np.random.default_rng(8)
+    sizes = {"a": 301, "b": 40, "c": 1}
+    frames = [pd.DataFrame({"g": k, "x": np.round(rng.uniform(0, 900, n), 2)})
+              for k, n in sizes.items()]
+    df = pd.concat(frames, ignore_index=True)
+    parts = np.array_split(df.sample(frac=1, random_state=0), 5)
+    ds = ray.data.from_arrow([pa.Table.from_pandas(p, preserve_index=False)
+                              for p in parts])
+    ps = [250, 613, 900]
+    got = exact_group_quantiles_cont(ds, "g", "x", ps, bucket_width=30.0,
+                                     num_partitions=3)
+    got = got.sort_values(["g", "p_pm"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.sql(" UNION ALL ".join(
+        f"SELECT g, {p} AS p_pm, percentile_cont({p / 1000.0!r}) "
+        f"WITHIN GROUP (ORDER BY x) AS value FROM t GROUP BY g"
+        for p in ps)).df().sort_values(["g", "p_pm"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                  check_exact=True)
