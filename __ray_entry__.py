@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assignment": sample.split_assignment_ds,
         "global_sort_topn": analog.global_sort_topn_ds,
         "union_event_classes": analog.union_event_classes_ds,
+        "props_value_histogram": analog.props_value_histogram_ds,
         # -- windowed aggregates (SQL-checked)
         "sliding_window_counts": windows.sliding_window_counts_ds,
         "session_windows": windows.session_windows_ds,
@@ -704,6 +705,11 @@ def oracle_sql() -> dict[str, str]:
         """.format(dows=", ".join(
             f"sum(CASE WHEN (epoch_us(ts) // 1000000 // 86400 + 4) % 7 = {d}"
             f" THEN 1 ELSE 0 END) AS dow_{d}" for d in range(7))),
+        "props_value_histogram": """
+            SELECT CAST(regexp_extract(props, '-?\\d+') AS BIGINT) AS k,
+                   count(*) AS n
+            FROM events GROUP BY k
+        """,
         "user_event_sequences": """
             SELECT user_id,
                    string_agg(event_type, ',' ORDER BY ts, event_id) AS seq,

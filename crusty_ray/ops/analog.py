@@ -228,3 +228,20 @@ def top_docs_per_source_ds(sf_dir: str, n: int = 3):
     ds = _read(sf_dir, "documents", ["lang", "source", "doc_id", "n_chars"])
     return grouped_top_n(ds, ["lang", "source"], "n_chars", n,
                          ascending=False, tie_cols=["doc_id"])
+
+
+def props_value_histogram_ds(sf_dir: str):
+    """Histogram of the numeric payload field inside the events ``props``
+    JSON column — the semi-structured-extraction op. The extract is a
+    vectorized pandas regex over the whole batch (not per-row json.loads);
+    the groupby key is the small extracted-value domain."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["props"])
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].str.extract(r"(-?\d+)", expand=False)
+        return pd.DataFrame({"k": k.astype("int64")})
+
+    return ds.map_batches(extract, batch_format="pandas") \
+        .groupby("k").aggregate(Count(alias_name="n"))
