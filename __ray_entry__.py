@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_event_dow": analytic.pivot_event_dow_ds,
         "user_event_sequences": analytic.user_event_sequences_ds,
         "distinct_users_per_type": analytic.distinct_users_per_type_ds,
+        "users_weekday_and_weekend": analytic.users_weekday_and_weekend_ds,
         # -- joins beyond equi (SQL-checked)
         "asof_latest_order": joins.asof_latest_order_ds,
         "range_join_prior_events": joins.range_join_events_ds,
@@ -719,6 +720,16 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_per_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "users_weekday_and_weekend": """
+            SELECT user_id FROM (
+              SELECT DISTINCT user_id
+              FROM events
+              WHERE (epoch_us(ts) // 1000000 // 86400 + 4) % 7 >= 5
+              INTERSECT
+              SELECT DISTINCT user_id
+              FROM events
+              WHERE (epoch_us(ts) // 1000000 // 86400 + 4) % 7 < 5)
         """,
         "customer_order_profile": """
             SELECT c.c_custkey, c.c_mktsegment,

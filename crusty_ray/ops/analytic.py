@@ -194,3 +194,30 @@ def distinct_users_per_type_ds(sf_dir: str):
     events = read_table(sf_dir, "events", ["event_type", "user_id"])
     return grouped_count_distinct(events, ["event_type"], "user_id",
                                   "n_users")
+
+
+def users_weekday_and_weekend_ds(sf_dir: str):
+    """Users active on BOTH weekdays and weekends — the distributed
+    INTERSECT-of-two-distincts / `HAVING count(DISTINCT flag) = 2` shape.
+    Per-batch local dedup of (user_id, is_weekend) shrinks the shuffle to
+    ≤ 2 rows per user per block; one coarse partition then requires both
+    flags. Epoch-day dow convention (0 = Thursday 1970-01-01), same
+    arithmetic as the oracle."""
+    events = read_table(sf_dir, "events", ["user_id", "ts"])
+
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        epoch_s = df["ts"].astype("int64") // 1_000_000
+        dow = (epoch_s // 86_400 + 4) % 7
+        return pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "is_weekend": (dow >= 5).astype("int64"),
+        }).drop_duplicates()
+
+    def both(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        n = d.groupby("user_id", as_index=False).agg(
+            nf=("is_weekend", "nunique"))
+        return n.loc[n["nf"] == 2, ["user_id"]].astype("int64")
+
+    return partitioned_group_apply(
+        events.map_batches(flags, batch_format="pandas"), ["user_id"], both)

@@ -89,7 +89,7 @@ SQL_CHECKED = [
     "pivot_event_dow", "order_price_quantiles_cont", "doc_top_terms",
     "customer_order_profile", "user_event_sequences",
     "distinct_users_per_type", "price_quantiles_by_priority_cont",
-    "props_value_histogram",
+    "props_value_histogram", "users_weekday_and_weekend",
 ]
 
 

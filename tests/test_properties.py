@@ -137,3 +137,60 @@ def test_resume_equivalence_random_cutpoints(ray_session, tmp_path_factory,
         f.sort_values(["epoch", "seq"]).reset_index(drop=True),
         r.sort_values(["epoch", "seq"]).reset_index(drop=True),
         check_dtype=False)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(0, 10_000),
+       n_left=st.integers(0, 120),
+       n_right=st.integers(0, 80),
+       key_lo=st.integers(0, 3),
+       key_hi=st.integers(4, 25),
+       how=st.sampled_from(["inner", "left"]))
+def test_hash_join_equals_pandas_merge(ray_session, seed, n_left, n_right,
+                                       key_lo, key_hi, how):
+    """Property: hash_join(inner|left) ≡ pandas merge for arbitrary sizes
+    (incl. empty sides), key ranges (disjoint through fully overlapping),
+    duplicate keys on both sides, and extreme int64 payloads."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    from crusty_ray.ops.joins import hash_join
+
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame({
+        "k": rng.integers(key_lo, key_hi, n_left),
+        "lv": rng.integers(-(1 << 62), 1 << 62, n_left, dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(key_lo, key_hi, n_right),
+        "rv": rng.integers(-(1 << 62), 1 << 62, n_right, dtype=np.int64),
+    })
+
+    def ds(df, n_blocks):
+        parts = [p for p in np.array_split(df, n_blocks) if len(p)]
+        if not parts:
+            parts = [df]
+        return ray.data.from_arrow([
+            pa.Table.from_pandas(p, preserve_index=False) for p in parts])
+
+    kwargs = {"fill": {"rv": np.int64(-7)}} if how == "left" else {}
+    got = hash_join(ds(left, 3), ds(right, 2), on=["k"], how=how,
+                    num_partitions=3, **kwargs).to_pandas()
+    # reference: object-dtype rv so pandas' NaN pad can't round-trip int64
+    # through float64 (the exact corruption hash_join is built to avoid)
+    right_obj = right.assign(rv=right["rv"].astype(object))
+    exp = left.merge(right_obj, on="k", how=how)
+    if how == "left":
+        exp["rv"] = exp["rv"].fillna(-7)
+    exp["rv"] = exp["rv"].astype("int64")
+    cols = ["k", "lv", "rv"]
+    got = got[cols].sort_values(cols).reset_index(drop=True) if len(got) \
+        else pd.DataFrame(columns=cols)
+    exp = exp[cols].sort_values(cols).reset_index(drop=True) if len(exp) \
+        else pd.DataFrame(columns=cols)
+    assert len(got) == len(exp)
+    if len(exp):
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
