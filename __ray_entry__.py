@@ -200,6 +200,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": text.langid_ds,
         "build_vocab": text.build_vocab_ds,
         "doc_top_terms": text.doc_top_terms_ds,
+        "normalize_text": text.normalize_text_ds,
+        "order_price_ntile": analytic.order_price_ntile_ds,
         "approx_distinct_users": _approx_distinct_users,
         # -- crawl-operator analogs (SQL-checked)
         "topk_heavy_hitters": analog.topk_heavy_hitters_ds,
@@ -720,6 +722,21 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_per_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "normalize_text": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       AS norm_md5,
+                   length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       AS n_chars_norm
+            FROM documents
+        """,
+        "order_price_ntile": """
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                                       ORDER BY o_totalprice, o_orderkey)
+                        AS BIGINT) AS bucket
+            FROM orders
         """,
         "users_weekday_and_weekend": """
             SELECT user_id FROM (

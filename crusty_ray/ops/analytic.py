@@ -221,3 +221,36 @@ def users_weekday_and_weekend_ds(sf_dir: str):
 
     return partitioned_group_apply(
         events.map_batches(flags, batch_format="pandas"), ["user_id"], both)
+
+
+def order_price_ntile_ds(sf_dir: str, k: int = 4):
+    """`ntile(k) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice,
+    o_orderkey)` — equal-height bucketing per group, SQL's exact ntile rule
+    (the first n % k buckets take the extra row). One coarse shuffle on the
+    partition key; ranks and buckets are vectorized within the partition."""
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def ntile(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["o_orderpriority", "o_totalprice", "o_orderkey"],
+                           kind="mergesort").reset_index(drop=True)
+        rank0 = g.groupby("o_orderpriority", sort=False).cumcount() \
+            .to_numpy()  # 0-based
+        n = g.groupby("o_orderpriority", sort=False)["o_orderkey"] \
+            .transform("size").to_numpy()
+        # SQL ntile: first (n % k) buckets have floor(n/k)+1 rows
+        base, extra = n // k, n % k
+        cut = extra * (base + 1)  # rows covered by the bigger buckets
+        in_big = rank0 < cut
+        bucket = np.where(
+            in_big,
+            rank0 // np.maximum(base + 1, 1),
+            extra + (rank0 - cut) // np.maximum(base, 1),
+        ) + 1
+        return pd.DataFrame({
+            "o_orderkey": g["o_orderkey"].astype("int64"),
+            "o_orderpriority": g["o_orderpriority"],
+            "bucket": bucket.astype("int64"),
+        })
+
+    return partitioned_group_apply(orders, ["o_orderpriority"], ntile)

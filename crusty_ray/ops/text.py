@@ -256,3 +256,26 @@ def doc_top_terms_ds(sf_dir: str, n: int = 3):
         tf.map_batches(lambda b: b[["term"]], batch_format="pandas"),
         ["term"], "df")
     return hash_join(top, df_counts, on=["term"])
+
+
+def normalize_text_ds(sf_dir: str):
+    """Text-cleaning stage: lowercase → collapse whitespace runs → trim, with
+    the normalized form fingerprinted (md5) and measured — the first step of
+    any dedup/quality pipeline, kept oracle-checkable by emitting the hash
+    instead of the (large) cleaned text. Pure vectorized pandas str ops in
+    one streaming pass; the md5 loop is the same compute-bound per-row cost
+    as fingerprint() above (documented there)."""
+    import hashlib
+
+    def clean(batch: pd.DataFrame) -> pd.DataFrame:
+        norm = batch["text"].fillna("").str.lower() \
+            .str.replace(r"\s+", " ", regex=True).str.strip()
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "norm_md5": [hashlib.md5(t.encode()).hexdigest() for t in norm],
+            "n_chars_norm": norm.str.len().astype("int64"),
+        })
+
+    return _io_read(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"]) \
+        .map_batches(clean, batch_format="pandas")
