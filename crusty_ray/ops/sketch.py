@@ -71,7 +71,11 @@ def approx_distinct(ds, col: str, p: int = 14,
             np.maximum(acc, np.frombuffer(b, dtype=np.uint8), out=acc)
         return pd.DataFrame({"regs": [acc.tobytes()]})
 
-    partials = ds.map_batches(partial, batch_format="pandas") \
+    # batch_size=None → one partial per BLOCK (not per default 1024-row
+    # batch): at 10^6 blocks that is 10^6 × 2^p-byte rows into the tree
+    # merge instead of 64× more
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=None) \
         .map_batches(merge, batch_format="pandas", batch_size=merge_batch) \
         .to_pandas()  # ≤ blocks/merge_batch rows of 2^p bytes each
     acc = np.zeros(m, dtype=np.uint8)
