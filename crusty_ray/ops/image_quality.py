@@ -14,7 +14,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-_META_COLS = ["image_id", "w", "h", "fmt", "decode_ok", "psnr_db", "caption"]
+_META_COLS = ["image_id", "w", "h", "fmt", "decode_ok", "caption"]
 
 
 def _quality_flags(df: pd.DataFrame, min_w: int, min_h: int,

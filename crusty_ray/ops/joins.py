@@ -180,35 +180,41 @@ def revenue_by_nation_ds(sf_dir: str):
     and revenue (integer cents, per-row conversion so the distributed sum is
     order-independent and bit-exact vs SQL).
 
-    Both dimension sides are broadcast once (`ray.put` of plain int/str
-    arrays — the ray_guide broadcast-join pattern chained through two dims);
-    the fact table streams through one `map_batches` + a low-cardinality
-    groupby. No shuffle touches the fact rows except the final ≤25-group
-    aggregation."""
+    Both dimension sides are broadcast once (`ray.put` of sorted numpy
+    arrays — the ray_guide broadcast-join pattern chained through two dims,
+    same vectorized searchsorted/take form as the semi/anti joins above; a
+    broadcast python dict would re-deserialize per batch and pay a per-row
+    .map lookup over the whole fact table); the fact table streams through
+    one `map_batches` + a low-cardinality groupby. No shuffle touches the
+    fact rows except the final ≤25-group aggregation."""
     import numpy as np
     from ray.data.aggregate import Count, Sum
+
+    from .analytic import _price_cents
 
     cust = read_table(sf_dir, "customer",
                       ["c_custkey", "c_nationkey"]).to_pandas()
     nation = read_table(sf_dir, "nation",
                         ["n_nationkey", "n_name"]).to_pandas()
-    cust_to_nation = dict(zip(cust["c_custkey"].astype(int),
-                              cust["c_nationkey"].astype(int)))
-    nation_name = dict(zip(nation["n_nationkey"].astype(int),
-                           nation["n_name"]))
-    maps_ref = ray.put((cust_to_nation, nation_name))
+    order_ck = np.argsort(cust["c_custkey"].to_numpy())
+    ck_sorted = cust["c_custkey"].to_numpy(dtype=np.int64)[order_ck]
+    nk_by_ck = cust["c_nationkey"].to_numpy(dtype=np.int64)[order_ck]
+    # dense nationkey → name table (keys are small ints)
+    names = np.empty(int(nation["n_nationkey"].max()) + 1, dtype=object)
+    names[nation["n_nationkey"].to_numpy(dtype=np.int64)] = \
+        nation["n_name"].to_numpy()
+    dims_ref = ray.put((ck_sorted, nk_by_ck, names))
 
     def attach(batch: pd.DataFrame) -> pd.DataFrame:
-        c2n, names = ray.get(maps_ref)
-        ck = batch["o_custkey"].astype(int)
-        nk = ck.map(c2n)
-        keep = nk.notna()
-        cents = np.floor(
-            batch["o_totalprice"].to_numpy(dtype=np.float64) * 100 + 0.5
-        ).astype(np.int64)
+        cks, nks, nm = ray.get(dims_ref)  # zero-copy numpy from plasma
+        ck = batch["o_custkey"].to_numpy(dtype=np.int64)
+        idx = np.searchsorted(cks, ck)
+        idx_c = np.minimum(idx, len(cks) - 1)
+        keep = cks[idx_c] == ck
+        cents = _price_cents(batch["o_totalprice"])
         return pd.DataFrame({
-            "n_name": nk[keep].map(names),
-            "price_cents": cents[keep.to_numpy()],
+            "n_name": nm[nks[idx_c[keep]]],
+            "price_cents": cents[keep],
         })
 
     orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
@@ -330,15 +336,12 @@ def customer_order_profile_ds(sf_dir: str):
     per-customer aggregate first (coarse-partition pandas agg), then joins
     back through ``hash_join(how="left")`` with explicit COALESCE sentinels
     (0 orders, -1 cents) so the output stays integer-typed end-to-end."""
-    import numpy as np
-
     from .agg import partitioned_group_apply
+    from .analytic import _price_cents
 
     def per_cust(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["cents"] = np.floor(
-            df["o_totalprice"].to_numpy(dtype=np.float64) * 100 + 0.5
-        ).astype(np.int64)
+        df["cents"] = _price_cents(df["o_totalprice"])
         out = df.groupby("o_custkey", as_index=False).agg(
             n_orders=("cents", "size"), max_cents=("cents", "max"))
         out = out.rename(columns={"o_custkey": "c_custkey"})

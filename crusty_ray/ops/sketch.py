@@ -59,6 +59,11 @@ def _estimate(regs: np.ndarray) -> float:
 def approx_distinct(ds, col: str, p: int = 14,
                     merge_batch: int = 256) -> pd.DataFrame:
     """≈ COUNT(DISTINCT col). Returns DataFrame(estimate:int64, p:int64)."""
+    if not 11 <= p <= 18:
+        # lower bound: the frexp bit-length trick is exact only while the
+        # (64-p)-bit suffix stays below 2^53 (p ≥ 11); upper bound keeps the
+        # register array a sane size
+        raise ValueError(f"p must be in [11, 18], got {p}")
     m = 1 << p
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:

@@ -330,3 +330,57 @@ def test_group_quantiles_cont_match_duckdb(ray_session):
         for p in ps)).df().sort_values(["g", "p_pm"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False,
                                   check_exact=True)
+
+
+class TestQuantileEdgeCases:
+    """Regressions from the r3 adversarial review of ops/quantiles.py."""
+
+    def test_float_boundary_bucket_not_dropped(self, ray_session):
+        """bucket_width=0.1: floor(7.8/0.1)=78 but 78*0.1 > 7.8 — a float
+        range prefilter would exclude a value the histogram counted. The
+        refine pass must use the same floor() the histogram used."""
+        from crusty_ray.ops.quantiles import exact_quantiles
+        vals = [7.8, 7.9, 8.0, 8.1]
+        got = exact_quantiles(_ds(pd.DataFrame({"x": vals}), 2), "x",
+                              [1, 250], bucket_width=0.1, num_partitions=2)
+        assert list(got.value) == [7.8, 7.8]
+
+    def test_nan_values_ignored_like_sql_nulls(self, ray_session):
+        import duckdb
+        from crusty_ray.ops.quantiles import (exact_group_quantiles,
+                                              exact_quantiles,
+                                              exact_quantiles_cont)
+        rng = np.random.default_rng(5)
+        x = np.round(rng.uniform(0, 100, 200), 2)
+        x[::5] = np.nan  # 40 NULLs
+        df = pd.DataFrame({"g": np.repeat(["a", "b"], 100), "x": x})
+        con = duckdb.connect()
+        con.register("t", df)
+        for p in [250, 500, 990]:
+            d = exact_quantiles(_ds(df), "x", [p], bucket_width=7.0)
+            c = exact_quantiles_cont(_ds(df), "x", [p], bucket_width=7.0)
+            ed = con.sql(f"SELECT percentile_disc({p / 1000.0!r}) WITHIN "
+                         f"GROUP (ORDER BY x) FROM t").fetchone()[0]
+            ec = con.sql(f"SELECT percentile_cont({p / 1000.0!r}) WITHIN "
+                         f"GROUP (ORDER BY x) FROM t").fetchone()[0]
+            assert d.value.iloc[0] == ed, (p, "disc")
+            assert c.value.iloc[0] == ec, (p, "cont")
+        g = exact_group_quantiles(_ds(df), "g", "x", [500], bucket_width=7.0)
+        eg = con.sql("SELECT g, percentile_disc(0.5) WITHIN GROUP "
+                     "(ORDER BY x) AS v FROM t GROUP BY g ORDER BY g").df()
+        assert list(g.sort_values("g").value) == list(eg.v)
+
+    def test_all_nan_returns_nan(self, ray_session):
+        from crusty_ray.ops.quantiles import exact_quantiles
+        df = pd.DataFrame({"x": [np.nan, np.nan]})
+        got = exact_quantiles(_ds(df, 1), "x", [500])
+        assert np.isnan(got.value.iloc[0])
+
+    def test_out_of_range_points_rejected(self, ray_session):
+        from crusty_ray.ops.quantiles import (exact_quantiles,
+                                              exact_quantiles_cont)
+        df = pd.DataFrame({"x": [1.0, 2.0]})
+        with pytest.raises(ValueError, match="1100"):
+            exact_quantiles(_ds(df, 1), "x", [1100])
+        with pytest.raises(ValueError, match="-5"):
+            exact_quantiles_cont(_ds(df, 1), "x", [-5])
