@@ -254,6 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- image curation gate (rows-only here; duckdb-oracled in pytest)
         "image_quality_filter": _image_quality("image_quality_filter"),
         "image_quality_report": _image_quality("image_quality_report"),
+        "caption_reuse": _image_quality("caption_reuse_report"),
         # -- the crawl engine itself (simulator-oracled; rows-only here)
         "crawl_log": crawl_log,
         "crawl_topk": crawl_topk,

@@ -2,7 +2,7 @@
 training-data pipeline runs between crawl and dedup.
 
 All decisions are pure column math over the image table's typed metadata
-(w, h, fmt, decode_ok, psnr_db, caption) — ``bytes`` is never read, so at
+(w, h, fmt, decode_ok, caption) — ``bytes`` is never read, so at
 100 TB only narrow columns leave storage (``read_dataset(columns=...)``
 prunes at the reader). Filtering is one vectorized ``map_batches`` (no
 shuffle); the report pre-aggregates per-batch partials and reduces with a
@@ -94,3 +94,39 @@ def image_quality_report(images_path: str, min_w: int = 32, min_h: int = 32,
         .to_pandas()  # |formats| rows
     return out.astype({c: "int64" for c in cols}) \
         .sort_values("fmt").reset_index(drop=True)
+
+
+def caption_reuse_report(images_path: str):
+    """Captions reused across DISTINCT images (same caption text, >1 distinct
+    phash) — the joint text/image curation signal: boilerplate/spam captions
+    attached to many pictures. One coarse partition on the caption
+    fingerprint; only (caption_md5, phash) pairs shuffle, never bytes.
+    Returns (caption_md5, n_rows, n_distinct_images) for reused captions."""
+    import hashlib
+
+    from .agg import partitioned_group_apply
+    from .io import read_dataset
+
+    ds = read_dataset(images_path, columns=["caption", "phash"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "caption_md5": [hashlib.md5(c.encode()).hexdigest()
+                            for c in df["caption"].fillna("")],
+            "phash": df["phash"].astype("int64"),
+        })
+
+    def reused(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby("caption_md5", as_index=False).agg(
+            n_rows=("phash", "size"), n_distinct_images=("phash", "nunique"))
+        out = agg[agg["n_distinct_images"] > 1]
+        return out.astype({"n_rows": "int64", "n_distinct_images": "int64"})
+
+    res = partitioned_group_apply(ds.map_batches(pairs,
+                                                 batch_format="pandas"),
+                                  ["caption_md5"], reused).to_pandas()
+    if res.empty:  # Ray drops the schema when every partition is empty
+        res = pd.DataFrame({"caption_md5": pd.Series([], dtype=str),
+                            "n_rows": pd.Series([], dtype="int64"),
+                            "n_distinct_images": pd.Series([], dtype="int64")})
+    return res  # small report table: reused captions only

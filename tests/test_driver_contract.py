@@ -66,7 +66,7 @@ def test_every_query_is_covered_by_some_check(contract):
                      "crawl_images", "multimodal_thumbs",
                      "image_exact_dedup", "image_phash_near_dups",
                      "image_dedup_groups", "image_quality_filter",
-                     "image_quality_report"}
+                     "image_quality_report", "caption_reuse"}
     listed = set(SQL_CHECKED) | set(ROWS_ONLY) | crawl_checked
     assert set(queries) == listed, (
         f"unlisted: {set(queries) - listed}; stale: {listed - set(queries)}")
@@ -136,8 +136,9 @@ def test_crawl_queries_run(contract):
                  "crawl_images", "multimodal_thumbs",
                  "image_exact_dedup", "image_phash_near_dups",
                  "image_dedup_groups", "image_quality_filter",
-                 "image_quality_report"]:
+                 "image_quality_report", "caption_reuse"]:
         df = _to_df(queries[name](SF_DIR))
         assert df is not None and len(df.columns) > 0, name
-        if name != "image_phash_near_dups":  # near-dup pairs may be empty
+        # near-dup pairs / reused captions may legitimately be empty
+        if name not in ("image_phash_near_dups", "caption_reuse"):
             assert len(df) > 0, name

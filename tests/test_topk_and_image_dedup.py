@@ -316,3 +316,29 @@ class TestApproxDistinct:
         empty = approx_distinct(
             self._ds(pd.Series([], dtype="int64"), 1), "v")
         assert int(empty["estimate"].iloc[0]) == 0
+
+
+def test_caption_reuse_matches_duckdb(ray_session, tmp_path):
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from crusty_ray.ops.image_quality import caption_reuse_report
+    rng = stable_rng("capreuse", 0)
+    caps = [f"caption {i % 7}" for i in range(60)]  # 7 captions reused
+    phash = rng.integers(0, 1 << 62, 60)
+    phash[10] = phash[3]  # an exact-dup image under a reused caption
+    t = pa.table({"image_id": [f"i{k}" for k in range(60)],
+                  "caption": caps,
+                  "phash": pa.array(phash.tolist(), pa.int64())})
+    p = tmp_path / "imgs.parquet"
+    pq.write_table(t, p)
+    got = caption_reuse_report(str(p)) \
+        .sort_values("caption_md5").reset_index(drop=True)
+    exp = duckdb.sql(f"""
+        SELECT md5(caption) AS caption_md5, count(*) AS n_rows,
+               count(DISTINCT phash) AS n_distinct_images
+        FROM read_parquet('{p}') GROUP BY caption
+        HAVING count(DISTINCT phash) > 1 ORDER BY caption_md5
+    """).df()
+    pd.testing.assert_frame_equal(got, exp[got.columns], check_dtype=False)
+    assert len(got) == 7
