@@ -51,6 +51,22 @@ LOG_COLUMNS = [
     "n_links", "image_ids",
 ]
 
+_PA_POOLS_CAPPED = False
+
+
+def _cap_arrow_pools() -> None:
+    """One logical CPU per map task: stop pyarrow's process-wide thread pool
+    from silently using every host core inside Ray workers (skews scaling
+    measurements, oversubscribes shared nodes). Once per worker process —
+    module-global guard, NOT an instance attribute, because pickled stage
+    instances restore __dict__ without re-running __init__."""
+    global _PA_POOLS_CAPPED
+    if not _PA_POOLS_CAPPED:
+        if not os.environ.get("CRUSTY_NO_PA_CAP"):  # A/B escape hatch
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(2)
+        _PA_POOLS_CAPPED = True
+
 
 @ray.remote
 def _resolve_seed_chunk(seeds: list[str], cfg: Config,
@@ -128,6 +144,9 @@ class FrontierShardActor:
 
     def absorb(self, rows: list[dict]) -> int:
         return self.state.absorb(rows)
+
+    def absorb_for(self, epoch: int, rows: list[dict]) -> int:
+        return self.state.absorb_for(epoch, rows)
 
     def absorb_table(self, table) -> int:
         return self.state.absorb_table(table)
@@ -365,11 +384,6 @@ class EpochStage:
     def __init__(self, web_cfg: WebConfig, cfg: Config, absorb_dir: str,
                  rules=None, metrics=None, epoch: int | None = None,
                  seq_offsets=None):
-        # one logical CPU per task: stop pyarrow's process-wide thread pool
-        # from silently using every host core (skews scaling measurements and
-        # oversubscribes shared nodes)
-        pa.set_cpu_count(1)
-        pa.set_io_thread_count(2)
         self.fetch = FetchStage(web_cfg, cfg, rules=rules)
         self.discover = DiscoverStage(web_cfg, cfg, rules=rules)
         self.absorb_dir = absorb_dir
@@ -385,6 +399,11 @@ class EpochStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
         import pyarrow.compute as pc
+        _cap_arrow_pools()  # in the WORKER process — __init__ runs on the
+        # driver and unpickling skips it, so a cap there never reaches the
+        # map tasks (and would throttle the driver instead)
+        if batch.num_rows == 0:  # nothing to fetch, no absorb file to write
+            return self.discover(self.fetch(batch))
         if self.seq_offsets is not None:
             shard_np = batch.column("shard").to_numpy(zero_copy_only=False)
             seq = (self.seq_offsets[shard_np]
@@ -862,25 +881,7 @@ class CrawlEngine:
         if trace:
             print(f"  [e{epoch}] end_epoch barrier done at +{_time.time()-_t_ds:.2f}s",
                   file=_sys.stderr, flush=True)
-        # merge the shards' pre-aggregated counts (exact int adds) and route
-        # per owner bucket — transient O(distinct domains this epoch) on the
-        # driver; the decayed score state lives in the owner shards
-        from collections import Counter
-        total_counts: Counter[str] = Counter()
-        outgoing: dict[int, dict] = {}
-        for res in results:  # actor order = shard order (deterministic merge)
-            total_counts.update(res["topk_counts"])
-            jm = res["job_metrics"]
-            self.spool.add("job_metrics", jm)
-            self._pages_fetched_total += sum(m["pages_fetched"] for m in jm)
-            self._jobs_finished_total += len(jm)
-            self.spool.add("gauges", [res["gauges"]])
-            for tgt, msgs in res["outgoing"].items():
-                acc = outgoing.setdefault(tgt, {
-                    "domain": [], "addr_key": [], "disc_depth": [], "disc_epoch": []})
-                for k in acc:
-                    acc[k].extend(msgs[k])
-        topk_by_owner = route_topk_counts(total_counts, len(self.actors))
+        outgoing, topk_by_owner = self.merge_finish_results(results)
         # every shard must apply (even with no messages) so late state settles
         # and every top-k owner takes its decay step. Scoped shards fuse next
         # epoch's dequeue into the same round trip (deliver_and_take) when
@@ -912,6 +913,31 @@ class CrawlEngine:
         if next_epoch is None:
             return None
         return [t for t, _ in results2], [i for _, i in results2]
+
+    def merge_finish_results(self, results: list[dict]) -> tuple[dict, dict]:
+        """Fold the shards' ``finish_epoch`` outputs into spool writes +
+        shard-routed outgoing messages + the per-owner top-k count map.
+        Merges the pre-aggregated counts with exact int adds (transient
+        O(distinct domains this epoch) on the driver; the decayed score
+        state lives in the owner shards). Shared by the BSP epoch barrier
+        and streaming-mode permit completion — one copy, no drift."""
+        from collections import Counter
+        total_counts: Counter[str] = Counter()
+        outgoing: dict[int, dict] = {}
+        for res in results:  # actor order = shard order (deterministic merge)
+            total_counts.update(res["topk_counts"])
+            jm = res["job_metrics"]
+            self.spool.add("job_metrics", jm)
+            self._pages_fetched_total += sum(m["pages_fetched"] for m in jm)
+            self._jobs_finished_total += len(jm)
+            self.spool.add("gauges", [res["gauges"]])
+            for tgt, msgs in res["outgoing"].items():
+                acc = outgoing.setdefault(tgt, {
+                    "domain": [], "addr_key": [], "disc_depth": [],
+                    "disc_epoch": []})
+                for k in acc:
+                    acc[k].extend(msgs[k])
+        return outgoing, route_topk_counts(total_counts, len(self.actors))
 
     def _collect_topk_snapshot(self, epoch: int) -> list[dict]:
         """Gather owners' ranked buckets and emit them in the central

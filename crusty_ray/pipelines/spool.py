@@ -112,7 +112,9 @@ class MetricsSpool:
                     if not name.endswith(".parquet"):
                         os.remove(f"{d}/{name}")  # torn .tmp
                         continue
-                    e = int(name[len("part-e"):len("part-e") + 6])
+                    # epoch digits run to the next '-' ({epoch:06d} widens
+                    # past 6 chars at epoch 10^6 — don't assume the width)
+                    e = int(name[len("part-e"):].split("-", 1)[0])
                     if e > epoch:
                         os.remove(f"{d}/{name}")
                     else:

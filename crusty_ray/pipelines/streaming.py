@@ -146,7 +146,12 @@ class StreamingCrawlEngine(CrawlEngine):
         log_dir = f"{self.out_dir}/crawl_log/epoch={permit}"
         absorb_dir = f"{self.scratch}/absorb/epoch={permit}"
         exchange_dir = f"{self.scratch}/exchange/epoch={permit}"
+        # clear BOTH scratch dirs (mirrors crawl.py's BSP path): a prior
+        # crashed run over a reused out_dir may have left stale exchange
+        # files; a shard with no outgoing rows this run would not overwrite
+        # its old per-group file and deliver() would ingest phantom domains
         shutil.rmtree(absorb_dir, ignore_errors=True)
+        shutil.rmtree(exchange_dir, ignore_errors=True)
 
         if n_tasks < cfg.engine.min_epoch_rows_for_ray:
             # small permit: inline compute (same stage objects), absorb via
@@ -162,7 +167,11 @@ class StreamingCrawlEngine(CrawlEngine):
                 by_shard: dict[int, list[dict]] = {}
                 for r in out.to_pylist():
                     by_shard.setdefault(r["shard"], []).append(r)
-                ray.get([self.actors[s].absorb.remote(rs)
+                # absorb_for(permit, ...): later permits overlap earlier
+                # barriers in the bounded window, so rows must be bucketed
+                # to THEIR permit's barrier, not drained by whichever
+                # end_epoch runs next
+                ray.get([self.actors[s].absorb_for.remote(permit, rs)
                          for s, rs in by_shard.items()])
                 os.makedirs(log_dir, exist_ok=True)
                 pq.write_table(log_projection(out), f"{log_dir}/part-0.parquet")
@@ -214,25 +223,7 @@ class StreamingCrawlEngine(CrawlEngine):
                            for a in self.actors])
         if absorb_dir is not None:
             shutil.rmtree(absorb_dir, ignore_errors=True)
-        from collections import Counter
-
-        from .topk import route_topk_counts
-        total_counts: Counter[str] = Counter()
-        outgoing: dict[int, dict] = {}
-        for res in results:
-            total_counts.update(res["topk_counts"])
-            jm = res["job_metrics"]
-            self.spool.add("job_metrics", jm)
-            self._pages_fetched_total += sum(m["pages_fetched"] for m in jm)
-            self._jobs_finished_total += len(jm)
-            self.spool.add("gauges", [res["gauges"]])
-            for tgt, msgs in res["outgoing"].items():
-                acc = outgoing.setdefault(tgt, {
-                    "domain": [], "addr_key": [], "disc_depth": [],
-                    "disc_epoch": []})
-                for k in acc:
-                    acc[k].extend(msgs[k])
-        topk_by_owner = route_topk_counts(total_counts, len(self.actors))
+        outgoing, topk_by_owner = self.merge_finish_results(results)
         ray.get([self.actors[s].deliver.remote(outgoing.get(s, []), permit,
                                                exchange_dir,
                                                topk_by_owner.get(s))

@@ -94,8 +94,20 @@ class ShardState:
 
         self._absorbed: list[dict] = []
         self._absorbed_tables: list = []
+        # streaming mode's inline permits absorb via RPC while LATER permits
+        # may already be in flight (bounded window): bucket those rows by
+        # their own permit so barrier N never drains permit N+1's results
+        # (which would mis-stamp disc_epoch/job metrics)
+        self._absorbed_by_epoch: dict[int, list[dict]] = {}
         self._enqueue_buf: list[DomainMsg] = []
-        self.lock_ttl_epochs = 600  # dequeue ttl 10m ≈ 600 epochs (conf/default.yaml:83-87)
+        # dequeue ttl 10m ≈ 600 epochs (conf/default.yaml:83-87) — but the
+        # lock must outlive the longest legal job, or a re-discovered domain
+        # would pass every enqueue guard and take_ready would overwrite the
+        # live JobState (double-crawl + double job_metrics). Shared by the
+        # simulator, so the derivation stays sim-exact.
+        self.lock_ttl_epochs = max(
+            600, cfg.crawl.job_hard_timeout_epochs
+            + cfg.crawl.job_hard_timeout_jitter_epochs + 2)
 
         # this shard's share of the distributed top-k (owner of the buckets
         # bucket_owner() routes here; per-shard sketches in the reference,
@@ -239,6 +251,12 @@ class ShardState:
         self._absorbed.extend(rows)
         return len(rows)
 
+    def absorb_for(self, epoch: int, rows: list[dict]) -> int:
+        """Buffer results for a SPECIFIC epoch's barrier (streaming inline
+        permits, where later permits overlap earlier barriers)."""
+        self._absorbed_by_epoch.setdefault(epoch, []).extend(rows)
+        return len(rows)
+
     def absorb_table(self, table) -> int:
         """Arrow-table variant (zero-pickle transport); converted to row dicts
         lazily at the epoch barrier."""
@@ -248,12 +266,14 @@ class ShardState:
     def pending_result_rows(self) -> int:
         """Rows routed here but not yet processed — the epoch barrier's
         delivery check."""
-        return len(self._absorbed) + sum(t.num_rows for t in self._absorbed_tables)
+        return (len(self._absorbed)
+                + sum(len(r) for r in self._absorbed_by_epoch.values())
+                + sum(t.num_rows for t in self._absorbed_tables))
 
     _RESULT_COLS = ("domain", "depth", "url", "sched_links",
                     "cand_domains", "cand_addr_keys", "cand_shards")
 
-    def _drain_absorbed_sorted(self) -> tuple:
+    def _drain_absorbed_sorted(self, epoch: int | None = None) -> tuple:
         """Absorbed results as column lists sorted by (domain, depth, url).
 
         Tables sort via pyarrow's C sort and decode column-wise — no
@@ -264,6 +284,8 @@ class ShardState:
         the result is identical to the dict path the inline epochs use."""
         rows = self._absorbed
         self._absorbed = []
+        if epoch is not None:
+            rows = rows + self._absorbed_by_epoch.pop(epoch, [])
         tables = self._absorbed_tables
         self._absorbed_tables = []
         if rows or not tables:
@@ -292,7 +314,7 @@ class ShardState:
         DomainLinks and job metric rows."""
         cfg = self.cfg
         domains, depths, urls, sched_cols, cd_cols, ck_cols, cs_cols = \
-            self._drain_absorbed_sorted()
+            self._drain_absorbed_sorted(epoch)
 
         # columnar outgoing (cheap to ship through the driver-mediated exchange)
         outgoing: dict[int, dict] = {}

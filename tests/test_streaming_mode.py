@@ -20,7 +20,12 @@ def _cfg(mode: str):
     cfg.rules.total_link_budget = 1000
     cfg.rules.links_per_task_budget = 100
     cfg.rules.max_level = 12
-    cfg.engine.max_epochs = 60
+    # the permit horizon must ALSO be non-binding: streaming mode lags the
+    # frontier by its in-flight window (a permit dequeued before barrier N
+    # cannot see N's discoveries), so full coverage takes more permits than
+    # BSP epochs — measured 68 permits vs 40 epochs on this web. Both modes
+    # stop early at idle, so a high ceiling costs nothing.
+    cfg.engine.max_epochs = 200
     cfg.engine.mode = mode
     return cfg
 
