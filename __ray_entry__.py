@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_order_totals": analytic.running_order_totals_ds,
         "lag_event_deltas": analytic.lag_event_deltas_ds,
         "rollup_order_counts": analytic.rollup_order_counts_ds,
+        "cube_order_counts": analytic.cube_order_counts_ds,
         "pivot_event_dow": analytic.pivot_event_dow_ds,
         "user_event_sequences": analytic.user_event_sequences_ds,
         "distinct_users_per_type": analytic.distinct_users_per_type_ds,
@@ -700,6 +701,15 @@ def oracle_sql() -> dict[str, str]:
                        AS cents
             FROM orders
             GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        """,
+        "cube_order_counts": """
+            SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+                   coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+                   count(*) AS n_orders,
+                   sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                       AS cents
+            FROM orders
+            GROUP BY CUBE(o_orderpriority, o_orderstatus)
         """,
         "pivot_event_dow": """
             SELECT event_type,

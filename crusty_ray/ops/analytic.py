@@ -93,16 +93,11 @@ def lag_event_deltas_ds(sf_dir: str):
     return partitioned_group_apply(events, ["user_id"], window)
 
 
-def rollup_order_counts_ds(sf_dir: str):
-    """GROUP BY ROLLUP(o_orderpriority, o_orderstatus): order count + revenue
-    cents at the (priority, status), (priority), and () levels, rolled-up
-    columns as the 'ALL' sentinel (so the face stays string-typed, no NULL
-    hash ambiguity).
-
-    Scale plan: the FACT scan aggregates once, distributed, to the finest
-    level (≤ priorities×statuses rows); the coarser levels are derived from
-    that tiny finest table by re-summing — never a second pass over the fact
-    rows (the classic rollup-from-partials identity)."""
+def _finest_order_counts(sf_dir: str) -> pd.DataFrame:
+    """ONE distributed pass over the orders fact table down to the finest
+    (priority, status) level — rollup/cube levels derive from this tiny
+    frame by re-summing, never from a second fact scan (the classic
+    aggregate-from-partials identity)."""
     from ray.data.aggregate import Count, Sum
 
     orders = read_table(sf_dir, "orders",
@@ -115,23 +110,53 @@ def rollup_order_counts_ds(sf_dir: str):
             "cents": _price_cents(df["o_totalprice"]),
         })
 
-    finest = orders.map_batches(add_cents, batch_format="pandas") \
+    return orders.map_batches(add_cents, batch_format="pandas") \
         .groupby(["o_orderpriority", "o_orderstatus"]) \
         .aggregate(Count(alias_name="n_orders"),
                    Sum("cents", alias_name="cents")) \
         .to_pandas()  # tiny: |priorities| × |statuses| rows
 
-    lvl1 = finest.groupby("o_orderpriority", as_index=False)[
-        ["n_orders", "cents"]].sum()
-    lvl1["o_orderstatus"] = "ALL"
-    lvl0 = pd.DataFrame({"o_orderpriority": ["ALL"], "o_orderstatus": ["ALL"],
-                         "n_orders": [finest["n_orders"].sum()],
-                         "cents": [finest["cents"].sum()]})
-    out = pd.concat([finest, lvl1, lvl0], ignore_index=True)
+
+def _finalize_levels(frames: list[pd.DataFrame]) -> pd.DataFrame:
+    out = pd.concat(frames, ignore_index=True)
     out["n_orders"] = out["n_orders"].astype("int64")
     out["cents"] = out["cents"].astype("int64")
     cols = ["o_orderpriority", "o_orderstatus", "n_orders", "cents"]
     return out[cols].sort_values(cols[:2]).reset_index(drop=True)
+
+
+def _coarser(finest: pd.DataFrame, key: str, other: str) -> pd.DataFrame:
+    lvl = finest.groupby(key, as_index=False)[["n_orders", "cents"]].sum()
+    lvl[other] = "ALL"
+    return lvl
+
+
+def _grand(finest: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame({"o_orderpriority": ["ALL"],
+                         "o_orderstatus": ["ALL"],
+                         "n_orders": [finest["n_orders"].sum()],
+                         "cents": [finest["cents"].sum()]})
+
+
+def rollup_order_counts_ds(sf_dir: str):
+    """GROUP BY ROLLUP(o_orderpriority, o_orderstatus): order count + revenue
+    cents at the (priority, status), (priority), and () levels, rolled-up
+    columns as the 'ALL' sentinel (so the face stays string-typed, no NULL
+    hash ambiguity)."""
+    finest = _finest_order_counts(sf_dir)
+    return _finalize_levels([
+        finest, _coarser(finest, "o_orderpriority", "o_orderstatus"),
+        _grand(finest)])
+
+
+def cube_order_counts_ds(sf_dir: str):
+    """GROUP BY CUBE(o_orderpriority, o_orderstatus) — rollup's levels plus
+    the (status) margin, all derived from the same single finest pass."""
+    finest = _finest_order_counts(sf_dir)
+    return _finalize_levels([
+        finest, _coarser(finest, "o_orderpriority", "o_orderstatus"),
+        _coarser(finest, "o_orderstatus", "o_orderpriority"),
+        _grand(finest)])
 
 
 def pivot_event_dow_ds(sf_dir: str):

@@ -90,7 +90,7 @@ SQL_CHECKED = [
     "customer_order_profile", "user_event_sequences",
     "distinct_users_per_type", "price_quantiles_by_priority_cont",
     "props_value_histogram", "users_weekday_and_weekend",
-    "normalize_text", "order_price_ntile",
+    "normalize_text", "order_price_ntile", "cube_order_counts",
 ]
 
 
