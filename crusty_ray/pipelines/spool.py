@@ -77,17 +77,26 @@ class MetricsSpool:
             self._flush_stream(s, epoch)
 
     # -------------------------------------------------------------- reads
+    @staticmethod
+    def _flush_key(name: str) -> tuple[int, int]:
+        """(epoch, seq) parsed NUMERICALLY from part-e{epoch}-{seq}.parquet —
+        lexicographic filename order breaks once {epoch:06d} widens past six
+        digits (epoch 10^6)."""
+        stem = name[len("part-e"):-len(".parquet")]
+        e, seq = stem.split("-", 1)
+        return int(e), int(seq)
+
     def read(self, stream: str) -> list[dict]:
-        """All rows in append order: flushed partitions (filename order =
-        flush-epoch order, row order preserved within a file) + the live
+        """All rows in append order: flushed partitions in numeric
+        (epoch, seq) order (row order preserved within a file) + the live
         buffer. O(run) — for tests/summaries on small runs, not the hot path;
         at scale consumers read the parquet partitions directly."""
         out: list[dict] = []
         d = self._dir(stream)
         if os.path.isdir(d):
-            for name in sorted(os.listdir(d)):
-                if name.endswith(".parquet"):
-                    out.extend(pq.read_table(f"{d}/{name}").to_pylist())
+            names = [n for n in os.listdir(d) if n.endswith(".parquet")]
+            for name in sorted(names, key=self._flush_key):
+                out.extend(pq.read_table(f"{d}/{name}").to_pylist())
         out.extend(self.buf[stream])
         return out
 
@@ -112,9 +121,7 @@ class MetricsSpool:
                     if not name.endswith(".parquet"):
                         os.remove(f"{d}/{name}")  # torn .tmp
                         continue
-                    # epoch digits run to the next '-' ({epoch:06d} widens
-                    # past 6 chars at epoch 10^6 — don't assume the width)
-                    e = int(name[len("part-e"):].split("-", 1)[0])
+                    e = self._flush_key(name)[0]
                     if e > epoch:
                         os.remove(f"{d}/{name}")
                     else:

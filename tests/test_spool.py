@@ -63,6 +63,17 @@ class TestSpoolUnit:
         assert sp.read("a") == [{"e": 0}, {"e": 1}]
         assert sp.rows_total["a"] == 2
 
+    def test_drop_after_wide_epoch_numbers(self, tmp_path):
+        """Filenames widen past 6 digits at epoch 10^6 ({epoch:06d}); the
+        resume-time parse must read the full number, not a fixed slice."""
+        sp = MetricsSpool(str(tmp_path), {"a": "dir_a"})
+        for e in (999_999, 1_234_567, 2_000_001):
+            sp.add("a", [{"e": e}])
+            sp.flush_all(e)
+        sp.drop_after(1_234_567)
+        assert sp.read("a") == [{"e": 999_999}, {"e": 1_234_567}]
+        assert sp.rows_total["a"] == 2
+
     def test_reset(self, tmp_path):
         sp = MetricsSpool(str(tmp_path), {"a": "dir_a"})
         sp.add("a", [{"i": 1}])
