@@ -766,34 +766,8 @@ class CrawlEngine:
             absorb_dir = exchange_dir = None
         elif n_tasks < cfg.engine.min_epoch_rows_for_ray:
             absorb_dir = exchange_dir = None  # inline path absorbs via direct RPC
-            # inline fast path: identical stage objects, no task launches.
-            # ref order = shard asc + local_seq asc, so the global seq is a
-            # plain arange (identical to the offsets the Ray path applies).
-            table = pa.concat_tables(ray.get([r for r, _ in refs]))
-            table = table.drop_columns(["local_seq"])
-            table = table.append_column(
-                "epoch", pa.array([epoch] * n_tasks, pa.int32()))
-            table = table.append_column(
-                "seq", pa.array(range(n_tasks), pa.int64()))
-            out = self._fetcher(table)
-            out = self._discoverer(out)
-            import pyarrow.compute as _pc
-            self.spool.add("stage_gauges", [{
-                "epoch": epoch, "t_s": round(_time2.time() - _t0, 3),
-                "rows": out.num_rows,
-                "bytes": int(_pc.sum(out["read_size_b"]).as_py() or 0),
-                "batches": 1}])
-            rows = out.to_pylist()
-            by_shard: dict[int, list[dict]] = {}
-            for r in rows:
-                by_shard.setdefault(r["shard"], []).append(r)
-            ray.get([self.actors[s].absorb.remote(rs) for s, rs in by_shard.items()])
-            os.makedirs(log_dir, exist_ok=True)
-            _t_w = _time2.time()
-            pq.write_table(log_projection(out), f"{log_dir}/part-0.parquet")
-            self.spool.add("db_metrics", [{
-                "epoch": epoch, "op": "crawl_log_write", "rows": n_tasks,
-                "ms": round((_time2.time() - _t_w) * 1000, 1)}])
+            self.run_inline_tasks([r for r, _ in refs], epoch, n_tasks,
+                                  log_dir, t0=_t0)
         else:
             # a prior crashed attempt at this epoch (driver died between the
             # absorb writes and the post-barrier cleanup) may have left stale
@@ -913,6 +887,52 @@ class CrawlEngine:
         if next_epoch is None:
             return None
         return [t for t, _ in results2], [i for _, i in results2]
+
+    def run_inline_tasks(self, flat_refs: list, epoch: int, n_tasks: int,
+                         log_dir: str, absorb_epoch: int | None = None,
+                         t0: float | None = None):
+        """Inline (non-Ray) execution of one small epoch/permit: concat the
+        shards' task blocks, stamp epoch/seq (ref order = shard asc +
+        local_seq asc, so the global seq is a plain arange — identical to
+        the offsets the Ray path applies), fetch+discover in-process with
+        the same stage objects, absorb per shard, write the crawl-log
+        partition, spool the stage/db telemetry. Shared by the BSP inline
+        branch and streaming-mode ``run_inline`` — one copy, no drift.
+        ``absorb_epoch`` buckets the absorb to a specific barrier (streaming
+        windows overlap; the spool is lock-protected for its threads)."""
+        import time as _time2
+
+        import pyarrow.compute as _pc
+        if t0 is None:
+            t0 = _time2.time()
+        table = pa.concat_tables(ray.get(list(flat_refs)))
+        table = table.drop_columns(["local_seq"])
+        table = table.append_column(
+            "epoch", pa.array([epoch] * n_tasks, pa.int32()))
+        table = table.append_column(
+            "seq", pa.array(range(n_tasks), pa.int64()))
+        out = self._discoverer(self._fetcher(table))
+        self.spool.add("stage_gauges", [{
+            "epoch": epoch, "t_s": round(_time2.time() - t0, 3),
+            "rows": out.num_rows,
+            "bytes": int(_pc.sum(out["read_size_b"]).as_py() or 0),
+            "batches": 1}])
+        by_shard: dict[int, list[dict]] = {}
+        for r in out.to_pylist():
+            by_shard.setdefault(r["shard"], []).append(r)
+        if absorb_epoch is None:
+            ray.get([self.actors[s].absorb.remote(rs)
+                     for s, rs in by_shard.items()])
+        else:
+            ray.get([self.actors[s].absorb_for.remote(absorb_epoch, rs)
+                     for s, rs in by_shard.items()])
+        os.makedirs(log_dir, exist_ok=True)
+        _t_w = _time2.time()
+        pq.write_table(log_projection(out), f"{log_dir}/part-0.parquet")
+        self.spool.add("db_metrics", [{
+            "epoch": epoch, "op": "crawl_log_write", "rows": n_tasks,
+            "ms": round((_time2.time() - _t_w) * 1000, 1)}])
+        return out
 
     def merge_finish_results(self, results: list[dict]) -> tuple[dict, dict]:
         """Fold the shards' ``finish_epoch`` outputs into spool writes +

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -38,6 +39,10 @@ class MetricsSpool:
         # checkpoint flush can both land in one epoch; the sequence suffix
         # keeps both files, in lexicographic = append order
         self._flush_seq: dict[str, tuple[int, int]] = {}
+        # streaming mode's inline-permit threads add() concurrently with the
+        # main thread's flushes; never pickled (checkpoints carry counters
+        # only), so the lock is safe to hold here
+        self._lock = threading.Lock()
 
     def _dir(self, stream: str) -> str:
         return f"{self.out_dir}/{self.streams[stream]}"
@@ -45,8 +50,9 @@ class MetricsSpool:
     # ------------------------------------------------------------- writes
     def add(self, stream: str, rows: list[dict]) -> None:
         if rows:
-            self.buf[stream].extend(rows)
-            self.rows_total[stream] += len(rows)
+            with self._lock:
+                self.buf[stream].extend(rows)
+                self.rows_total[stream] += len(rows)
 
     def _flush_stream(self, stream: str, epoch: int) -> None:
         rows = self.buf[stream]
@@ -66,15 +72,17 @@ class MetricsSpool:
     def maybe_flush(self, epoch: int) -> None:
         """Size-triggered flush (the buffer_size half of the reference's
         buffered-writer contract)."""
-        for s in self.streams:
-            if len(self.buf[s]) >= self.flush_rows:
-                self._flush_stream(s, epoch)
+        with self._lock:
+            for s in self.streams:
+                if len(self.buf[s]) >= self.flush_rows:
+                    self._flush_stream(s, epoch)
 
     def flush_all(self, epoch: int) -> None:
         """Unconditional flush — called at checkpoint epochs (so checkpoints
         and flushed partitions agree) and at run end."""
-        for s in self.streams:
-            self._flush_stream(s, epoch)
+        with self._lock:
+            for s in self.streams:
+                self._flush_stream(s, epoch)
 
     # -------------------------------------------------------------- reads
     @staticmethod

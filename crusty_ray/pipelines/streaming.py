@@ -38,12 +38,10 @@ import threading
 from collections import deque
 from typing import Optional
 
-import pyarrow as pa
-import pyarrow.parquet as pq
 
 import ray
 
-from .crawl import CrawlEngine, EpochStage, log_projection
+from .crawl import CrawlEngine, EpochStage
 
 
 class StreamingCrawlEngine(CrawlEngine):
@@ -154,27 +152,13 @@ class StreamingCrawlEngine(CrawlEngine):
         shutil.rmtree(exchange_dir, ignore_errors=True)
 
         if n_tasks < cfg.engine.min_epoch_rows_for_ray:
-            # small permit: inline compute (same stage objects), absorb via
-            # direct RPC — still asynchronous w.r.t. completion order
+            # small permit: inline compute via the shared CrawlEngine helper
+            # (same stage objects, telemetry spooled under its lock);
+            # absorb_for(permit, ...) buckets rows to THEIR permit's barrier
+            # — later permits overlap earlier barriers in the bounded window
             def run_inline():
-                table = pa.concat_tables(ray.get(flat_refs)) \
-                    .drop_columns(["local_seq"])
-                table = table.append_column(
-                    "epoch", pa.array([permit] * n_tasks, pa.int32()))
-                table = table.append_column(
-                    "seq", pa.array(range(n_tasks), pa.int64()))
-                out = self._discoverer(self._fetcher(table))
-                by_shard: dict[int, list[dict]] = {}
-                for r in out.to_pylist():
-                    by_shard.setdefault(r["shard"], []).append(r)
-                # absorb_for(permit, ...): later permits overlap earlier
-                # barriers in the bounded window, so rows must be bucketed
-                # to THEIR permit's barrier, not drained by whichever
-                # end_epoch runs next
-                ray.get([self.actors[s].absorb_for.remote(permit, rs)
-                         for s, rs in by_shard.items()])
-                os.makedirs(log_dir, exist_ok=True)
-                pq.write_table(log_projection(out), f"{log_dir}/part-0.parquet")
+                self.run_inline_tasks(flat_refs, permit, n_tasks, log_dir,
+                                      absorb_epoch=permit)
             thread = threading.Thread(target=run_inline, daemon=True)
             thread.start()
             return {"permit": permit, "thread": thread, "absorb_dir": None,
