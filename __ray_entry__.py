@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": text.normalize_text_ds,
         "order_price_ntile": analytic.order_price_ntile_ds,
         "approx_distinct_users": _approx_distinct_users,
+        "label_centroids": similarity.label_centroids_ds,
         # -- crawl-operator analogs (SQL-checked)
         "topk_heavy_hitters": analog.topk_heavy_hitters_ds,
         "per_group_budget": analog.per_group_budget_ds,

@@ -319,3 +319,38 @@ def ann_quantized_ds(sf_dir: str, n_queries: int = 5, k: int = 10):
         return g
 
     return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def label_centroids_ds(sf_dir: str):
+    """Per-label embedding centroid — the vector-aggregation primitive
+    (cluster centers, class prototypes, IVF training all reduce to it).
+
+    Distributed as algebraic partials: each batch emits ONE row per label it
+    sees, carrying (sum_vector, count) — numpy matrix math, no per-row loop —
+    and a single tiny per-label pandas reduce finishes sum/count. Only
+    |labels|·dim floats ever shuffle, never the embedding table. Float sums
+    are batch-order-dependent at the ulp level, so the face is rows-only in
+    the driver contract; the pytest oracle checks against numpy to 1e-4."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(df["embedding"].to_numpy())  # (n, dim) float32
+        out_rows = []
+        for lab, idx in df.groupby("label").indices.items():
+            out_rows.append({
+                "label": int(lab),
+                "vsum": mat[idx].sum(axis=0, dtype=np.float64).tolist(),
+                "n": int(len(idx)),
+            })
+        return pd.DataFrame(out_rows)
+
+    parts = _io_read(f"{sf_dir}/embeddings.parquet",
+                     columns=["embedding", "label"]) \
+        .map_batches(partial, batch_format="pandas").to_pandas()
+    # tiny: blocks × |labels| partial rows
+    out_rows = []
+    for lab, g in parts.groupby("label"):
+        total = np.sum(np.stack(g["vsum"].to_numpy()), axis=0)
+        n = int(g["n"].sum())
+        out_rows.append({"label": int(lab), "n": n,
+                         "centroid": (total / n).tolist()})
+    return pd.DataFrame(sorted(out_rows, key=lambda r: r["label"]))

@@ -59,3 +59,20 @@ def test_ivf_deterministic(ray_session):
     b = similarity.ann_ivf_ds(SF, n_queries=4, k=5).to_pandas() \
         .sort_values(["query_id", "rnk"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_label_centroids_match_numpy(ray_session):
+    """Distributed partial-sum centroids ≡ numpy mean per label (float sums
+    are order-dependent, so tolerance 1e-4 — the contract face is rows-only)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from crusty_ray.ops.similarity import label_centroids_ds
+    sf = "/root/testdata/sf0.01"
+    got = label_centroids_ds(sf)
+    t = pq.read_table(f"{sf}/embeddings.parquet").to_pandas()
+    assert len(got) == t["label"].nunique()
+    for _, row in got.iterrows():
+        sub = t[t["label"] == row["label"]]
+        exp = np.stack(sub["embedding"].to_numpy()).mean(axis=0)
+        assert row["n"] == len(sub)
+        np.testing.assert_allclose(np.array(row["centroid"]), exp, atol=1e-4)
