@@ -53,8 +53,14 @@ def main(argv=None) -> int:
 
     import ray
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=args.num_cpus,
-                 include_dashboard=False, logging_level="ERROR")
+        # RAY_ADDRESS governs where we run: "local" (this sandbox's preset)
+        # starts a private instance; under `ray job submit` it points at the
+        # cluster and num_cpus must NOT be passed (the cluster's resources
+        # are the cluster's business)
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        kwargs = {"num_cpus": args.num_cpus} if addr == "local" else {}
+        ray.init(address=addr, include_dashboard=False,
+                 logging_level="ERROR", **kwargs)
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
