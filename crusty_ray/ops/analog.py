@@ -82,6 +82,13 @@ def depth_filter_ds(sf_dir: str, max_depth: int = 3):
 
 
 # ------------------------------------------------------------- sharding
+def minute_of(ts: pd.Series) -> np.ndarray:
+    """Tumbling minute bucket from a µs timestamp column — the ONE kernel
+    the tumbling (event_minute_buckets) and sliding (ops/windows) faces
+    share, so their bucket boundaries can never drift apart."""
+    return ((ts.astype("int64") // 1_000_000) // 60).to_numpy(dtype="int64")
+
+
 def md5_shard(values: pd.Series, shard_total: int) -> np.ndarray:
     """First 8 md5 hex digits as int, mod shards — DuckDB-replicable hash."""
     return np.array(
@@ -107,9 +114,10 @@ def segment_order_counts_ds(sf_dir: str):
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
     lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
 
-    def tag(batch: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(lookup_ref)
-        seg = batch["o_custkey"].map(lookup)
+    def tag(batch: pd.DataFrame, _cache={}) -> pd.DataFrame:
+        if "m" not in _cache:  # one fetch/deserialize per worker process
+            _cache["m"] = ray.get(lookup_ref)
+        seg = batch["o_custkey"].map(_cache["m"])
         return pd.DataFrame({"c_mktsegment": seg[seg.notna()]})  # inner-join semantics
 
     ds = _read(sf_dir, "orders", ["o_custkey"])
@@ -123,9 +131,8 @@ def event_minute_buckets_ds(sf_dir: str):
     ds = _read(sf_dir, "events", ["ts", "event_type"])
 
     def bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        epoch_s = batch["ts"].astype("int64") // 1_000_000
         return pd.DataFrame({"event_type": batch["event_type"],
-                             "minute": (epoch_s // 60).astype("int64")})
+                             "minute": minute_of(batch["ts"])})
 
     from .agg import grouped_count
     return grouped_count(ds.map_batches(bucket, batch_format="pandas"),
@@ -210,6 +217,10 @@ def union_event_classes_ds(sf_dir: str):
                                  "user_id": sub["user_id"].astype("int64")})
         return fn
 
+    # Dataset.union does NOT share a common upstream between branches, so
+    # the column-pruned scan runs once per branch — the deliberate trade at
+    # fact scale: a second 2-column scan streams, while .materialize()
+    # would pin the whole projection in the object store
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
     errors = ds.map_batches(pick("error", "err"), batch_format="pandas")
     signups = ds.map_batches(pick("signup", "new"), batch_format="pandas")
@@ -241,6 +252,7 @@ def props_value_histogram_ds(sf_dir: str):
 
     def extract(df: pd.DataFrame) -> pd.DataFrame:
         k = df["props"].str.extract(r"(-?\d+)", expand=False)
+        k = k[k.notna()]  # malformed/NULL props: drop, don't crash the task
         return pd.DataFrame({"k": k.astype("int64")})
 
     return ds.map_batches(extract, batch_format="pandas") \

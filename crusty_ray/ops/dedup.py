@@ -75,7 +75,7 @@ def minhash_signature(grams: set[str]) -> np.ndarray:
     computed in one vectorized (n_grams × N_PERM) pass."""
     if not grams:
         return np.full(N_PERM, np.iinfo(np.uint64).max, dtype=np.uint64)
-    base = hash64_batch(sorted(grams))
+    base = hash64_batch(list(grams))  # min() is order-invariant; no sort
     from ..core.hashing import mix64
     with np.errstate(over="ignore"):
         fam = mix64(base[:, None] + _PERM_OFFSETS[None, :])
@@ -189,7 +189,7 @@ def minhash_dedup_pairs(sf_dir: str, threshold: float = 0.7):
         for d, t in zip(batch["doc_id"], batch["text"].fillna("")):
             g = word_ngrams(t)
             if g:
-                h = hash64_batch(sorted(g)).astype(np.int64)
+                h = hash64_batch(list(g)).astype(np.int64)  # order-invariant downstream
                 ids.extend([d] * len(h))
                 hashes.append(h)
         return pd.DataFrame({
@@ -267,7 +267,6 @@ def signature_quadrant_pairs(sig_ds, id_col: str, sig_col: str,
     so it survives via its non-hot quadrants. ``None`` disables (oracle/
     conformance mode)."""
     from .agg import partitioned_group_apply
-    id_dtype = None  # discovered from the first batch; used for empty frames
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         v = df[sig_col].to_numpy().astype(np.int64).view(np.uint64)
@@ -539,7 +538,7 @@ def embedding_quant_dedup_ds(sf_dir: str, threshold: int = 300_000):
     return blocked_self_join(qds, "label", "vec_id", score)
 
 
-def embedding_cosine_pairs(sf_dir: str, threshold_pm: int = 300) -> pd.DataFrame:
+def embedding_cosine_pairs(sf_dir: str, threshold_pm: int = 300):
     """Float cosine near-dup pairs within each ``label`` block (the real
     embedding-dedup path; rows-only check — the bit-exact oracle face is
     ``embedding_quant_dedup_ds``). Output similarity as per-mille ints."""
@@ -587,6 +586,37 @@ def embedding_cosine_pairs(sf_dir: str, threshold_pm: int = 300) -> pd.DataFrame
 
 # ---------------------------------------------------- dedup components
 
+def _filter_to_nodes(labeled_ds, nodes_ds, id_col: str, out_label: str,
+                     num_partitions: int):
+    """Keep only label rows whose id is in ``nodes_ds`` — the BSP paths let
+    edge-only ids participate as conduits (so connectivity THROUGH them is
+    preserved, matching the driver union-find), but the output contract is
+    one row per declared node. One co-partitioned marker pass."""
+    import numpy as np
+
+    from .agg import partitioned_group_apply
+
+    def markers(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({id_col: batch[id_col],
+                             out_label: batch[id_col],  # dtype-true filler
+                             "__m": np.int64(1)})
+
+    def data_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__m"] = np.int64(0)
+        return batch
+
+    def member_filter(df: pd.DataFrame) -> pd.DataFrame:
+        known = df.loc[df["__m"] == 1, id_col].unique()
+        d = df[df["__m"] == 0]
+        return d.loc[d[id_col].isin(known), [id_col, out_label]]
+
+    return partitioned_group_apply(
+        labeled_ds.map_batches(data_rows, batch_format="pandas")
+        .union(nodes_ds.map_batches(markers, batch_format="pandas")),
+        [id_col], member_filter, num_partitions)
+
+
 def connected_components(edges_ds, nodes_ds, id_col: str,
                          out_label: str = "component_id",
                          num_partitions: int = 32, max_rounds: int = 50,
@@ -608,7 +638,10 @@ def connected_components(edges_ds, nodes_ds, id_col: str,
     witness, one scalar aggregate per round on the driver.
 
     ``edges_ds``: columns (u, v); ``nodes_ds``: column ``id_col``.
-    Returns a Dataset (id_col, out_label) covering every node.
+    Returns a Dataset (id_col, out_label) covering EXACTLY the nodes_ds
+    universe, on every path: an id that appears only in edges conducts
+    connectivity (nodes joined through it land in one component, as in the
+    driver union-find) but emits no output row.
 
     **Adaptive**: the edge set is the OUTPUT of near-dup detection —
     O(duplicate pairs), typically minuscule next to the corpus. Below
@@ -750,7 +783,11 @@ def connected_components(edges_ds, nodes_ds, id_col: str,
         return pd.DataFrame({id_col: batch["src"].astype("int64"),
                              out_label: batch["lab"].astype("int64")})
 
-    return labels.map_batches(project, batch_format="pandas")
+    # edge-only ids served as conduits during the rounds; the output covers
+    # exactly the declared node universe (identical to the driver path)
+    return _filter_to_nodes(labels.map_batches(project,
+                                               batch_format="pandas"),
+                            nodes_ds, id_col, out_label, num_partitions)
 
 
 def _dict_encode_ids(nodes_ds, id_col: str, num_partitions: int):
@@ -789,10 +826,21 @@ def _cc_bsp_encoded(edges_ds, nodes_ds, id_col: str, out_label: str,
     int64 codes); the corpus never shuffles."""
     from .agg import partitioned_group_apply
 
-    codes = _dict_encode_ids(nodes_ds, id_col, num_partitions).materialize()
+    # encode EVERY id that appears — nodes and edge endpoints — so an id
+    # present only in edges still conducts connectivity (matching the
+    # driver union-find); the final output is filtered back to nodes_ds
+    all_ids = nodes_ds.map_batches(lambda b: b[[id_col]],
+                                   batch_format="pandas") \
+        .union(edges_ds.map_batches(
+            lambda b: pd.DataFrame({id_col: b["u"]}),
+            batch_format="pandas")) \
+        .union(edges_ds.map_batches(
+            lambda b: pd.DataFrame({id_col: b["v"]}),
+            batch_format="pandas"))
+    codes = _dict_encode_ids(all_ids, id_col, num_partitions).materialize()
 
     # -- translate u: union (id, "", code) with (u, v, -1), co-partition on
-    # the key, merge inside. Edges with endpoints absent from nodes_ds drop.
+    # the key, merge inside.
     def codes_as_u(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"__key": batch[id_col],
                              "__v": [""] * len(batch),
@@ -874,7 +922,8 @@ def _cc_bsp_encoded(edges_ds, nodes_ds, id_col: str, out_label: str,
         rep = df.groupby("__lab")["__id"].transform("min")
         return pd.DataFrame({id_col: df["__id"], out_label: rep})
 
-    return partitioned_group_apply(decoded, ["__lab"], canon, num_partitions)
+    out = partitioned_group_apply(decoded, ["__lab"], canon, num_partitions)
+    return _filter_to_nodes(out, nodes_ds, id_col, out_label, num_partitions)
 
 
 def neardup_components_ds(sf_dir: str, threshold: int = 300_000):

@@ -24,10 +24,10 @@ import pandas as pd
 
 
 def _md5_bucket_pm(values: pd.Series) -> np.ndarray:
-    """Per-mille bucket (0..999) from the first 8 md5 hex digits of str(v)."""
-    return np.array(
-        [int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % 1000
-         for v in values], dtype=np.int64)
+    """Per-mille bucket (0..999) — analog.md5_shard with 1000 shards (one
+    kernel, one DuckDB-replicable convention; see its oracle SQL)."""
+    from .analog import md5_shard
+    return md5_shard(values, 1000)
 
 
 def sample_stratified(ds, id_col: str, stratum_col: str,

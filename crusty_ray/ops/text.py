@@ -218,9 +218,12 @@ def doc_top_terms_ds(sf_dir: str, n: int = 3):
     — the feature row a relevance/quality model consumes.
 
     Scale plan — two fully local passes + one generic shuffle join:
-    - **tf + per-doc rank are shuffle-free**: a document's text lives in one
-      row, so per-(doc,term) counts and the per-doc top-n both complete
-      inside ``map_batches`` (vectorized explode → pandas groupby → head).
+    - **tf + per-doc rank are shuffle-free** — but ONLY when both run in
+      the same function over a DOCUMENTS batch, where each doc is one row.
+      (Running top-n as a second map_batches over the exploded tf rows
+      would break at scale: Ray splits map outputs at
+      target_max_block_size, so one doc's tf rows can straddle two blocks
+      and each fragment would get its own rank sequence.)
     - **df is one coarse-partition count** over the already-distinct
       (doc,term) rows (``grouped_count`` on term).
     - the df table is vocabulary-sized (too big to broadcast at corpus
@@ -239,21 +242,21 @@ def doc_top_terms_ds(sf_dir: str, n: int = 3):
         tf.columns = ["doc_id", "term", "tf"]
         return tf.astype({"doc_id": "int64", "tf": "int64"})
 
-    tf = _io_read(f"{sf_dir}/documents.parquet",
-                  columns=["doc_id", "text"]) \
-        .map_batches(tf_rows, batch_format="pandas")
-
-    def local_top(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.sort_values(["doc_id", "tf", "term"],
-                           ascending=[True, False, True], kind="mergesort")
+    def tf_and_top(batch: pd.DataFrame) -> pd.DataFrame:
+        g = tf_rows(batch).sort_values(
+            ["doc_id", "tf", "term"], ascending=[True, False, True],
+            kind="mergesort")
         g = g.groupby("doc_id", sort=False).head(n).copy()
         g["rn"] = (g.groupby("doc_id", sort=False).cumcount() + 1) \
             .astype("int64")
         return g
 
-    top = tf.map_batches(local_top, batch_format="pandas")
+    docs = _io_read(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
+    top = docs.map_batches(tf_and_top, batch_format="pandas")
     df_counts = grouped_count(
-        tf.map_batches(lambda b: b[["term"]], batch_format="pandas"),
+        docs.map_batches(lambda b: tf_rows(b)[["term"]],
+                         batch_format="pandas"),
         ["term"], "df")
     return hash_join(top, df_counts, on=["term"])
 

@@ -16,13 +16,13 @@ import numpy as np
 import pandas as pd
 
 from .agg import grouped_count
+from .analog import minute_of
 from .io import read_table
 
 
 def _minutes(batch: pd.DataFrame) -> pd.DataFrame:
-    epoch_s = batch["ts"].astype("int64") // 1_000_000
     return pd.DataFrame({"event_type": batch["event_type"],
-                         "minute": (epoch_s // 60).astype("int64")})
+                         "minute": minute_of(batch["ts"])})
 
 
 def sliding_window_counts_ds(sf_dir: str, width: int = 5):

@@ -372,3 +372,46 @@ def test_connected_components_bsp_string_ids_empty_translate(ray_session):
         "nid", num_partitions=4, driver_threshold=0) \
         .to_pandas().sort_values("nid").reset_index(drop=True)
     assert dict(zip(got.nid, got.component_id)) == {"a": "a", "b": "b"}
+
+
+def test_connected_components_foreign_edge_endpoints(ray_session):
+    """An id present only in EDGES conducts connectivity but emits no output
+    row — identical semantics on the driver, int-BSP, and encoded paths
+    (late-r3 review fix: the BSP path used to emit rows for such ids, the
+    encoded path used to drop their edges entirely)."""
+    import pyarrow as pa
+    import ray
+
+    def run(ids, edges, threshold):
+        e_t = pa.table({"u": pa.array([u for u, _ in edges]),
+                        "v": pa.array([v for _, v in edges])})
+        n_t = pa.table({"nid": pa.array(ids)})
+        return dedup.connected_components(
+            ray.data.from_arrow(e_t).map_batches(lambda b: b,
+                                                 batch_format="pandas"),
+            ray.data.from_arrow(n_t).map_batches(lambda b: b,
+                                                 batch_format="pandas"),
+            "nid", num_partitions=3, driver_threshold=threshold) \
+            .to_pandas().sort_values("nid").reset_index(drop=True)
+
+    # int ids: X=99 bridges 1 and 2; 50 only-in-edges pair with node 3
+    ids = [1, 2, 3, 4]
+    edges = [(1, 99), (99, 2), (3, 50)]
+    for thr in (1_000_000, 0):  # driver path, then forced BSP
+        got = run(ids, edges, thr)
+        assert list(got.nid) == ids, thr
+        comp = dict(zip(got.nid, got.component_id))
+        assert comp[1] == comp[2], thr          # connected THROUGH 99
+        assert comp[3] == min(3, 50), thr       # canonical may be foreign
+        assert comp[4] == 4, thr
+
+    # string ids: same shape through the encoded path
+    sids = ["a", "b", "c", "d"]
+    sedges = [("a", "xx"), ("xx", "b"), ("c", "00")]
+    for thr in (1_000_000, 0):
+        got = run(sids, sedges, thr)
+        assert list(got.nid) == sids, thr
+        comp = dict(zip(got.nid, got.component_id))
+        assert comp["a"] == comp["b"], thr
+        assert comp["c"] == min("c", "00"), thr
+        assert comp["d"] == "d", thr
