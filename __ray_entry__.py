@@ -87,6 +87,11 @@ def _approx_distinct_users(sf_dir: str):
     return approx_distinct_users_ds(sf_dir)
 
 
+def _pack_token_chunks(sf_dir: str):
+    from crusty_ray.ops.pack import pack_token_chunks_ds
+    return pack_token_chunks_ds(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from crusty_ray.ops import (analog, analytic, dedup, joins, quantiles,
                                 sample, similarity, text, windows)
@@ -204,6 +209,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_ntile": analytic.order_price_ntile_ds,
         "approx_distinct_users": _approx_distinct_users,
         "label_centroids": similarity.label_centroids_ds,
+        "label_centroids_quant": similarity.label_centroids_quant_ds,
+        "filter_frequent_tokens": text.filter_frequent_tokens_ds,
+        "pack_token_chunks": _pack_token_chunks,
         # -- crawl-operator analogs (SQL-checked)
         "topk_heavy_hitters": analog.topk_heavy_hitters_ds,
         "per_group_budget": analog.per_group_budget_ds,
@@ -742,6 +750,49 @@ def oracle_sql() -> dict[str, str]:
                    length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
                        AS n_chars_norm
             FROM documents
+        """,
+        "label_centroids_quant": """
+            SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+                   CAST(SUM(CAST(FLOOR(CAST(e AS DOUBLE) * 1000) AS BIGINT))
+                        AS BIGINT) AS qsum,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT label, UNNEST(embedding) AS e,
+                         GENERATE_SUBSCRIPTS(embedding, 1) AS dim
+                  FROM embeddings)
+            GROUP BY 1, 2
+        """,
+        "pack_token_chunks": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(string_split(trim(text, ' '), ' ')) AS BIGINT)
+                         AS n_tokens
+              FROM documents)
+            SELECT doc_id, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) // 512 AS BIGINT) AS chunk_id
+            FROM t
+        """,
+        "filter_frequent_tokens": """
+            WITH tok AS (
+              SELECT doc_id, w, pos FROM (
+                SELECT doc_id, UNNEST(string_split(text, ' ')) AS w,
+                       GENERATE_SUBSCRIPTS(string_split(text, ' '), 1) AS pos
+                FROM documents)
+              WHERE w <> ''),
+            ndocs AS (SELECT COUNT(*) AS n FROM documents),
+            stop AS (SELECT w FROM tok GROUP BY w
+                     HAVING COUNT(DISTINCT doc_id) >=
+                            0.78 * (SELECT n FROM ndocs)),
+            kept AS (SELECT doc_id, w, pos FROM tok
+                     WHERE w NOT IN (SELECT w FROM stop)),
+            rebuilt AS (SELECT doc_id,
+                               string_agg(w, ' ' ORDER BY pos) AS clean,
+                               COUNT(*) AS n_kept
+                        FROM kept GROUP BY doc_id)
+            SELECT d.doc_id, md5(COALESCE(r.clean, '')) AS clean_md5,
+                   CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept
+            FROM documents d LEFT JOIN rebuilt r USING (doc_id)
         """,
         "order_price_ntile": """
             SELECT o_orderkey, o_orderpriority,

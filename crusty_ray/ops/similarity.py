@@ -354,3 +354,45 @@ def label_centroids_ds(sf_dir: str):
         out_rows.append({"label": int(lab), "n": n,
                          "centroid": (total / n).tolist()})
     return pd.DataFrame(sorted(out_rows, key=lambda r: r["label"]))
+
+
+def label_centroids_quant_ds(sf_dir: str):
+    """Per-label centroid partial sums over integer-quantized embeddings —
+    the bit-exact (SQL-oracled) face of label_centroids_ds: int64 sums are
+    order-independent, so the distributed reduce hashes identically to
+    DuckDB's UNNEST + GROUP BY. Long format: one row per (label, dim) with
+    the quantized component sum (floor(x*1000), the repo-wide embedding
+    quantization convention) and the label's row count.
+
+    Plan: each batch emits |labels_seen| x dim partial rows from one numpy
+    matrix reduction (no per-row loop); one coarse shuffle on label finishes.
+    Only |labels| x dim x blocks tiny rows ever move - never the vectors."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack([
+            np.floor(np.asarray(v, np.float64) * 1000.0).astype(np.int64)
+            for v in df["embedding"]])  # (n, dim)
+        dim = mat.shape[1]
+        labs, sums, ns = [], [], []
+        for lab, idx in df.groupby("label").indices.items():
+            labs.append(int(lab))
+            sums.append(mat[idx].sum(axis=0))
+            ns.append(len(idx))
+        return pd.DataFrame({
+            "label": np.repeat(np.asarray(labs, np.int64), dim),
+            "dim": np.tile(np.arange(1, dim + 1, dtype=np.int64), len(labs)),
+            "qsum": np.concatenate(sums) if sums else
+            np.array([], dtype=np.int64),
+            "n": np.repeat(np.asarray(ns, np.int64), dim),
+        })
+
+    def reduce_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["label", "dim"], as_index=False).agg(
+            qsum=("qsum", "sum"), n=("n", "sum"))
+        return out.astype({c: "int64" for c in out.columns})
+
+    from .agg import partitioned_group_apply
+    parts = _io_read(f"{sf_dir}/embeddings.parquet",
+                     columns=["embedding", "label"]) \
+        .map_batches(partial, batch_format="pandas")
+    return partitioned_group_apply(parts, ["label"], reduce_part)

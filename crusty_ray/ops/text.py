@@ -282,3 +282,67 @@ def normalize_text_ds(sf_dir: str):
     return _io_read(f"{sf_dir}/documents.parquet",
                     columns=["doc_id", "text"]) \
         .map_batches(clean, batch_format="pandas")
+
+
+def filter_frequent_tokens_ds(sf_dir: str, frac: float = 0.78):
+    """Corpus-level stopword discovery + removal: drop every token whose
+    document frequency is >= ``frac`` of all documents, rebuild each
+    document from its surviving tokens (order preserved) and fingerprint the
+    result — the C4-style "remove boilerplate by global frequency" step.
+
+    Plan (two passes, both streaming):
+      1. document frequency: per-batch (doc_id, token) dedup (a doc is one
+         row, so in-batch dedup is exact), then one coarse ``grouped_count``
+         on the token. The stopword SET is inherently tiny — at most
+         total_tokens / (frac * n_docs) entries — so it collects to the
+         driver and broadcasts once via ``ray.put``.
+      2. rebuild: one map over documents filtering against the broadcast
+         frozenset. Per-row split/join + md5 (same measured compute-bound
+         per-row cost as ``fingerprint``; no vectorized md5 kernel exists).
+
+    n_docs comes from parquet footer metadata (O(files), no data scan).
+    Token definition matches the corpus-wide convention: single-space split,
+    empty strings dropped. Returns (doc_id, clean_md5, n_kept)."""
+    import pyarrow.parquet as _pq
+
+    import ray as _ray
+
+    from .agg import grouped_count
+
+    path = f"{sf_dir}/documents.parquet"
+    n_docs = _pq.ParquetFile(path).metadata.num_rows
+
+    def doc_tokens(batch: pd.DataFrame) -> pd.DataFrame:
+        w = batch.set_index("doc_id")["text"].fillna("").str.split(" ") \
+            .explode()
+        w = w[w != ""].dropna()
+        out = w.reset_index()
+        out.columns = ["doc_id", "w"]
+        return out.drop_duplicates()
+
+    pairs = _io_read(path, columns=["doc_id", "text"]) \
+        .map_batches(doc_tokens, batch_format="pandas")
+    counts = grouped_count(pairs, ["w"], "df")
+
+    def only_stop(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["df"] >= frac * n_docs][["w"]]
+
+    stop_df = counts.map_batches(only_stop, batch_format="pandas") \
+        .to_pandas()  # tiny by construction (df >= frac*n_docs each)
+    stop_ref = _ray.put(frozenset(stop_df["w"].tolist()))
+
+    def rebuild(batch: pd.DataFrame, _cache={}) -> pd.DataFrame:
+        if "s" not in _cache:  # one fetch per worker process
+            _cache["s"] = _ray.get(stop_ref)
+        stop = _cache["s"]
+        kept = [[t for t in txt.split(" ") if t and t not in stop]
+                for txt in batch["text"].fillna("")]
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "clean_md5": [hashlib.md5(" ".join(k).encode()).hexdigest()
+                          for k in kept],
+            "n_kept": pd.Series([len(k) for k in kept], dtype="int64"),
+        })
+
+    return _io_read(path, columns=["doc_id", "text"]) \
+        .map_batches(rebuild, batch_format="pandas")

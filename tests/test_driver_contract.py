@@ -91,6 +91,7 @@ SQL_CHECKED = [
     "distinct_users_per_type", "price_quantiles_by_priority_cont",
     "props_value_histogram", "users_weekday_and_weekend",
     "normalize_text", "order_price_ntile", "cube_order_counts",
+    "label_centroids_quant", "pack_token_chunks", "filter_frequent_tokens",
 ]
 
 
