@@ -92,6 +92,14 @@ def _pack_token_chunks(sf_dir: str):
     return pack_token_chunks_ds(sf_dir)
 
 
+def _image_train_shards(sf_dir: str):
+    # byte-budget shard summary over the crawl's image table (the export
+    # write itself is exercised in tests/test_export_shards.py)
+    from crusty_ray.ops.pack import export_image_shards
+    return export_image_shards(_images_dir(), out_dir=None,
+                               shard_bytes=1 << 20)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from crusty_ray.ops import (analog, analytic, dedup, joins, quantiles,
                                 sample, similarity, text, windows)
@@ -265,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_quality_filter": _image_quality("image_quality_filter"),
         "image_quality_report": _image_quality("image_quality_report"),
         "caption_reuse": _image_quality("caption_reuse_report"),
+        "image_train_shards": _image_train_shards,
         # -- the crawl engine itself (simulator-oracled; rows-only here)
         "crawl_log": crawl_log,
         "crawl_topk": crawl_topk,

@@ -273,6 +273,8 @@ def hash_join(left, right, on: list[str], num_partitions: int = 32,
                 return False
             if pa.types.is_string(t) or pa.types.is_large_string(t):
                 return ""
+            if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+                return b""
             if pa.types.is_timestamp(t):
                 return pd.Timestamp(0)
         else:

@@ -32,12 +32,15 @@ _BUCKET = "__pack_bucket"
 
 def ordered_pack(ds, order_col: str, weight_col: str, budget: int,
                  bucket_width: int, out_col: str = "chunk_id",
-                 num_partitions: int = 32):
+                 num_partitions: int = 32,
+                 tie_cols: list[str] | None = None):
     """Add ``out_col = exclusive_prefix_sum(weight_col) // budget`` over rows
-    ordered by ``order_col`` (must be unique non-negative integers; weights
-    non-negative int64). All other columns pass through. Items heavier than
-    ``budget`` simply advance the chunk counter past themselves — the SQL
-    window semantics, no special case."""
+    ordered by ``order_col`` (non-negative integers; weights non-negative
+    int64). ``tie_cols`` must make the order total when ``order_col`` is not
+    unique (ties share a bucket, so tie-breaking is partition-local). All
+    other columns pass through. Items heavier than ``budget`` simply advance
+    the chunk counter past themselves — the SQL window semantics, no special
+    case."""
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
@@ -70,7 +73,7 @@ def ordered_pack(ds, order_col: str, weight_col: str, budget: int,
         if "o" not in _cache:  # one fetch/deserialize per worker process
             _cache["o"] = ray.get(offsets_ref)
         bkts, offs = _cache["o"]
-        g = part.sort_values([_BUCKET, order_col],
+        g = part.sort_values([_BUCKET, order_col] + list(tie_cols or []),
                              kind="mergesort").reset_index(drop=True)
         w = g[weight_col].to_numpy(dtype=np.int64)
         run = g.groupby(_BUCKET, sort=False)[weight_col].cumsum() \
@@ -99,3 +102,92 @@ def pack_token_chunks_ds(sf_dir: str, budget: int = 512,
 
     slim = docs.map_batches(tokens, batch_format="pandas")
     return ordered_pack(slim, "doc_id", "n_tokens", budget, bucket_width)
+
+
+def _id_key(ids) -> np.ndarray:
+    """Deterministic non-negative int64 order key from a string id (md5-based
+    so the global shard order is stable and uniform; collisions are resolved
+    by the image_id tie-break inside ordered_pack)."""
+    import hashlib
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(i.encode()).digest()[:8], "big")
+         & ((1 << 63) - 1) for i in ids),
+        dtype=np.int64, count=len(ids))
+
+
+def export_image_shards(images_path: str, out_dir: str | None,
+                        shard_bytes: int = 4 << 20,
+                        num_partitions: int = 32, min_w: int = 32,
+                        min_h: int = 32, max_aspect_pm: int = 3000,
+                        min_caption_chars: int = 8):
+    """The training-data EXPORT step for the image+caption payload: quality
+    gate → exact dedup → byte-budget shard assignment → partitioned parquet
+    (``shard_id=K/`` dirs — resumable, one directory per output shard).
+
+    Scale plan: every decision runs in SLIM space (metadata columns only —
+    ``n_bytes`` is recorded at ingest so the payload is never read to plan):
+    vectorized quality gate (no shuffle), keep-first exact dedup (one slim
+    shuffle on phash), byte-budget packing via ``ordered_pack`` over the
+    md5-derived id key (slim). The payload then moves exactly ONCE: a
+    co-partitioned ``hash_join`` of the full rows against the tiny
+    (image_id, shard_id) assignment, written straight to the partitioned
+    sink. Returns the per-shard summary (shard_id, n_images, total_bytes),
+    computed from slim rows. ``out_dir=None`` skips the payload write and
+    returns the summary only."""
+    from .agg import partitioned_group_apply
+    from .image_quality import _quality_flags
+    from .io import read_dataset
+
+    slim_cols = ["image_id", "w", "h", "fmt", "decode_ok", "caption",
+                 "phash", "n_bytes"]
+    slim = read_dataset(images_path, columns=slim_cols)
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        f = _quality_flags(df, min_w, min_h, max_aspect_pm,
+                           min_caption_chars)
+        ok = ~(f["r_decode"] | f["r_small"] | f["r_aspect"] | f["r_caption"])
+        out = df.loc[ok.to_numpy(),
+                     ["image_id", "phash", "w", "h", "n_bytes"]].copy()
+        return out.astype({"n_bytes": "int64"})
+
+    def keep_first(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values("image_id", kind="mergesort")
+        out = g.groupby(["phash", "w", "h"], as_index=False).first()
+        return out[["image_id", "n_bytes"]]
+
+    kept = partitioned_group_apply(
+        slim.map_batches(gate, batch_format="pandas"),
+        ["phash"], keep_first, num_partitions)
+
+    def add_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__key"] = _id_key(df["image_id"].tolist())
+        return df
+
+    packed = ordered_pack(
+        kept.map_batches(add_key, batch_format="pandas"),
+        "__key", "n_bytes", shard_bytes, bucket_width=1 << 47,
+        out_col="shard_id", num_partitions=num_partitions,
+        tie_cols=["image_id"])
+
+    def strip(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["image_id", "n_bytes", "shard_id"]]
+
+    assignment = packed.map_batches(strip, batch_format="pandas")
+
+    if out_dir is not None:
+        from .joins import hash_join
+        full = read_dataset(images_path)
+        rows = hash_join(
+            full,
+            assignment.drop_columns(["n_bytes"]),
+            on=["image_id"], num_partitions=num_partitions)
+        rows.write_parquet(out_dir, partition_cols=["shard_id"])
+
+    def summarize(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("shard_id", as_index=False).agg(
+            n_images=("image_id", "size"), total_bytes=("n_bytes", "sum"))
+        return out.astype({"n_images": "int64", "total_bytes": "int64"})
+
+    return partitioned_group_apply(assignment, ["shard_id"], summarize,
+                                   num_partitions)

@@ -37,6 +37,8 @@ IMAGE_SCHEMA = pa.schema([
     ("fmt", pa.string()),
     ("caption", pa.string()),
     ("phash", pa.int64()),
+    ("n_bytes", pa.int64()),  # payload size: lets curation/shard-packing
+    #                           stages plan over metadata without reading bytes
     ("psnr_db", pa.float64()),
     ("caption_ok", pa.bool_()),
     ("phash_dist", pa.int32()),
@@ -85,6 +87,7 @@ class ImageFetchStage:
             rows.append({
                 **{k: rec[k] for k in ("image_id", "bytes", "w", "h", "fmt",
                                        "caption", "phash")},
+                "n_bytes": len(rec["bytes"]),
                 "psnr_db": p, "caption_ok": bool(expect_caption),
                 "phash_dist": dist, "decode_ok": bool(decode_ok),
             })
