@@ -90,7 +90,10 @@ def pack_token_chunks_ds(sf_dir: str, budget: int = 512,
     """Pack documents (ordered by doc_id) into fixed token-budget training
     chunks. Token count = ``len(string_split(trim(text,' '), ' '))``, the
     repo-wide token_stats convention, so the DuckDB window-function oracle
-    hashes identically. Returns (doc_id, n_tokens, chunk_id)."""
+    hashes identically. Returns (doc_id, n_tokens, chunk_id).
+
+    ``bucket_width`` is tuned to the test corpus (500 docs → 8 buckets);
+    size it to keep n_buckets ≈ 10^5-10^6 at corpus scale (module note)."""
     docs = read_table(sf_dir, "documents", ["doc_id", "text"])
 
     def tokens(batch: pd.DataFrame) -> pd.DataFrame:

@@ -368,7 +368,12 @@ def label_centroids_quant_ds(sf_dir: str):
     matrix reduction (no per-row loop); one coarse shuffle on label finishes.
     Only |labels| x dim x blocks tiny rows ever move - never the vectors."""
 
+    _EMPTY = pd.DataFrame({c: pd.Series([], dtype="int64")
+                           for c in ["label", "dim", "qsum", "n"]})
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _EMPTY
         mat = np.stack([
             np.floor(np.asarray(v, np.float64) * 1000.0).astype(np.int64)
             for v in df["embedding"]])  # (n, dim)
