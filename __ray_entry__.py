@@ -198,6 +198,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: dedup.minhash_candidates_ds(sf, max_bucket=64),
         "minhash_near_dups": dedup.minhash_dedup_pairs,           # rows-only
         "simhash_near_dups": dedup.simhash_pairs,  # SQL-checked (md5 face)
+        # incremental ingestion dedup: new sources kept only if no corpus
+        # near-dup (bipartite quadrant plan, SQL-checked)
+        "incremental_dedup": dedup.incremental_dedup_ds,
         # near-dup pairs → dedup GROUPS: distributed connected components
         # (hash-min label propagation), SQL-checked vs a recursive CTE
         "neardup_components": dedup.neardup_components_ds,
@@ -356,6 +359,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_a, doc_b, bit_count(xor(sa, sb))::BIGINT AS hamming
             FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+        """,
+        "incremental_dedup": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                                        x -> x <> '')) AS tok
+              FROM documents
+            ), th AS (
+              SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks
+            ), ntok AS (
+              SELECT doc_id, count(*) AS n FROM th GROUP BY doc_id
+            ), bits AS (
+              SELECT t.doc_id, k.range AS k,
+                     CASE WHEN 2 * sum(((t.h >> k.range::int) & 1)::BIGINT) > max(n.n)
+                          THEN 1 ELSE 0 END AS bit
+              FROM th t JOIN ntok n USING (doc_id) CROSS JOIN range(64) k
+              GROUP BY t.doc_id, k.range
+            ), sims AS (
+              SELECT doc_id, sum((bit::UBIGINT << k::int))::UBIGINT AS sh
+              FROM bits GROUP BY doc_id
+            ), tagged AS (
+              SELECT d.doc_id, d.source, coalesce(s.sh, 0::UBIGINT) AS sh,
+                     CAST(substr(d.source, 4) AS BIGINT) >= 10 AS is_new
+              FROM documents d LEFT JOIN sims s USING (doc_id)
+            ), matched AS (
+              SELECT DISTINCT n.doc_id
+              FROM tagged n JOIN tagged c
+                ON n.is_new AND NOT c.is_new
+                   AND bit_count(xor(n.sh, c.sh)) <= 3
+            )
+            SELECT t.doc_id, t.source FROM tagged t
+            WHERE t.is_new
+              AND t.doc_id NOT IN (SELECT doc_id FROM matched)
         """,
         "langid": langid_sql,
         "bpe_token_count": r"""

@@ -315,6 +315,103 @@ def signature_quadrant_pairs(sig_ds, id_col: str, sig_col: str,
                                    num_partitions)
 
 
+def signature_quadrant_matches(sig_ds, id_col: str, sig_col: str,
+                               new_col: str, max_hamming: int,
+                               num_partitions: int = 32,
+                               max_bucket: int | None = None):
+    """Bipartite variant of ``signature_quadrant_pairs`` for INCREMENTAL
+    dedup: rows flagged ``new_col`` are checked against the non-flagged
+    corpus rows; returns the distinct ids of new rows with at least one
+    corpus row within ``max_hamming``. Same quadrant-bucket plan (pigeonhole
+    exact for hamming ≤ 3); per bucket the verify is a vectorized
+    new×corpus xor+popcount instead of all-pairs, and only matched NEW ids
+    leave the bucket — the corpus never re-shuffles as pairs."""
+    from .agg import partitioned_group_apply
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[sig_col].to_numpy().astype(np.int64).view(np.uint64)
+        frames = []
+        for q in range(4):
+            qv = ((v >> np.uint64(16 * q)) & np.uint64(0xFFFF)).astype(np.int64)
+            frames.append(pd.DataFrame({
+                "qk": qv + (q << 16), id_col: df[id_col],
+                sig_col: df[sig_col], new_col: df[new_col]}))
+        return pd.concat(frames, ignore_index=True)
+
+    quads = sig_ds.map_batches(explode, batch_format="pandas")
+
+    def matched_in_part(df: pd.DataFrame) -> pd.DataFrame:
+        id_np = df[id_col].to_numpy()
+        acc = []
+        for _, g in df.groupby("qk", sort=False):
+            if max_bucket is not None and len(g) > max_bucket:
+                continue
+            isnew = g[new_col].to_numpy(dtype=bool)
+            if not isnew.any() or isnew.all():
+                continue
+            sigs = g[sig_col].to_numpy().astype(np.int64).view(np.uint64)
+            x = sigs[isnew][:, None] ^ sigs[~isnew][None, :]
+            d = _popcount64(x.ravel()).reshape(x.shape)  # popcount is 1-D
+            hit = (d <= max_hamming).any(axis=1)
+            acc.append(g[id_col].to_numpy()[isnew][hit])
+        ids = np.concatenate(acc) if acc else id_np[:0]
+        return pd.DataFrame({id_col: pd.unique(ids)})
+
+    m = partitioned_group_apply(quads, ["qk"], matched_in_part,
+                                num_partitions)
+
+    def dedup_ids(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()  # a doc can match via up to 4 quadrants
+
+    return partitioned_group_apply(m, [id_col], dedup_ids, num_partitions)
+
+
+def incremental_dedup_ds(sf_dir: str, max_hamming: int = 3,
+                         new_min_src: int = 10):
+    """Incremental ingestion dedup: documents from the NEW sources
+    (``srcN, N >= new_min_src``) are kept only if no already-ingested corpus
+    document (older sources) is a SimHash near-dup within ``max_hamming`` —
+    the "dedupe the new crawl against the existing training set" step.
+
+    Uses the md5-token simhash face (DuckDB-reproducible) and the bipartite
+    quadrant plan: one signature pass over all docs, one bucket shuffle, one
+    tiny matched-id shuffle, then a co-partitioned left anti join — corpus
+    signatures never leave their buckets, nothing driver-side. Returns the
+    kept new docs (doc_id, source)."""
+    from .joins import hash_join
+
+    ds = _io_read(f"{sf_dir}/documents.parquet",
+                  columns=["doc_id", "source", "text"])
+
+    def sig(batch: pd.DataFrame) -> pd.DataFrame:
+        out = simhash_batch(batch, md5_token_hash)
+        out["source"] = batch["source"].to_numpy()
+        out["is_new"] = (batch["source"].str[3:].astype(int)
+                         >= new_min_src).to_numpy()
+        return out
+
+    sigs = ds.map_batches(sig, batch_format="pandas")
+    matched = signature_quadrant_matches(sigs, "doc_id", "simhash",
+                                         "is_new", max_hamming)
+
+    def only_new(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.loc[batch["is_new"], ["doc_id", "source"]]
+
+    def flag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__m"] = np.int64(1)
+        return batch
+
+    joined = hash_join(sigs.map_batches(only_new, batch_format="pandas"),
+                       matched.map_batches(flag, batch_format="pandas"),
+                       on=["doc_id"], how="left", fill={"__m": np.int64(0)})
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.loc[batch["__m"] == 0, ["doc_id", "source"]]
+
+    return joined.map_batches(keep, batch_format="pandas")
+
+
 def md5_token_hash(toks: list[str]) -> np.ndarray:
     """64-bit token hashes from the md5 prefix — the DuckDB-reproducible
     hash family (`('0x'||substr(md5(tok),1,16))::UBIGINT`), used by the

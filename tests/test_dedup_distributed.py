@@ -415,3 +415,48 @@ def test_connected_components_foreign_edge_endpoints(ray_session):
         assert comp["a"] == comp["b"], thr
         assert comp["c"] == min("c", "00"), thr
         assert comp["d"] == "d", thr
+
+
+def test_bipartite_matches_equal_bruteforce(ray_session):
+    """signature_quadrant_matches ≡ brute-force new×corpus hamming check
+    (pigeonhole exact at radius 3), including multi-quadrant matches and
+    buckets that are all-new / all-corpus."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from crusty_ray.ops.dedup import signature_quadrant_matches
+
+    rng = np.random.default_rng(17)
+    base = rng.integers(0, 2**63, 60, dtype=np.int64)
+    sigs = list(base)
+    # plant near-dups: corpus sig with 0-3 bits flipped for some new rows
+    for i in range(8):
+        flips = rng.choice(64, size=i % 4, replace=False)
+        v = int(base[i])
+        for f in flips:
+            v ^= (1 << int(f))
+        sigs.append(np.int64(v & (2**63 - 1)))
+    df = pd.DataFrame({
+        "doc_id": np.arange(len(sigs), dtype=np.int64),
+        "simhash": np.array(sigs, dtype=np.int64),
+        "is_new": np.arange(len(sigs)) >= 60,
+    })
+
+    parts = np.array_split(df.sample(frac=1.0, random_state=3), 4)
+    ds = ray.data.from_arrow([pa.Table.from_pandas(p, preserve_index=False)
+                              for p in parts])
+    got = signature_quadrant_matches(ds, "doc_id", "simhash", "is_new", 3,
+                                     num_partitions=4).to_pandas()
+    got_ids = sorted(got["doc_id"].tolist()) if len(got) else []
+
+    new = df[df.is_new]
+    corp = df[~df.is_new]
+    nv = new["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+    cv = corp["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+    x = nv[:, None] ^ cv[None, :]
+    d = np.vectorize(lambda v: bin(int(v)).count("1"))(x)
+    exp_ids = sorted(new["doc_id"].to_numpy()[(d <= 3).any(axis=1)].tolist())
+    assert got_ids == exp_ids
+    assert len(exp_ids) >= 6  # the planted dups are actually found

@@ -93,6 +93,7 @@ SQL_CHECKED = [
     "props_value_histogram", "users_weekday_and_weekend",
     "normalize_text", "order_price_ntile", "cube_order_counts",
     "label_centroids_quant", "pack_token_chunks", "filter_frequent_tokens",
+    "incremental_dedup",
 ]
 
 
