@@ -100,9 +100,17 @@ def _image_train_shards(sf_dir: str):
                                shard_bytes=1 << 20)
 
 
+def _domain_pagerank(sf_dir: str):
+    # domain-authority PageRank over the crawl's discovered link graph
+    from crusty_ray.ops.graph import domain_pagerank
+    c = _crawl_outputs()
+    return domain_pagerank(f"{c['out']}/crawl_log", c["web_cfg"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
-    from crusty_ray.ops import (analog, analytic, dedup, joins, quantiles,
-                                sample, similarity, text, windows)
+    from crusty_ray.ops import (analog, analytic, behavior, dedup, graph,
+                                joins, quantiles, sample, similarity, stats,
+                                text, windows)
 
     def lang_distribution(sf_dir: str):
         import ray
@@ -239,6 +247,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_quantiles_cont": quantiles.order_price_quantiles_cont_ds,
         "price_quantiles_by_priority_cont":
             quantiles.price_quantiles_by_priority_cont_ds,
+        # -- exact integer-moment variance (SQL-checked, HUGEINT oracle)
+        "price_var_by_priority": stats.price_var_by_priority_ds,
+        # -- behavior analytics (SQL-checked)
+        "cohort_retention": behavior.cohort_retention_ds,
+        "funnel_counts": behavior.funnel_counts_ds,
+        # -- graph: integer PageRank (trade face SQL-checked; the crawl's
+        # domain-authority face is rows-only — pytest oracles the identical
+        # integer iteration serially, tests/test_graph.py)
+        "trade_pagerank": graph.trade_pagerank_ds,
+        "domain_pagerank": _domain_pagerank,
         "sample_stratified": sample.sample_stratified_ds,
         "split_assignment": sample.split_assignment_ds,
         "global_sort_topn": analog.global_sort_topn_ds,
@@ -290,6 +308,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 # ------------------------------------------------------------------ oracle SQL
+
+def _pagerank_oracle_sql(iters: int = 3) -> str:
+    """The trade-graph integer PageRank as chained CTEs — one r{k} level per
+    iteration, the exact floor-division update of ops/graph.pagerank (BIGINT
+    `//` in DuckDB floors like numpy int64 for the all-positive ranks)."""
+    head = """
+        WITH pairs AS (
+          SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ), edges AS (
+          SELECT 2 * s AS src, 2 * c + 1 AS dst FROM pairs
+          UNION ALL SELECT 2 * c + 1, 2 * s FROM pairs
+        ), nodes AS (
+          SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        ), deg AS (
+          SELECT src AS node, count(*)::BIGINT AS outdeg FROM edges GROUP BY 1
+        ), base AS (
+          SELECT (1000000000000 // count(*))::BIGINT AS r0 FROM nodes
+        ), r0 AS (
+          SELECT node, (SELECT r0 FROM base) AS rank FROM nodes
+        )"""
+    levels = []
+    for k in range(1, iters + 1):
+        levels.append(f""", r{k} AS (
+          SELECT n.node,
+                 ((15 * (SELECT r0 FROM base) + 85 * coalesce(i.s, 0))
+                  // 100)::BIGINT AS rank
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum(r.rank // d.outdeg)::BIGINT AS s
+            FROM edges e JOIN r{k - 1} r ON r.node = e.src
+                         JOIN deg d ON d.node = e.src
+            GROUP BY 1) i USING (node)
+        )""")
+    return (head + "".join(levels)
+            + f" SELECT node, rank AS rank_q FROM r{iters}")
+
 
 def oracle_sql() -> dict[str, str]:
     # langid oracle: the stopword profiles frozen into SQL (single source of
@@ -895,4 +949,49 @@ def oracle_sql() -> dict[str, str]:
             f"(ORDER BY o_totalprice) AS value FROM orders "
             f"GROUP BY o_orderpriority"
             for p in (500, 900)),
+        "price_var_by_priority": """
+            SELECT o_orderpriority, count(*)::BIGINT AS n,
+                   CASE WHEN count(*) < 2 THEN -1 ELSE
+                     ((count(*)::HUGEINT * sum(c*c)::HUGEINT
+                       - sum(c)::HUGEINT * sum(c)::HUGEINT)
+                      // (count(*)::HUGEINT * (count(*)::HUGEINT - 1)))::BIGINT
+                   END AS var_cents2
+            FROM (SELECT o_orderpriority,
+                         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+                  FROM orders)
+            GROUP BY 1
+        """,
+        "cohort_retention": """
+            WITH uw AS (
+              SELECT DISTINCT user_id,
+                     (epoch_us(ts) // 86400000000 // 7)::BIGINT AS week
+              FROM events
+            ), c AS (
+              SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1
+            )
+            SELECT cohort_week, week, count(*)::BIGINT AS n_users
+            FROM uw JOIN c USING (user_id) GROUP BY 1, 2
+        """,
+        "funnel_counts": """
+            WITH s1 AS (
+              SELECT user_id, min(epoch_us(ts)) AS t FROM events
+              WHERE event_type = 'view' GROUP BY 1
+            ), s2 AS (
+              SELECT e.user_id, min(epoch_us(e.ts)) AS t
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+                                   AND epoch_us(e.ts) > s1.t
+              WHERE e.event_type = 'click' GROUP BY 1
+            ), s3 AS (
+              SELECT e.user_id, min(epoch_us(e.ts)) AS t
+              FROM events e JOIN s2 ON e.user_id = s2.user_id
+                                   AND epoch_us(e.ts) > s2.t
+              WHERE e.event_type = 'purchase' GROUP BY 1
+            )
+            SELECT * FROM (
+              SELECT 1::BIGINT AS step, 'view' AS event_type,
+                     count(*)::BIGINT AS n_users FROM s1
+              UNION ALL SELECT 2, 'click', count(*) FROM s2
+              UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+        """,
+        "trade_pagerank": _pagerank_oracle_sql(iters=3),
     }

@@ -1,0 +1,117 @@
+"""User-behavior analytics over the event stream — cohort retention and
+funnel completion, the two classic "sessionize-then-count" shapes a
+training-data/product pipeline runs beside the windowed aggregates.
+
+Both ops follow the repo's high-cardinality plan (ops/agg.py): local
+per-batch shrink first, ONE coarse hash-partition shuffle on user_id,
+vectorized pandas inside the partition, then a tiny global reduce. Nothing
+is per-user-task and nothing reaches the driver at row scale.
+
+Time conventions are integer µs / epoch-day arithmetic identical to the
+DuckDB oracles (``epoch_us``, day = µs // 86.4e9, week = day // 7), so both
+faces are bit-exact SQL-checked.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .agg import partitioned_group_apply
+from .io import read_table
+
+_US_PER_DAY = 86_400_000_000
+
+
+def cohort_retention_ds(sf_dir: str):
+    """Weekly cohort retention: users bucketed by the epoch-week of their
+    FIRST event; for every (cohort_week, active week) pair, how many of the
+    cohort's users were active. The output triangle is the standard
+    retention matrix in long form: (cohort_week, week, n_users).
+
+    Plan: per-batch (user_id, week) dedup shrinks the shuffle to distinct
+    pairs per block; one partition on user_id computes each user's cohort
+    (min week — complete per user by co-partition) and emits its distinct
+    (cohort_week, week) rows; a grouped count finishes. Week pairs per user
+    are bounded by the time range, so the second shuffle is tiny."""
+    from .agg import grouped_count
+
+    events = read_table(sf_dir, "events", ["user_id", "ts"])
+
+    def user_weeks(df: pd.DataFrame) -> pd.DataFrame:
+        week = (df["ts"].astype("int64") // _US_PER_DAY // 7).astype("int64")
+        return pd.DataFrame({"user_id": df["user_id"].astype("int64"),
+                             "week": week}).drop_duplicates()
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        cohort = d.groupby("user_id")["week"].transform("min")
+        out = pd.DataFrame({"cohort_week": cohort.astype("int64"),
+                            "week": d["week"].astype("int64"),
+                            "user_id": d["user_id"].astype("int64")})
+        return out.drop_duplicates()
+
+    pairs = partitioned_group_apply(
+        events.map_batches(user_weeks, batch_format="pandas"),
+        ["user_id"], per_user)
+    return grouped_count(pairs, ["cohort_week", "week"], "n_users")
+
+
+def funnel_counts(ds, steps: list[str], user_col: str = "user_id",
+                  type_col: str = "event_type", ts_col: str = "ts",
+                  num_partitions: int = 32):
+    """Ordered funnel completion: for each prefix of ``steps``, how many
+    users performed those event types in strict timestamp order (each step
+    strictly after the previous step's EARLIEST qualifying occurrence — the
+    standard greedy-funnel semantics, which maximizes completions for
+    2-step-lookahead-free matching and is exactly SQL-expressible).
+
+    Per user-partition the match is vectorized per STEP (k groupby-min
+    passes over the partition, no per-user loop); partitions emit per-step
+    partial counts and a tiny global sum finishes. Returns
+    (step:int64 1-based, event_type, n_users)."""
+
+    def shrink(df: pd.DataFrame) -> pd.DataFrame:
+        # only rows of funnel types matter; µs ints shuffle, not timestamps
+        out = pd.DataFrame({
+            user_col: df[user_col].astype("int64"),
+            type_col: df[type_col],
+            "__us": df[ts_col].astype("int64"),
+        })
+        return out[out[type_col].isin(steps)]
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        counts = []
+        thr = None  # per-user threshold: min ts of the previous step
+        for et in steps:
+            sub = df.loc[df[type_col] == et, [user_col, "__us"]]
+            if thr is not None:
+                sub = sub.merge(thr, on=user_col)
+                sub = sub[sub["__us"] > sub["__thr"]]
+            t = sub.groupby(user_col, as_index=False)["__us"].min() \
+                   .rename(columns={"__us": "__thr"})
+            counts.append(len(t))
+            thr = t
+        return pd.DataFrame({
+            "step": pd.Series(range(1, len(steps) + 1), dtype="int64"),
+            type_col: steps,
+            "n_users": pd.Series(counts, dtype="int64")})
+
+    parts = partitioned_group_apply(
+        ds.map_batches(shrink, batch_format="pandas"),
+        [user_col], per_part, num_partitions)
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["step", type_col], as_index=False)["n_users"].sum()
+        return out.astype({"step": "int64", "n_users": "int64"})
+
+    # ≤ len(steps) rows per partition — the final reduce is trivially small
+    return partitioned_group_apply(parts, ["step"], total, num_partitions)
+
+
+def funnel_counts_ds(sf_dir: str,
+                     steps: tuple = ("view", "click", "purchase")):
+    """The view → click → purchase funnel over the events table — the
+    SQL-checked face of ``funnel_counts``."""
+    events = read_table(sf_dir, "events", ["user_id", "event_type", "ts"])
+    return funnel_counts(events, list(steps))

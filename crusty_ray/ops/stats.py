@@ -1,0 +1,86 @@
+"""Exact distributed second moments — grouped variance from integer
+partial sums.
+
+Float variance is order-dependent (Welford streams differently on every
+layout), so the bit-exact distributed form works on INTEGER moments:
+per-batch partials (n, Σx, Σx²) over price cents are exact int64 — a
+1024-row batch of ≤ 6·10⁷-cent values keeps Σx² < 4·10¹⁸ < 2⁶³ — and the
+per-group reduce re-sums the partials in arbitrary-precision PYTHON ints
+(the whole-corpus Σx² overflows int64; the partial rows are tiny, the
+Python-int work is per-group on an already-reduced frame). The final
+sample variance is the integer formula
+
+    var = (n·Σx² − (Σx)²) // (n·(n−1))
+
+which DuckDB reproduces exactly in HUGEINT — the oracle face hashes
+identically. Only (group, n, Σx, Σx²) partial rows ever shuffle: blocks ×
+groups-per-block rows, never the fact table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .agg import partitioned_group_apply
+from .io import read_table
+
+# provably-safe per-partial row count for Σx² in int64 given values ≤ 6e7
+_PARTIAL_BATCH = 1024
+
+
+def grouped_int_variance(ds, key_cols: list[str], val_col: str,
+                         out_col: str = "var", num_partitions: int = 32):
+    """Sample variance per group over an int64 value column, exact. Emits
+    (key_cols..., n:int64, {out_col}:int64); groups with n < 2 get -1 (the
+    SQL face COALESCEs NULL to the same sentinel).
+
+    Contract: |values| ≤ 9·10⁷ so a 1024-row partial's Σx² stays below
+    2⁶³ (scale money to cents, not micros). The cross-batch overflow is
+    handled by the Python-int reduce, not by the partials."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[val_col].to_numpy(dtype=np.int64)
+        tmp = df[key_cols].copy()
+        tmp["__n"] = np.int64(1)
+        tmp["__s"] = x
+        tmp["__ss"] = x * x
+        out = tmp.groupby(key_cols, as_index=False).sum()
+        return out.astype({"__n": "int64", "__s": "int64", "__ss": "int64"})
+
+    def reduce_part(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, g in df.groupby(key_cols, sort=False):
+            # Python-int exact accumulation: Σx² over a large group exceeds
+            # int64; the partial frame here is already blocks-per-group rows
+            n = int(sum(int(v) for v in g["__n"]))
+            s = sum(int(v) for v in g["__s"])
+            ss = sum(int(v) for v in g["__ss"])
+            var = ((n * ss - s * s) // (n * (n - 1))) if n >= 2 else -1
+            key_vals = key if isinstance(key, tuple) else (key,)
+            rows.append((*key_vals, n, var))
+        out = pd.DataFrame(rows, columns=key_cols + ["n", out_col])
+        return out.astype({"n": "int64", out_col: "int64"})
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=_PARTIAL_BATCH)
+    return partitioned_group_apply(parts, key_cols, reduce_part,
+                                   num_partitions)
+
+
+def price_var_by_priority_ds(sf_dir: str):
+    """Exact sample variance of o_totalprice (in cents²) per
+    o_orderpriority — the SQL-checked face of ``grouped_int_variance``.
+    Output: (o_orderpriority, n:int64, var_cents2:int64)."""
+    from .analytic import _price_cents
+
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderpriority", "o_totalprice"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"o_orderpriority": df["o_orderpriority"],
+                             "c": _price_cents(df["o_totalprice"])})
+
+    return grouped_int_variance(
+        orders.map_batches(cents, batch_format="pandas"),
+        ["o_orderpriority"], "c", out_col="var_cents2")

@@ -94,6 +94,8 @@ SQL_CHECKED = [
     "normalize_text", "order_price_ntile", "cube_order_counts",
     "label_centroids_quant", "pack_token_chunks", "filter_frequent_tokens",
     "incremental_dedup",
+    "price_var_by_priority", "cohort_retention", "funnel_counts",
+    "trade_pagerank",
 ]
 
 
@@ -114,7 +116,8 @@ ROWS_ONLY = ["approx_distinct_users", "label_centroids",
              "minhash_near_dups",
              "ann_bruteforce", "ann_lsh", "ann_ivf", "embedding_cosine_pairs",
              "crawl_pages_per_epoch", "crawl_term_breakdown",
-             "crawl_stage_gauges", "crawl_db_metrics", "crawl_streaming_log"]
+             "crawl_stage_gauges", "crawl_db_metrics", "crawl_streaming_log",
+             "domain_pagerank"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
