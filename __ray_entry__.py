@@ -222,6 +222,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": similarity.ann_ivf_ds,                         # rows-only
         # -- language id (stopword heuristic, profile frozen into the oracle)
         "langid": text.langid_ds,
+        "gopher_quality": text.gopher_quality_ds,
+        "compression_ratio": text.compression_ratio_ds,   # rows-only (zlib)
         "build_vocab": text.build_vocab_ds,
         "doc_top_terms": text.doc_top_terms_ds,
         "normalize_text": text.normalize_text_ds,
@@ -994,4 +996,43 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
         """,
         "trade_pagerank": _pagerank_oracle_sql(iters=3),
+        "gopher_quality": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(coalesce(text, ''), ' '),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), w AS (
+              SELECT doc_id, unnest(toks) AS w,
+                     unnest(range(1, len(toks) + 1)) AS pos
+              FROM d
+            ), base AS (
+              SELECT doc_id, count(*)::BIGINT AS n_words,
+                     (1000 * sum(length(w))::BIGINT) // count(*)
+                         AS mean_word_len_pm
+              FROM w GROUP BY 1
+            ), topc AS (
+              SELECT doc_id, max(c) AS mx
+              FROM (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2)
+              GROUP BY 1
+            ), g AS (
+              SELECT a.doc_id, a.w || chr(31) || b.w AS gram
+              FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            ), dup AS (
+              SELECT doc_id, count(*)::BIGINT AS n_g,
+                     count(DISTINCT gram)::BIGINT AS n_d
+              FROM g GROUP BY 1
+            )
+            SELECT dd.doc_id,
+                   coalesce(b.n_words, 0)::BIGINT AS n_words,
+                   coalesce(b.mean_word_len_pm, 0)::BIGINT AS mean_word_len_pm,
+                   coalesce((1000 * (dup.n_g - dup.n_d)) // dup.n_g, 0)::BIGINT
+                       AS dup_2gram_pm,
+                   coalesce((1000 * topc.mx) // b.n_words, 0)::BIGINT
+                       AS top_word_pm
+            FROM (SELECT doc_id FROM documents) dd
+            LEFT JOIN base b USING (doc_id)
+            LEFT JOIN topc USING (doc_id)
+            LEFT JOIN dup USING (doc_id)
+        """,
     }

@@ -140,7 +140,8 @@ def bench_queries(sf_dir: str) -> dict:
     names = ["pricing_summary", "token_stats", "exact_dedup",
              "minhash_candidates", "ngram_jaccard_pairs", "ann_bruteforce",
              "ann_quantized", "topk_heavy_hitters", "event_minute_buckets",
-             "embedding_quant_dedup", "doc_dedup_groups"]
+             "embedding_quant_dedup", "doc_dedup_groups", "trade_pagerank",
+             "cohort_retention"]
     out = {}
     for name in names:
         t0 = time.time()

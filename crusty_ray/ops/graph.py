@@ -53,13 +53,25 @@ def distinct_rows(ds, cols: list[str], num_partitions: int = 32):
                                    cols, finish, num_partitions)
 
 
-def pagerank(edges, iters: int = 3, num_partitions: int = 32):
+def pagerank(edges, iters: int = 3, num_partitions: int = 32,
+             broadcast_nodes: int = 2_000_000):
     """Integer PageRank over a DISTINCT (src:int64, dst:int64) edge Dataset.
 
     Returns a Dataset (node:int64, rank_q:int64) over the node universe
     src ∪ dst. Dangling nodes (no out-edges) keep receiving the teleport
     mass but contribute nothing — the drop-dangling-mass convention (the
     oracle SQL implements the identical rule, so faces stay bit-exact).
+
+    Adaptive execution (the connected_components pattern): while the NODE
+    table fits comfortably in one heap (≤ ``broadcast_nodes``), ranks are
+    held as sorted numpy arrays and broadcast via ``ray.put`` — an
+    iteration is then one shuffle-free ``map_batches`` over the edges
+    (searchsorted contribution lookup + per-block partial inflow sums) and
+    one node-scale grouped sum; the EDGE table never shuffles and may be
+    any size. Above the threshold it switches to the all-Dataset plan:
+    rank rows carry their outdeg and each iteration is two co-partitioned
+    ``hash_join``s + a grouped sum (everything stays distributed; only slim
+    int64 rows move). Both paths compute the identical integers.
     """
     from .joins import hash_join
 
@@ -77,36 +89,43 @@ def pagerank(edges, iters: int = 3, num_partitions: int = 32):
     n = nodes.count()
     r0 = SCALE // n
 
+    if n <= broadcast_nodes:
+        return _pagerank_broadcast(edges, nodes, r0, iters, num_partitions)
+
     def outdeg_part(df: pd.DataFrame) -> pd.DataFrame:
         out = df.groupby("src", as_index=False).size() \
                 .rename(columns={"size": "outdeg", "src": "node"})
         return out.astype({"node": "int64", "outdeg": "int64"})
 
     outdeg = partitioned_group_apply(edges, ["src"], outdeg_part,
-                                     num_partitions).materialize()
+                                     num_partitions)
 
+    # rank rows CARRY their outdeg (0 = dangling) — computed once; each
+    # iteration is then exactly two co-partitioned shuffles (edge⋈contrib,
+    # node⋈inflow) instead of three
     def init_rank(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"node": df["node"].astype("int64"),
-                             "rank_q": np.full(len(df), r0, dtype=np.int64)})
+        df = df.copy()
+        df["rank_q"] = np.full(len(df), r0, dtype=np.int64)
+        return df.astype({"node": "int64", "outdeg": "int64"})
 
-    rank = nodes.map_batches(init_rank, batch_format="pandas").materialize()
+    rank = hash_join(nodes, outdeg, on=["node"], how="left",
+                     fill={"outdeg": np.int64(0)},
+                     num_partitions=num_partitions) \
+        .map_batches(init_rank, batch_format="pandas").materialize()
 
     for _ in range(iters):
-        # per-node contribution = rank // outdeg (inner join: only nodes
-        # with out-edges emit mass)
-        contrib = hash_join(rank, outdeg, on=["node"],
-                            num_partitions=num_partitions)
-
+        # per-node contribution = rank // outdeg (dangling nodes emit none)
         def per_src(df: pd.DataFrame) -> pd.DataFrame:
+            d = df[df["outdeg"] > 0]
             return pd.DataFrame({
-                "src": df["node"].astype("int64"),
-                "c": (df["rank_q"].to_numpy(dtype=np.int64)
-                      // df["outdeg"].to_numpy(dtype=np.int64)),
+                "src": d["node"].astype("int64"),
+                "c": (d["rank_q"].to_numpy(dtype=np.int64)
+                      // d["outdeg"].to_numpy(dtype=np.int64)),
             })
 
         per_edge = hash_join(edges,
-                             contrib.map_batches(per_src,
-                                                 batch_format="pandas"),
+                             rank.map_batches(per_src,
+                                              batch_format="pandas"),
                              on=["src"], num_partitions=num_partitions)
 
         def inflow_part(df: pd.DataFrame) -> pd.DataFrame:
@@ -114,10 +133,18 @@ def pagerank(edges, iters: int = 3, num_partitions: int = 32):
                     .rename(columns={"dst": "node", "c": "s"})
             return out.astype({"node": "int64", "s": "int64"})
 
+        # materialize: the next hash_join probes this dataset's schema and
+        # then executes it inside its own union — left lazy, the heavy
+        # edge-join + reduce chain above would run several times per
+        # iteration (measured 8× wall on the sf0.1 trade graph)
         inflow = partitioned_group_apply(per_edge, ["dst"], inflow_part,
-                                         num_partitions)
+                                         num_partitions).materialize()
 
-        joined = hash_join(nodes, inflow, on=["node"], how="left",
+        def meta(df: pd.DataFrame) -> pd.DataFrame:
+            return df[["node", "outdeg"]]
+
+        joined = hash_join(rank.map_batches(meta, batch_format="pandas"),
+                           inflow, on=["node"], how="left",
                            fill={"s": np.int64(0)},
                            num_partitions=num_partitions)
 
@@ -125,13 +152,79 @@ def pagerank(edges, iters: int = 3, num_partitions: int = 32):
             s = df["s"].to_numpy(dtype=np.int64)
             return pd.DataFrame({
                 "node": df["node"].astype("int64"),
+                "outdeg": df["outdeg"].astype("int64"),
                 "rank_q": (15 * r0 + 85 * s) // 100,
             })
 
         rank = joined.map_batches(update,
                                   batch_format="pandas").materialize()
 
-    return rank
+    def strip(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["node", "rank_q"]]
+
+    return rank.map_batches(strip, batch_format="pandas")
+
+
+def _pagerank_broadcast(edges, nodes, r0: int, iters: int,
+                        num_partitions: int):
+    """Small-node-table fast path: ranks live as sorted numpy arrays,
+    broadcast once per iteration; the edge table streams (never shuffles).
+    Bit-identical to the all-Dataset path (same floor-division update)."""
+    import ray
+
+    node_arr = np.sort(nodes.to_pandas()["node"].to_numpy(dtype=np.int64))
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("src", as_index=False).size() \
+                .rename(columns={"size": "d", "src": "node"})
+        return out.astype({"node": "int64", "d": "int64"})
+
+    def deg_sum(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("node", as_index=False)["d"].sum()
+        return out.astype({"node": "int64", "d": "int64"})
+
+    deg_df = partitioned_group_apply(
+        edges.map_batches(deg_partial, batch_format="pandas"),
+        ["node"], deg_sum, num_partitions).to_pandas()  # ≤ |nodes| rows
+    outdeg = np.zeros(len(node_arr), dtype=np.int64)
+    outdeg[np.searchsorted(node_arr, deg_df["node"].to_numpy(np.int64))] = \
+        deg_df["d"].to_numpy(np.int64)
+
+    rank = np.full(len(node_arr), r0, dtype=np.int64)
+    for _ in range(iters):
+        has_out = outdeg > 0
+        src_sorted = node_arr[has_out]
+        contrib = rank[has_out] // outdeg[has_out]
+        ref = ray.put((src_sorted, contrib))
+
+        def partial_inflow(df: pd.DataFrame, _cache={}) -> pd.DataFrame:
+            if id(ref) not in _cache:  # one fetch per worker per iteration
+                _cache.clear()
+                _cache[id(ref)] = ray.get(ref)
+            srcs, c = _cache[id(ref)]
+            # every edge's src has outdeg ≥ 1, so the lookup always hits
+            vals = c[np.searchsorted(srcs, df["src"].to_numpy(np.int64))]
+            out = pd.DataFrame({"node": df["dst"].astype("int64"),
+                                "s": vals})
+            out = out.groupby("node", as_index=False)["s"].sum()
+            return out.astype({"node": "int64", "s": "int64"})
+
+        def inflow_sum(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.groupby("node", as_index=False)["s"].sum()
+            return out.astype({"node": "int64", "s": "int64"})
+
+        inf_df = partitioned_group_apply(
+            edges.map_batches(partial_inflow, batch_format="pandas"),
+            ["node"], inflow_sum, num_partitions).to_pandas()
+        s = np.zeros(len(node_arr), dtype=np.int64)
+        if len(inf_df):
+            s[np.searchsorted(node_arr,
+                              inf_df["node"].to_numpy(np.int64))] = \
+                inf_df["s"].to_numpy(np.int64)
+        rank = (15 * r0 + 85 * s) // 100
+
+    out = pd.DataFrame({"node": node_arr, "rank_q": rank})
+    return ray.data.from_pandas(out)
 
 
 # ------------------------------------------------------------------- faces

@@ -346,3 +346,73 @@ def filter_frequent_tokens_ds(sf_dir: str, frac: float = 0.78):
 
     return _io_read(path, columns=["doc_id", "text"]) \
         .map_batches(rebuild, batch_format="pandas")
+
+
+def gopher_quality_ds(sf_dir: str):
+    """Gopher-rule quality signals per document (Rae et al. 2021 §A1.1's
+    repetition/shape filters, the standard pre-training quality gate beside
+    ``quality_class``): word count, mean word length, duplicate-2-gram
+    fraction, and top-word dominance — all integer per-mille so the DuckDB
+    oracle hashes identically.
+
+    One streaming ``map_batches``; the per-doc loop is the repo's documented
+    row=document text-kernel shape (numpy over the doc's token array inside).
+    Emits (doc_id, n_words, mean_word_len_pm, dup_2gram_pm, top_word_pm).
+    """
+    from .io import read_parquet
+
+    def signals(batch: pd.DataFrame) -> pd.DataFrame:
+        n_words = np.zeros(len(batch), dtype=np.int64)
+        mean_len = np.zeros(len(batch), dtype=np.int64)
+        dup2 = np.zeros(len(batch), dtype=np.int64)
+        topw = np.zeros(len(batch), dtype=np.int64)
+        for i, txt in enumerate(batch["text"].fillna("")):
+            toks = [t for t in txt.split(" ") if t]
+            n = len(toks)
+            n_words[i] = n
+            if not n:
+                continue
+            mean_len[i] = 1000 * sum(map(len, toks)) // n
+            arr = pd.Series(toks)
+            topw[i] = 1000 * int(arr.value_counts().iloc[0]) // n
+            if n >= 2:
+                grams = arr.iloc[:-1].reset_index(drop=True) + "\x1f" \
+                    + arr.iloc[1:].reset_index(drop=True)
+                dup2[i] = 1000 * (len(grams) - grams.nunique()) // len(grams)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "n_words": n_words, "mean_word_len_pm": mean_len,
+            "dup_2gram_pm": dup2, "top_word_pm": topw,
+        })
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    return ds.map_batches(signals, batch_format="pandas")
+
+
+def compression_ratio_ds(sf_dir: str):
+    """zlib compression ratio per document — the RefinedWeb/MassiveText-style
+    "natural text compresses ~2-3x; boilerplate compresses far more" quality
+    signal. ratio_pm = 1000·compressed_len // raw_len (0 for empty docs).
+    Deterministic for a fixed zlib level; rows-only in the driver contract
+    (no SQL zlib) with a determinism + ordering pytest oracle."""
+    import zlib
+
+    from .io import read_parquet
+
+    def ratios(batch: pd.DataFrame) -> pd.DataFrame:
+        raw = [t.encode("utf-8") for t in batch["text"].fillna("")]
+        comp = np.fromiter((len(zlib.compress(b, 6)) for b in raw),
+                           dtype=np.int64, count=len(raw))
+        rawlen = np.fromiter((len(b) for b in raw), dtype=np.int64,
+                             count=len(raw))
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "raw_len": rawlen,
+            "zlib_len": comp,
+            "ratio_pm": np.where(rawlen > 0, 1000 * comp // np.maximum(rawlen, 1), 0),
+        })
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    return ds.map_batches(ratios, batch_format="pandas")

@@ -95,7 +95,7 @@ SQL_CHECKED = [
     "label_centroids_quant", "pack_token_chunks", "filter_frequent_tokens",
     "incremental_dedup",
     "price_var_by_priority", "cohort_retention", "funnel_counts",
-    "trade_pagerank",
+    "trade_pagerank", "gopher_quality",
 ]
 
 
@@ -117,7 +117,7 @@ ROWS_ONLY = ["approx_distinct_users", "label_centroids",
              "ann_bruteforce", "ann_lsh", "ann_ivf", "embedding_cosine_pairs",
              "crawl_pages_per_epoch", "crawl_term_breakdown",
              "crawl_stage_gauges", "crawl_db_metrics", "crawl_streaming_log",
-             "domain_pagerank"]
+             "domain_pagerank", "compression_ratio"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)

@@ -58,6 +58,19 @@ class TestPagerank:
             pd.testing.assert_frame_equal(_pagerank_df(edges, iters=it),
                                           _reference_df(edges, iters=it))
 
+    def test_shuffle_path_equals_broadcast_path(self, ray_session):
+        # broadcast_nodes=0 forces the all-Dataset plan; both paths must
+        # compute the identical integers (incl. dangling nodes)
+        from crusty_ray.ops.graph import pagerank
+        edges = sorted({(i % 25, (i * 7 + 3) % 25) for i in range(200)
+                        if i % 25 != (i * 7 + 3) % 25}
+                       | {(i % 25, 900 + i % 9) for i in range(0, 60, 4)})
+        df = pd.DataFrame(edges, columns=["src", "dst"]).astype("int64")
+        shuf = pagerank(ray.data.from_pandas(df), iters=3,
+                        broadcast_nodes=0).to_pandas() \
+            .sort_values("node").reset_index(drop=True).astype("int64")
+        pd.testing.assert_frame_equal(shuf, _reference_df(edges))
+
 
 class TestFunnel:
     def _run(self, rows, steps=("a", "b", "c")):
@@ -133,3 +146,45 @@ class TestIntVariance:
         want = (n * ss - s * s) // (n * (n - 1))
         assert out.loc[0, "n"] == n
         assert int(out.loc[0, "var"]) == want
+
+
+class TestQualitySignals:
+    def test_compression_ratio_semantics(self, ray_session):
+        from crusty_ray.ops.text import compression_ratio_ds
+        sf = "/root/testdata/sf0.001"
+        a = compression_ratio_ds(sf).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        b = compression_ratio_ds(sf).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)  # deterministic across runs
+        assert (a["ratio_pm"] > 0).all() and (a["ratio_pm"] < 1200).all()
+        # exactness: the per-row kernel IS zlib level 6 on utf-8 bytes
+        import duckdb
+        import zlib
+        docs = duckdb.sql(
+            f"SELECT doc_id, coalesce(text,'') t FROM "
+            f"'{sf}/documents.parquet' ORDER BY doc_id").df()
+        want = [len(zlib.compress(t.encode(), 6)) for t in docs["t"]]
+        assert a["zlib_len"].tolist() == want
+
+    def test_repetitive_text_flagged(self, ray_session):
+        # a doc of one repeated word must compress far better and score
+        # dup_2gram_pm = 1000, top_word_pm = 1000
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from crusty_ray.ops.text import compression_ratio_ds, gopher_quality_ds
+        d = tempfile.mkdtemp()
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": ["spam " * 200, " ".join(f"w{i}" for i in range(200))],
+        }), f"{d}/documents.parquet")
+        g = gopher_quality_ds(d).to_pandas().set_index("doc_id")
+        # 200 tokens → 199 bigrams, 1 distinct: (1000·198)//199 = 994
+        assert g.loc[1, "dup_2gram_pm"] == 994
+        assert g.loc[1, "top_word_pm"] == 1000
+        assert g.loc[2, "dup_2gram_pm"] == 0
+        c = compression_ratio_ds(d).to_pandas().set_index("doc_id")
+        assert c.loc[1, "ratio_pm"] < c.loc[2, "ratio_pm"]
