@@ -87,6 +87,11 @@ def pagerank(edges, iters: int = 3, num_partitions: int = 32,
             edges.map_batches(to_node("dst"), batch_format="pandas")),
         ["node"], num_partitions).materialize()
     n = nodes.count()
+    if n == 0:  # empty edge table: empty typed result
+        import ray as _ray
+        return _ray.data.from_pandas(
+            pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                          "rank_q": pd.Series([], dtype="int64")}))
     r0 = SCALE // n
 
     if n <= broadcast_nodes:
@@ -197,11 +202,11 @@ def _pagerank_broadcast(edges, nodes, r0: int, iters: int,
         contrib = rank[has_out] // outdeg[has_out]
         ref = ray.put((src_sorted, contrib))
 
-        def partial_inflow(df: pd.DataFrame, _cache={}) -> pd.DataFrame:
-            if id(ref) not in _cache:  # one fetch per worker per iteration
-                _cache.clear()
-                _cache[id(ref)] = ray.get(ref)
-            srcs, c = _cache[id(ref)]
+        def partial_inflow(df: pd.DataFrame) -> pd.DataFrame:
+            # ray.get of plasma-resident numpy is zero-copy — no worker
+            # cache needed (and an id()-keyed cache could collide across
+            # iterations after GC reuses the address)
+            srcs, c = ray.get(ref)
             # every edge's src has outdeg ≥ 1, so the lookup always hits
             vals = c[np.searchsorted(srcs, df["src"].to_numpy(np.int64))]
             out = pd.DataFrame({"node": df["dst"].astype("int64"),
