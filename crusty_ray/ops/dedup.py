@@ -390,7 +390,10 @@ def incremental_dedup_ds(sf_dir: str, max_hamming: int = 3,
                          >= new_min_src).to_numpy()
         return out
 
-    sigs = ds.map_batches(sig, batch_format="pandas")
+    # materialize: the signature pass (per-token md5, the dominant cost)
+    # feeds BOTH the quadrant-match plan and the anti-join's left side —
+    # lazy, it would run twice
+    sigs = ds.map_batches(sig, batch_format="pandas").materialize()
     matched = signature_quadrant_matches(sigs, "doc_id", "simhash",
                                          "is_new", max_hamming)
 

@@ -224,6 +224,30 @@ def revenue_by_nation_ds(sf_dir: str):
                                          alias_name="revenue_cents"))
 
 
+def _materialize_if_shuffle_lineage(ds):
+    """Materialize a Dataset whose UN-EXECUTED lineage contains an
+    all-to-all op (sort / groupby shuffle). Best-effort plan introspection:
+    on any internals mismatch, return the dataset unchanged (correctness
+    never depends on this — it only avoids re-executing heavy chains)."""
+    try:
+        from ray.data._internal.logical.operators.all_to_all_operator import \
+            AbstractAllToAll
+        if ds.schema(fetch_if_missing=False) is not None:
+            return ds  # already executed/materialized — probe is free
+        stack, seen = [ds._logical_plan.dag], set()
+        while stack:
+            op = stack.pop()
+            if id(op) in seen:
+                continue
+            seen.add(id(op))
+            if isinstance(op, AbstractAllToAll):
+                return ds.materialize()
+            stack.extend(op.input_dependencies)
+    except Exception:
+        pass
+    return ds
+
+
 def hash_join(left, right, on: list[str], num_partitions: int = 32,
               how: str = "inner", fill: dict | None = None):
     """Generic distributed equi-join — the shuffle hash join Ray Data
@@ -247,6 +271,14 @@ def hash_join(left, right, on: list[str], num_partitions: int = 32,
     split inside the partition."""
     import numpy as np
     import pyarrow as pa
+
+    # The schema probe below EXECUTES a lazy input whose lineage holds an
+    # all-to-all (a sort cannot be limit-pruned), and the join's own
+    # execution then runs the same chain AGAIN — measured 8× wall on
+    # chained joins (ops/graph.py). Materialize exactly those inputs once;
+    # map-only lineages keep streaming (their probe costs one block).
+    left = _materialize_if_shuffle_lineage(left)
+    right = _materialize_if_shuffle_lineage(right)
 
     lsch, rsch = left.schema(), right.schema()
     lcols = [n for n in lsch.names if n not in on]

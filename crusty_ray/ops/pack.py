@@ -176,7 +176,11 @@ def export_image_shards(images_path: str, out_dir: str | None,
     def strip(df: pd.DataFrame) -> pd.DataFrame:
         return df[["image_id", "n_bytes", "shard_id"]]
 
-    assignment = packed.map_batches(strip, batch_format="pandas")
+    # materialize: the slim assignment feeds BOTH the payload join and the
+    # per-shard summary — lazy, the whole gate→dedup→pack chain would
+    # re-execute per consumer
+    assignment = packed.map_batches(strip,
+                                    batch_format="pandas").materialize()
 
     if out_dir is not None:
         from .joins import hash_join
