@@ -819,6 +819,10 @@ def connected_components(edges_ds, nodes_ds, id_col: str,
     # identical to the driver union-find path. The schema may be arrow- or
     # pandas-block-backed depending on upstream stages.
     import pyarrow as _pa
+    from .joins import _materialize_if_shuffle_lineage
+    # schema probe executes a lazy shuffle lineage in full — materialize
+    # such a nodes_ds once (it is consumed again by to_nodes below)
+    nodes_ds = _materialize_if_shuffle_lineage(nodes_ds)
     schema = nodes_ds.schema()
     id_type = dict(zip(schema.names, schema.types))[id_col]
     is_int = (_pa.types.is_integer(id_type)
