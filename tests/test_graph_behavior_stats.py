@@ -188,3 +188,47 @@ class TestQualitySignals:
         assert g.loc[2, "dup_2gram_pm"] == 0
         c = compression_ratio_ds(d).to_pandas().set_index("doc_id")
         assert c.loc[1, "ratio_pm"] < c.loc[2, "ratio_pm"]
+
+
+class TestDomainPagerank:
+    def test_exact_vs_serial_reference(self, ray_session, tmp_path):
+        # synthesize a crawl_log slice (url, domain) — the only columns the
+        # edge re-derivation reads — and check the distributed face equals
+        # the serial integer reference over the identical edge set
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from crusty_ray.core.hashing import hash64_batch
+        from crusty_ray.datagen.webgraph import SyntheticWeb, WebConfig
+        from crusty_ray.ops.graph import (domain_link_edges, domain_pagerank,
+                                          pagerank_reference)
+
+        web_cfg = WebConfig(n_domains=25, max_pages_per_domain=8)
+        web = SyntheticWeb(web_cfg)
+        urls, doms = [], []
+        for i in range(web_cfg.n_domains):
+            for j in range(min(4, web.n_pages(i))):
+                urls.append(web.page_url(i, j))
+                doms.append(web.domain_name(i))
+        d = tmp_path / "crawl_log"
+        d.mkdir()
+        pq.write_table(pa.table({"url": urls, "domain": doms}),
+                       str(d / "part.parquet"))
+
+        got = domain_pagerank(str(d), web_cfg).to_pandas() \
+            .sort_values("domain").reset_index(drop=True)
+
+        edges = domain_link_edges(str(d), web_cfg).to_pandas()
+        enc = lambda s: hash64_batch(list(s)).astype(np.int64)  # noqa: E731
+        ref = pagerank_reference(
+            list(zip(enc(edges["src_domain"]), enc(edges["dst_domain"]))))
+        name_of = {}
+        for col in ("src_domain", "dst_domain"):
+            for n, dom in zip(enc(edges[col]), edges[col]):
+                name_of[int(n)] = dom
+        want = pd.DataFrame(
+            sorted((name_of[k], v) for k, v in ref.items()),
+            columns=["domain", "rank_q"])
+        pd.testing.assert_frame_equal(
+            got.astype({"rank_q": "int64"}),
+            want.astype({"rank_q": "int64"}))
