@@ -100,6 +100,11 @@ def _image_train_shards(sf_dir: str):
                                shard_bytes=1 << 20)
 
 
+def _image_aspect_batches(sf_dir: str):
+    from crusty_ray.ops.pack import aspect_bucket_batches
+    return aspect_bucket_batches(_images_dir())
+
+
 def _domain_pagerank(sf_dir: str):
     # domain-authority PageRank over the crawl's discovered link graph
     from crusty_ray.ops.graph import domain_pagerank
@@ -297,6 +302,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_quality_report": _image_quality("image_quality_report"),
         "caption_reuse": _image_quality("caption_reuse_report"),
         "image_train_shards": _image_train_shards,
+        # SDXL-style aspect-ratio-bucketed training batches (rows-only here;
+        # duckdb window-function oracle in tests/test_pack.py)
+        "image_aspect_batches": _image_aspect_batches,
         # -- the crawl engine itself (simulator-oracled; rows-only here)
         "crawl_log": crawl_log,
         "crawl_topk": crawl_topk,

@@ -33,14 +33,25 @@ _BUCKET = "__pack_bucket"
 def ordered_pack(ds, order_col: str, weight_col: str, budget: int,
                  bucket_width: int, out_col: str = "chunk_id",
                  num_partitions: int = 32,
-                 tie_cols: list[str] | None = None):
+                 tie_cols: list[str] | None = None,
+                 group_cols: list[str] | None = None):
     """Add ``out_col = exclusive_prefix_sum(weight_col) // budget`` over rows
     ordered by ``order_col`` (non-negative integers; weights non-negative
     int64). ``tie_cols`` must make the order total when ``order_col`` is not
     unique (ties share a bucket, so tie-breaking is partition-local). All
     other columns pass through. Items heavier than ``budget`` simply advance
     the chunk counter past themselves — the SQL window semantics, no special
-    case."""
+    case.
+
+    ``group_cols``: the PARTITION BY generalization — the prefix sum (and
+    therefore the chunk counter) restarts per group:
+    ``SUM(w) OVER (PARTITION BY groups ORDER BY k ROWS ... 1 PRECEDING)``.
+    The driver's exclusive scan runs per group over the same
+    O(groups × range-buckets) totals vector; phase 2 is unchanged except
+    the range bucket is keyed (groups..., bucket). Groups must be few
+    enough that groups × n_buckets stays driver-sized (aspect buckets,
+    sources — not doc ids)."""
+    groups = list(group_cols or [])
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
@@ -49,40 +60,51 @@ def ordered_pack(ds, order_col: str, weight_col: str, budget: int,
         return batch
 
     withb = ds.map_batches(add_bucket, batch_format="pandas")
+    keys = groups + [_BUCKET]
 
-    # Phase 1: one weight total per bucket. Per-batch partial sums shrink the
-    # shuffle to <= buckets-per-block rows; the coarse partition finishes.
+    # Phase 1: one weight total per (group, bucket). Per-batch partial sums
+    # shrink the shuffle to <= keys-per-block rows; the coarse partition
+    # finishes.
     def local_totals(batch: pd.DataFrame) -> pd.DataFrame:
-        out = batch.groupby(_BUCKET, as_index=False)[weight_col].sum()
-        return out.astype({weight_col: "int64"})
+        out = batch.groupby(keys, as_index=False)[weight_col].sum()
+        return out.astype({weight_col: "int64", _BUCKET: "int64"})
 
     totals = partitioned_group_apply(
         withb.map_batches(local_totals, batch_format="pandas"),
-        [_BUCKET], local_totals, num_partitions).to_pandas()
+        keys, local_totals, num_partitions).to_pandas()
     if _BUCKET not in totals.columns:  # empty input: Ray drops the schema
-        totals = pd.DataFrame({_BUCKET: pd.Series([], dtype="int64"),
-                               weight_col: pd.Series([], dtype="int64")})
-    totals = totals.sort_values(_BUCKET).reset_index(drop=True)
-    buckets = totals[_BUCKET].to_numpy(dtype=np.int64)
-    sums = totals[weight_col].to_numpy(dtype=np.int64)
-    offsets = np.concatenate(([0], np.cumsum(sums)[:-1]))  # exclusive scan
-    offsets_ref = ray.put((buckets, offsets))
+        totals = pd.DataFrame({c: pd.Series([], dtype="object")
+                               for c in groups}
+                              | {_BUCKET: pd.Series([], dtype="int64"),
+                                 weight_col: pd.Series([], dtype="int64")})
+    totals = totals.sort_values(keys).reset_index(drop=True)
+    if groups:
+        csum = totals.groupby(groups, sort=False)[weight_col].cumsum() \
+            .to_numpy(dtype=np.int64)
+    else:
+        csum = totals[weight_col].cumsum().to_numpy(dtype=np.int64)
+    offsets_df = totals[keys].copy()
+    offsets_df["__off"] = csum - totals[weight_col].to_numpy(dtype=np.int64)
+    offsets_ref = ray.put(offsets_df)  # O(groups × buckets) rows
 
-    # Phase 2: per-bucket local cumsum + broadcast bucket offset.
+    # Phase 2: per-(group, bucket) local cumsum + broadcast offset (attached
+    # by a vectorized left merge — left order is preserved, so the cumsum
+    # rows stay aligned).
     def assign(part: pd.DataFrame, _cache={}) -> pd.DataFrame:
         if "o" not in _cache:  # one fetch/deserialize per worker process
             _cache["o"] = ray.get(offsets_ref)
-        bkts, offs = _cache["o"]
-        g = part.sort_values([_BUCKET, order_col] + list(tie_cols or []),
+        offs = _cache["o"]
+        g = part.sort_values(keys + [order_col] + list(tie_cols or []),
                              kind="mergesort").reset_index(drop=True)
         w = g[weight_col].to_numpy(dtype=np.int64)
-        run = g.groupby(_BUCKET, sort=False)[weight_col].cumsum() \
-            .to_numpy(dtype=np.int64) - w  # exclusive within bucket
-        base = offs[np.searchsorted(bkts, g[_BUCKET].to_numpy())]
+        run = g.groupby(keys, sort=False)[weight_col].cumsum() \
+            .to_numpy(dtype=np.int64) - w  # exclusive within (group, bucket)
+        base = g[keys].merge(offs, on=keys, how="left")["__off"] \
+            .to_numpy(dtype=np.int64)
         g[out_col] = (base + run) // budget
         return g.drop(columns=_BUCKET)
 
-    return partitioned_group_apply(withb, [_BUCKET], assign, num_partitions)
+    return partitioned_group_apply(withb, keys, assign, num_partitions)
 
 
 def pack_token_chunks_ds(sf_dir: str, budget: int = 512,
@@ -198,3 +220,53 @@ def export_image_shards(images_path: str, out_dir: str | None,
 
     return partitioned_group_apply(assignment, ["shard_id"], summarize,
                                    num_partitions)
+
+
+_ASPECTS_PM = (500, 750, 1000, 1333, 2000)  # h:w per-mille anchor buckets
+
+
+def aspect_bucket_batches(images_path: str, batch_rows: int = 16,
+                          num_partitions: int = 32):
+    """Aspect-ratio-bucketed training batches for the image payload — the
+    SDXL-style step: route each image to the nearest anchor aspect (so a
+    batch crops/pads minimally), then number fixed-size batches per bucket
+    in a deterministic md5-key order.
+
+    All in slim metadata space (w/h only — bytes never read). Bucket
+    assignment is pure integer math (nearest anchor by |aspect_pm − a|,
+    ties to the smaller anchor — exactly reproducible in SQL); per-bucket
+    batch numbering is ``ordered_pack(group_cols=[bucket], weight=1,
+    budget=batch_rows)`` — i.e. ``(row_number() − 1) // batch_rows`` per
+    bucket, the window-function shape, with no serial pass. Returns
+    (image_id, aspect_bucket_pm, batch_id)."""
+    from .io import read_dataset
+
+    slim = read_dataset(images_path, columns=["image_id", "w", "h"])
+    anchors = np.asarray(_ASPECTS_PM, dtype=np.int64)
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["w"].to_numpy(dtype=np.int64)
+        h = df["h"].to_numpy(dtype=np.int64)
+        aspect_pm = 1000 * h // np.maximum(w, 1)
+        dist = np.abs(aspect_pm[:, None] - anchors[None, :])
+        bucket = anchors[np.argmin(dist, axis=1)]  # argmin → first = smaller
+        out = pd.DataFrame({
+            "image_id": df["image_id"],
+            "aspect_bucket_pm": bucket,
+            "__key": _id_key(df["image_id"].tolist()),
+            "__one": np.ones(len(df), dtype=np.int64),
+        })
+        return out
+
+    keyed = slim.map_batches(bucketize, batch_format="pandas")
+    packed = ordered_pack(keyed, "__key", "__one", budget=batch_rows,
+                          bucket_width=1 << 47, out_col="batch_id",
+                          num_partitions=num_partitions,
+                          tie_cols=["image_id"],
+                          group_cols=["aspect_bucket_pm"])
+
+    def tidy(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["image_id", "aspect_bucket_pm", "batch_id"]] \
+            .astype({"aspect_bucket_pm": "int64", "batch_id": "int64"})
+
+    return packed.map_batches(tidy, batch_format="pandas")

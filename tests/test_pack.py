@@ -67,3 +67,71 @@ class TestOrderedPack:
             .sort_values("k").reset_index(drop=True)
         assert got["tag"].tolist() == [f"t{i}" for i in range(20)]
         assert got["chunk_id"].tolist() == [i // 7 for i in range(20)]
+
+
+class TestAspectBucketBatches:
+    def test_matches_duckdb_window_oracle(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from crusty_ray.ops.pack import aspect_bucket_batches
+
+        rng = np.random.default_rng(5)
+        n = 400
+        df = pd.DataFrame({
+            "image_id": [f"im{i:04d}" for i in range(n)],
+            "w": rng.integers(16, 512, n).astype("int64"),
+            "h": rng.integers(16, 512, n).astype("int64"),
+        })
+        p = tmp_path / "images.parquet"
+        pq.write_table(pa.table(df), str(p))
+
+        got = aspect_bucket_batches(str(p), batch_rows=16).to_pandas() \
+            .sort_values("image_id").reset_index(drop=True)
+
+        anchors = "[500, 750, 1000, 1333, 2000]"
+        want = duckdb.sql(f"""
+            WITH m AS (
+              SELECT image_id,
+                     1000 * h // greatest(w, 1) AS aspect_pm,
+                     ('0x' || substr(md5(image_id), 1, 16))::UBIGINT
+                         & 9223372036854775807 AS key
+              FROM '{p}'
+            ), b AS (
+              SELECT image_id, key,
+                     (SELECT a FROM unnest({anchors}) AS t(a)
+                      ORDER BY abs(aspect_pm - a), a LIMIT 1)
+                         AS aspect_bucket_pm
+              FROM m
+            )
+            SELECT image_id, aspect_bucket_pm::BIGINT AS aspect_bucket_pm,
+                   ((row_number() OVER (PARTITION BY aspect_bucket_pm
+                                        ORDER BY key, image_id) - 1) // 16)
+                       ::BIGINT AS batch_id
+            FROM b ORDER BY image_id
+        """).df()
+        pd.testing.assert_frame_equal(
+            got.astype({"aspect_bucket_pm": "int64", "batch_id": "int64"}),
+            want.astype({"aspect_bucket_pm": "int64", "batch_id": "int64"}))
+
+    def test_batches_are_full_except_last_per_bucket(self, ray_session,
+                                                     tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from crusty_ray.ops.pack import aspect_bucket_batches
+        rng = np.random.default_rng(7)
+        n = 333
+        df = pd.DataFrame({
+            "image_id": [f"x{i:04d}" for i in range(n)],
+            "w": rng.integers(16, 512, n).astype("int64"),
+            "h": rng.integers(16, 512, n).astype("int64"),
+        })
+        p = tmp_path / "im.parquet"
+        pq.write_table(pa.table(df), str(p))
+        out = aspect_bucket_batches(str(p), batch_rows=8).to_pandas()
+        sizes = out.groupby(["aspect_bucket_pm", "batch_id"]).size()
+        for (bkt, bid), sz in sizes.items():
+            last = out.loc[out["aspect_bucket_pm"] == bkt, "batch_id"].max()
+            assert sz == 8 or bid == last, (bkt, bid, sz)
