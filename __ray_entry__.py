@@ -105,6 +105,16 @@ def _image_aspect_batches(sf_dir: str):
     return aspect_bucket_batches(_images_dir())
 
 
+def _image_features(sf_dir: str):
+    from crusty_ray.ops.multimodal import image_features_ds
+    return image_features_ds(_images_dir())
+
+
+def _image_feature_near_dups(sf_dir: str):
+    from crusty_ray.ops.multimodal import image_feature_near_dups
+    return image_feature_near_dups(_images_dir())
+
+
 def _domain_pagerank(sf_dir: str):
     # domain-authority PageRank over the crawl's discovered link graph
     from crusty_ray.ops.graph import domain_pagerank
@@ -305,6 +315,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SDXL-style aspect-ratio-bucketed training batches (rows-only here;
         # duckdb window-function oracle in tests/test_pack.py)
         "image_aspect_batches": _image_aspect_batches,
+        # actor-pool feature extraction over the stored payload (REAL numpy
+        # features; exact-equality pytest oracle in test_multimodal_stubs.py)
+        "image_features": _image_features,
+        # embedding-cosine tier of image dedup over the extracted features
+        # (LSH tables + per-bucket verify; brute-force-equality pytest
+        # oracle at n_planes=0 in test_multimodal_stubs.py)
+        "image_feature_near_dups": _image_feature_near_dups,
         # -- the crawl engine itself (simulator-oracled; rows-only here)
         "crawl_log": crawl_log,
         "crawl_topk": crawl_topk,

@@ -18,6 +18,7 @@ are the tested product; codecs are swappable):
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from ..codecs.images import decode_image, encode_image
@@ -91,3 +92,159 @@ def frame_sample_stub(n_frames: int):
         return batch.append_column("frame_indices",
                                    pa.array(out, pa.list_(pa.int32())))
     return stage
+
+
+class ImageFeatureStage:
+    """REAL image feature extraction (no external libs — pure numpy over the
+    decoded pixels): per-channel mean/std, an 8-bin luminance histogram and
+    a gradient-magnitude edge density. The shape a downstream curation model
+    or ANN index consumes; one stage instance per actor, vectorized per
+    image, small batches (wide binary rows).
+
+    Output columns: ``features`` (fixed list<float32>, length 15 =
+    3 means + 3 stds + 8 hist bins + edge density) and ``feat_ok``.
+    Undecodable rows emit a zero vector with ``feat_ok=false`` (schema
+    stays fixed-width for the index builder)."""
+
+    N_FEATURES = 15
+
+    def __init__(self):
+        self.ready = True  # model load goes here in a learned extractor
+
+    def _features(self, blob: bytes, fmt: str) -> np.ndarray:
+        px = decode_image(blob, fmt).astype(np.float32)  # HxWx3 uint8
+        means = px.mean(axis=(0, 1)) / 255.0
+        stds = px.std(axis=(0, 1)) / 255.0
+        lum = px @ np.array([0.299, 0.587, 0.114], dtype=np.float32)
+        hist = np.histogram(lum, bins=8, range=(0.0, 255.0))[0] \
+            .astype(np.float32)
+        hist /= max(float(hist.sum()), 1.0)
+        gy = np.abs(np.diff(lum, axis=0)).mean() if lum.shape[0] > 1 else 0.0
+        gx = np.abs(np.diff(lum, axis=1)).mean() if lum.shape[1] > 1 else 0.0
+        edge = np.float32((gx + gy) / 255.0)
+        return np.concatenate([means, stds, hist,
+                               [edge]]).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats, ok = [], []
+        for blob, fmt in zip(batch["bytes"].to_pylist(),
+                             batch["fmt"].to_pylist()):
+            try:
+                feats.append(self._features(blob, fmt))
+                ok.append(True)
+            except Exception:
+                feats.append(np.zeros(self.N_FEATURES, dtype=np.float32))
+                ok.append(False)
+        return batch.append_column(
+            "features", pa.array([f.tolist() for f in feats],
+                                 pa.list_(pa.float32(), self.N_FEATURES))) \
+            .append_column("feat_ok", pa.array(ok, pa.bool_()))
+
+
+def image_features_ds(images_path: str, batch_size: int = 32,
+                      concurrency: int = 4):
+    """Feature vectors for every stored image — the actor-pool feature-extract
+    stage over the crawled image table (binary payload + fmt read; metadata
+    carried through). Returns (image_id, features, feat_ok)."""
+    from .io import read_dataset
+
+    ds = read_dataset(images_path, columns=["image_id", "bytes", "fmt"])
+    # autoscaling (1, N) pool — a FIXED pool of N would reserve every CPU on
+    # a small cluster (e.g. the 4-cpu test session) and starve the upstream
+    # read tasks into a scheduling stall
+    out = ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
+                         batch_size=batch_size,
+                         concurrency=(1, concurrency))
+    return out.drop_columns(["bytes", "fmt"])
+
+
+def image_feature_near_dups(images_path: str, threshold_pm: int = 990,
+                            n_planes: int = 8, n_tables: int = 2,
+                            seed: int = 7, num_partitions: int = 32,
+                            max_bucket: int | None = None):
+    """Near-duplicate image pairs in FEATURE space — the embedding-cosine
+    tier of image dedup (catches re-encoded / slightly-edited copies that
+    phash hamming misses), built on the extracted ``ImageFeatureStage``
+    vectors rather than stored phashes.
+
+    Scale plan (same shape as ``ops.dedup.signature_quadrant_pairs``; no
+    driver materialization, pixels read once in the feature stage):
+    1. decode → 15-dim feature vector per image (actor-pool stage);
+    2. L2-normalize; for each of ``n_tables`` seeded hyperplane LSH tables,
+       emit one (bucket_key, image_id, nv) row — candidates are pairs
+       sharing a bucket in ANY table (recall grows with tables, bucket
+       fan-in drops ~2^n_planes);
+    3. per-bucket vectorized cosine verify in workers (coarse hash
+       partitions), keep floor(sim·1000) ≥ ``threshold_pm``;
+    4. one small pair shuffle to dedup across tables.
+
+    ``n_planes=0`` collapses to one global bucket = exact brute force (the
+    test oracle face). ``max_bucket`` is the stop-hash cap: buckets larger
+    than the cap are skipped whole (deterministic size predicate) — a
+    near-dup pair in a skewed crowd still surfaces via its other tables.
+    Output: (image_a, image_b, sim_pm), image_a < image_b lexicographically.
+    """
+    from .agg import partitioned_group_apply
+    from ..core.hashing import stable_rng
+
+    planes = [stable_rng("img-feat-lsh", seed, t)
+              .standard_normal((n_planes, ImageFeatureStage.N_FEATURES))
+              for t in range(n_tables)]
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["feat_ok"]]
+        if not len(df):
+            return pd.DataFrame({"bk": pd.Series([], dtype="int64"),
+                                 "image_id": pd.Series([], dtype="object"),
+                                 "nv": pd.Series([], dtype="object")})
+        mat = np.stack(df["features"].to_list()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(norms == 0.0, 1.0, norms)
+        frames = []
+        for t, H in enumerate(planes):
+            if n_planes == 0:
+                bucket = np.zeros(len(df), dtype=np.int64)
+            else:
+                signs = (H @ mat.T) > 0
+                bucket = np.zeros(len(df), dtype=np.int64)
+                for b in range(signs.shape[0]):
+                    bucket = (bucket << 1) | signs[b]
+            frames.append(pd.DataFrame({
+                "bk": bucket + (t << n_planes),
+                "image_id": df["image_id"].to_numpy(),
+                "nv": list(mat)}))
+        return pd.concat(frames, ignore_index=True)
+
+    _empty = pd.DataFrame({"image_a": pd.Series([], dtype="object"),
+                           "image_b": pd.Series([], dtype="object"),
+                           "sim_pm": pd.Series([], dtype="int64")})
+
+    def pairs_in_part(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("bk", sort=False):
+            if len(g) < 2 or (max_bucket is not None and len(g) > max_bucket):
+                continue
+            ids = g["image_id"].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            mat = np.stack(g["nv"].to_list())[order]
+            pm = np.floor((mat @ mat.T) * 1000.0).astype(np.int64)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            keep = pm[iu, ju] >= threshold_pm
+            if keep.any():
+                outs.append(pd.DataFrame({
+                    "image_a": ids[iu[keep]], "image_b": ids[ju[keep]],
+                    "sim_pm": pm[iu, ju][keep]}))
+        return pd.concat(outs, ignore_index=True) if outs else _empty
+
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # sim_pm is identical whichever table surfaced the pair
+        return df.groupby(["image_a", "image_b"], as_index=False)["sim_pm"] \
+            .first()
+
+    feats = image_features_ds(images_path)
+    bucketed = feats.map_batches(bucketize, batch_format="pandas")
+    pairs = partitioned_group_apply(bucketed, ["bk"], pairs_in_part,
+                                    num_partitions)
+    return partitioned_group_apply(pairs, ["image_a", "image_b"],
+                                   dedup_pairs, num_partitions)

@@ -67,7 +67,8 @@ def test_every_query_is_covered_by_some_check(contract):
                      "image_exact_dedup", "image_phash_near_dups",
                      "image_dedup_groups", "image_quality_filter",
                      "image_quality_report", "caption_reuse",
-                     "image_train_shards", "image_aspect_batches"}
+                     "image_train_shards", "image_aspect_batches",
+                     "image_features", "image_feature_near_dups"}
     listed = set(SQL_CHECKED) | set(ROWS_ONLY) | crawl_checked
     assert set(queries) == listed, (
         f"unlisted: {set(queries) - listed}; stale: {listed - set(queries)}")
@@ -143,7 +144,8 @@ def test_crawl_queries_run(contract):
                  "image_exact_dedup", "image_phash_near_dups",
                  "image_dedup_groups", "image_quality_filter",
                  "image_quality_report", "caption_reuse",
-                 "image_train_shards", "image_aspect_batches"]:
+                 "image_train_shards", "image_aspect_batches",
+                 "image_features", "image_feature_near_dups"]:
         df = _to_df(queries[name](SF_DIR))
         assert df is not None and len(df.columns) > 0, name
         # near-dup pairs / reused captions may legitimately be empty

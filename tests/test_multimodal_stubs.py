@@ -81,3 +81,137 @@ def test_resize_nearest_math():
     out = resize_nearest(px, 2, 3)
     assert out.shape == (3, 2, 3)
     assert (out[0, 0] == px[0, 0]).all()
+
+
+class TestImageFeatureStage:
+    def test_features_match_direct_numpy(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray as _ray
+
+        from crusty_ray.codecs.images import decode_image, encode_image
+        from crusty_ray.ops.multimodal import ImageFeatureStage
+
+        rng = np.random.default_rng(3)
+        pixels = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                  for h, w in [(8, 8), (5, 17), (1, 1), (32, 4)]]
+        blobs = [encode_image(p, "png") for p in pixels]
+        t = pa.table({
+            "image_id": [f"i{k}" for k in range(len(blobs))],
+            "bytes": pa.array(blobs, pa.binary()),
+            "fmt": ["png"] * len(blobs),
+        })
+        out = _ray.data.from_arrow(t).map_batches(
+            ImageFeatureStage, batch_format="pyarrow", batch_size=2,
+            concurrency=2).to_pandas().sort_values("image_id")
+        stage = ImageFeatureStage()
+        for k, row in enumerate(out.itertuples()):
+            want = stage._features(blobs[k], "png")
+            got = np.asarray(row.features, dtype=np.float32)
+            assert row.feat_ok
+            assert len(got) == ImageFeatureStage.N_FEATURES
+            np.testing.assert_array_equal(got, want)
+        # png roundtrip is lossless → features reflect the true pixels
+        np.testing.assert_array_equal(decode_image(blobs[0], "png"),
+                                      pixels[0])
+
+    def test_undecodable_rows_flagged_not_poisoned(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray as _ray
+
+        from crusty_ray.ops.multimodal import ImageFeatureStage
+        t = pa.table({
+            "image_id": ["bad", "alsobad"],
+            "bytes": pa.array([b"notanimage", None], pa.binary()),
+            "fmt": ["png", "gif"],
+        })
+        out = _ray.data.from_arrow(t).map_batches(
+            ImageFeatureStage, batch_format="pyarrow",
+            batch_size=2, concurrency=1).to_pandas()
+        assert (~out["feat_ok"]).all()
+        assert all(np.allclose(f, 0.0) for f in out["features"])
+
+
+class TestImageFeatureNearDups:
+    def _images_table(self, tmp_path, n=24, n_dup_pairs=6):
+        """Small image table with known near-dup structure: dup pairs are
+        the same pixels re-encoded (identical features), the rest random."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from crusty_ray.codecs.images import encode_image
+
+        rng = np.random.default_rng(11)
+        rows = []
+        for k in range(n):
+            px = rng.integers(0, 256, (12, 16, 3), dtype=np.uint8)
+            rows.append((f"im{k:03d}", px))
+            if k < n_dup_pairs:
+                rows.append((f"im{k:03d}_copy", px))
+        t = pa.table({
+            "image_id": [r[0] for r in rows],
+            "bytes": pa.array([encode_image(r[1], "png") for r in rows],
+                              pa.binary()),
+            "fmt": ["png"] * len(rows),
+        })
+        path = str(tmp_path / "imgs")
+        import os
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(t, f"{path}/part0.parquet")
+        return path, rows
+
+    def _brute_pairs(self, rows, threshold_pm):
+        import numpy as np
+
+        from crusty_ray.ops.multimodal import ImageFeatureStage
+        stage = ImageFeatureStage()
+        from crusty_ray.codecs.images import encode_image
+        ids = [r[0] for r in rows]
+        feats = np.stack([stage._features(encode_image(r[1], "png"), "png")
+                          for r in rows]).astype(np.float64)
+        norms = np.linalg.norm(feats, axis=1, keepdims=True)
+        nv = feats / np.where(norms == 0.0, 1.0, norms)
+        pm = np.floor((nv @ nv.T) * 1000.0).astype(np.int64)
+        want = set()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if pm[i, j] >= threshold_pm:
+                    a, b = sorted((ids[i], ids[j]))
+                    want.add((a, b, int(pm[i, j])))
+        return want
+
+    def test_single_bucket_equals_brute_force(self, ray_session, tmp_path):
+        from crusty_ray.ops.multimodal import image_feature_near_dups
+        path, rows = self._images_table(tmp_path)
+        got = image_feature_near_dups(path, threshold_pm=950, n_planes=0,
+                                      n_tables=1).to_pandas()
+        got_set = {(r.image_a, r.image_b, int(r.sim_pm))
+                   for r in got.itertuples()}
+        assert got_set == self._brute_pairs(rows, 950)
+
+    def test_lsh_tables_subset_with_full_dup_recall(self, ray_session,
+                                                    tmp_path):
+        from crusty_ray.ops.multimodal import image_feature_near_dups
+        path, rows = self._images_table(tmp_path)
+        got = image_feature_near_dups(path, threshold_pm=950, n_planes=6,
+                                      n_tables=3).to_pandas()
+        got_set = {(r.image_a, r.image_b, int(r.sim_pm))
+                   for r in got.itertuples()}
+        want = self._brute_pairs(rows, 950)
+        # LSH emits a SUBSET of true pairs (precision 1 by construction)...
+        assert got_set <= want
+        # ...and identical vectors always share every bucket → exact copies
+        # are found with recall 1 regardless of the planes drawn
+        exact = {(f"im{k:03d}", f"im{k:03d}_copy") for k in range(6)}
+        assert exact <= {(a, b) for a, b, _ in got_set}
+
+    def test_stop_hash_cap_skips_hot_bucket(self, ray_session, tmp_path):
+        from crusty_ray.ops.multimodal import image_feature_near_dups
+        path, rows = self._images_table(tmp_path)
+        # n_planes=0, one table → every row in ONE bucket; cap below the
+        # row count → bucket skipped whole → zero pairs, deterministically
+        got = image_feature_near_dups(path, threshold_pm=950, n_planes=0,
+                                      n_tables=1, max_bucket=4).to_pandas()
+        assert len(got) == 0
