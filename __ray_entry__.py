@@ -239,6 +239,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": text.langid_ds,
         "gopher_quality": text.gopher_quality_ds,
         "compression_ratio": text.compression_ratio_ds,   # rows-only (zlib)
+        # benchmark decontamination: broadcast the held-out set's distinct
+        # n-grams, count per-doc overlap (GPT-3 appendix-C style)
+        "decontaminate": text.decontaminate_ds,
         "build_vocab": text.build_vocab_ds,
         "doc_top_terms": text.doc_top_terms_ds,
         "normalize_text": text.normalize_text_ds,
@@ -1059,5 +1062,38 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN base b USING (doc_id)
             LEFT JOIN topc USING (doc_id)
             LEFT JOIN dup USING (doc_id)
+        """,
+        "decontaminate": """
+            WITH toks AS (
+              SELECT doc_id, source, string_split(text, ' ') AS t
+              FROM documents
+            ), ex AS (
+              SELECT doc_id, source, unnest(t) AS w,
+                     generate_subscripts(t, 1) AS i, len(t) AS n
+              FROM toks
+            ), g0 AS (
+              SELECT doc_id, source,
+                     w || ' ' || lead(w, 1) OVER win || ' '
+                       || lead(w, 2) OVER win AS gram,
+                     i, n
+              FROM ex WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+            ), grams AS (
+              SELECT DISTINCT doc_id, source, gram FROM g0 WHERE i + 2 <= n
+            ), bench AS (
+              SELECT DISTINCT gram FROM grams WHERE source = 'src0'
+            ), ng AS (
+              SELECT doc_id, count(*)::BIGINT AS n_grams
+              FROM grams WHERE source <> 'src0' GROUP BY 1
+            ), hits AS (
+              SELECT g.doc_id, count(*)::BIGINT AS n_contaminated
+              FROM grams g JOIN bench b ON g.gram = b.gram
+              WHERE g.source <> 'src0' GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(ng.n_grams, 0)::BIGINT AS n_grams,
+                   coalesce(h.n_contaminated, 0)::BIGINT AS n_contaminated
+            FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+            LEFT JOIN ng USING (doc_id)
+            LEFT JOIN hits h USING (doc_id)
         """,
     }

@@ -416,3 +416,66 @@ def compression_ratio_ds(sf_dir: str):
     ds = read_parquet(f"{sf_dir}/documents.parquet",
                       columns=["doc_id", "text"])
     return ds.map_batches(ratios, batch_format="pandas")
+
+
+def decontaminate_ds(sf_dir: str, bench_source: str = "src0", n: int = 3):
+    """Benchmark decontamination (GPT-3 appendix-C / Gopher style): score
+    every corpus document by how many of its distinct word n-grams also
+    appear in a held-out benchmark set — here the documents of
+    ``bench_source`` stand in for the eval benchmark.
+
+    Scale plan: the benchmark side is tiny relative to the corpus (eval sets
+    are MBs; the corpus is TBs), so its distinct grams are pre-deduped per
+    batch in workers, streamed to the driver (O(benchmark) memory — the
+    standard small-side bound, same contract as the semi-join dim broadcast)
+    and broadcast ONCE via ``ray.put``; the corpus pass is then one
+    shuffle-free ``map_batches`` counting set intersections per document,
+    with the broadcast set fetched once per worker process. Exact string
+    membership (no hashing) keeps the face bit-exact vs the SQL oracle; at
+    production scale you'd swap the set for 128-bit gram hashes without
+    changing the plan.
+
+    Tokenization matches the corpus-wide n-gram convention
+    (``ngram_jaccard_pairs_ds``): single-space split, docs shorter than
+    ``n`` tokens contribute no grams. Returns one row per NON-benchmark
+    document: (doc_id, n_grams, n_contaminated).
+    """
+    import ray as _ray
+
+    path = f"{sf_dir}/documents.parquet"
+
+    def _grams(t: str) -> set[str]:
+        toks = t.split(" ")
+        if len(toks) < n:
+            return set()
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    def bench_grams(batch: pd.DataFrame) -> pd.DataFrame:
+        s = set()
+        for t in batch.loc[batch["source"] == bench_source,
+                           "text"].fillna(""):
+            s |= _grams(t)
+        return pd.DataFrame({"gram": pd.Series(sorted(s), dtype="object")})
+
+    gset: set[str] = set()
+    for b in _io_read(path, columns=["source", "text"]) \
+            .map_batches(bench_grams, batch_format="pandas") \
+            .iter_batches(batch_format="pandas"):
+        gset.update(b["gram"])
+    gref = _ray.put(frozenset(gset))
+
+    def score(batch: pd.DataFrame, _cache={}) -> pd.DataFrame:
+        if "g" not in _cache:  # one object-store fetch per worker process
+            _cache["g"] = _ray.get(gref)
+        bg = _cache["g"]
+        sub = batch[batch["source"] != bench_source]
+        gs = [_grams(t) for t in sub["text"].fillna("")]
+        return pd.DataFrame({
+            "doc_id": sub["doc_id"].astype("int64").to_numpy(),
+            "n_grams": pd.Series([len(g) for g in gs], dtype="int64"),
+            "n_contaminated": pd.Series([len(g & bg) for g in gs],
+                                        dtype="int64"),
+        })
+
+    return _io_read(path, columns=["doc_id", "source", "text"]) \
+        .map_batches(score, batch_format="pandas")
