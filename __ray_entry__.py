@@ -303,6 +303,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join_events": joins.semi_join_events_ds,
         # -- float cosine near-dup (rows-only; quantized face is the oracle)
         "embedding_cosine_pairs": dedup.embedding_cosine_pairs,
+        # -- SemDeDup: k-means clusters + within-cluster greedy cosine prune
+        # (rows-only; serial-greedy-equality pytest oracle at n_clusters=1)
+        "semdedup": dedup.semdedup_ds,
         # -- crawl dashboard metrics over the crawl's own output (A6)
         "crawl_pages_per_epoch": _crawl_metric("pages_per_epoch_ds"),
         "crawl_term_breakdown": _crawl_metric("term_breakdown_ds"),

@@ -1092,3 +1092,82 @@ def doc_dedup_groups_ds(sf_dir: str, threshold_pm: int = 500):
                     .astype("int64")})
 
     return comp.map_batches(decide, batch_format="pandas")
+
+
+def semdedup_ds(sf_dir: str, n_clusters: int = 16, threshold_pm: int = 950):
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by k-means
+    clustering + within-cluster cosine pruning — the embedding-space
+    complement of the n-gram near-dup family, and the standard "prune
+    semantically redundant web data before training" step.
+
+    Plan (no all-pairs, no driver materialization):
+    1. deterministic spherical k-means centroids, sample-trained
+       (``ops.similarity._train_centroids``) and broadcast once;
+    2. one shuffle-free map assigns every vector its nearest-centroid
+       cluster (vectorized argmax over unit vectors);
+    3. ``partitioned_group_apply`` on the cluster id runs the greedy
+       keep/drop INSIDE workers: visiting vec_ids ascending, a row is
+       dropped iff its floor-per-mille cosine to an already-KEPT row of the
+       same cluster is >= ``threshold_pm``. Cluster size bounds per-task
+       work (pair space is sum of cluster sizes squared, not corpus²).
+
+    ``n_clusters=1`` collapses to the serial whole-corpus greedy — the
+    brute-force oracle face in tests. Returns one row per vector:
+    (vec_id, cluster, keep, dup_of) with dup_of = the kept row it
+    duplicates (highest cosine, first-max tie-break; -1 for kept rows).
+    """
+    import ray as _ray
+
+    from .agg import partitioned_group_apply
+    from .similarity import _train_centroids
+
+    C = _train_centroids(sf_dir, n_clusters)
+    cent_ref = _ray.put(C)
+
+    def assign(batch: pd.DataFrame, _cache={}) -> pd.DataFrame:
+        if "C" not in _cache:  # one fetch per worker process
+            _cache["C"] = _ray.get(cent_ref)
+        mat = np.stack(batch["embedding"].to_list()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(norms == 0.0, 1.0, norms)
+        return pd.DataFrame({
+            "vec_id": batch["vec_id"].astype("int64"),
+            "cluster": np.argmax(_cache["C"] @ mat.T, axis=0)
+            .astype(np.int64),
+            "nv": list(mat),
+        })
+
+    def prune_cluster(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for cl, g in df.groupby("cluster", sort=False):
+            order = np.argsort(g["vec_id"].to_numpy(), kind="stable")
+            ids = g["vec_id"].to_numpy()[order]
+            mat = np.stack(g["nv"].to_list())[order]
+            pm = np.floor((mat @ mat.T) * 1000.0).astype(np.int64)
+            keep = np.zeros(len(ids), dtype=bool)
+            dup_of = np.full(len(ids), -1, dtype=np.int64)
+            kept_idx: list[int] = []
+            for i in range(len(ids)):
+                if kept_idx:
+                    sims = pm[i, kept_idx]
+                    j = int(np.argmax(sims))
+                    if sims[j] >= threshold_pm:
+                        dup_of[i] = ids[kept_idx[j]]
+                        continue
+                keep[i] = True
+                kept_idx.append(i)
+            frames.append(pd.DataFrame({
+                "vec_id": ids, "cluster": np.int64(cl),
+                "keep": keep, "dup_of": dup_of}))
+        return pd.concat(frames, ignore_index=True) if frames else \
+            pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                          "cluster": pd.Series([], dtype="int64"),
+                          "keep": pd.Series([], dtype="bool"),
+                          "dup_of": pd.Series([], dtype="int64")})
+
+    ds = _io_read(f"{sf_dir}/embeddings.parquet",
+                  columns=["vec_id", "embedding"])
+    assigned = ds.map_batches(assign, batch_format="pandas",
+                              batch_size=4096)
+    return partitioned_group_apply(assigned, ["cluster"], prune_cluster,
+                                   num_partitions=min(n_clusters, 32))

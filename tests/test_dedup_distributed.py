@@ -460,3 +460,109 @@ def test_bipartite_matches_equal_bruteforce(ray_session):
     exp_ids = sorted(new["doc_id"].to_numpy()[(d <= 3).any(axis=1)].tolist())
     assert got_ids == exp_ids
     assert len(exp_ids) >= 6  # the planted dups are actually found
+
+
+class TestSemDedup:
+    """semdedup_ds vs a serial whole-corpus greedy recomputation, over a
+    planted fixture (the sf embeddings are i.i.d. random — max pairwise
+    cosine 0.48 — so near-dup structure must be planted)."""
+
+    DIM = 16
+
+    def _fixture(self, tmp_path, n_base=40, n_dups=12, seed=5):
+        """n_base random unit vectors; the first n_dups each get a near-copy
+        (tiny perturbation → cosine ≫ 0.95). Returns (dir, ids, unit_mat)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rng = np.random.default_rng(seed)
+        base = rng.standard_normal((n_base, self.DIM))
+        rows = [v for v in base]
+        for k in range(n_dups):
+            rows.append(base[k] + 0.01 * rng.standard_normal(self.DIM))
+        mat = np.stack(rows)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        ids = np.arange(len(mat), dtype=np.int64)
+        t = pa.table({
+            "vec_id": ids,
+            "embedding": pa.array([list(map(float, v)) for v in mat],
+                                  pa.list_(pa.float32())),
+            "label": np.zeros(len(mat), dtype=np.int32),
+        })
+        d = tmp_path / "semdedup"
+        d.mkdir()
+        pq.write_table(t, str(d / "embeddings.parquet"))
+        # recompute unit vectors from the WRITTEN float32 payload — the op
+        # reads float32, so the oracle must too
+        stored = pq.read_table(str(d / "embeddings.parquet")).to_pandas()
+        stored = stored.sort_values("vec_id").reset_index(drop=True)
+        m = np.stack(stored["embedding"].to_list()).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return str(d), stored["vec_id"].to_numpy().astype(np.int64), m
+
+    @staticmethod
+    def _serial_greedy(ids, nv, threshold_pm):
+        pm = np.floor((nv @ nv.T) * 1000.0).astype(np.int64)
+        keep, dup_of, kept = {}, {}, []
+        for i in range(len(ids)):
+            if kept:
+                sims = pm[i, kept]
+                j = int(np.argmax(sims))
+                if sims[j] >= threshold_pm:
+                    keep[int(ids[i])] = False
+                    dup_of[int(ids[i])] = int(ids[kept[j]])
+                    continue
+            keep[int(ids[i])] = True
+            dup_of[int(ids[i])] = -1
+            kept.append(i)
+        return keep, dup_of
+
+    def test_single_cluster_equals_serial_greedy(self, ray_session, tmp_path):
+        from crusty_ray.ops.dedup import semdedup_ds
+        d, ids, nv = self._fixture(tmp_path)
+        got = semdedup_ds(d, n_clusters=1, threshold_pm=950).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        keep, dup_of = self._serial_greedy(ids, nv, 950)
+        assert len(got) == len(ids)
+        assert (got["cluster"] == 0).all()
+        for r in got.itertuples():
+            assert bool(r.keep) == keep[int(r.vec_id)], r.vec_id
+            assert int(r.dup_of) == dup_of[int(r.vec_id)], r.vec_id
+        # every planted near-copy is actually dropped
+        assert (~got["keep"]).sum() == 12
+
+    def test_multi_cluster_invariants_and_determinism(self, ray_session,
+                                                      tmp_path):
+        from crusty_ray.ops.dedup import semdedup_ds
+        d, ids, nv = self._fixture(tmp_path)
+        idx = {int(v): i for i, v in enumerate(ids)}
+        got = semdedup_ds(d, n_clusters=6, threshold_pm=950).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        # exactly one verdict per vector
+        assert sorted(got["vec_id"].tolist()) == sorted(ids.tolist())
+        kept = got[got["keep"]]
+        dropped = got[~got["keep"]]
+        assert (kept["dup_of"] == -1).all()
+        kept_by_id = dict(zip(kept["vec_id"], kept["cluster"]))
+        pm = np.floor((nv @ nv.T) * 1000.0).astype(np.int64)
+        for r in dropped.itertuples():
+            # dup_of is a KEPT, earlier row of the SAME cluster, above thresh
+            assert r.dup_of in kept_by_id, r.vec_id
+            assert kept_by_id[r.dup_of] == r.cluster
+            assert r.dup_of < r.vec_id
+            assert pm[idx[int(r.vec_id)], idx[int(r.dup_of)]] >= 950
+        # a near-copy lands in its original's cluster (identical direction
+        # up to 1% noise) → all 12 planted dups are still caught
+        assert (~got["keep"]).sum() == 12
+        # deterministic across runs
+        again = semdedup_ds(d, n_clusters=6, threshold_pm=950).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, again)
+
+    def test_sf_face_runs_and_keeps_everything_random(self, ray_session):
+        # the sf embeddings are i.i.d. (max cosine 0.48): semdedup at the
+        # default threshold must keep every row — the no-false-positive face
+        from crusty_ray.ops.dedup import semdedup_ds
+        got = semdedup_ds(SF, n_clusters=8, threshold_pm=950).to_pandas()
+        assert got["keep"].all()
+        assert (got["dup_of"] == -1).all()

@@ -118,7 +118,7 @@ ROWS_ONLY = ["approx_distinct_users", "label_centroids",
              "ann_bruteforce", "ann_lsh", "ann_ivf", "embedding_cosine_pairs",
              "crawl_pages_per_epoch", "crawl_term_breakdown",
              "crawl_stage_gauges", "crawl_db_metrics", "crawl_streaming_log",
-             "domain_pagerank", "compression_ratio"]
+             "domain_pagerank", "compression_ratio", "semdedup"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
