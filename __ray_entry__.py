@@ -123,9 +123,9 @@ def _domain_pagerank(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from crusty_ray.ops import (analog, analytic, behavior, dedup, graph,
-                                joins, quantiles, sample, similarity, stats,
-                                text, windows)
+    from crusty_ray.ops import (analog, analytic, behavior, curation, dedup,
+                                graph, joins, quantiles, sample, similarity,
+                                stats, text, windows)
 
     def lang_distribution(sf_dir: str):
         import ray
@@ -242,6 +242,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # benchmark decontamination: broadcast the held-out set's distinct
         # n-grams, count per-doc overlap (GPT-3 appendix-C style)
         "decontaminate": text.decontaminate_ds,
+        # the flagship curation composition: quality gate -> exact dedup ->
+        # decontaminate -> split, one shuffle total (SQL-oracled end to end)
+        "corpus_curation": curation.corpus_curation_ds,
         "build_vocab": text.build_vocab_ds,
         "doc_top_terms": text.doc_top_terms_ds,
         "normalize_text": text.normalize_text_ds,
@@ -1098,5 +1101,56 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
             LEFT JOIN ng USING (doc_id)
             LEFT JOIN hits h USING (doc_id)
+        """,
+        "corpus_curation": """
+            WITH corpus AS (
+              SELECT doc_id, text,
+                     CAST(CASE WHEN length(text) BETWEEN 100 AND 2000
+                               AND (length(text) - length(regexp_replace(
+                                    text, '[.,!?;:]', '', 'g'))) > 0
+                          THEN 2 WHEN length(text) >= 30 THEN 1
+                          ELSE 0 END AS BIGINT) AS quality_bucket
+              FROM documents WHERE source <> 'src0'
+            ), q AS (
+              SELECT * FROM corpus WHERE quality_bucket >= 1
+            ), d AS (
+              SELECT md5(text) AS h, min(doc_id) AS doc_id,
+                     count(*)::BIGINT AS n_dups
+              FROM q GROUP BY 1
+            ), toks AS (
+              SELECT doc_id, source, string_split(text, ' ') AS t
+              FROM documents
+            ), ex AS (
+              SELECT doc_id, source, unnest(t) AS w,
+                     generate_subscripts(t, 1) AS i, len(t) AS nn
+              FROM toks
+            ), g0 AS (
+              SELECT doc_id, source,
+                     w || ' ' || lead(w, 1) OVER win || ' '
+                       || lead(w, 2) OVER win AS gram,
+                     i, nn
+              FROM ex WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+            ), grams AS (
+              SELECT DISTINCT doc_id, source, gram FROM g0 WHERE i + 2 <= nn
+            ), bench AS (
+              SELECT DISTINCT gram FROM grams WHERE source = 'src0'
+            ), hits AS (
+              SELECT g.doc_id, count(*)::BIGINT AS n_hit
+              FROM grams g JOIN bench b ON g.gram = b.gram
+              WHERE g.source <> 'src0' GROUP BY 1
+            ), bkt AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         ::BIGINT % 1000 AS b
+              FROM documents
+            )
+            SELECT d.doc_id, q.quality_bucket, d.n_dups,
+                   CASE WHEN bkt.b < 900 THEN 'train'
+                        WHEN bkt.b < 950 THEN 'val' ELSE 'test' END AS split
+            FROM d
+            JOIN q ON q.doc_id = d.doc_id
+            JOIN bkt ON bkt.doc_id = d.doc_id
+            LEFT JOIN hits h ON h.doc_id = d.doc_id
+            WHERE coalesce(h.n_hit, 0) = 0
         """,
     }

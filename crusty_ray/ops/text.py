@@ -418,6 +418,38 @@ def compression_ratio_ds(sf_dir: str):
     return ds.map_batches(ratios, batch_format="pandas")
 
 
+def space_split_ngrams(t: str, n: int = 3) -> set[str]:
+    """Distinct word n-grams under the corpus-wide SQL-parity convention
+    (``ngram_jaccard_pairs_ds`` / its lead-window oracle): single-space
+    split, no empty-token filtering, <n tokens → no grams."""
+    toks = t.split(" ")
+    if len(toks) < n:
+        return set()
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def bench_gram_ref(path: str, bench_source: str, n: int = 3):
+    """Broadcast handle (``ray.put``) for the benchmark side's distinct
+    n-gram set: per-batch pre-dedup in workers, streamed to the driver —
+    O(benchmark) memory, the documented small-side bound (eval sets are MBs
+    while the corpus is TBs)."""
+    import ray as _ray
+
+    def bench_grams(batch: pd.DataFrame) -> pd.DataFrame:
+        s = set()
+        for t in batch.loc[batch["source"] == bench_source,
+                           "text"].fillna(""):
+            s |= space_split_ngrams(t, n)
+        return pd.DataFrame({"gram": pd.Series(sorted(s), dtype="object")})
+
+    gset: set[str] = set()
+    for b in _io_read(path, columns=["source", "text"]) \
+            .map_batches(bench_grams, batch_format="pandas") \
+            .iter_batches(batch_format="pandas"):
+        gset.update(b["gram"])
+    return _ray.put(frozenset(gset))
+
+
 def decontaminate_ds(sf_dir: str, bench_source: str = "src0", n: int = 3):
     """Benchmark decontamination (GPT-3 appendix-C / Gopher style): score
     every corpus document by how many of its distinct word n-grams also
@@ -443,33 +475,14 @@ def decontaminate_ds(sf_dir: str, bench_source: str = "src0", n: int = 3):
     import ray as _ray
 
     path = f"{sf_dir}/documents.parquet"
-
-    def _grams(t: str) -> set[str]:
-        toks = t.split(" ")
-        if len(toks) < n:
-            return set()
-        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
-
-    def bench_grams(batch: pd.DataFrame) -> pd.DataFrame:
-        s = set()
-        for t in batch.loc[batch["source"] == bench_source,
-                           "text"].fillna(""):
-            s |= _grams(t)
-        return pd.DataFrame({"gram": pd.Series(sorted(s), dtype="object")})
-
-    gset: set[str] = set()
-    for b in _io_read(path, columns=["source", "text"]) \
-            .map_batches(bench_grams, batch_format="pandas") \
-            .iter_batches(batch_format="pandas"):
-        gset.update(b["gram"])
-    gref = _ray.put(frozenset(gset))
+    gref = bench_gram_ref(path, bench_source, n)
 
     def score(batch: pd.DataFrame, _cache={}) -> pd.DataFrame:
         if "g" not in _cache:  # one object-store fetch per worker process
             _cache["g"] = _ray.get(gref)
         bg = _cache["g"]
         sub = batch[batch["source"] != bench_source]
-        gs = [_grams(t) for t in sub["text"].fillna("")]
+        gs = [space_split_ngrams(t, n) for t in sub["text"].fillna("")]
         return pd.DataFrame({
             "doc_id": sub["doc_id"].astype("int64").to_numpy(),
             "n_grams": pd.Series([len(g) for g in gs], dtype="int64"),

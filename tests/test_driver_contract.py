@@ -96,7 +96,7 @@ SQL_CHECKED = [
     "label_centroids_quant", "pack_token_chunks", "filter_frequent_tokens",
     "incremental_dedup",
     "price_var_by_priority", "cohort_retention", "funnel_counts",
-    "trade_pagerank", "gopher_quality", "decontaminate",
+    "trade_pagerank", "gopher_quality", "decontaminate", "corpus_curation",
 ]
 
 
