@@ -71,6 +71,7 @@ def corpus_curation_ds(sf_dir: str, bench_source: str = "src0",
         })
 
     def keeper_per_hash(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)  # idxmin needs unique labels
         k = df.loc[df.groupby("text_md5")["doc_id"].idxmin()]
         sizes = df.groupby("text_md5").size()
         k = k.assign(n_dups=sizes.loc[k["text_md5"]].to_numpy(np.int64))

@@ -1125,6 +1125,10 @@ def semdedup_ds(sf_dir: str, n_clusters: int = 16, threshold_pm: int = 950):
     cent_ref = _ray.put(C)
 
     def assign(batch: pd.DataFrame, _cache={}) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                 "cluster": pd.Series([], dtype="int64"),
+                                 "nv": pd.Series([], dtype="object")})
         if "C" not in _cache:  # one fetch per worker process
             _cache["C"] = _ray.get(cent_ref)
         mat = np.stack(batch["embedding"].to_list()).astype(np.float64)
