@@ -245,6 +245,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the flagship curation composition: quality gate -> exact dedup ->
         # decontaminate -> split, one shuffle total (SQL-oracled end to end)
         "corpus_curation": curation.corpus_curation_ds,
+        # PII scrubbing (C4/Dolma contact redaction; planted-fixture pytest
+        # exercises real hits — the sf corpus is contact-free by design)
+        "scrub_pii": text.scrub_pii_ds,
         "build_vocab": text.build_vocab_ds,
         "doc_top_terms": text.doc_top_terms_ds,
         "normalize_text": text.normalize_text_ds,
@@ -1101,6 +1104,20 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
             LEFT JOIN ng USING (doc_id)
             LEFT JOIN hits h USING (doc_id)
+        """,
+        "scrub_pii": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9_.]+@[A-Za-z0-9_]+\\.[A-Za-z]{2,}'))::BIGINT
+                       AS n_emails,
+                   len(regexp_extract_all(text,
+                       '[0-9]{3}-[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phones,
+                   md5(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9_.]+@[A-Za-z0-9_]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'))
+                       AS clean_md5
+            FROM documents
         """,
         "corpus_curation": """
             WITH corpus AS (

@@ -492,3 +492,42 @@ def decontaminate_ds(sf_dir: str, bench_source: str = "src0", n: int = 3):
 
     return _io_read(path, columns=["doc_id", "source", "text"]) \
         .map_batches(score, batch_format="pandas")
+
+
+# explicit ASCII classes: Python re is unicode-aware where DuckDB's RE2 is
+# ASCII — identical match sets need identical alphabets
+_EMAIL_RE_SRC = r"[A-Za-z0-9_.]+@[A-Za-z0-9_]+\.[A-Za-z]{2,}"
+_PHONE_RE_SRC = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_EMAIL_RE = re.compile(_EMAIL_RE_SRC)
+_PHONE_RE = re.compile(_PHONE_RE_SRC)
+
+
+def scrub_pii(batch: pd.DataFrame) -> pd.DataFrame:
+    """PII scrubbing kernel (C4 / Dolma-style contact redaction): replace
+    email-like then phone-like spans with sentinel tokens, emit match
+    counts + the md5 of the scrubbed text. Vectorized pandas .str ops,
+    compiled module-level patterns (shared by every worker); replacement
+    ORDER (email before phone) is part of the contract — the SQL oracle
+    nests its regexp_replace calls the same way."""
+    text = batch["text"].fillna("")
+    n_emails = text.str.count(_EMAIL_RE)
+    n_phones = text.str.count(_PHONE_RE)
+    clean = text.str.replace(_EMAIL_RE, "<EMAIL>", regex=True) \
+                .str.replace(_PHONE_RE, "<PHONE>", regex=True)
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"].astype("int64"),
+        "n_emails": n_emails.astype("int64"),
+        "n_phones": n_phones.astype("int64"),
+        "clean_md5": [hashlib.md5(t.encode("utf-8")).hexdigest()
+                      for t in clean],
+    })
+
+
+def scrub_pii_ds(sf_dir: str):
+    """(doc_id, n_emails, n_phones, clean_md5) for every document — one
+    shuffle-free pass. The synthetic corpus contains no contacts (counts
+    all zero, clean_md5 = md5(text) — the oracle still pins the full
+    replace pipeline); the planted-fixture pytest exercises real hits."""
+    return _io_read(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"]) \
+        .map_batches(scrub_pii, batch_format="pandas")

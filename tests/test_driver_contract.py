@@ -97,6 +97,7 @@ SQL_CHECKED = [
     "incremental_dedup",
     "price_var_by_priority", "cohort_retention", "funnel_counts",
     "trade_pagerank", "gopher_quality", "decontaminate", "corpus_curation",
+    "scrub_pii",
 ]
 
 
@@ -151,3 +152,40 @@ def test_crawl_queries_run(contract):
         # near-dup pairs / reused captions may legitimately be empty
         if name not in ("image_phash_near_dups", "caption_reuse"):
             assert len(df) > 0, name
+
+
+def test_scrub_pii_planted_hits():
+    """The sf corpus is contact-free, so the oracle row only pins the no-op
+    path; this planted fixture proves real redaction: counts, sentinel
+    replacement order, and md5-of-scrubbed-text parity with DuckDB."""
+    import hashlib
+
+    from crusty_ray.ops.text import (_EMAIL_RE_SRC, _PHONE_RE_SRC, scrub_pii)
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["mail bob.smith@example.com or call 555-123-4567 now",
+                 "two a@b.co c@d.org and 999-000-1111 123-45-6789",
+                 "no contacts at all",
+                 None],
+    })
+    got = scrub_pii(df)
+    assert got["n_emails"].tolist() == [1, 2, 0, 0]
+    assert got["n_phones"].tolist() == [1, 1, 0, 0]
+    want0 = "mail <EMAIL> or call <PHONE> now"
+    assert got["clean_md5"][0] == hashlib.md5(want0.encode()).hexdigest()
+    # full-frame parity with the oracle's nested regexp_replace
+    con = duckdb.connect()
+    con.register("docs", df.fillna({"text": ""}))
+    oracle = con.sql(f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_EMAIL_RE_SRC}'))::BIGINT
+                   AS n_emails,
+               len(regexp_extract_all(text, '{_PHONE_RE_SRC}'))::BIGINT
+                   AS n_phones,
+               md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE_SRC}',
+                   '<EMAIL>', 'g'), '{_PHONE_RE_SRC}', '<PHONE>', 'g'))
+                   AS clean_md5
+        FROM docs""").df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), oracle,
+                                  check_dtype=False)
