@@ -1094,7 +1094,8 @@ def doc_dedup_groups_ds(sf_dir: str, threshold_pm: int = 500):
     return comp.map_batches(decide, batch_format="pandas")
 
 
-def semdedup_ds(sf_dir: str, n_clusters: int = 16, threshold_pm: int = 950):
+def semdedup_ds(sf_dir: str, n_clusters: int = 16, threshold_pm: int = 950,
+                max_cluster: int | None = None):
     """SemDeDup (Abbas et al. 2023): semantic deduplication by k-means
     clustering + within-cluster cosine pruning — the embedding-space
     complement of the n-gram near-dup family, and the standard "prune
@@ -1115,6 +1116,14 @@ def semdedup_ds(sf_dir: str, n_clusters: int = 16, threshold_pm: int = 950):
     brute-force oracle face in tests. Returns one row per vector:
     (vec_id, cluster, keep, dup_of) with dup_of = the kept row it
     duplicates (highest cosine, first-max tie-break; -1 for kept rows).
+
+    ``max_cluster`` is the stop-hash cap (same deterministic contract as
+    the LSH band / quadrant / hot-gram caps): a cluster larger than the cap
+    is kept WHOLE — no pruning, no O(K²) similarity matrix — because a
+    quantizer cell that degenerate means the centroids under-fit (the
+    production fix is more clusters: the paper sizes n_clusters ~ √N).
+    Keeping is the conservative direction for training data; ``None``
+    (default) disables — the oracle face.
     """
     import ray as _ray
 
@@ -1146,6 +1155,13 @@ def semdedup_ds(sf_dir: str, n_clusters: int = 16, threshold_pm: int = 950):
         for cl, g in df.groupby("cluster", sort=False):
             order = np.argsort(g["vec_id"].to_numpy(), kind="stable")
             ids = g["vec_id"].to_numpy()[order]
+            if max_cluster is not None and len(ids) > max_cluster:
+                # degenerate quantizer cell: keep whole (cap contract above)
+                frames.append(pd.DataFrame({
+                    "vec_id": ids, "cluster": np.int64(cl),
+                    "keep": np.ones(len(ids), dtype=bool),
+                    "dup_of": np.full(len(ids), -1, dtype=np.int64)}))
+                continue
             mat = np.stack(g["nv"].to_list())[order]
             pm = np.floor((mat @ mat.T) * 1000.0).astype(np.int64)
             keep = np.zeros(len(ids), dtype=bool)

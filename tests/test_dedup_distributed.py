@@ -566,3 +566,13 @@ class TestSemDedup:
         got = semdedup_ds(SF, n_clusters=8, threshold_pm=950).to_pandas()
         assert got["keep"].all()
         assert (got["dup_of"] == -1).all()
+
+    def test_max_cluster_cap_keeps_whole(self, ray_session, tmp_path):
+        # cap below the single cluster's size → every row kept, no pruning
+        from crusty_ray.ops.dedup import semdedup_ds
+        d, ids, nv = self._fixture(tmp_path)
+        got = semdedup_ds(d, n_clusters=1, threshold_pm=950,
+                          max_cluster=10).to_pandas()
+        assert len(got) == len(ids)
+        assert got["keep"].all()
+        assert (got["dup_of"] == -1).all()
