@@ -1144,11 +1144,13 @@ def oracle_sql() -> dict[str, str]:
             ), g0 AS (
               SELECT doc_id, source,
                      w || ' ' || lead(w, 1) OVER win || ' '
-                       || lead(w, 2) OVER win AS gram,
+                       || lead(w, 2) OVER win || ' '
+                       || lead(w, 3) OVER win || ' '
+                       || lead(w, 4) OVER win AS gram,
                      i, nn
               FROM ex WINDOW win AS (PARTITION BY doc_id ORDER BY i)
             ), grams AS (
-              SELECT DISTINCT doc_id, source, gram FROM g0 WHERE i + 2 <= nn
+              SELECT DISTINCT doc_id, source, gram FROM g0 WHERE i + 4 <= nn
             ), bench AS (
               SELECT DISTINCT gram FROM grams WHERE source = 'src0'
             ), hits AS (

@@ -30,7 +30,7 @@ from .text import _PUNCT_RE, bench_gram_ref, space_split_ngrams
 
 
 def corpus_curation_ds(sf_dir: str, bench_source: str = "src0",
-                       n: int = 3, num_partitions: int = 32):
+                       n: int = 5, num_partitions: int = 32):
     """Surviving curated corpus: one row per kept document —
     (doc_id, quality_bucket, n_dups, split).
 
@@ -39,7 +39,9 @@ def corpus_curation_ds(sf_dir: str, bench_source: str = "src0",
     - within the corpus, one keeper (min doc_id) per distinct text;
       ``n_dups`` = how many corpus docs shared its text;
     - a keeper survives only if NONE of its word n-grams appear in the
-      benchmark source's documents;
+      benchmark source's documents (5-grams here — the standalone
+      ``decontaminate`` face scores 3-gram overlap, but a curation DROP
+      wants the longer, lower-false-positive span, GPT-3-style);
     - ``split`` is the stable 90/5/5 md5-bucket assignment of the doc_id.
     """
     import ray as _ray
