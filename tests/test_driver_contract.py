@@ -189,3 +189,51 @@ def test_scrub_pii_planted_hits():
         FROM docs""").df()
     pd.testing.assert_frame_equal(got.reset_index(drop=True), oracle,
                                   check_dtype=False)
+
+
+def test_corpus_curation_planted_steps(ray_session, tmp_path):
+    """The sf corpus has no short docs, no exact dups and few contaminated
+    5-gram spans, so the oracle row exercises the composition only weakly.
+    Plant every step's trigger and check the Ray pipeline against the SAME
+    oracle SQL over the planted table: quality drop, exact-dedup keeper,
+    contamination drop, split assignment."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from crusty_ray.ops.curation import corpus_curation_ds
+
+    bench = "the secret eval answer is forty two indeed"
+    dup_text = "a perfectly fine training document with plenty of words ."
+    rows = [
+        (0, bench, "src0"),                       # benchmark side
+        (1, "too short", "src1"),                 # quality 0 -> dropped
+        (2, dup_text, "src1"),                    # dedup keeper (min id)
+        (3, dup_text, "src2"),                    # exact dup -> dropped
+        (4, "prefix " + bench + " suffix", "src1"),  # contaminated -> dropped
+        (5, "another clean document long enough to pass the quality gate .",
+         "src3"),                                 # survivor
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": [r[1] for r in rows],
+        "lang": ["en"] * len(rows),
+        "source": [r[2] for r in rows],
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })
+    d = tmp_path / "curation_fixture"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    got = _norm(_to_df(corpus_curation_ds(str(d))))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')")
+    oracle = _norm(con.sql(e.oracle_sql()["corpus_curation"]).df())
+    pd.testing.assert_frame_equal(got, oracle, check_dtype=False,
+                                  check_exact=True)
+    # and the hand-derived semantics
+    assert sorted(got["doc_id"].tolist()) == [2, 5]
+    by_id = got.set_index("doc_id")
+    assert int(by_id.loc[2, "n_dups"]) == 2      # the planted dup pair
+    assert int(by_id.loc[5, "n_dups"]) == 1
