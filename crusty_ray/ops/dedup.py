@@ -464,25 +464,44 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, hash_impl: str = "md5",
 # ---------------------------------------------------------------- ngram jaccard (SQL-parity)
 
 def ngram_jaccard_pairs_ds(sf_dir: str, n: int = 3, threshold_pm: int = 500,
-                           max_gram_df: int | None = None):
+                           max_gram_df: int | None = None,
+                           num_partitions: int = 32):
     """Exact word-n-gram Jaccard pairs within each ``source`` partition.
 
     Fully SQL-expressible (explode n-grams → self-join on gram within source →
     jaccard = inter/union): the oracle-checked face of near-dup. The ``source``
-    partition bound is the blocking key that keeps the pair space tractable —
-    same role as an LSH band, but deterministic and SQL-checkable. Output uses
-    integer per-mille jaccard for cross-engine hash equality.
+    blocking bound keeps the pair space tractable — same role as an LSH band,
+    but deterministic and SQL-checkable. Output uses integer per-mille
+    jaccard for cross-engine hash equality.
+
+    Scale plan (r3 rewrite — the previous shape put a WHOLE source in one
+    ``map_groups`` task, unbounded at 100 TB): pairs only need same-gram
+    co-location, so the exchange is a coarse hash partition of the
+    (source, gram) key — every task holds a bounded hash-slice of gram
+    rows, never a whole source. Each doc row carries its total distinct
+    gram count ``n`` (computed in-batch at explode: a doc is one input
+    row), so a pair's union = na + nb - shared needs no extra join; a
+    second slim shuffle sums the per-partition shared-counts per pair.
+    The in-partition work stays ONE vectorized self-merge.
 
     **Stop-gram cap** (``max_gram_df``): a gram appearing in more than
     ``max_gram_df`` docs of a source is removed from EVERY doc's gram set
     before pairing — intersection AND union both shrink, i.e. Jaccard is
     computed exactly over the non-stop grams (the classic stop-word-removal
     contract, still deterministic and order-free). This bounds the self-merge
-    at O(max_gram_df²) per gram instead of O(hot-gram-df²). ``None``
-    (default) disables — the bit-exact oracle face."""
+    at O(max_gram_df²) per gram instead of O(hot-gram-df²). All rows of a
+    (source, gram) land in one partition, so the group size IS the gram's
+    per-source df and the cap is decided exactly; the capped mode recomputes
+    post-cap per-doc counts distributed (two more slim shuffles + two
+    broadcast-free hash joins) since the carried pre-cap ``n`` no longer
+    equals the union term. ``None`` (default) disables — the bit-exact
+    oracle face and the two-shuffle fast path."""
+    from .agg import partitioned_group_apply
+
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        doc, src, gram = [], [], []
-        for d, s, t in zip(batch["doc_id"], batch["source"], batch["text"].fillna("")):
+        doc, src, gram, tot = [], [], [], []
+        for d, s, t in zip(batch["doc_id"], batch["source"],
+                           batch["text"].fillna("")):
             toks = t.split(" ")
             grams = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)} \
                 if len(toks) >= n else set()
@@ -490,38 +509,100 @@ def ngram_jaccard_pairs_ds(sf_dir: str, n: int = 3, threshold_pm: int = 500,
                 doc.append(d)
                 src.append(s)
                 gram.append(g)
-        return pd.DataFrame({"doc_id": doc, "source": src, "gram": gram})
+                tot.append(len(grams))
+        return pd.DataFrame({"doc_id": doc, "source": src, "gram": gram,
+                             "n": pd.Series(tot, dtype="int64")})
 
     ds = _io_read(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "source", "text"])
     grams = ds.map_batches(explode, batch_format="pandas")
 
-    def pairs_in_source(group: pd.DataFrame) -> pd.DataFrame:
-        # vectorized: self-merge on gram → shared-gram counts per pair,
-        # then integer per-mille Jaccard (bit-identical to the r1 per-gram
-        # Python loops, which were the stage's hot path)
-        g = group[["doc_id", "gram"]].drop_duplicates()
+    _pair_empty = pd.DataFrame({
+        "doc_a": pd.Series([], dtype="int64"),
+        "doc_b": pd.Series([], dtype="int64"),
+        "shared": pd.Series([], dtype="int64"),
+        "na": pd.Series([], dtype="int64"),
+        "nb": pd.Series([], dtype="int64")})
+
+    def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized self-merge over this hash-slice of (source, gram)
         if max_gram_df is not None:
-            df_ = g.groupby("gram")["doc_id"].transform("size")
-            g = g[df_ <= max_gram_df]
-        counts = g.groupby("doc_id")["gram"].size()
-        m = g.merge(g, on="gram")
+            dfc = df.groupby(["source", "gram"])["doc_id"].transform("size")
+            df = df[dfc <= max_gram_df]
+        if not len(df):
+            return _pair_empty
+        m = df.merge(df, on=["source", "gram"])
         m = m[m["doc_id_x"] < m["doc_id_y"]]
-        inter = m.groupby(["doc_id_x", "doc_id_y"]).size().reset_index(
-            name="shared")
-        union = (counts.loc[inter["doc_id_x"]].to_numpy()
-                 + counts.loc[inter["doc_id_y"]].to_numpy()
-                 - inter["shared"].to_numpy())
-        jpm = (1000 * inter["shared"].to_numpy()) // union
+        out = m.groupby(["doc_id_x", "doc_id_y"], as_index=False).agg(
+            shared=("gram", "size"), na=("n_x", "first"),
+            nb=("n_y", "first"))
+        out.columns = ["doc_a", "doc_b", "shared", "na", "nb"]
+        return out.astype("int64")
+
+    pairs = partitioned_group_apply(grams, ["source", "gram"], pair_partials,
+                                    num_partitions)
+
+    def _jpm_filter(agg: pd.DataFrame) -> pd.DataFrame:
+        union = (agg["na"].to_numpy() + agg["nb"].to_numpy()
+                 - agg["shared"].to_numpy())
+        jpm = (1000 * agg["shared"].to_numpy()) // union
         keep = jpm >= threshold_pm
         return pd.DataFrame({
-            "doc_a": inter.loc[keep, "doc_id_x"].astype("int64"),
-            "doc_b": inter.loc[keep, "doc_id_y"].astype("int64"),
-            "jaccard_pm": pd.Series(jpm[keep], dtype="int64",
-                                    index=inter.index[keep]),
-        }).reset_index(drop=True)
+            "doc_a": agg.loc[keep, "doc_a"].astype("int64").to_numpy(),
+            "doc_b": agg.loc[keep, "doc_b"].astype("int64").to_numpy(),
+            "jaccard_pm": pd.Series(jpm[keep], dtype="int64"),
+        })
 
-    return grams.groupby("source").map_groups(pairs_in_source, batch_format="pandas")
+    if max_gram_df is None:
+        def finish(df: pd.DataFrame) -> pd.DataFrame:
+            agg = df.groupby(["doc_a", "doc_b"], as_index=False).agg(
+                shared=("shared", "sum"), na=("na", "first"),
+                nb=("nb", "first"))
+            return _jpm_filter(agg)
+
+        return partitioned_group_apply(pairs, ["doc_a", "doc_b"], finish,
+                                       num_partitions)
+
+    # capped mode: distributed post-cap per-doc counts, then two slim joins
+    from .joins import hash_join
+
+    def count_partials(df: pd.DataFrame) -> pd.DataFrame:
+        dfc = df.groupby(["source", "gram"])["doc_id"].transform("size")
+        kept = df[dfc <= max_gram_df]
+        out = kept.groupby("doc_id", as_index=False).size() \
+            .rename(columns={"size": "cnt"})
+        return out.astype("int64")
+
+    def count_sum(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("doc_id", as_index=False)["cnt"].sum() \
+            .astype("int64")
+
+    counts = partitioned_group_apply(
+        partitioned_group_apply(grams, ["source", "gram"], count_partials,
+                                num_partitions),
+        ["doc_id"], count_sum, num_partitions)
+
+    def shared_sum(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["doc_a", "doc_b"], as_index=False)["shared"] \
+            .sum().astype("int64")
+
+    shared = partitioned_group_apply(
+        pairs.map_batches(lambda b: b[["doc_a", "doc_b", "shared"]],
+                          batch_format="pandas"),
+        ["doc_a", "doc_b"], shared_sum, num_partitions)
+
+    def _rename(frm: str, to: str):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            return b.rename(columns={"doc_id": frm, "cnt": to})
+        return f
+
+    j = hash_join(shared, counts.map_batches(_rename("doc_a", "na"),
+                                             batch_format="pandas"),
+                  on=["doc_a"], num_partitions=num_partitions)
+    j = hash_join(j, counts.map_batches(_rename("doc_b", "nb"),
+                                        batch_format="pandas"),
+                  on=["doc_b"], num_partitions=num_partitions)
+    return j.map_batches(_jpm_filter, batch_format="pandas")
 
 
 # ------------------------------------------------------- blocked self-join
