@@ -39,18 +39,17 @@ def _read(sf_dir: str, table: str, columns=None):
 
 # ------------------------------------------------------------- top-k (A2/A3)
 def topk_heavy_hitters_ds(sf_dir: str, k: int = 5):
-    """Per event_type, top-k users by event count (per-TLD heavy hitters)."""
-    from .agg import grouped_count
+    """Per event_type, top-k users by event count (per-TLD heavy hitters).
+
+    r3 rewrite: ranking via ``grouped_top_n`` (local ≤k-per-group prune in
+    every block, then a coarse-partition finish) instead of holding one
+    event_type's whole distinct-user count table in a single task."""
+    from .agg import grouped_count, grouped_top_n
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
     counts = grouped_count(ds, ["event_type", "user_id"], "cnt")
-
-    def rank(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["cnt", "user_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return counts.groupby("event_type").map_groups(rank, batch_format="pandas")
+    return grouped_top_n(counts, ["event_type"], "cnt", k,
+                         ascending=False, tie_cols=["user_id"],
+                         rank_col="rnk")
 
 
 # ------------------------------------------------------------- budgets (F4/F5)
@@ -172,17 +171,28 @@ def pricing_summary_ds(sf_dir: str):
 # ------------------------------------------------------------- priority queue (S2)
 def priority_dequeue_ds(sf_dir: str, k: int = 10):
     """Top-k orders per priority class by value — the frontier's weighted
-    priority dequeue as a rank query."""
+    priority dequeue as a rank query.
+
+    r3 rewrite: the old ``groupby(priority).map_groups`` held a fifth of
+    the orders FACT table in one task; ``grouped_top_n`` prunes each block
+    to ≤k rows per priority locally, so the shuffle moves ≤ k·classes·blocks
+    slim rows and no task sees more."""
+    from .agg import grouped_top_n
+
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
 
-    def rank(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.copy()
-        g["price_cents"] = np.floor(g["o_totalprice"] * 100.0 + 0.5).astype("int64")
-        g = g.sort_values(["price_cents", "o_orderkey"],
-                          ascending=[False, True]).head(k)
-        return g[["o_orderpriority", "o_orderkey", "price_cents"]]
+    def cents(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["price_cents"] = np.floor(
+            batch["o_totalprice"] * 100.0 + 0.5).astype("int64")
+        return batch[["o_orderpriority", "o_orderkey", "price_cents"]]
 
-    return ds.groupby("o_orderpriority").map_groups(rank, batch_format="pandas")
+    ranked = grouped_top_n(ds.map_batches(cents, batch_format="pandas"),
+                           ["o_orderpriority"], "price_cents", k,
+                           ascending=False, tie_cols=["o_orderkey"])
+    return ranked.map_batches(
+        lambda b: b[["o_orderpriority", "o_orderkey", "price_cents"]],
+        batch_format="pandas")
 
 
 # ------------------------------------------------------------- global sort / union
