@@ -213,6 +213,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- dedup family
         "exact_dedup": dedup.exact_dedup_ds,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs_ds,
+        # asymmetric containment (shared / min set): catches a short doc
+        # embedded in a long one, which symmetric Jaccard dilutes
+        "ngram_containment_pairs": dedup.ngram_containment_pairs_ds,
         "embedding_quant_dedup": dedup.embedding_quant_dedup_ds,
         "minhash_candidates": dedup.minhash_candidates_ds,        # rows-only
         # production-scale posture: hot band buckets dropped as stop-hashes
@@ -256,6 +259,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": similarity.label_centroids_ds,
         "label_centroids_quant": similarity.label_centroids_quant_ds,
         "filter_frequent_tokens": text.filter_frequent_tokens_ds,
+        # unigram-LM surprisal quality scoring (CCNet-style, integer-
+        # quantized bits so the SQL oracle is bit-exact)
+        "unigram_surprisal": text.unigram_surprisal_ds,
         "pack_token_chunks": _pack_token_chunks,
         # -- crawl-operator analogs (SQL-checked)
         "topk_heavy_hitters": analog.topk_heavy_hitters_ds,
@@ -546,6 +552,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnts ca ON ca.doc_id = doc_a
             JOIN cnts cb ON cb.doc_id = doc_b
             WHERE (1000 * shared) // (ca.n + cb.n - shared) >= 500
+        """,
+        "ngram_containment_pairs": """
+            WITH toks AS (
+              SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+            ), ex AS (
+              SELECT doc_id, source, unnest(t) AS w,
+                     generate_subscripts(t, 1) AS i, len(t) AS n
+              FROM toks
+            ), g0 AS (
+              SELECT doc_id, source,
+                     w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS gram,
+                     i, n
+              FROM ex WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+            ), grams AS (
+              SELECT DISTINCT doc_id, source, gram FROM g0 WHERE i + 2 <= n
+            ), cnts AS (
+              SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+              FROM grams a
+              JOIN grams b ON a.source = b.source AND a.gram = b.gram
+                          AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   (1000 * shared) // least(ca.n, cb.n) AS containment_pm
+            FROM inter
+            JOIN cnts ca ON ca.doc_id = doc_a
+            JOIN cnts cb ON cb.doc_id = doc_b
+            WHERE (1000 * shared) // least(ca.n, cb.n) >= 500
         """,
         "embedding_quant_dedup": """
             WITH q AS (
@@ -1104,6 +1140,34 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
             LEFT JOIN ng USING (doc_id)
             LEFT JOIN hits h USING (doc_id)
+        """,
+        "unigram_surprisal": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents
+            ), tk AS (
+              SELECT doc_id, w FROM toks WHERE w <> ''
+            ), cnt AS (
+              SELECT w, count(*)::BIGINT AS c FROM tk GROUP BY 1
+            ), tot AS (
+              SELECT count(*)::BIGINT AS n FROM tk
+            ), sur AS (
+              -- floor(log2(N // c)) in exact integer math: bin() has no
+              -- leading zeros, so length(bin(x)) - 1 == x.bit_length() - 1
+              SELECT w, (length(bin(n // c)) - 1)::BIGINT AS bits
+              FROM cnt CROSS JOIN tot
+            ), per AS (
+              SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+                     sum(s.bits)::BIGINT AS total_bits
+              FROM tk t JOIN sur s USING (w) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+                   coalesce(p.total_bits, 0)::BIGINT AS total_bits,
+                   coalesce((1000 * p.total_bits) // p.n_tokens, 0)::BIGINT
+                       AS mean_millibits
+            FROM (SELECT doc_id FROM documents) d
+            LEFT JOIN per p USING (doc_id)
         """,
         "scrub_pii": """
             SELECT doc_id,

@@ -466,7 +466,30 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, hash_impl: str = "md5",
 def ngram_jaccard_pairs_ds(sf_dir: str, n: int = 3, threshold_pm: int = 500,
                            max_gram_df: int | None = None,
                            num_partitions: int = 32):
-    """Exact word-n-gram Jaccard pairs within each ``source`` partition.
+    """Exact word-n-gram Jaccard pairs within each ``source`` partition
+    (see ``_ngram_pairs_impl`` for the shared distributed plan)."""
+    return _ngram_pairs_impl(sf_dir, n, threshold_pm, max_gram_df,
+                             num_partitions, score="jaccard")
+
+
+def ngram_containment_pairs_ds(sf_dir: str, n: int = 3,
+                               threshold_pm: int = 500,
+                               max_gram_df: int | None = None,
+                               num_partitions: int = 32):
+    """Asymmetric n-gram CONTAINMENT pairs: shared / min(|A|, |B|) — the
+    Broder containment measure that catches a short document embedded in a
+    long one (quotes, boilerplate wrappers, excerpt pages), which symmetric
+    Jaccard dilutes toward 0 as the size gap grows. Same distributed plan,
+    per-doc counts and stop-gram cap contract as the Jaccard face; output
+    column is ``containment_pm`` (integer per-mille, SQL-oracle-exact)."""
+    return _ngram_pairs_impl(sf_dir, n, threshold_pm, max_gram_df,
+                             num_partitions, score="containment")
+
+
+def _ngram_pairs_impl(sf_dir: str, n: int, threshold_pm: int,
+                      max_gram_df: int | None, num_partitions: int,
+                      score: str):
+    """Exact word-n-gram pair scores within each ``source`` partition.
 
     Fully SQL-expressible (explode n-grams → self-join on gram within source →
     jaccard = inter/union): the oracle-checked face of near-dup. The ``source``
@@ -542,15 +565,20 @@ def ngram_jaccard_pairs_ds(sf_dir: str, n: int = 3, threshold_pm: int = 500,
     pairs = partitioned_group_apply(grams, ["source", "gram"], pair_partials,
                                     num_partitions)
 
+    score_col = "jaccard_pm" if score == "jaccard" else "containment_pm"
+
     def _jpm_filter(agg: pd.DataFrame) -> pd.DataFrame:
-        union = (agg["na"].to_numpy() + agg["nb"].to_numpy()
-                 - agg["shared"].to_numpy())
-        jpm = (1000 * agg["shared"].to_numpy()) // union
+        if score == "jaccard":
+            denom = (agg["na"].to_numpy() + agg["nb"].to_numpy()
+                     - agg["shared"].to_numpy())
+        else:  # containment: shared over the smaller gram set
+            denom = np.minimum(agg["na"].to_numpy(), agg["nb"].to_numpy())
+        jpm = (1000 * agg["shared"].to_numpy()) // denom
         keep = jpm >= threshold_pm
         return pd.DataFrame({
             "doc_a": agg.loc[keep, "doc_a"].astype("int64").to_numpy(),
             "doc_b": agg.loc[keep, "doc_b"].astype("int64").to_numpy(),
-            "jaccard_pm": pd.Series(jpm[keep], dtype="int64"),
+            score_col: pd.Series(jpm[keep], dtype="int64"),
         })
 
     if max_gram_df is None:

@@ -531,3 +531,76 @@ def scrub_pii_ds(sf_dir: str):
     return _io_read(f"{sf_dir}/documents.parquet",
                     columns=["doc_id", "text"]) \
         .map_batches(scrub_pii, batch_format="pandas")
+
+
+def unigram_surprisal_ds(sf_dir: str):
+    """Unigram-LM surprisal scoring — the CCNet/KenLM "score every document
+    under a corpus language model" quality step, reduced to a unigram model
+    with integer-quantized surprisal so the face stays bit-exact across
+    engines (float ln/log2 differ in the last ulp between libms).
+
+    Model: corpus token counts ``c(w)`` over ``N`` total token occurrences.
+    A token's quantized surprisal is ``floor(log2(N // c(w)))`` bits —
+    pure integer math (``int.bit_length``), which DuckDB reproduces exactly
+    as ``length(bin(N // c)) - 1``. Frequent tokens score ~0 bits, hapaxes
+    ~log2(N). Per document: token count, total bits over OCCURRENCES, and
+    the floor-divided mean in millibits — the signal a curation gate
+    thresholds from both ends (high mean = rare-token gibberish, low =
+    boilerplate).
+
+    Plan (two passes, both streaming):
+      1. counts: vectorized explode → one coarse ``grouped_count``. The
+         per-token surprisal table is O(vocab) and collects to the driver
+         (the documented small-side bound — same contract as the stopword
+         set and benchmark-gram broadcasts), broadcast ONCE via ``ray.put``.
+         If the corpus vocabulary ever outgrows the driver, the same score
+         joins back through ``hash_join`` on the token instead — the plan
+         shape is unchanged; the broadcast face is the fast default.
+      2. score: one shuffle-free map over documents — vectorized explode,
+         ``Series.map`` against the broadcast table, per-doc sum.
+
+    Token convention matches the corpus-wide one (single-space split, empty
+    dropped). Returns (doc_id, n_tokens, total_bits, mean_millibits);
+    zero-token docs score (0, 0, 0).
+    """
+    import ray as _ray
+
+    from .agg import grouped_count
+
+    path = f"{sf_dir}/documents.parquet"
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        w = batch["text"].fillna("").str.split(" ").explode()
+        w = w[w != ""].dropna()
+        return pd.DataFrame({"w": w.astype(str)})
+
+    toks = _io_read(path, columns=["text"]) \
+        .map_batches(explode, batch_format="pandas")
+    counts = grouped_count(toks, ["w"], "cnt").to_pandas()  # O(vocab)
+    n_total = int(counts["cnt"].sum())
+    bits = pd.Series(
+        [(n_total // int(c)).bit_length() - 1 for c in counts["cnt"]],
+        index=counts["w"].to_numpy(), dtype="int64")
+    bits_ref = _ray.put(bits)
+
+    def score(batch: pd.DataFrame, _cache={}) -> pd.DataFrame:
+        if "b" not in _cache:  # one object-store fetch per worker process
+            _cache["b"] = _ray.get(bits_ref)
+        b = _cache["b"]
+        w = batch.set_index("doc_id")["text"].fillna("").str.split(" ") \
+            .explode()
+        w = w[w != ""].dropna()
+        tokbits = w.map(b)
+        g = tokbits.groupby(level=0)
+        tot, cnt = g.sum(), g.size()
+        out = pd.DataFrame({"doc_id": batch["doc_id"].astype("int64")})
+        out["n_tokens"] = out["doc_id"].map(cnt).fillna(0).astype("int64")
+        out["total_bits"] = out["doc_id"].map(tot).fillna(0).astype("int64")
+        out["mean_millibits"] = np.where(
+            out["n_tokens"] > 0,
+            (1000 * out["total_bits"]) // out["n_tokens"].clip(lower=1),
+            0).astype("int64")
+        return out
+
+    return _io_read(path, columns=["doc_id", "text"]) \
+        .map_batches(score, batch_format="pandas")

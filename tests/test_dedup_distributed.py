@@ -251,6 +251,29 @@ class TestStopHashCaps:
         # nothing once the stop gram is removed
         assert list(capped.itertuples(index=False)) == [(6, 7, 1000)]
 
+    def test_ngram_containment_catches_embedded_doc(self, ray_session,
+                                                    tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        # doc 0 (5 tokens, 3 grams) is verbatim-embedded in doc 1 (25
+        # tokens): containment = 3/min(3,23) = 1000 but jaccard =
+        # 3/(3+23-3) = 130 pm — the asymmetric face must catch what the
+        # symmetric one dilutes below threshold
+        short = "p q r s t"
+        long = short + " " + " ".join(f"u{i}" for i in range(20))
+        t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                      "source": ["s", "s"], "text": [short, long]})
+        d = tmp_path / "c"
+        d.mkdir()
+        pq.write_table(t, str(d / "documents.parquet"))
+        cont = dedup.ngram_containment_pairs_ds(str(d), threshold_pm=500) \
+            .to_pandas()
+        assert list(cont.itertuples(index=False)) == [(0, 1, 1000)]
+        jac = dedup.ngram_jaccard_pairs_ds(str(d), threshold_pm=500) \
+            .to_pandas()
+        assert len(jac) == 0
+
 
 def test_connected_components_matches_union_find(ray_session):
     """Hash-min label propagation ≡ union-find, including a long chain

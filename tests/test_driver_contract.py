@@ -97,7 +97,7 @@ SQL_CHECKED = [
     "incremental_dedup",
     "price_var_by_priority", "cohort_retention", "funnel_counts",
     "trade_pagerank", "gopher_quality", "decontaminate", "corpus_curation",
-    "scrub_pii",
+    "scrub_pii", "ngram_containment_pairs", "unigram_surprisal",
 ]
 
 

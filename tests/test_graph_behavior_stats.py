@@ -189,6 +189,23 @@ class TestQualitySignals:
         c = compression_ratio_ds(d).to_pandas().set_index("doc_id")
         assert c.loc[1, "ratio_pm"] < c.loc[2, "ratio_pm"]
 
+    def test_unigram_surprisal_planted(self, ray_session, tmp_path):
+        # corpus: N=6 occurrences, c(a)=5, c(b)=1 →
+        # bits(a) = (6//5).bit_length()-1 = 0, bits(b) = 6.bit_length()-1 = 2
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from crusty_ray.ops.text import unigram_surprisal_ds
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": ["a a a a", "a b", ""],
+        }), str(tmp_path / "documents.parquet"))
+        s = unigram_surprisal_ds(str(tmp_path)).to_pandas() \
+            .set_index("doc_id")
+        assert s.loc[1].tolist() == [4, 0, 0]
+        assert s.loc[2].tolist() == [2, 2, 1000]   # (0+2) bits over 2 toks
+        assert s.loc[3].tolist() == [0, 0, 0]      # empty doc scores zero
+
 
 class TestDomainPagerank:
     def test_exact_vs_serial_reference(self, ray_session, tmp_path):
