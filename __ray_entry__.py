@@ -248,6 +248,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the flagship curation composition: quality gate -> exact dedup ->
         # decontaminate -> split, one shuffle total (SQL-oracled end to end)
         "corpus_curation": curation.corpus_curation_ds,
+        # domain-level quality gate (RefinedWeb "judge the whole site"):
+        # per-source mean joined back through the generic shuffle hash_join
+        # (domain table is fact-sized at crawl scale — never broadcast)
+        "source_quality_gate": curation.source_quality_gate_ds,
         # PII scrubbing (C4/Dolma contact redaction; planted-fixture pytest
         # exercises real hits — the sf corpus is contact-free by design)
         "scrub_pii": text.scrub_pii_ds,
@@ -1140,6 +1144,17 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
             LEFT JOIN ng USING (doc_id)
             LEFT JOIN hits h USING (doc_id)
+        """,
+        "source_quality_gate": """
+            WITH src AS (
+              SELECT source,
+                     (1000 * sum(n_chars)) // count(*) AS src_mean_len_mc
+              FROM documents GROUP BY 1
+            )
+            SELECT d.doc_id, d.source, d.n_chars::BIGINT AS n_chars,
+                   s.src_mean_len_mc::BIGINT AS src_mean_len_mc,
+                   (s.src_mean_len_mc >= 299000)::BIGINT AS keep
+            FROM documents d JOIN src s USING (source)
         """,
         "unigram_surprisal": """
             WITH toks AS (

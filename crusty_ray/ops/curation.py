@@ -100,3 +100,59 @@ def corpus_curation_ds(sf_dir: str, bench_source: str = "src0",
         return out
 
     return keepers.map_batches(with_split, batch_format="pandas")
+
+
+def source_quality_gate_ds(sf_dir: str, min_mean_len_mc: int = 299_000):
+    """Domain-level quality filtering (the RefinedWeb "judge the whole
+    site, not just the page" curation step): aggregate a per-doc signal to
+    the source, drop every document of a source whose MEAN falls below the
+    bar — content farms lose even their few good-looking pages, and a good
+    site keeps an occasional weak page.
+
+    The per-doc signal here is document length (the sf corpus is
+    punctuation-free, so the 0/1/2 quality bucket is uniform across
+    sources; mean length is the discriminating stand-in — "domains of
+    mostly-short pages" is itself a standard RefinedWeb drop rule). The
+    gate machinery is signal-agnostic: per-source mean length in
+    milli-chars ``(1000·Σ n_chars) // n_docs``, keep iff ≥
+    ``min_mean_len_mc``. Returns one row per document:
+    (doc_id, source, n_chars, src_mean_len_mc, keep).
+
+    Scale plan — at crawl scale the source/domain table is itself
+    fact-sized (~250M domains at 10^10 URLs), so the per-source means are
+    NOT broadcast: the docs side joins them back through the generic
+    shuffle ``hash_join`` on the source key (both sides partition; no
+    driver materialization, no small-side assumption). The source agg is
+    algebraic per-batch partials ((source, n, s) rows) summed in one
+    coarse partition pass — only O(sources) slim rows shuffle.
+    """
+    from .agg import partitioned_group_apply
+    from .joins import hash_join
+
+    path = f"{sf_dir}/documents.parquet"
+    docs = _io_read(path, columns=["doc_id", "source", "n_chars"])
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("source", as_index=False).agg(
+            n=("doc_id", "size"), s=("n_chars", "sum"))
+        return g.astype({"n": "int64", "s": "int64"})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("source", as_index=False)[["n", "s"]].sum()
+        g["src_mean_len_mc"] = (1000 * g["s"]) // g["n"]
+        return g[["source", "src_mean_len_mc"]]
+
+    src = partitioned_group_apply(
+        docs.map_batches(partials, batch_format="pandas"),
+        ["source"], finish, num_partitions=32)
+
+    joined = hash_join(docs, src, on=["source"])
+
+    def gate(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["doc_id", "source", "n_chars",
+                     "src_mean_len_mc"]].copy()
+        out["keep"] = (batch["src_mean_len_mc"] >= min_mean_len_mc) \
+            .astype("int64")
+        return out
+
+    return joined.map_batches(gate, batch_format="pandas")

@@ -98,6 +98,7 @@ SQL_CHECKED = [
     "price_var_by_priority", "cohort_retention", "funnel_counts",
     "trade_pagerank", "gopher_quality", "decontaminate", "corpus_curation",
     "scrub_pii", "ngram_containment_pairs", "unigram_surprisal",
+    "source_quality_gate",
 ]
 
 
@@ -237,3 +238,32 @@ def test_corpus_curation_planted_steps(ray_session, tmp_path):
     by_id = got.set_index("doc_id")
     assert int(by_id.loc[2, "n_dups"]) == 2      # the planted dup pair
     assert int(by_id.loc[5, "n_dups"]) == 1
+
+
+def test_source_quality_gate_planted(ray_session, tmp_path):
+    """Whole-site semantics: the short-page farm loses even its long page;
+    the good site keeps even its short page."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crusty_ray.ops.curation import source_quality_gate_ds
+
+    rows = [  # farm: mean (10+10+400)/3 = 140 chars < 299; good: 450 >= 299
+        (0, "farm", 10), (1, "farm", 10), (2, "farm", 400),
+        (3, "good", 800), (4, "good", 100),
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": ["x" * r[2] for r in rows],
+        "lang": ["en"] * len(rows),
+        "source": [r[1] for r in rows],
+        "n_chars": pa.array([r[2] for r in rows], pa.int64()),
+    })
+    d = tmp_path / "gate_fixture"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    got = _to_df(source_quality_gate_ds(str(d))).set_index("doc_id")
+    assert got.loc[2, "keep"] == 0   # farm's long page dropped with the site
+    assert got.loc[4, "keep"] == 1   # good site's short page kept
+    assert got.loc[0, "src_mean_len_mc"] == (1000 * 420) // 3
+    assert got.loc[3, "src_mean_len_mc"] == (1000 * 900) // 2
