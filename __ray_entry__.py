@@ -262,6 +262,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": _approx_distinct_users,
         "label_centroids": similarity.label_centroids_ds,
         "label_centroids_quant": similarity.label_centroids_quant_ds,
+        # outlier pruning: d2 to the label's quantized mean (LAION-style
+        # centroid-distance curation; reuses the centroid partial sums)
+        "embedding_outliers": similarity.embedding_outliers_ds,
         "filter_frequent_tokens": text.filter_frequent_tokens_ds,
         # unigram-LM surprisal quality scoring (CCNet-style, integer-
         # quantized bits so the SQL oracle is bit-exact)
@@ -1144,6 +1147,36 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
             LEFT JOIN ng USING (doc_id)
             LEFT JOIN hits h USING (doc_id)
+        """,
+        "embedding_outliers": """
+            WITH q AS (
+              SELECT vec_id, label,
+                     list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+              FROM embeddings
+            ), ex AS (
+              SELECT vec_id, label, unnest(qe) AS qv,
+                     generate_subscripts(qe, 1) AS dim
+              FROM q
+            ), s AS (
+              SELECT label, dim, sum(qv)::BIGINT AS qsum,
+                     count(*)::BIGINT AS n
+              FROM ex GROUP BY 1, 2
+            ), m AS (
+              -- floor(double quotient): numpy floor_divide FLOORS where
+              -- DuckDB's integer // truncates toward zero; the double
+              -- quotient is exact (|qsum| <= n*2000 << 2^53)
+              SELECT label, dim,
+                     CAST(floor(qsum::DOUBLE / n) AS BIGINT) AS mean_q
+              FROM s
+            ), d AS (
+              SELECT e.vec_id, e.label,
+                     sum((e.qv - m.mean_q) * (e.qv - m.mean_q))::BIGINT AS d2
+              FROM ex e JOIN m USING (label, dim) GROUP BY 1, 2
+            )
+            SELECT vec_id, label::BIGINT AS label, d2,
+                   (d2 > 1000000)::BIGINT AS is_outlier
+            FROM d
         """,
         "source_quality_gate": """
             WITH src AS (

@@ -401,3 +401,75 @@ def label_centroids_quant_ds(sf_dir: str):
                      columns=["embedding", "label"]) \
         .map_batches(partial, batch_format="pandas")
     return partitioned_group_apply(parts, ["label"], reduce_part)
+
+
+def embedding_outliers_ds(sf_dir: str, threshold: int = 1_000_000):
+    """Embedding outlier pruning (the LAION/DataComp "drop vectors far from
+    their cluster centroid" curation step): flag every vector whose squared
+    distance to its LABEL's quantized mean exceeds ``threshold``.
+
+    Integer face (bit-exact across engines): embeddings quantize to
+    ``floor(x·1000)`` (the repo-wide convention); the label mean is the
+    FLOOR-divided component mean of the quantized sums (numpy
+    ``floor_divide``; the oracle writes ``floor(qsum::DOUBLE / n)`` —
+    DuckDB's integer ``//`` truncates toward zero where numpy floors, and
+    the double quotient is exact at these magnitudes since |qsum| ≤ n·2000
+    ≪ 2^53). d2 = Σ(q − mean)² ≤ 64·(4000)² ≈ 1e9 — int64-safe at any
+    corpus size (an n-scaled formulation like Σ(n·q − S)² would overflow
+    at n ~ 1e6).
+
+    Scale plan: reuses ``label_centroids_quant_ds``'s algebraic partial
+    sums (only |labels|·dim slim rows shuffle); the per-label mean vector
+    is packed to BYTES and joined back to the (vec_id, label, packed-q)
+    rows through the generic shuffle ``hash_join`` — the label table is
+    fact-sized at production scale, never broadcast. The d2 pass is one
+    vectorized numpy reduction per batch.
+
+    Returns (vec_id, label, d2, is_outlier).
+    """
+    from .agg import partitioned_group_apply
+    from .joins import hash_join
+
+    def qpack(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "vec_id": df["vec_id"].astype("int64"),
+            "label": df["label"].astype("int64")})
+        out["qv"] = [np.floor(np.asarray(v, np.float64) * 1000.0)
+                     .astype(np.int64).tobytes() for v in df["embedding"]]
+        return out
+
+    qvecs = _io_read(f"{sf_dir}/embeddings.parquet",
+                     columns=["vec_id", "label", "embedding"]) \
+        .map_batches(qpack, batch_format="pandas")
+
+    def pack_mean(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lab, g in df.groupby("label"):
+            g = g.sort_values("dim")
+            mean = np.floor_divide(g["qsum"].to_numpy(np.int64),
+                                   g["n"].to_numpy(np.int64))
+            rows.append((int(lab), mean.astype(np.int64).tobytes()))
+        return pd.DataFrame({
+            "label": pd.Series([r[0] for r in rows], dtype="int64"),
+            "mq": [r[1] for r in rows]})
+
+    means = partitioned_group_apply(label_centroids_quant_ds(sf_dir),
+                                    ["label"], pack_mean)
+
+    joined = hash_join(qvecs, means, on=["label"])
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ["vec_id", "label", "d2",
+                                           "is_outlier"]})
+        q = np.stack([np.frombuffer(b, np.int64) for b in batch["qv"]])
+        m = np.stack([np.frombuffer(b, np.int64) for b in batch["mq"]])
+        d2 = ((q - m) ** 2).sum(axis=1)
+        return pd.DataFrame({
+            "vec_id": batch["vec_id"].astype("int64").to_numpy(),
+            "label": batch["label"].astype("int64").to_numpy(),
+            "d2": d2.astype("int64"),
+            "is_outlier": (d2 > threshold).astype("int64")})
+
+    return joined.map_batches(score, batch_format="pandas")

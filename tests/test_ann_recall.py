@@ -76,3 +76,38 @@ def test_label_centroids_match_numpy(ray_session):
         exp = np.stack(sub["embedding"].to_numpy()).mean(axis=0)
         assert row["n"] == len(sub)
         np.testing.assert_allclose(np.array(row["centroid"]), exp, atol=1e-4)
+
+
+def test_embedding_outliers_negative_mean_floor(ray_session, tmp_path):
+    """Pins the floor-division convention on a NEGATIVE quantized mean:
+    numpy floor_divide floors (-7//2 = -4) where DuckDB's integer //
+    truncates (-3) — the op and its oracle must agree via floor(double)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from crusty_ray.ops.similarity import embedding_outliers_ds
+
+    # label 0: two 2-dim vectors with qsum = (-7, 3) over n=2
+    #   -> floor mean (-4, 1); q rows (-3,2) and (-4,1)
+    #   -> d2: (1)^2+(1)^2 = 2 and 0
+    vecs = [[-0.003, 0.002], [-0.004, 0.001]]
+    pq.write_table(pa.table({
+        "vec_id": pa.array([10, 11], pa.int64()),
+        "label": pa.array([0, 0], pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+    }), str(tmp_path / "embeddings.parquet"))
+    got = embedding_outliers_ds(str(tmp_path), threshold=1) \
+        .to_pandas().set_index("vec_id").sort_index()
+    assert got["d2"].tolist() == [2, 0]
+    assert got["is_outlier"].tolist() == [1, 0]
+
+    import duckdb
+    import __ray_entry__ as e
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/embeddings.parquet')")
+    oracle = con.sql(e.oracle_sql()["embedding_outliers"]
+                     .replace("> 1000000", "> 1")).df() \
+        .set_index("vec_id").sort_index()
+    assert oracle["d2"].tolist() == got["d2"].tolist()
+    assert oracle["is_outlier"].tolist() == got["is_outlier"].tolist()

@@ -98,7 +98,7 @@ SQL_CHECKED = [
     "price_var_by_priority", "cohort_retention", "funnel_counts",
     "trade_pagerank", "gopher_quality", "decontaminate", "corpus_curation",
     "scrub_pii", "ngram_containment_pairs", "unigram_surprisal",
-    "source_quality_gate",
+    "source_quality_gate", "embedding_outliers",
 ]
 
 
