@@ -11,6 +11,8 @@ import numpy as np
 import pandas as pd
 import pyarrow.parquet as pq
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 
 from crusty_ray.ops import dedup
 
@@ -599,3 +601,52 @@ class TestSemDedup:
         assert len(got) == len(ids)
         assert got["keep"].all()
         assert (got["dup_of"] == -1).all()
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(0, 10_000))
+def test_ngram_faces_equal_bruteforce(ray_session, tmp_path_factory, seed):
+    """Both gram-partition faces (jaccard + containment) ≡ a pure-Python
+    all-pairs reference on random small corpora (tiny vocab → dense gram
+    collisions), and containment ≥ jaccard pointwise."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"t{i}" for i in range(8)]
+    n_docs = int(rng.integers(4, 11))
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 13)))
+             for _ in range(n_docs)]
+    sources = [f"s{rng.integers(0, 2)}" for _ in range(n_docs)]
+
+    def grams(t):
+        toks = t.split(" ")
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    gsets = [grams(t) for t in texts]
+    exp_j, exp_c = {}, {}
+    for a in range(n_docs):
+        for b in range(a + 1, n_docs):
+            if sources[a] != sources[b] or not gsets[a] or not gsets[b]:
+                continue
+            shared = len(gsets[a] & gsets[b])
+            if not shared:
+                continue
+            j = (1000 * shared) // (len(gsets[a]) + len(gsets[b]) - shared)
+            c = (1000 * shared) // min(len(gsets[a]), len(gsets[b]))
+            assert c >= j
+            if j >= 500:
+                exp_j[(a, b)] = j
+            if c >= 500:
+                exp_c[(a, b)] = c
+
+    d = tmp_path_factory.mktemp("ngram_prop")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n_docs), pa.int64()),
+        "source": sources, "text": texts}),
+        str(d / "documents.parquet"))
+    got_j = dedup.ngram_jaccard_pairs_ds(str(d)).to_pandas()
+    got_c = dedup.ngram_containment_pairs_ds(str(d)).to_pandas()
+    assert {(a, b): v for a, b, v in got_j.itertuples(index=False)} == exp_j
+    assert {(a, b): v for a, b, v in got_c.itertuples(index=False)} == exp_c

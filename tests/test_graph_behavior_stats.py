@@ -206,6 +206,39 @@ class TestQualitySignals:
         assert s.loc[2].tolist() == [2, 2, 1000]   # (0+2) bits over 2 toks
         assert s.loc[3].tolist() == [0, 0, 0]      # empty doc scores zero
 
+    def test_unigram_surprisal_equals_bruteforce(self, ray_session,
+                                                 tmp_path):
+        # random tiny corpora (3 seeds) vs a pure-Python recomputation —
+        # exercises skewed counts, hapaxes, single-token docs
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from crusty_ray.ops.text import unigram_surprisal_ds
+        from collections import Counter
+
+        for seed in (0, 1, 2):
+            rng = np.random.default_rng(seed)
+            vocab = [f"t{i}" for i in range(6)]
+            texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 9),
+                                         p=[.5, .2, .1, .1, .05, .05]))
+                     for _ in range(8)]
+            d = tmp_path / f"s{seed}"
+            d.mkdir()
+            pq.write_table(pa.table({
+                "doc_id": pa.array(range(8), pa.int64()), "text": texts}),
+                str(d / "documents.parquet"))
+            got = unigram_surprisal_ds(str(d)).to_pandas() \
+                .set_index("doc_id").sort_index()
+            c = Counter(t for txt in texts for t in txt.split(" ") if t)
+            n = sum(c.values())
+            for i, txt in enumerate(texts):
+                toks = [t for t in txt.split(" ") if t]
+                bits = sum((n // c[t]).bit_length() - 1 for t in toks)
+                assert got.loc[i, "n_tokens"] == len(toks)
+                assert got.loc[i, "total_bits"] == bits
+                assert got.loc[i, "mean_millibits"] == \
+                    ((1000 * bits) // len(toks) if toks else 0)
+
 
 class TestDomainPagerank:
     def test_exact_vs_serial_reference(self, ray_session, tmp_path):
