@@ -141,7 +141,9 @@ def bench_queries(sf_dir: str) -> dict:
              "minhash_candidates", "ngram_jaccard_pairs", "ann_bruteforce",
              "ann_quantized", "topk_heavy_hitters", "event_minute_buckets",
              "embedding_quant_dedup", "doc_dedup_groups", "trade_pagerank",
-             "cohort_retention", "corpus_curation", "semdedup"]
+             "cohort_retention", "corpus_curation", "semdedup",
+             "unigram_surprisal", "source_quality_gate",
+             "embedding_outliers"]
     out = {}
     for name in names:
         t0 = time.time()
