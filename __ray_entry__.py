@@ -269,6 +269,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unigram-LM surprisal quality scoring (CCNet-style, integer-
         # quantized bits so the SQL oracle is bit-exact)
         "unigram_surprisal": text.unigram_surprisal_ds,
+        # ExactSubstr repetition signal (Lee et al. 2021): span positions
+        # whose n-gram occurs >= 2 times corpus-wide, per document
+        "duplicated_spans": text.duplicated_spans_ds,
+        # inter-source n-gram overlap matrix (mirror-site detector):
+        # source-pair Jaccard over distinct gram sets
+        "source_overlap_matrix": curation.source_overlap_matrix_ds,
         "pack_token_chunks": _pack_token_chunks,
         # -- crawl-operator analogs (SQL-checked)
         "topk_heavy_hitters": analog.topk_heavy_hitters_ds,
@@ -1216,6 +1222,71 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_millibits
             FROM (SELECT doc_id FROM documents) d
             LEFT JOIN per p USING (doc_id)
+        """,
+        "duplicated_spans": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), ex AS (
+              SELECT doc_id, unnest(t) AS w,
+                     generate_subscripts(t, 1) AS i, len(t) AS nt
+              FROM toks
+            ), g AS (
+              SELECT doc_id,
+                     w || ' ' || lead(w, 1) OVER win || ' '
+                       || lead(w, 2) OVER win || ' '
+                       || lead(w, 3) OVER win || ' '
+                       || lead(w, 4) OVER win AS gram,
+                     i, nt
+              FROM ex WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+            ), pos AS (
+              SELECT doc_id, gram FROM g WHERE i + 4 <= nt
+            ), tot AS (
+              SELECT gram, count(*)::BIGINT AS c FROM pos GROUP BY 1
+            ), per AS (
+              SELECT p.doc_id, count(*)::BIGINT AS n_spans,
+                     sum((t.c >= 2)::BIGINT)::BIGINT AS n_dup
+              FROM pos p JOIN tot t USING (gram) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(per.n_spans, 0)::BIGINT AS n_spans,
+                   coalesce(per.n_dup, 0)::BIGINT AS n_dup_spans,
+                   coalesce((1000 * per.n_dup) // per.n_spans, 0)::BIGINT
+                       AS dup_span_pm
+            FROM (SELECT doc_id FROM documents) d
+            LEFT JOIN per USING (doc_id)
+        """,
+        "source_overlap_matrix": """
+            WITH toks AS (
+              SELECT doc_id, source, string_split(text, ' ') AS t
+              FROM documents
+            ), ex AS (
+              SELECT doc_id, source, unnest(t) AS w,
+                     generate_subscripts(t, 1) AS i, len(t) AS nt
+              FROM toks
+            ), g AS (
+              SELECT doc_id, source,
+                     w || ' ' || lead(w, 1) OVER win || ' '
+                       || lead(w, 2) OVER win AS gram,
+                     i, nt
+              FROM ex WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+            ), sg AS (
+              SELECT DISTINCT source, gram FROM g WHERE i + 2 <= nt
+            ), tot AS (
+              SELECT source, count(*)::BIGINT AS n_grams FROM sg GROUP BY 1
+            ), pairs AS (
+              SELECT a.source AS source_a, b.source AS source_b,
+                     count(*)::BIGINT AS shared
+              FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
+              GROUP BY 1, 2
+            )
+            SELECT p.source_a, p.source_b, p.shared,
+                   (ta.n_grams + tb.n_grams - p.shared)::BIGINT AS union_,
+                   ((1000 * p.shared)
+                    // (ta.n_grams + tb.n_grams - p.shared))::BIGINT
+                       AS jaccard_pm
+            FROM pairs p
+            JOIN tot ta ON ta.source = p.source_a
+            JOIN tot tb ON tb.source = p.source_b
         """,
         "scrub_pii": """
             SELECT doc_id,

@@ -156,3 +156,89 @@ def source_quality_gate_ds(sf_dir: str, min_mean_len_mc: int = 299_000):
         return out
 
     return joined.map_batches(gate, batch_format="pandas")
+
+
+def source_overlap_matrix_ds(sf_dir: str, n: int = 3,
+                             num_partitions: int = 32):
+    """Inter-source n-gram overlap matrix — the mirror-site / re-crawl
+    detector a corpus curation run uses to drop whole duplicated SOURCES
+    before per-document dedup (the RefinedWeb/Dolma "source-level" analog
+    of ``ngram_jaccard_pairs``): for every unordered source pair, how many
+    distinct word n-grams they share, scored as integer per-mille Jaccard
+    over the union of their distinct gram sets.
+
+    Scale plan (pure slim-row shuffles, no doc pair space): distinct
+    (source, gram) rows are pre-deduped IN-BATCH at explode, fully deduped
+    and counted inside ONE coarse gram-hash partition pass — each gram's
+    source list lives in exactly one partition, so the per-gram source-pair
+    contributions (and each source's distinct-gram total) are decided
+    exactly there. Per-pair/per-source partial counts (O(sources²)
+    ≪ corpus) sum in a second slim pass. Sources are a bounded label set
+    (thousands at web scale), so the final matrix is tiny; the gram rows —
+    the fact-sized part — move through exactly one hash partition.
+    A hot gram shared by all S sources contributes S(S-1)/2 pair rows from
+    its single partition: bounded by the label-set size, not the corpus.
+
+    Returns (source_a, source_b, shared, union_, jaccard_pm) for every
+    pair with shared ≥ 1 and source_a < source_b (string order); ``union_``
+    is trailing-underscored because UNION is reserved in SQL.
+    """
+    from .agg import partitioned_group_apply
+
+    path = f"{sf_dir}/documents.parquet"
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        src, gram = [], []
+        for s, t in zip(batch["source"], batch["text"].fillna("")):
+            for g in space_split_ngrams(t, n):
+                src.append(s)
+                gram.append(g)
+        return pd.DataFrame({"source": pd.Series(src, dtype="object"),
+                             "gram": pd.Series(gram, dtype="object")}) \
+            .drop_duplicates()
+
+    grams = _io_read(path, columns=["source", "text"]) \
+        .map_batches(explode, batch_format="pandas")
+
+    def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+        # batches may re-introduce duplicates across docs: final dedup here,
+        # where every (source, gram) row of a gram is co-located
+        df = df.drop_duplicates()
+        m = df.merge(df, on="gram")
+        m = m[m["source_x"] < m["source_y"]]
+        pairs = m.groupby(["source_x", "source_y"], as_index=False) \
+            .agg(shared=("gram", "size"))
+        pairs.columns = ["source_a", "source_b", "shared"]
+        totals = df.groupby("source", as_index=False) \
+            .agg(n_grams=("gram", "size"))
+        # side-channel the per-source totals through the same slim stream
+        totals = pd.DataFrame({
+            "source_a": totals["source"].astype(str),
+            "source_b": pd.Series(["\x00total"] * len(totals),
+                                  dtype="object"),
+            "shared": totals["n_grams"].astype("int64"),
+        })
+        return pd.concat([pairs, totals], ignore_index=True)
+
+    partials = partitioned_group_apply(grams, ["gram"], pair_partials,
+                                       num_partitions)
+
+    def reduce_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["source_a", "source_b"], as_index=False) \
+            .agg(shared=("shared", "sum"))
+
+    summed = partitioned_group_apply(partials, ["source_a", "source_b"],
+                                     reduce_pairs, num_partitions)
+
+    # O(sources²) rows from here on — tiny by contract; finish driver-side
+    sm = summed.to_pandas()
+    tot = sm[sm["source_b"] == "\x00total"] \
+        .set_index("source_a")["shared"]
+    pairs = sm[sm["source_b"] != "\x00total"].copy()
+    na = pairs["source_a"].map(tot).astype("int64")
+    nb = pairs["source_b"].map(tot).astype("int64")
+    union = na + nb - pairs["shared"]
+    pairs["union_"] = union.astype("int64")
+    pairs["jaccard_pm"] = ((1000 * pairs["shared"]) // union).astype("int64")
+    pairs["shared"] = pairs["shared"].astype("int64")
+    return pairs.reset_index(drop=True)

@@ -604,3 +604,105 @@ def unigram_surprisal_ds(sf_dir: str):
 
     return _io_read(path, columns=["doc_id", "text"]) \
         .map_batches(score, batch_format="pandas")
+
+
+def duplicated_spans_ds(sf_dir: str, n: int = 5, num_partitions: int = 32):
+    """Corpus-wide duplicated-span detection — the ExactSubstr signal of
+    Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    Better"), reduced from suffix arrays to fixed-length word n-gram spans
+    so the face stays SQL-checkable: a span POSITION is *duplicated* when
+    its n-gram occurs ≥ 2 times across all positions of all documents
+    (within-doc repeats count, matching ExactSubstr's total-occurrence
+    test, unlike ``decontaminate``'s distinct-gram membership).
+
+    Scale plan (same two-slim-shuffle shape as ``_ngram_pairs_impl``):
+      1. explode: per document, positional grams pre-aggregated IN-BATCH to
+         (doc_id, gram, cnt) — a doc is one input row, so the per-doc count
+         is exact without a shuffle; only slim count rows leave the worker.
+      2. one coarse hash partition on the gram: all occurrences of a gram
+         land in one partition, so "corpus total ≥ 2" is decided exactly
+         there; each partition emits per-doc duplicated-position partials
+         (O(docs-touched) rows, never gram rows).
+      3. per-doc base spans (shuffle-free map) LEFT-join the summed dup
+         partials through the generic ``hash_join`` — both sides fact-sized,
+         nothing broadcast, nothing on the driver.
+    Exact gram strings keep the face bit-exact vs the SQL oracle; at
+    production scale the gram column becomes a 128-bit hash without
+    changing the plan (collisions only ever over-mark duplication, the
+    conservative direction for a removal signal).
+
+    Returns one row per document: (doc_id, n_spans, n_dup_spans,
+    dup_span_pm) with per-mille = (1000 * dup) // spans, 0 for docs
+    shorter than ``n`` tokens — the signal ExactSubstr thresholds to cut
+    memorized boilerplate.
+    """
+    from .agg import partitioned_group_apply
+    from .joins import hash_join
+
+    path = f"{sf_dir}/documents.parquet"
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        doc, gram, cnt = [], [], []
+        for d, t in zip(batch["doc_id"], batch["text"].fillna("")):
+            toks = t.split(" ")
+            if len(toks) < n:
+                continue
+            c: dict[str, int] = {}
+            for i in range(len(toks) - n + 1):
+                g = " ".join(toks[i:i + n])
+                c[g] = c.get(g, 0) + 1
+            for g, k in c.items():
+                doc.append(d)
+                gram.append(g)
+                cnt.append(k)
+        return pd.DataFrame({"doc_id": pd.Series(doc, dtype="int64"),
+                             "gram": pd.Series(gram, dtype="object"),
+                             "cnt": pd.Series(cnt, dtype="int64")})
+
+    grams = _io_read(path, columns=["doc_id", "text"]) \
+        .map_batches(explode, batch_format="pandas")
+
+    def dup_partials(df: pd.DataFrame) -> pd.DataFrame:
+        # corpus-wide total per gram is exact inside this partition
+        tot = df.groupby("gram")["cnt"].transform("sum")
+        hit = df[tot >= 2]
+        if not len(hit):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "n_dup_spans": pd.Series([], dtype="int64")})
+        out = hit.groupby("doc_id", as_index=False)["cnt"].sum()
+        out.columns = ["doc_id", "n_dup_spans"]
+        return out.astype("int64")
+
+    dup1 = partitioned_group_apply(grams, ["gram"], dup_partials,
+                                   num_partitions)
+
+    def dup_sum(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("doc_id", as_index=False)["n_dup_spans"].sum() \
+            .astype("int64")
+
+    dups = partitioned_group_apply(dup1, ["doc_id"], dup_sum, num_partitions)
+
+    def base(batch: pd.DataFrame) -> pd.DataFrame:
+        n_tok = batch["text"].fillna("").str.split(" ").str.len()
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "n_spans": (n_tok - (n - 1)).clip(lower=0).astype("int64"),
+        })
+
+    spans = _io_read(path, columns=["doc_id", "text"]) \
+        .map_batches(base, batch_format="pandas")
+
+    joined = hash_join(spans, dups, on=["doc_id"], how="left",
+                       fill={"n_dup_spans": 0},
+                       num_partitions=num_partitions)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["dup_span_pm"] = np.where(
+            batch["n_spans"] > 0,
+            (1000 * batch["n_dup_spans"])
+            // batch["n_spans"].clip(lower=1),
+            0).astype("int64")
+        return batch
+
+    return joined.map_batches(finish, batch_format="pandas")

@@ -99,6 +99,7 @@ SQL_CHECKED = [
     "trade_pagerank", "gopher_quality", "decontaminate", "corpus_curation",
     "scrub_pii", "ngram_containment_pairs", "unigram_surprisal",
     "source_quality_gate", "embedding_outliers",
+    "duplicated_spans", "source_overlap_matrix",
 ]
 
 
@@ -267,3 +268,89 @@ def test_source_quality_gate_planted(ray_session, tmp_path):
     assert got.loc[4, "keep"] == 1   # good site's short page kept
     assert got.loc[0, "src_mean_len_mc"] == (1000 * 420) // 3
     assert got.loc[3, "src_mean_len_mc"] == (1000 * 900) // 2
+
+def test_duplicated_spans_planted(ray_session, tmp_path):
+    """ExactSubstr semantics on a planted fixture: within-doc repeats count
+    toward duplication (doc 1 repeats its own 5-gram), cross-doc shared
+    spans mark BOTH documents, unique docs score 0, and sub-n docs report
+    zero spans. Checked against the same oracle SQL over the fixture."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from crusty_ray.ops.text import duplicated_spans_ds
+
+    span = "one two three four five"
+    rows = [
+        (1, f"{span} six seven {span}", "srcA"),        # self-repeat
+        (2, f"start {span} end of this document", "srcA"),  # shares w/ 1
+        (3, "totally unique words nowhere else repeated today", "srcB"),
+        (4, "tiny doc", "srcB"),                        # < n tokens
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": [r[1] for r in rows],
+        "lang": ["en"] * len(rows),
+        "source": [r[2] for r in rows],
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })
+    d = tmp_path / "dupspan_fixture"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    got = _norm(_to_df(duplicated_spans_ds(str(d))))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')")
+    oracle = _norm(con.sql(e.oracle_sql()["duplicated_spans"]).df())
+    pd.testing.assert_frame_equal(got, oracle, check_dtype=False,
+                                  check_exact=True)
+    by = got.set_index("doc_id")
+    # doc 1: 12 tokens -> 8 spans; the repeated 5-gram occurs at positions
+    # 0 and 7 (count 2 within-doc) and also in doc 2 -> both positions dup
+    assert int(by.loc[1, "n_spans"]) == 8
+    assert int(by.loc[1, "n_dup_spans"]) == 2
+    assert int(by.loc[2, "n_dup_spans"]) == 1
+    assert int(by.loc[3, "n_dup_spans"]) == 0
+    assert int(by.loc[4, "n_spans"]) == 0 and int(by.loc[4, "dup_span_pm"]) == 0
+
+
+def test_source_overlap_matrix_planted(ray_session, tmp_path):
+    """Mirror-site detection: a verbatim mirror scores 1000 per-mille
+    against its original, a disjoint source shares nothing, and the totals
+    side-channel yields exact unions. Oracle-checked over the fixture."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from crusty_ray.ops.curation import source_overlap_matrix_ds
+
+    a = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, a, "orig"), (2, a, "mirror"),
+        (3, "totally different words in here now", "other"),
+        (4, "alpha beta gamma nothing else shared", "partial"),
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": [r[1] for r in rows],
+        "lang": ["en"] * len(rows),
+        "source": [r[2] for r in rows],
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })
+    d = tmp_path / "overlap_fixture"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    got = _norm(_to_df(source_overlap_matrix_ds(str(d))))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')")
+    oracle = _norm(con.sql(e.oracle_sql()["source_overlap_matrix"]).df())
+    pd.testing.assert_frame_equal(got, oracle, check_dtype=False,
+                                  check_exact=True)
+    key = got.set_index(["source_a", "source_b"])
+    assert int(key.loc[("mirror", "orig"), "jaccard_pm"]) == 1000
+    assert ("orig", "other") not in key.index  # zero-share pairs absent
+    # partial shares exactly the 'alpha beta gamma' 3-gram with orig+mirror
+    assert int(key.loc[("orig", "partial"), "shared"]) == 1
