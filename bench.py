@@ -143,7 +143,8 @@ def bench_queries(sf_dir: str) -> dict:
              "embedding_quant_dedup", "doc_dedup_groups", "trade_pagerank",
              "cohort_retention", "corpus_curation", "semdedup",
              "unigram_surprisal", "source_quality_gate",
-             "embedding_outliers"]
+             "embedding_outliers", "duplicated_spans",
+             "source_overlap_matrix"]
     out = {}
     for name in names:
         t0 = time.time()
