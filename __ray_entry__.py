@@ -238,6 +238,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_bruteforce": similarity.ann_bruteforce_ds,           # rows-only
         "ann_lsh": similarity.ann_lsh_ds,                         # rows-only
         "ann_ivf": similarity.ann_ivf_ds,                         # rows-only
+        # PQ/ADC: m uint8 codes per vector (Jégou et al. 2011) — the
+        # memory-compression scale path; recall pinned in test_ann_recall
+        "ann_pq": similarity.ann_pq_ds,                           # rows-only
         # -- language id (stopword heuristic, profile frozen into the oracle)
         "langid": text.langid_ds,
         "gopher_quality": text.gopher_quality_ds,

@@ -277,6 +277,137 @@ def ann_ivf_ds(sf_dir: str, n_queries: int = 8, k: int = 10,
         _merge_topk(k), batch_format="pandas")
 
 
+# ---------------------------------------------------------------- PQ variant
+
+def _train_pq_codebooks(sf_dir: str, m: int, ks: int, iters: int = 5,
+                        sample: int = 2048) -> np.ndarray:
+    """Deterministic product-quantization codebooks: plain L2 Lloyd rounds
+    per subspace on a bounded head-sample of UNIT-normalized vectors (PQ on
+    the unit sphere makes ADC L2 a monotone proxy for cosine:
+    ||a-b||² = 2 - 2·cos). Same O(sample) train / broadcast-once contract
+    as the IVF coarse quantizer. Returns (m, ks, dim//m)."""
+    import pyarrow.dataset as pads
+    dset = pads.dataset(f"{sf_dir}/embeddings.parquet", format="parquet")
+    X = []
+    need = sample
+    for b in dset.to_batches(columns=["embedding"], batch_size=1024):
+        X.extend(b.column("embedding").to_pylist())
+        need -= b.num_rows
+        if need <= 0:
+            break
+    X = np.asarray(X[:sample], dtype=np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = stable_rng("pq-codebooks", m * 1000 + ks)
+    books = np.empty((m, ks, dsub), dtype=np.float64)
+    for j in range(m):
+        S = X[:, j * dsub:(j + 1) * dsub]
+        C = S[rng.choice(len(S), size=min(ks, len(S)), replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(C)):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[j, :len(C)] = C
+        if len(C) < ks:          # tiny tables: repeat last centroid
+            books[j, len(C):] = C[-1]
+    return books
+
+
+def ann_pq_ds(sf_dir: str, n_queries: int = 8, k: int = 10,
+              m: int = 8, ks: int = 16):
+    """Product-quantization ANN with asymmetric distance computation (ADC,
+    Jégou et al. 2011) — the memory-compression scale path next to
+    ``ann_lsh_ds`` / ``ann_ivf_ds``: each vector is stored as ``m`` uint8
+    codes (here 8 bytes vs 256 bytes of float32 at dim 64), so a 10^10-row
+    index fits in RAM where raw vectors cannot; search never touches the
+    original embeddings after encoding.
+
+    Plan: codebooks train once on an O(sample) head read and broadcast via
+    ``ray.put``; encode is one shuffle-free ``map_batches`` (vectorized
+    per-subspace argmin); search precomputes each query's (m × ks) ADC
+    lookup table in the scorer's ``__init__`` and scores a batch with pure
+    table gathers — no float matmul against data vectors. Approximate
+    cosine = 1 - d²/2 on unit vectors, floored to per-mille like every ANN
+    face. Partial per-batch top-k merges through the same tiny
+    ``groupby(query_id)`` as the brute-force plan. Recall vs brute force is
+    pinned in tests (rows-only face: quantization error is float-ordered).
+    """
+    books = _train_pq_codebooks(sf_dir, m, ks)
+    queries = _load_queries(sf_dir, n_queries)
+    books_ref = ray.put(books)
+    queries_ref = ray.put(queries)
+
+    class PqEncode:
+        def __init__(self):
+            self.books = ray.get(books_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            mat = np.stack(batch["embedding"].to_list()).astype(np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            mm, kk, dsub = self.books.shape
+            codes = np.empty((len(mat), mm), dtype=np.uint8)
+            for j in range(mm):
+                S = mat[:, j * dsub:(j + 1) * dsub]
+                # (B, ks) squared L2 via expansion: avoids the (B, ks, dsub)
+                # broadcast temp at production batch sizes
+                d2 = (S * S).sum(1)[:, None] \
+                    - 2.0 * (S @ self.books[j].T) \
+                    + (self.books[j] ** 2).sum(1)[None, :]
+                codes[:, j] = np.argmin(d2, axis=1)
+            out = batch[["vec_id"]].copy()
+            out["codes"] = list(codes)
+            return out
+
+    class AdcScorer:
+        def __init__(self):
+            books = ray.get(books_ref)
+            q = ray.get(queries_ref)
+            self.qids = q["vec_id"].to_numpy()
+            qm = np.stack(q["embedding"].to_list()).astype(np.float64)
+            qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+            mm, kk, dsub = books.shape
+            # per-query ADC tables: tab[q, j, c] = ||q_sub_j - books[j, c]||²
+            self.tab = np.empty((len(qm), mm, kk), dtype=np.float64)
+            for j in range(mm):
+                Qs = qm[:, j * dsub:(j + 1) * dsub]
+                self.tab[:, j, :] = ((Qs[:, None, :]
+                                      - books[j][None, :, :]) ** 2).sum(2)
+            self.k = k
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids = batch["vec_id"].to_numpy()
+            codes = np.stack(batch["codes"].to_list())          # (B, m)
+            mm = codes.shape[1]
+            d2 = np.zeros((len(self.qids), len(ids)), dtype=np.float64)
+            for j in range(mm):                                  # m gathers
+                d2 += self.tab[:, j, :][:, codes[:, j]]
+            sims = 1.0 - d2 / 2.0
+            kk = min(self.k, sims.shape[1])
+            rows = {"query_id": [], "vec_id": [], "sim_pm": []}
+            for qi, qid in enumerate(self.qids):
+                order = np.lexsort((ids, -sims[qi]))[:kk]
+                rows["query_id"].extend([qid] * len(order))
+                rows["vec_id"].extend(ids[order])
+                rows["sim_pm"].extend(
+                    np.floor(sims[qi][order] * 1000.0).astype(np.int64))
+            return pd.DataFrame(rows)
+
+    ds = _io_read(f"{sf_dir}/embeddings.parquet",
+                  columns=["vec_id", "embedding"])
+    encoded = ds.map_batches(PqEncode(), batch_format="pandas",
+                             batch_size=4096)
+    partial = encoded.map_batches(AdcScorer(), batch_format="pandas",
+                                  batch_size=8192)
+    return partial.groupby("query_id").map_groups(
+        _merge_topk(k), batch_format="pandas")
+
+
 # ---------------------------------------------------------------- SQL-parity face
 
 def ann_quantized_ds(sf_dir: str, n_queries: int = 5, k: int = 10):

@@ -53,6 +53,29 @@ def test_ivf_recall_and_scores(ray_session, brute):
     assert (merged["sim_pm_a"] - merged["sim_pm_b"]).abs().le(1).all()
 
 
+def test_pq_recall_and_determinism(ray_session, brute):
+    """PQ/ADC returns approximate scores (quantization error is the point),
+    so unlike LSH/IVF there is no exact-score agreement to assert; instead:
+    recall floor, self-hit sanity (ADC(q, q) is the per-subspace minimum by
+    construction, so each query's own vector must appear in its top-k —
+    ties with identically-coded cluster mates make exact rank-1 too strict),
+    and run-to-run determinism of the seeded codebooks."""
+    # fine subspaces (dsub=2) for the recall floor: this table's variance is
+    # spread evenly across dims, so coarse 8-dim subspaces quantize harshly
+    # at 500 rows (measured 0.41 @ m=8 vs 0.69 @ m=32); the m=8 default is
+    # the 8-byte/vector production trade, pinned at its own looser floor
+    fine = similarity.ann_pq_ds(SF, n_queries=8, k=10, m=32, ks=16).to_pandas()
+    assert _recall(fine, brute) >= 0.6
+    approx = similarity.ann_pq_ds(SF, n_queries=8, k=10).to_pandas()
+    assert _recall(approx, brute) >= 0.35
+    got = approx.groupby("query_id")["vec_id"].apply(set)
+    assert all(q in got[q] for q in got.index)
+    again = similarity.ann_pq_ds(SF, n_queries=8, k=10).to_pandas()
+    a = approx.sort_values(["query_id", "rnk"]).reset_index(drop=True)
+    b = again.sort_values(["query_id", "rnk"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_ivf_deterministic(ray_session):
     a = similarity.ann_ivf_ds(SF, n_queries=4, k=5).to_pandas() \
         .sort_values(["query_id", "rnk"]).reset_index(drop=True)

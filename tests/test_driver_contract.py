@@ -118,7 +118,8 @@ def test_query_matches_oracle(contract, name):
 ROWS_ONLY = ["approx_distinct_users", "label_centroids",
              "minhash_candidates", "minhash_candidates_capped",
              "minhash_near_dups",
-             "ann_bruteforce", "ann_lsh", "ann_ivf", "embedding_cosine_pairs",
+             "ann_bruteforce", "ann_lsh", "ann_ivf", "ann_pq",
+             "embedding_cosine_pairs",
              "crawl_pages_per_epoch", "crawl_term_breakdown",
              "crawl_stage_gauges", "crawl_db_metrics", "crawl_streaming_log",
              "domain_pagerank", "compression_ratio", "semdedup"]
