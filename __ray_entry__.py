@@ -275,6 +275,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ExactSubstr repetition signal (Lee et al. 2021): span positions
         # whose n-gram occurs >= 2 times corpus-wide, per document
         "duplicated_spans": text.duplicated_spans_ds,
+        # sliding-window LM chunking (fixed windows w/ overlap, md5 faces)
+        "chunk_documents": text.chunk_documents_ds,
         # inter-source n-gram overlap matrix (mirror-site detector):
         # source-pair Jaccard over distinct gram sets
         "source_overlap_matrix": curation.source_overlap_matrix_ds,
@@ -1257,6 +1259,24 @@ def oracle_sql() -> dict[str, str]:
                        AS dup_span_pm
             FROM (SELECT doc_id FROM documents) d
             LEFT JOIN per USING (doc_id)
+        """,
+        "chunk_documents": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t,
+                     len(string_split(text, ' ')) AS nt
+              FROM documents
+            ), ch AS (
+              SELECT doc_id, u.i AS chunk_idx, u.i * 48 AS start_tok,
+                     least(64, nt - u.i * 48)::BIGINT AS n_tokens,
+                     md5(array_to_string(
+                         t[u.i * 48 + 1 : least(u.i * 48 + 64, nt)], ' '))
+                         AS chunk_md5
+              FROM toks, unnest(generate_series(0, (nt - 1) // 48)) AS u(i)
+              WHERE u.i * 48 < nt
+            )
+            SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+                   start_tok::BIGINT AS start_tok, n_tokens, chunk_md5
+            FROM ch
         """,
         "source_overlap_matrix": """
             WITH toks AS (

@@ -712,3 +712,56 @@ def duplicated_spans_ds(sf_dir: str, n: int = 5, num_partitions: int = 32):
         return batch
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+def chunk_documents_ds(sf_dir: str, chunk_size: int = 64, stride: int = 48):
+    """Sliding-window document chunking — the standard LM training-prep
+    step that splits each long document into fixed-size token windows with
+    overlap (chunk_size - stride tokens of context carry across windows, as
+    in GPT-2/BERT-style preprocessing). Distinct from ``pack_token_chunks``
+    (which concatenates WHOLE docs into budget bins): chunking cuts WITHIN
+    a document and is the step that runs before packing when documents
+    exceed the model context.
+
+    Convention (shared with the SQL oracle): single-space token split; a
+    chunk starts at every multiple of ``stride`` strictly below the doc's
+    token count, and spans min(chunk_size, n_tok - start) tokens — the
+    trailing window may be short, and no start is skipped (the simple
+    stride grid; deterministic and engine-independent).
+
+    Scale plan: pure per-row fan-out inside one shuffle-free
+    ``map_batches`` — a doc is one input row, chunks leave as slim
+    (ids + md5) rows; the chunk TEXT itself is hashed, not shipped, so the
+    output is metadata-sized regardless of corpus size (a real export
+    would write chunk text to partitioned storage in the same pass).
+
+    Returns (doc_id, chunk_idx, start_tok, n_tokens, chunk_md5).
+    """
+    path = f"{sf_dir}/documents.parquet"
+
+    def chunk(batch: pd.DataFrame) -> pd.DataFrame:
+        doc, idx, start, ntok, md5s = [], [], [], [], []
+        for d, t in zip(batch["doc_id"], batch["text"].fillna("")):
+            toks = t.split(" ")
+            nt = len(toks)
+            i = 0
+            while i * stride < nt:
+                s = i * stride
+                piece = toks[s:s + chunk_size]
+                doc.append(d)
+                idx.append(i)
+                start.append(s)
+                ntok.append(len(piece))
+                md5s.append(hashlib.md5(
+                    " ".join(piece).encode("utf-8")).hexdigest())
+                i += 1
+        return pd.DataFrame({
+            "doc_id": pd.Series(doc, dtype="int64"),
+            "chunk_idx": pd.Series(idx, dtype="int64"),
+            "start_tok": pd.Series(start, dtype="int64"),
+            "n_tokens": pd.Series(ntok, dtype="int64"),
+            "chunk_md5": pd.Series(md5s, dtype="object"),
+        })
+
+    return _io_read(path, columns=["doc_id", "text"]) \
+        .map_batches(chunk, batch_format="pandas")

@@ -99,7 +99,7 @@ SQL_CHECKED = [
     "trade_pagerank", "gopher_quality", "decontaminate", "corpus_curation",
     "scrub_pii", "ngram_containment_pairs", "unigram_surprisal",
     "source_quality_gate", "embedding_outliers",
-    "duplicated_spans", "source_overlap_matrix",
+    "duplicated_spans", "source_overlap_matrix", "chunk_documents",
 ]
 
 
@@ -355,3 +355,34 @@ def test_source_overlap_matrix_planted(ray_session, tmp_path):
     assert ("orig", "other") not in key.index  # zero-share pairs absent
     # partial shares exactly the 'alpha beta gamma' 3-gram with orig+mirror
     assert int(key.loc[("orig", "partial"), "shared"]) == 1
+
+
+def test_chunk_documents_convention(ray_session, tmp_path):
+    """Pins the stride-grid convention: starts at every multiple of stride
+    below n_tok, trailing window short, overlap = chunk_size - stride, and
+    chunk md5s equal the md5 of the exact token span."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crusty_ray.ops.text import chunk_documents_ds
+
+    words = [f"w{i}" for i in range(100)]
+    t = pa.table({
+        "doc_id": pa.array([7], pa.int64()),
+        "text": [" ".join(words)],
+        "lang": ["en"], "source": ["s"],
+        "n_chars": pa.array([599], pa.int64()),
+    })
+    d = tmp_path / "chunk_fixture"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    got = _to_df(chunk_documents_ds(str(d)))  # defaults 64/48
+    got = got.sort_values("chunk_idx").reset_index(drop=True)
+    assert got["start_tok"].tolist() == [0, 48, 96]
+    assert got["n_tokens"].tolist() == [64, 52, 4]
+    for _, r in got.iterrows():
+        s = int(r["start_tok"])
+        want = hashlib.md5(" ".join(words[s:s + 64]).encode()).hexdigest()
+        assert r["chunk_md5"] == want
