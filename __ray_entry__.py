@@ -277,6 +277,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicated_spans": text.duplicated_spans_ds,
         # sliding-window LM chunking (fixed windows w/ overlap, md5 faces)
         "chunk_documents": text.chunk_documents_ds,
+        # word2phrase collocation scores (integer per-mille PMI statistic)
+        "pmi_collocations": text.pmi_collocations_ds,
         # inter-source n-gram overlap matrix (mirror-site detector):
         # source-pair Jaccard over distinct gram sets
         "source_overlap_matrix": curation.source_overlap_matrix_ds,
@@ -1259,6 +1261,36 @@ def oracle_sql() -> dict[str, str]:
                        AS dup_span_pm
             FROM (SELECT doc_id FROM documents) d
             LEFT JOIN per USING (doc_id)
+        """,
+        "pmi_collocations": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), ex AS (
+              SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i
+              FROM toks
+            ), tk AS (
+              SELECT doc_id, w,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+              FROM ex WHERE w <> ''
+            ), bg AS (
+              SELECT a.w AS w1, b.w AS w2
+              FROM tk a JOIN tk b
+                ON a.doc_id = b.doc_id AND b.j = a.j + 1
+            ), cab AS (
+              SELECT w1, w2, count(*)::BIGINT AS c_ab
+              FROM bg GROUP BY 1, 2 HAVING count(*) >= 5
+            ), cw AS (
+              SELECT w, count(*)::BIGINT AS c FROM tk GROUP BY 1
+            ), tot AS (
+              SELECT count(*)::BIGINT AS n FROM tk
+            )
+            SELECT cab.w1, cab.w2, cab.c_ab,
+                   ((1000 * (cab.c_ab - 1) * t.n)
+                    // (a.c * b.c))::BIGINT AS score_pm
+            FROM cab
+            CROSS JOIN tot t
+            JOIN cw a ON a.w = cab.w1
+            JOIN cw b ON b.w = cab.w2
         """,
         "chunk_documents": """
             WITH toks AS (

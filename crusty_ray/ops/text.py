@@ -765,3 +765,90 @@ def chunk_documents_ds(sf_dir: str, chunk_size: int = 64, stride: int = 48):
 
     return _io_read(path, columns=["doc_id", "text"]) \
         .map_batches(chunk, batch_format="pandas")
+
+
+def pmi_collocations_ds(sf_dir: str, min_count: int = 5,
+                        num_partitions: int = 32):
+    """PMI collocation mining — the word2phrase step (Mikolov et al. 2013)
+    that scores adjacent word pairs for phrase-hood so a tokenizer can merge
+    "new york"-style bigrams before training. Score is the word2phrase
+    statistic in exact integer per-mille so the face is bit-exact across
+    engines: ``score_pm = (1000 * (c_ab - 1) * N) // (c_a * c_b)`` with
+    ``N`` total token occurrences (the -1 is word2phrase's discount
+    ``delta``; independent words score ≈ 1000·N/B ≈ 1000, true collocations
+    score far above). Emits ALL bigrams with ``c_ab ≥ min_count`` —
+    thresholding is the caller's cut, the report is the artifact.
+
+    Scale plan (mirrors ``unigram_surprisal``): one map pass emits per-batch
+    pre-aggregated adjacent-bigram counts (slim (w1, w2, cnt) rows — a doc
+    is one input row, so adjacency never crosses batches); one coarse
+    partition sums them; the O(vocab) unigram count table and scalar N
+    collect once to the driver (documented small-side bound, the same
+    contract as the surprisal/stopword broadcasts) and score the bigram
+    stream shuffle-free via ``ray.put``. Numerator bound: int64-safe while
+    ``1000 · c_ab · N < 2^63`` (N < ~3·10^6 at uniform counts); beyond that
+    the kernel switches to Python-int object math like
+    ``stats.grouped_int_variance`` — the plan shape is unchanged.
+
+    Returns (w1, w2, c_ab, score_pm), tokens under the corpus-wide
+    single-space split convention with empties dropped.
+    """
+    import ray as _ray
+
+    from .agg import grouped_count, partitioned_group_apply
+
+    path = f"{sf_dir}/documents.parquet"
+
+    def bigrams(batch: pd.DataFrame) -> pd.DataFrame:
+        w1, w2 = [], []
+        for t in batch["text"].fillna(""):
+            toks = [w for w in t.split(" ") if w != ""]
+            w1.extend(toks[:-1])
+            w2.extend(toks[1:])
+        df = pd.DataFrame({"w1": pd.Series(w1, dtype="object"),
+                           "w2": pd.Series(w2, dtype="object")})
+        out = df.groupby(["w1", "w2"], as_index=False).size() \
+                .rename(columns={"size": "cnt"})
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    def sum_bigrams(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["w1", "w2"], as_index=False)["cnt"].sum()
+        out["cnt"] = out["cnt"].astype("int64")
+        return out[out["cnt"] >= min_count]
+
+    big = partitioned_group_apply(
+        _io_read(path, columns=["text"])
+        .map_batches(bigrams, batch_format="pandas"),
+        ["w1", "w2"], sum_bigrams, num_partitions)
+
+    def unigrams(batch: pd.DataFrame) -> pd.DataFrame:
+        w = batch["text"].fillna("").str.split(" ").explode()
+        w = w[w != ""].dropna()
+        return pd.DataFrame({"w": w.astype(str)})
+
+    uni = grouped_count(
+        _io_read(path, columns=["text"])
+        .map_batches(unigrams, batch_format="pandas"),
+        ["w"], "cnt").to_pandas()                       # O(vocab)
+    n_total = int(uni["cnt"].sum())
+    counts = pd.Series(uni["cnt"].to_numpy("int64"),
+                       index=uni["w"].to_numpy())
+    uni_ref = _ray.put(counts)
+
+    def score(batch: pd.DataFrame, _cache={}) -> pd.DataFrame:
+        if "u" not in _cache:  # one object-store fetch per worker process
+            _cache["u"] = _ray.get(uni_ref)
+        u = _cache["u"]
+        ca = batch["w1"].map(u).to_numpy("int64")
+        cb = batch["w2"].map(u).to_numpy("int64")
+        cab = batch["cnt"].to_numpy("int64")
+        score_pm = (1000 * (cab - 1) * n_total) // (ca * cb)
+        return pd.DataFrame({
+            "w1": batch["w1"].to_numpy(),
+            "w2": batch["w2"].to_numpy(),
+            "c_ab": cab,
+            "score_pm": pd.Series(score_pm, dtype="int64"),
+        })
+
+    return big.map_batches(score, batch_format="pandas")

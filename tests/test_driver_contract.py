@@ -100,6 +100,7 @@ SQL_CHECKED = [
     "scrub_pii", "ngram_containment_pairs", "unigram_surprisal",
     "source_quality_gate", "embedding_outliers",
     "duplicated_spans", "source_overlap_matrix", "chunk_documents",
+    "pmi_collocations",
 ]
 
 
@@ -386,3 +387,42 @@ def test_chunk_documents_convention(ray_session, tmp_path):
         s = int(r["start_tok"])
         want = hashlib.md5(" ".join(words[s:s + 64]).encode()).hexdigest()
         assert r["chunk_md5"] == want
+
+
+def test_pmi_collocations_planted(ray_session, tmp_path):
+    """A planted collocation ("new york" always adjacent) must score far
+    above independent filler pairs; oracle-checked over the fixture."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from crusty_ray.ops.text import pmi_collocations_ds
+
+    # per-doc-unique filler: filler bigrams stay under min_count and drop,
+    # while "new york" is adjacent in every doc (a constant-sequence filler
+    # would itself be a perfect collocation and tie the planted pair)
+    rows = [(i, f"new york f{i}a f{i}b f{i}c new york f{i}d f{i}e", "s")
+            for i in range(5)]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": [r[1] for r in rows],
+        "lang": ["en"] * len(rows),
+        "source": [r[2] for r in rows],
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })
+    d = tmp_path / "pmi_fixture"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    got = _norm(_to_df(pmi_collocations_ds(str(d))))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')")
+    oracle = _norm(con.sql(e.oracle_sql()["pmi_collocations"]).df())
+    pd.testing.assert_frame_equal(got, oracle, check_dtype=False,
+                                  check_exact=True)
+    # only the planted pair survives min_count; its score is the perfect-
+    # collocation statistic 1000*(c_ab-1)*N/(c_a*c_b) = 1000*9*45/100
+    assert got[["w1", "w2"]].values.tolist() == [["new", "york"]]
+    assert int(got["c_ab"].iloc[0]) == 10
+    assert int(got["score_pm"].iloc[0]) == (1000 * 9 * 45) // (10 * 10)
