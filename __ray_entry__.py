@@ -279,6 +279,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": text.chunk_documents_ds,
         # word2phrase collocation scores (integer per-mille PMI statistic)
         "pmi_collocations": text.pmi_collocations_ds,
+        # inverted-index build (token -> ordered posting list, md5 faces)
+        "inverted_index": text.inverted_index_ds,
         # inter-source n-gram overlap matrix (mirror-site detector):
         # source-pair Jaccard over distinct gram sets
         "source_overlap_matrix": curation.source_overlap_matrix_ds,
@@ -1261,6 +1263,18 @@ def oracle_sql() -> dict[str, str]:
                        AS dup_span_pm
             FROM (SELECT doc_id FROM documents) d
             LEFT JOIN per USING (doc_id)
+        """,
+        "inverted_index": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents
+            ), tk AS (
+              SELECT DISTINCT doc_id, token FROM toks WHERE token <> ''
+            )
+            SELECT token, count(*)::BIGINT AS df,
+                   md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id))
+                       AS posting_md5
+            FROM tk GROUP BY 1
         """,
         "pmi_collocations": """
             WITH toks AS (

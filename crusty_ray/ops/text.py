@@ -852,3 +852,60 @@ def pmi_collocations_ds(sf_dir: str, min_count: int = 5,
         })
 
     return big.map_batches(score, batch_format="pandas")
+
+
+def inverted_index_ds(sf_dir: str, max_df: int | None = None,
+                      num_partitions: int = 32):
+    """Distributed inverted-index construction — the search-index artifact
+    (token → ordered posting list of doc_ids) a retrieval stack builds over
+    the corpus; emitted as slim verification faces (df + md5 of the
+    comma-joined ordered posting list) so the oracle stays hash-checkable
+    without shipping the lists themselves.
+
+    Scale plan: per-batch (doc_id, token) dedup shrinks the shuffle to the
+    distinct pairs each block sees (same two-level shape as
+    ``grouped_count_distinct``); ONE coarse token-hash partition then holds
+    every posting of a token, so the ordered list, its length, and its md5
+    are decided exactly there. A stop-token's posting list is O(corpus) in
+    one task — the ``max_df`` cap drops tokens whose df exceeds it (decided
+    exactly in-partition, the ``filter_frequent_tokens`` contract); the
+    default ``None`` is the bit-exact oracle face for bounded-vocab tables.
+
+    Returns (token, df, posting_md5), posting = ','.join(sorted doc_ids).
+    """
+    from .agg import partitioned_group_apply
+
+    path = f"{sf_dir}/documents.parquet"
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        w = batch.set_index("doc_id")["text"].fillna("").str.split(" ") \
+            .explode()
+        w = w[w != ""].dropna()
+        out = pd.DataFrame({"doc_id": w.index.to_numpy("int64"),
+                            "token": w.to_numpy()})
+        return out.drop_duplicates()
+
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()          # cross-batch dups end here
+        if max_df is not None:
+            dfc = df.groupby("token")["doc_id"].transform("size")
+            df = df[dfc <= max_df]
+        if not len(df):
+            return pd.DataFrame({"token": pd.Series([], dtype="object"),
+                                 "df": pd.Series([], dtype="int64"),
+                                 "posting_md5": pd.Series([], dtype="object")})
+        df = df.sort_values(["token", "doc_id"])
+        g = df.groupby("token")["doc_id"]
+        out = pd.DataFrame({
+            "token": g.size().index.to_numpy(),
+            "df": g.size().to_numpy("int64"),
+            "posting_md5": [
+                hashlib.md5(",".join(map(str, ids)).encode()).hexdigest()
+                for ids in g.apply(list)],
+        })
+        return out
+
+    return partitioned_group_apply(
+        _io_read(path, columns=["doc_id", "text"])
+        .map_batches(pairs, batch_format="pandas"),
+        ["token"], build, num_partitions)

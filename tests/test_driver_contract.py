@@ -100,7 +100,7 @@ SQL_CHECKED = [
     "scrub_pii", "ngram_containment_pairs", "unigram_surprisal",
     "source_quality_gate", "embedding_outliers",
     "duplicated_spans", "source_overlap_matrix", "chunk_documents",
-    "pmi_collocations",
+    "pmi_collocations", "inverted_index",
 ]
 
 
@@ -426,3 +426,36 @@ def test_pmi_collocations_planted(ray_session, tmp_path):
     assert got[["w1", "w2"]].values.tolist() == [["new", "york"]]
     assert int(got["c_ab"].iloc[0]) == 10
     assert int(got["score_pm"].iloc[0]) == (1000 * 9 * 45) // (10 * 10)
+
+
+def test_inverted_index_max_df_cap(ray_session, tmp_path):
+    """The stop-token cap drops exactly the tokens whose exact corpus df
+    exceeds max_df; surviving posting lists are unchanged (byte-identical
+    md5 vs the uncapped run)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crusty_ray.ops.text import inverted_index_ds
+
+    rows = [(i, "common " + (f"rare{i} " if i % 2 else "") + "semi", "s")
+            for i in range(6)]  # common: df 6, semi: df 6, rare*: df 1
+    rows.append((6, "semi only here", "s"))  # semi df 7, only/here df 1
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": [r[1] for r in rows],
+        "lang": ["en"] * len(rows),
+        "source": [r[2] for r in rows],
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })
+    d = tmp_path / "invidx_fixture"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    full = _to_df(inverted_index_ds(str(d))).set_index("token")
+    capped = _to_df(inverted_index_ds(str(d), max_df=6)).set_index("token")
+    assert int(full.loc["semi", "df"]) == 7
+    assert "semi" not in capped.index          # df 7 > cap
+    assert "common" in capped.index            # df 6 == cap stays
+    surviving = capped.index
+    pd.testing.assert_frame_equal(capped.sort_index(),
+                                  full.loc[surviving].sort_index())
