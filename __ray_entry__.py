@@ -281,6 +281,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_collocations": text.pmi_collocations_ds,
         # inverted-index build (token -> ordered posting list, md5 faces)
         "inverted_index": text.inverted_index_ds,
+        # BM25 ranking vs a fixed term query (exact integer quantization)
+        "bm25_scores": text.bm25_scores_ds,
         # inter-source n-gram overlap matrix (mirror-site detector):
         # source-pair Jaccard over distinct gram sets
         "source_overlap_matrix": curation.source_overlap_matrix_ds,
@@ -1263,6 +1265,47 @@ def oracle_sql() -> dict[str, str]:
                        AS dup_span_pm
             FROM (SELECT doc_id FROM documents) d
             LEFT JOIN per USING (doc_id)
+        """,
+        "bm25_scores": """
+            WITH base AS (
+              SELECT doc_id,
+                     len(list_filter(string_split(text, ' '),
+                                     w -> w <> ''))::BIGINT AS dl
+              FROM documents
+            ), ex AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents
+            ), hits AS (
+              SELECT doc_id, term FROM ex
+              WHERE term IN ('dup', 'table', 'scan')
+            ), tot AS (
+              SELECT count(*)::BIGINT AS n_docs,
+                     (SELECT count(*) FROM ex WHERE term <> '')::BIGINT
+                         AS n_tok
+              FROM base
+            ), dfs AS (
+              SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+              FROM hits GROUP BY 1
+            ), tfs AS (
+              SELECT doc_id, term, count(*)::BIGINT AS tf
+              FROM hits GROUP BY 1, 2
+            ), scored AS (
+              SELECT f.doc_id,
+                     sum(
+                       ((length(bin(t2.n_docs // d.df)) - 1)
+                        * (1000 * f.tf * 2200))
+                       // (1000 * f.tf
+                           + ((1200 * (250
+                               + (750 * ((1000 * b.dl * t2.n_docs)
+                                         // t2.n_tok)) // 1000)) // 1000))
+                     )::BIGINT AS score_mb
+              FROM tfs f
+              JOIN dfs d USING (term)
+              JOIN base b USING (doc_id)
+              CROSS JOIN tot t2
+              GROUP BY 1
+            )
+            SELECT doc_id, score_mb FROM scored
         """,
         "inverted_index": """
             WITH toks AS (

@@ -909,3 +909,71 @@ def inverted_index_ds(sf_dir: str, max_df: int | None = None,
         _io_read(path, columns=["doc_id", "text"])
         .map_batches(pairs, batch_format="pandas"),
         ["token"], build, num_partitions)
+
+
+def bm25_scores_ds(sf_dir: str, query_terms: tuple[str, ...] =
+                   ("dup", "table", "scan"), num_partitions: int = 32):
+    """BM25 retrieval scoring against a fixed term query — the ranking half
+    of the search stack next to ``inverted_index_ds``, in EXACT integer
+    arithmetic so the face is bit-exact across engines (classic BM25 with
+    k1 = 1.2, b = 0.75 carried as per-mille integers; IDF quantized to bits
+    via the same ``bit_length`` trick as ``unigram_surprisal``).
+
+    Per term t and doc d (all integer, division order is the contract):
+      idf_bits = (N // df_t).bit_length() - 1        # N docs, df docs w/ t
+      L_pm     = (1000 * dl * N) // total_tokens     # dl/avgdl per-mille
+      k1fac    = (1200 * (250 + (750 * L_pm) // 1000)) // 1000   # per-mille
+      contrib  = (idf_bits * (1000 * tf * 2200)) // (1000 * tf + k1fac)
+    score_mb = Σ contrib over query terms with tf > 0; docs matching no
+    term are omitted (the retrieval contract).
+
+    Scale plan: corpus stats (N, total token occurrences, per-term df for
+    the ≤|query| terms) reduce from per-batch partials — O(|query|) rows to
+    the driver; scoring is then ONE shuffle-free ``map_batches`` with the
+    tiny stats broadcast in the task closure. No join, no shuffle: BM25
+    against a fixed query is embarrassingly parallel once df is known.
+    """
+    path = f"{sf_dir}/documents.parquet"
+    terms = list(query_terms)
+
+    def stat_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = [
+            [w for w in t.split(" ") if w != ""]
+            for t in batch["text"].fillna("")]
+        n_docs = len(toks)
+        n_tok = sum(len(t) for t in toks)
+        dfs = [sum(1 for t in toks if term in t) for term in terms]
+        return pd.DataFrame({"n_docs": [n_docs], "n_tok": [n_tok],
+                             **{f"df_{i}": [d] for i, d in enumerate(dfs)}})
+
+    stats = _io_read(path, columns=["text"]) \
+        .map_batches(stat_partials, batch_format="pandas").to_pandas().sum()
+    n_docs, n_tok = int(stats["n_docs"]), int(stats["n_tok"])
+    idf_bits = [
+        (n_docs // int(stats[f"df_{i}"])).bit_length() - 1
+        if int(stats[f"df_{i}"]) else 0
+        for i in range(len(terms))]
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, scores = [], []
+        for d, t in zip(batch["doc_id"], batch["text"].fillna("")):
+            toks = [w for w in t.split(" ") if w != ""]
+            dl = len(toks)
+            s = 0
+            hit = False
+            l_pm = (1000 * dl * n_docs) // n_tok if n_tok else 0
+            k1fac = (1200 * (250 + (750 * l_pm) // 1000)) // 1000
+            for i, term in enumerate(terms):
+                tf = toks.count(term)
+                if tf:
+                    hit = True
+                    s += (idf_bits[i] * (1000 * tf * 2200)) \
+                        // (1000 * tf + k1fac)
+            if hit:
+                doc_ids.append(d)
+                scores.append(s)
+        return pd.DataFrame({"doc_id": pd.Series(doc_ids, dtype="int64"),
+                             "score_mb": pd.Series(scores, dtype="int64")})
+
+    return _io_read(path, columns=["doc_id", "text"]) \
+        .map_batches(score, batch_format="pandas")

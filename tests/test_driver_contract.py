@@ -100,7 +100,7 @@ SQL_CHECKED = [
     "scrub_pii", "ngram_containment_pairs", "unigram_surprisal",
     "source_quality_gate", "embedding_outliers",
     "duplicated_spans", "source_overlap_matrix", "chunk_documents",
-    "pmi_collocations", "inverted_index",
+    "pmi_collocations", "inverted_index", "bm25_scores",
 ]
 
 
@@ -459,3 +459,37 @@ def test_inverted_index_max_df_cap(ray_session, tmp_path):
     surviving = capped.index
     pd.testing.assert_frame_equal(capped.sort_index(),
                                   full.loc[surviving].sort_index())
+
+
+def test_bm25_ranking_semantics(ray_session, tmp_path):
+    """BM25 sanity on a planted corpus: a doc matching the RARE query term
+    outscores docs matching only the ubiquitous one, repetition raises tf
+    saturatingly, and non-matching docs are omitted."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crusty_ray.ops.text import bm25_scores_ds
+
+    filler = " ".join(["x"] * 20)
+    rows = [
+        (0, f"needle {filler}", "s"),             # rare hit
+        (1, f"needle needle {filler}", "s"),      # rare hit, higher tf
+        (2, f"common {filler}", "s"),             # ubiquitous-only hit
+        (3, filler, "s"),                         # no hit -> omitted
+    ] + [(i, f"common {filler}", "s") for i in range(4, 16)]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": [r[1] for r in rows],
+        "lang": ["en"] * len(rows),
+        "source": [r[2] for r in rows],
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })
+    d = tmp_path / "bm25_fixture"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    got = _to_df(bm25_scores_ds(str(d), query_terms=("needle", "common"))) \
+        .set_index("doc_id")
+    assert 3 not in got.index                       # no query term -> absent
+    assert int(got.loc[1, "score_mb"]) > int(got.loc[0, "score_mb"])  # tf
+    assert int(got.loc[0, "score_mb"]) > int(got.loc[2, "score_mb"])  # idf
