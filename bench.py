@@ -144,7 +144,8 @@ def bench_queries(sf_dir: str) -> dict:
              "cohort_retention", "corpus_curation", "semdedup",
              "unigram_surprisal", "source_quality_gate",
              "embedding_outliers", "duplicated_spans",
-             "source_overlap_matrix"]
+             "source_overlap_matrix", "chunk_documents", "pmi_collocations",
+             "inverted_index", "bm25_scores"]
     out = {}
     for name in names:
         t0 = time.time()
