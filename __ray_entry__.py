@@ -92,6 +92,11 @@ def _pack_token_chunks(sf_dir: str):
     return pack_token_chunks_ds(sf_dir)
 
 
+def _data_mixture(sf_dir: str):
+    from crusty_ray.ops.pack import data_mixture_ds
+    return data_mixture_ds(sf_dir)
+
+
 def _image_train_shards(sf_dir: str):
     # byte-budget shard summary over the crawl's image table (the export
     # write itself is exercised in tests/test_export_shards.py)
@@ -287,6 +292,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # source-pair Jaccard over distinct gram sets
         "source_overlap_matrix": curation.source_overlap_matrix_ds,
         "pack_token_chunks": _pack_token_chunks,
+        # GPT-3/Pile-style mixture construction: per-source token budgets
+        # (weight ramp), docs admitted in id order by exclusive prefix sum
+        "data_mixture": _data_mixture,
         # -- crawl-operator analogs (SQL-checked)
         "topk_heavy_hitters": analog.topk_heavy_hitters_ds,
         "per_group_budget": analog.per_group_budget_ds,
@@ -970,6 +978,28 @@ def oracle_sql() -> dict[str, str]:
                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                         0) // 512 AS BIGINT) AS chunk_id
             FROM t
+        """,
+        "data_mixture": """
+            WITH t AS (
+              SELECT doc_id, source,
+                     CAST(len(string_split(trim(text, ' '), ' ')) AS BIGINT)
+                         AS n_tokens
+              FROM documents),
+            tot AS (
+              SELECT CAST(SUM(n_tokens) * 500 // 1000 AS BIGINT) AS b
+              FROM t),
+            w AS (
+              SELECT doc_id, source, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+                              ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                         AS cum_before
+              FROM t)
+            SELECT w.doc_id, w.source, w.n_tokens, w.cum_before,
+                   CAST(w.cum_before <
+                        (25 * (CAST(substr(w.source, 4) AS BIGINT) + 1))
+                        * tot.b // 1000 AS BIGINT) AS keep
+            FROM w CROSS JOIN tot
         """,
         "filter_frequent_tokens": """
             WITH tok AS (

@@ -270,3 +270,68 @@ def aspect_bucket_batches(images_path: str, batch_rows: int = 16,
             .astype({"aspect_bucket_pm": "int64", "batch_id": "int64"})
 
     return packed.map_batches(tidy, batch_format="pandas")
+
+
+def data_mixture_ds(sf_dir: str, budget_pm_of_corpus: int = 500,
+                    bucket_width: int = 64, num_partitions: int = 32):
+    """Training-data MIXTURE construction — the GPT-3/Pile "sample each
+    source with its own weight until its token budget is hit" step
+    (Brown et al. 2020 §2.2's per-dataset sampling weights), made
+    deterministic: per source, documents are admitted in doc_id order while
+    the source's EXCLUSIVE token prefix sum stays below its budget.
+
+    Budgets: ``budget_src = weight_pm(src) · B // 1000`` where
+    ``B = total_corpus_tokens · budget_pm_of_corpus // 1000`` and
+    ``weight_pm(srcI) = 25 · (I + 1)`` (the same up-weighting ramp as
+    ``sample.sample_stratified_ds``, but in token space — weights need not
+    sum to 1000; they are independent per-source token allowances).
+
+    Scale plan: token counts are slim per-doc rows; ``B`` is one
+    distributed sum (O(1) driver state); the per-source exclusive prefix
+    sum is ``ordered_pack(group_cols=["source"], budget=1)`` — the
+    distributed two-phase scan, no serial pass, no driver materialization.
+    The admit decision is then a pure vectorized comparison. Returns every
+    doc's verdict (doc_id, source, n_tokens, cum_before, keep) so the face
+    is LEFT-complete — downstream consumes ``keep = 1`` rows.
+
+    Token convention = ``pack_token_chunks_ds`` (len of split of
+    trim-by-space), so the DuckDB window-function oracle hashes
+    identically.
+    """
+    docs = read_table(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def tokens(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "source": batch["source"].astype(str),
+            "n_tokens": batch["text"].fillna("").str.strip(" ")
+            .str.split(" ").map(len).astype("int64"),
+        })
+
+    # Materialized ONCE: the expensive text tokenization runs a single time;
+    # what persists is the slim fixed-width projection (3 columns, O(docs)
+    # rows — a standard shuffle-input footprint, spillable), consumed by the
+    # total-sum and both ordered_pack phases below.
+    slim = docs.map_batches(tokens, batch_format="pandas").materialize()
+    total = int(slim.sum("n_tokens"))
+    corpus_budget = total * budget_pm_of_corpus // 1000
+
+    scanned = ordered_pack(slim, "doc_id", "n_tokens", budget=1,
+                           bucket_width=bucket_width,
+                           out_col="cum_before",
+                           num_partitions=num_partitions,
+                           group_cols=["source"])
+
+    def admit(batch: pd.DataFrame) -> pd.DataFrame:
+        # weight_pm = 25·(index+1), parsed from the 'srcN' name — integer
+        # math end-to-end so the SQL face is bit-exact.
+        idx = batch["source"].str.slice(3).astype("int64")
+        budget_src = (25 * (idx + 1)) * corpus_budget // 1000
+        keep = (batch["cum_before"].to_numpy(dtype=np.int64)
+                < budget_src.to_numpy(dtype=np.int64)).astype("int64")
+        out = batch[["doc_id", "source", "n_tokens", "cum_before"]].copy()
+        out["keep"] = keep
+        return out.astype({"doc_id": "int64", "n_tokens": "int64",
+                           "cum_before": "int64"})
+
+    return scanned.map_batches(admit, batch_format="pandas")

@@ -101,6 +101,7 @@ SQL_CHECKED = [
     "source_quality_gate", "embedding_outliers",
     "duplicated_spans", "source_overlap_matrix", "chunk_documents",
     "pmi_collocations", "inverted_index", "bm25_scores",
+    "data_mixture",
 ]
 
 

@@ -135,3 +135,27 @@ class TestAspectBucketBatches:
         for (bkt, bid), sz in sizes.items():
             last = out.loc[out["aspect_bucket_pm"] == bkt, "batch_id"].max()
             assert sz == 8 or bid == last, (bkt, bid, sz)
+
+
+class TestDataMixture:
+    def test_keep_is_a_doc_id_prefix_per_source(self, ray_session):
+        """Within each source, admitted docs are exactly the doc_id-ordered
+        prefix whose exclusive token prefix sum is under the source budget —
+        so keeps never have holes, and cum_before is the serial cumsum."""
+        from crusty_ray.ops.pack import data_mixture_ds
+        out = data_mixture_ds("/root/testdata/sf0.001").to_pandas()
+        assert set(out.columns) == {"doc_id", "source", "n_tokens",
+                                    "cum_before", "keep"}
+        for src, g in out.groupby("source"):
+            g = g.sort_values("doc_id").reset_index(drop=True)
+            # cum_before is the exclusive serial cumsum of n_tokens
+            expect = g["n_tokens"].cumsum().shift(fill_value=0)
+            assert (g["cum_before"] == expect).all(), src
+            # keeps form a prefix (monotone non-increasing flag sequence)
+            k = g["keep"].to_numpy()
+            assert (np.diff(k) <= 0).all(), src
+        # a deterministic mixture: re-running yields identical verdicts
+        again = data_mixture_ds("/root/testdata/sf0.001").to_pandas()
+        pd.testing.assert_frame_equal(
+            out.sort_values(["source", "doc_id"]).reset_index(drop=True),
+            again.sort_values(["source", "doc_id"]).reset_index(drop=True))
