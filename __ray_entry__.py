@@ -288,6 +288,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": text.inverted_index_ds,
         # BM25 ranking vs a fixed term query (exact integer quantization)
         "bm25_scores": text.bm25_scores_ds,
+        # DSIR importance weights (hashed n-gram log-likelihood ratio vs a
+        # target source, integer-quantized bits)
+        "dsir_weights": text.dsir_weights_ds,
         # inter-source n-gram overlap matrix (mirror-site detector):
         # source-pair Jaccard over distinct gram sets
         "source_overlap_matrix": curation.source_overlap_matrix_ds,
@@ -1336,6 +1339,51 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1
             )
             SELECT doc_id, score_mb FROM scored
+        """,
+        "dsir_weights": """
+            WITH toks AS (
+              SELECT doc_id, source, string_split(text, ' ') AS t
+              FROM documents
+            ), ex AS (
+              SELECT doc_id, source, unnest(t) AS w,
+                     generate_subscripts(t, 1) AS i
+              FROM toks
+            ), tk AS (
+              SELECT doc_id, source, w,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+              FROM ex WHERE w <> ''
+            ), feats AS (
+              SELECT doc_id, source, w AS f FROM tk
+              UNION ALL
+              SELECT a.doc_id, a.source, a.w || ' ' || b.w
+              FROM tk a JOIN tk b
+                ON a.doc_id = b.doc_id AND b.j = a.j + 1
+            ), fb AS (
+              SELECT doc_id, source,
+                     ('0x' || substr(md5(f), 1, 8))::BIGINT % 1024 AS b
+              FROM feats
+            ), cnt AS (
+              SELECT b,
+                     sum((source = 'src0')::BIGINT)::BIGINT AS ct,
+                     sum((source <> 'src0')::BIGINT)::BIGINT AS cr
+              FROM fb GROUP BY 1
+            ), tot AS (
+              SELECT sum(ct)::BIGINT AS nt, sum(cr)::BIGINT AS nr FROM cnt
+            ), lam AS (
+              SELECT c.b,
+                     (length(bin((c.ct + 1) * (t.nr + 1024)))
+                      - length(bin((c.cr + 1) * (t.nt + 1024))))::BIGINT AS l
+              FROM cnt c CROSS JOIN tot t
+            ), per AS (
+              SELECT fb.doc_id, count(*)::BIGINT AS n_feats,
+                     sum(lam.l)::BIGINT AS score_bits
+              FROM fb JOIN lam USING (b) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(per.n_feats, 0)::BIGINT AS n_feats,
+                   coalesce(per.score_bits, 0)::BIGINT AS score_bits
+            FROM (SELECT doc_id FROM documents) d
+            LEFT JOIN per USING (doc_id)
         """,
         "inverted_index": """
             WITH toks AS (

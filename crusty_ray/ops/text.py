@@ -977,3 +977,103 @@ def bm25_scores_ds(sf_dir: str, query_terms: tuple[str, ...] =
 
     return _io_read(path, columns=["doc_id", "text"]) \
         .map_batches(score, batch_format="pandas")
+
+
+def _hashed_feature_buckets(texts: pd.Series, m: int) -> pd.Series:
+    """Explode each doc into its DSIR features — unigrams + consecutive
+    bigrams of non-empty space-split tokens (the pmi_collocations adjacency
+    convention) — hashed to ``m`` buckets with the repo's md5 convention
+    (first 8 md5 hex digits as int, mod m — DuckDB-replicable). Returns an
+    int64 Series of bucket ids indexed by the input's index (one row per
+    feature OCCURRENCE). md5 is computed once per DISTINCT feature string
+    in the batch (factorize), not per occurrence."""
+    e = texts.fillna("").str.split(" ").explode()
+    e = e[e != ""].dropna().astype(str)
+    nxt = e.groupby(level=0).shift(-1)
+    bi = (e + " " + nxt).dropna()
+    feats = pd.concat([e, bi])
+    codes, uniques = pd.factorize(feats.to_numpy())
+    lam = np.fromiter(
+        (int(hashlib.md5(u.encode()).hexdigest()[:8], 16) % m
+         for u in uniques), dtype=np.int64, count=len(uniques))
+    return pd.Series(lam[codes], index=feats.index, dtype="int64")
+
+
+def dsir_weights_ds(sf_dir: str, target_source: str = "src0",
+                    n_buckets: int = 1024):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    how much more likely its hashed n-gram features are under a TARGET
+    distribution (here: the docs of ``target_source``) than under the raw
+    corpus (the rest) — the signal DSIR resamples against to shift a web
+    crawl toward a curated target.
+
+    Integer face (bit-exact across engines — float log-ratios differ in
+    the last ulp): with per-bucket occurrence counts ``ct/cr`` and totals
+    ``Nt/Nr`` over target/raw feature occurrences, a bucket's weight is the
+    quantized log-likelihood ratio of add-one-smoothed frequencies
+
+        lam(b) = bl((ct+1) * (Nr+m)) - bl((cr+1) * (Nt+m)),
+        bl(x) = x.bit_length() - 1  =  floor(log2 x)
+
+    (cross-multiplied so everything stays integer; DuckDB reproduces
+    ``bl`` as ``length(bin(x)) - 1``). A doc's score is the sum of lam
+    over its feature OCCURRENCES (the unigram-bag log-ratio of the doc).
+
+    Scale plan (two streaming passes, same shape as unigram_surprisal):
+      1. counts: per-batch feature explode → ``np.bincount`` per class →
+         partial (bucket, ct, cr) rows, ≤ n_buckets per batch; one tiny
+         grouped sum; the O(n_buckets) lambda table broadcasts via
+         ``ray.put``.
+      2. score: one shuffle-free map over documents — explode, bucket,
+         vectorized ``lam[bucket]`` sum per doc.
+    Returns (doc_id, n_feats, score_bits); docs with no feature score
+    (0, 0).
+    """
+    import ray as _ray
+
+    path = f"{sf_dir}/documents.parquet"
+    m = n_buckets
+
+    def count_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.reset_index(drop=True)
+        buckets = _hashed_feature_buckets(b["text"], m)
+        is_t = (b["source"] == target_source).to_numpy()
+        tgt = buckets[is_t[buckets.index]]
+        raw = buckets[~is_t[buckets.index]]
+        ct = np.bincount(tgt.to_numpy(), minlength=m).astype("int64")
+        cr = np.bincount(raw.to_numpy(), minlength=m).astype("int64")
+        nz = (ct > 0) | (cr > 0)
+        return pd.DataFrame({"b": np.nonzero(nz)[0].astype("int64"),
+                             "ct": ct[nz], "cr": cr[nz]})
+
+    parts = _io_read(path, columns=["source", "text"]) \
+        .map_batches(count_partials, batch_format="pandas").to_pandas()
+    tot = parts.groupby("b", as_index=True)[["ct", "cr"]].sum()
+    ct = np.zeros(m, dtype=object)
+    cr = np.zeros(m, dtype=object)
+    ct[tot.index.to_numpy()] = tot["ct"].to_numpy()
+    cr[tot.index.to_numpy()] = tot["cr"].to_numpy()
+    nt, nr = int(tot["ct"].sum()), int(tot["cr"].sum())
+    lam = np.fromiter(
+        ((int(ct[b] + 1) * (nr + m)).bit_length()
+         - (int(cr[b] + 1) * (nt + m)).bit_length()
+         for b in range(m)), dtype=np.int64, count=m)
+    lam_ref = _ray.put(lam)
+
+    def score(batch: pd.DataFrame, _cache={}) -> pd.DataFrame:
+        if "l" not in _cache:  # one object-store fetch per worker process
+            _cache["l"] = _ray.get(lam_ref)
+        lm = _cache["l"]
+        b = batch.reset_index(drop=True)
+        buckets = _hashed_feature_buckets(b["text"], m)
+        per_doc = pd.Series(lm[buckets.to_numpy()], index=buckets.index)
+        g = per_doc.groupby(level=0)
+        tot_, cnt_ = g.sum(), g.size()
+        out = pd.DataFrame({"doc_id": b["doc_id"].astype("int64")})
+        out["n_feats"] = out.index.map(cnt_).fillna(0).astype("int64")
+        out["score_bits"] = out.index.map(tot_).fillna(0).astype("int64")
+        return out
+
+    return _io_read(path, columns=["doc_id", "text"]) \
+        .map_batches(score, batch_format="pandas")

@@ -101,7 +101,7 @@ SQL_CHECKED = [
     "source_quality_gate", "embedding_outliers",
     "duplicated_spans", "source_overlap_matrix", "chunk_documents",
     "pmi_collocations", "inverted_index", "bm25_scores",
-    "data_mixture",
+    "data_mixture", "dsir_weights",
 ]
 
 
@@ -494,3 +494,48 @@ def test_bm25_ranking_semantics(ray_session, tmp_path):
     assert 3 not in got.index                       # no query term -> absent
     assert int(got.loc[1, "score_mb"]) > int(got.loc[0, "score_mb"])  # tf
     assert int(got.loc[0, "score_mb"]) > int(got.loc[2, "score_mb"])  # idf
+
+
+def test_dsir_weights_planted(ray_session, tmp_path):
+    """DSIR direction check on a planted fixture: docs written in the
+    target source's vocabulary must out-score docs written in the raw
+    vocabulary, and the face stays oracle-exact over the fixture."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from crusty_ray.ops.text import dsir_weights_ds
+
+    tgt_text = "alpha beta gamma delta " * 8
+    raw_text = "umber vole wren xylem " * 8
+    rows = ([(i, tgt_text.strip(), "src0") for i in range(4)]
+            + [(i, raw_text.strip(), "src1") for i in range(4, 12)]
+            # probe docs in OTHER sources, one per vocabulary
+            + [(12, tgt_text.strip(), "src2"), (13, raw_text.strip(), "src2"),
+               (14, "", "src2")])
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": [r[1] for r in rows],
+        "lang": ["en"] * len(rows),
+        "source": [r[2] for r in rows],
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })
+    d = tmp_path / "dsir_fixture"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    got = _norm(_to_df(dsir_weights_ds(str(d))))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')")
+    oracle = _norm(con.sql(e.oracle_sql()["dsir_weights"]).df())
+    pd.testing.assert_frame_equal(got, oracle, check_dtype=False,
+                                  check_exact=True)
+    by_id = got.set_index("doc_id")
+    # target-vocabulary probe scores strictly above the raw-vocabulary probe
+    assert int(by_id.loc[12, "score_bits"]) > int(by_id.loc[13, "score_bits"])
+    # and the raw probe is negative (its features are rare under the target)
+    assert int(by_id.loc[13, "score_bits"]) < 0
+    # empty doc scores (0, 0) but is present (LEFT-complete face)
+    assert int(by_id.loc[14, "n_feats"]) == 0
+    assert int(by_id.loc[14, "score_bits"]) == 0
