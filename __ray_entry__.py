@@ -97,6 +97,16 @@ def _data_mixture(sf_dir: str):
     return data_mixture_ds(sf_dir)
 
 
+def _bpe_train(sf_dir: str):
+    from crusty_ray.ops.bpe import bpe_train_ds
+    return bpe_train_ds(sf_dir)
+
+
+def _bpe_encode(sf_dir: str):
+    from crusty_ray.ops.bpe import bpe_encode_ds
+    return bpe_encode_ds(sf_dir)
+
+
 def _image_train_shards(sf_dir: str):
     # byte-budget shard summary over the crawl's image table (the export
     # write itself is exercised in tests/test_export_shards.py)
@@ -291,6 +301,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DSIR importance weights (hashed n-gram log-likelihood ratio vs a
         # target source, integer-quantized bits)
         "dsir_weights": text.dsir_weights_ds,
+        # BPE tokenizer training (Sennrich et al. 2016): distributed word
+        # count -> merge loop on the O(vocab) table (serial-reference
+        # pytest oracle in tests/test_bpe.py; merges are not SQL-iterable)
+        "bpe_train": _bpe_train,
+        # corpus re-tokenization under the learned merges (memoized
+        # per-worker apply; md5 subword-stream faces)
+        "bpe_encode": _bpe_encode,
         # inter-source n-gram overlap matrix (mirror-site detector):
         # source-pair Jaccard over distinct gram sets
         "source_overlap_matrix": curation.source_overlap_matrix_ds,

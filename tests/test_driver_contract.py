@@ -124,7 +124,8 @@ ROWS_ONLY = ["approx_distinct_users", "label_centroids",
              "embedding_cosine_pairs",
              "crawl_pages_per_epoch", "crawl_term_breakdown",
              "crawl_stage_gauges", "crawl_db_metrics", "crawl_streaming_log",
-             "domain_pagerank", "compression_ratio", "semdedup"]
+             "domain_pagerank", "compression_ratio", "semdedup",
+             "bpe_train", "bpe_encode"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
