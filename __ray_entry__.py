@@ -311,6 +311,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # inter-source n-gram overlap matrix (mirror-site detector):
         # source-pair Jaccard over distinct gram sets
         "source_overlap_matrix": curation.source_overlap_matrix_ds,
+        # train/test contamination audit: dedup groups spanning splits
+        "split_leakage": curation.split_leakage_ds,
         "pack_token_chunks": _pack_token_chunks,
         # GPT-3/Pile-style mixture construction: per-source token budgets
         # (weight ramp), docs admitted in id order by exclusive prefix sum
@@ -695,6 +697,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT u AS doc_id, MIN(r) AS canonical_id,
                    CAST(CASE WHEN u = MIN(r) THEN 1 ELSE 0 END AS BIGINT) AS keep
             FROM reach GROUP BY u
+        """,
+        "split_leakage": """
+            WITH RECURSIVE md5g AS (
+              SELECT doc_id, md5(text) AS h FROM documents
+            ), mins AS (
+              SELECT h, MIN(doc_id) AS m FROM md5g GROUP BY h
+            ), e1 AS (
+              SELECT m AS pu, doc_id AS pv
+              FROM md5g JOIN mins USING (h) WHERE doc_id <> m
+            ), toks AS (
+              SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+            ), ex AS (
+              SELECT doc_id, source, unnest(t) AS w,
+                     generate_subscripts(t, 1) AS i, len(t) AS n
+              FROM toks
+            ), g0 AS (
+              SELECT doc_id, source,
+                     w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS gram,
+                     i, n
+              FROM ex WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+            ), grams AS (
+              SELECT DISTINCT doc_id, source, gram FROM g0 WHERE i + 2 <= n
+            ), cnts AS (
+              SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+              FROM grams a
+              JOIN grams b ON a.source = b.source AND a.gram = b.gram
+                          AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), e2 AS (
+              SELECT doc_a AS pu, doc_b AS pv
+              FROM inter
+              JOIN cnts ca ON ca.doc_id = doc_a
+              JOIN cnts cb ON cb.doc_id = doc_b
+              WHERE (1000 * shared) // (ca.n + cb.n - shared) >= 500
+            ), pairs AS (
+              SELECT pu, pv FROM e1 UNION SELECT pu, pv FROM e2
+            ), edges AS (
+              SELECT pu AS u, pv AS v FROM pairs
+              UNION ALL SELECT pv, pu FROM pairs
+            ), reach(u, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+            ), comp AS (
+              SELECT u AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY u
+            ), sp AS (
+              SELECT doc_id,
+                     CASE WHEN b < 900 THEN 'train'
+                          WHEN b < 950 THEN 'val' ELSE 'test' END AS split
+              FROM (SELECT doc_id,
+                           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                           % 1000 AS b
+                    FROM documents)
+            ), j AS (
+              SELECT comp.doc_id, comp.canonical_id, sp.split
+              FROM comp JOIN sp USING (doc_id)
+            ), ht AS (
+              SELECT canonical_id,
+                     max((split = 'train')::BIGINT)::BIGINT AS has_train
+              FROM j GROUP BY 1
+            )
+            SELECT j.doc_id, j.split, j.canonical_id,
+                   CAST(j.split <> 'train' AND ht.has_train = 1
+                        AS BIGINT) AS leaked
+            FROM j JOIN ht USING (canonical_id)
         """,
         "neardup_components": """
             WITH RECURSIVE q AS (

@@ -242,3 +242,74 @@ def source_overlap_matrix_ds(sf_dir: str, n: int = 3,
     pairs["jaccard_pm"] = ((1000 * pairs["shared"]) // union).astype("int64")
     pairs["shared"] = pairs["shared"].astype("int64")
     return pairs.reset_index(drop=True)
+
+
+def split_leakage_ds(sf_dir: str, threshold_pm: int = 500,
+                     num_partitions: int = 32):
+    """Train/test contamination audit — the curation step that keeps a
+    held-out split honest: a val/test document is LEAKED when its dedup
+    group (exact-md5 ∪ n-gram-Jaccard near-dup connected components, the
+    ``doc_dedup_groups`` decision surface) also contains a TRAIN document.
+    This is the split-aware reading of "deduplicate across splits"
+    (Lee et al. 2021 §6; GPT-3's contamination analysis) — run it BEFORE
+    training, drop or re-split the flagged rows.
+
+    Plan (all fact-scale sides co-partitioned, nothing driver-held):
+      1. dedup groups: reuse ``doc_dedup_groups_ds`` (distributed edges →
+         connected components);
+      2. split labels: ``sample.assign_splits`` md5-bucket 90/5/5 — a pure
+         row function;
+      3. one ``hash_join`` on doc_id attaches splits to groups;
+      4. per-canonical "has a train member" is a slim grouped max over
+         (canonical_id, is_train), joined back through a second
+         ``hash_join`` on canonical_id — both joins shuffle only slim
+         int64 rows.
+    Returns LEFT-complete (doc_id, split, canonical_id, leaked): every doc
+    gets a verdict; train rows are 0 by definition.
+    """
+    from .agg import partitioned_group_apply
+    from .dedup import doc_dedup_groups_ds
+    from .io import read_table
+    from .joins import hash_join
+    from .sample import assign_splits
+
+    groups = doc_dedup_groups_ds(sf_dir, threshold_pm=threshold_pm)
+
+    def slim_groups(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["doc_id", "canonical_id"]].astype("int64")
+
+    groups = groups.map_batches(slim_groups, batch_format="pandas")
+    splits = assign_splits(read_table(sf_dir, "documents", ["doc_id"]),
+                           "doc_id",
+                           {"train": 900, "val": 950, "test": 1000})
+    joined = hash_join(groups, splits, on=["doc_id"],
+                       num_partitions=num_partitions)
+
+    def train_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.assign(has_train=(batch["split"] == "train")
+                           .astype("int64")) \
+            .groupby("canonical_id", as_index=False)["has_train"].max()
+        return out.astype({"canonical_id": "int64", "has_train": "int64"})
+
+    def train_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("canonical_id", as_index=False)["has_train"].max()
+        return out.astype({"canonical_id": "int64", "has_train": "int64"})
+
+    has_train = partitioned_group_apply(
+        joined.map_batches(train_partials, batch_format="pandas"),
+        ["canonical_id"], train_reduce, num_partitions)
+
+    flagged = hash_join(joined, has_train, on=["canonical_id"],
+                        num_partitions=num_partitions)
+
+    def verdict(batch: pd.DataFrame) -> pd.DataFrame:
+        leaked = ((batch["split"] != "train")
+                  & (batch["has_train"] == 1)).astype("int64")
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "split": batch["split"].astype(str),
+            "canonical_id": batch["canonical_id"].astype("int64"),
+            "leaked": leaked,
+        })
+
+    return flagged.map_batches(verdict, batch_format="pandas")

@@ -101,7 +101,7 @@ SQL_CHECKED = [
     "source_quality_gate", "embedding_outliers",
     "duplicated_spans", "source_overlap_matrix", "chunk_documents",
     "pmi_collocations", "inverted_index", "bm25_scores",
-    "data_mixture", "dsir_weights",
+    "data_mixture", "dsir_weights", "split_leakage",
 ]
 
 
@@ -540,3 +540,49 @@ def test_dsir_weights_planted(ray_session, tmp_path):
     # empty doc scores (0, 0) but is present (LEFT-complete face)
     assert int(by_id.loc[14, "n_feats"]) == 0
     assert int(by_id.loc[14, "score_bits"]) == 0
+
+
+def test_split_leakage_planted(ray_session, tmp_path):
+    """A doc that exactly duplicates another must be flagged iff its dedup
+    group crosses into train; oracle-exact over the fixture."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from crusty_ray.ops.curation import split_leakage_ds
+    from crusty_ray.ops.analog import md5_shard
+
+    # choose ids so we KNOW their split buckets, then plant duplicates
+    ids = list(range(200))
+    b = md5_shard(pd.Series([str(i) for i in ids]), 1000)
+    train_ids = [i for i, x in zip(ids, b) if x < 900]
+    test_ids = [i for i, x in zip(ids, b) if x >= 950]
+    assert train_ids and test_ids
+    dup_train, dup_test = train_ids[0], test_ids[0]
+    clean_test = test_ids[1]
+    texts = {i: f"unique filler u{i}a u{i}b u{i}c u{i}d" for i in ids}
+    texts[dup_test] = texts[dup_train]          # planted exact cross-split dup
+    t = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": [texts[i] for i in ids],
+        "lang": ["en"] * len(ids),
+        "source": ["s"] * len(ids),
+        "n_chars": pa.array([len(texts[i]) for i in ids], pa.int64()),
+    })
+    d = tmp_path / "leak_fixture"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    got = _norm(_to_df(split_leakage_ds(str(d))))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')")
+    oracle = _norm(con.sql(e.oracle_sql()["split_leakage"]).df())
+    pd.testing.assert_frame_equal(got, oracle, check_dtype=False,
+                                  check_exact=True)
+    by_id = got.set_index("doc_id")
+    assert int(by_id.loc[dup_test, "leaked"]) == 1      # contaminated
+    assert int(by_id.loc[clean_test, "leaked"]) == 0    # clean held-out
+    assert int(by_id.loc[dup_train, "leaked"]) == 0     # train never flagged
+    assert int(by_id.loc[dup_test, "canonical_id"]) == \
+        min(dup_train, dup_test)
