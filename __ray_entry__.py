@@ -290,6 +290,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ExactSubstr repetition signal (Lee et al. 2021): span positions
         # whose n-gram occurs >= 2 times corpus-wide, per document
         "duplicated_spans": text.duplicated_spans_ds,
+        # ExactSubstr removal (the transform): delete tokens covered by a
+        # corpus-duplicated n-gram, md5 face of the surviving text
+        "exact_substr_removal": text.exact_substr_removal_ds,
         # sliding-window LM chunking (fixed windows w/ overlap, md5 faces)
         "chunk_documents": text.chunk_documents_ds,
         # word2phrase collocation scores (integer per-mille PMI statistic)
@@ -1384,6 +1387,41 @@ def oracle_sql() -> dict[str, str]:
                        AS dup_span_pm
             FROM (SELECT doc_id FROM documents) d
             LEFT JOIN per USING (doc_id)
+        """,
+        "exact_substr_removal": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), ex AS (
+              SELECT doc_id, unnest(t) AS w,
+                     generate_subscripts(t, 1) AS i, len(t) AS nt
+              FROM toks
+            ), g AS (
+              SELECT doc_id,
+                     w || ' ' || lead(w, 1) OVER win || ' '
+                       || lead(w, 2) OVER win || ' '
+                       || lead(w, 3) OVER win || ' '
+                       || lead(w, 4) OVER win AS gram,
+                     i, nt
+              FROM ex WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+            ), pos AS (
+              SELECT doc_id, gram, i FROM g WHERE i + 4 <= nt
+            ), tot AS (
+              SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2
+            ), dup AS (
+              SELECT p.doc_id, p.i FROM pos p JOIN tot USING (gram)
+            ), cov AS (
+              SELECT DISTINCT e.doc_id, e.i
+              FROM ex e JOIN dup d ON d.doc_id = e.doc_id
+                                  AND e.i BETWEEN d.i AND d.i + 4
+            )
+            SELECT e.doc_id,
+                   count(*)::BIGINT AS n_tokens,
+                   sum((c.i IS NOT NULL)::BIGINT)::BIGINT AS n_removed,
+                   md5(coalesce(string_agg(
+                       CASE WHEN c.i IS NULL THEN e.w END,
+                       ' ' ORDER BY e.i), '')) AS kept_md5
+            FROM ex e LEFT JOIN cov c ON c.doc_id = e.doc_id AND c.i = e.i
+            GROUP BY e.doc_id
         """,
         "bm25_scores": """
             WITH base AS (

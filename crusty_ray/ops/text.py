@@ -714,6 +714,113 @@ def duplicated_spans_ds(sf_dir: str, n: int = 5, num_partitions: int = 32):
     return joined.map_batches(finish, batch_format="pandas")
 
 
+def exact_substr_removal_ds(sf_dir: str, n: int = 5,
+                            num_partitions: int = 32):
+    """ExactSubstr REMOVAL — the transform ``duplicated_spans_ds`` only
+    signals: per document, delete every token covered by an n-gram whose
+    total occurrence count across the corpus is ≥ 2 (within-doc repeats
+    count, the same total-occurrence test), keeping the rest in order.
+    This is the "remove the duplicated span, keep the unique prefix/suffix"
+    surgery of Lee et al. 2021 §4.2 (ExactSubstr), reduced from suffix
+    arrays to fixed-length word n-grams so the face stays SQL-checkable.
+
+    Scale plan (three slim shuffles, nothing driver-held):
+      1. explode: one (doc_id, gram, pos) row per n-gram occurrence —
+         O(tokens) slim rows; the per-doc position loop is deliberate
+         (the groupby-shift "vectorized" alternative measured 3× slower,
+         see ``duplicated_spans_ds``).
+      2. one coarse hash partition on the gram decides "corpus total ≥ 2"
+         exactly and emits only the duplicated occurrences' (doc_id, pos)
+         int64 pairs — O(dup occurrences).
+      3. one coarse partition on doc_id packs each doc's duplicated start
+         positions into a sorted CSV string (bounded by the doc's own
+         length), LEFT-joined back to the text through the generic
+         ``hash_join`` (both sides fact-scale, co-partitioned); the final
+         map rebuilds the kept text with a vectorized diff/cumsum coverage
+         mask. Exact gram strings keep the face bit-exact vs the SQL
+         oracle; at production scale the gram column becomes a 128-bit
+         hash without changing the plan (collisions only over-remove —
+         the conservative direction for dedup).
+
+    Returns one row per document: (doc_id, n_tokens, n_removed, kept_md5)
+    where kept_md5 = md5 of the space-joined surviving tokens (md5('') if
+    everything was removed). Docs shorter than ``n`` tokens are untouched.
+    """
+    from .agg import partitioned_group_apply
+    from .joins import hash_join
+
+    path = f"{sf_dir}/documents.parquet"
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        doc, gram, pos = [], [], []
+        for d, t in zip(batch["doc_id"], batch["text"].fillna("")):
+            toks = t.split(" ")
+            for i in range(len(toks) - n + 1):
+                doc.append(d)
+                gram.append(" ".join(toks[i:i + n]))
+                pos.append(i)
+        return pd.DataFrame({"doc_id": pd.Series(doc, dtype="int64"),
+                             "gram": pd.Series(gram, dtype="object"),
+                             "pos": pd.Series(pos, dtype="int64")})
+
+    occ = _io_read(path, columns=["doc_id", "text"]) \
+        .map_batches(explode, batch_format="pandas")
+
+    def dup_hits(df: pd.DataFrame) -> pd.DataFrame:
+        # corpus-wide total per gram is exact inside this partition
+        tot = df.groupby("gram")["gram"].transform("size")
+        hit = df.loc[tot >= 2, ["doc_id", "pos"]]
+        return hit.astype("int64")
+
+    hits = partitioned_group_apply(occ, ["gram"], dup_hits, num_partitions)
+
+    def pack_starts(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "starts": pd.Series([], dtype="object")})
+        d = df.sort_values(["doc_id", "pos"])
+        d["pos_s"] = d["pos"].astype(str)
+        out = d.groupby("doc_id", as_index=False).agg(
+            starts=("pos_s", ",".join))
+        out["doc_id"] = out["doc_id"].astype("int64")
+        return out
+
+    packed = partitioned_group_apply(hits, ["doc_id"], pack_starts,
+                                     num_partitions)
+
+    docs = _io_read(path, columns=["doc_id", "text"])
+    joined = hash_join(docs, packed, on=["doc_id"], how="left",
+                       fill={"starts": ""}, num_partitions=num_partitions)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, ntoks, nrem, md5s = [], [], [], []
+        for d, t, s in zip(batch["doc_id"], batch["text"].fillna(""),
+                           batch["starts"]):
+            toks = t.split(" ")
+            nt = len(toks)
+            if s:
+                starts = np.array(s.split(","), dtype=np.int64)
+                delta = np.zeros(nt + 1, dtype=np.int64)
+                np.add.at(delta, starts, 1)
+                np.add.at(delta, np.minimum(starts + n, nt), -1)
+                covered = np.cumsum(delta[:nt]) > 0
+                kept_arr = np.array(toks, dtype=object)[~covered]
+                kept = " ".join(kept_arr)
+                removed = int(covered.sum())
+            else:
+                kept, removed = t, 0
+            ids.append(d)
+            ntoks.append(nt)
+            nrem.append(removed)
+            md5s.append(hashlib.md5(kept.encode("utf-8")).hexdigest())
+        return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                             "n_tokens": pd.Series(ntoks, dtype="int64"),
+                             "n_removed": pd.Series(nrem, dtype="int64"),
+                             "kept_md5": pd.Series(md5s, dtype="object")})
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
 def chunk_documents_ds(sf_dir: str, chunk_size: int = 64, stride: int = 48):
     """Sliding-window document chunking — the standard LM training-prep
     step that splits each long document into fixed-size token windows with

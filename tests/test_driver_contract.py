@@ -102,6 +102,7 @@ SQL_CHECKED = [
     "duplicated_spans", "source_overlap_matrix", "chunk_documents",
     "pmi_collocations", "inverted_index", "bm25_scores",
     "data_mixture", "dsir_weights", "split_leakage",
+    "exact_substr_removal",
 ]
 
 
@@ -586,3 +587,61 @@ def test_split_leakage_planted(ray_session, tmp_path):
     assert int(by_id.loc[dup_train, "leaked"]) == 0     # train never flagged
     assert int(by_id.loc[dup_test, "canonical_id"]) == \
         min(dup_train, dup_test)
+
+
+def test_exact_substr_removal_planted(ray_session, tmp_path):
+    """Planted fixture: a 5-gram shared across two docs is removed from
+    BOTH; a within-doc repeat is removed; unique text survives untouched."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from crusty_ray.ops.text import exact_substr_removal_ds
+
+    shared = "one two three four five"
+    texts = {
+        0: f"alpha {shared} beta",            # cross-doc dup in the middle
+        1: f"{shared} gamma delta",           # same dup at the start
+        2: "w1 w2 w3 w4 w5 w6 w1 w2 w3 w4 w5 w6",  # within-doc repeat
+        3: "all unique tokens here nothing shared at",
+        4: "tiny doc",                        # shorter than n -> untouched
+        5: "",                                # empty text -> untouched
+    }
+    ids = sorted(texts)
+    t = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": [texts[i] for i in ids],
+        "lang": ["en"] * len(ids),
+        "source": ["s"] * len(ids),
+        "n_chars": pa.array([len(texts[i]) for i in ids], pa.int64()),
+    })
+    d = tmp_path / "substr_fixture"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    got = _norm(_to_df(exact_substr_removal_ds(str(d))))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')")
+    oracle = _norm(con.sql(e.oracle_sql()["exact_substr_removal"]).df())
+    pd.testing.assert_frame_equal(got, oracle, check_dtype=False,
+                                  check_exact=True)
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    by_id = got.set_index("doc_id")
+    assert by_id.loc[0, "kept_md5"] == h("alpha beta")
+    assert int(by_id.loc[0, "n_removed"]) == 5
+    assert by_id.loc[1, "kept_md5"] == h("gamma delta")
+    # within-doc repeat: every position's 5-gram recurs (period-6 text
+    # repeated twice), so the whole doc is removed
+    assert by_id.loc[2, "kept_md5"] == h("")
+    assert int(by_id.loc[2, "n_removed"]) == 12
+    assert by_id.loc[3, "kept_md5"] == h(texts[3])
+    assert int(by_id.loc[3, "n_removed"]) == 0
+    assert by_id.loc[4, "kept_md5"] == h("tiny doc")
+    assert by_id.loc[5, "kept_md5"] == h("")
+    assert int(by_id.loc[5, "n_tokens"]) == 1  # [''] convention
