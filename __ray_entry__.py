@@ -293,6 +293,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ExactSubstr removal (the transform): delete tokens covered by a
         # corpus-duplicated n-gram, md5 face of the surviving text
         "exact_substr_removal": text.exact_substr_removal_ds,
+        # fasttext/CCNet-style classifier: multinomial NB trained
+        # distributed on the lang labels, applied corpus-wide
+        # (quarter-bit integer log quantization for oracle parity)
+        "nb_classifier": text.nb_classifier_ds,
         # sliding-window LM chunking (fixed windows w/ overlap, md5 faces)
         "chunk_documents": text.chunk_documents_ds,
         # word2phrase collocation scores (integer per-mille PMI statistic)
@@ -1422,6 +1426,53 @@ def oracle_sql() -> dict[str, str]:
                        ' ' ORDER BY e.i), '')) AS kept_md5
             FROM ex e LEFT JOIN cov c ON c.doc_id = e.doc_id AND c.i = e.i
             GROUP BY e.doc_id
+        """,
+        "nb_classifier": """
+            WITH ex AS (
+              SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+              FROM documents
+            ), kc AS (
+              SELECT lang, w, count(*)::HUGEINT AS k FROM ex GROUP BY 1, 2
+            ), tc AS (
+              SELECT lang, count(*)::HUGEINT AS t FROM ex GROUP BY 1
+            ), vocab AS (
+              SELECT DISTINCT w FROM ex
+            ), vn AS (
+              SELECT count(*)::HUGEINT AS v FROM vocab
+            ), wt AS (
+              SELECT tc.lang, vo.w,
+                     (length(bin((coalesce(kc.k, 0) + 1)
+                                 * (coalesce(kc.k, 0) + 1)
+                                 * (coalesce(kc.k, 0) + 1)
+                                 * (coalesce(kc.k, 0) + 1))) - 1
+                      - (length(bin((tc.t + vn.v) * (tc.t + vn.v)
+                                    * (tc.t + vn.v) * (tc.t + vn.v))) - 1)
+                     )::BIGINT AS wbits
+              FROM tc CROSS JOIN vocab vo CROSS JOIN vn
+              LEFT JOIN kc ON kc.lang = tc.lang AND kc.w = vo.w
+            ), prior AS (
+              SELECT lang,
+                     (length(bin((count(*)::HUGEINT + 1)
+                                 * (count(*)::HUGEINT + 1)
+                                 * (count(*)::HUGEINT + 1)
+                                 * (count(*)::HUGEINT + 1))) - 1
+                     )::BIGINT AS pbits
+              FROM documents GROUP BY lang
+            ), sc AS (
+              SELECT e.doc_id, wt.lang,
+                     (any_value(p.pbits) + sum(wt.wbits))::BIGINT AS score
+              FROM ex e
+              JOIN wt ON wt.w = e.w
+              JOIN prior p ON p.lang = wt.lang
+              GROUP BY 1, 2
+            ), ranked AS (
+              SELECT doc_id, lang, score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, lang) AS rn
+              FROM sc
+            )
+            SELECT doc_id, lang AS pred_label, score AS score_bits
+            FROM ranked WHERE rn = 1
         """,
         "bm25_scores": """
             WITH base AS (

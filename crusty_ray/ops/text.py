@@ -606,6 +606,106 @@ def unigram_surprisal_ds(sf_dir: str):
         .map_batches(score, batch_format="pandas")
 
 
+def nb_classifier_ds(sf_dir: str, label_col: str = "lang"):
+    """Multinomial Naive Bayes classifier, trained AND applied distributed
+    — the fasttext/CCNet-style linear text classifier that web-scale
+    pipelines train on a curated target and sweep across the crawl (CCNet
+    §4.4; GPT-3's quality classifier). Here it self-trains on the corpus's
+    own ``label_col`` (language by default) and re-classifies every
+    document, so the face is closed over the shared tables and
+    SQL-checkable.
+
+    Integer face (bit-exact across engines — float log-sums differ in the
+    last ulp): all log2 terms are quantized through 4th-power bit_length,
+    ``q(x) = bl(x^4) = floor(4*log2 x) + e`` (DuckDB: ``length(bin(x))-1``
+    on HUGEINT), giving quarter-bit resolution while staying integer:
+
+        wbits(w,c)  = q(k(w,c) + 1) - q(T(c) + V)     (add-one smoothing)
+        prior(c)    = q(D(c) + 1)
+        score(d,c)  = prior(c) + sum over token OCCURRENCES of wbits
+        pred(d)     = argmax_c score, ties -> lexicographically least c
+
+    Scale plan (one tiny reduce + one shuffle-free pass, the DSIR shape):
+      1. train: per-batch (label, word, count) partials via vectorized
+         explode+groupby — O(vocab x classes) slim rows per batch; the
+         grouped total is the model, O(vocab x classes), built on the
+         driver and broadcast ONCE via ``ray.put`` (the standard NB
+         assumption: the model is small, the corpus is not).
+      2. apply: shuffle-free ``map_batches`` — explode, map tokens to
+         vocab indices, one vectorized gather-sum per class, argmax.
+    Returns (doc_id, pred_label, score_bits); every doc is scored (the
+    whitespace-split of any text, even '', has >= 1 token, and
+    self-scoring guarantees every token is in-vocab).
+    """
+    import ray as _ray
+
+    path = f"{sf_dir}/documents.parquet"
+
+    def count_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.reset_index(drop=True)
+        w = b["text"].fillna("").str.split(" ").explode()
+        lab = b[label_col].reindex(w.index)
+        out = pd.DataFrame({"label": lab.to_numpy(), "w": w.to_numpy()}) \
+            .groupby(["label", "w"], as_index=False).size() \
+            .rename(columns={"size": "k"})
+        # per-batch doc-count partials ride along as a sentinel word that
+        # cannot collide with a real token (tokens never contain spaces)
+        docs = b.groupby(label_col, as_index=False).size() \
+            .rename(columns={label_col: "label", "size": "k"})
+        docs["w"] = "\x00 docs"
+        return pd.concat([out, docs[["label", "w", "k"]]], ignore_index=True) \
+            .astype({"k": "int64"})
+
+    parts = _io_read(path, columns=[label_col, "text"]) \
+        .map_batches(count_partials, batch_format="pandas").to_pandas()
+    tot = parts.groupby(["label", "w"], as_index=False)["k"].sum()
+    is_doc = tot["w"] == "\x00 docs"
+    doc_counts = dict(zip(tot.loc[is_doc, "label"], tot.loc[is_doc, "k"]))
+    tok = tot[~is_doc]
+    vocab = sorted(tok["w"].unique())
+    vidx = {w: i for i, w in enumerate(vocab)}
+    labels = sorted(doc_counts)
+    v = len(vocab)
+
+    def q(x: int) -> int:
+        return (x * x * x * x).bit_length() - 1
+
+    wbits = np.zeros((len(labels), v), dtype=np.int64)
+    priors = np.zeros(len(labels), dtype=np.int64)
+    for li, lab in enumerate(labels):
+        rows = tok[tok["label"] == lab]
+        t_c = int(rows["k"].sum())
+        base = q(t_c + v)
+        wbits[li, :] = q(1) - base  # unseen-in-class words
+        for w_, k_ in zip(rows["w"], rows["k"]):
+            wbits[li, vidx[w_]] = q(int(k_) + 1) - base
+        priors[li] = q(int(doc_counts[lab]) + 1)
+    model_ref = _ray.put((vidx, wbits, priors, labels))
+
+    def classify(batch: pd.DataFrame, _cache={}) -> pd.DataFrame:
+        if "m" not in _cache:  # one object-store fetch per worker process
+            _cache["m"] = _ray.get(model_ref)
+        vidx_, wb, pr, labs = _cache["m"]
+        b = batch.reset_index(drop=True)
+        w = b["text"].fillna("").str.split(" ").explode()
+        idx = w.map(vidx_).to_numpy(dtype=np.int64)
+        rows = w.index.to_numpy(dtype=np.int64)
+        # scores[d, c] = prior[c] + sum of wbits[c, tokens of d]
+        scores = np.tile(pr, (len(b), 1)).astype(np.int64)
+        for li in range(len(labs)):
+            np.add.at(scores[:, li], rows, wb[li, idx])
+        best = scores.max(axis=1)
+        pred = scores.argmax(axis=1)  # ties -> lowest index = least label
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "pred_label": pd.Series([labs[i] for i in pred], dtype="object"),
+            "score_bits": pd.Series(best, dtype="int64"),
+        })
+
+    return _io_read(path, columns=["doc_id", "text"]) \
+        .map_batches(classify, batch_format="pandas")
+
+
 def duplicated_spans_ds(sf_dir: str, n: int = 5, num_partitions: int = 32):
     """Corpus-wide duplicated-span detection — the ExactSubstr signal of
     Lee et al. 2021 ("Deduplicating Training Data Makes Language Models

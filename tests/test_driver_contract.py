@@ -102,7 +102,7 @@ SQL_CHECKED = [
     "duplicated_spans", "source_overlap_matrix", "chunk_documents",
     "pmi_collocations", "inverted_index", "bm25_scores",
     "data_mixture", "dsir_weights", "split_leakage",
-    "exact_substr_removal",
+    "exact_substr_removal", "nb_classifier",
 ]
 
 
@@ -645,3 +645,45 @@ def test_exact_substr_removal_planted(ray_session, tmp_path):
     assert by_id.loc[4, "kept_md5"] == h("tiny doc")
     assert by_id.loc[5, "kept_md5"] == h("")
     assert int(by_id.loc[5, "n_tokens"]) == 1  # [''] convention
+
+
+def test_nb_classifier_planted(ray_session, tmp_path):
+    """On a fixture with a REAL token<->label signal the trained NB must
+    recover the labels (the shared sf corpus has none by construction);
+    oracle-exact over the fixture."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from crusty_ray.ops.text import nb_classifier_ds
+
+    # class-specific vocabulary with a little shared noise
+    def mk(lang, i):
+        core = {"en": "cat dog cat bird", "fr": "chat chien chat oiseau",
+                "de": "katze hund katze vogel"}[lang]
+        return f"{core} common{i % 3} filler"
+
+    rows = [(i, lang) for i, lang in
+            enumerate(["en", "fr", "de"] * 20)]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": [mk(r[1], r[0]) for r in rows],
+        "lang": [r[1] for r in rows],
+        "source": ["s"] * len(rows),
+        "n_chars": pa.array([len(mk(r[1], r[0])) for r in rows], pa.int64()),
+    })
+    d = tmp_path / "nb_fixture"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    got = _norm(_to_df(nb_classifier_ds(str(d))))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')")
+    oracle = _norm(con.sql(e.oracle_sql()["nb_classifier"]).df())
+    pd.testing.assert_frame_equal(got, oracle, check_dtype=False,
+                                  check_exact=True)
+    truth = dict(rows)
+    pred = got.set_index("doc_id")["pred_label"]
+    acc = sum(pred[i] == truth[i] for i in pred.index) / len(pred)
+    assert acc == 1.0, f"NB failed to learn a clean signal: acc={acc}"
