@@ -130,6 +130,11 @@ def _image_feature_near_dups(sf_dir: str):
     return image_feature_near_dups(_images_dir())
 
 
+def _image_channel_stats(sf_dir: str):
+    from crusty_ray.ops.multimodal import image_channel_stats
+    return image_channel_stats(_images_dir())
+
+
 def _domain_pagerank(sf_dir: str):
     # domain-authority PageRank over the crawl's discovered link graph
     from crusty_ray.ops.graph import domain_pagerank
@@ -397,6 +402,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # actor-pool feature extraction over the stored payload (REAL numpy
         # features; exact-equality pytest oracle in test_multimodal_stubs.py)
         "image_features": _image_features,
+        # dataset normalization constants: exact integer per-channel
+        # pixel moments (serial-Python-int-equality pytest oracle in
+        # test_images_pipeline.py)
+        "image_channel_stats": _image_channel_stats,
         # embedding-cosine tier of image dedup over the extracted features
         # (LSH tables + per-bucket verify; brute-force-equality pytest
         # oracle at n_planes=0 in test_multimodal_stubs.py)

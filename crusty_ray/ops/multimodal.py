@@ -248,3 +248,65 @@ def image_feature_near_dups(images_path: str, threshold_pm: int = 990,
                                     num_partitions)
     return partitioned_group_apply(pairs, ["image_a", "image_b"],
                                    dedup_pairs, num_partitions)
+
+
+class ChannelStatsStage:
+    """Integer per-channel pixel-sum partials — one slim (channel, n, sum,
+    sum_sq) triple of rows per input batch, pixels never leave the worker.
+    Sums are EXACT int64: a pixel contributes ≤ 255² to sum_sq, so even
+    10^13 pixels (the 100 TB regime) stay under 2^63. Undecodable rows are
+    skipped (the quality gate reports them; this pass only normalizes)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = np.zeros(3, dtype=np.int64)
+        s = np.zeros(3, dtype=np.int64)
+        ss = np.zeros(3, dtype=np.int64)
+        for blob, fmt in zip(batch["bytes"].to_pylist(),
+                             batch["fmt"].to_pylist()):
+            try:
+                px = decode_image(blob, fmt).astype(np.int64)
+            except Exception:
+                continue
+            n += px.shape[0] * px.shape[1]
+            s += px.sum(axis=(0, 1))
+            ss += (px * px).sum(axis=(0, 1))
+        return pa.table({"channel": pa.array([0, 1, 2], pa.int64()),
+                         "n_pixels": pa.array(n, pa.int64()),
+                         "sum_val": pa.array(s, pa.int64()),
+                         "sum_sq": pa.array(ss, pa.int64())})
+
+
+def image_channel_stats(images_path: str, batch_size: int = 64,
+                        concurrency: int = 4) -> pd.DataFrame:
+    """Corpus-wide per-channel pixel mean/variance — the dataset
+    normalization constants every image-training pipeline computes once
+    and bakes into its transform (the ImageNet-mean/std preprocessing
+    pass). Integer face so the serial oracle is exact: means/variances are
+    per-mille floor-divisions of exact int sums.
+
+    Scale plan: an actor-pool decode stage emits three int64 partial rows
+    per BATCH (algebraic-moment combine — the same partial-sum shape as
+    ``ops.stats`` grouped variance); the final reduce is O(batches) slim
+    rows to 3, done in exact Python ints (n·ss − s² exceeds int64 at
+    corpus scale; the driver-side table is 3 rows, not the corpus).
+
+    Returns 3 rows: (channel, n_pixels, sum_val, sum_sq, mean_pm, var_pm)
+    with mean_pm = (1000·s)//n and var_pm = (1000·(n·ss − s²))//n².
+    """
+    from .io import read_dataset
+
+    ds = read_dataset(images_path, columns=["bytes", "fmt"])
+    parts = ds.map_batches(ChannelStatsStage, batch_format="pyarrow",
+                           batch_size=batch_size,
+                           concurrency=(1, concurrency)).to_pandas()
+    rows = []
+    for c, g in parts.groupby("channel"):
+        n = int(g["n_pixels"].sum())
+        s = int(g["sum_val"].sum())
+        ss = int(g["sum_sq"].sum())
+        rows.append({"channel": int(c), "n_pixels": n, "sum_val": s,
+                     "sum_sq": ss,
+                     "mean_pm": (1000 * s) // n if n else 0,
+                     "var_pm": (1000 * (n * ss - s * s)) // (n * n)
+                     if n else 0})
+    return pd.DataFrame(rows).astype("int64")

@@ -47,6 +47,43 @@ def test_image_table_schema(ray_session, crawl_out, tmp_path):
     assert len(ids) == len(set(ids))
 
 
+def test_image_channel_stats_exact(ray_session, crawl_out, tmp_path):
+    """Distributed channel stats == serial Python-int oracle over the same
+    stored table, exactly (integer algebraic moments commute)."""
+    import pyarrow.dataset as pads
+    from crusty_ray.codecs.images import decode_image
+    from crusty_ray.ops.multimodal import image_channel_stats
+    from crusty_ray.pipelines.images import run_image_pipeline
+
+    out = str(tmp_path / "img3")
+    run_image_pipeline(f"{crawl_out}/crawl_log", out, WEB_CFG, _tc())
+    got = image_channel_stats(out).sort_values("channel") \
+        .reset_index(drop=True)
+
+    t = pads.dataset(out, format="parquet").to_table()
+    n = [0, 0, 0]
+    s = [0, 0, 0]
+    ss = [0, 0, 0]
+    for blob, fmt in zip(t["bytes"].to_pylist(), t["fmt"].to_pylist()):
+        px = decode_image(blob, fmt).astype("int64")
+        for c in range(3):
+            ch = px[:, :, c]
+            n[c] += int(ch.size)
+            s[c] += int(ch.sum())
+            ss[c] += int((ch * ch).sum())
+    assert got["channel"].tolist() == [0, 1, 2]
+    for c in range(3):
+        row = got.iloc[c]
+        assert int(row["n_pixels"]) == n[c]
+        assert int(row["sum_val"]) == s[c]
+        assert int(row["sum_sq"]) == ss[c]
+        assert int(row["mean_pm"]) == (1000 * s[c]) // n[c]
+        assert int(row["var_pm"]) == \
+            (1000 * (n[c] * ss[c] - s[c] * s[c])) // (n[c] * n[c])
+    # sane range: means strictly inside (0, 255) per-mille scale
+    assert all(0 < m < 255_000 for m in got["mean_pm"])
+
+
 def test_wide_binary_rows_small_batches(ray_session, tmp_path):
     """SURVEY §7.4.5: large image payloads with small decode batches — the
     pipeline streams wide binary rows without blowing up block sizes."""
