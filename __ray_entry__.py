@@ -302,6 +302,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed on the lang labels, applied corpus-wide
         # (quarter-bit integer log quantization for oracle parity)
         "nb_classifier": text.nb_classifier_ds,
+        # winnowing (MOSS) local fingerprints: per-window rightmost-min
+        # gram hash, ~2/(w+1) density, shuffle-free
+        "winnowing_fingerprints": text.winnowing_fingerprints_ds,
         # sliding-window LM chunking (fixed windows w/ overlap, md5 faces)
         "chunk_documents": text.chunk_documents_ds,
         # word2phrase collocation scores (integer per-mille PMI statistic)
@@ -1482,6 +1485,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang AS pred_label, score AS score_bits
             FROM ranked WHERE rn = 1
+        """,
+        "winnowing_fingerprints": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), ex AS (
+              SELECT doc_id, unnest(t) AS wd,
+                     generate_subscripts(t, 1) AS i, len(t) AS nt
+              FROM toks
+            ), g AS (
+              SELECT doc_id,
+                     md5(wd || ' ' || lead(wd, 1) OVER win || ' '
+                            || lead(wd, 2) OVER win) AS h,
+                     i, nt
+              FROM ex WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+            ), grams AS (
+              SELECT doc_id, h, i, nt - 2 AS ng FROM g WHERE i + 2 <= nt
+            ), wins AS (
+              SELECT doc_id, unnest(generate_series(1, ng - 3)) AS j
+              FROM (SELECT DISTINCT doc_id, ng FROM grams)
+            ), cand AS (
+              SELECT ws.doc_id, ws.j, gr.i, gr.h,
+                     row_number() OVER (PARTITION BY ws.doc_id, ws.j
+                                        ORDER BY gr.h ASC, gr.i DESC) AS rn
+              FROM wins ws
+              JOIN grams gr ON gr.doc_id = ws.doc_id
+                           AND gr.i BETWEEN ws.j AND ws.j + 3
+            )
+            SELECT DISTINCT doc_id, i AS pos, h AS fp_md5
+            FROM cand WHERE rn = 1
         """,
         "bm25_scores": """
             WITH base AS (

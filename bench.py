@@ -145,7 +145,8 @@ def bench_queries(sf_dir: str) -> dict:
              "unigram_surprisal", "source_quality_gate",
              "embedding_outliers", "duplicated_spans",
              "source_overlap_matrix", "chunk_documents", "pmi_collocations",
-             "inverted_index", "bm25_scores"]
+             "inverted_index", "bm25_scores", "data_mixture", "dsir_weights",
+             "split_leakage", "exact_substr_removal", "nb_classifier"]
     out = {}
     for name in names:
         t0 = time.time()

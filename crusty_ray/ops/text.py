@@ -606,6 +606,58 @@ def unigram_surprisal_ds(sf_dir: str):
         .map_batches(score, batch_format="pandas")
 
 
+def winnowing_fingerprints_ds(sf_dir: str, k: int = 3, w: int = 4):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003
+    — the MOSS algorithm): hash every k-token gram, slide a w-hash window,
+    and select each window's minimum hash (RIGHTMOST occurrence on ties,
+    the paper's density rule). The guarantee: any shared run of w+k-1
+    tokens between two documents shares at least one selected fingerprint,
+    at ~2/(w+1) the density of full gram hashing — the classic sub-linear
+    local fingerprint for plagiarism/near-dup detection.
+
+    md5-hex hashes ordered LEXICOGRAPHICALLY keep the face bit-exact vs
+    the SQL oracle (DuckDB md5 + ``ORDER BY h, i DESC``); the Python side
+    factorizes the hex strings to order-preserving int codes
+    (``np.unique`` + ``searchsorted``) so the sliding min/rightmost-argmin
+    is pure vectorized numpy per document.
+
+    Scale plan: ONE shuffle-free ``map_batches`` — a doc is one input row,
+    fingerprints leave as slim (doc_id, pos, fp_md5) rows, ~2/(w+1) of the
+    gram count. Docs with fewer than k+w-1 tokens emit nothing (no full
+    window exists — the sparse face, matching the oracle).
+
+    Returns DISTINCT (doc_id, pos, fp_md5), pos = 1-based gram start.
+    """
+    path = f"{sf_dir}/documents.parquet"
+
+    def fingerprints(batch: pd.DataFrame) -> pd.DataFrame:
+        doc, pos, fph = [], [], []
+        for d, t in zip(batch["doc_id"], batch["text"].fillna("")):
+            toks = t.split(" ")
+            ng = len(toks) - k + 1
+            if ng < w:
+                continue
+            hs = [hashlib.md5(" ".join(toks[i:i + k]).encode("utf-8"))
+                  .hexdigest() for i in range(ng)]
+            uniq = np.unique(hs)  # sorted -> codes preserve lex order
+            codes = np.searchsorted(uniq, hs)
+            win = np.lib.stride_tricks.sliding_window_view(codes, w)
+            wmin = win.min(axis=1)
+            # rightmost occurrence of the min within each window
+            off = ((win == wmin[:, None])
+                   * np.arange(w, dtype=np.int64)).max(axis=1)
+            sel = np.unique(np.arange(len(wmin), dtype=np.int64) + off)
+            doc.extend([d] * len(sel))
+            pos.extend((sel + 1).tolist())
+            fph.extend(hs[int(i)] for i in sel)
+        return pd.DataFrame({"doc_id": pd.Series(doc, dtype="int64"),
+                             "pos": pd.Series(pos, dtype="int64"),
+                             "fp_md5": pd.Series(fph, dtype="object")})
+
+    return _io_read(path, columns=["doc_id", "text"]) \
+        .map_batches(fingerprints, batch_format="pandas")
+
+
 def nb_classifier_ds(sf_dir: str, label_col: str = "lang"):
     """Multinomial Naive Bayes classifier, trained AND applied distributed
     — the fasttext/CCNet-style linear text classifier that web-scale
@@ -688,8 +740,10 @@ def nb_classifier_ds(sf_dir: str, label_col: str = "lang"):
         vidx_, wb, pr, labs = _cache["m"]
         b = batch.reset_index(drop=True)
         w = b["text"].fillna("").str.split(" ").explode()
-        idx = w.map(vidx_).to_numpy(dtype=np.int64)
-        rows = w.index.to_numpy(dtype=np.int64)
+        m = w.map(vidx_)
+        ok = m.notna().to_numpy()  # unseen tokens drop, as the oracle's JOIN
+        idx = m.to_numpy()[ok].astype(np.int64)
+        rows = w.index.to_numpy(dtype=np.int64)[ok]
         # scores[d, c] = prior[c] + sum of wbits[c, tokens of d]
         scores = np.tile(pr, (len(b), 1)).astype(np.int64)
         for li in range(len(labs)):

@@ -103,7 +103,7 @@ SQL_CHECKED = [
     "duplicated_spans", "source_overlap_matrix", "chunk_documents",
     "pmi_collocations", "inverted_index", "bm25_scores",
     "data_mixture", "dsir_weights", "split_leakage",
-    "exact_substr_removal", "nb_classifier",
+    "exact_substr_removal", "nb_classifier", "winnowing_fingerprints",
 ]
 
 
@@ -689,3 +689,50 @@ def test_nb_classifier_planted(ray_session, tmp_path):
     pred = got.set_index("doc_id")["pred_label"]
     acc = sum(pred[i] == truth[i] for i in pred.index) / len(pred)
     assert acc == 1.0, f"NB failed to learn a clean signal: acc={acc}"
+
+
+def test_winnowing_planted(ray_session, tmp_path):
+    """The winnowing guarantee: two docs sharing a run of w+k-1 (=6) tokens
+    share at least one fingerprint; repeated grams exercise the
+    rightmost-tie rule; short docs emit nothing; oracle-exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from crusty_ray.ops.text import winnowing_fingerprints_ds
+
+    shared = "s1 s2 s3 s4 s5 s6"           # w+k-1 = 6 shared tokens
+    texts = {
+        0: f"pre1 pre2 {shared} post1 post2",
+        1: f"{shared} other tail tokens here",
+        2: "a b c a b c a b c a b c",      # tied gram hashes in-window
+        3: "too short",                     # < k+w-1 -> no fingerprints
+        4: "u1 u2 u3 u4 u5 u6 u7 u8",
+    }
+    ids = sorted(texts)
+    t = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": [texts[i] for i in ids],
+        "lang": ["en"] * len(ids),
+        "source": ["s"] * len(ids),
+        "n_chars": pa.array([len(texts[i]) for i in ids], pa.int64()),
+    })
+    d = tmp_path / "winnow_fixture"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    got = _norm(_to_df(winnowing_fingerprints_ds(str(d))))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')")
+    oracle = _norm(con.sql(e.oracle_sql()["winnowing_fingerprints"]).df())
+    pd.testing.assert_frame_equal(got, oracle, check_dtype=False,
+                                  check_exact=True)
+
+    fps = {i: set(got.loc[got["doc_id"] == i, "fp_md5"]) for i in ids}
+    assert fps[0] & fps[1], "shared 6-token run must share a fingerprint"
+    assert not fps[3], "doc shorter than k+w-1 emits nothing"
+    assert fps[2] and fps[4]
+    # density: ~2/(w+1) of grams, never more than the window count
+    n_grams_4 = len(texts[4].split()) - 2
+    assert len(got[got["doc_id"] == 4]) <= n_grams_4 - 3
