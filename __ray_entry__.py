@@ -328,6 +328,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap_matrix": curation.source_overlap_matrix_ds,
         # train/test contamination audit: dedup groups spanning splits
         "split_leakage": curation.split_leakage_ds,
+        # curriculum ordering: global easy->hard rank by LM surprisal
+        # (two-phase prefix scan, no global sort)
+        "curriculum_order": curation.curriculum_order_ds,
         "pack_token_chunks": _pack_token_chunks,
         # GPT-3/Pile-style mixture construction: per-source token budgets
         # (weight ramp), docs admitted in id order by exclusive prefix sum
@@ -1371,6 +1374,35 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_millibits
             FROM (SELECT doc_id FROM documents) d
             LEFT JOIN per p USING (doc_id)
+        """,
+        "curriculum_order": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents
+            ), tk AS (
+              SELECT doc_id, w FROM toks WHERE w <> ''
+            ), cnt AS (
+              SELECT w, count(*)::BIGINT AS c FROM tk GROUP BY 1
+            ), tot AS (
+              SELECT count(*)::BIGINT AS n FROM tk
+            ), sur AS (
+              SELECT w, (length(bin(n // c)) - 1)::BIGINT AS bits
+              FROM cnt CROSS JOIN tot
+            ), per AS (
+              SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+                     sum(s.bits)::BIGINT AS total_bits
+              FROM tk t JOIN sur s USING (w) GROUP BY 1
+            ), diff AS (
+              SELECT d.doc_id,
+                     coalesce((1000 * p.total_bits) // p.n_tokens, 0)::BIGINT
+                         AS difficulty_millibits
+              FROM (SELECT doc_id FROM documents) d
+              LEFT JOIN per p USING (doc_id)
+            )
+            SELECT doc_id, difficulty_millibits,
+                   (row_number() OVER (ORDER BY difficulty_millibits, doc_id)
+                    - 1)::BIGINT AS rank
+            FROM diff
         """,
         "duplicated_spans": """
             WITH toks AS (

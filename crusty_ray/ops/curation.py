@@ -313,3 +313,49 @@ def split_leakage_ds(sf_dir: str, threshold_pm: int = 500,
         })
 
     return flagged.map_batches(verdict, batch_format="pandas")
+
+
+def curriculum_order_ds(sf_dir: str, num_partitions: int = 32):
+    """Curriculum ordering — rank every document by a difficulty signal
+    (unigram-LM surprisal, ``text.unigram_surprisal_ds``'s integer
+    mean_millibits) so training can consume easy->hard (Bengio et al.
+    2009 curriculum learning; data-ordering studies use exactly this
+    LM-surprisal proxy). The output is the global training ORDER, not a
+    score: rank 0 is the easiest (lowest-surprisal) document, ties broken
+    by doc_id — a total, engine-independent order.
+
+    Scale plan: the global rank is NOT a global sort — it reuses
+    ``pack.ordered_pack``'s two-phase range-partitioned prefix scan with
+    weight 1 / budget 1 (rank = exclusive prefix count): phase 1 ships one
+    count per difficulty range-bucket (O(buckets) driver rows), phase 2 is
+    a shuffle-free map adding bucket offsets. The composite int64 key
+    ``millibits * 2^40 + doc_id`` makes the order total while keeping
+    range buckets aligned to the difficulty axis.
+
+    Returns (doc_id, difficulty_millibits, rank).
+    """
+    from .pack import ordered_pack
+    from .text import unigram_surprisal_ds
+
+    surp = unigram_surprisal_ds(sf_dir)
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[["doc_id", "mean_millibits"]].copy()
+        b["__key"] = (b["mean_millibits"].astype("int64") * (1 << 40)
+                      + b["doc_id"].astype("int64"))
+        b["__one"] = np.int64(1)
+        return b
+
+    ranked = ordered_pack(surp.map_batches(keyed, batch_format="pandas"),
+                          "__key", "__one", budget=1,
+                          bucket_width=64 << 40, out_col="rank",
+                          num_partitions=num_partitions)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "difficulty_millibits": batch["mean_millibits"].astype("int64"),
+            "rank": batch["rank"].astype("int64"),
+        })
+
+    return ranked.map_batches(finish, batch_format="pandas")

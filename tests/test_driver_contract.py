@@ -104,6 +104,7 @@ SQL_CHECKED = [
     "pmi_collocations", "inverted_index", "bm25_scores",
     "data_mixture", "dsir_weights", "split_leakage",
     "exact_substr_removal", "nb_classifier", "winnowing_fingerprints",
+    "curriculum_order",
 ]
 
 
@@ -736,3 +737,46 @@ def test_winnowing_planted(ray_session, tmp_path):
     # density: ~2/(w+1) of grams, never more than the window count
     n_grams_4 = len(texts[4].split()) - 2
     assert len(got[got["doc_id"] == 4]) <= n_grams_4 - 3
+
+
+def test_curriculum_order_planted(ray_session, tmp_path):
+    """Ranks are a permutation 0..n-1, ordered easy->hard by surprisal
+    with doc_id tie-break; a doc of common tokens ranks before a doc of
+    rare ones; oracle-exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from crusty_ray.ops.curation import curriculum_order_ds
+
+    # 'ez' appears everywhere (low surprisal); rareN tokens appear once
+    texts = {i: f"ez ez ez ez ez" for i in range(6)}
+    texts[6] = "rare1 rare2 rare3 rare4 rare5"      # hardest
+    texts[7] = "ez ez rare6 rare7 ez"               # middling
+    ids = sorted(texts)
+    t = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": [texts[i] for i in ids],
+        "lang": ["en"] * len(ids),
+        "source": ["s"] * len(ids),
+        "n_chars": pa.array([len(texts[i]) for i in ids], pa.int64()),
+    })
+    d = tmp_path / "curr_fixture"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    got = _norm(_to_df(curriculum_order_ds(str(d))))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')")
+    oracle = _norm(con.sql(e.oracle_sql()["curriculum_order"]).df())
+    pd.testing.assert_frame_equal(got, oracle, check_dtype=False,
+                                  check_exact=True)
+
+    by_id = got.set_index("doc_id")
+    assert sorted(got["rank"]) == list(range(len(ids)))  # total permutation
+    assert int(by_id.loc[6, "rank"]) == len(ids) - 1     # hardest last
+    assert int(by_id.loc[7, "rank"]) == len(ids) - 2     # middling next
+    # the six identical easy docs tie on difficulty -> doc_id order
+    easy = by_id.loc[range(6), "rank"].tolist()
+    assert easy == sorted(easy) == list(range(6))
