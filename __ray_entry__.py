@@ -255,6 +255,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_groups": dedup.doc_dedup_groups_ds,
         # -- similarity search
         "ann_quantized": similarity.ann_quantized_ds,
+        # contrastive-training hard negatives: per-anchor top-k most
+        # similar DIFFERENT-label vectors (quantized, bit-exact)
+        "hard_negatives": similarity.hard_negatives_ds,
         "ann_bruteforce": similarity.ann_bruteforce_ds,           # rows-only
         "ann_lsh": similarity.ann_lsh_ds,                         # rows-only
         "ann_ivf": similarity.ann_ivf_ds,                         # rows-only
@@ -820,6 +823,25 @@ def oracle_sql() -> dict[str, str]:
               SELECT q.query_id, d.vec_id,
                      CAST(list_inner_product(qq, qe) AS BIGINT) AS qdot
               FROM q CROSS JOIN d
+            )
+            SELECT query_id, vec_id, qdot, rnk FROM (
+              SELECT *, CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY qdot DESC, vec_id) AS BIGINT) AS rnk
+              FROM scored) WHERE rnk <= 10
+        """,
+        "hard_negatives": """
+            WITH d AS (
+              SELECT vec_id, label,
+                     list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+              FROM embeddings
+            ), q AS (
+              SELECT vec_id AS query_id, label AS qlabel, qe AS qq
+              FROM d ORDER BY vec_id LIMIT 5
+            ), scored AS (
+              SELECT q.query_id, d.vec_id,
+                     CAST(list_inner_product(qq, qe) AS BIGINT) AS qdot
+              FROM q JOIN d ON d.label <> q.qlabel
             )
             SELECT query_id, vec_id, qdot, rnk FROM (
               SELECT *, CAST(row_number() OVER (

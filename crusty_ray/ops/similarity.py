@@ -452,6 +452,68 @@ def ann_quantized_ds(sf_dir: str, n_queries: int = 5, k: int = 10):
     return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def hard_negatives_ds(sf_dir: str, n_queries: int = 5, k: int = 10):
+    """Hard-negative mining — for each anchor (query) vector, the top-k
+    most similar vectors with a DIFFERENT label: the negatives
+    contrastive / metric-learning training wants (high similarity, wrong
+    class — the pairs that actually move the margin; cf. in-batch vs
+    mined negatives in dense-retrieval training, e.g. DPR/ANCE).
+
+    Same scale plan as ``ann_quantized_ds`` (this face's bit-exact
+    convention): the anchor matrix broadcasts once via ``ray.put``
+    (pruned two-phase read), each batch emits its LOCAL label-excluded
+    top-k per anchor (k rows per (anchor, block), never the table), and a
+    tiny per-anchor merge finishes. Integer quantized inner products
+    (floor(x·1000)) keep it DuckDB-bit-exact; ties break by vec_id.
+
+    Returns (query_id, vec_id, qdot, rnk), rnk 1..k.
+    """
+    queries = _load_queries(sf_dir, n_queries)
+    qq = [np.floor(np.asarray(v, np.float64) * 1000.0).astype(np.int64)
+          for v in queries["embedding"]]
+    queries_ref = ray.put((queries["vec_id"].to_numpy(),
+                           queries["label"].to_numpy(np.int64),
+                           np.stack(qq)))
+
+    class HardNegScorer:
+        def __init__(self):
+            self.qids, self.qlabels, self.qmat = ray.get(queries_ref)
+            self.k = k
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids = batch["vec_id"].to_numpy()
+            labels = batch["label"].to_numpy(np.int64)
+            mat = np.stack([
+                np.floor(np.asarray(v, np.float64) * 1000.0).astype(np.int64)
+                for v in batch["embedding"]])
+            dots = self.qmat @ mat.T
+            rows = {"query_id": [], "vec_id": [], "qdot": []}
+            for qi, qid in enumerate(self.qids):
+                neg = np.nonzero(labels != self.qlabels[qi])[0]
+                if not len(neg):
+                    continue
+                order = neg[np.lexsort((ids[neg], -dots[qi][neg]))][: self.k]
+                rows["query_id"].extend([qid] * len(order))
+                rows["vec_id"].extend(ids[order])
+                rows["qdot"].extend(dots[qi][order])
+            return pd.DataFrame(rows).astype(
+                {"query_id": "int64", "vec_id": "int64", "qdot": "int64"})
+
+    ds = _io_read(f"{sf_dir}/embeddings.parquet",
+                  columns=["vec_id", "embedding", "label"])
+    partial = ds.map_batches(HardNegScorer, batch_format="pandas",
+                             batch_size=4096, concurrency=2)
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["qdot", "vec_id"],
+                              ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
 def label_centroids_ds(sf_dir: str):
     """Per-label embedding centroid — the vector-aggregation primitive
     (cluster centers, class prototypes, IVF training all reduce to it).

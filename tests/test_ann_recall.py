@@ -134,3 +134,21 @@ def test_embedding_outliers_negative_mean_floor(ray_session, tmp_path):
         .set_index("vec_id").sort_index()
     assert oracle["d2"].tolist() == got["d2"].tolist()
     assert oracle["is_outlier"].tolist() == got["is_outlier"].tolist()
+
+
+def test_hard_negatives_exclude_anchor_label(ray_session):
+    """Every mined negative has a label different from its anchor's, and
+    each anchor gets exactly k negatives (the sf corpus has plenty)."""
+    import duckdb
+    from crusty_ray.ops.similarity import hard_negatives_ds
+
+    sf = "/root/testdata/sf0.001"
+    got = hard_negatives_ds(sf, n_queries=5, k=10).to_pandas()
+    labels = duckdb.sql(
+        f"SELECT vec_id, label FROM read_parquet('{sf}/embeddings.parquet')"
+    ).df().set_index("vec_id")["label"]
+    assert (got.groupby("query_id").size() == 10).all()
+    assert got["rnk"].between(1, 10).all()
+    for qid, g in got.groupby("query_id"):
+        assert (labels.loc[g["vec_id"]].to_numpy()
+                != labels.loc[qid]).all(), f"anchor {qid} leaked its label"
