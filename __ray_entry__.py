@@ -352,6 +352,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles_by_priority":
             quantiles.order_price_quantiles_by_priority_ds,
         "order_price_quantiles_cont": quantiles.order_price_quantiles_cont_ds,
+        # bottom-k-by-hash quantile sketch (order-independent KMV sample,
+        # fixed k-row memory; rank error O(1/sqrt k))
+        "order_price_quantiles_sketch":
+            quantiles.order_price_quantiles_sketch_ds,
         "price_quantiles_by_priority_cont":
             quantiles.price_quantiles_by_priority_cont_ds,
         # -- exact integer-moment variance (SQL-checked, HUGEINT oracle)
@@ -1190,6 +1194,21 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON c_custkey = o_custkey
                         JOIN nation ON n_nationkey = c_nationkey
             GROUP BY n_name
+        """,
+        "order_price_quantiles_sketch": """
+            WITH sample AS (
+              SELECT o_totalprice AS v
+              FROM orders ORDER BY md5(CAST(o_orderkey AS VARCHAR))
+              LIMIT 256
+            ), s AS (
+              SELECT v, row_number() OVER (ORDER BY v) - 1 AS r FROM sample
+            ), n AS (
+              SELECT count(*)::BIGINT AS n FROM sample
+            )
+            SELECT CAST(ps.p_pm AS BIGINT) AS p_pm, s.v AS value
+            FROM (SELECT unnest([250, 500, 750, 900]) AS p_pm) ps
+            CROSS JOIN n
+            JOIN s ON s.r = (ps.p_pm * (n.n - 1)) // 1000
         """,
         "order_price_quantiles": " UNION ALL ".join(
             f"SELECT {p} AS p_pm, percentile_disc({p / 1000.0}) WITHIN GROUP "

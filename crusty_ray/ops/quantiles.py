@@ -321,3 +321,56 @@ def price_quantiles_by_priority_cont_ds(sf_dir: str,
     ds = read_table(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
     return exact_group_quantiles_cont(ds, "o_orderpriority", "o_totalprice",
                                       list(ps_pm), bucket_width=100.0)
+
+
+def bottomk_sample_quantiles(ds, id_col: str, value_col: str,
+                             ps_pm: list[int], k: int = 256):
+    """Approximate quantiles from a BOTTOM-K-BY-HASH sample — the
+    order-independent quantile sketch. Each row's priority is
+    ``md5(str(id))``; the sketch is the k rows with the smallest
+    priorities, i.e. a deterministic uniform-without-replacement sample
+    (KMV sampling, as in distinct-value sketches; rank error O(1/sqrt k)).
+    Unlike KLL/t-digest compactors, bottom-k is a pure SET function of the
+    data — merge = union + trim, independent of block order — so the face
+    is bit-exact vs a SQL oracle and stable across runs and cluster
+    shapes. Use the exact two-phase ops when error must be zero; use this
+    one when a fixed tiny memory budget matters more (monitoring
+    percentiles over a 100 TB stream: k rows per block move, ever).
+
+    The approx quantile is the sample's order statistic at
+    ``(p_pm * (n_sample - 1)) // 1000`` — an actual data value, so float
+    equality is safe (no arithmetic on the value).
+
+    Returns one row per p: (p_pm, value).
+    """
+    import hashlib as _hl
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "h": [_hl.md5(str(i).encode()).hexdigest()
+                  for i in batch[id_col]],
+            "v": batch[value_col].to_numpy(),
+        })
+        # nsmallest rejects object dtype; sort+head is the string path
+        return out.sort_values("h").head(k) if len(out) > k else out
+
+    # O(blocks x k) slim partial rows; the global trim is driver-side and
+    # bounded (the label_centroids partial-reduce shape)
+    parts = ds.map_batches(local, batch_format="pandas").to_pandas()
+    sample = parts.sort_values("h").head(k)
+    vals = np.sort(sample["v"].to_numpy())
+    n = len(vals)
+    rows = [{"p_pm": int(p), "value": float(vals[(p * (n - 1)) // 1000])}
+            for p in ps_pm] if n else []
+    return pd.DataFrame(rows, columns=["p_pm", "value"]) \
+        .astype({"p_pm": "int64"})
+
+
+def order_price_quantiles_sketch_ds(sf_dir: str, k: int = 256,
+                                    ps_pm: tuple = (250, 500, 750, 900)):
+    """Bottom-k-sample o_totalprice percentiles — the SQL-checked face of
+    ``bottomk_sample_quantiles`` (sampled by md5(o_orderkey))."""
+    from .io import read_table
+    ds = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return bottomk_sample_quantiles(ds, "o_orderkey", "o_totalprice",
+                                    list(ps_pm), k=k)

