@@ -286,6 +286,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": text.normalize_text_ds,
         "order_price_ntile": analytic.order_price_ntile_ds,
         "approx_distinct_users": _approx_distinct_users,
+        # distributed PCA projection (algebraic covariance partials +
+        # driver eigendecomp of the dim x dim matrix; rows-only — float)
+        "embedding_pca": similarity.embedding_pca_ds,
         "label_centroids": similarity.label_centroids_ds,
         "label_centroids_quant": similarity.label_centroids_quant_ds,
         # outlier pruning: d2 to the label's quantized mean (LAION-style

@@ -514,6 +514,65 @@ def hard_negatives_ds(sf_dir: str, n_queries: int = 5, k: int = 10):
     return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def embedding_pca_ds(sf_dir: str, n_components: int = 8):
+    """Distributed PCA over the embedding column — the dimensionality-
+    reduction / whitening step vector pipelines run before indexing or
+    clustering (OPQ/PCA-compressed ANN, embedding compression for
+    storage). Two passes, neither materializing the table:
+
+      1. second-moment partials: each batch emits ONE slim row
+         (n, sum_vec, sum_outer) — the algebraic-moment combine (same
+         shape as ``label_centroids_ds``); the driver reduce is
+         O(blocks) rows and the eigendecomposition is of the dim x dim
+         covariance (64 x 64 here), never the data.
+      2. projection: shuffle-free ``map_batches`` — components broadcast
+         once via ``ray.put``, one matmul per batch.
+
+    Eigenvector sign is normalized (largest-|coordinate| made positive)
+    so the output is deterministic up to float reduce order; the face is
+    rows-only in the driver contract (float sums are order-dependent at
+    the ulp), with a serial-numpy pytest oracle at 1e-8.
+
+    Returns (vec_id, proj) with proj = list<float64> length
+    ``n_components``, ordered by descending eigenvalue.
+    """
+    path = f"{sf_dir}/embeddings.parquet"
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(df["embedding"].to_list()).astype(np.float64)
+        return pd.DataFrame({"n": [len(mat)],
+                             "s": [mat.sum(axis=0).tolist()],
+                             "ss": [(mat.T @ mat).ravel().tolist()]})
+
+    parts = _io_read(path, columns=["embedding"]) \
+        .map_batches(partial, batch_format="pandas").to_pandas()
+    n = int(parts["n"].sum())
+    s = np.sum(np.stack(parts["s"].to_list()), axis=0)
+    dim = len(s)
+    ss = np.sum(np.stack(parts["ss"].to_list()), axis=0).reshape(dim, dim)
+    mu = s / n
+    cov = (ss - n * np.outer(mu, mu)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)            # ascending
+    comps = evecs[:, ::-1][:, :n_components].T    # (c, dim), desc eigenvalue
+    for i in range(comps.shape[0]):               # deterministic sign
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    model_ref = ray.put((mu, comps))
+
+    def project(batch: pd.DataFrame, _cache={}) -> pd.DataFrame:
+        if "m" not in _cache:  # one object-store fetch per worker process
+            _cache["m"] = ray.get(model_ref)
+        mu_, c_ = _cache["m"]
+        mat = np.stack(batch["embedding"].to_list()).astype(np.float64)
+        proj = (mat - mu_) @ c_.T
+        return pd.DataFrame({"vec_id": batch["vec_id"].astype("int64"),
+                             "proj": list(proj)})
+
+    return _io_read(path, columns=["vec_id", "embedding"]) \
+        .map_batches(project, batch_format="pandas")
+
+
 def label_centroids_ds(sf_dir: str):
     """Per-label embedding centroid — the vector-aggregation primitive
     (cluster centers, class prototypes, IVF training all reduce to it).

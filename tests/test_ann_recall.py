@@ -152,3 +152,37 @@ def test_hard_negatives_exclude_anchor_label(ray_session):
     for qid, g in got.groupby("query_id"):
         assert (labels.loc[g["vec_id"]].to_numpy()
                 != labels.loc[qid]).all(), f"anchor {qid} leaked its label"
+
+
+def test_embedding_pca_matches_serial(ray_session):
+    """Distributed PCA == serial numpy (same sign convention) to 1e-8;
+    projections are decorrelated with variances ~ descending eigenvalues."""
+    import duckdb
+    import numpy as np
+    from crusty_ray.ops.similarity import embedding_pca_ds
+
+    sf = "/root/testdata/sf0.001"
+    got = embedding_pca_ds(sf, n_components=8).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    df = duckdb.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf}/embeddings.parquet') ORDER BY vec_id").df()
+    mat = np.stack(df["embedding"].to_list()).astype(np.float64)
+    mu = mat.mean(axis=0)
+    x = mat - mu
+    cov = (x.T @ x) / (len(mat) - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    comps = evecs[:, ::-1][:, :8].T
+    for i in range(8):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    want = x @ comps.T
+
+    assert got["vec_id"].tolist() == df["vec_id"].tolist()
+    proj = np.stack(got["proj"].to_list())
+    np.testing.assert_allclose(proj, want, atol=1e-8)
+    # variances track the top eigenvalues, descending
+    var = proj.var(axis=0, ddof=1)
+    np.testing.assert_allclose(var, evals[::-1][:8], rtol=1e-6)
+    assert (np.diff(var) <= 1e-9).all()

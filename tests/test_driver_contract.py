@@ -120,7 +120,7 @@ def test_query_matches_oracle(contract, name):
                                   check_exact=True, obj=name)
 
 
-ROWS_ONLY = ["approx_distinct_users", "label_centroids",
+ROWS_ONLY = ["approx_distinct_users", "label_centroids", "embedding_pca",
              "minhash_candidates", "minhash_candidates_capped",
              "minhash_near_dups",
              "ann_bruteforce", "ann_lsh", "ann_ivf", "ann_pq",
