@@ -146,7 +146,9 @@ def bench_queries(sf_dir: str) -> dict:
              "embedding_outliers", "duplicated_spans",
              "source_overlap_matrix", "chunk_documents", "pmi_collocations",
              "inverted_index", "bm25_scores", "data_mixture", "dsir_weights",
-             "split_leakage", "exact_substr_removal", "nb_classifier"]
+             "split_leakage", "exact_substr_removal", "nb_classifier",
+             "winnowing_fingerprints", "curriculum_order", "hard_negatives",
+             "order_price_quantiles_sketch", "embedding_pca"]
     out = {}
     for name in names:
         t0 = time.time()
