@@ -284,6 +284,11 @@ def split_leakage_ds(sf_dir: str, threshold_pm: int = 500,
                            {"train": 900, "val": 950, "test": 1000})
     joined = hash_join(groups, splits, on=["doc_id"],
                        num_partitions=num_partitions)
+    # joined feeds TWO consumers (the has_train reduce and the final join);
+    # left lazy, its upstream shuffle chain would execute twice — the exact
+    # hazard hash_join's _materialize_if_shuffle_lineage documents (8x wall
+    # on re-executed chains)
+    joined = joined.materialize()
 
     def train_partials(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch.assign(has_train=(batch["split"] == "train")

@@ -729,8 +729,12 @@ def nb_classifier_ds(sf_dir: str, label_col: str = "lang"):
         t_c = int(rows["k"].sum())
         base = q(t_c + v)
         wbits[li, :] = q(1) - base  # unseen-in-class words
-        for w_, k_ in zip(rows["w"], rows["k"]):
-            wbits[li, vidx[w_]] = q(int(k_) + 1) - base
+        idx = rows["w"].map(vidx).to_numpy(dtype=np.int64)
+        # exact integer bit_length (float log2 misrounds near 2^n); the
+        # per-count loop is O(seen vocab) with no per-row dict lookup
+        wbits[li, idx] = np.fromiter(
+            (q(int(k_) + 1) for k_ in rows["k"]),
+            dtype=np.int64, count=len(rows)) - base
         priors[li] = q(int(doc_counts[lab]) + 1)
     model_ref = _ray.put((vidx, wbits, priors, labels))
 
