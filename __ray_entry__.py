@@ -359,6 +359,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fixed k-row memory; rank error O(1/sqrt k))
         "order_price_quantiles_sketch":
             quantiles.order_price_quantiles_sketch_ds,
+        # grouped bottom-k sketch: per-group KMV sample, finished fully
+        # inside the workers (no driver reduce at any group count)
+        "price_quantiles_by_priority_sketch":
+            quantiles.price_quantiles_by_priority_sketch_ds,
         "price_quantiles_by_priority_cont":
             quantiles.price_quantiles_by_priority_cont_ds,
         # -- exact integer-moment variance (SQL-checked, HUGEINT oracle)
@@ -1212,6 +1216,27 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest([250, 500, 750, 900]) AS p_pm) ps
             CROSS JOIN n
             JOIN s ON s.r = (ps.p_pm * (n.n - 1)) // 1000
+        """,
+        "price_quantiles_by_priority_sketch": """
+            WITH sample AS (
+              SELECT grp, v FROM (
+                SELECT o_orderpriority AS grp, o_totalprice AS v,
+                       row_number() OVER (
+                         PARTITION BY o_orderpriority
+                         ORDER BY md5(CAST(o_orderkey AS VARCHAR))) AS hr
+                FROM orders) WHERE hr <= 256
+            ), s AS (
+              SELECT grp, v,
+                     row_number() OVER (PARTITION BY grp ORDER BY v) - 1 AS r
+              FROM sample
+            ), n AS (
+              SELECT grp, count(*)::BIGINT AS n FROM sample GROUP BY 1
+            )
+            SELECT s.grp AS o_orderpriority,
+                   CAST(ps.p_pm AS BIGINT) AS p_pm, s.v AS value
+            FROM (SELECT unnest([500, 900]) AS p_pm) ps
+            CROSS JOIN n
+            JOIN s ON s.grp = n.grp AND s.r = (ps.p_pm * (n.n - 1)) // 1000
         """,
         "order_price_quantiles": " UNION ALL ".join(
             f"SELECT {p} AS p_pm, percentile_disc({p / 1000.0}) WITHIN GROUP "

@@ -374,3 +374,54 @@ def order_price_quantiles_sketch_ds(sf_dir: str, k: int = 256,
     ds = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
     return bottomk_sample_quantiles(ds, "o_orderkey", "o_totalprice",
                                     list(ps_pm), k=k)
+
+
+def grouped_bottomk_quantiles(ds, group_col: str, id_col: str,
+                              value_col: str, ps_pm: list[int],
+                              k: int = 256, num_partitions: int = 32):
+    """Per-group bottom-k-by-hash approximate quantiles — the grouped face
+    of ``bottomk_sample_quantiles`` (same KMV sample, same order-stat
+    convention), finished entirely inside the workers: a vectorized
+    per-batch per-group prune (<= k rows per group per block move), one
+    coarse hash partition on the group, per-group trim + order stats in
+    the partition. Unlike the global face there is NO driver reduce at
+    all — groups scale without the driver seeing them.
+
+    Returns one row per (group, p): (group_col, p_pm, value)."""
+    import hashlib as _hl
+
+    from .agg import partitioned_group_apply
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "g": batch[group_col].to_numpy(),
+            "h": [_hl.md5(str(i).encode()).hexdigest()
+                  for i in batch[id_col]],
+            "v": batch[value_col].to_numpy(),
+        })
+        return out.sort_values("h").groupby("g", sort=False).head(k)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for g, gg in df.groupby("g"):
+            vals = np.sort(gg.sort_values("h").head(k)["v"].to_numpy())
+            n = len(vals)
+            rows.extend({group_col: g, "p_pm": int(p),
+                         "value": float(vals[(p * (n - 1)) // 1000])}
+                        for p in ps_pm)
+        return pd.DataFrame(rows, columns=[group_col, "p_pm", "value"]) \
+            .astype({"p_pm": "int64"})
+
+    pruned = ds.map_batches(local, batch_format="pandas")
+    return partitioned_group_apply(pruned, ["g"], finish, num_partitions)
+
+
+def price_quantiles_by_priority_sketch_ds(sf_dir: str, k: int = 256,
+                                          ps_pm: tuple = (500, 900)):
+    """Per-priority bottom-k-sample o_totalprice percentiles — the
+    SQL-checked face of ``grouped_bottomk_quantiles``."""
+    from .io import read_table
+    ds = read_table(sf_dir, "orders",
+                    ["o_orderpriority", "o_orderkey", "o_totalprice"])
+    return grouped_bottomk_quantiles(ds, "o_orderpriority", "o_orderkey",
+                                     "o_totalprice", list(ps_pm), k=k)
