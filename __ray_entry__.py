@@ -367,6 +367,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             quantiles.price_quantiles_by_priority_cont_ds,
         # -- exact integer-moment variance (SQL-checked, HUGEINT oracle)
         "price_var_by_priority": stats.price_var_by_priority_ds,
+        # table profiler: per-column n/NDV/min/max/sum in cents (the
+        # ANALYZE statistics pass; exact NDV via the two-level
+        # distinct-pair plan)
+        "lineitem_profile": stats.numeric_profile_ds,
         # -- behavior analytics (SQL-checked)
         "cohort_retention": behavior.cohort_retention_ds,
         "funnel_counts": behavior.funnel_counts_ds,
@@ -1258,6 +1262,29 @@ def oracle_sql() -> dict[str, str]:
             f"(ORDER BY o_totalprice) AS value FROM orders "
             f"GROUP BY o_orderpriority"
             for p in (500, 900)),
+        "lineitem_profile": """
+            SELECT 'l_quantity' AS column_name, count(l_quantity)::BIGINT AS n_rows,
+       count(DISTINCT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))::BIGINT AS ndv,
+       min(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))::BIGINT AS min_cents,
+       max(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))::BIGINT AS max_cents,
+       sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))::BIGINT AS sum_cents
+    FROM lineitem UNION ALL SELECT 'l_extendedprice' AS column_name, count(l_extendedprice)::BIGINT AS n_rows,
+       count(DISTINCT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))::BIGINT AS ndv,
+       min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))::BIGINT AS min_cents,
+       max(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))::BIGINT AS max_cents,
+       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))::BIGINT AS sum_cents
+    FROM lineitem UNION ALL SELECT 'l_discount' AS column_name, count(l_discount)::BIGINT AS n_rows,
+       count(DISTINCT CAST(floor(l_discount * 100 + 0.5) AS BIGINT))::BIGINT AS ndv,
+       min(CAST(floor(l_discount * 100 + 0.5) AS BIGINT))::BIGINT AS min_cents,
+       max(CAST(floor(l_discount * 100 + 0.5) AS BIGINT))::BIGINT AS max_cents,
+       sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT))::BIGINT AS sum_cents
+    FROM lineitem UNION ALL SELECT 'l_tax' AS column_name, count(l_tax)::BIGINT AS n_rows,
+       count(DISTINCT CAST(floor(l_tax * 100 + 0.5) AS BIGINT))::BIGINT AS ndv,
+       min(CAST(floor(l_tax * 100 + 0.5) AS BIGINT))::BIGINT AS min_cents,
+       max(CAST(floor(l_tax * 100 + 0.5) AS BIGINT))::BIGINT AS max_cents,
+       sum(CAST(floor(l_tax * 100 + 0.5) AS BIGINT))::BIGINT AS sum_cents
+    FROM lineitem
+        """,
         "price_var_by_priority": """
             SELECT o_orderpriority, count(*)::BIGINT AS n,
                    CASE WHEN count(*) < 2 THEN -1 ELSE

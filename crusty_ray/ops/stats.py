@@ -84,3 +84,70 @@ def price_var_by_priority_ds(sf_dir: str):
     return grouped_int_variance(
         orders.map_batches(cents, batch_format="pandas"),
         ["o_orderpriority"], "c", out_col="var_cents2")
+
+
+def numeric_profile_ds(sf_dir: str, table: str = "lineitem",
+                       cols: tuple = ("l_quantity", "l_extendedprice",
+                                      "l_discount", "l_tax"),
+                       num_partitions: int = 32):
+    """Table profiler — per-numeric-column (n, exact NDV, min, max, sum)
+    in cents, the data-profiling pass an engine runs before planning
+    (statistics collection / ANALYZE): NDV drives join ordering and
+    dictionary decisions, min/max drive zone maps, sums sanity-check
+    loads. Integer cents (floor(x·100 + 0.5), the repo-wide money
+    convention) keep the face bit-exact vs the SQL oracle; a 100 TB
+    corpus (~10^12 cent-scale values) keeps Σ under 2^63 — and the
+    per-batch partials are exact int64 regardless.
+
+    Scale plan: ONE pass emits |cols| slim agg-partial rows per batch
+    (driver reduce is O(blocks x cols)); NDV is exact via the
+    ``grouped_count_distinct`` two-level plan — per-batch per-column
+    value dedup, then one coarse shuffle of the distinct (column, value)
+    pairs. Nothing fact-scale ever reaches the driver.
+
+    Returns one row per column:
+    (column_name, n_rows, ndv, min_cents, max_cents, sum_cents).
+    """
+    from .agg import grouped_count_distinct
+    from .io import read_table
+
+    ds = read_table(sf_dir, table, list(cols))
+
+    def agg_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in cols:
+            v = batch[c].to_numpy(dtype=np.float64)
+            v = v[~np.isnan(v)]  # SQL aggregates ignore NULLs
+            if not len(v):
+                continue
+            cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+            rows.append((c, len(cents), int(cents.min()),
+                         int(cents.max()), int(cents.sum())))
+        return pd.DataFrame(rows, columns=["column_name", "n_rows",
+                                           "min_cents", "max_cents",
+                                           "sum_cents"])
+
+    parts = ds.map_batches(agg_partials, batch_format="pandas").to_pandas()
+    agg = parts.groupby("column_name", as_index=False).agg(
+        n_rows=("n_rows", "sum"), min_cents=("min_cents", "min"),
+        max_cents=("max_cents", "max"), sum_cents=("sum_cents", "sum"))
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for c in cols:
+            v = batch[c].to_numpy(dtype=np.float64)
+            v = v[~np.isnan(v)]
+            cents = np.unique(np.floor(v * 100.0 + 0.5).astype(np.int64))
+            frames.append(pd.DataFrame({"column_name": c, "vc": cents}))
+        return pd.concat(frames, ignore_index=True)
+
+    ndv = grouped_count_distinct(
+        ds.map_batches(pairs, batch_format="pandas"),
+        ["column_name"], "vc", "ndv", num_partitions).to_pandas()
+
+    out = agg.merge(ndv, on="column_name")
+    out = out[["column_name", "n_rows", "ndv", "min_cents", "max_cents",
+               "sum_cents"]]
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("column_name").reset_index(drop=True)

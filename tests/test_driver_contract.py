@@ -105,7 +105,7 @@ SQL_CHECKED = [
     "data_mixture", "dsir_weights", "split_leakage",
     "exact_substr_removal", "nb_classifier", "winnowing_fingerprints",
     "curriculum_order", "hard_negatives", "order_price_quantiles_sketch",
-    "price_quantiles_by_priority_sketch",
+    "price_quantiles_by_priority_sketch", "lineitem_profile",
 ]
 
 
