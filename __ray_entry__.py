@@ -298,6 +298,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unigram-LM surprisal quality scoring (CCNet-style, integer-
         # quantized bits so the SQL oracle is bit-exact)
         "unigram_surprisal": text.unigram_surprisal_ds,
+        # bigram-LM surprisal: the model distributed AS A TABLE and
+        # applied by join (no broadcast — the web-scale n-gram LM shape)
+        "bigram_surprisal": text.bigram_surprisal_ds,
         # ExactSubstr repetition signal (Lee et al. 2021): span positions
         # whose n-gram occurs >= 2 times corpus-wide, per document
         "duplicated_spans": text.duplicated_spans_ds,
@@ -1470,6 +1473,45 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_millibits
             FROM (SELECT doc_id FROM documents) d
             LEFT JOIN per p USING (doc_id)
+        """,
+        "bigram_surprisal": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), ex AS (
+              SELECT doc_id, unnest(t) AS w,
+                     generate_subscripts(t, 1) AS i
+              FROM toks
+            ), tk AS (
+              SELECT doc_id, w,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+              FROM ex WHERE w <> ''
+            ), bg AS (
+              SELECT a.doc_id, a.w AS w1, b.w AS w2
+              FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.j = a.j + 1
+            ), c2 AS (
+              SELECT w1, w2, count(*)::BIGINT AS c2 FROM bg GROUP BY 1, 2
+            ), c1 AS (
+              SELECT w1, sum(c2)::BIGINT AS c1 FROM c2 GROUP BY 1
+            ), v AS (
+              SELECT count(DISTINCT w)::BIGINT AS v FROM ex WHERE w <> ''
+            ), wt AS (
+              SELECT c2.w1, c2.w2,
+                     (length(bin((c1.c1 + v.v) // (c2.c2 + 1))) - 1)::BIGINT
+                         AS bits
+              FROM c2 JOIN c1 USING (w1) CROSS JOIN v
+            ), per AS (
+              SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+                     sum(wt.bits)::BIGINT AS total_bits
+              FROM bg JOIN wt ON wt.w1 = bg.w1 AND wt.w2 = bg.w2
+              GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(per.n_bigrams, 0)::BIGINT AS n_bigrams,
+                   coalesce(per.total_bits, 0)::BIGINT AS total_bits,
+                   coalesce((1000 * per.total_bits) // per.n_bigrams,
+                            0)::BIGINT AS mean_millibits
+            FROM (SELECT doc_id FROM documents) d
+            LEFT JOIN per USING (doc_id)
         """,
         "curriculum_order": """
             WITH toks AS (

@@ -606,6 +606,132 @@ def unigram_surprisal_ds(sf_dir: str):
         .map_batches(score, batch_format="pandas")
 
 
+def bigram_surprisal_ds(sf_dir: str, num_partitions: int = 32):
+    """Bigram-LM surprisal — the CCNet-style LM quality signal one order
+    up from ``unigram_surprisal_ds``: each document scored by the add-one
+    conditional bits of its adjacent token pairs,
+
+        bits(w1, w2) = bl((c1(w1) + V) // (c2(w1, w2) + 1)),
+        bl(x) = floor(log2 x)   (DuckDB: length(bin(x)) - 1)
+
+    with c2 = corpus bigram count, c1 = occurrences of w1 as a bigram
+    head, V = corpus distinct-token count. Integer throughout, so the
+    face is bit-exact vs the SQL oracle.
+
+    The architectural point vs the unigram op: a WEB-SCALE n-gram LM does
+    not fit a broadcast (unigram tables do; bigram+ tables are O(vocab^2)
+    in the worst case), so the model is distributed AS A TABLE and
+    applied by JOIN — every stage is a slim co-partitioned shuffle:
+      1. explode: per-batch pre-aggregated (doc_id, w1, w2, cnt) rows;
+      2. model: (w1,w2)-grouped corpus counts; head totals by a second
+         tiny group on w1; one counts-scale ``hash_join`` attaches c1,
+         a scalar V (distinct-token count, computed exactly the same
+         two-level way) broadcasts trivially;
+      3. score: ``hash_join`` of doc-bigrams against the weight table on
+         (w1, w2) — fact x model co-partitioned, nothing driver-held —
+         then a doc_id-partitioned sum, LEFT-joined back to all docs.
+    Tokens: whitespace split, empty tokens dropped, bigrams over the
+    remaining adjacent pairs (a doc with < 2 surviving tokens scores 0).
+
+    Returns (doc_id, n_bigrams, total_bits, mean_millibits), LEFT-complete.
+    """
+    from .agg import partitioned_group_apply
+    from .joins import hash_join
+
+    path = f"{sf_dir}/documents.parquet"
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        doc, w1s, w2s = [], [], []
+        for d, t in zip(batch["doc_id"], batch["text"].fillna("")):
+            toks = [w for w in t.split(" ") if w]
+            for i in range(len(toks) - 1):
+                doc.append(d)
+                w1s.append(toks[i])
+                w2s.append(toks[i + 1])
+        out = pd.DataFrame({"doc_id": pd.Series(doc, dtype="int64"),
+                            "w1": pd.Series(w1s, dtype="object"),
+                            "w2": pd.Series(w2s, dtype="object")})
+        return out.groupby(["doc_id", "w1", "w2"], as_index=False).size() \
+            .rename(columns={"size": "cnt"}).astype({"cnt": "int64"})
+
+    bg = _io_read(path, columns=["doc_id", "text"]) \
+        .map_batches(explode, batch_format="pandas")
+
+    def c2_local(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["w1", "w2"], as_index=False)["cnt"].sum()
+        return out.rename(columns={"cnt": "c2"}).astype({"c2": "int64"})
+
+    def c2_finish(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["w1", "w2"], as_index=False)["c2"].sum() \
+            .astype({"c2": "int64"})
+
+    c2 = partitioned_group_apply(
+        bg.map_batches(c2_local, batch_format="pandas"),
+        ["w1", "w2"], c2_finish, num_partitions)
+    c2 = c2.materialize()  # feeds c1 AND the weight join — execute once
+
+    def c1_finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("w1", as_index=False)["c2"].sum()
+        return out.rename(columns={"c2": "c1"}).astype({"c1": "int64"})
+
+    c1 = partitioned_group_apply(c2, ["w1"], c1_finish, num_partitions)
+
+    # V: exact distinct-token count over ALL non-empty tokens (a token in
+    # a one-token doc heads no bigram, so derive from the corpus, not c2)
+    def tok_local(batch: pd.DataFrame) -> pd.DataFrame:
+        w = batch["text"].fillna("").str.split(" ").explode()
+        w = w[w != ""].dropna().unique()
+        return pd.DataFrame({"w": pd.Series(w, dtype="object")})
+
+    def tok_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    v = partitioned_group_apply(
+        _io_read(path, columns=["text"])
+        .map_batches(tok_local, batch_format="pandas"),
+        ["w"], tok_dedup, num_partitions).count()
+
+    wt = hash_join(c2, c1, on=["w1"], num_partitions=num_partitions)
+
+    def to_bits(batch: pd.DataFrame) -> pd.DataFrame:
+        ratio = (batch["c1"].to_numpy() + v) // (batch["c2"].to_numpy() + 1)
+        # exact integer bit_length (float log2 misrounds near 2^n); this
+        # loop is over the MODEL table, not the corpus
+        bits = pd.Series([int(x).bit_length() - 1 for x in ratio],
+                         dtype="int64")
+        return pd.DataFrame({"w1": batch["w1"], "w2": batch["w2"],
+                             "bits": bits})
+
+    wt = wt.map_batches(to_bits, batch_format="pandas")
+
+    scored = hash_join(bg, wt, on=["w1", "w2"],
+                       num_partitions=num_partitions)
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(tb=df["cnt"] * df["bits"])
+        out = df.groupby("doc_id", as_index=False).agg(
+            n_bigrams=("cnt", "sum"), total_bits=("tb", "sum"))
+        return out.astype("int64")
+
+    per = partitioned_group_apply(scored, ["doc_id"], per_doc,
+                                  num_partitions)
+
+    docs = _io_read(path, columns=["doc_id"])
+    joined = hash_join(docs, per, on=["doc_id"], how="left",
+                       fill={"n_bigrams": 0, "total_bits": 0},
+                       num_partitions=num_partitions)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["doc_id", "n_bigrams", "total_bits"]].astype("int64")
+        out["mean_millibits"] = np.where(
+            out["n_bigrams"] > 0,
+            (1000 * out["total_bits"]) // out["n_bigrams"].clip(lower=1),
+            0).astype("int64")
+        return out
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
 def winnowing_fingerprints_ds(sf_dir: str, k: int = 3, w: int = 4):
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003
     — the MOSS algorithm): hash every k-token gram, slide a w-hash window,

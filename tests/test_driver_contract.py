@@ -106,6 +106,7 @@ SQL_CHECKED = [
     "exact_substr_removal", "nb_classifier", "winnowing_fingerprints",
     "curriculum_order", "hard_negatives", "order_price_quantiles_sketch",
     "price_quantiles_by_priority_sketch", "lineitem_profile",
+    "bigram_surprisal",
 ]
 
 
@@ -738,6 +739,48 @@ def test_winnowing_planted(ray_session, tmp_path):
     # density: ~2/(w+1) of grams, never more than the window count
     n_grams_4 = len(texts[4].split()) - 2
     assert len(got[got["doc_id"] == 4]) <= n_grams_4 - 3
+
+
+def test_bigram_surprisal_planted(ray_session, tmp_path):
+    """Edge cases the sf tables may not cover: empty text, one-token doc
+    (no bigram -> 0s, LEFT-complete), repeated bigrams, and a frequent
+    pair scoring fewer bits than a rare one; oracle-exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from crusty_ray.ops.text import bigram_surprisal_ds
+
+    texts = {0: "", 1: "solo", 2: "a b a b a b",
+             3: "a b", 4: "x y", 5: "a b a b"}
+    ids = sorted(texts)
+    t = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": [texts[i] for i in ids],
+        "lang": ["en"] * len(ids),
+        "source": ["s"] * len(ids),
+        "n_chars": pa.array([len(texts[i]) for i in ids], pa.int64()),
+    })
+    d = tmp_path / "bigram_fixture"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    got = _norm(_to_df(bigram_surprisal_ds(str(d))))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')")
+    oracle = _norm(con.sql(e.oracle_sql()["bigram_surprisal"]).df())
+    pd.testing.assert_frame_equal(got, oracle, check_dtype=False,
+                                  check_exact=True)
+    by_id = got.set_index("doc_id")
+    assert len(got) == len(ids)                      # LEFT-complete
+    assert by_id.loc[0].tolist() == [0, 0, 0]        # empty text
+    assert by_id.loc[1].tolist() == [0, 0, 0]        # one token
+    assert int(by_id.loc[2, "n_bigrams"]) == 5
+    # the frequent pair (a,b) carries fewer bits than the singleton (x,y)
+    ab = int(by_id.loc[3, "mean_millibits"])
+    xy = int(by_id.loc[4, "mean_millibits"])
+    assert ab < xy
 
 
 def test_curriculum_order_planted(ray_session, tmp_path):
