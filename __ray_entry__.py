@@ -351,6 +351,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_assignment": analog.shard_assignment_ds,
         "segment_order_counts": analog.segment_order_counts_ds,
         "event_minute_buckets": analog.event_minute_buckets_ds,
+        # stream hygiene: first event per (user, type, minute) window,
+        # LEFT-complete kept/dropped verdicts
+        "event_dedup_windowed": analog.event_dedup_windowed_ds,
         "pricing_summary": analog.pricing_summary_ds,
         "priority_dequeue": analog.priority_dequeue_ds,
         "top_docs_per_source": analog.top_docs_per_source_ds,
@@ -898,6 +901,15 @@ def oracle_sql() -> dict[str, str]:
                    (CAST(floor(epoch(ts)) AS BIGINT) // 60) AS minute,
                    count(*) AS n_events
             FROM events GROUP BY 1, 2
+        """,
+        "event_dedup_windowed": """
+            SELECT event_id, user_id, event_type,
+                   (CAST(floor(epoch(ts)) AS BIGINT) // 60) AS minute,
+                   CAST(row_number() OVER (
+                        PARTITION BY user_id, event_type,
+                                     (CAST(floor(epoch(ts)) AS BIGINT) // 60)
+                        ORDER BY ts, event_id) = 1 AS BIGINT) AS kept
+            FROM events
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -267,3 +267,44 @@ def props_value_histogram_ds(sf_dir: str):
 
     return ds.map_batches(extract, batch_format="pandas") \
         .groupby("k").aggregate(Count(alias_name="n"))
+
+
+def event_dedup_windowed_ds(sf_dir: str, num_partitions: int = 32):
+    """Windowed event deduplication — the stream-hygiene pass that drops
+    retransmitted / double-fired events: within each (user, event_type,
+    minute) window only the FIRST event (earliest ts, event_id tie-break)
+    is kept. LEFT-complete verdicts — every event gets kept 0/1 — so the
+    face doubles as a duplication-rate report.
+
+    Scale plan: one coarse hash partition on the window key; the
+    within-window first-row pick is a vectorized pandas sort +
+    ``duplicated()`` inside the partition. Only the slim key/id columns
+    shuffle, never props/value payloads.
+
+    Returns (event_id, user_id, event_type, minute, kept).
+    """
+    from .agg import partitioned_group_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": batch["event_id"].astype("int64"),
+            "user_id": batch["user_id"].astype("int64"),
+            "event_type": batch["event_type"].astype(str),
+            "minute": minute_of(batch["ts"]),
+            "ts": batch["ts"],
+        })
+
+    keys = ["user_id", "event_type", "minute"]
+
+    def verdicts(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["ts", "event_id"], kind="mergesort")
+        kept = (~d.duplicated(keys)).astype("int64")
+        out = d[["event_id", "user_id", "event_type", "minute"]].copy()
+        out["kept"] = kept
+        return out.reset_index(drop=True)
+
+    return partitioned_group_apply(
+        ds.map_batches(keyed, batch_format="pandas"),
+        keys, verdicts, num_partitions)
