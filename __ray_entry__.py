@@ -135,6 +135,11 @@ def _image_channel_stats(sf_dir: str):
     return image_channel_stats(_images_dir())
 
 
+def _image_patch_grid(sf_dir: str):
+    from crusty_ray.ops.multimodal import image_patch_grid
+    return image_patch_grid(_images_dir())
+
+
 def _domain_pagerank(sf_dir: str):
     # domain-authority PageRank over the crawl's discovered link graph
     from crusty_ray.ops.graph import domain_pagerank
@@ -436,6 +441,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pixel moments (serial-Python-int-equality pytest oracle in
         # test_images_pipeline.py)
         "image_channel_stats": _image_channel_stats,
+        # ViT patchify: g x g integer patch luminances per image
+        # (serial-exact pytest oracle in test_images_pipeline.py)
+        "image_patch_grid": _image_patch_grid,
         # embedding-cosine tier of image dedup over the extracted features
         # (LSH tables + per-bucket verify; brute-force-equality pytest
         # oracle at n_planes=0 in test_multimodal_stubs.py)

@@ -250,6 +250,65 @@ def image_feature_near_dups(images_path: str, threshold_pm: int = 990,
                                    dedup_pairs, num_partitions)
 
 
+class PatchGridStage:
+    """ViT-style patchification features — per image, a g x g grid of
+    integer patch luminances: lum(px) = 299·R + 587·G + 114·B (the BT.601
+    milli-weights kept integer), patch value = sum // n_pixels. Patch
+    boundaries are the same floor-division grid ``resize_nearest`` uses,
+    so ragged edges are deterministic. One slim g² row set per image;
+    pixels never leave the worker. Undecodable rows emit nothing (the
+    quality gate owns those)."""
+
+    def __init__(self, grid: int = 4):
+        self.g = grid
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, prow, pcol, lum = [], [], [], []
+        g = self.g
+        w601 = np.array([299, 587, 114], dtype=np.int64)
+        for iid, blob, fmt in zip(batch["image_id"].to_pylist(),
+                                  batch["bytes"].to_pylist(),
+                                  batch["fmt"].to_pylist()):
+            try:
+                px = decode_image(blob, fmt).astype(np.int64)
+            except Exception:
+                continue
+            h, w = px.shape[:2]
+            l = px @ w601  # (h, w) integer milli-luminance
+            rb = [(r * h) // g for r in range(g + 1)]
+            cb = [(c * w) // g for c in range(g + 1)]
+            for r in range(g):
+                for c in range(g):
+                    p = l[rb[r]:rb[r + 1], cb[c]:cb[c + 1]]
+                    if p.size == 0:
+                        continue
+                    ids.append(iid)
+                    prow.append(r)
+                    pcol.append(c)
+                    lum.append(int(p.sum()) // int(p.size))
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "patch_row": pa.array(prow, pa.int64()),
+                         "patch_col": pa.array(pcol, pa.int64()),
+                         "mean_millilum": pa.array(lum, pa.int64())})
+
+
+def image_patch_grid(images_path: str, grid: int = 4, batch_size: int = 64,
+                     concurrency: int = 4):
+    """Patch-grid luminance features for every stored image — the
+    patchify step vision-transformer data prep runs (image → g² patch
+    tokens), reduced to its deterministic integer skeleton so the serial
+    oracle is exact. Actor-pool decode, shuffle-free.
+
+    Returns (image_id, patch_row, patch_col, mean_millilum)."""
+    from .io import read_dataset
+
+    ds = read_dataset(images_path, columns=["image_id", "bytes", "fmt"])
+    return ds.map_batches(PatchGridStage, batch_format="pyarrow",
+                          batch_size=batch_size,
+                          fn_constructor_kwargs={"grid": grid},
+                          concurrency=(1, concurrency))
+
+
 class ChannelStatsStage:
     """Integer per-channel pixel-sum partials — one slim (channel, n, sum,
     sum_sq) triple of rows per input batch, pixels never leave the worker.

@@ -84,6 +84,39 @@ def test_image_channel_stats_exact(ray_session, crawl_out, tmp_path):
     assert all(0 < m < 255_000 for m in got["mean_pm"])
 
 
+def test_image_patch_grid_exact(ray_session, crawl_out, tmp_path):
+    """Distributed patchify == serial Python-int oracle, exactly; full
+    g x g coverage per decodable image."""
+    import pyarrow.dataset as pads
+    from crusty_ray.codecs.images import decode_image
+    from crusty_ray.ops.multimodal import image_patch_grid
+    from crusty_ray.pipelines.images import run_image_pipeline
+    import numpy as np
+
+    out = str(tmp_path / "img4")
+    run_image_pipeline(f"{crawl_out}/crawl_log", out, WEB_CFG, _tc())
+    g = 4
+    got = image_patch_grid(out, grid=g).to_pandas() \
+        .set_index(["image_id", "patch_row", "patch_col"]).sort_index()
+
+    t = pads.dataset(out, format="parquet").to_table()
+    n_img = 0
+    w601 = np.array([299, 587, 114], dtype=np.int64)
+    for iid, blob, fmt in zip(t["image_id"].to_pylist(),
+                              t["bytes"].to_pylist(), t["fmt"].to_pylist()):
+        px = decode_image(blob, fmt).astype(np.int64)
+        n_img += 1
+        h, w = px.shape[:2]
+        lum = px @ w601
+        for r in range(g):
+            for c in range(g):
+                p = lum[(r * h) // g:((r + 1) * h) // g,
+                        (c * w) // g:((c + 1) * w) // g]
+                assert int(got.loc[(iid, r, c), "mean_millilum"]) == \
+                    int(p.sum()) // int(p.size)
+    assert len(got) == n_img * g * g  # every image fully covered
+
+
 def test_wide_binary_rows_small_batches(ray_session, tmp_path):
     """SURVEY §7.4.5: large image payloads with small decode batches — the
     pipeline streams wide binary rows without blowing up block sizes."""
