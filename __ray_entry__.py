@@ -345,6 +345,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # curriculum ordering: global easy->hard rank by LM surprisal
         # (two-phase prefix scan, no global sort)
         "curriculum_order": curation.curriculum_order_ds,
+        # dataset-card composition: docs+tokens per (source, lang) with
+        # ROLLUP margins ('ALL' sentinel)
+        "corpus_report": curation.corpus_report_ds,
         "pack_token_chunks": _pack_token_chunks,
         # GPT-3/Pile-style mixture construction: per-source token budgets
         # (weight ramp), docs admitted in id order by exclusive prefix sum
@@ -1493,6 +1496,14 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_millibits
             FROM (SELECT doc_id FROM documents) d
             LEFT JOIN per p USING (doc_id)
+        """,
+        "corpus_report": """
+            SELECT coalesce(source, 'ALL') AS source,
+                   coalesce(lang, 'ALL') AS lang,
+                   count(*)::BIGINT AS n_docs,
+                   sum(len(list_filter(string_split(text, ' '),
+                                       w -> w <> '')))::BIGINT AS n_tokens
+            FROM documents GROUP BY ROLLUP(source, lang)
         """,
         "bigram_surprisal": """
             WITH toks AS (

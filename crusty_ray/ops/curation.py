@@ -364,3 +364,48 @@ def curriculum_order_ds(sf_dir: str, num_partitions: int = 32):
         })
 
     return ranked.map_batches(finish, batch_format="pandas")
+
+
+def corpus_report_ds(sf_dir: str):
+    """Dataset-card composition report — docs and tokens per
+    (source, lang) with ROLLUP margins (per-source totals + grand total),
+    the table every dataset release publishes (C4/Pile/Dolma dataset
+    cards) and the input the mixture-weight ops consume.
+
+    Scale plan: per-batch pre-aggregated (source, lang, n_docs, n_tokens)
+    partials — O(sources x langs) rows per block — reduced on the driver
+    (the result is card-sized by definition); ROLLUP margins derive from
+    the finest level, one pass over the corpus total. Token = non-empty
+    whitespace token (the ``tk`` convention shared with the surprisal /
+    BM25 faces); rolled-up columns carry the 'ALL' sentinel so the face
+    stays string-typed (no NULL hash ambiguity).
+
+    Returns (source, lang, n_docs, n_tokens).
+    """
+    path = f"{sf_dir}/documents.parquet"
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.split(" ") \
+            .map(lambda ws: sum(1 for w in ws if w))
+        df = pd.DataFrame({"source": batch["source"].astype(str),
+                           "lang": batch["lang"].astype(str),
+                           "n_tokens": toks.astype("int64")})
+        out = df.groupby(["source", "lang"], as_index=False).agg(
+            n_docs=("n_tokens", "size"), n_tokens=("n_tokens", "sum"))
+        return out.astype({"n_docs": "int64", "n_tokens": "int64"})
+
+    parts = _io_read(path, columns=["source", "lang", "text"]) \
+        .map_batches(partial, batch_format="pandas").to_pandas()
+    finest = parts.groupby(["source", "lang"], as_index=False)[
+        ["n_docs", "n_tokens"]].sum()
+    per_source = finest.groupby("source", as_index=False)[
+        ["n_docs", "n_tokens"]].sum()
+    per_source["lang"] = "ALL"
+    grand = pd.DataFrame([{
+        "source": "ALL", "lang": "ALL",
+        "n_docs": int(finest["n_docs"].sum()),
+        "n_tokens": int(finest["n_tokens"].sum())}])
+    out = pd.concat([finest, per_source, grand], ignore_index=True)
+    out = out[["source", "lang", "n_docs", "n_tokens"]] \
+        .astype({"n_docs": "int64", "n_tokens": "int64"})
+    return out.sort_values(["source", "lang"]).reset_index(drop=True)

@@ -106,7 +106,7 @@ SQL_CHECKED = [
     "exact_substr_removal", "nb_classifier", "winnowing_fingerprints",
     "curriculum_order", "hard_negatives", "order_price_quantiles_sketch",
     "price_quantiles_by_priority_sketch", "lineitem_profile",
-    "bigram_surprisal", "event_dedup_windowed",
+    "bigram_surprisal", "event_dedup_windowed", "corpus_report",
 ]
 
 
