@@ -362,6 +362,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stream hygiene: first event per (user, type, minute) window,
         # LEFT-complete kept/dropped verdicts
         "event_dedup_windowed": analog.event_dedup_windowed_ds,
+        # privacy release gate: distinct users per telemetry cell,
+        # suppress cells under k (k-anonymity)
+        "k_anonymity_report": analog.k_anonymity_report_ds,
         "pricing_summary": analog.pricing_summary_ds,
         "priority_dequeue": analog.priority_dequeue_ds,
         "top_docs_per_source": analog.top_docs_per_source_ds,
@@ -921,6 +924,13 @@ def oracle_sql() -> dict[str, str]:
                                      (CAST(floor(epoch(ts)) AS BIGINT) // 60)
                         ORDER BY ts, event_id) = 1 AS BIGINT) AS kept
             FROM events
+        """,
+        "k_anonymity_report": """
+            SELECT event_type,
+                   (CAST(floor(epoch(ts)) AS BIGINT) // 60) AS minute,
+                   count(DISTINCT user_id)::BIGINT AS n_users,
+                   (count(DISTINCT user_id) >= 5)::BIGINT AS releasable
+            FROM events GROUP BY 1, 2
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

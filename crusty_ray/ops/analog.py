@@ -308,3 +308,41 @@ def event_dedup_windowed_ds(sf_dir: str, num_partitions: int = 32):
     return partitioned_group_apply(
         ds.map_batches(keyed, batch_format="pandas"),
         keys, verdicts, num_partitions)
+
+
+def k_anonymity_report_ds(sf_dir: str, k: int = 5, num_partitions: int = 32):
+    """k-anonymity release gate — before publishing telemetry aggregates,
+    every (event_type, minute) cell must contain at least ``k`` DISTINCT
+    users or it re-identifies its members (the standard k-anonymity test
+    over the quasi-identifier pair). Cells below k are flagged for
+    suppression, the complement of what a privacy-safe dashboard may ship.
+
+    Scale plan: the exact per-cell distinct-user count via the two-level
+    ``grouped_count_distinct`` plan (per-batch (cell, user) dedup shrinks
+    the shuffle to the distinct pairs each block sees; one coarse
+    partition finishes) — only distinct slim pairs move, never event
+    payloads.
+
+    Returns (event_type, minute, n_users, releasable).
+    """
+    from .agg import grouped_count_distinct
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "user_id"])
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": batch["event_type"].astype(str),
+            "minute": minute_of(batch["ts"]),
+            "user_id": batch["user_id"].astype("int64"),
+        })
+
+    counts = grouped_count_distinct(
+        ds.map_batches(keyed, batch_format="pandas"),
+        ["event_type", "minute"], "user_id", "n_users", num_partitions)
+
+    def gate(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["releasable"] = (out["n_users"] >= k).astype("int64")
+        return out
+
+    return counts.map_batches(gate, batch_format="pandas")
