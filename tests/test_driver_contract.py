@@ -653,6 +653,42 @@ def test_exact_substr_removal_planted(ray_session, tmp_path):
     assert int(by_id.loc[5, "n_tokens"]) == 1  # [''] convention
 
 
+def test_exact_substr_removal_skewed(ray_session, tmp_path):
+    """Hot-gram skew: one 5-gram shared by EVERY doc lands all its
+    occurrences in a single gram partition — the op must stay correct
+    (oracle-exact) with per-doc output still bounded by doc length."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from crusty_ray.ops.text import exact_substr_removal_ds
+
+    hot = "h1 h2 h3 h4 h5"
+    ids = list(range(200))
+    texts = {i: f"u{i}a u{i}b {hot} u{i}c u{i}d" for i in ids}
+    t = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": [texts[i] for i in ids],
+        "lang": ["en"] * len(ids),
+        "source": ["s"] * len(ids),
+        "n_chars": pa.array([len(texts[i]) for i in ids], pa.int64()),
+    })
+    d = tmp_path / "skew_fixture"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    got = _norm(_to_df(exact_substr_removal_ds(str(d))))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')")
+    oracle = _norm(con.sql(e.oracle_sql()["exact_substr_removal"]).df())
+    pd.testing.assert_frame_equal(got, oracle, check_dtype=False,
+                                  check_exact=True)
+    # every doc lost exactly the hot span (5 tokens), kept its unique ends
+    assert (got["n_removed"] == 5).all()
+    assert len(got) == len(ids)
+
+
 def test_nb_classifier_planted(ray_session, tmp_path):
     """On a fixture with a REAL token<->label signal the trained NB must
     recover the labels (the shared sf corpus has none by construction);
