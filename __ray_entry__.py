@@ -140,6 +140,11 @@ def _image_patch_grid(sf_dir: str):
     return image_patch_grid(_images_dir())
 
 
+def _image_augment(sf_dir: str):
+    from crusty_ray.ops.multimodal import image_augment
+    return image_augment(_images_dir())
+
+
 def _domain_pagerank(sf_dir: str):
     # domain-authority PageRank over the crawl's discovered link graph
     from crusty_ray.ops.graph import domain_pagerank
@@ -450,6 +455,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ViT patchify: g x g integer patch luminances per image
         # (serial-exact pytest oracle in test_images_pipeline.py)
         "image_patch_grid": _image_patch_grid,
+        # deterministic augmentation manifest (flip/rot180/center-crop,
+        # md5-exact pytest oracle in test_images_pipeline.py)
+        "image_augment": _image_augment,
         # embedding-cosine tier of image dedup over the extracted features
         # (LSH tables + per-bucket verify; brute-force-equality pytest
         # oracle at n_planes=0 in test_multimodal_stubs.py)

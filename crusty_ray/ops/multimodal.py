@@ -250,6 +250,67 @@ def image_feature_near_dups(images_path: str, threshold_pm: int = 990,
                                    dedup_pairs, num_partitions)
 
 
+_AUGMENTS = ("flip_h", "rot180", "crop_center")
+
+
+def _augment(px: np.ndarray, aug: str) -> np.ndarray:
+    if aug == "flip_h":
+        return px[:, ::-1]
+    if aug == "rot180":
+        return px[::-1, ::-1]
+    if aug == "crop_center":  # center 3/4 box, floor-division bounds
+        h, w = px.shape[:2]
+        return px[h // 8: h // 8 + (3 * h) // 4,
+                  w // 8: w // 8 + (3 * w) // 4]
+    raise ValueError(aug)
+
+
+class AugmentStage:
+    """Deterministic training-augmentation stage — the decode → transform
+    → emit pass a vision-training pipeline runs per epoch, reduced to its
+    verifiable skeleton: horizontal flip, 180° rotation and a center 3/4
+    crop (pure numpy index math, bit-reproducible; a production stage
+    swaps in random parameters seeded per (image, epoch)). Emits one slim
+    row per (image, augmentation) with the md5 of the raw transformed
+    pixel bytes — payloads never leave the worker."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, augs, ws, hs, md5s = [], [], [], [], []
+        import hashlib
+        for iid, blob, fmt in zip(batch["image_id"].to_pylist(),
+                                  batch["bytes"].to_pylist(),
+                                  batch["fmt"].to_pylist()):
+            try:
+                px = decode_image(blob, fmt)
+            except Exception:
+                continue
+            for aug in _AUGMENTS:
+                out = np.ascontiguousarray(_augment(px, aug))
+                ids.append(iid)
+                augs.append(aug)
+                hs.append(out.shape[0])
+                ws.append(out.shape[1])
+                md5s.append(hashlib.md5(out.tobytes()).hexdigest())
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "aug": pa.array(augs, pa.string()),
+                         "w": pa.array(ws, pa.int64()),
+                         "h": pa.array(hs, pa.int64()),
+                         "pixel_md5": pa.array(md5s, pa.string())})
+
+
+def image_augment(images_path: str, batch_size: int = 64,
+                  concurrency: int = 4):
+    """Augmented-view manifest for every stored image (flip / rot180 /
+    center-crop) — actor-pool decode+transform, shuffle-free; see
+    ``AugmentStage``. Returns (image_id, aug, w, h, pixel_md5)."""
+    from .io import read_dataset
+
+    ds = read_dataset(images_path, columns=["image_id", "bytes", "fmt"])
+    return ds.map_batches(AugmentStage, batch_format="pyarrow",
+                          batch_size=batch_size,
+                          concurrency=(1, concurrency))
+
+
 class PatchGridStage:
     """ViT-style patchification features — per image, a g x g grid of
     integer patch luminances: lum(px) = 299·R + 587·G + 114·B (the BT.601

@@ -117,6 +117,39 @@ def test_image_patch_grid_exact(ray_session, crawl_out, tmp_path):
     assert len(got) == n_img * g * g  # every image fully covered
 
 
+def test_image_augment_exact(ray_session, crawl_out, tmp_path):
+    """Distributed augmentation manifest == serial transforms, md5-exact;
+    involutions hold (flip twice == identity on the raw pixels)."""
+    import hashlib
+
+    import pyarrow.dataset as pads
+    import numpy as np
+    from crusty_ray.codecs.images import decode_image
+    from crusty_ray.ops.multimodal import _augment, image_augment
+    from crusty_ray.pipelines.images import run_image_pipeline
+
+    out = str(tmp_path / "img5")
+    run_image_pipeline(f"{crawl_out}/crawl_log", out, WEB_CFG, _tc())
+    got = image_augment(out).to_pandas() \
+        .set_index(["image_id", "aug"]).sort_index()
+
+    t = pads.dataset(out, format="parquet").to_table()
+    n = 0
+    for iid, blob, fmt in zip(t["image_id"].to_pylist(),
+                              t["bytes"].to_pylist(), t["fmt"].to_pylist()):
+        px = decode_image(blob, fmt)
+        for aug in ("flip_h", "rot180", "crop_center"):
+            o = np.ascontiguousarray(_augment(px, aug))
+            row = got.loc[(iid, aug)]
+            assert row["pixel_md5"] == hashlib.md5(o.tobytes()).hexdigest()
+            assert (int(row["h"]), int(row["w"])) == o.shape[:2]
+            n += 1
+        # involution sanity on the raw arrays
+        assert (_augment(_augment(px, "flip_h"), "flip_h") == px).all()
+        assert (_augment(_augment(px, "rot180"), "rot180") == px).all()
+    assert len(got) == n
+
+
 def test_wide_binary_rows_small_batches(ray_session, tmp_path):
     """SURVEY §7.4.5: large image payloads with small decode batches — the
     pipeline streams wide binary rows without blowing up block sizes."""
