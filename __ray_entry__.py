@@ -324,6 +324,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # winnowing (MOSS) local fingerprints: per-window rightmost-min
         # gram hash, ~2/(w+1) density, shuffle-free
         "winnowing_fingerprints": text.winnowing_fingerprints_ds,
+        # MOSS matching: doc pairs sharing >= 2 fingerprints, capped
+        # hot-fingerprint fan-out (deterministic stop-hash rule)
+        "winnowing_pairs": text.winnowing_pairs_ds,
         # sliding-window LM chunking (fixed windows w/ overlap, md5 faces)
         "chunk_documents": text.chunk_documents_ds,
         # word2phrase collocation scores (integer per-mille PMI statistic)
@@ -1733,6 +1736,47 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT doc_id, i AS pos, h AS fp_md5
             FROM cand WHERE rn = 1
+        """,
+        "winnowing_pairs": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), ex AS (
+              SELECT doc_id, unnest(t) AS wd,
+                     generate_subscripts(t, 1) AS i, len(t) AS nt
+              FROM toks
+            ), g AS (
+              SELECT doc_id,
+                     md5(wd || ' ' || lead(wd, 1) OVER win || ' '
+                            || lead(wd, 2) OVER win) AS h,
+                     i, nt
+              FROM ex WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+            ), grams AS (
+              SELECT doc_id, h, i, nt - 2 AS ng FROM g WHERE i + 2 <= nt
+            ), wins AS (
+              SELECT doc_id, unnest(generate_series(1, ng - 3)) AS j
+              FROM (SELECT DISTINCT doc_id, ng FROM grams)
+            ), cand AS (
+              SELECT ws.doc_id, ws.j, gr.i, gr.h,
+                     row_number() OVER (PARTITION BY ws.doc_id, ws.j
+                                        ORDER BY gr.h ASC, gr.i DESC) AS rn
+              FROM wins ws
+              JOIN grams gr ON gr.doc_id = ws.doc_id
+                           AND gr.i BETWEEN ws.j AND ws.j + 3
+            ), dfp AS (
+              SELECT DISTINCT doc_id, h AS fp FROM cand WHERE rn = 1
+            ), ok AS (
+              SELECT fp FROM dfp GROUP BY fp
+              HAVING count(*) BETWEEN 2 AND 20
+            ), capped AS (
+              SELECT doc_id, fp FROM dfp JOIN ok USING (fp)
+            )
+            SELECT doc_a, doc_b, shared_fps FROM (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*)::BIGINT AS shared_fps
+              FROM capped a
+              JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ) WHERE shared_fps >= 2
         """,
         "bm25_scores": """
             WITH base AS (

@@ -784,6 +784,65 @@ def winnowing_fingerprints_ds(sf_dir: str, k: int = 3, w: int = 4):
         .map_batches(fingerprints, batch_format="pandas")
 
 
+def winnowing_pairs_ds(sf_dir: str, k: int = 3, w: int = 4,
+                       max_docs_per_fp: int = 20, min_shared: int = 2,
+                       num_partitions: int = 32):
+    """The MOSS matching step on top of ``winnowing_fingerprints_ds``:
+    candidate document pairs that share at least ``min_shared`` selected
+    fingerprints, with the shared count (Schleimer et al. 2003 §4 —
+    "rank document pairs by the number of shared fingerprints").
+
+    Hot-fingerprint cap (the deterministic stop-hash rule, same policy as
+    the LSH band caps): a fingerprint selected by more than
+    ``max_docs_per_fp`` distinct documents is boilerplate by definition
+    and is skipped WHOLE — a size predicate both engines compute
+    identically, so the SQL oracle applies the same ``BETWEEN 2 AND cap``
+    filter and the face stays bit-exact. This bounds the per-fingerprint
+    pair fan-out at C(cap, 2) regardless of corpus skew.
+
+    Scale plan: fingerprints (already ~2/(w+1) of grams) → distinct
+    (doc, fp) → one coarse partition on fp emits capped per-fp pairs →
+    one slim pair-partition sums shared counts and thresholds.
+
+    Returns (doc_a, doc_b, shared_fps), doc_a < doc_b.
+    """
+    from .agg import partitioned_group_apply
+
+    fps = winnowing_fingerprints_ds(sf_dir, k=k, w=w)
+
+    def distinct_doc_fp(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["doc_id", "fp_md5"]].drop_duplicates()
+
+    dfp = fps.map_batches(distinct_doc_fp, batch_format="pandas")
+
+    _EMPTY = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                           "doc_b": pd.Series([], dtype="int64"),
+                           "shared_fps": pd.Series([], dtype="int64")})
+
+    def pairs_per_fp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()  # cross-batch dups of the same (doc, fp)
+        outs = []
+        for _, g in df.groupby("fp_md5", sort=False):
+            ids = np.sort(g["doc_id"].to_numpy(dtype=np.int64))
+            if not 2 <= len(ids) <= max_docs_per_fp:
+                continue
+            iu, ju = np.triu_indices(len(ids), k=1)
+            outs.append(pd.DataFrame({"doc_a": ids[iu], "doc_b": ids[ju],
+                                      "shared_fps": np.int64(1)}))
+        return pd.concat(outs, ignore_index=True) if outs else _EMPTY
+
+    pairs = partitioned_group_apply(dfp, ["fp_md5"], pairs_per_fp,
+                                    num_partitions)
+
+    def reduce_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["doc_a", "doc_b"], as_index=False)["shared_fps"] \
+            .sum().astype("int64")
+        return out[out["shared_fps"] >= min_shared].reset_index(drop=True)
+
+    return partitioned_group_apply(pairs, ["doc_a", "doc_b"], reduce_pairs,
+                                   num_partitions)
+
+
 def nb_classifier_ds(sf_dir: str, label_col: str = "lang"):
     """Multinomial Naive Bayes classifier, trained AND applied distributed
     — the fasttext/CCNet-style linear text classifier that web-scale
