@@ -145,6 +145,15 @@ def _image_augment(sf_dir: str):
     return image_augment(_images_dir())
 
 
+def _crawl_log_compact(sf_dir: str):
+    import tempfile
+
+    from crusty_ray.ops.io import compact_dataset
+    c = _crawl_outputs()
+    out = tempfile.mkdtemp(prefix="crusty_compact_")
+    return compact_dataset(f"{c['out']}/crawl_log", f"{out}/log")
+
+
 def _domain_pagerank(sf_dir: str):
     # domain-authority PageRank over the crawl's discovered link graph
     from crusty_ray.ops.graph import domain_pagerank
@@ -461,6 +470,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic augmentation manifest (flip/rot180/center-crop,
         # md5-exact pytest oracle in test_images_pipeline.py)
         "image_augment": _image_augment,
+        # storage maintenance: small-file compaction of the partitioned
+        # crawl log (row-multiset-preserving rewrite; pytest-verified)
+        "crawl_log_compact": _crawl_log_compact,
         # embedding-cosine tier of image dedup over the extracted features
         # (LSH tables + per-bucket verify; brute-force-equality pytest
         # oracle at n_planes=0 in test_multimodal_stubs.py)

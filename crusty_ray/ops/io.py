@@ -82,3 +82,34 @@ def read_dataset(path: str, columns=None, max_blocks: int | None = None):
     if storage_backend() == "lance" and os.path.isdir(f"{path}/_versions"):
         return ray.data.read_lance(path, columns=columns)
     return read_parquet(path, columns=columns, max_blocks=max_blocks)
+
+
+def compact_dataset(path: str, out_path: str,
+                    target_bytes: int = 64 << 20):
+    """Small-file compaction — the storage-maintenance pass a long crawl
+    needs: per-epoch partitioned writes produce many small parquet files
+    (one per shard per epoch), and small files tax every later scan
+    (per-file open cost, tiny row groups, block explosion). Rewrite the
+    dataset into ~``target_bytes`` files.
+
+    Scale plan: one streaming read → ``repartition(n)`` (n sized from the
+    measured on-disk bytes, never row-count guesses) → one write. The
+    repartition is the one unavoidable exchange — compaction IS data
+    movement; rows never touch the driver.
+
+    Returns a one-row summary DataFrame
+    (in_files, out_files, rows, in_bytes) for verification/monitoring.
+    """
+    import pandas as pd
+
+    in_files = glob.glob(f"{path}/**/*.parquet", recursive=True)
+    in_bytes = sum(os.path.getsize(f) for f in in_files)
+    n_out = max(1, in_bytes // target_bytes
+                + (1 if in_bytes % target_bytes else 0))
+    ds = read_parquet(path)
+    ds.repartition(int(n_out)).write_parquet(out_path)
+    out_files = glob.glob(f"{out_path}/**/*.parquet", recursive=True)
+    rows = ray.data.read_parquet(out_path).count()
+    return pd.DataFrame([{
+        "in_files": len(in_files), "out_files": len(out_files),
+        "rows": int(rows), "in_bytes": int(in_bytes)}]).astype("int64")

@@ -69,7 +69,8 @@ def test_every_query_is_covered_by_some_check(contract):
                      "image_quality_report", "caption_reuse",
                      "image_train_shards", "image_aspect_batches",
                      "image_features", "image_feature_near_dups",
-                     "image_channel_stats", "image_patch_grid", "image_augment"}
+                     "image_channel_stats", "image_patch_grid", "image_augment",
+                     "crawl_log_compact"}
     listed = set(SQL_CHECKED) | set(ROWS_ONLY) | crawl_checked
     assert set(queries) == listed, (
         f"unlisted: {set(queries) - listed}; stale: {listed - set(queries)}")
@@ -159,7 +160,8 @@ def test_crawl_queries_run(contract):
                  "image_quality_report", "caption_reuse",
                  "image_train_shards", "image_aspect_batches",
                  "image_features", "image_feature_near_dups",
-                 "image_channel_stats", "image_patch_grid", "image_augment"]:
+                 "image_channel_stats", "image_patch_grid", "image_augment",
+                 "crawl_log_compact"]:
         df = _to_df(queries[name](SF_DIR))
         assert df is not None and len(df.columns) > 0, name
         # near-dup pairs / reused captions may legitimately be empty

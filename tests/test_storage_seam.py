@@ -41,3 +41,37 @@ def test_lance_roundtrip(ray_session, tmp_path):
     cio.write_dataset(ds, out)
     back = cio.read_dataset(out, columns=["image_id", "phash"]).to_pandas()
     assert list(back["image_id"]) == ["a"]
+
+
+def test_compact_dataset_preserves_rows(ray_session, tmp_path):
+    """Compaction must be a pure rewrite: identical row multiset, fewer
+    files, file count matching the byte-budget sizing."""
+    import glob
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from crusty_ray.ops.io import compact_dataset
+
+    src = tmp_path / "frag"
+    src.mkdir()
+    # 12 tiny fragments, epoch-partitioned like crawl_log
+    for e in range(12):
+        d = src / f"epoch={e}"
+        d.mkdir()
+        pq.write_table(pa.table({
+            "k": pa.array(range(e * 100, e * 100 + 100), pa.int64()),
+            "v": [f"r{e}_{i}" for i in range(100)],
+        }), str(d / "part.parquet"))
+
+    out = tmp_path / "compact"
+    summary = compact_dataset(str(src), str(out), target_bytes=1 << 30)
+    assert int(summary["in_files"][0]) == 12
+    assert int(summary["out_files"][0]) == 1   # all fits one target file
+    assert int(summary["rows"][0]) == 1200
+
+    a = duckdb.sql(f"SELECT k, v FROM read_parquet('{src}/*/*.parquet') "
+                   f"ORDER BY k").df()
+    b = duckdb.sql(f"SELECT k, v FROM read_parquet('{out}/*.parquet') "
+                   f"ORDER BY k").df()
+    assert a.equals(b)
