@@ -92,6 +92,11 @@ def _pack_token_chunks(sf_dir: str):
     return pack_token_chunks_ds(sf_dir)
 
 
+def _global_shuffle_shards(sf_dir: str):
+    from crusty_ray.ops.pack import global_shuffle_shards_ds
+    return global_shuffle_shards_ds(sf_dir)
+
+
 def _data_mixture(sf_dir: str):
     from crusty_ray.ops.pack import data_mixture_ds
     return data_mixture_ds(sf_dir)
@@ -366,6 +371,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ROLLUP margins ('ALL' sentinel)
         "corpus_report": curation.corpus_report_ds,
         "pack_token_chunks": _pack_token_chunks,
+        # delivery step: deterministic md5 global shuffle rank + token-
+        # budget shard packing in shuffled order (two-phase prefix scans)
+        "global_shuffle_shards": _global_shuffle_shards,
         # GPT-3/Pile-style mixture construction: per-source token budgets
         # (weight ramp), docs admitted in id order by exclusive prefix sum
         "data_mixture": _data_mixture,
@@ -1529,6 +1537,24 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_millibits
             FROM (SELECT doc_id FROM documents) d
             LEFT JOIN per p USING (doc_id)
+        """,
+        "global_shuffle_shards": """
+            WITH d AS (
+              SELECT doc_id,
+                     len(list_filter(string_split(text, ' '),
+                                     w -> w <> ''))::BIGINT AS n_tokens,
+                     (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                          ::BIGINT * 32768 + doc_id % 32768) AS key
+              FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   (row_number() OVER (ORDER BY key) - 1)::BIGINT
+                       AS shuffle_rank,
+                   (coalesce(sum(n_tokens) OVER (
+                        ORDER BY key
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) // 4096)::BIGINT AS shard_id
+            FROM d
         """,
         "corpus_report": """
             SELECT coalesce(source, 'ALL') AS source,

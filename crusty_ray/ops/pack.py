@@ -335,3 +335,57 @@ def data_mixture_ds(sf_dir: str, budget_pm_of_corpus: int = 500,
                            "cum_before": "int64"})
 
     return scanned.map_batches(admit, batch_format="pandas")
+
+
+def global_shuffle_shards_ds(sf_dir: str, budget: int = 4096,
+                             num_partitions: int = 32):
+    """Deterministic global training shuffle + shard assignment — the
+    delivery step after curation: documents are ordered by a seedless
+    hash permutation (md5 of the doc id — reshuffling is changing the
+    salt), given their global shuffle rank, and packed into token-budget
+    shards IN THAT ORDER (so every shard is an unbiased sample, the
+    property "tokenize-and-shuffle" pipelines exist to guarantee).
+
+    No global sort: both the rank and the token prefix sum reuse
+    ``ordered_pack``'s two-phase range-partitioned scan over the
+    composite key ``md5_48(doc_id)·2^15 + doc_id mod 2^15`` (63 bits,
+    unique, uniform — so range buckets are balanced by construction).
+    Two scans: weight-1 (rank), weight-n_tokens (shard id).
+
+    Returns (doc_id, n_tokens, shuffle_rank, shard_id).
+    """
+    import hashlib
+
+    from .io import read_parquet as _io_read
+
+    path = f"{sf_dir}/documents.parquet"
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.split(" ") \
+            .map(lambda ws: sum(1 for w in ws if w))
+        ids = batch["doc_id"].astype("int64")
+        key = pd.Series(
+            [int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
+             * 32768 + int(i) % 32768 for i in ids],
+            dtype="int64", index=batch.index)
+        return pd.DataFrame({"doc_id": ids, "n_tokens": toks.astype("int64"),
+                             "__key": key,
+                             "__one": np.int64(1)})
+
+    ds = _io_read(path, columns=["doc_id", "text"]) \
+        .map_batches(keyed, batch_format="pandas")
+    ranked = ordered_pack(ds, "__key", "__one", budget=1,
+                          bucket_width=1 << 50, out_col="shuffle_rank",
+                          num_partitions=num_partitions)
+    # ranked feeds the second pack's phase-1 totals AND its phase-2 map;
+    # left lazy it would execute twice (the split_leakage/hash_join hazard)
+    ranked = ranked.materialize()
+    sharded = ordered_pack(ranked, "__key", "n_tokens", budget=budget,
+                           bucket_width=1 << 50, out_col="shard_id",
+                           num_partitions=num_partitions)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["doc_id", "n_tokens", "shuffle_rank", "shard_id"]] \
+            .astype("int64")
+
+    return sharded.map_batches(finish, batch_format="pandas")

@@ -108,7 +108,7 @@ SQL_CHECKED = [
     "curriculum_order", "hard_negatives", "order_price_quantiles_sketch",
     "price_quantiles_by_priority_sketch", "lineitem_profile",
     "bigram_surprisal", "event_dedup_windowed", "corpus_report",
-    "k_anonymity_report", "winnowing_pairs",
+    "k_anonymity_report", "winnowing_pairs", "global_shuffle_shards",
 ]
 
 
