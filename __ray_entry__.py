@@ -1332,24 +1332,24 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_profile": """
             SELECT 'l_quantity' AS column_name, count(l_quantity)::BIGINT AS n_rows,
        count(DISTINCT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))::BIGINT AS ndv,
-       min(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))::BIGINT AS min_cents,
-       max(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))::BIGINT AS max_cents,
-       sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))::BIGINT AS sum_cents
+       coalesce(min(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)), 0)::BIGINT AS min_cents,
+       coalesce(max(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)), 0)::BIGINT AS max_cents,
+       coalesce(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)), 0)::BIGINT AS sum_cents
     FROM lineitem UNION ALL SELECT 'l_extendedprice' AS column_name, count(l_extendedprice)::BIGINT AS n_rows,
        count(DISTINCT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))::BIGINT AS ndv,
-       min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))::BIGINT AS min_cents,
-       max(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))::BIGINT AS max_cents,
-       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))::BIGINT AS sum_cents
+       coalesce(min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)), 0)::BIGINT AS min_cents,
+       coalesce(max(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)), 0)::BIGINT AS max_cents,
+       coalesce(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)), 0)::BIGINT AS sum_cents
     FROM lineitem UNION ALL SELECT 'l_discount' AS column_name, count(l_discount)::BIGINT AS n_rows,
        count(DISTINCT CAST(floor(l_discount * 100 + 0.5) AS BIGINT))::BIGINT AS ndv,
-       min(CAST(floor(l_discount * 100 + 0.5) AS BIGINT))::BIGINT AS min_cents,
-       max(CAST(floor(l_discount * 100 + 0.5) AS BIGINT))::BIGINT AS max_cents,
-       sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT))::BIGINT AS sum_cents
+       coalesce(min(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)), 0)::BIGINT AS min_cents,
+       coalesce(max(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)), 0)::BIGINT AS max_cents,
+       coalesce(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)), 0)::BIGINT AS sum_cents
     FROM lineitem UNION ALL SELECT 'l_tax' AS column_name, count(l_tax)::BIGINT AS n_rows,
        count(DISTINCT CAST(floor(l_tax * 100 + 0.5) AS BIGINT))::BIGINT AS ndv,
-       min(CAST(floor(l_tax * 100 + 0.5) AS BIGINT))::BIGINT AS min_cents,
-       max(CAST(floor(l_tax * 100 + 0.5) AS BIGINT))::BIGINT AS max_cents,
-       sum(CAST(floor(l_tax * 100 + 0.5) AS BIGINT))::BIGINT AS sum_cents
+       coalesce(min(CAST(floor(l_tax * 100 + 0.5) AS BIGINT)), 0)::BIGINT AS min_cents,
+       coalesce(max(CAST(floor(l_tax * 100 + 0.5) AS BIGINT)), 0)::BIGINT AS max_cents,
+       coalesce(sum(CAST(floor(l_tax * 100 + 0.5) AS BIGINT)), 0)::BIGINT AS sum_cents
     FROM lineitem
         """,
         "price_var_by_priority": """
@@ -1541,7 +1541,7 @@ def oracle_sql() -> dict[str, str]:
         "global_shuffle_shards": """
             WITH d AS (
               SELECT doc_id,
-                     len(list_filter(string_split(text, ' '),
+                     len(list_filter(string_split(coalesce(text, ''), ' '),
                                      w -> w <> ''))::BIGINT AS n_tokens,
                      (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
                           ::BIGINT * 32768 + doc_id % 32768) AS key
@@ -1560,7 +1560,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT coalesce(source, 'ALL') AS source,
                    coalesce(lang, 'ALL') AS lang,
                    count(*)::BIGINT AS n_docs,
-                   sum(len(list_filter(string_split(text, ' '),
+                   sum(len(list_filter(string_split(coalesce(text, ''), ' '),
                                        w -> w <> '')))::BIGINT AS n_tokens
             FROM documents GROUP BY ROLLUP(source, lang)
         """,

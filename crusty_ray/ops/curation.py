@@ -385,11 +385,10 @@ def corpus_report_ds(sf_dir: str):
     path = f"{sf_dir}/documents.parquet"
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].fillna("").str.split(" ") \
-            .map(lambda ws: sum(1 for w in ws if w))
+        from .text import n_tokens_nonempty
         df = pd.DataFrame({"source": batch["source"].astype(str),
                            "lang": batch["lang"].astype(str),
-                           "n_tokens": toks.astype("int64")})
+                           "n_tokens": n_tokens_nonempty(batch["text"])})
         out = df.groupby(["source", "lang"], as_index=False).agg(
             n_docs=("n_tokens", "size"), n_tokens=("n_tokens", "sum"))
         return out.astype({"n_docs": "int64", "n_tokens": "int64"})

@@ -103,6 +103,9 @@ def compact_dataset(path: str, out_path: str,
     import pandas as pd
 
     in_files = glob.glob(f"{path}/**/*.parquet", recursive=True)
+    if not in_files:  # nothing written yet: report, don't crash in the read
+        return pd.DataFrame([{"in_files": 0, "out_files": 0,
+                              "rows": 0, "in_bytes": 0}]).astype("int64")
     in_bytes = sum(os.path.getsize(f) for f in in_files)
     n_out = max(1, in_bytes // target_bytes
                 + (1 if in_bytes % target_bytes else 0))

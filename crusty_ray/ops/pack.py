@@ -361,8 +361,8 @@ def global_shuffle_shards_ds(sf_dir: str, budget: int = 4096,
     path = f"{sf_dir}/documents.parquet"
 
     def keyed(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].fillna("").str.split(" ") \
-            .map(lambda ws: sum(1 for w in ws if w))
+        from .text import n_tokens_nonempty
+        toks = n_tokens_nonempty(batch["text"])
         ids = batch["doc_id"].astype("int64")
         key = pd.Series(
             [int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)

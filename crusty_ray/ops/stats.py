@@ -128,6 +128,12 @@ def numeric_profile_ds(sf_dir: str, table: str = "lineitem",
                                            "sum_cents"])
 
     parts = ds.map_batches(agg_partials, batch_format="pandas").to_pandas()
+    if "column_name" not in parts.columns:  # empty table drops the schema
+        parts = pd.DataFrame({"column_name": pd.Series([], dtype=object),
+                              "n_rows": pd.Series([], dtype="int64"),
+                              "min_cents": pd.Series([], dtype="int64"),
+                              "max_cents": pd.Series([], dtype="int64"),
+                              "sum_cents": pd.Series([], dtype="int64")})
     agg = parts.groupby("column_name", as_index=False).agg(
         n_rows=("n_rows", "sum"), min_cents=("min_cents", "min"),
         max_cents=("max_cents", "max"), sum_cents=("sum_cents", "sum"))
@@ -144,8 +150,15 @@ def numeric_profile_ds(sf_dir: str, table: str = "lineitem",
     ndv = grouped_count_distinct(
         ds.map_batches(pairs, batch_format="pandas"),
         ["column_name"], "vc", "ndv", num_partitions).to_pandas()
+    if "column_name" not in ndv.columns:
+        ndv = pd.DataFrame({"column_name": pd.Series([], dtype=object),
+                            "ndv": pd.Series([], dtype="int64")})
 
-    out = agg.merge(ndv, on="column_name")
+    # LEFT-complete over the requested columns: an all-NULL column still
+    # gets its row (n=0, 0 sentinels — the oracle COALESCEs to match)
+    base = pd.DataFrame({"column_name": sorted(cols)})
+    out = base.merge(agg, on="column_name", how="left") \
+        .merge(ndv, on="column_name", how="left").fillna(0)
     out = out[["column_name", "n_rows", "ndv", "min_cents", "max_cents",
                "sum_cents"]]
     for c in out.columns[1:]:

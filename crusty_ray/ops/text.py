@@ -29,6 +29,14 @@ _LANG_PROFILES = {
 }
 
 
+def n_tokens_nonempty(text: pd.Series) -> pd.Series:
+    """Non-empty whitespace token count — the shared 'tk' convention
+    (oracle form: ``len(list_filter(string_split(coalesce(text, ''), ' '),
+    w -> w <> ''))``; NULL text counts 0 on both sides)."""
+    return text.fillna("").str.split(" ") \
+        .map(lambda ws: sum(1 for w in ws if w)).astype("int64")
+
+
 def token_stats(batch: pd.DataFrame) -> pd.DataFrame:
     """Integer token/char/punct counts (SQL-oracle-parity features).
 
@@ -656,6 +664,9 @@ def bigram_surprisal_ds(sf_dir: str, num_partitions: int = 32):
 
     bg = _io_read(path, columns=["doc_id", "text"]) \
         .map_batches(explode, batch_format="pandas")
+    # bg feeds the c2 model build AND the scored join — left lazy, the
+    # per-token explode (the op's hottest stage) would execute twice
+    bg = bg.materialize()
 
     def c2_local(df: pd.DataFrame) -> pd.DataFrame:
         out = df.groupby(["w1", "w2"], as_index=False)["cnt"].sum()
@@ -829,7 +840,13 @@ def winnowing_pairs_ds(sf_dir: str, k: int = 3, w: int = 4,
             iu, ju = np.triu_indices(len(ids), k=1)
             outs.append(pd.DataFrame({"doc_a": ids[iu], "doc_b": ids[ju],
                                       "shared_fps": np.int64(1)}))
-        return pd.concat(outs, ignore_index=True) if outs else _EMPTY
+        if not outs:
+            return _EMPTY
+        # local pre-sum: one row per pair leaves this partition, not one
+        # per shared fingerprint (the c2_local/local_totals pattern)
+        return pd.concat(outs, ignore_index=True) \
+            .groupby(["doc_a", "doc_b"], as_index=False)["shared_fps"] \
+            .sum().astype("int64")
 
     pairs = partitioned_group_apply(dfp, ["fp_md5"], pairs_per_fp,
                                     num_partitions)

@@ -405,3 +405,24 @@ def test_bottomk_sketch_quantiles(ray_session):
         p = row["p_pm"] / 1000.0
         rank = (prices <= row["value"]).sum() / n
         assert abs(rank - p) < 0.22, (row["p_pm"], rank)
+
+
+def test_numeric_profile_all_null_column(ray_session, tmp_path):
+    """An all-NULL profiled column still gets its row (n=0, 0 sentinels),
+    matching the COALESCEd oracle; present columns are exact."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crusty_ray.ops.stats import numeric_profile_ds
+
+    t = pa.table({
+        "a": pa.array([1.0, 2.0, 2.0], pa.float64()),
+        "b": pa.array([None, None, None], pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "nums.parquet"))
+    got = numeric_profile_ds(str(tmp_path), table="nums", cols=("a", "b")) \
+        .set_index("column_name")
+    assert got.loc["a"].tolist() == [3, 2, 100, 200, 500]
+    assert got.loc["b"].tolist() == [0, 0, 0, 0, 0]
