@@ -245,7 +245,8 @@ def source_overlap_matrix_ds(sf_dir: str, n: int = 3,
 
 
 def split_leakage_ds(sf_dir: str, threshold_pm: int = 500,
-                     num_partitions: int = 32):
+                     num_partitions: int = 32,
+                     max_gram_df: int | None = None):
     """Train/test contamination audit — the curation step that keeps a
     held-out split honest: a val/test document is LEAKED when its dedup
     group (exact-md5 ∪ n-gram-Jaccard near-dup connected components, the
@@ -273,7 +274,8 @@ def split_leakage_ds(sf_dir: str, threshold_pm: int = 500,
     from .joins import hash_join
     from .sample import assign_splits
 
-    groups = doc_dedup_groups_ds(sf_dir, threshold_pm=threshold_pm)
+    groups = doc_dedup_groups_ds(sf_dir, threshold_pm=threshold_pm,
+                                 max_gram_df=max_gram_df)
 
     def slim_groups(batch: pd.DataFrame) -> pd.DataFrame:
         return batch[["doc_id", "canonical_id"]].astype("int64")

@@ -1155,13 +1155,21 @@ def neardup_components_ds(sf_dir: str, threshold: int = 300_000):
     return connected_components(edges, nodes, "vec_id")
 
 
-def doc_dedup_groups_ds(sf_dir: str, threshold_pm: int = 500):
+def doc_dedup_groups_ds(sf_dir: str, threshold_pm: int = 500,
+                        max_gram_df: int | None = None):
     """End-to-end corpus dedup decision surface: exact-duplicate edges
     (identical md5) ∪ exact n-gram-Jaccard near-dup edges → connected
     components → one canonical doc (min doc_id) per group plus an integer
     ``keep`` flag. This is the keep/drop table a training-data pipeline
     joins against the corpus; SQL-checked end-to-end (md5 grouping +
-    Jaccard self-join + recursive-CTE reachability)."""
+    Jaccard self-join + recursive-CTE reachability).
+
+    ``max_gram_df`` is the Jaccard leg's stop-gram cap (see
+    ``_ngram_pairs_impl``) — the scale knob for low-diversity corpora
+    where hot grams put thousands of docs in one pair group (measured:
+    a 31-token-vocab 500k-doc fixture is pair-quadratic uncapped,
+    probes/text_ops_scale_smoke.py). ``None`` (default) keeps the
+    bit-exact oracle face."""
     from .agg import partitioned_group_apply
 
     def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1186,7 +1194,8 @@ def doc_dedup_groups_ds(sf_dir: str, threshold_pm: int = 500):
         return pd.DataFrame({"u": batch["doc_a"].astype("int64"),
                              "v": batch["doc_b"].astype("int64")})
 
-    e2 = ngram_jaccard_pairs_ds(sf_dir, threshold_pm=threshold_pm) \
+    e2 = ngram_jaccard_pairs_ds(sf_dir, threshold_pm=threshold_pm,
+                                max_gram_df=max_gram_df) \
         .map_batches(as_uv, batch_format="pandas")
 
     nodes = _io_read(f"{sf_dir}/documents.parquet", columns=["doc_id"])
