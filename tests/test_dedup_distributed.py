@@ -650,3 +650,22 @@ def test_ngram_faces_equal_bruteforce(ray_session, tmp_path_factory, seed):
     got_c = dedup.ngram_containment_pairs_ds(str(d)).to_pandas()
     assert {(a, b): v for a, b, v in got_j.itertuples(index=False)} == exp_j
     assert {(a, b): v for a, b, v in got_c.itertuples(index=False)} == exp_c
+
+
+def test_doc_dedup_groups_cap_plumbing(ray_session):
+    """An inert cap (larger than any gram's df) must reproduce the
+    uncapped bit-exact face; a tight cap still keeps EXACT duplicates
+    grouped (md5 edges don't go through the gram stage)."""
+    from crusty_ray.ops import dedup
+
+    sf = "/root/testdata/sf0.001"
+    base = dedup.doc_dedup_groups_ds(sf).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    inert = dedup.doc_dedup_groups_ds(sf, max_gram_df=10**9).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, inert, check_exact=True)
+
+    capped = dedup.doc_dedup_groups_ds(sf, max_gram_df=2).to_pandas()
+    assert len(capped) == len(base)
+    # capping can only REMOVE near-dup edges: groups never get bigger
+    assert int(capped["keep"].sum()) >= int(base["keep"].sum())
