@@ -97,6 +97,11 @@ def _global_shuffle_shards(sf_dir: str):
     return global_shuffle_shards_ds(sf_dir)
 
 
+def _training_manifest(sf_dir: str):
+    from crusty_ray.ops.pack import training_manifest_ds
+    return training_manifest_ds(sf_dir)
+
+
 def _data_mixture(sf_dir: str):
     from crusty_ray.ops.pack import data_mixture_ds
     return data_mixture_ds(sf_dir)
@@ -374,6 +379,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # delivery step: deterministic md5 global shuffle rank + token-
         # budget shard packing in shuffled order (two-phase prefix scans)
         "global_shuffle_shards": _global_shuffle_shards,
+        # THE deliverable: curated train split -> shuffled token-budget
+        # shards (corpus_curation composed with the shuffle pack)
+        "training_manifest": _training_manifest,
         # GPT-3/Pile-style mixture construction: per-source token budgets
         # (weight ramp), docs admitted in id order by exclusive prefix sum
         "data_mixture": _data_mixture,
@@ -2008,6 +2016,81 @@ def oracle_sql() -> dict[str, str]:
                        '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'))
                        AS clean_md5
             FROM documents
+        """,
+        "training_manifest": """
+            WITH kept AS (
+            WITH corpus AS (
+              SELECT doc_id, text,
+                     CAST(CASE WHEN length(text) BETWEEN 100 AND 2000
+                               AND (length(text) - length(regexp_replace(
+                                    text, '[.,!?;:]', '', 'g'))) > 0
+                          THEN 2 WHEN length(text) >= 30 THEN 1
+                          ELSE 0 END AS BIGINT) AS quality_bucket
+              FROM documents WHERE source <> 'src0'
+            ), q AS (
+              SELECT * FROM corpus WHERE quality_bucket >= 1
+            ), d AS (
+              SELECT md5(text) AS h, min(doc_id) AS doc_id,
+                     count(*)::BIGINT AS n_dups
+              FROM q GROUP BY 1
+            ), toks AS (
+              SELECT doc_id, source, string_split(text, ' ') AS t
+              FROM documents
+            ), ex AS (
+              SELECT doc_id, source, unnest(t) AS w,
+                     generate_subscripts(t, 1) AS i, len(t) AS nn
+              FROM toks
+            ), g0 AS (
+              SELECT doc_id, source,
+                     w || ' ' || lead(w, 1) OVER win || ' '
+                       || lead(w, 2) OVER win || ' '
+                       || lead(w, 3) OVER win || ' '
+                       || lead(w, 4) OVER win AS gram,
+                     i, nn
+              FROM ex WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+            ), grams AS (
+              SELECT DISTINCT doc_id, source, gram FROM g0 WHERE i + 4 <= nn
+            ), bench AS (
+              SELECT DISTINCT gram FROM grams WHERE source = 'src0'
+            ), hits AS (
+              SELECT g.doc_id, count(*)::BIGINT AS n_hit
+              FROM grams g JOIN bench b ON g.gram = b.gram
+              WHERE g.source <> 'src0' GROUP BY 1
+            ), bkt AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         ::BIGINT % 1000 AS b
+              FROM documents
+            )
+            SELECT d.doc_id, q.quality_bucket, d.n_dups,
+                   CASE WHEN bkt.b < 900 THEN 'train'
+                        WHEN bkt.b < 950 THEN 'val' ELSE 'test' END AS split
+            FROM d
+            JOIN q ON q.doc_id = d.doc_id
+            JOIN bkt ON bkt.doc_id = d.doc_id
+            LEFT JOIN hits h ON h.doc_id = d.doc_id
+            WHERE coalesce(h.n_hit, 0) = 0
+            ), tr AS (
+              SELECT doc_id FROM kept WHERE split = 'train'
+            ), dtok AS (
+              SELECT doc_id,
+                     len(list_filter(string_split(coalesce(text, ''), ' '),
+                                     w -> w <> ''))::BIGINT AS n_tokens,
+                     (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                          ::BIGINT * 32768 + doc_id % 32768) AS key
+              FROM documents
+            ), m AS (
+              SELECT tr.doc_id, dtok.n_tokens, dtok.key
+              FROM tr JOIN dtok USING (doc_id)
+            )
+            SELECT doc_id, n_tokens,
+                   (row_number() OVER (ORDER BY key) - 1)::BIGINT
+                       AS shuffle_rank,
+                   (coalesce(sum(n_tokens) OVER (
+                        ORDER BY key
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) // 4096)::BIGINT AS shard_id
+            FROM m
         """,
         "corpus_curation": """
             WITH corpus AS (

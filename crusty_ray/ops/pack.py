@@ -337,43 +337,36 @@ def data_mixture_ds(sf_dir: str, budget_pm_of_corpus: int = 500,
     return scanned.map_batches(admit, batch_format="pandas")
 
 
-def global_shuffle_shards_ds(sf_dir: str, budget: int = 4096,
-                             num_partitions: int = 32):
-    """Deterministic global training shuffle + shard assignment — the
-    delivery step after curation: documents are ordered by a seedless
-    hash permutation (md5 of the doc id — reshuffling is changing the
-    salt), given their global shuffle rank, and packed into token-budget
-    shards IN THAT ORDER (so every shard is an unbiased sample, the
-    property "tokenize-and-shuffle" pipelines exist to guarantee).
-
-    No global sort: both the rank and the token prefix sum reuse
-    ``ordered_pack``'s two-phase range-partitioned scan over the
-    composite key ``md5_48(doc_id)·2^15 + doc_id mod 2^15`` (63 bits,
-    unique, uniform — so range buckets are balanced by construction).
-    Two scans: weight-1 (rank), weight-n_tokens (shard id).
-
-    Returns (doc_id, n_tokens, shuffle_rank, shard_id).
-    """
+def _shuffle_keyed_docs(sf_dir: str):
+    """(doc_id, n_tokens, __key, __one) projection of the documents table
+    with the shuffle-permutation key ``md5_48(doc_id)·2^15 + doc_id mod
+    2^15`` (63 bits, unique, uniform — range buckets balanced by
+    construction)."""
     import hashlib
 
     from .io import read_parquet as _io_read
 
-    path = f"{sf_dir}/documents.parquet"
-
     def keyed(batch: pd.DataFrame) -> pd.DataFrame:
         from .text import n_tokens_nonempty
-        toks = n_tokens_nonempty(batch["text"])
         ids = batch["doc_id"].astype("int64")
         key = pd.Series(
             [int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
              * 32768 + int(i) % 32768 for i in ids],
             dtype="int64", index=batch.index)
-        return pd.DataFrame({"doc_id": ids, "n_tokens": toks.astype("int64"),
+        return pd.DataFrame({"doc_id": ids,
+                             "n_tokens": n_tokens_nonempty(batch["text"]),
                              "__key": key,
                              "__one": np.int64(1)})
 
-    ds = _io_read(path, columns=["doc_id", "text"]) \
+    return _io_read(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"]) \
         .map_batches(keyed, batch_format="pandas")
+
+
+def _shuffle_pack(ds, budget: int, num_partitions: int):
+    """Shuffle rank + token-budget shard over a keyed doc set: two
+    ``ordered_pack`` range-partitioned prefix scans (weight 1 → rank;
+    weight n_tokens → shard), no global sort."""
     ranked = ordered_pack(ds, "__key", "__one", budget=1,
                           bucket_width=1 << 50, out_col="shuffle_rank",
                           num_partitions=num_partitions)
@@ -389,3 +382,51 @@ def global_shuffle_shards_ds(sf_dir: str, budget: int = 4096,
             .astype("int64")
 
     return sharded.map_batches(finish, batch_format="pandas")
+
+
+def global_shuffle_shards_ds(sf_dir: str, budget: int = 4096,
+                             num_partitions: int = 32):
+    """Deterministic global training shuffle + shard assignment — the
+    delivery step after curation: documents are ordered by a seedless
+    hash permutation (md5 of the doc id — reshuffling is changing the
+    salt), given their global shuffle rank, and packed into token-budget
+    shards IN THAT ORDER (so every shard is an unbiased sample, the
+    property "tokenize-and-shuffle" pipelines exist to guarantee).
+
+    Returns (doc_id, n_tokens, shuffle_rank, shard_id).
+    """
+    return _shuffle_pack(_shuffle_keyed_docs(sf_dir), budget,
+                         num_partitions)
+
+
+def training_manifest_ds(sf_dir: str, budget: int = 4096,
+                         num_partitions: int = 32):
+    """THE end-to-end data-prep deliverable: the exact file a training
+    job consumes. Composition of the oracle-checked pieces — corpus
+    curation (quality gate → exact dedup → decontaminate → split) keeps
+    the clean train docs, then the shuffled token-budget shard packing
+    (``global_shuffle_shards``) runs over exactly that kept set: every
+    shard an unbiased sample of the CURATED train corpus.
+
+    Scale plan: ``corpus_curation_ds``'s one-shuffle chain → a slim
+    train-only doc_id projection → one ``hash_join`` against the keyed
+    token projection (both fact-scale, co-partitioned) → the two-scan
+    shuffle pack. Nothing new touches the driver.
+
+    Returns (doc_id, n_tokens, shuffle_rank, shard_id) over the kept
+    train split only.
+    """
+    from .joins import hash_join
+    from .curation import corpus_curation_ds
+
+    kept = corpus_curation_ds(sf_dir)
+
+    def train_ids(batch: pd.DataFrame) -> pd.DataFrame:
+        sel = batch["split"] == "train"
+        return pd.DataFrame({"doc_id": batch.loc[sel, "doc_id"]
+                             .astype("int64")})
+
+    tr = kept.map_batches(train_ids, batch_format="pandas")
+    joined = hash_join(tr, _shuffle_keyed_docs(sf_dir), on=["doc_id"],
+                       num_partitions=num_partitions)
+    return _shuffle_pack(joined, budget, num_partitions)
