@@ -152,7 +152,7 @@ def bench_queries(sf_dir: str) -> dict:
              "price_quantiles_by_priority_sketch", "lineitem_profile",
              "bigram_surprisal", "event_dedup_windowed", "corpus_report",
              "k_anonymity_report", "winnowing_pairs",
-             "global_shuffle_shards"]
+             "global_shuffle_shards", "training_manifest"]
     out = {}
     for name in names:
         t0 = time.time()
