@@ -375,6 +375,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dataset-card composition: docs+tokens per (source, lang) with
         # ROLLUP margins ('ALL' sentinel)
         "corpus_report": curation.corpus_report_ds,
+        # Heaps'-law vocabulary-growth curve (new tokens per corpus
+        # decile; one distinct-(token, first-decile) shuffle)
+        "vocab_growth": curation.vocab_growth_ds,
         "pack_token_chunks": _pack_token_chunks,
         # delivery step: deterministic md5 global shuffle rank + token-
         # budget shard packing in shuffled order (two-phase prefix scans)
@@ -1563,6 +1566,33 @@ def oracle_sql() -> dict[str, str]:
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                       0) // 4096)::BIGINT AS shard_id
             FROM d
+        """,
+        "vocab_growth": """
+            WITH nd AS (
+              SELECT count(*)::BIGINT AS n FROM documents
+            ), step AS (
+              SELECT ((n + 9) // 10)::BIGINT AS s FROM nd
+            ), tok AS (
+              SELECT doc_id, unnest(string_split(coalesce(text, ''), ' '))
+                         AS w
+              FROM documents
+            ), firsts AS (
+              SELECT t.w, min(t.doc_id // st.s)::BIGINT AS b
+              FROM tok t CROSS JOIN step st
+              WHERE t.w <> '' GROUP BY t.w
+            ), counts AS (
+              SELECT b, count(*)::BIGINT AS new FROM firsts GROUP BY b
+            ), cps AS (
+              SELECT unnest(generate_series(0, 9)) AS checkpoint
+            )
+            SELECT c.checkpoint::BIGINT AS checkpoint,
+                   least((c.checkpoint + 1) * st.s, nd.n)::BIGINT
+                       AS docs_upto,
+                   coalesce(ct.new, 0)::BIGINT AS new_tokens,
+                   (sum(coalesce(ct.new, 0))
+                        OVER (ORDER BY c.checkpoint))::BIGINT AS vocab_size
+            FROM cps c CROSS JOIN step st CROSS JOIN nd
+            LEFT JOIN counts ct ON ct.b = c.checkpoint
         """,
         "corpus_report": """
             SELECT coalesce(source, 'ALL') AS source,

@@ -368,6 +368,62 @@ def curriculum_order_ds(sf_dir: str, num_partitions: int = 32):
     return ranked.map_batches(finish, batch_format="pandas")
 
 
+def vocab_growth_ds(sf_dir: str, n_checkpoints: int = 10,
+                    num_partitions: int = 32):
+    """Heaps'-law vocabulary-growth curve — distinct tokens seen after
+    each decile of the corpus (docs ordered by doc_id): the diagnostic
+    that tells a corpus builder whether more data still buys new
+    vocabulary or the source is saturating (sub-linear growth flattening
+    early = heavy duplication or a closed domain).
+
+    Scale plan: tokens never re-shuffle per checkpoint — each batch emits
+    per-token (token, min_bucket) partials (the FIRST decile the token
+    appears in, computable in-batch because deciles are a pure function
+    of doc_id); one coarse token partition takes the global min per
+    token; the curve is the O(n_checkpoints) cumulative histogram of
+    those minima. One shuffle of distinct (token, bucket) pairs total.
+
+    Returns (checkpoint, docs_upto, new_tokens, vocab_size):
+    checkpoint k covers doc_ids in [0, (k+1)·ceil(N/K)), vocab_size is
+    cumulative.
+    """
+    from .agg import partitioned_group_apply
+
+    path = f"{sf_dir}/documents.parquet"
+    n_docs = _io_read(path, columns=["doc_id"]).count()
+    k = n_checkpoints
+    step = (n_docs + k - 1) // k  # ceil(N/K)
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        w = batch["text"].fillna("").str.split(" ").explode()
+        w = w[w != ""].dropna()
+        bucket = (batch["doc_id"].astype("int64") // step) \
+            .reindex(w.index)
+        out = pd.DataFrame({"w": w.to_numpy(),
+                            "b": bucket.to_numpy(dtype=np.int64)})
+        return out.groupby("w", as_index=False)["b"].min() \
+            .astype({"b": "int64"})
+
+    def min_per_token(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("w", as_index=False)["b"].min() \
+            .astype({"b": "int64"})
+
+    firsts = partitioned_group_apply(
+        _io_read(path, columns=["doc_id", "text"])
+        .map_batches(partials, batch_format="pandas"),
+        ["w"], min_per_token, num_partitions).to_pandas()
+
+    counts = firsts.groupby("b").size()
+    rows, cum = [], 0
+    for c in range(k):
+        new = int(counts.get(c, 0))
+        cum += new
+        rows.append({"checkpoint": c,
+                     "docs_upto": min((c + 1) * step, n_docs),
+                     "new_tokens": new, "vocab_size": cum})
+    return pd.DataFrame(rows).astype("int64")
+
+
 def corpus_report_ds(sf_dir: str):
     """Dataset-card composition report — docs and tokens per
     (source, lang) with ROLLUP margins (per-source totals + grand total),

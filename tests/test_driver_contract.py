@@ -109,7 +109,7 @@ SQL_CHECKED = [
     "price_quantiles_by_priority_sketch", "lineitem_profile",
     "bigram_surprisal", "event_dedup_windowed", "corpus_report",
     "k_anonymity_report", "winnowing_pairs", "global_shuffle_shards",
-    "training_manifest",
+    "training_manifest", "vocab_growth",
 ]
 
 
