@@ -21,6 +21,63 @@ from typing import Any
 _CRAWL_CACHE: dict[str, Any] = {}
 
 
+
+# shared between the corpus_curation oracle and the training_manifest
+# composition oracle (drift-proof: one copy of the curation SQL)
+_CURATION_SQL = """
+            WITH corpus AS (
+              SELECT doc_id, text,
+                     CAST(CASE WHEN length(text) BETWEEN 100 AND 2000
+                               AND (length(text) - length(regexp_replace(
+                                    text, '[.,!?;:]', '', 'g'))) > 0
+                          THEN 2 WHEN length(text) >= 30 THEN 1
+                          ELSE 0 END AS BIGINT) AS quality_bucket
+              FROM documents WHERE source <> 'src0'
+            ), q AS (
+              SELECT * FROM corpus WHERE quality_bucket >= 1
+            ), d AS (
+              SELECT md5(text) AS h, min(doc_id) AS doc_id,
+                     count(*)::BIGINT AS n_dups
+              FROM q GROUP BY 1
+            ), toks AS (
+              SELECT doc_id, source, string_split(text, ' ') AS t
+              FROM documents
+            ), ex AS (
+              SELECT doc_id, source, unnest(t) AS w,
+                     generate_subscripts(t, 1) AS i, len(t) AS nn
+              FROM toks
+            ), g0 AS (
+              SELECT doc_id, source,
+                     w || ' ' || lead(w, 1) OVER win || ' '
+                       || lead(w, 2) OVER win || ' '
+                       || lead(w, 3) OVER win || ' '
+                       || lead(w, 4) OVER win AS gram,
+                     i, nn
+              FROM ex WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+            ), grams AS (
+              SELECT DISTINCT doc_id, source, gram FROM g0 WHERE i + 4 <= nn
+            ), bench AS (
+              SELECT DISTINCT gram FROM grams WHERE source = 'src0'
+            ), hits AS (
+              SELECT g.doc_id, count(*)::BIGINT AS n_hit
+              FROM grams g JOIN bench b ON g.gram = b.gram
+              WHERE g.source <> 'src0' GROUP BY 1
+            ), bkt AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         ::BIGINT % 1000 AS b
+              FROM documents
+            )
+            SELECT d.doc_id, q.quality_bucket, d.n_dups,
+                   CASE WHEN bkt.b < 900 THEN 'train'
+                        WHEN bkt.b < 950 THEN 'val' ELSE 'test' END AS split
+            FROM d
+            JOIN q ON q.doc_id = d.doc_id
+            JOIN bkt ON bkt.doc_id = d.doc_id
+            LEFT JOIN hits h ON h.doc_id = d.doc_id
+            WHERE coalesce(h.n_hit, 0) = 0
+        """
+
 def _crawl_outputs() -> dict:
     """Run one small deterministic crawl (engine, not simulator) and memoize
     its artifacts for the crawl-facing rows-only queries."""
@@ -2048,58 +2105,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "training_manifest": """
-            WITH kept AS (
-            WITH corpus AS (
-              SELECT doc_id, text,
-                     CAST(CASE WHEN length(text) BETWEEN 100 AND 2000
-                               AND (length(text) - length(regexp_replace(
-                                    text, '[.,!?;:]', '', 'g'))) > 0
-                          THEN 2 WHEN length(text) >= 30 THEN 1
-                          ELSE 0 END AS BIGINT) AS quality_bucket
-              FROM documents WHERE source <> 'src0'
-            ), q AS (
-              SELECT * FROM corpus WHERE quality_bucket >= 1
-            ), d AS (
-              SELECT md5(text) AS h, min(doc_id) AS doc_id,
-                     count(*)::BIGINT AS n_dups
-              FROM q GROUP BY 1
-            ), toks AS (
-              SELECT doc_id, source, string_split(text, ' ') AS t
-              FROM documents
-            ), ex AS (
-              SELECT doc_id, source, unnest(t) AS w,
-                     generate_subscripts(t, 1) AS i, len(t) AS nn
-              FROM toks
-            ), g0 AS (
-              SELECT doc_id, source,
-                     w || ' ' || lead(w, 1) OVER win || ' '
-                       || lead(w, 2) OVER win || ' '
-                       || lead(w, 3) OVER win || ' '
-                       || lead(w, 4) OVER win AS gram,
-                     i, nn
-              FROM ex WINDOW win AS (PARTITION BY doc_id ORDER BY i)
-            ), grams AS (
-              SELECT DISTINCT doc_id, source, gram FROM g0 WHERE i + 4 <= nn
-            ), bench AS (
-              SELECT DISTINCT gram FROM grams WHERE source = 'src0'
-            ), hits AS (
-              SELECT g.doc_id, count(*)::BIGINT AS n_hit
-              FROM grams g JOIN bench b ON g.gram = b.gram
-              WHERE g.source <> 'src0' GROUP BY 1
-            ), bkt AS (
-              SELECT doc_id,
-                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                         ::BIGINT % 1000 AS b
-              FROM documents
-            )
-            SELECT d.doc_id, q.quality_bucket, d.n_dups,
-                   CASE WHEN bkt.b < 900 THEN 'train'
-                        WHEN bkt.b < 950 THEN 'val' ELSE 'test' END AS split
-            FROM d
-            JOIN q ON q.doc_id = d.doc_id
-            JOIN bkt ON bkt.doc_id = d.doc_id
-            LEFT JOIN hits h ON h.doc_id = d.doc_id
-            WHERE coalesce(h.n_hit, 0) = 0
+            WITH kept AS (""" + _CURATION_SQL + """
             ), tr AS (
               SELECT doc_id FROM kept WHERE split = 'train'
             ), dtok AS (
@@ -2122,57 +2128,5 @@ def oracle_sql() -> dict[str, str]:
                       0) // 4096)::BIGINT AS shard_id
             FROM m
         """,
-        "corpus_curation": """
-            WITH corpus AS (
-              SELECT doc_id, text,
-                     CAST(CASE WHEN length(text) BETWEEN 100 AND 2000
-                               AND (length(text) - length(regexp_replace(
-                                    text, '[.,!?;:]', '', 'g'))) > 0
-                          THEN 2 WHEN length(text) >= 30 THEN 1
-                          ELSE 0 END AS BIGINT) AS quality_bucket
-              FROM documents WHERE source <> 'src0'
-            ), q AS (
-              SELECT * FROM corpus WHERE quality_bucket >= 1
-            ), d AS (
-              SELECT md5(text) AS h, min(doc_id) AS doc_id,
-                     count(*)::BIGINT AS n_dups
-              FROM q GROUP BY 1
-            ), toks AS (
-              SELECT doc_id, source, string_split(text, ' ') AS t
-              FROM documents
-            ), ex AS (
-              SELECT doc_id, source, unnest(t) AS w,
-                     generate_subscripts(t, 1) AS i, len(t) AS nn
-              FROM toks
-            ), g0 AS (
-              SELECT doc_id, source,
-                     w || ' ' || lead(w, 1) OVER win || ' '
-                       || lead(w, 2) OVER win || ' '
-                       || lead(w, 3) OVER win || ' '
-                       || lead(w, 4) OVER win AS gram,
-                     i, nn
-              FROM ex WINDOW win AS (PARTITION BY doc_id ORDER BY i)
-            ), grams AS (
-              SELECT DISTINCT doc_id, source, gram FROM g0 WHERE i + 4 <= nn
-            ), bench AS (
-              SELECT DISTINCT gram FROM grams WHERE source = 'src0'
-            ), hits AS (
-              SELECT g.doc_id, count(*)::BIGINT AS n_hit
-              FROM grams g JOIN bench b ON g.gram = b.gram
-              WHERE g.source <> 'src0' GROUP BY 1
-            ), bkt AS (
-              SELECT doc_id,
-                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                         ::BIGINT % 1000 AS b
-              FROM documents
-            )
-            SELECT d.doc_id, q.quality_bucket, d.n_dups,
-                   CASE WHEN bkt.b < 900 THEN 'train'
-                        WHEN bkt.b < 950 THEN 'val' ELSE 'test' END AS split
-            FROM d
-            JOIN q ON q.doc_id = d.doc_id
-            JOIN bkt ON bkt.doc_id = d.doc_id
-            LEFT JOIN hits h ON h.doc_id = d.doc_id
-            WHERE coalesce(h.n_hit, 0) = 0
-        """,
+        "corpus_curation": _CURATION_SQL,
     }

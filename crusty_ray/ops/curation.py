@@ -404,16 +404,20 @@ def vocab_growth_ds(sf_dir: str, n_checkpoints: int = 10,
         return out.groupby("w", as_index=False)["b"].min() \
             .astype({"b": "int64"})
 
-    def min_per_token(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("w", as_index=False)["b"].min() \
-            .astype({"b": "int64"})
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        # every token lives in exactly this partition: its global first
+        # bucket is exact here, so emit the <= K-row histogram partial —
+        # the driver never sees token strings (O(K x partitions) rows)
+        m = df.groupby("w")["b"].min()
+        out = m.groupby(m).size().rename_axis("b").reset_index(name="new")
+        return out.astype("int64")
 
-    firsts = partitioned_group_apply(
+    parts = partitioned_group_apply(
         _io_read(path, columns=["doc_id", "text"])
         .map_batches(partials, batch_format="pandas"),
-        ["w"], min_per_token, num_partitions).to_pandas()
+        ["w"], bucket_counts, num_partitions).to_pandas()
 
-    counts = firsts.groupby("b").size()
+    counts = parts.groupby("b")["new"].sum()
     rows, cum = [], 0
     for c in range(k):
         new = int(counts.get(c, 0))

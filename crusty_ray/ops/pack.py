@@ -429,4 +429,7 @@ def training_manifest_ds(sf_dir: str, budget: int = 4096,
     tr = kept.map_batches(train_ids, batch_format="pandas")
     joined = hash_join(tr, _shuffle_keyed_docs(sf_dir), on=["doc_id"],
                        num_partitions=num_partitions)
+    # joined feeds ordered_pack's totals pass AND its assign pass; left
+    # lazy, the join shuffle would execute twice (the documented hazard)
+    joined = joined.materialize()
     return _shuffle_pack(joined, budget, num_partitions)

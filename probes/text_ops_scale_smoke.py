@@ -33,8 +33,10 @@ import duckdb
 import ray
 
 SRC = "/root/testdata/sf0.1/documents.parquet"
-OUT = "/tmp/text_scale_smoke"
 REPLICAS = 100
+# corpus dir keyed on the replica count: editing REPLICAS can't silently
+# reuse a stale corpus
+OUT = f"/tmp/text_scale_smoke_x{REPLICAS}"
 
 
 def build():

@@ -665,7 +665,13 @@ def test_doc_dedup_groups_cap_plumbing(ray_session):
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(base, inert, check_exact=True)
 
+    # a tight cap changes BOTH intersection and union (Jaccard over the
+    # non-stop grams), so group structure may shift either way — pin only
+    # the contract: LEFT-complete, a valid canonical partition
     capped = dedup.doc_dedup_groups_ds(sf, max_gram_df=2).to_pandas()
     assert len(capped) == len(base)
-    # capping can only REMOVE near-dup edges: groups never get bigger
-    assert int(capped["keep"].sum()) >= int(base["keep"].sum())
+    assert set(capped["doc_id"]) == set(base["doc_id"])
+    mins = capped.groupby("canonical_id", as_index=False)["doc_id"].min()
+    assert (mins["canonical_id"] == mins["doc_id"]).all()  # = min member
+    assert (capped["keep"] == (capped["doc_id"]
+            == capped["canonical_id"]).astype("int64")).all()
