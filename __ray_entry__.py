@@ -22,6 +22,48 @@ _CRAWL_CACHE: dict[str, Any] = {}
 
 
 
+# shared between the minhash_candidates_md5 and minhash_near_dups_md5
+# oracles: docs → SQL-parity 3-grams → md5 minhash signatures (16 perms) →
+# band hashes (8 bands × 2 rows) → distinct candidate pairs. Every step is
+# the exact expression the Python md5 face computes (ops/dedup.py,
+# minhash_md5_bands_batch): perm k of a gram = first 8 md5 bytes of
+# "{k}:{gram}"; band hash = first 8 md5 bytes of "{band}:{s0}:{s1}" with
+# signature words printed in decimal (UBIGINT::VARCHAR ≡ str(int)).
+_MINHASH_MD5_CTE = r"""
+            WITH toks AS (
+              SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+              FROM documents
+            ), ex AS (
+              SELECT doc_id, unnest(t) AS w,
+                     generate_subscripts(t, 1) AS i, len(t) AS n
+              FROM toks
+            ), g0 AS (
+              SELECT doc_id,
+                     w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS gram,
+                     i, n
+              FROM ex WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+            ), grams AS (
+              SELECT DISTINCT doc_id, gram FROM g0 WHERE i + 2 <= n
+            ), sig AS (
+              SELECT doc_id, k.range AS k,
+                     min(('0x' || substr(md5(k.range::VARCHAR || ':' || gram), 1, 16))::UBIGINT) AS s
+              FROM grams CROSS JOIN range(16) k
+              GROUP BY doc_id, k.range
+            ), band AS (
+              SELECT doc_id, (k // 2) AS band_id,
+                     ('0x' || substr(md5((k // 2)::VARCHAR || ':' ||
+                          string_agg(s::VARCHAR, ':' ORDER BY k)), 1, 16))::UBIGINT AS band_hash
+              FROM sig GROUP BY doc_id, (k // 2)
+            ), cand AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS n_bands
+              FROM band a JOIN band b
+                ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                   AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+"""
+
 # shared between the corpus_curation oracle and the training_manifest
 # composition oracle (drift-proof: one copy of the curation SQL)
 _CURATION_SQL = """
@@ -329,6 +371,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_candidates_capped":
             lambda sf: dedup.minhash_candidates_ds(sf, max_bucket=64),
         "minhash_near_dups": dedup.minhash_dedup_pairs,           # rows-only
+        # SQL-parity md5 face of the same LSH plan (16 perms, 8 bands × 2):
+        # banding AND the verified near-dup pipeline both bit-exact vs
+        # pure-SQL DuckDB twins — the production crc32 kernel above stays
+        # rows-only (no SQL crc32) and is brute-force-equivalence-tested
+        "minhash_candidates_md5": dedup.minhash_md5_candidates_ds,
+        "minhash_near_dups_md5": dedup.minhash_md5_pairs_ds,
         "simhash_near_dups": dedup.simhash_pairs,  # SQL-checked (md5 face)
         # incremental ingestion dedup: new sources kept only if no corpus
         # near-dup (bipartite quadrant plan, SQL-checked)
@@ -765,6 +813,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnts ca ON ca.doc_id = doc_a
             JOIN cnts cb ON cb.doc_id = doc_b
             WHERE (1000 * shared) // (ca.n + cb.n - shared) >= 500
+        """,
+        "minhash_candidates_md5":
+            _MINHASH_MD5_CTE + "SELECT doc_a, doc_b, n_bands FROM cand",
+        "minhash_near_dups_md5": _MINHASH_MD5_CTE + """
+            , cnts AS (
+              SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+            ), inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS shared
+              FROM cand c
+              JOIN grams ga ON ga.doc_id = c.doc_a
+              JOIN grams gb ON gb.doc_id = c.doc_b AND gb.gram = ga.gram
+              GROUP BY 1, 2
+            )
+            SELECT i.doc_a, i.doc_b,
+                   (1000 * i.shared) // (ca.n + cb.n - i.shared) AS jaccard_pm
+            FROM inter i
+            JOIN cnts ca ON ca.doc_id = i.doc_a
+            JOIN cnts cb ON cb.doc_id = i.doc_b
+            WHERE (1000 * i.shared) // (ca.n + cb.n - i.shared) >= 500
         """,
         "ngram_containment_pairs": """
             WITH toks AS (

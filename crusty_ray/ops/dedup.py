@@ -124,10 +124,17 @@ def minhash_candidates_ds(sf_dir: str, max_bucket: int | None = None):
     near-dups almost always share several bands, so recall loss concentrates
     on degenerate clusters (e.g. thousands of identical shells). ``None``
     (default) disables the cap — the conformance/oracle mode."""
-    from .agg import partitioned_group_apply
     ds = _io_read(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     bands = ds.map_batches(minhash_bands_batch, batch_format="pandas")
+    return _band_candidates(bands, max_bucket)
+
+
+def _band_candidates(bands, max_bucket: int | None = None):
+    """(doc_id, band_id, band_hash) rows → distinct candidate pairs with
+    matching-band counts — the shared bucket-self-join plan behind both the
+    production crc32 path and the md5 oracle face."""
+    from .agg import partitioned_group_apply
 
     def pairs_in_part(df: pd.DataFrame) -> pd.DataFrame:
         # vectorized bucket self-join (the r1 per-bucket Python loop +
@@ -166,8 +173,25 @@ def minhash_dedup_pairs(sf_dir: str, threshold: float = 0.7):
        together; exact Jaccard on the hash sets (64-bit — collision odds
        negligible), integer per-mille output, ≥ threshold kept.
     """
+    def doc_hashes(t: str) -> np.ndarray:
+        g = word_ngrams(t)
+        return hash64_batch(list(g)).astype(np.int64) if g else None
+
+    return _verified_jaccard_pairs(minhash_candidates_ds(sf_dir), sf_dir,
+                                   doc_hashes, threshold=threshold)
+
+
+def _verified_jaccard_pairs(cands, sf_dir: str, doc_hash_fn,
+                            threshold: float | None = None,
+                            threshold_pm: int | None = None):
+    """Shared two-shuffle bucketed verify (see ``minhash_dedup_pairs``).
+
+    ``doc_hash_fn(text) → int64 gram-hash array | None``. Exactly one of
+    ``threshold`` (float, round-to-pm output — the production contract) or
+    ``threshold_pm`` (floor-divide per-mille — the SQL-parity contract,
+    matching DuckDB's ``//``) must be given.
+    """
     from .agg import partitioned_group_apply
-    cands = minhash_candidates_ds(sf_dir)
 
     # one row per (candidate pair, side): the "requests" table of the join
     def to_sides(batch: pd.DataFrame) -> pd.DataFrame:
@@ -187,9 +211,8 @@ def minhash_dedup_pairs(sf_dir: str, threshold: float = 0.7):
     def doc_grams(batch: pd.DataFrame) -> pd.DataFrame:
         ids, hashes = [], []
         for d, t in zip(batch["doc_id"], batch["text"].fillna("")):
-            g = word_ngrams(t)
-            if g:
-                h = hash64_batch(list(g)).astype(np.int64)  # order-invariant downstream
+            h = doc_hash_fn(t)  # int64 gram hashes, order-invariant downstream
+            if h is not None and len(h):
                 ids.extend([d] * len(h))
                 hashes.append(h)
         return pd.DataFrame({
@@ -221,15 +244,105 @@ def minhash_dedup_pairs(sf_dir: str, threshold: float = 0.7):
         agg = cnt.groupby(["doc_a", "doc_b"]).agg(
             union=("size", "count"),
             inter=("size", lambda s: int((s == 2).sum()))).reset_index()
-        j = agg["inter"] / agg["union"].clip(lower=1)
-        keep = j >= threshold
+        if threshold_pm is not None:  # SQL-parity face: floor per-mille
+            jpm = (1000 * agg["inter"]) // agg["union"].clip(lower=1)
+            keep = jpm >= threshold_pm
+        else:
+            j = agg["inter"] / agg["union"].clip(lower=1)
+            keep = j >= threshold
+            jpm = (j * 1000).round()
         return pd.DataFrame({
             "doc_a": agg.loc[keep, "doc_a"].astype("int64"),
             "doc_b": agg.loc[keep, "doc_b"].astype("int64"),
-            "jaccard_pm": (j[keep] * 1000).round().astype("int64"),
+            "jaccard_pm": jpm[keep].astype("int64"),
         }).reset_index(drop=True)
 
     return partitioned_group_apply(attached, ["doc_a", "doc_b"], verify)
+
+
+# ------------------------------------------------- minhash md5 oracle face
+
+MD5_N_PERM = 16
+MD5_N_BANDS = 8          # 8 bands × 2 rows: s-curve knee ≈ (1/8)^(1/2) ≈ 0.35
+MD5_ROWS_PER_BAND = MD5_N_PERM // MD5_N_BANDS
+
+
+def minhash_md5_bands_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """doc → (doc_id, band_id, band_hash) rows under the SQL-parity md5
+    hash family: permutation ``k`` of a gram is the first 8 bytes of
+    ``md5("{k}:{gram}")``; a band's hash is ``md5("{band}:{s0}:{s1}")`` over
+    its signature words printed in decimal — every step an exact DuckDB
+    expression (md5 + substr + UBIGINT cast + ordered string_agg), unlike
+    the production crc32/splitmix kernel (``minhash_bands_batch``), which
+    has no SQL twin and therefore stays rows-only in the driver contract.
+
+    Grams follow the corpus-wide SQL-parity convention
+    (``ops.text.space_split_ngrams`` = the ``ngram_jaccard_pairs`` oracle's
+    lead-window CTE); docs with no grams emit no band rows. The per-gram
+    md5 loop is the face's documented cost (16 digests per distinct gram) —
+    the production path exists precisely so this kernel never runs at scale.
+    """
+    from .text import space_split_ngrams
+    ids: list[int] = []
+    bids: list[int] = []
+    hashes: list[int] = []
+    md5 = hashlib.md5
+    for d, t in zip(batch["doc_id"], batch["text"].fillna("")):
+        grams = space_split_ngrams(t)
+        if not grams:
+            continue
+        sig = [min(int(md5(f"{k}:{g}".encode("utf-8")).hexdigest()[:16], 16)
+                   for g in grams) for k in range(MD5_N_PERM)]
+        for b in range(MD5_N_BANDS):
+            row = sig[b * MD5_ROWS_PER_BAND:(b + 1) * MD5_ROWS_PER_BAND]
+            key = str(b) + ":" + ":".join(str(s) for s in row)
+            bh = int(md5(key.encode("utf-8")).hexdigest()[:16], 16)
+            ids.append(int(d))
+            bids.append(b)
+            hashes.append(bh)
+    return pd.DataFrame({
+        "doc_id": pd.Series(ids, dtype="int64"),
+        "band_id": pd.Series(bids, dtype="int64"),
+        # int64 wrap of the uint64 value — a bijection, so bucket identity
+        # (all that matters internally; band hashes never reach the output)
+        # is preserved
+        "band_hash": pd.Series(
+            np.array(hashes, dtype=np.uint64).astype(np.int64),
+            dtype="int64"),
+    })
+
+
+def minhash_md5_candidates_ds(sf_dir: str):
+    """LSH candidate pairs (doc_a, doc_b, n_bands) under the md5 oracle
+    face — the sig→band→bucket→pair plan itself proven bit-exact against a
+    pure-SQL DuckDB twin (``oracle_sql()['minhash_candidates_md5']``)."""
+    ds = _io_read(f"{sf_dir}/documents.parquet",
+                  columns=["doc_id", "text"])
+    bands = ds.map_batches(minhash_md5_bands_batch, batch_format="pandas")
+    return _band_candidates(bands)
+
+
+def _md5_gram_hashes(t: str) -> np.ndarray | None:
+    """Distinct-gram md5-64 hashes under the SQL-parity convention (int64
+    wrap). The oracle counts distinct gram *strings*; parity holds unless
+    two of one pair's grams collide in 64 bits (odds ≈ g²/2⁶⁵ — negligible,
+    and an accepted property of hash-based Jaccard at any scale)."""
+    from .text import space_split_ngrams
+    g = space_split_ngrams(t)
+    if not g:
+        return None
+    return np.array([int(hashlib.md5(x.encode("utf-8")).hexdigest()[:16], 16)
+                     for x in g], dtype=np.uint64).astype(np.int64)
+
+
+def minhash_md5_pairs_ds(sf_dir: str, threshold_pm: int = 500):
+    """md5-face candidates → exact-Jaccard-verified near-dup pairs
+    (doc_a, doc_b, jaccard_pm), floor per-mille ≥ ``threshold_pm`` — the
+    complete MinHash-LSH dedup pipeline (band, bucket, pair, verify) with
+    an end-to-end DuckDB oracle. Same two-shuffle distributed verify as the
+    production path (``_verified_jaccard_pairs``)."""
+    return _verified_jaccard_pairs(minhash_md5_candidates_ds(sf_dir), sf_dir,
+                                   _md5_gram_hashes, threshold_pm=threshold_pm)
 
 
 # ---------------------------------------------------------------- simhash
