@@ -64,6 +64,50 @@ _MINHASH_MD5_CTE = r"""
             )
 """
 
+# shared between the gopher_quality oracle and the quality_blend_rank
+# percentile-ensemble oracle (drift-proof: one copy of the signal SQL).
+# Ends in a `sig` CTE of per-doc integer Gopher signals.
+_GOPHER_SIG_SQL = """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(coalesce(text, ''), ' '),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), w AS (
+              SELECT doc_id, unnest(toks) AS w,
+                     unnest(range(1, len(toks) + 1)) AS pos
+              FROM d
+            ), base AS (
+              SELECT doc_id, count(*)::BIGINT AS n_words,
+                     (1000 * sum(length(w))::BIGINT) // count(*)
+                         AS mean_word_len_pm
+              FROM w GROUP BY 1
+            ), topc AS (
+              SELECT doc_id, max(c) AS mx
+              FROM (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2)
+              GROUP BY 1
+            ), g AS (
+              SELECT a.doc_id, a.w || chr(31) || b.w AS gram
+              FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            ), dup AS (
+              SELECT doc_id, count(*)::BIGINT AS n_g,
+                     count(DISTINCT gram)::BIGINT AS n_d
+              FROM g GROUP BY 1
+            ), sig AS (
+              SELECT dd.doc_id,
+                     coalesce(b.n_words, 0)::BIGINT AS n_words,
+                     coalesce(b.mean_word_len_pm, 0)::BIGINT AS mean_word_len_pm,
+                     coalesce((1000 * (dup.n_g - dup.n_d)) // dup.n_g, 0)::BIGINT
+                         AS dup_2gram_pm,
+                     coalesce((1000 * topc.mx) // b.n_words, 0)::BIGINT
+                         AS top_word_pm
+              FROM (SELECT doc_id FROM documents) dd
+              LEFT JOIN base b USING (doc_id)
+              LEFT JOIN topc USING (doc_id)
+              LEFT JOIN dup USING (doc_id)
+            )
+"""
+
 # shared between the corpus_curation oracle and the training_manifest
 # composition oracle (drift-proof: one copy of the curation SQL)
 _CURATION_SQL = """
@@ -401,6 +445,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- language id (stopword heuristic, profile frozen into the oracle)
         "langid": text.langid_ds,
         "gopher_quality": text.gopher_quality_ds,
+        # FineWeb-style ensemble: Gopher signals blended by global
+        # percentile rank (histogram-partial ranks, no global sort)
+        "quality_blend_rank": curation.quality_blend_rank_ds,
         "compression_ratio": text.compression_ratio_ds,   # rows-only (zlib)
         # benchmark decontamination: broadcast the held-out set's distinct
         # n-grams, count per-doc overlap (GPT-3 appendix-C style)
@@ -1532,44 +1579,27 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
         """,
         "trade_pagerank": _pagerank_oracle_sql(iters=3),
-        "gopher_quality": """
-            WITH d AS (
+        "gopher_quality": _GOPHER_SIG_SQL + """
+            SELECT doc_id, n_words, mean_word_len_pm, dup_2gram_pm,
+                   top_word_pm
+            FROM sig
+        """,
+        "quality_blend_rank": _GOPHER_SIG_SQL + """
+            , n AS (SELECT greatest(count(*) - 1, 1) AS nm1 FROM sig)
+            , pct AS (
               SELECT doc_id,
-                     list_filter(regexp_split_to_array(coalesce(text, ''), ' '),
-                                 x -> x <> '') AS toks
-              FROM documents
-            ), w AS (
-              SELECT doc_id, unnest(toks) AS w,
-                     unnest(range(1, len(toks) + 1)) AS pos
-              FROM d
-            ), base AS (
-              SELECT doc_id, count(*)::BIGINT AS n_words,
-                     (1000 * sum(length(w))::BIGINT) // count(*)
-                         AS mean_word_len_pm
-              FROM w GROUP BY 1
-            ), topc AS (
-              SELECT doc_id, max(c) AS mx
-              FROM (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2)
-              GROUP BY 1
-            ), g AS (
-              SELECT a.doc_id, a.w || chr(31) || b.w AS gram
-              FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-            ), dup AS (
-              SELECT doc_id, count(*)::BIGINT AS n_g,
-                     count(DISTINCT gram)::BIGINT AS n_d
-              FROM g GROUP BY 1
+                     (1000 * (rank() OVER (ORDER BY n_words) - 1))
+                         // (SELECT nm1 FROM n) AS words_pct_pm,
+                     (1000 * (rank() OVER (ORDER BY dup_2gram_pm) - 1))
+                         // (SELECT nm1 FROM n) AS dup_pct_pm,
+                     (1000 * (rank() OVER (ORDER BY top_word_pm) - 1))
+                         // (SELECT nm1 FROM n) AS top_pct_pm
+              FROM sig
             )
-            SELECT dd.doc_id,
-                   coalesce(b.n_words, 0)::BIGINT AS n_words,
-                   coalesce(b.mean_word_len_pm, 0)::BIGINT AS mean_word_len_pm,
-                   coalesce((1000 * (dup.n_g - dup.n_d)) // dup.n_g, 0)::BIGINT
-                       AS dup_2gram_pm,
-                   coalesce((1000 * topc.mx) // b.n_words, 0)::BIGINT
-                       AS top_word_pm
-            FROM (SELECT doc_id FROM documents) dd
-            LEFT JOIN base b USING (doc_id)
-            LEFT JOIN topc USING (doc_id)
-            LEFT JOIN dup USING (doc_id)
+            SELECT doc_id, words_pct_pm, dup_pct_pm, top_pct_pm,
+                   (2 * words_pct_pm + (1000 - dup_pct_pm)
+                    + (1000 - top_pct_pm)) // 4 AS blend_pm
+            FROM pct
         """,
         "decontaminate": """
             WITH toks AS (

@@ -470,3 +470,86 @@ def corpus_report_ds(sf_dir: str):
     out = out[["source", "lang", "n_docs", "n_tokens"]] \
         .astype({"n_docs": "int64", "n_tokens": "int64"})
     return out.sort_values(["source", "lang"]).reset_index(drop=True)
+
+
+def quality_blend_rank_ds(sf_dir: str):
+    """FineWeb/DCLM-style ensemble quality score: blend several weak
+    quality signals by their GLOBAL percentile rank rather than raw value
+    (raw signals have incomparable scales; ranks are scale-free). Signals
+    are the integer Gopher kernels (``text.gopher_quality_ds``): n_words
+    (up-weighted 2x, longer = better here), dup_2gram_pm and top_word_pm
+    (repetition/dominance, lower = better, so their percentiles invert).
+
+    blend_pm = (2·p_words + (1000 − p_dup) + (1000 − p_top)) // 4, where
+    p_x = 1000·(strictly-lower count) // max(N−1, 1) — DuckDB's
+    ``(rank() OVER (ORDER BY x) − 1)`` percent-rank numerator, ties
+    sharing the min rank.
+
+    Scale plan: a percentile rank needs only "how many docs score strictly
+    lower", and every signal has bounded cardinality (per-mille signals
+    ≤ 1001 distinct values; n_words ≤ max doc length) — so one
+    ``map_batches`` emits per-batch (signal, value, count) histogram
+    partials, one small ``groupby`` reduces them, the driver cumulates
+    O(distinct values) rows into exclusive prefix counts, and a broadcast
+    (``ray.put``) shuffle-free ``searchsorted`` map scores every doc. No
+    global sort, no per-doc shuffle. The signal table is materialized once
+    (per-doc int columns only) because both the histogram pass and the
+    scoring pass consume it.
+
+    Returns (doc_id, words_pct_pm, dup_pct_pm, top_pct_pm, blend_pm).
+    """
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from .text import gopher_quality_ds
+
+    _SIGS = ["n_words", "dup_2gram_pm", "top_word_pm"]
+    sig = gopher_quality_ds(sf_dir).materialize()
+
+    def hist(batch: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for col in _SIGS:
+            vc = batch[col].value_counts()
+            outs.append(pd.DataFrame({
+                "sig": col,
+                "v": vc.index.to_numpy(dtype=np.int64),
+                "c": vc.to_numpy(dtype=np.int64)}))
+        return pd.concat(outs, ignore_index=True)
+
+    hs = sig.map_batches(hist, batch_format="pandas") \
+        .groupby(["sig", "v"]).aggregate(Sum("c", alias_name="c")) \
+        .to_pandas()
+
+    n_docs = int(hs.loc[hs["sig"] == _SIGS[0], "c"].sum())
+    nm1 = max(n_docs - 1, 1)
+    maps = {}
+    for col in _SIGS:
+        h = hs[hs["sig"] == col].sort_values("v")
+        vals = h["v"].to_numpy(dtype=np.int64)
+        # exclusive prefix count = docs strictly below each distinct value
+        smaller = np.concatenate(
+            [[0], np.cumsum(h["c"].to_numpy(dtype=np.int64))[:-1]])
+        maps[col] = (vals, smaller)
+    maps_ref = _ray.put((maps, nm1))
+
+    def score(batch: pd.DataFrame, _cache={}) -> pd.DataFrame:
+        if "m" not in _cache:  # one object-store fetch per worker process
+            _cache["m"] = _ray.get(maps_ref)
+        m, d = _cache["m"]
+        pct = {}
+        for col in _SIGS:
+            vals, smaller = m[col]
+            # every batch value is present in vals by construction
+            idx = np.searchsorted(vals, batch[col].to_numpy(dtype=np.int64))
+            pct[col] = (1000 * smaller[idx]) // d
+        blend = (2 * pct["n_words"] + (1000 - pct["dup_2gram_pm"])
+                 + (1000 - pct["top_word_pm"])) // 4
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "words_pct_pm": pct["n_words"].astype(np.int64),
+            "dup_pct_pm": pct["dup_2gram_pm"].astype(np.int64),
+            "top_pct_pm": pct["top_word_pm"].astype(np.int64),
+            "blend_pm": blend.astype(np.int64),
+        })
+
+    return sig.map_batches(score, batch_format="pandas")
