@@ -606,6 +606,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_prior_events": joins.range_join_events_ds,
         "revenue_by_nation": joins.revenue_by_nation_ds,
         "customer_order_profile": joins.customer_order_profile_ds,
+        # FULL OUTER face of the shuffle hash join: per-key coverage of
+        # two pre-aggregated fact tables (orders vs events)
+        "order_event_coverage": joins.order_event_coverage_ds,
         "anti_join_customers": joins.anti_join_customers_ds,
         "semi_join_events": joins.semi_join_events_ds,
         # -- float cosine near-dup (rows-only; quantized face is the oracle)
@@ -1435,6 +1438,19 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT user_id
               FROM events
               WHERE (epoch_us(ts) // 1000000 // 86400 + 4) % 7 < 5)
+        """,
+        "order_event_coverage": """
+            WITH o AS (
+              SELECT o_custkey AS custkey, count(*)::BIGINT AS n_orders
+              FROM orders GROUP BY 1
+            ), e AS (
+              SELECT user_id AS custkey, count(*)::BIGINT AS n_events
+              FROM events GROUP BY 1
+            )
+            SELECT custkey,
+                   coalesce(n_orders, 0)::BIGINT AS n_orders,
+                   coalesce(n_events, 0)::BIGINT AS n_events
+            FROM o FULL OUTER JOIN e USING (custkey)
         """,
         "customer_order_profile": """
             SELECT c.c_custkey, c.c_mktsegment,

@@ -257,11 +257,13 @@ def hash_join(left, right, on: list[str], num_partitions: int = 32,
     broadcast or driver-materialized, so both may be fact-scale; skew on a
     hot key is bounded by the partition, not the driver.
 
-    ``how`` is ``"inner"`` or ``"left"``. A left join fills unmatched right
-    columns from ``fill`` (column → sentinel, the COALESCE the SQL face
-    writes); dtypes are restored after the fill, so int64 payload columns
-    stay exact. Every right column must have a fill — pandas would otherwise
-    coerce the whole column to float64 via NaN and corrupt 64-bit values.
+    ``how`` is ``"inner"``, ``"left"`` or ``"outer"`` (full outer). A left
+    join fills unmatched right columns from ``fill`` (column → sentinel,
+    the COALESCE the SQL face writes); a full outer join additionally keeps
+    unmatched RIGHT rows, so ``fill`` must cover every non-key column of
+    both sides. Dtypes are restored after the fill, so int64 payload
+    columns stay exact — pandas would otherwise coerce the whole column to
+    float64 via NaN and corrupt 64-bit values.
 
     Non-key columns must be disjoint between the sides (rename first, as in
     SQL SELECT aliases). To keep the union schema-aligned WITHOUT nulling
@@ -286,12 +288,16 @@ def hash_join(left, right, on: list[str], num_partitions: int = 32,
     overlap = set(lcols) & set(rcols)
     if overlap:
         raise ValueError(f"non-key columns must be disjoint: {overlap}")
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "outer"):
+        raise ValueError(f"how must be 'inner', 'left' or 'outer', got {how!r}")
     if how == "left" and set(fill or {}) != set(rcols):
         raise ValueError(
             f"left join needs a fill sentinel for every right column "
             f"{sorted(rcols)}, got {sorted(fill or {})}")
+    if how == "outer" and set(fill or {}) != set(rcols) | set(lcols):
+        raise ValueError(
+            f"outer join needs a fill sentinel for every non-key column "
+            f"{sorted(set(rcols) | set(lcols))}, got {sorted(fill or {})}")
 
     def _fill(t):
         # ray.data Schema types are pyarrow DataTypes for arrow blocks,
@@ -345,7 +351,7 @@ def hash_join(left, right, on: list[str], num_partitions: int = 32,
         a = df.loc[df["__side"] == 0, on + lcols]
         b = df.loc[df["__side"] == 1, on + rcols]
         out = a.merge(b, on=on, how="inner")
-        if how == "left":
+        if how in ("left", "outer"):
             # a pandas how="left" merge would round-trip unmatched right
             # int64 columns through NaN/float64 and corrupt values ≥ 2^53;
             # instead append the unmatched left rows with typed fills
@@ -354,10 +360,22 @@ def hash_join(left, right, on: list[str], num_partitions: int = 32,
             miss = probe.loc[probe["_merge"] == "left_only",
                              on + lcols].copy()
             if len(miss):
-                for c, v in fill.items():
-                    miss[c] = pd.Series([v] * len(miss),
+                for c in rcols:
+                    miss[c] = pd.Series([fill[c]] * len(miss),
                                         index=miss.index).astype(b[c].dtype)
                 out = pd.concat([out, miss], ignore_index=True)
+        if how == "outer":
+            # symmetric probe: unmatched RIGHT rows with left-side fills
+            probe = b.merge(a[on].drop_duplicates(), on=on, how="left",
+                            indicator=True)
+            miss = probe.loc[probe["_merge"] == "left_only",
+                             on + rcols].copy()
+            if len(miss):
+                for c in lcols:
+                    miss[c] = pd.Series([fill[c]] * len(miss),
+                                        index=miss.index).astype(a[c].dtype)
+                out = pd.concat([out, miss[on + lcols + rcols]],
+                                ignore_index=True)
         return out
 
     from .agg import partitioned_group_apply
@@ -387,3 +405,42 @@ def customer_order_profile_ds(sf_dir: str):
     customers = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     return hash_join(customers, per_cust_agg, on=["c_custkey"], how="left",
                      fill={"n_orders": 0, "max_cents": -1})
+
+
+def order_event_coverage_ds(sf_dir: str):
+    """Per-key coverage across two FACT tables — which customers placed
+    orders but emitted no events, emitted events but placed no orders, or
+    did both: the FULL OUTER face of ``hash_join``, the one join shape the
+    family was missing (inner/left/semi/anti/as-of/range all exist).
+
+    Scale plan: each side reduces to per-key counts first (per-batch
+    partial counts, then one coarse-partition sum — small fixed-width rows
+    shuffle, never fact rows), and the outer join co-partitions the two
+    count tables, so the exchange is O(distinct keys) regardless of fact
+    size. Returns (custkey, n_orders, n_events) with 0 fills.
+    """
+    from .agg import partitioned_group_apply
+
+    def partial(col: str, out: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(col, as_index=False).size()
+            g.columns = ["custkey", out]
+            return g.astype("int64")
+        return fn
+
+    def reduce_(out: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("custkey", as_index=False)[out].sum() \
+                .astype("int64")
+        return fn
+
+    o = partitioned_group_apply(
+        read_table(sf_dir, "orders", ["o_custkey"])
+        .map_batches(partial("o_custkey", "n_orders"), batch_format="pandas"),
+        ["custkey"], reduce_("n_orders"))
+    e = partitioned_group_apply(
+        read_table(sf_dir, "events", ["user_id"])
+        .map_batches(partial("user_id", "n_events"), batch_format="pandas"),
+        ["custkey"], reduce_("n_events"))
+    return hash_join(o, e, on=["custkey"], how="outer",
+                     fill={"n_orders": 0, "n_events": 0})

@@ -302,6 +302,46 @@ class TestHashJoin:
             hash_join(_ds(left, 1), _ds(right, 1), on=["k"], how="left",
                       fill={"y": 0})
 
+    def test_outer_join_matches_pandas_both_unmatched_sides(self, ray_session):
+        """Full outer parity vs pandas, with keys unmatched on EACH side
+        (the sf0.01 contract data never exercises unmatched-right, so this
+        is the symmetric probe's regression test) and int64 payloads near
+        2^63 that a NaN round-trip would corrupt."""
+        from crusty_ray.ops.joins import hash_join
+        rng = np.random.default_rng(7)
+        left = pd.DataFrame({
+            "k": rng.integers(0, 30, 100),          # keys 0..29
+            "lv": rng.integers(1 << 62, (1 << 63) - 1, 100, dtype=np.int64),
+        })
+        right = pd.DataFrame({
+            "k": rng.integers(15, 45, 80),          # keys 15..44 (15..29 shared)
+            "rv": rng.integers(1 << 62, (1 << 63) - 1, 80, dtype=np.int64),
+        })
+        got = hash_join(_ds(left, 3), _ds(right, 2), on=["k"], how="outer",
+                        fill={"lv": -1, "rv": -1},
+                        num_partitions=4).to_pandas()
+        # nullable Int64 keeps matched 2^62-scale values exact in the
+        # reference merge (plain int64 would round-trip through float64)
+        exp = left.astype({"lv": "Int64"}) \
+            .merge(right.astype({"rv": "Int64"}), on="k", how="outer")
+        exp["lv"] = exp["lv"].fillna(-1).astype(np.int64)
+        exp["rv"] = exp["rv"].fillna(-1).astype(np.int64)
+        key = ["k", "lv", "rv"]
+        got = got[key].sort_values(key).reset_index(drop=True)
+        exp = exp[key].sort_values(key).reset_index(drop=True)
+        assert got["lv"].dtype == np.int64 and got["rv"].dtype == np.int64
+        # both outer branches genuinely exercised
+        assert (got["lv"] == -1).any() and (got["rv"] == -1).any()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_outer_join_requires_fill_for_both_sides(self, ray_session):
+        from crusty_ray.ops.joins import hash_join
+        left = pd.DataFrame({"k": [1], "x": [1]})
+        right = pd.DataFrame({"k": [1], "y": [2]})
+        with pytest.raises(ValueError, match="fill"):
+            hash_join(_ds(left, 1), _ds(right, 1), on=["k"], how="outer",
+                      fill={"y": 0})
+
 
 def test_group_quantiles_cont_match_duckdb(ray_session):
     """Per-group percentile_cont parity, exact float bits, incl. a group of
