@@ -560,6 +560,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles_by_priority":
             quantiles.order_price_quantiles_by_priority_ds,
         "order_price_quantiles_cont": quantiles.order_price_quantiles_cont_ds,
+        # winsorized robust stats: p05/p95 clamp from the exact two-phase
+        # quantiles, broadcast bounds, streaming partial-sum aggregate
+        "price_winsorized_stats": quantiles.price_winsorized_stats_ds,
         # bottom-k-by-hash quantile sketch (order-independent KMV sample,
         # fixed k-row memory; rank error O(1/sqrt k))
         "order_price_quantiles_sketch":
@@ -1527,6 +1530,26 @@ def oracle_sql() -> dict[str, str]:
             f"(ORDER BY o_totalprice) AS value FROM orders "
             f"GROUP BY o_orderpriority"
             for p in (500, 900)),
+        "price_winsorized_stats": """
+            WITH q AS (
+              SELECT o_orderpriority,
+                     percentile_disc(0.05) WITHIN GROUP
+                         (ORDER BY o_totalprice) AS lo,
+                     percentile_disc(0.95) WITHIN GROUP
+                         (ORDER BY o_totalprice) AS hi
+              FROM orders GROUP BY 1
+            ), c AS (
+              SELECT o.o_orderpriority,
+                     CAST(floor(least(greatest(o.o_totalprice, q.lo), q.hi)
+                                * 100 + 0.5) AS BIGINT) AS cents
+              FROM orders o JOIN q USING (o_orderpriority)
+            )
+            SELECT o_orderpriority,
+                   count(*)::BIGINT AS n_rows,
+                   sum(cents)::BIGINT AS win_sum_cents,
+                   sum(cents)::BIGINT // count(*) AS win_mean_cents
+            FROM c GROUP BY 1
+        """,
         "lineitem_profile": """
             SELECT 'l_quantity' AS column_name, count(l_quantity)::BIGINT AS n_rows,
        count(DISTINCT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))::BIGINT AS ndv,

@@ -425,3 +425,64 @@ def price_quantiles_by_priority_sketch_ds(sf_dir: str, k: int = 256,
                     ["o_orderpriority", "o_orderkey", "o_totalprice"])
     return grouped_bottomk_quantiles(ds, "o_orderpriority", "o_orderkey",
                                      "o_totalprice", list(ps_pm), k=k)
+
+
+def winsorized_group_stats(ds, key_col: str, col: str,
+                           lo_pm: int = 50, hi_pm: int = 950,
+                           bucket_width: float = 1.0,
+                           num_partitions: int = 32):
+    """Winsorized (clamped-tail) robust statistics per group — the standard
+    outlier-tolerant aggregate for noisy numeric columns: values below the
+    group's p_lo are raised to it, values above p_hi lowered to it, then
+    n / sum / mean are taken over the clamped column (in exact integer
+    cents, the repo-wide bit-exact-sum convention).
+
+    Composition, not a new shuffle: the clamp bounds come from the existing
+    two-phase ``exact_group_quantiles`` (O(groups x 2) driver rows), get
+    broadcast once (``ray.put``), and the aggregate is one streaming
+    ``map_batches`` of per-batch partials + a driver-side reduce of
+    O(groups) rows. The fact column shuffles zero times beyond the quantile
+    pass's bucket histogram.
+
+    Returns (key_col, n_rows, win_sum_cents, win_mean_cents), int64.
+    """
+    import ray as _ray
+
+    from .analytic import _price_cents
+
+    q = exact_group_quantiles(ds, key_col, col, [lo_pm, hi_pm],
+                              bucket_width, num_partitions)
+    bounds = {k: (float(g.loc[g["p_pm"] == lo_pm, "value"].iloc[0]),
+                  float(g.loc[g["p_pm"] == hi_pm, "value"].iloc[0]))
+              for k, g in q.groupby(key_col)}
+    bounds_ref = _ray.put(bounds)
+
+    def partial(batch: pd.DataFrame, _cache={}) -> pd.DataFrame:
+        if "b" not in _cache:  # one fetch per worker process
+            _cache["b"] = _ray.get(bounds_ref)
+        b = _cache["b"]
+        lo = batch[key_col].map(lambda k: b[k][0]).to_numpy(dtype=np.float64)
+        hi = batch[key_col].map(lambda k: b[k][1]).to_numpy(dtype=np.float64)
+        cents = _price_cents(
+            pd.Series(np.clip(batch[col].to_numpy(dtype=np.float64), lo, hi)))
+        g = pd.DataFrame({key_col: batch[key_col], "c": cents}) \
+            .groupby(key_col, as_index=False) \
+            .agg(n_rows=("c", "size"), win_sum_cents=("c", "sum"))
+        return g.astype({"n_rows": "int64", "win_sum_cents": "int64"})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby(key_col, as_index=False)[
+        ["n_rows", "win_sum_cents"]].sum()
+    out["win_mean_cents"] = out["win_sum_cents"] // out["n_rows"]
+    return out.astype({"n_rows": "int64", "win_sum_cents": "int64",
+                       "win_mean_cents": "int64"}) \
+        .sort_values(key_col).reset_index(drop=True)
+
+
+def price_winsorized_stats_ds(sf_dir: str):
+    """Per-priority winsorized o_totalprice stats (p05/p95 clamp) — the
+    SQL-checked face of ``winsorized_group_stats``."""
+    from .io import read_table
+    ds = read_table(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    return winsorized_group_stats(ds, "o_orderpriority", "o_totalprice",
+                                  lo_pm=50, hi_pm=950, bucket_width=100.0)

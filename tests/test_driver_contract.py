@@ -111,7 +111,7 @@ SQL_CHECKED = [
     "k_anonymity_report", "winnowing_pairs", "global_shuffle_shards",
     "training_manifest", "vocab_growth",
     "minhash_candidates_md5", "minhash_near_dups_md5", "quality_blend_rank",
-    "order_event_coverage",
+    "order_event_coverage", "price_winsorized_stats",
 ]
 
 
