@@ -77,15 +77,23 @@ def grouped_top_n(ds, key_cols: list[str], order_col: str, n: int,
 
 def grouped_count(ds, key_cols: list[str], out_name: str,
                   num_partitions: int = 32):
-    """COUNT(*) GROUP BY key_cols for high-cardinality keys."""
+    """COUNT(*) GROUP BY key_cols for high-cardinality keys. Per-batch
+    partial counts shrink the shuffle to the distinct keys each block sees
+    (counts sum associatively); the partition sums the partials."""
 
-    def count_in_part(df: pd.DataFrame) -> pd.DataFrame:
+    def local_count(df: pd.DataFrame) -> pd.DataFrame:
         out = df.groupby(key_cols, as_index=False).size() \
                 .rename(columns={"size": out_name})
         out[out_name] = out[out_name].astype("int64")
         return out
 
-    return partitioned_group_apply(ds, key_cols, count_in_part, num_partitions)
+    def sum_in_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(key_cols, as_index=False)[out_name].sum()
+        out[out_name] = out[out_name].astype("int64")
+        return out
+
+    pre = ds.map_batches(local_count, batch_format="pandas")
+    return partitioned_group_apply(pre, key_cols, sum_in_part, num_partitions)
 
 
 def grouped_count_distinct(ds, key_cols: list[str], distinct_col: str,

@@ -191,6 +191,8 @@ def _verified_jaccard_pairs(cands, sf_dir: str, doc_hash_fn,
     ``threshold_pm`` (floor-divide per-mille — the SQL-parity contract,
     matching DuckDB's ``//``) must be given.
     """
+    if (threshold is None) == (threshold_pm is None):
+        raise ValueError("give exactly one of threshold / threshold_pm")
     from .agg import partitioned_group_apply
 
     # one row per (candidate pair, side): the "requests" table of the join

@@ -413,34 +413,21 @@ def order_event_coverage_ds(sf_dir: str):
     did both: the FULL OUTER face of ``hash_join``, the one join shape the
     family was missing (inner/left/semi/anti/as-of/range all exist).
 
-    Scale plan: each side reduces to per-key counts first (per-batch
-    partial counts, then one coarse-partition sum — small fixed-width rows
-    shuffle, never fact rows), and the outer join co-partitions the two
-    count tables, so the exchange is O(distinct keys) regardless of fact
-    size. Returns (custkey, n_orders, n_events) with 0 fills.
+    Scale plan: each side reduces to per-key counts first
+    (``agg.grouped_count`` — per-batch partial counts, one coarse-partition
+    sum; small fixed-width rows shuffle, never fact rows), and the outer
+    join co-partitions the two count tables, so the exchange is O(distinct
+    keys) regardless of fact size. Returns (custkey, n_orders, n_events)
+    with 0 fills.
     """
-    from .agg import partitioned_group_apply
+    from .agg import grouped_count
 
-    def partial(col: str, out: str):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            g = df.groupby(col, as_index=False).size()
-            g.columns = ["custkey", out]
-            return g.astype("int64")
-        return fn
+    def keyed(table: str, col: str):
+        return read_table(sf_dir, table, [col]).map_batches(
+            lambda df, c=col: df.rename(columns={c: "custkey"}),
+            batch_format="pandas")
 
-    def reduce_(out: str):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            return df.groupby("custkey", as_index=False)[out].sum() \
-                .astype("int64")
-        return fn
-
-    o = partitioned_group_apply(
-        read_table(sf_dir, "orders", ["o_custkey"])
-        .map_batches(partial("o_custkey", "n_orders"), batch_format="pandas"),
-        ["custkey"], reduce_("n_orders"))
-    e = partitioned_group_apply(
-        read_table(sf_dir, "events", ["user_id"])
-        .map_batches(partial("user_id", "n_events"), batch_format="pandas"),
-        ["custkey"], reduce_("n_events"))
+    o = grouped_count(keyed("orders", "o_custkey"), ["custkey"], "n_orders")
+    e = grouped_count(keyed("events", "user_id"), ["custkey"], "n_events")
     return hash_join(o, e, on=["custkey"], how="outer",
                      fill={"n_orders": 0, "n_events": 0})

@@ -452,17 +452,20 @@ def winsorized_group_stats(ds, key_col: str, col: str,
 
     q = exact_group_quantiles(ds, key_col, col, [lo_pm, hi_pm],
                               bucket_width, num_partitions)
-    bounds = {k: (float(g.loc[g["p_pm"] == lo_pm, "value"].iloc[0]),
-                  float(g.loc[g["p_pm"] == hi_pm, "value"].iloc[0]))
+    lo_map = {k: float(g.loc[g["p_pm"] == lo_pm, "value"].iloc[0])
               for k, g in q.groupby(key_col)}
-    bounds_ref = _ray.put(bounds)
+    hi_map = {k: float(g.loc[g["p_pm"] == hi_pm, "value"].iloc[0])
+              for k, g in q.groupby(key_col)}
+    bounds_ref = _ray.put((lo_map, hi_map))
 
     def partial(batch: pd.DataFrame, _cache={}) -> pd.DataFrame:
         if "b" not in _cache:  # one fetch per worker process
             _cache["b"] = _ray.get(bounds_ref)
-        b = _cache["b"]
-        lo = batch[key_col].map(lambda k: b[k][0]).to_numpy(dtype=np.float64)
-        hi = batch[key_col].map(lambda k: b[k][1]).to_numpy(dtype=np.float64)
+        lo_m, hi_m = _cache["b"]
+        # Series.map(dict) is the vectorized lookup path — no per-row
+        # Python lambda on the fact-table streaming pass
+        lo = batch[key_col].map(lo_m).to_numpy(dtype=np.float64)
+        hi = batch[key_col].map(hi_m).to_numpy(dtype=np.float64)
         cents = _price_cents(
             pd.Series(np.clip(batch[col].to_numpy(dtype=np.float64), lo, hi)))
         g = pd.DataFrame({key_col: batch[key_col], "c": cents}) \
