@@ -612,6 +612,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # FULL OUTER face of the shuffle hash join: per-key coverage of
         # two pre-aggregated fact tables (orders vs events)
         "order_event_coverage": joins.order_event_coverage_ds,
+        # BLOOM JOIN: build-side bloom partials OR-reduced + broadcast,
+        # probe fact filtered in-stream, exact join removes false positives
+        "bloom_join_urgent_items": joins.bloom_join_urgent_items_ds,
         "anti_join_customers": joins.anti_join_customers_ds,
         "semi_join_events": joins.semi_join_events_ds,
         # -- float cosine near-dup (rows-only; quantized face is the oracle)
@@ -1441,6 +1444,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT user_id
               FROM events
               WHERE (epoch_us(ts) // 1000000 // 86400 + 4) % 7 < 5)
+        """,
+        "bloom_join_urgent_items": """
+            SELECT l.l_returnflag, count(*)::BIGINT AS n_items
+            FROM lineitem l
+            JOIN (SELECT DISTINCT o_orderkey FROM orders
+                  WHERE o_orderpriority = '1-URGENT') o
+              ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1
         """,
         "order_event_coverage": """
             WITH o AS (

@@ -431,3 +431,76 @@ def order_event_coverage_ds(sf_dir: str):
     e = grouped_count(keyed("events", "user_id"), ["custkey"], "n_events")
     return hash_join(o, e, on=["custkey"], how="outer",
                      fill={"n_orders": 0, "n_events": 0})
+
+
+def bloom_join_urgent_items_ds(sf_dir: str, capacity: int = 1 << 17,
+                               error_rate: float = 1e-3):
+    """Lineitems belonging to URGENT orders, counted per return flag — the
+    BLOOM JOIN plan, the standard way to cut a fact⋈fact shuffle by the
+    build side's selectivity at 100 TB:
+
+    1. build side (urgent order keys — unique by the orders PK, so
+       per-batch distinct is global distinct) adds its keys to
+       fixed-parameter bloom partials, one bit-array row per block;
+    2. the partials OR-reduce on the driver (bitwise OR is associative and
+       commutative — at larger block counts this becomes a tree reduce;
+       each partial is ~nbits/8 bytes, independent of key count);
+    3. the merged bloom broadcasts once (``ray.put``) and the PROBE fact
+       table filters in-stream — only survivors (matches + the documented
+       false-positive rate) enter the exchange;
+    4. the exact co-partitioned ``hash_join`` against the build keys
+       removes the false positives, so the output is bit-exact despite the
+       approximate pre-filter.
+
+    Key hashing is ``mix64`` straight on the int64 keys (vectorized — no
+    per-row string conversion on the probe's hot path). Returns
+    (l_returnflag, n_items).
+    """
+    import numpy as np
+
+    from ..core.hashing import mix64
+    from ..state.bloom import _Segment
+    from .agg import grouped_count
+
+    def base(keys: np.ndarray) -> np.ndarray:
+        return mix64(keys.astype(np.uint64, copy=False))
+
+    def urgent_keys(df: pd.DataFrame) -> pd.DataFrame:
+        sel = df.loc[df["o_orderpriority"] == "1-URGENT", ["o_orderkey"]]
+        return pd.DataFrame({"l_orderkey": sel["o_orderkey"].astype("int64")})
+
+    # distinct-key rows feed both the bloom partials and the exact join
+    build = read_table(sf_dir, "orders",
+                       ["o_orderkey", "o_orderpriority"]) \
+        .map_batches(urgent_keys, batch_format="pandas").materialize()
+
+    def bits_partial(df: pd.DataFrame) -> pd.DataFrame:
+        seg = _Segment(capacity, error_rate)
+        if len(df):
+            seg.add(base(df["l_orderkey"].to_numpy()))
+        return pd.DataFrame({"bits": [seg.bits.tobytes()]})
+
+    parts = build.map_batches(bits_partial, batch_format="pandas") \
+        .to_pandas()
+    merged = _Segment(capacity, error_rate)
+    for blob in parts["bits"]:
+        merged.bits |= np.frombuffer(blob, dtype=np.uint64)
+    bloom_ref = ray.put(merged.bits)
+
+    def probe(batch: pd.DataFrame, _cache={}) -> pd.DataFrame:
+        if "s" not in _cache:  # one fetch + rebuild per worker process
+            seg = _Segment(capacity, error_rate)
+            seg.bits = ray.get(bloom_ref)
+            _cache["s"] = seg
+        keys = batch["l_orderkey"].to_numpy(dtype=np.int64)
+        hit = _cache["s"].contains(base(keys))
+        return pd.DataFrame({
+            "l_orderkey": keys[hit],
+            "l_returnflag": batch["l_returnflag"].to_numpy()[hit]})
+
+    survivors = read_table(sf_dir, "lineitem",
+                           ["l_orderkey", "l_returnflag"]) \
+        .map_batches(probe, batch_format="pandas")
+
+    exact = hash_join(survivors, build, on=["l_orderkey"], how="inner")
+    return grouped_count(exact, ["l_returnflag"], "n_items")
