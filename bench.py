@@ -152,7 +152,9 @@ def bench_queries(sf_dir: str) -> dict:
              "price_quantiles_by_priority_sketch", "lineitem_profile",
              "bigram_surprisal", "event_dedup_windowed", "corpus_report",
              "k_anonymity_report", "winnowing_pairs",
-             "global_shuffle_shards", "training_manifest"]
+             "global_shuffle_shards", "training_manifest",
+             "quality_blend_rank", "order_event_coverage",
+             "bloom_join_urgent_items", "price_winsorized_stats"]
     out = {}
     for name in names:
         t0 = time.time()
