@@ -625,6 +625,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- crawl dashboard metrics over the crawl's own output (A6)
         "crawl_pages_per_epoch": _crawl_metric("pages_per_epoch_ds"),
         "crawl_term_breakdown": _crawl_metric("term_breakdown_ds"),
+        # per-domain politeness self-audit: min inter-fetch epoch gap ≥
+        # delay budget for every domain (asserted in the contract test)
+        "crawl_politeness_report": _crawl_metric("politeness_report_ds"),
         # -- image payload dedup over the crawled images table (rows-only)
         "image_exact_dedup": _image_dedup("image_exact_dedup"),
         "image_phash_near_dups": _image_dedup("image_phash_pairs"),

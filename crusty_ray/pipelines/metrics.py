@@ -51,3 +51,46 @@ def term_breakdown_ds(crawl_log_dir: str):
     from ray.data.aggregate import Count
     ds = read_parquet(crawl_log_dir, columns=["term_by"])
     return ds.groupby("term_by").aggregate(Count(alias_name="n_tasks"))
+
+
+def politeness_report_ds(crawl_log_dir: str):
+    """Per-domain politeness self-audit over the crawl's own log — the
+    ST3/ST4 contract observable from the output alone: pages fetched,
+    distinct fetch epochs, and the MINIMUM gap between a domain's
+    consecutive fetch epochs. Under the politeness budget every domain's
+    min gap is ≥ ``rules.delay_epochs`` (+ its deterministic jitter),
+    asserted in the driver-contract test; this query is the dashboard
+    face (the reference monitors the same contract via its per-job
+    ClickHouse timings).
+
+    Scale plan: per-batch (domain, epoch, pages) partials, one coarse
+    domain partition; the min-gap finish is a vectorized shifted diff over
+    the partition's (domain, epoch)-sorted rows (no per-domain Python
+    loop). min_epoch_gap is -1 for single-epoch domains.
+    """
+    import numpy as np
+
+    from ..ops.agg import partitioned_group_apply
+
+    ds = read_parquet(crawl_log_dir, columns=["epoch", "domain"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(["domain", "epoch"], as_index=False).size() \
+            .rename(columns={"size": "pages"})
+        return g.astype({"epoch": "int64", "pages": "int64"})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby(["domain", "epoch"], as_index=False)["pages"].sum()
+        agg = agg.sort_values(["domain", "epoch"], kind="mergesort")
+        gap = agg["epoch"].diff().where(
+            agg["domain"].eq(agg["domain"].shift()))
+        agg = agg.assign(gap=gap)
+        out = agg.groupby("domain", as_index=False).agg(
+            n_pages=("pages", "sum"), n_epochs=("epoch", "size"),
+            min_epoch_gap=("gap", "min"))
+        out["min_epoch_gap"] = out["min_epoch_gap"].fillna(-1)
+        return out.astype({"n_pages": "int64", "n_epochs": "int64",
+                           "min_epoch_gap": "int64"})
+
+    return partitioned_group_apply(
+        ds.map_batches(partial, batch_format="pandas"), ["domain"], finish)

@@ -134,6 +134,7 @@ ROWS_ONLY = ["approx_distinct_users", "label_centroids", "embedding_pca",
              "ann_bruteforce", "ann_lsh", "ann_ivf", "ann_pq",
              "embedding_cosine_pairs",
              "crawl_pages_per_epoch", "crawl_term_breakdown",
+             "crawl_politeness_report",
              "crawl_stage_gauges", "crawl_db_metrics", "crawl_streaming_log",
              "domain_pagerank", "compression_ratio", "semdedup",
              "bpe_train", "bpe_encode"]
@@ -171,6 +172,20 @@ def test_crawl_queries_run(contract):
         # near-dup pairs / reused captions may legitimately be empty
         if name not in ("image_phash_near_dups", "caption_reuse"):
             assert len(df) > 0, name
+
+
+def test_crawl_politeness_report_honors_delay_budget(contract):
+    """The politeness self-audit must show every multi-epoch domain's
+    minimum inter-fetch epoch gap ≥ the configured delay budget (ST3/ST4
+    conformance observable from the crawl's own output)."""
+    import __ray_entry__ as e
+    queries, _ = contract
+    df = _to_df(queries["crawl_politeness_report"](SF_DIR))
+    assert len(df) > 0
+    cfg = e._crawl_outputs()["cfg"]
+    multi = df[df["min_epoch_gap"] >= 0]
+    assert len(multi) > 0, "no multi-epoch domain in the audit crawl"
+    assert int(multi["min_epoch_gap"].min()) >= cfg.crawl.delay_epochs
 
 
 def test_scrub_pii_planted_hits():
