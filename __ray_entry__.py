@@ -402,6 +402,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_md5": text.fingerprint_ds,
         "quality_class": text.quality_ds,
         "lang_distribution": lang_distribution,
+        # dataset-card per-source duplication report (grouped_count +
+        # grouped_count_distinct composition; texts never shuffle)
+        "dedup_rate_by_source": text.dedup_rate_by_source_ds,
         # -- dedup family
         "exact_dedup": dedup.exact_dedup_ds,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs_ds,
@@ -835,6 +838,15 @@ def oracle_sql() -> dict[str, str]:
                              AND (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) > 0
                         THEN 2 WHEN length(text) >= 30 THEN 1 ELSE 0 END AS BIGINT) AS quality_bucket
             FROM documents
+        """,
+        "dedup_rate_by_source": """
+            SELECT source,
+                   count(*)::BIGINT AS n_docs,
+                   count(DISTINCT md5(coalesce(text, '')))::BIGINT
+                       AS n_distinct_texts,
+                   (1000 * (count(*) - count(DISTINCT md5(coalesce(text, '')))))
+                       // count(*) AS dup_pm
+            FROM documents GROUP BY 1
         """,
         "lang_distribution":
             "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",

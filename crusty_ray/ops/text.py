@@ -1544,3 +1544,40 @@ def dsir_weights_ds(sf_dir: str, target_source: str = "src0",
 
     return _io_read(path, columns=["doc_id", "text"]) \
         .map_batches(score, batch_format="pandas")
+
+
+def dedup_rate_by_source_ds(sf_dir: str):
+    """Per-source duplication report — the dataset-card metric that tells
+    a corpus builder WHICH source ships the duplicates (exact-dup rate =
+    1 − distinct texts / docs, in per-mille): n_docs, n_distinct_texts,
+    dup_pm per source.
+
+    Composition of the existing count kernels: one ``grouped_count`` of
+    docs per source and one ``grouped_count_distinct`` over (source,
+    text_md5) — per-batch local dedup shrinks that shuffle to the distinct
+    pairs each block sees; texts never shuffle, only md5s. The final join
+    of the two O(sources) tables is a driver-side merge.
+    """
+    import hashlib as _hl
+
+    from .agg import grouped_count, grouped_count_distinct
+    from .io import read_parquet
+
+    def add_md5(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": batch["source"].astype(str),
+            "text_md5": [_hl.md5(t.encode("utf-8")).hexdigest()
+                         for t in batch["text"].fillna("")]})
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet",
+                      columns=["source", "text"]) \
+        .map_batches(add_md5, batch_format="pandas")
+    n_docs = grouped_count(ds, ["source"], "n_docs").to_pandas()
+    n_distinct = grouped_count_distinct(ds, ["source"], "text_md5",
+                                        "n_distinct_texts").to_pandas()
+    out = n_docs.merge(n_distinct, on="source")
+    out["dup_pm"] = (1000 * (out["n_docs"] - out["n_distinct_texts"])
+                     ) // out["n_docs"]
+    return out.astype({"n_docs": "int64", "n_distinct_texts": "int64",
+                       "dup_pm": "int64"}) \
+        .sort_values("source").reset_index(drop=True)

@@ -112,7 +112,7 @@ SQL_CHECKED = [
     "training_manifest", "vocab_growth",
     "minhash_candidates_md5", "minhash_near_dups_md5", "quality_blend_rank",
     "order_event_coverage", "price_winsorized_stats",
-    "bloom_join_urgent_items",
+    "bloom_join_urgent_items", "dedup_rate_by_source",
 ]
 
 
