@@ -566,6 +566,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # winsorized robust stats: p05/p95 clamp from the exact two-phase
         # quantiles, broadcast bounds, streaming partial-sum aggregate
         "price_winsorized_stats": quantiles.price_winsorized_stats_ds,
+        # robust dispersion: per-group median + MAD (two chained exact
+        # quantile passes with the median map broadcast between them)
+        "price_mad_by_priority": quantiles.price_mad_by_priority_ds,
         # bottom-k-by-hash quantile sketch (order-independent KMV sample,
         # fixed k-row memory; rank error O(1/sqrt k))
         "order_price_quantiles_sketch":
@@ -1556,6 +1559,25 @@ def oracle_sql() -> dict[str, str]:
             f"(ORDER BY o_totalprice) AS value FROM orders "
             f"GROUP BY o_orderpriority"
             for p in (500, 900)),
+        "price_mad_by_priority": """
+            WITH c AS (
+              SELECT o_orderpriority,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+              FROM orders
+            ), med AS (
+              SELECT o_orderpriority,
+                     percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)
+                         AS median_cents
+              FROM c GROUP BY 1
+            )
+            SELECT c.o_orderpriority,
+                   any_value(med.median_cents)::BIGINT AS median_cents,
+                   percentile_disc(0.5) WITHIN GROUP
+                       (ORDER BY abs(c.cents - med.median_cents))::BIGINT
+                       AS mad_cents
+            FROM c JOIN med USING (o_orderpriority)
+            GROUP BY 1
+        """,
         "price_winsorized_stats": """
             WITH q AS (
               SELECT o_orderpriority,

@@ -489,3 +489,66 @@ def price_winsorized_stats_ds(sf_dir: str):
     ds = read_table(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
     return winsorized_group_stats(ds, "o_orderpriority", "o_totalprice",
                                   lo_pm=50, hi_pm=950, bucket_width=100.0)
+
+
+def mad_group_stats(ds, key_col: str, col: str, bucket_width: float = 1.0,
+                    num_partitions: int = 32):
+    """Median absolute deviation per group — the robust dispersion twin of
+    ``price_var_by_priority``'s exact variance (MAD ignores the tails that
+    dominate a variance): median_cents = exact per-group median of the
+    column in integer cents; mad_cents = exact per-group median of
+    |cents − median_cents|.
+
+    Two passes of the existing two-phase exact quantile selection (each
+    ships one O(buckets) histogram per group, never rows), with the
+    group→median map broadcast between them; the deviation column is
+    computed in-stream. percentile_disc semantics end to end, so the
+    DuckDB oracle is bit-exact.
+
+    Returns (key_col, median_cents, mad_cents), int64.
+    """
+    import ray as _ray
+
+    from .analytic import _price_cents
+
+    def to_cents(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({key_col: batch[key_col],
+                             "cents": _price_cents(batch[col])})
+
+    # the slim (key, cents) projection feeds four scans (2 passes × 2
+    # quantile calls) — materialize it once instead of re-reading the fact
+    # table each time (16 B/row in the object store, spillable)
+    cents = ds.map_batches(to_cents, batch_format="pandas").materialize()
+    med = exact_group_quantiles(cents, key_col, "cents", [500],
+                                bucket_width, num_partitions)
+    med_map = dict(zip(med[key_col], med["value"].astype(np.int64)))
+    med_ref = _ray.put(med_map)
+
+    def abs_dev(batch: pd.DataFrame, _cache={}) -> pd.DataFrame:
+        if "m" not in _cache:  # one fetch per worker process
+            _cache["m"] = _ray.get(med_ref)
+        m = batch[key_col].map(_cache["m"]).to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            key_col: batch[key_col],
+            "dev": np.abs(batch["cents"].to_numpy(dtype=np.int64) - m)})
+
+    mad = exact_group_quantiles(cents.map_batches(abs_dev,
+                                                  batch_format="pandas"),
+                                key_col, "dev", [500],
+                                bucket_width, num_partitions)
+    out = pd.DataFrame({
+        key_col: med[key_col],
+        "median_cents": med["value"].astype("int64"),
+    }).merge(pd.DataFrame({key_col: mad[key_col],
+                           "mad_cents": mad["value"].astype("int64")}),
+             on=key_col)
+    return out.sort_values(key_col).reset_index(drop=True)
+
+
+def price_mad_by_priority_ds(sf_dir: str):
+    """Per-priority median + MAD of o_totalprice cents — the SQL-checked
+    face of ``mad_group_stats``."""
+    from .io import read_table
+    ds = read_table(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    return mad_group_stats(ds, "o_orderpriority", "o_totalprice",
+                           bucket_width=10_000.0)
