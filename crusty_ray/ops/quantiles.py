@@ -450,6 +450,9 @@ def winsorized_group_stats(ds, key_col: str, col: str,
 
     from .analytic import _price_cents
 
+    # ds feeds three scans (quantile histogram + refine + the partial-sum
+    # pass) — materialize the pruned projection once, as mad_group_stats does
+    ds = ds.materialize()
     q = exact_group_quantiles(ds, key_col, col, [lo_pm, hi_pm],
                               bucket_width, num_partitions)
     lo_map = {k: float(g.loc[g["p_pm"] == lo_pm, "value"].iloc[0])

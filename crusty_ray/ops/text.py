@@ -1569,9 +1569,11 @@ def dedup_rate_by_source_ds(sf_dir: str):
             "text_md5": [_hl.md5(t.encode("utf-8")).hexdigest()
                          for t in batch["text"].fillna("")]})
 
+    # both counts consume the hashed projection — materialize once so the
+    # per-doc md5 loop (the dominant cost, see fingerprint()) runs once
     ds = read_parquet(f"{sf_dir}/documents.parquet",
                       columns=["source", "text"]) \
-        .map_batches(add_md5, batch_format="pandas")
+        .map_batches(add_md5, batch_format="pandas").materialize()
     n_docs = grouped_count(ds, ["source"], "n_docs").to_pandas()
     n_distinct = grouped_count_distinct(ds, ["source"], "text_md5",
                                         "n_distinct_texts").to_pandas()

@@ -58,7 +58,7 @@ def politeness_report_ds(crawl_log_dir: str):
     ST3/ST4 contract observable from the output alone: pages fetched,
     distinct fetch epochs, and the MINIMUM gap between a domain's
     consecutive fetch epochs. Under the politeness budget every domain's
-    min gap is ≥ ``rules.delay_epochs`` (+ its deterministic jitter),
+    min gap is ≥ ``crawl.delay_epochs`` (+ its deterministic jitter),
     asserted in the driver-contract test; this query is the dashboard
     face (the reference monitors the same contract via its per-job
     ClickHouse timings).

@@ -175,18 +175,33 @@ def test_crawl_queries_run(contract):
             assert len(df) > 0, name
 
 
-def test_crawl_politeness_report_honors_delay_budget(contract):
+def test_crawl_politeness_report_honors_delay_budget(contract, tmp_path):
     """The politeness self-audit must show every multi-epoch domain's
     minimum inter-fetch epoch gap ≥ the configured delay budget (ST3/ST4
-    conformance observable from the crawl's own output)."""
-    import __ray_entry__ as e
+    conformance observable from the crawl's own output).
+
+    Runs its own crawl with delay_epochs=2: the shared audit crawl's
+    delay of 1 would make the assertion a tautology (distinct epochs
+    always differ by ≥ 1), i.e. zero regression coverage for the delay
+    gate — this binds."""
+    from crusty_ray.config import test_config
+    from crusty_ray.datagen.webgraph import WebConfig
+    from crusty_ray.pipelines.crawl import CrawlEngine
+    from crusty_ray.pipelines.metrics import politeness_report_ds
+
     queries, _ = contract
-    df = _to_df(queries["crawl_politeness_report"](SF_DIR))
-    assert len(df) > 0
-    cfg = e._crawl_outputs()["cfg"]
+    # the registered query runs on the shared audit crawl (rows-only face)
+    assert len(_to_df(queries["crawl_politeness_report"](SF_DIR))) > 0
+
+    cfg = test_config()
+    cfg.crawl.delay_epochs = 2
+    out = str(tmp_path / "crawl")
+    CrawlEngine(cfg, WebConfig(n_domains=25, max_pages_per_domain=12),
+                out).run(14)
+    df = _to_df(politeness_report_ds(f"{out}/crawl_log"))
     multi = df[df["min_epoch_gap"] >= 0]
     assert len(multi) > 0, "no multi-epoch domain in the audit crawl"
-    assert int(multi["min_epoch_gap"].min()) >= cfg.crawl.delay_epochs
+    assert int(multi["min_epoch_gap"].min()) >= 2
 
 
 def test_scrub_pii_planted_hits():
