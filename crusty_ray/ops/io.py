@@ -116,3 +116,38 @@ def compact_dataset(path: str, out_path: str,
     return pd.DataFrame([{
         "in_files": len(in_files), "out_files": len(out_files),
         "rows": int(rows), "in_bytes": int(in_bytes)}]).astype("int64")
+
+
+def read_any(path: str, columns=None, max_blocks: int | None = None):
+    """Format-aware source — corpora arrive as parquet, CSV dumps, JSONL
+    exports, or Lance datasets; this seam routes each into the same
+    Dataset pipelines without a conversion pass:
+
+    - Lance dataset dir (``_versions`` manifest + importable lance) →
+      ``read_lance`` with column pruning pushed into the read;
+    - ``.csv`` → ``ray.data.read_csv`` (Arrow CSV, quoted fields OK);
+    - ``.jsonl`` / ``.json`` → ``ray.data.read_json`` (newline-delimited);
+    - everything else → the block-count-disciplined ``read_parquet``.
+
+    Row formats have no column projection, so CSV/JSONL prune with
+    ``select_columns`` AFTER the read — correct but not I/O-pruned; at
+    100 TB convert row dumps to parquet/lance once (``write_dataset``)
+    rather than re-scanning them per query.
+    """
+    if os.path.isdir(path) and os.path.isdir(f"{path}/_versions") \
+            and storage_backend() == "lance":
+        return ray.data.read_lance(path, columns=columns)
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".csv":
+        ds = ray.data.read_csv(path)
+    elif ext in (".jsonl", ".json"):
+        ds = ray.data.read_json(path)
+    else:
+        return read_parquet(path, columns=columns, max_blocks=max_blocks)
+    return ds.select_columns(columns) if columns else ds
+
+
+def export_jsonl(ds, path: str) -> None:
+    """Dataset → newline-delimited JSON files — the format most training
+    ingestion stacks consume; one file per block, distributed write."""
+    ds.write_json(path)
