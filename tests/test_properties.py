@@ -147,12 +147,13 @@ def test_resume_equivalence_random_cutpoints(ray_session, tmp_path_factory,
        n_right=st.integers(0, 80),
        key_lo=st.integers(0, 3),
        key_hi=st.integers(4, 25),
-       how=st.sampled_from(["inner", "left"]))
+       how=st.sampled_from(["inner", "left", "outer"]))
 def test_hash_join_equals_pandas_merge(ray_session, seed, n_left, n_right,
                                        key_lo, key_hi, how):
-    """Property: hash_join(inner|left) ≡ pandas merge for arbitrary sizes
-    (incl. empty sides), key ranges (disjoint through fully overlapping),
-    duplicate keys on both sides, and extreme int64 payloads."""
+    """Property: hash_join(inner|left|outer) ≡ pandas merge for arbitrary
+    sizes (incl. empty sides), key ranges (disjoint through fully
+    overlapping), duplicate keys on both sides, and extreme int64
+    payloads."""
     import numpy as np
     import pandas as pd
     import pyarrow as pa
@@ -176,15 +177,24 @@ def test_hash_join_equals_pandas_merge(ray_session, seed, n_left, n_right,
         return ray.data.from_arrow([
             pa.Table.from_pandas(p, preserve_index=False) for p in parts])
 
-    kwargs = {"fill": {"rv": np.int64(-7)}} if how == "left" else {}
+    kwargs = {}
+    if how == "left":
+        kwargs = {"fill": {"rv": np.int64(-7)}}
+    elif how == "outer":
+        kwargs = {"fill": {"lv": np.int64(-9), "rv": np.int64(-7)}}
     got = hash_join(ds(left, 3), ds(right, 2), on=["k"], how=how,
                     num_partitions=3, **kwargs).to_pandas()
-    # reference: object-dtype rv so pandas' NaN pad can't round-trip int64
-    # through float64 (the exact corruption hash_join is built to avoid)
+    # reference: object-dtype payloads so pandas' NaN pad can't round-trip
+    # int64 through float64 (the exact corruption hash_join is built to
+    # avoid)
+    left_obj = left.assign(lv=left["lv"].astype(object))
     right_obj = right.assign(rv=right["rv"].astype(object))
-    exp = left.merge(right_obj, on="k", how=how)
-    if how == "left":
+    exp = left_obj.merge(right_obj, on="k", how=how)
+    if how in ("left", "outer"):
         exp["rv"] = exp["rv"].fillna(-7)
+    if how == "outer":
+        exp["lv"] = exp["lv"].fillna(-9)
+    exp["lv"] = exp["lv"].astype("int64")
     exp["rv"] = exp["rv"].astype("int64")
     cols = ["k", "lv", "rv"]
     got = got[cols].sort_values(cols).reset_index(drop=True) if len(got) \
