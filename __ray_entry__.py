@@ -423,6 +423,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pure-SQL DuckDB twins — the production crc32 kernel above stays
         # rows-only (no SQL crc32) and is brute-force-equivalence-tested
         "minhash_candidates_md5": dedup.minhash_md5_candidates_ds,
+        # the stop-hash CAP rule bit-exact-oracled (binding cap of 2)
+        "minhash_candidates_md5_capped":
+            dedup.minhash_md5_candidates_capped_ds,
         "minhash_near_dups_md5": dedup.minhash_md5_pairs_ds,
         "simhash_near_dups": dedup.simhash_pairs,  # SQL-checked (md5 face)
         # incremental ingestion dedup: new sources kept only if no corpus
@@ -890,6 +893,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_candidates_md5":
             _MINHASH_MD5_CTE + "SELECT doc_a, doc_b, n_bands FROM cand",
+        "minhash_candidates_md5_capped": _MINHASH_MD5_CTE + """
+            , bsz AS (
+              SELECT band_id, band_hash, count(*) AS n
+              FROM band GROUP BY 1, 2
+            ), band_k AS (
+              SELECT b.doc_id, b.band_id, b.band_hash
+              FROM band b JOIN bsz USING (band_id, band_hash)
+              WHERE bsz.n <= 2
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS n_bands
+            FROM band_k a JOIN band_k b
+              ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                 AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        """,
         "minhash_near_dups_md5": _MINHASH_MD5_CTE + """
             , cnts AS (
               SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id

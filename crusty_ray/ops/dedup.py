@@ -324,6 +324,19 @@ def minhash_md5_candidates_ds(sf_dir: str):
     return _band_candidates(bands)
 
 
+def minhash_md5_candidates_capped_ds(sf_dir: str, max_bucket: int = 2):
+    """The stop-hash cap itself under the md5 oracle face: band buckets
+    larger than ``max_bucket`` are dropped WHOLE before pairing (the same
+    deterministic rule as the production path's cap), and the DuckDB twin
+    applies the identical bucket-size filter — so the CAP SEMANTICS are
+    bit-exact-oracled, not just fixture-tested. The default cap of 2 binds
+    on the sf tables (their largest md5-face bucket is 3)."""
+    ds = _io_read(f"{sf_dir}/documents.parquet",
+                  columns=["doc_id", "text"])
+    bands = ds.map_batches(minhash_md5_bands_batch, batch_format="pandas")
+    return _band_candidates(bands, max_bucket)
+
+
 def _md5_gram_hashes(t: str) -> np.ndarray | None:
     """Distinct-gram md5-64 hashes under the SQL-parity convention (int64
     wrap). The oracle counts distinct gram *strings*; parity holds unless

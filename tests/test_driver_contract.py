@@ -113,7 +113,7 @@ SQL_CHECKED = [
     "minhash_candidates_md5", "minhash_near_dups_md5", "quality_blend_rank",
     "order_event_coverage", "price_winsorized_stats",
     "bloom_join_urgent_items", "dedup_rate_by_source",
-    "price_mad_by_priority",
+    "price_mad_by_priority", "minhash_candidates_md5_capped",
 ]
 
 
