@@ -405,8 +405,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dataset-card per-source duplication report (grouped_count +
         # grouped_count_distinct composition; texts never shuffle)
         "dedup_rate_by_source": text.dedup_rate_by_source_ds,
+        # Good-Turing frequency-of-frequencies spectrum (Zipf diagnostic)
+        "token_frequency_spectrum": text.token_frequency_spectrum_ds,
+        # declared-lang vs LangId-prediction confusion matrix (the CCNet
+        # metadata-trust audit; composes the bit-exact langid oracle)
+        "lang_confusion": text.lang_confusion_ds,
         # -- dedup family
         "exact_dedup": dedup.exact_dedup_ds,
+        # argmax-quality representative per exact-dup group (longest copy,
+        # tie min doc_id — the survivor-selection step after clustering)
+        "dedup_canonical": dedup.dedup_canonical_ds,
+        # exact sparse TF-IDF cosine pairs (cos²·10⁶ integer face) — the
+        # exact-similarity counterpart the MinHash/SimHash tiers estimate
+        "tfidf_cosine_pairs": dedup.tfidf_cosine_pairs_ds,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs_ds,
         # asymmetric containment (shared / min set): catches a short doc
         # embedded in a long one, which symmetric Jaccard dilutes
@@ -598,6 +609,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_pagerank": _domain_pagerank,
         "sample_stratified": sample.sample_stratified_ds,
         "split_assignment": sample.split_assignment_ds,
+        # exactly-k-per-stratum deterministic sample (md5-rank top-k —
+        # fixed-size eval sets, vs the Bernoulli sampler's rate)
+        "stratified_exact_k": sample.stratified_exact_k_ds,
         "global_sort_topn": analog.global_sort_topn_ds,
         "union_event_classes": analog.union_event_classes_ds,
         "props_value_histogram": analog.props_value_histogram_ds,
@@ -645,6 +659,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_quality_filter": _image_quality("image_quality_filter"),
         "image_quality_report": _image_quality("image_quality_report"),
         "caption_reuse": _image_quality("caption_reuse_report"),
+        # LAION-style end-to-end image-text curation manifest: gate →
+        # phash dedup → split in one composition (rows-only here;
+        # duckdb-oracled bit-exact in tests/test_topk_and_image_dedup.py)
+        "image_text_curation": _image_quality("image_text_curation"),
         "image_train_shards": _image_train_shards,
         # SDXL-style aspect-ratio-bucketed training batches (rows-only here;
         # duckdb window-function oracle in tests/test_pack.py)
@@ -856,6 +874,79 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_distribution":
             "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+        "token_frequency_spectrum": """
+            WITH tok AS (
+              SELECT unnest(list_filter(string_split(coalesce(text, ''), ' '),
+                                        x -> x <> '')) AS token
+              FROM documents
+            ), cnt AS (
+              SELECT token, count(*)::BIGINT AS c FROM tok GROUP BY 1
+            )
+            SELECT c AS occurrences, count(*)::BIGINT AS n_tokens
+            FROM cnt GROUP BY 1
+        """,
+        "lang_confusion": f"""
+            WITH pred AS ({langid_sql})
+            SELECT d.lang, p.lang_pred, count(*)::BIGINT AS n_docs
+            FROM documents d JOIN pred p USING (doc_id)
+            GROUP BY 1, 2
+        """,
+        "dedup_canonical": """
+            WITH r AS (
+              SELECT md5(coalesce(text, '')) AS text_md5, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY md5(coalesce(text, ''))
+                                        ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents
+            )
+            SELECT text_md5, doc_id AS canon_doc_id, n_chars
+            FROM r WHERE rn = 1
+        """,
+        "tfidf_cosine_pairs": """
+            WITH tok AS (
+              SELECT doc_id, source,
+                     unnest(list_filter(string_split(coalesce(text, ''), ' '),
+                                        x -> x <> '')) AS token
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, source, token, count(*)::BIGINT AS tf
+              FROM tok GROUP BY 1, 2, 3
+            ), df AS (
+              SELECT token, count(DISTINCT doc_id)::BIGINT AS df
+              FROM tf GROUP BY 1
+            ), n AS (SELECT count(*)::BIGINT AS n FROM documents),
+            wt AS (
+              SELECT t.doc_id, t.source, t.token,
+                     t.tf * (length(bin(n.n // d.df)) - 1) AS w
+              FROM tf t JOIN df d USING (token) CROSS JOIN n
+              WHERE length(bin(n.n // d.df)) - 1 > 0
+            ), norm AS (
+              SELECT doc_id, sum(w * w)::HUGEINT AS na2 FROM wt GROUP BY 1
+            ), dots AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     sum(a.w * b.w)::HUGEINT AS dot
+              FROM wt a
+              JOIN wt b ON a.source = b.source AND a.token = b.token
+                       AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   CAST((1000000::HUGEINT * dot * dot)
+                        // (x.na2 * y.na2) AS BIGINT) AS cos2_ppm
+            FROM dots
+            JOIN norm x ON x.doc_id = doc_a
+            JOIN norm y ON y.doc_id = doc_b
+            WHERE (1000000::HUGEINT * dot * dot) // (x.na2 * y.na2) >= 250000
+        """,
+        "stratified_exact_k": """
+            WITH r AS (
+              SELECT source, doc_id,
+                     row_number() OVER (
+                         PARTITION BY source
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              FROM documents
+            )
+            SELECT source, doc_id, rn FROM r WHERE rn <= 20
+        """,
         "exact_dedup": """
             SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
                    count(*) AS n_dups

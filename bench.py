@@ -154,7 +154,9 @@ def bench_queries(sf_dir: str) -> dict:
              "k_anonymity_report", "winnowing_pairs",
              "global_shuffle_shards", "training_manifest",
              "quality_blend_rank", "order_event_coverage",
-             "bloom_join_urgent_items", "price_winsorized_stats"]
+             "bloom_join_urgent_items", "price_winsorized_stats",
+             "tfidf_cosine_pairs", "token_frequency_spectrum",
+             "dedup_canonical", "lang_confusion"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -1437,3 +1437,170 @@ def semdedup_ds(sf_dir: str, n_clusters: int = 16, threshold_pm: int = 950,
                               batch_size=4096)
     return partitioned_group_apply(assigned, ["cluster"], prune_cluster,
                                    num_partitions=min(n_clusters, 32))
+
+
+def dedup_canonical_ds(sf_dir: str):
+    """Canonical-representative selection: for every exact-duplicate group
+    (same text md5), keep the BEST copy — longest ``n_chars``, ties broken
+    by smallest ``doc_id`` — instead of ``exact_dedup``'s blind min-id rule.
+    This is the curation step that follows clustering in production dedup
+    (pick the least-truncated / least-mangled copy as the group's survivor).
+
+    Scale plan: only slim (text_md5, doc_id, n_chars) rows shuffle — the
+    per-doc md5 is computed in-batch at the read, texts never move — and the
+    argmax is ``grouped_top_n(n=1)``'s local-prune-then-one-coarse-partition
+    plan, so per-task work is bounded regardless of how hot a duplicate
+    group is (each block contributes at most one candidate row per group it
+    sees).
+    """
+    from .agg import grouped_top_n
+
+    def slim(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "text_md5": [hashlib.md5(t.encode("utf-8")).hexdigest()
+                         for t in batch["text"].fillna("")],
+            "doc_id": batch["doc_id"].astype("int64").to_numpy(),
+            "n_chars": batch["n_chars"].astype("int64").to_numpy()})
+
+    slim_ds = _io_read(f"{sf_dir}/documents.parquet",
+                       columns=["doc_id", "text", "n_chars"]) \
+        .map_batches(slim, batch_format="pandas")
+    top = grouped_top_n(slim_ds, ["text_md5"], "n_chars", n=1,
+                        ascending=False, tie_cols=["doc_id"]).to_pandas()
+    out = top.rename(columns={"doc_id": "canon_doc_id"}) \
+        [["text_md5", "canon_doc_id", "n_chars"]]
+    return out.astype({"canon_doc_id": "int64", "n_chars": "int64"}) \
+        .sort_values("text_md5").reset_index(drop=True)
+
+
+def tfidf_cosine_pairs_ds(sf_dir: str, threshold_ppm: int = 250_000,
+                          num_partitions: int = 32):
+    """Exact sparse TF-IDF cosine pair scores within each ``source``
+    partition — the exact-similarity counterpart of the MinHash/SimHash
+    estimates: score(a,b) = cos²(a,b) in parts-per-million under integer
+    weights w = tf · ibits, where ibits = bit_length(N // df) − 1 is the
+    integer-quantized idf (the unigram-surprisal bit convention, so the
+    DuckDB oracle is exact: ``length(bin(N // df)) - 1``).
+
+    Emitting cos² instead of cos keeps everything in integer arithmetic
+    (no sqrt): cos²·10⁶ = 10⁶·dot² // (na2·nb2). The default threshold
+    250 000 ppm = cosine ≥ 0.5.
+
+    Scale plan (the `_ngram_pairs_impl` shape, token-weighted):
+
+    1. one distributed pass computes corpus df per token (per-batch
+       distinct (token, doc) partials → token-hash partition); the
+       O(vocab) (token → ibits) table is broadcast once via ``ray.put``;
+    2. the weights explode drops ibits = 0 tokens — every token appearing
+       in more than half the corpus vanishes BEFORE the pair stage, the
+       built-in stopword suppression that bounds corpus-wide hot tokens;
+       per-doc na2 = Σw² is computed in-batch (a doc is one input row);
+    3. pairs need same-token co-location only: one coarse hash partition
+       of (source, token) does a vectorized self-merge per slice, emitting
+       per-pair dot partials; a second slim shuffle sums per pair.
+
+    The final ppm uses Python ints (10⁶·dot² exceeds int64 at large docs
+    — the grouped_int_variance precedent); the emitted column is int64.
+    A token hot WITHIN one source but rare corpus-wide keeps a high ibits
+    and pays O(df_source²) in its slice — the documented residual skew,
+    same contract as the Jaccard face's uncapped mode (cap via the
+    stop-gram recompute pattern if a corpus needs it).
+    """
+    import ray
+
+    from .agg import partitioned_group_apply
+
+    docs = _io_read(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "source", "text"])
+    n_docs = docs.count()
+
+    def tok_doc_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        doc, tok = [], []
+        for d, t in zip(batch["doc_id"], batch["text"].fillna("")):
+            for w in set(t.split(" ")):
+                if w:
+                    doc.append(d)
+                    tok.append(w)
+        return pd.DataFrame({"token": pd.Series(tok, dtype="object"),
+                             "doc_id": pd.Series(doc, dtype="int64")})
+
+    def df_count(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        out = d.groupby("token", as_index=False).size() \
+            .rename(columns={"size": "df"})
+        return out.astype({"df": "int64"})
+
+    df_tbl = partitioned_group_apply(
+        docs.map_batches(tok_doc_partial, batch_format="pandas"),
+        ["token"], df_count, num_partitions).to_pandas()
+    ibits = {t: (n_docs // int(c)).bit_length() - 1
+             for t, c in zip(df_tbl["token"], df_tbl["df"])}
+    ibits_ref = ray.put({t: b for t, b in ibits.items() if b > 0})
+
+    def weights(batch: pd.DataFrame, _cache={}) -> pd.DataFrame:
+        if "m" not in _cache:
+            _cache["m"] = ray.get(ibits_ref)
+        m = _cache["m"]
+        doc, src, tok, w, na2 = [], [], [], [], []
+        for d, s, t in zip(batch["doc_id"], batch["source"],
+                           batch["text"].fillna("")):
+            tf: dict = {}
+            for x in t.split(" "):
+                if x in m:
+                    tf[x] = tf.get(x, 0) + 1
+            ws = {x: c * m[x] for x, c in tf.items()}
+            norm = sum(v * v for v in ws.values())
+            for x, v in ws.items():
+                doc.append(d)
+                src.append(s)
+                tok.append(x)
+                w.append(v)
+                na2.append(norm)
+        return pd.DataFrame({
+            "doc_id": pd.Series(doc, dtype="int64"),
+            "source": pd.Series(src, dtype="object"),
+            "token": pd.Series(tok, dtype="object"),
+            "w": pd.Series(w, dtype="int64"),
+            "na2": pd.Series(na2, dtype="int64")})
+
+    _pair_empty = pd.DataFrame({
+        "doc_a": pd.Series([], dtype="int64"),
+        "doc_b": pd.Series([], dtype="int64"),
+        "dot": pd.Series([], dtype="int64"),
+        "na2": pd.Series([], dtype="int64"),
+        "nb2": pd.Series([], dtype="int64")})
+
+    def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return _pair_empty
+        m = df.merge(df, on=["source", "token"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if not len(m):
+            return _pair_empty
+        m["dp"] = m["w_x"] * m["w_y"]
+        out = m.groupby(["doc_id_x", "doc_id_y"], as_index=False).agg(
+            dot=("dp", "sum"), na2=("na2_x", "first"),
+            nb2=("na2_y", "first"))
+        out.columns = ["doc_a", "doc_b", "dot", "na2", "nb2"]
+        return out.astype("int64")
+
+    pairs = partitioned_group_apply(
+        docs.map_batches(weights, batch_format="pandas"),
+        ["source", "token"], pair_partials, num_partitions)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            dot=("dot", "sum"), na2=("na2", "first"), nb2=("nb2", "first"))
+        # Python-int ppm: 10^6 · dot² overflows int64 at large docs
+        ppm = np.fromiter(
+            ((1_000_000 * int(d) * int(d)) // (int(a) * int(b))
+             for d, a, b in zip(agg["dot"], agg["na2"], agg["nb2"])),
+            dtype="int64", count=len(agg))
+        keep = ppm >= threshold_ppm
+        return pd.DataFrame({
+            "doc_a": agg.loc[keep, "doc_a"].astype("int64").to_numpy(),
+            "doc_b": agg.loc[keep, "doc_b"].astype("int64").to_numpy(),
+            "cos2_ppm": pd.Series(ppm[keep], dtype="int64")})
+
+    return partitioned_group_apply(pairs, ["doc_a", "doc_b"], finish,
+                                   num_partitions)

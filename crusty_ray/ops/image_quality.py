@@ -130,3 +130,56 @@ def caption_reuse_report(images_path: str):
                             "n_rows": pd.Series([], dtype="int64"),
                             "n_distinct_images": pd.Series([], dtype="int64")})
     return res  # small report table: reused captions only
+
+
+def image_text_curation(images_path: str, min_w: int = 32, min_h: int = 32,
+                        max_aspect_pm: int = 3000, min_caption_chars: int = 8,
+                        bounds_pm: dict | None = None):
+    """LAION-style end-to-end image-text pair curation in ONE composition:
+    quality gate -> exact-phash dedup (keep the smallest image_id per phash
+    among gated rows) -> deterministic md5-bucket train/val/test split.
+    The image-payload counterpart of ``curation.corpus_curation_ds``: the
+    output (image_id, phash, w, h, fmt, split) IS the training-set manifest
+    a contrastive image-text job consumes.
+
+    Scale plan: the gate is a pure streaming filter fused with the slim
+    projection (bytes never read -- typed metadata only leaves storage);
+    the dedup shuffles slim (phash, image_id) rows through
+    ``grouped_top_n(n=1)``'s local-prune plan so a hot phash (watermark /
+    placeholder images repeated millions of times) contributes at most one
+    candidate row per block; the split is a pure row function of image_id
+    (stable under corpus growth -- the ``sample.assign_splits`` convention,
+    recomputed in-batch instead of joined because it costs one md5 per
+    kept row and zero shuffles).
+    """
+    from .agg import grouped_top_n
+    from .io import read_dataset
+    from .sample import _md5_bucket_pm
+
+    bounds = bounds_pm or {"train": 900, "val": 950, "test": 1000}
+    ds = read_dataset(images_path, columns=_META_COLS + ["phash"])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        f = _quality_flags(df, min_w, min_h, max_aspect_pm,
+                           min_caption_chars)
+        ok = ~(f["r_decode"] | f["r_small"] | f["r_aspect"] | f["r_caption"])
+        out = df.loc[ok.to_numpy(),
+                     ["image_id", "phash", "w", "h", "fmt"]].copy()
+        return out.astype({"phash": "int64", "w": "int64", "h": "int64"})
+
+    canon = grouped_top_n(ds.map_batches(keep, batch_format="pandas"),
+                          ["phash"], "image_id", n=1, ascending=True) \
+        .drop_columns(["rn"])
+
+    names = sorted(bounds, key=bounds.get)
+    cuts = [bounds[n] for n in names]
+
+    def with_split(df: pd.DataFrame) -> pd.DataFrame:
+        b = _md5_bucket_pm(df["image_id"])
+        idx = np.searchsorted(cuts, b, side="right")
+        out = df.copy()
+        out["split"] = pd.Series([names[i] for i in idx], dtype="object",
+                                 index=df.index)
+        return out
+
+    return canon.map_batches(with_split, batch_format="pandas")

@@ -83,3 +83,38 @@ def split_assignment_ds(sf_dir: str):
     ds = read_table(sf_dir, "documents", ["doc_id"])
     return assign_splits(ds, "doc_id",
                          {"train": 900, "val": 950, "test": 1000})
+
+
+def stratified_exact_k_ds(sf_dir: str, k: int = 20):
+    """Exactly-k-per-stratum deterministic sample: within each ``source``,
+    keep the k docs with the smallest md5(doc_id) digest (ties by doc_id —
+    md5 collisions on distinct ids are practically impossible but the total
+    order must not rely on that). The fixed-size counterpart of the
+    Bernoulli sampler above: eval sets and per-source audits need EXACTLY k
+    rows per stratum, not a rate.
+
+    The md5-hex rank is a uniform permutation of each stratum, so the k
+    rows are an unbiased fixed-size sample, stable run-to-run and
+    engine-to-engine. Scale plan: ``grouped_top_n`` — a local per-batch
+    prune keeps ≤ k rows per source per block, then ONE coarse partition
+    finishes; no global sort, no stratum ever whole in one task before the
+    prune."""
+    import hashlib
+
+    from .agg import grouped_top_n
+    from .io import read_table
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": batch["source"].astype(str),
+            "doc_id": batch["doc_id"].astype("int64").to_numpy(),
+            "rank_md5": [hashlib.md5(str(int(d)).encode()).hexdigest()
+                         for d in batch["doc_id"]]})
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "source"]) \
+        .map_batches(keyed, batch_format="pandas")
+    top = grouped_top_n(ds, ["source"], "rank_md5", n=k, ascending=True,
+                        tie_cols=["doc_id"]).to_pandas()
+    out = top[["source", "doc_id", "rn"]] \
+        .astype({"doc_id": "int64", "rn": "int64"})
+    return out.sort_values(["source", "rn"]).reset_index(drop=True)

@@ -1606,3 +1606,77 @@ def dedup_rate_by_source_ds(sf_dir: str):
     return out.astype({"n_docs": "int64", "n_distinct_texts": "int64",
                        "dup_pm": "int64"}) \
         .sort_values("source").reset_index(drop=True)
+
+
+def token_frequency_spectrum_ds(sf_dir: str):
+    """Token frequency-of-frequencies spectrum — for each corpus occurrence
+    count c, how many distinct tokens occur exactly c times. The Good-Turing
+    input table and the standard Zipf-fit diagnostic a dataset card plots
+    (a healthy natural-language corpus shows the long hapax-heavy tail;
+    template/boilerplate corpora collapse to a few spikes).
+
+    Scale plan: per-batch partial token counts (the grouped_count shape —
+    the shuffle carries each block's distinct tokens, not token instances),
+    one token-hash partition decides each token's exact corpus count, then
+    per-partition spectrum partials (count of tokens per c) reduce to a
+    result of O(distinct count values) rows — driver work is the final
+    tiny sum, O(|spectrum|) not O(vocab).
+
+    Tokenization is the shared whitespace convention (empty tokens dropped)
+    so the DuckDB oracle is exact.
+    """
+    from .agg import partitioned_group_apply
+
+    def local_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        ex = batch["text"].fillna("").str.split(" ").explode()
+        ex = ex[ex.notna() & (ex != "")]
+        vc = ex.value_counts()
+        return pd.DataFrame({"token": vc.index.astype(str),
+                             "cnt": vc.to_numpy(dtype="int64")})
+
+    def spectrum_partial(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby("token", sort=False)["cnt"].sum()
+        spec = tot.value_counts()
+        return pd.DataFrame({"occurrences": spec.index.to_numpy(dtype="int64"),
+                             "n_tokens": spec.to_numpy(dtype="int64")})
+
+    parts = partitioned_group_apply(
+        _io_read(f"{sf_dir}/documents.parquet", columns=["text"])
+        .map_batches(local_counts, batch_format="pandas"),
+        ["token"], spectrum_partial).to_pandas()
+    out = parts.groupby("occurrences", as_index=False)["n_tokens"].sum()
+    return out.astype({"occurrences": "int64", "n_tokens": "int64"}) \
+        .sort_values("occurrences").reset_index(drop=True)
+
+
+def lang_confusion_ds(sf_dir: str):
+    """Language-metadata audit: confusion matrix of the stored ``lang``
+    column vs the LangId heuristic's prediction — the standard check that a
+    corpus's declared-language labels can be trusted before per-language
+    filtering (CCNet runs exactly this fasttext-vs-metadata comparison).
+
+    Composition: the existing vectorized ``LangId`` actor stage (profiles
+    compiled once per actor) emits (doc_id, lang_pred) per batch with the
+    declared lang carried through the same batch — no join needed because
+    both sides of the comparison live in the same row; a card-sized grouped
+    count finishes. The (lang × lang_pred) result is O(langs²).
+    """
+    stage = LangId()
+
+    def classify_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        pred = stage(batch)
+        cells = pd.DataFrame({
+            "lang": batch["lang"].astype(str).to_numpy(),
+            "lang_pred": pred["lang_pred"].to_numpy()})
+        out = cells.groupby(["lang", "lang_pred"], as_index=False).size() \
+            .rename(columns={"size": "n_docs"})
+        return out.astype({"n_docs": "int64"})
+
+    # per-batch partial counts → the shuffle carries O(langs²) rows per
+    # block, the driver sums a card-sized table
+    parts = _io_read(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "text", "lang"]) \
+        .map_batches(classify_partial, batch_format="pandas").to_pandas()
+    out = parts.groupby(["lang", "lang_pred"], as_index=False)["n_docs"].sum()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values(["lang", "lang_pred"]).reset_index(drop=True)

@@ -70,7 +70,7 @@ def test_every_query_is_covered_by_some_check(contract):
                      "image_train_shards", "image_aspect_batches",
                      "image_features", "image_feature_near_dups",
                      "image_channel_stats", "image_patch_grid", "image_augment",
-                     "crawl_log_compact"}
+                     "image_text_curation", "crawl_log_compact"}
     listed = set(SQL_CHECKED) | set(ROWS_ONLY) | crawl_checked
     assert set(queries) == listed, (
         f"unlisted: {set(queries) - listed}; stale: {listed - set(queries)}")
@@ -114,6 +114,8 @@ SQL_CHECKED = [
     "order_event_coverage", "price_winsorized_stats",
     "bloom_join_urgent_items", "dedup_rate_by_source",
     "price_mad_by_priority", "minhash_candidates_md5_capped",
+    "token_frequency_spectrum", "lang_confusion", "dedup_canonical",
+    "tfidf_cosine_pairs", "stratified_exact_k",
 ]
 
 

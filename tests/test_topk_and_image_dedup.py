@@ -342,3 +342,94 @@ def test_caption_reuse_matches_duckdb(ray_session, tmp_path):
     """).df()
     pd.testing.assert_frame_equal(got, exp[got.columns], check_dtype=False)
     assert len(got) == 7
+
+
+class TestImageTextCuration:
+    @pytest.fixture(scope="class")
+    def meta_phash_path(self, tmp_path_factory):
+        """Image metadata with REPEATED phashes (watermark-style dup images)
+        so the dedup leg of the composition is exercised, plus every gate
+        reject reason."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        rng = stable_rng("imgcuration", 0)
+        n = 500
+        w = rng.integers(8, 300, n)
+        h = rng.integers(8, 300, n)
+        fmts = np.array(["png", "jpeg", "bmp"])[rng.integers(0, 3, n)]
+        decode_ok = rng.random(n) > 0.1
+        captions = np.array(
+            ["", "short", "a perfectly fine caption about the picture"]
+        )[rng.integers(0, 3, n)]
+        # ~60 distinct phashes over 500 rows → heavy duplication incl.
+        # dup groups that straddle the quality gate
+        phash = rng.integers(0, 60, n).astype(np.int64)
+        t = pa.table({
+            "image_id": pa.array([f"im{i:04d}" for i in range(n)]),
+            "w": pa.array(w, type=pa.int32()),
+            "h": pa.array(h, type=pa.int32()),
+            "fmt": pa.array(fmts.tolist()),
+            "decode_ok": pa.array(decode_ok.tolist()),
+            "caption": pa.array(captions.tolist()),
+            "phash": pa.array(phash, type=pa.int64()),
+        })
+        p = tmp_path_factory.mktemp("imgcur") / "images.parquet"
+        pq.write_table(t, p)
+        return str(p)
+
+    def test_matches_duckdb(self, ray_session, meta_phash_path):
+        import duckdb
+        from crusty_ray.ops.image_quality import image_text_curation
+        got = image_text_curation(meta_phash_path).to_pandas() \
+            .sort_values("image_id").reset_index(drop=True)
+        exp = duckdb.sql(f"""
+            WITH kept AS (
+              SELECT image_id, phash, CAST(w AS BIGINT) AS w,
+                     CAST(h AS BIGINT) AS h, fmt
+              FROM read_parquet('{meta_phash_path}')
+              WHERE decode_ok AND w >= 32 AND h >= 32
+                AND greatest(w, h) * 1000 // greatest(least(w, h), 1) <= 3000
+                AND length(caption) >= 8
+            ), canon AS (
+              SELECT *, row_number() OVER (PARTITION BY phash
+                                           ORDER BY image_id) AS rn
+              FROM kept
+            )
+            SELECT image_id, phash, w, h, fmt,
+                   CASE WHEN b < 900 THEN 'train'
+                        WHEN b < 950 THEN 'val' ELSE 'test' END AS split
+            FROM (SELECT *, ('0x' || substr(md5(image_id), 1, 8))::BIGINT
+                            % 1000 AS b
+                  FROM canon WHERE rn = 1)
+        """).df().sort_values("image_id").reset_index(drop=True)
+        got = got[list(exp.columns)]
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        # the composition is non-trivial on this fixture: the gate rejects
+        # some rows AND the dedup collapses some groups
+        n_total = 500
+        assert 0 < len(got) < n_total
+        assert got["phash"].is_unique
+        assert set(got["split"]) <= {"train", "val", "test"}
+
+    def test_hot_phash_bounded(self, ray_session, tmp_path):
+        """A single phash repeated across every row (the watermark case)
+        collapses to exactly one survivor — the grouped_top_n local-prune
+        path, not an all-pairs blowup."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from crusty_ray.ops.image_quality import image_text_curation
+        n = 2000
+        t = pa.table({
+            "image_id": pa.array([f"w{i:05d}" for i in range(n)]),
+            "w": pa.array([100] * n, type=pa.int32()),
+            "h": pa.array([100] * n, type=pa.int32()),
+            "fmt": pa.array(["png"] * n),
+            "decode_ok": pa.array([True] * n),
+            "caption": pa.array(["a perfectly fine caption"] * n),
+            "phash": pa.array([42] * n, type=pa.int64()),
+        })
+        p = tmp_path / "hot.parquet"
+        pq.write_table(t, p)
+        got = image_text_curation(str(p)).to_pandas()
+        assert len(got) == 1
+        assert got.iloc[0]["image_id"] == "w00000"
