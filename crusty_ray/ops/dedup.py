@@ -21,6 +21,7 @@ from __future__ import annotations
 import hashlib
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from .io import read_parquet as _io_read
 
@@ -1451,7 +1452,9 @@ def dedup_canonical_ds(sf_dir: str):
     argmax is ``grouped_top_n(n=1)``'s local-prune-then-one-coarse-partition
     plan, so per-task work is bounded regardless of how hot a duplicate
     group is (each block contributes at most one candidate row per group it
-    sees).
+    sees). Returns the DISTRIBUTED manifest (one row per distinct text —
+    essentially the deduped corpus) like ``exact_dedup_ds``; callers decide
+    whether to collect.
     """
     from .agg import grouped_top_n
 
@@ -1466,11 +1469,28 @@ def dedup_canonical_ds(sf_dir: str):
                        columns=["doc_id", "text", "n_chars"]) \
         .map_batches(slim, batch_format="pandas")
     top = grouped_top_n(slim_ds, ["text_md5"], "n_chars", n=1,
-                        ascending=False, tie_cols=["doc_id"]).to_pandas()
-    out = top.rename(columns={"doc_id": "canon_doc_id"}) \
-        [["text_md5", "canon_doc_id", "n_chars"]]
-    return out.astype({"canon_doc_id": "int64", "n_chars": "int64"}) \
-        .sort_values("text_md5").reset_index(drop=True)
+                        ascending=False, tie_cols=["doc_id"])
+
+    _schema = pa.schema([("text_md5", pa.string()),
+                         ("canon_doc_id", pa.int64()),
+                         ("n_chars", pa.int64())])
+
+    def finish(df: pd.DataFrame) -> pa.Table:
+        # emit Arrow: empty pandas blocks lose their schema in Ray, empty
+        # Arrow blocks keep it (the empty-corpus case stays typed)
+        if "text_md5" not in df.columns:  # schema dropped on empty blocks
+            return _schema.empty_table()
+        out = df.rename(columns={"doc_id": "canon_doc_id"}) \
+            [["text_md5", "canon_doc_id", "n_chars"]] \
+            .astype({"canon_doc_id": "int64", "n_chars": "int64"})
+        return pa.Table.from_pandas(out, schema=_schema,
+                                    preserve_index=False)
+
+    # union one typed empty block: an all-empty shuffle yields ZERO blocks
+    # (no UDF ever runs), which would leave the manifest schema-less
+    import ray
+    return top.map_batches(finish, batch_format="pandas") \
+        .union(ray.data.from_arrow(_schema.empty_table()))
 
 
 def tfidf_cosine_pairs_ds(sf_dir: str, threshold_ppm: int = 250_000,
@@ -1499,8 +1519,12 @@ def tfidf_cosine_pairs_ds(sf_dir: str, threshold_ppm: int = 250_000,
        of (source, token) does a vectorized self-merge per slice, emitting
        per-pair dot partials; a second slim shuffle sums per pair.
 
-    The final ppm uses Python ints (10⁶·dot² exceeds int64 at large docs
-    — the grouped_int_variance precedent); the emitted column is int64.
+    ALL similarity partials (w·w products, per-pair dot sums, per-doc na2
+    norms) are exact Python ints carried in object-dtype columns — the
+    oracle sums the same quantities as HUGEINT, and a 10⁶-token document's
+    Σw² already exceeds int64, so int64 partials would silently wrap (the
+    grouped_int_variance precedent). Only the bounded outputs (doc ids,
+    cos2_ppm ≤ 10⁶) are int64.
     A token hot WITHIN one source but rare corpus-wide keeps a high ibits
     and pays O(df_source²) in its slice — the documented residual skew,
     same contract as the Jaccard face's uncapped mode (cap via the
@@ -1556,19 +1580,21 @@ def tfidf_cosine_pairs_ds(sf_dir: str, threshold_ppm: int = 250_000,
                 tok.append(x)
                 w.append(v)
                 na2.append(norm)
+        # w and na2 stay Python ints (object dtype): Σw² and w·w products
+        # exceed int64 on large documents; the oracle uses HUGEINT
         return pd.DataFrame({
             "doc_id": pd.Series(doc, dtype="int64"),
             "source": pd.Series(src, dtype="object"),
             "token": pd.Series(tok, dtype="object"),
-            "w": pd.Series(w, dtype="int64"),
-            "na2": pd.Series(na2, dtype="int64")})
+            "w": pd.Series(w, dtype="object"),
+            "na2": pd.Series(na2, dtype="object")})
 
     _pair_empty = pd.DataFrame({
         "doc_a": pd.Series([], dtype="int64"),
         "doc_b": pd.Series([], dtype="int64"),
-        "dot": pd.Series([], dtype="int64"),
-        "na2": pd.Series([], dtype="int64"),
-        "nb2": pd.Series([], dtype="int64")})
+        "dot": pd.Series([], dtype="object"),
+        "na2": pd.Series([], dtype="object"),
+        "nb2": pd.Series([], dtype="object")})
 
     def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -1577,18 +1603,26 @@ def tfidf_cosine_pairs_ds(sf_dir: str, threshold_ppm: int = 250_000,
         m = m[m["doc_id_x"] < m["doc_id_y"]]
         if not len(m):
             return _pair_empty
+        # object-dtype products: exact Python ints, no int64 wraparound
         m["dp"] = m["w_x"] * m["w_y"]
         out = m.groupby(["doc_id_x", "doc_id_y"], as_index=False).agg(
             dot=("dp", "sum"), na2=("na2_x", "first"),
             nb2=("na2_y", "first"))
         out.columns = ["doc_a", "doc_b", "dot", "na2", "nb2"]
-        return out.astype("int64")
+        return out.astype({"doc_a": "int64", "doc_b": "int64",
+                           "dot": "object", "na2": "object",
+                           "nb2": "object"})
 
     pairs = partitioned_group_apply(
         docs.map_batches(weights, batch_format="pandas"),
         ["source", "token"], pair_partials, num_partitions)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "doc_a" not in df.columns:
+            return pd.DataFrame({
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "cos2_ppm": pd.Series([], dtype="int64")})
         agg = df.groupby(["doc_a", "doc_b"], as_index=False).agg(
             dot=("dot", "sum"), na2=("na2", "first"), nb2=("nb2", "first"))
         # Python-int ppm: 10^6 · dot² overflows int64 at large docs

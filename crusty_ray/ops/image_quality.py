@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 _META_COLS = ["image_id", "w", "h", "fmt", "decode_ok", "caption"]
 
@@ -147,14 +148,13 @@ def image_text_curation(images_path: str, min_w: int = 32, min_h: int = 32,
     the dedup shuffles slim (phash, image_id) rows through
     ``grouped_top_n(n=1)``'s local-prune plan so a hot phash (watermark /
     placeholder images repeated millions of times) contributes at most one
-    candidate row per block; the split is a pure row function of image_id
-    (stable under corpus growth -- the ``sample.assign_splits`` convention,
-    recomputed in-batch instead of joined because it costs one md5 per
-    kept row and zero shuffles).
+    candidate row per block; the split is ``sample.assign_splits`` in
+    append mode — a pure row function of image_id (stable under corpus
+    growth), one md5 per kept row, zero shuffles.
     """
     from .agg import grouped_top_n
     from .io import read_dataset
-    from .sample import _md5_bucket_pm
+    from .sample import assign_splits
 
     bounds = bounds_pm or {"train": 900, "val": 950, "test": 1000}
     ds = read_dataset(images_path, columns=_META_COLS + ["phash"])
@@ -167,19 +167,38 @@ def image_text_curation(images_path: str, min_w: int = 32, min_h: int = 32,
                      ["image_id", "phash", "w", "h", "fmt"]].copy()
         return out.astype({"phash": "int64", "w": "int64", "h": "int64"})
 
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        # grouped_top_n drops the schema on all-empty blocks (gate rejected
+        # every row); downstream consumers need the typed manifest columns.
+        # Also drops grouped_top_n's rank column.
+        if "image_id" not in df.columns:
+            return pd.DataFrame({
+                "image_id": pd.Series([], dtype="object"),
+                "phash": pd.Series([], dtype="int64"),
+                "w": pd.Series([], dtype="int64"),
+                "h": pd.Series([], dtype="int64"),
+                "fmt": pd.Series([], dtype="object")})
+        return df[["image_id", "phash", "w", "h", "fmt"]]
+
     canon = grouped_top_n(ds.map_batches(keep, batch_format="pandas"),
                           ["phash"], "image_id", n=1, ascending=True) \
-        .drop_columns(["rn"])
+        .map_batches(project, batch_format="pandas")
 
-    names = sorted(bounds, key=bounds.get)
-    cuts = [bounds[n] for n in names]
+    _schema = pa.schema([("image_id", pa.string()), ("phash", pa.int64()),
+                         ("w", pa.int64()), ("h", pa.int64()),
+                         ("fmt", pa.string()), ("split", pa.string())])
 
-    def with_split(df: pd.DataFrame) -> pd.DataFrame:
-        b = _md5_bucket_pm(df["image_id"])
-        idx = np.searchsorted(cuts, b, side="right")
-        out = df.copy()
-        out["split"] = pd.Series([names[i] for i in idx], dtype="object",
-                                 index=df.index)
-        return out
+    def typed(df: pd.DataFrame) -> pa.Table:
+        # emit Arrow so the all-rejected manifest keeps its typed schema
+        # (empty pandas blocks lose theirs at the driver sink)
+        return pa.Table.from_pandas(df[[f.name for f in _schema]],
+                                    schema=_schema, preserve_index=False)
 
-    return canon.map_batches(with_split, batch_format="pandas")
+    # shared split logic (and its bounds-coverage assertion): full manifest
+    # row + split column. The trailing union of one typed empty block keeps
+    # the manifest schema when the gate rejects every row (an all-empty
+    # shuffle yields zero blocks, so no UDF runs to restore it).
+    import ray
+    return assign_splits(canon, "image_id", bounds, append=True) \
+        .map_batches(typed, batch_format="pandas") \
+        .union(ray.data.from_arrow(_schema.empty_table()))

@@ -46,11 +46,12 @@ def sample_stratified(ds, id_col: str, stratum_col: str,
 
 
 def assign_splits(ds, id_col: str, bounds_pm: dict[str, int],
-                  out_col: str = "split"):
+                  out_col: str = "split", append: bool = False):
     """Deterministic train/val/test assignment: ``bounds_pm`` maps split name
     to the EXCLUSIVE per-mille upper bound, e.g. {"train": 900, "val": 950,
     "test": 1000} → buckets [0,900) train, [900,950) val, [950,1000) test.
-    Emits (id_col, out_col); same stability guarantees as the sampler."""
+    Emits (id_col, out_col), or the full row + out_col when ``append=True``;
+    same stability guarantees as the sampler."""
     names = sorted(bounds_pm, key=bounds_pm.get)
     cuts = [bounds_pm[n] for n in names]
     assert cuts[-1] == 1000, "last bound must be 1000 (cover all buckets)"
@@ -58,9 +59,14 @@ def assign_splits(ds, id_col: str, bounds_pm: dict[str, int],
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
         b = _md5_bucket_pm(batch[id_col])
         idx = np.searchsorted(cuts, b, side="right")
+        split = pd.Series([names[i] for i in idx], dtype="object")
+        if append:
+            out = batch.reset_index(drop=True).copy()
+            out[out_col] = split
+            return out
         return pd.DataFrame({
             id_col: batch[id_col].reset_index(drop=True),
-            out_col: pd.Series([names[i] for i in idx], dtype="object")})
+            out_col: split})
 
     return ds.map_batches(assign, batch_format="pandas")
 
@@ -115,6 +121,10 @@ def stratified_exact_k_ds(sf_dir: str, k: int = 20):
         .map_batches(keyed, batch_format="pandas")
     top = grouped_top_n(ds, ["source"], "rank_md5", n=k, ascending=True,
                         tie_cols=["doc_id"]).to_pandas()
+    if top.empty:  # Ray drops the schema when every partition is empty
+        top = pd.DataFrame({"source": pd.Series([], dtype="object"),
+                            "doc_id": pd.Series([], dtype="int64"),
+                            "rn": pd.Series([], dtype="int64")})
     out = top[["source", "doc_id", "rn"]] \
         .astype({"doc_id": "int64", "rn": "int64"})
     return out.sort_values(["source", "rn"]).reset_index(drop=True)

@@ -1644,6 +1644,9 @@ def token_frequency_spectrum_ds(sf_dir: str):
         _io_read(f"{sf_dir}/documents.parquet", columns=["text"])
         .map_batches(local_counts, batch_format="pandas"),
         ["token"], spectrum_partial).to_pandas()
+    if parts.empty:  # Ray drops the schema when every partition is empty
+        parts = pd.DataFrame({"occurrences": pd.Series([], dtype="int64"),
+                              "n_tokens": pd.Series([], dtype="int64")})
     out = parts.groupby("occurrences", as_index=False)["n_tokens"].sum()
     return out.astype({"occurrences": "int64", "n_tokens": "int64"}) \
         .sort_values("occurrences").reset_index(drop=True)
@@ -1655,16 +1658,17 @@ def lang_confusion_ds(sf_dir: str):
     corpus's declared-language labels can be trusted before per-language
     filtering (CCNet runs exactly this fasttext-vs-metadata comparison).
 
-    Composition: the existing vectorized ``LangId`` actor stage (profiles
-    compiled once per actor) emits (doc_id, lang_pred) per batch with the
-    declared lang carried through the same batch — no join needed because
-    both sides of the comparison live in the same row; a card-sized grouped
-    count finishes. The (lang × lang_pred) result is O(langs²).
+    Composition: the vectorized ``LangId`` kernel (built once per worker
+    process via the closure cache, not shipped pickled from the driver)
+    emits lang_pred per batch with the declared lang carried through the
+    same batch — no join needed because both sides of the comparison live
+    in the same row; a card-sized grouped count finishes. The
+    (lang × lang_pred) result is O(langs²).
     """
-    stage = LangId()
-
-    def classify_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        pred = stage(batch)
+    def classify_partial(batch: pd.DataFrame, _cache={}) -> pd.DataFrame:
+        if "stage" not in _cache:
+            _cache["stage"] = LangId()
+        pred = _cache["stage"](batch)
         cells = pd.DataFrame({
             "lang": batch["lang"].astype(str).to_numpy(),
             "lang_pred": pred["lang_pred"].to_numpy()})
@@ -1677,6 +1681,10 @@ def lang_confusion_ds(sf_dir: str):
     parts = _io_read(f"{sf_dir}/documents.parquet",
                      columns=["doc_id", "text", "lang"]) \
         .map_batches(classify_partial, batch_format="pandas").to_pandas()
+    if parts.empty:  # Ray drops the schema when every block is empty
+        parts = pd.DataFrame({"lang": pd.Series([], dtype="object"),
+                              "lang_pred": pd.Series([], dtype="object"),
+                              "n_docs": pd.Series([], dtype="int64")})
     out = parts.groupby(["lang", "lang_pred"], as_index=False)["n_docs"].sum()
     out["n_docs"] = out["n_docs"].astype("int64")
     return out.sort_values(["lang", "lang_pred"]).reset_index(drop=True)

@@ -75,7 +75,7 @@ def test_dedup_canonical_survivor(ray_session, tmp_path):
         (7, "dup dup dup", "en", "s0"),
         (3, "unique text", "en", "s0"),
     ])
-    got = dedup_canonical_ds(sf)
+    got = dedup_canonical_ds(sf).to_pandas()
     md5_dup = hashlib.md5(b"dup dup dup").hexdigest()
     surv = got.set_index("text_md5").loc[md5_dup]
     assert int(surv["canon_doc_id"]) == 7  # tie → min doc_id
@@ -184,3 +184,100 @@ def test_stratified_exact_k(ray_session, tmp_path):
     exp = sorted(ids, key=lambda d: (hashlib.md5(str(d).encode())
                                      .hexdigest(), d))[:5]
     assert list(got[got["source"] == "s0"]["doc_id"]) == exp
+
+
+# --------------------------------------------------------- empty-input edges
+
+def test_session_n_ops_empty_corpus(ray_session, tmp_path):
+    """All-empty partitions drop the pandas-block schema in Ray; every
+    session-n op must restore its typed output columns instead of raising
+    KeyError (review finding)."""
+    from crusty_ray.ops.dedup import dedup_canonical_ds
+    from crusty_ray.ops.sample import stratified_exact_k_ds
+    from crusty_ray.ops.text import (lang_confusion_ds,
+                                     token_frequency_spectrum_ds)
+    sf = _write_docs(tmp_path, [])
+    spec = token_frequency_spectrum_ds(sf)
+    assert list(spec.columns) == ["occurrences", "n_tokens"] and spec.empty
+    conf = lang_confusion_ds(sf)
+    assert list(conf.columns) == ["lang", "lang_pred", "n_docs"] \
+        and conf.empty
+    canon = dedup_canonical_ds(sf)
+    # Dataset-level schema survives the all-empty shuffle (the typed-empty
+    # union block); ray's to_pandas drops columns on ANY zero-row dataset,
+    # so assert at the Dataset level where downstream stages consume it
+    assert canon.schema().names == ["text_md5", "canon_doc_id", "n_chars"]
+    assert canon.count() == 0
+    strat = stratified_exact_k_ds(sf, k=3)
+    assert list(strat.columns) == ["source", "doc_id", "rn"] and strat.empty
+
+
+def test_token_spectrum_all_whitespace(ray_session, tmp_path):
+    """Every text tokenizes to nothing — the schema-drop case with
+    non-empty input."""
+    from crusty_ray.ops.text import token_frequency_spectrum_ds
+    sf = _write_docs(tmp_path, [(1, "", "en", "s0"), (2, "   ", "en", "s0")])
+    got = token_frequency_spectrum_ds(sf)
+    assert list(got.columns) == ["occurrences", "n_tokens"] and got.empty
+
+
+def test_image_curation_all_rejected(ray_session, tmp_path):
+    """Gate rejects every row → the manifest keeps its typed schema
+    (review finding: consumers index df['split'])."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from crusty_ray.ops.image_quality import image_text_curation
+    t = pa.table({
+        "image_id": pa.array(["a", "b"]),
+        "w": pa.array([4, 4], type=pa.int32()),
+        "h": pa.array([4, 4], type=pa.int32()),
+        "fmt": pa.array(["png", "png"]),
+        "decode_ok": pa.array([True, True]),
+        "caption": pa.array(["x", "y"]),
+        "phash": pa.array([1, 2], type=pa.int64()),
+    })
+    p = tmp_path / "tiny.parquet"
+    pq.write_table(t, p)
+    got = image_text_curation(str(p))
+    # Dataset-level schema survives (typed-empty union block); ray's
+    # to_pandas drops columns on any zero-row dataset
+    assert got.schema().names == ["image_id", "phash", "w", "h", "fmt",
+                                  "split"]
+    assert got.count() == 0
+
+
+def test_image_curation_noncovering_bounds_rejected(ray_session, tmp_path):
+    """bounds_pm that doesn't cover [0,1000) fails fast at the driver
+    (shared assign_splits assertion), not as an IndexError inside a task."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from crusty_ray.ops.image_quality import image_text_curation
+    t = pa.table({
+        "image_id": pa.array(["a"]), "w": pa.array([100], type=pa.int32()),
+        "h": pa.array([100], type=pa.int32()), "fmt": pa.array(["png"]),
+        "decode_ok": pa.array([True]),
+        "caption": pa.array(["a perfectly fine caption"]),
+        "phash": pa.array([1], type=pa.int64()),
+    })
+    p = tmp_path / "one.parquet"
+    pq.write_table(t, p)
+    with pytest.raises(AssertionError):
+        image_text_curation(str(p), bounds_pm={"train": 500, "val": 800})
+
+
+def test_tfidf_partials_are_exact_python_ints(ray_session, tmp_path):
+    """The similarity partials carry Python ints (object dtype) so Σw² and
+    dot sums beyond int64 can't wrap — semantic parity with the HUGEINT
+    oracle. Simulate the magnitude with a repeated-token doc pair and check
+    the exact expected cos2_ppm (identical docs → 10⁶)."""
+    from crusty_ray.ops.dedup import tfidf_cosine_pairs_ds
+    big = " ".join(["tok"] * 5000 + ["filler"])  # tf=5000
+    sf = _write_docs(tmp_path, [
+        (1, big, "en", "s0"), (2, big, "en", "s0"),
+        (3, "other words entirely", "en", "s0"),
+        (4, "unrelated stuff here", "en", "s0"),
+    ])
+    got = tfidf_cosine_pairs_ds(sf, threshold_ppm=100_000).to_pandas()
+    assert len(got) == 1
+    assert (int(got.iloc[0]["doc_a"]), int(got.iloc[0]["doc_b"]),
+            int(got.iloc[0]["cos2_ppm"])) == (1, 2, 1_000_000)
