@@ -268,6 +268,16 @@ def _image_train_shards(sf_dir: str):
                                shard_bytes=1 << 20)
 
 
+def _webdataset_export(sf_dir: str):
+    # WebDataset tar-shard export of the curated image+caption corpus;
+    # byte-determinism + readback equality oracled in tests/test_pack.py
+    import tempfile
+    from crusty_ray.ops.pack import export_webdataset
+    out = tempfile.mkdtemp(prefix="wds_", dir="/tmp")
+    summary = export_webdataset(_images_dir(), out, shard_bytes=1 << 20)
+    return summary.drop(columns=["path"])  # paths are tempdir-specific
+
+
 def _image_aspect_batches(sf_dir: str):
     from crusty_ray.ops.pack import aspect_bucket_batches
     return aspect_bucket_batches(_images_dir())
@@ -541,6 +551,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # curriculum ordering: global easy->hard rank by LM surprisal
         # (two-phase prefix scan, no global sort)
         "curriculum_order": curation.curriculum_order_ds,
+        # CCNet head/middle/tail perplexity thirds per language (grouped
+        # prefix-scan rank — no per-lang sort)
+        "ccnet_ppl_buckets": curation.ccnet_perplexity_buckets_ds,
         # dataset-card composition: docs+tokens per (source, lang) with
         # ROLLUP margins ('ALL' sentinel)
         "corpus_report": curation.corpus_report_ds,
@@ -602,6 +615,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- behavior analytics (SQL-checked)
         "cohort_retention": behavior.cohort_retention_ds,
         "funnel_counts": behavior.funnel_counts_ds,
+        # first-order Markov transition counts between consecutive event
+        # types per user (ties on ts broken by event_id — total order)
+        "event_transitions": behavior.event_transition_matrix_ds,
+        # FK-orphan audit over the two fact→parent edges (the pre-join
+        # data-quality gate; distributed side-tagged anti-join partials)
+        "referential_integrity": stats.referential_integrity_ds,
         # -- graph: integer PageRank (trade face SQL-checked; the crawl's
         # domain-authority face is rows-only — pytest oracles the identical
         # integer iteration serially, tests/test_graph.py)
@@ -612,6 +631,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exactly-k-per-stratum deterministic sample (md5-rank top-k —
         # fixed-size eval sets, vs the Bernoulli sampler's rate)
         "stratified_exact_k": sample.stratified_exact_k_ds,
+        # examples-proportional mixing with temperature T=2: keep rate
+        # ∝ sqrt(n_lang), exact integer accept rule b²·n_max < 10⁶·n_s
+        "temperature_sample": sample.temperature_sample_ds,
         "global_sort_topn": analog.global_sort_topn_ds,
         "union_event_classes": analog.union_event_classes_ds,
         "props_value_histogram": analog.props_value_histogram_ds,
@@ -664,6 +686,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # duckdb-oracled bit-exact in tests/test_topk_and_image_dedup.py)
         "image_text_curation": _image_quality("image_text_curation"),
         "image_train_shards": _image_train_shards,
+        # WebDataset tar-shard export (deterministic tars; rows-only here,
+        # byte-level readback equality oracled in tests/test_pack.py)
+        "webdataset_export": _webdataset_export,
         # SDXL-style aspect-ratio-bucketed training batches (rows-only here;
         # duckdb window-function oracle in tests/test_pack.py)
         "image_aspect_batches": _image_aspect_batches,
@@ -1742,6 +1767,85 @@ def oracle_sql() -> dict[str, str]:
                          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
                   FROM orders)
             GROUP BY 1
+        """,
+        "event_transitions": """
+            WITH s AS (
+              SELECT event_type AS from_type,
+                     lead(event_type) OVER (
+                         PARTITION BY user_id
+                         ORDER BY ts, event_id) AS to_type
+              FROM events
+            )
+            SELECT from_type, to_type, count(*)::BIGINT AS n_transitions
+            FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2
+        """,
+        "referential_integrity": """
+            SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS rel,
+                   count(*)::BIGINT AS n_child_rows,
+                   coalesce(count(*) FILTER (o.o_orderkey IS NULL), 0)::BIGINT
+                       AS n_orphan_rows,
+                   coalesce(count(DISTINCT l.l_orderkey)
+                            FILTER (o.o_orderkey IS NULL), 0)::BIGINT
+                       AS n_orphan_keys
+            FROM lineitem l LEFT JOIN orders o
+                 ON l.l_orderkey = o.o_orderkey
+            UNION ALL
+            SELECT 'orders.o_custkey->customer.c_custkey',
+                   count(*)::BIGINT,
+                   coalesce(count(*) FILTER (c.c_custkey IS NULL), 0)::BIGINT,
+                   coalesce(count(DISTINCT o.o_custkey)
+                            FILTER (c.c_custkey IS NULL), 0)::BIGINT
+            FROM orders o LEFT JOIN customer c
+                 ON o.o_custkey = c.c_custkey
+        """,
+        "temperature_sample": """
+            WITH n AS (
+              SELECT lang, count(*)::BIGINT AS ns FROM documents GROUP BY 1
+            ), m AS (SELECT max(ns)::BIGINT AS nmax FROM n),
+            b AS (
+              SELECT doc_id, lang,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         ::BIGINT % 1000 AS b
+              FROM documents
+            )
+            SELECT b.doc_id, b.lang
+            FROM b JOIN n USING (lang) CROSS JOIN m
+            WHERE b.b * b.b * m.nmax < 1000000 * n.ns
+        """,
+        "ccnet_ppl_buckets": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents
+            ), tk AS (
+              SELECT doc_id, w FROM toks WHERE w <> ''
+            ), cnt AS (
+              SELECT w, count(*)::BIGINT AS c FROM tk GROUP BY 1
+            ), tot AS (
+              SELECT count(*)::BIGINT AS n FROM tk
+            ), sur AS (
+              SELECT w, (length(bin(n // c)) - 1)::BIGINT AS bits
+              FROM cnt CROSS JOIN tot
+            ), per AS (
+              SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+                     sum(s.bits)::BIGINT AS total_bits
+              FROM tk t JOIN sur s USING (w) GROUP BY 1
+            ), scored AS (
+              SELECT d.doc_id, d.lang,
+                     coalesce((1000 * p.total_bits) // p.n_tokens, 0)::BIGINT
+                         AS mean_millibits
+              FROM documents d LEFT JOIN per p USING (doc_id)
+            ), ranked AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY mean_millibits, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM scored
+            )
+            SELECT doc_id, lang, mean_millibits,
+                   CASE WHEN (rn - 1) * 3 < n THEN 'head'
+                        WHEN (rn - 1) * 3 < 2 * n THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM ranked
         """,
         "cohort_retention": """
             WITH uw AS (

@@ -156,7 +156,9 @@ def bench_queries(sf_dir: str) -> dict:
              "quality_blend_rank", "order_event_coverage",
              "bloom_join_urgent_items", "price_winsorized_stats",
              "tfidf_cosine_pairs", "token_frequency_spectrum",
-             "dedup_canonical", "lang_confusion"]
+             "dedup_canonical", "lang_confusion",
+             "event_transitions", "referential_integrity",
+             "temperature_sample", "ccnet_ppl_buckets"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -115,3 +115,46 @@ def funnel_counts_ds(sf_dir: str,
     SQL-checked face of ``funnel_counts``."""
     events = read_table(sf_dir, "events", ["user_id", "event_type", "ts"])
     return funnel_counts(events, list(steps))
+
+
+def event_transition_matrix_ds(sf_dir: str, num_partitions: int = 32):
+    """First-order Markov transition counts between consecutive event types
+    — for every ordered pair (from_type, to_type), how many times a user's
+    event of ``from_type`` was immediately followed by one of ``to_type``.
+    The maximum-likelihood transition-matrix estimate behind session-model
+    features and next-event prediction baselines; the row-normalized version
+    is P(next | current).
+
+    Plan: one partition on ``user_id`` co-locates each user's history (the
+    per-user ordering cannot be pre-aggregated); inside the partition a
+    single vectorized sort by (user, ts, event_id) + groupby-shift pairs
+    each event with its successor, and the partition emits O(types²)
+    partial cell counts. The driver sums a card-sized matrix. Ordering ties
+    on ts are broken by event_id — a total, engine-independent order the
+    DuckDB lead() oracle reproduces.
+    """
+    events = read_table(sf_dir, "events",
+                        ["event_id", "user_id", "ts", "event_type"])
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        nxt = d.groupby("user_id", sort=False)["event_type"].shift(-1)
+        keep = nxt.notna().to_numpy()
+        cells = pd.DataFrame({
+            "from_type": d["event_type"].to_numpy()[keep],
+            "to_type": nxt.to_numpy()[keep]})
+        out = cells.groupby(["from_type", "to_type"], as_index=False) \
+            .size().rename(columns={"size": "n_transitions"})
+        return out.astype({"n_transitions": "int64"})
+
+    parts = partitioned_group_apply(events, ["user_id"], per_part,
+                                    num_partitions).to_pandas()
+    if parts.empty:  # Ray drops the schema when every partition is empty
+        parts = pd.DataFrame({
+            "from_type": pd.Series([], dtype="object"),
+            "to_type": pd.Series([], dtype="object"),
+            "n_transitions": pd.Series([], dtype="int64")})
+    out = parts.groupby(["from_type", "to_type"], as_index=False) \
+        ["n_transitions"].sum()
+    out["n_transitions"] = out["n_transitions"].astype("int64")
+    return out.sort_values(["from_type", "to_type"]).reset_index(drop=True)

@@ -553,3 +553,71 @@ def quality_blend_rank_ds(sf_dir: str):
         })
 
     return sig.map_batches(score, batch_format="pandas")
+
+
+def ccnet_perplexity_buckets_ds(sf_dir: str, num_partitions: int = 32):
+    """CCNet-style perplexity bucketing: within each language, split the
+    corpus into head / middle / tail thirds by LM surprisal (Wenzek et al.
+    2020 — CCNet keeps the "head" as the cleanest training slice and
+    discards or down-weights the tail). Difficulty is the integer
+    ``mean_millibits`` from ``text.unigram_surprisal_ds``; the within-lang
+    order is made total by (mean_millibits, doc_id), so the buckets are
+    engine-independent: bucket = head iff rank0·3 < n_lang, middle iff
+    rank0·3 < 2·n_lang, else tail (rank0 = 0-based within-lang rank).
+
+    Scale plan: NO global or per-lang sort. The within-lang rank reuses
+    ``pack.ordered_pack``'s two-phase range-partitioned prefix scan with
+    ``group_cols=["lang"]`` (weight 1, budget 1 → rank): phase 1 ships one
+    count per (lang, difficulty-bucket) — O(langs × buckets) driver rows —
+    phase 2 is a shuffle-free map adding offsets. A hot language spreads
+    across difficulty buckets instead of landing in one task. Per-lang
+    totals are a card-sized ``grouped_count`` broadcast through the
+    closure.
+
+    Returns (doc_id, lang, mean_millibits, ppl_bucket).
+    """
+    from .agg import grouped_count
+    from .joins import hash_join
+    from .pack import ordered_pack
+    from .text import unigram_surprisal_ds
+
+    surp = unigram_surprisal_ds(sf_dir) \
+        .map_batches(lambda b: b[["doc_id", "mean_millibits"]],
+                     batch_format="pandas")
+    langs = _io_read(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "lang"])
+    scored = hash_join(surp, langs, on=["doc_id"],
+                       num_partitions=num_partitions)
+
+    n_lang = grouped_count(
+        _io_read(f"{sf_dir}/documents.parquet", columns=["lang"]),
+        ["lang"], "n", num_partitions).to_pandas()
+    totals = dict(zip(n_lang["lang"], n_lang["n"].astype(int)))
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.copy()
+        # composite key: total order within a lang (curriculum convention)
+        b["__key"] = (b["mean_millibits"].astype("int64") * (1 << 40)
+                      + b["doc_id"].astype("int64"))
+        b["__one"] = np.int64(1)
+        return b
+
+    ranked = ordered_pack(scored.map_batches(keyed, batch_format="pandas"),
+                          "__key", "__one", budget=1,
+                          bucket_width=64 << 40, out_col="__rank0",
+                          num_partitions=num_partitions,
+                          group_cols=["lang"])
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["lang"].map(totals).astype("int64").to_numpy()
+        r3 = batch["__rank0"].astype("int64").to_numpy() * 3
+        bucket = np.where(r3 < n, "head",
+                          np.where(r3 < 2 * n, "middle", "tail"))
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "lang": batch["lang"].astype(str),
+            "mean_millibits": batch["mean_millibits"].astype("int64"),
+            "ppl_bucket": pd.Series(bucket, dtype="object",
+                                    index=batch.index)})
+
+    return ranked.map_batches(finish, batch_format="pandas")

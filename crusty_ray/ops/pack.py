@@ -160,6 +160,38 @@ def export_image_shards(images_path: str, out_dir: str | None,
     computed from slim rows. ``out_dir=None`` skips the payload write and
     returns the summary only."""
     from .agg import partitioned_group_apply
+    from .io import read_dataset
+
+    assignment = _shard_assignment(images_path, shard_bytes, num_partitions,
+                                   min_w, min_h, max_aspect_pm,
+                                   min_caption_chars)
+
+    if out_dir is not None:
+        from .joins import hash_join
+        full = read_dataset(images_path)
+        rows = hash_join(
+            full,
+            assignment.drop_columns(["n_bytes"]),
+            on=["image_id"], num_partitions=num_partitions)
+        rows.write_parquet(out_dir, partition_cols=["shard_id"])
+
+    def summarize(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("shard_id", as_index=False).agg(
+            n_images=("image_id", "size"), total_bytes=("n_bytes", "sum"))
+        return out.astype({"n_images": "int64", "total_bytes": "int64"})
+
+    return partitioned_group_apply(assignment, ["shard_id"], summarize,
+                                   num_partitions)
+
+
+def _shard_assignment(images_path: str, shard_bytes: int,
+                      num_partitions: int, min_w: int, min_h: int,
+                      max_aspect_pm: int, min_caption_chars: int):
+    """Shared slim plan of the export ops: quality gate → keep-first exact
+    dedup → byte-budget shard packing. Returns the MATERIALIZED
+    (image_id, n_bytes, shard_id) assignment — slim rows only, the payload
+    is never read."""
+    from .agg import partitioned_group_apply
     from .image_quality import _quality_flags
     from .io import read_dataset
 
@@ -201,25 +233,83 @@ def export_image_shards(images_path: str, out_dir: str | None,
     # materialize: the slim assignment feeds BOTH the payload join and the
     # per-shard summary — lazy, the whole gate→dedup→pack chain would
     # re-execute per consumer
-    assignment = packed.map_batches(strip,
-                                    batch_format="pandas").materialize()
+    return packed.map_batches(strip, batch_format="pandas").materialize()
 
-    if out_dir is not None:
-        from .joins import hash_join
-        full = read_dataset(images_path)
-        rows = hash_join(
-            full,
-            assignment.drop_columns(["n_bytes"]),
-            on=["image_id"], num_partitions=num_partitions)
-        rows.write_parquet(out_dir, partition_cols=["shard_id"])
 
-    def summarize(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby("shard_id", as_index=False).agg(
-            n_images=("image_id", "size"), total_bytes=("n_bytes", "sum"))
-        return out.astype({"n_images": "int64", "total_bytes": "int64"})
+def export_webdataset(images_path: str, out_dir: str,
+                      shard_bytes: int = 4 << 20, num_partitions: int = 32,
+                      min_w: int = 32, min_h: int = 32,
+                      max_aspect_pm: int = 3000, min_caption_chars: int = 8):
+    """WebDataset-style tar-shard export of the curated image+caption
+    corpus — the artifact an image-text training job actually streams:
+    ``shard-NNNNNN.tar`` files, each sample stored as two adjacent members
+    ``{image_id}.{fmt}`` (payload bytes) and ``{image_id}.txt`` (caption,
+    UTF-8). Same gate → dedup → byte-budget plan as
+    ``export_image_shards`` (shared ``_shard_assignment``).
 
-    return partitioned_group_apply(assignment, ["shard_id"], summarize,
-                                   num_partitions)
+    The tars are BYTE-deterministic: members sorted by image_id, USTAR
+    format, zeroed mtime/uid/gid — re-running the export reproduces
+    identical files, so a resumed run can cheaply verify finished shards.
+    Each shard is written to a temp path then ``os.replace``d (atomic on
+    one filesystem; retries overwrite, never corrupt). Per-task memory is
+    bounded by ``shard_bytes`` × shards-per-partition: the payload moves
+    exactly once, straight from the join into its tar.
+
+    Returns the per-shard summary (shard_id, n_images, tar_bytes, path).
+    """
+    import os
+    import tarfile
+    from io import BytesIO
+
+    from .agg import partitioned_group_apply
+    from .io import read_dataset
+    from .joins import hash_join
+
+    os.makedirs(out_dir, exist_ok=True)
+    assignment = _shard_assignment(images_path, shard_bytes, num_partitions,
+                                   min_w, min_h, max_aspect_pm,
+                                   min_caption_chars)
+    full = read_dataset(images_path,
+                        columns=["image_id", "bytes", "fmt", "caption"])
+    rows = hash_join(full, assignment.drop_columns(["n_bytes"]),
+                     on=["image_id"], num_partitions=num_partitions)
+
+    def _member(tar, name: str, payload: bytes) -> None:
+        info = tarfile.TarInfo(name=name)
+        info.size = len(payload)
+        info.mtime = 0
+        info.uid = info.gid = 0
+        info.uname = info.gname = ""
+        info.mode = 0o644
+        tar.addfile(info, BytesIO(payload))
+
+    def write_shards(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for sid, g in df.groupby("shard_id", sort=True):
+            g = g.sort_values("image_id", kind="mergesort")
+            path = os.path.join(out_dir, f"shard-{int(sid):06d}.tar")
+            tmp = path + ".tmp"
+            with tarfile.open(tmp, "w", format=tarfile.USTAR_FORMAT) as tar:
+                for r in g.itertuples(index=False):
+                    _member(tar, f"{r.image_id}.{r.fmt}", bytes(r.bytes))
+                    _member(tar, f"{r.image_id}.txt",
+                            str(r.caption or "").encode("utf-8"))
+            os.replace(tmp, path)
+            out.append((int(sid), len(g), os.path.getsize(path), path))
+        return pd.DataFrame(out, columns=["shard_id", "n_images",
+                                          "tar_bytes", "path"]) \
+            .astype({"shard_id": "int64", "n_images": "int64",
+                     "tar_bytes": "int64"})
+
+    summary = partitioned_group_apply(rows, ["shard_id"], write_shards,
+                                      num_partitions).to_pandas()
+    if summary.empty:
+        summary = pd.DataFrame({
+            "shard_id": pd.Series([], dtype="int64"),
+            "n_images": pd.Series([], dtype="int64"),
+            "tar_bytes": pd.Series([], dtype="int64"),
+            "path": pd.Series([], dtype="object")})
+    return summary.sort_values("shard_id").reset_index(drop=True)
 
 
 _ASPECTS_PM = (500, 750, 1000, 1333, 2000)  # h:w per-mille anchor buckets

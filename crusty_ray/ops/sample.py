@@ -128,3 +128,45 @@ def stratified_exact_k_ds(sf_dir: str, k: int = 20):
     out = top[["source", "doc_id", "rn"]] \
         .astype({"doc_id": "int64", "rn": "int64"})
     return out.sort_values(["source", "rn"]).reset_index(drop=True)
+
+
+def temperature_sample(ds, id_col: str, stratum_col: str,
+                       counts: dict[str, int]):
+    """Examples-proportional mixing with temperature T=2 (sampling rate ∝
+    n_s^(1/2), normalized so the largest source keeps everything — the
+    multilingual-mixture rule of mT5/GPT-3 style training recipes, which
+    damps head sources without starving the tail).
+
+    Kept iff the row's per-mille md5 bucket b satisfies the EXACT integer
+    inequality  b² · n_max < 10⁶ · n_s  —  algebraically b/1000 <
+    sqrt(n_s/n_max) with no float sqrt on either engine, so the DuckDB
+    twin is bit-exact. Deterministic, stable under repartitioning, and
+    per-row (one md5, zero shuffles) given the card-sized ``counts``
+    broadcast.
+    """
+    n_max = max(counts.values()) if counts else 0
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        b = _md5_bucket_pm(batch[id_col]).astype("int64")
+        ns = batch[stratum_col].map(counts).fillna(0).to_numpy(dtype="int64")
+        keep = b * b * n_max < 1_000_000 * ns
+        return batch.loc[keep, [id_col, stratum_col]]
+
+    return ds.map_batches(pick, batch_format="pandas")
+
+
+def temperature_sample_ds(sf_dir: str):
+    """Contract face: T=2 temperature sampling of documents by LANGUAGE —
+    the mT5 rebalancing case (the corpus's lang counts are skewed ~3:1, so
+    the rates actually bind; its ``source`` strata are uniform and would
+    make the rule a no-op). Per-lang counts are a card-sized
+    ``grouped_count`` (the shuffle carries distinct langs per block, not
+    rows)."""
+    from .agg import grouped_count
+    from .io import read_table
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "lang"])
+    n = grouped_count(read_table(sf_dir, "documents", ["lang"]),
+                      ["lang"], "n").to_pandas()
+    counts = dict(zip(n["lang"], n["n"].astype(int)))
+    return temperature_sample(docs, "doc_id", "lang", counts)

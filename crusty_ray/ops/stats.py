@@ -164,3 +164,79 @@ def numeric_profile_ds(sf_dir: str, table: str = "lineitem",
     for c in out.columns[1:]:
         out[c] = out[c].astype("int64")
     return out.sort_values("column_name").reset_index(drop=True)
+
+
+def fk_orphan_summary(child_ds, child_key: str, parent_ds, parent_key: str,
+                      num_partitions: int = 32) -> dict:
+    """Referential-integrity core: how many CHILD rows (and distinct child
+    keys) reference a key absent from PARENT. Both sides may be fact-scale —
+    neither is broadcast or driver-materialized.
+
+    Plan: the child side pre-aggregates to per-key row counts
+    (``grouped_count`` — the shuffle carries distinct keys, not rows); the
+    parent side dedups per batch; both land in the same coarse key
+    partition (side-tagged union), where a vectorized isin decides orphans
+    and each partition emits ONE partial row. The driver sums
+    O(num_partitions) partials.
+    """
+    from .agg import grouped_count
+
+    child_counts = grouped_count(child_ds, [child_key], "__n",
+                                 num_partitions)
+
+    def tag_child(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "__key": df[child_key].astype("int64"),
+            "__n": df["__n"].astype("int64"),
+            "__parent": np.zeros(len(df), dtype="int64")})
+
+    def tag_parent(df: pd.DataFrame) -> pd.DataFrame:
+        k = df[parent_key].drop_duplicates()
+        return pd.DataFrame({
+            "__key": k.astype("int64"),
+            "__n": np.zeros(len(k), dtype="int64"),
+            "__parent": np.ones(len(k), dtype="int64")})
+
+    both = child_counts.map_batches(tag_child, batch_format="pandas") \
+        .union(parent_ds.map_batches(tag_parent, batch_format="pandas"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        has_parent = df.loc[df["__parent"] == 1, "__key"].unique()
+        ch = df[df["__parent"] == 0]
+        orphan = ~ch["__key"].isin(has_parent)
+        return pd.DataFrame({
+            "n_child_rows": pd.Series([int(ch["__n"].sum())], dtype="int64"),
+            "n_orphan_rows": pd.Series([int(ch.loc[orphan, "__n"].sum())],
+                                       dtype="int64"),
+            "n_orphan_keys": pd.Series([int(orphan.sum())], dtype="int64")})
+
+    parts = partitioned_group_apply(both, ["__key"], partial,
+                                    num_partitions).to_pandas()
+    if parts.empty:
+        return {"n_child_rows": 0, "n_orphan_rows": 0, "n_orphan_keys": 0}
+    return {c: int(parts[c].sum()) for c in parts.columns}
+
+
+def referential_integrity_ds(sf_dir: str, num_partitions: int = 32):
+    """Foreign-key integrity audit over the warehouse's two fact→parent
+    edges — the data-quality gate a pipeline runs before joining: orphan
+    child rows silently vanish from inner joins and silently NULL-pad left
+    joins, so the audit quantifies the blast radius up front. One row per
+    relationship: total child rows, orphan child rows, distinct orphan
+    keys."""
+    rels = [
+        ("lineitem.l_orderkey->orders.o_orderkey",
+         read_table(sf_dir, "lineitem", ["l_orderkey"]), "l_orderkey",
+         read_table(sf_dir, "orders", ["o_orderkey"]), "o_orderkey"),
+        ("orders.o_custkey->customer.c_custkey",
+         read_table(sf_dir, "orders", ["o_custkey"]), "o_custkey",
+         read_table(sf_dir, "customer", ["c_custkey"]), "c_custkey"),
+    ]
+    rows = []
+    for rel, child, ck, parent, pk in rels:
+        s = fk_orphan_summary(child, ck, parent, pk, num_partitions)
+        rows.append({"rel": rel, **s})
+    out = pd.DataFrame(rows)
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("rel").reset_index(drop=True)

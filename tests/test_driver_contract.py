@@ -70,7 +70,8 @@ def test_every_query_is_covered_by_some_check(contract):
                      "image_train_shards", "image_aspect_batches",
                      "image_features", "image_feature_near_dups",
                      "image_channel_stats", "image_patch_grid", "image_augment",
-                     "image_text_curation", "crawl_log_compact"}
+                     "image_text_curation", "webdataset_export",
+                     "crawl_log_compact"}
     listed = set(SQL_CHECKED) | set(ROWS_ONLY) | crawl_checked
     assert set(queries) == listed, (
         f"unlisted: {set(queries) - listed}; stale: {listed - set(queries)}")
@@ -116,6 +117,8 @@ SQL_CHECKED = [
     "price_mad_by_priority", "minhash_candidates_md5_capped",
     "token_frequency_spectrum", "lang_confusion", "dedup_canonical",
     "tfidf_cosine_pairs", "stratified_exact_k",
+    "event_transitions", "referential_integrity", "temperature_sample",
+    "ccnet_ppl_buckets",
 ]
 
 
