@@ -270,7 +270,7 @@ def _image_train_shards(sf_dir: str):
 
 def _webdataset_export(sf_dir: str):
     # WebDataset tar-shard export of the curated image+caption corpus;
-    # byte-determinism + readback equality oracled in tests/test_pack.py
+    # byte-determinism + readback equality oracled in tests/test_session_o_ops.py
     import tempfile
     from crusty_ray.ops.pack import export_webdataset
     out = tempfile.mkdtemp(prefix="wds_", dir="/tmp")
@@ -687,7 +687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_text_curation": _image_quality("image_text_curation"),
         "image_train_shards": _image_train_shards,
         # WebDataset tar-shard export (deterministic tars; rows-only here,
-        # byte-level readback equality oracled in tests/test_pack.py)
+        # byte-level readback equality oracled in tests/test_session_o_ops.py)
         "webdataset_export": _webdataset_export,
         # SDXL-style aspect-ratio-bucketed training batches (rows-only here;
         # duckdb window-function oracle in tests/test_pack.py)

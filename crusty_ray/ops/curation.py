@@ -29,6 +29,35 @@ from .io import read_parquet as _io_read
 from .text import _PUNCT_RE, bench_gram_ref, space_split_ngrams
 
 
+def _surprisal_rank(ds, out_col: str, num_partitions: int,
+                    group_cols: list[str] | None = None):
+    """Shared rank plumbing for the surprisal-ordered ops: rank rows by
+    ``(mean_millibits, doc_id)`` (globally, or within ``group_cols``) with
+    ``pack.ordered_pack``'s two-phase range-partitioned prefix scan —
+    weight 1 / budget 1 makes the pack index an exclusive prefix COUNT,
+    i.e. a 0-based rank, with no global sort.
+
+    The composite int64 key ``millibits * 2^40 + doc_id`` totalizes the
+    order while keeping range buckets aligned to the difficulty axis
+    (doc_id < 2^40 — the repo-wide packing invariant, one definition here).
+    Input needs columns ``doc_id``, ``mean_millibits`` (+ group cols);
+    passthrough columns survive."""
+    from .pack import ordered_pack
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.copy()
+        b["__key"] = (b["mean_millibits"].astype("int64") * (1 << 40)
+                      + b["doc_id"].astype("int64"))
+        b["__one"] = np.int64(1)
+        return b
+
+    return ordered_pack(ds.map_batches(keyed, batch_format="pandas"),
+                        "__key", "__one", budget=1,
+                        bucket_width=64 << 40, out_col=out_col,
+                        num_partitions=num_partitions,
+                        group_cols=group_cols)
+
+
 def corpus_curation_ds(sf_dir: str, bench_source: str = "src0",
                        n: int = 5, num_partitions: int = 32):
     """Surviving curated corpus: one row per kept document —
@@ -341,22 +370,12 @@ def curriculum_order_ds(sf_dir: str, num_partitions: int = 32):
 
     Returns (doc_id, difficulty_millibits, rank).
     """
-    from .pack import ordered_pack
     from .text import unigram_surprisal_ds
 
-    surp = unigram_surprisal_ds(sf_dir)
-
-    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
-        b = batch[["doc_id", "mean_millibits"]].copy()
-        b["__key"] = (b["mean_millibits"].astype("int64") * (1 << 40)
-                      + b["doc_id"].astype("int64"))
-        b["__one"] = np.int64(1)
-        return b
-
-    ranked = ordered_pack(surp.map_batches(keyed, batch_format="pandas"),
-                          "__key", "__one", budget=1,
-                          bucket_width=64 << 40, out_col="rank",
-                          num_partitions=num_partitions)
+    surp = unigram_surprisal_ds(sf_dir) \
+        .map_batches(lambda b: b[["doc_id", "mean_millibits"]],
+                     batch_format="pandas")
+    ranked = _surprisal_rank(surp, "rank", num_partitions)
 
     def finish(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -578,7 +597,6 @@ def ccnet_perplexity_buckets_ds(sf_dir: str, num_partitions: int = 32):
     """
     from .agg import grouped_count
     from .joins import hash_join
-    from .pack import ordered_pack
     from .text import unigram_surprisal_ds
 
     surp = unigram_surprisal_ds(sf_dir) \
@@ -594,19 +612,8 @@ def ccnet_perplexity_buckets_ds(sf_dir: str, num_partitions: int = 32):
         ["lang"], "n", num_partitions).to_pandas()
     totals = dict(zip(n_lang["lang"], n_lang["n"].astype(int)))
 
-    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
-        b = batch.copy()
-        # composite key: total order within a lang (curriculum convention)
-        b["__key"] = (b["mean_millibits"].astype("int64") * (1 << 40)
-                      + b["doc_id"].astype("int64"))
-        b["__one"] = np.int64(1)
-        return b
-
-    ranked = ordered_pack(scored.map_batches(keyed, batch_format="pandas"),
-                          "__key", "__one", budget=1,
-                          bucket_width=64 << 40, out_col="__rank0",
-                          num_partitions=num_partitions,
-                          group_cols=["lang"])
+    ranked = _surprisal_rank(scored, "__rank0", num_partitions,
+                             group_cols=["lang"])
 
     def finish(batch: pd.DataFrame) -> pd.DataFrame:
         n = batch["lang"].map(totals).astype("int64").to_numpy()

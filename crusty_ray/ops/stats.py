@@ -178,8 +178,22 @@ def fk_orphan_summary(child_ds, child_key: str, parent_ds, parent_key: str,
     partition (side-tagged union), where a vectorized isin decides orphans
     and each partition emits ONE partial row. The driver sums
     O(num_partitions) partials.
+
+    NULL child keys follow the LEFT-JOIN oracle semantics exactly: a NULL
+    key matches no parent, so its rows count in ``n_child_rows`` and
+    ``n_orphan_rows`` — but NOT in ``n_orphan_keys`` (SQL COUNT(DISTINCT)
+    ignores NULLs). ``grouped_count``'s pandas groupby drops NULL-key rows,
+    so they are tallied in a separate slim pass (per-batch scalar partials,
+    one int per block).
     """
     from .agg import grouped_count
+
+    def null_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"__nulls": pd.Series(
+            [int(df[child_key].isna().sum())], dtype="int64")})
+
+    n_null = int(child_ds.map_batches(null_partial, batch_format="pandas")
+                 .sum("__nulls") or 0)
 
     child_counts = grouped_count(child_ds, [child_key], "__n",
                                  num_partitions)
@@ -213,8 +227,12 @@ def fk_orphan_summary(child_ds, child_key: str, parent_ds, parent_key: str,
     parts = partitioned_group_apply(both, ["__key"], partial,
                                     num_partitions).to_pandas()
     if parts.empty:
-        return {"n_child_rows": 0, "n_orphan_rows": 0, "n_orphan_keys": 0}
-    return {c: int(parts[c].sum()) for c in parts.columns}
+        return {"n_child_rows": n_null, "n_orphan_rows": n_null,
+                "n_orphan_keys": 0}
+    out = {c: int(parts[c].sum()) for c in parts.columns}
+    out["n_child_rows"] += n_null
+    out["n_orphan_rows"] += n_null
+    return out
 
 
 def referential_integrity_ds(sf_dir: str, num_partitions: int = 32):

@@ -82,6 +82,32 @@ def test_fk_orphans_planted(ray_session, tmp_path):
     assert s == {"n_child_rows": 7, "n_orphan_rows": 4, "n_orphan_keys": 2}
 
 
+def test_fk_orphans_null_keys(ray_session):
+    """NULL child keys follow the LEFT-JOIN oracle: they count as child
+    rows AND orphan rows, but COUNT(DISTINCT key) ignores NULLs — the
+    canonical dirty-data case the audit exists for (regression: pandas
+    groupby silently dropped them before counting)."""
+    import ray
+    from crusty_ray.ops.stats import fk_orphan_summary
+    child = ray.data.from_pandas(pd.DataFrame({
+        "k": pd.Series([1, 2, None, 9], dtype="Int64")}))
+    parent = ray.data.from_pandas(pd.DataFrame({
+        "p": pd.Series([1, 2], dtype="int64")}))
+    s = fk_orphan_summary(child, "k", parent, "p")
+    assert s == {"n_child_rows": 4, "n_orphan_rows": 2, "n_orphan_keys": 1}
+
+
+def test_fk_orphans_all_null(ray_session):
+    import ray
+    from crusty_ray.ops.stats import fk_orphan_summary
+    child = ray.data.from_pandas(pd.DataFrame({
+        "k": pd.Series([None, None], dtype="Int64")}))
+    parent = ray.data.from_pandas(pd.DataFrame({
+        "p": pd.Series([1], dtype="int64")}))
+    s = fk_orphan_summary(child, "k", parent, "p")
+    assert s == {"n_child_rows": 2, "n_orphan_rows": 2, "n_orphan_keys": 0}
+
+
 def test_fk_orphans_all_present(ray_session):
     import ray
     from crusty_ray.ops.stats import fk_orphan_summary
