@@ -402,8 +402,6 @@ class EpochStage:
         _cap_arrow_pools()  # in the WORKER process — __init__ runs on the
         # driver and unpickling skips it, so a cap there never reaches the
         # map tasks (and would throttle the driver instead)
-        if batch.num_rows == 0:  # nothing to fetch, no absorb file to write
-            return self.discover(self.fetch(batch))
         if self.seq_offsets is not None:
             shard_np = batch.column("shard").to_numpy(zero_copy_only=False)
             seq = (self.seq_offsets[shard_np]
@@ -414,6 +412,11 @@ class EpochStage:
                                           dtype=np.int32), pa.int32()))
             batch = batch.append_column("seq", pa.array(seq, pa.int64()))
         out = self.discover(self.fetch(batch))
+        if out.num_rows == 0:
+            # nothing to fetch → no absorb file, but the returned block must
+            # keep the SAME LOG_COLUMNS schema as every non-empty block or
+            # the downstream parquet write fails on cross-block mismatch
+            return log_projection(out)
         slim = out.select(RouterStage.ABSORB_COLUMNS)
         groups = pc.divide(out["shard"], self.SHARDS_PER_GROUP)
         # deterministic per-batch name: seq values partition the epoch's task

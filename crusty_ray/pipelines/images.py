@@ -25,7 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-from ..codecs.images import decode_image, phash64, psnr
+from ..codecs.images import decode_image, encode_image, phash64, psnr
 from ..config import Config
 from ..datagen.webgraph import SyntheticWeb, WebConfig
 
@@ -63,16 +63,14 @@ class ImageFetchStage:
         self.web = SyntheticWeb(web_cfg)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..codecs.images import encode_image
         rows = []
         for iid in batch["image_id"].to_pylist():
             # one generation pass: pixels → encode once ("HTTP fetch" payload)
             raw, fmt, caption = self.web.image_pixels_raw(iid)
             h, w = raw.shape[:2]
-            from ..codecs.images import phash64 as _ph
             rec = {"image_id": iid, "bytes": encode_image(raw, fmt),
                    "w": w, "h": h, "fmt": fmt, "caption": caption,
-                   "phash": _ph(raw)}
+                   "phash": phash64(raw)}
             try:
                 px = decode_image(rec["bytes"], rec["fmt"])
                 decode_ok = px.shape == (rec["h"], rec["w"], 3)

@@ -53,6 +53,13 @@ class _Segment:
 
 
 class ScalingBloom:
+    # RedisBloom's tightening ratio: scaling segment i is built at
+    # error_rate · TIGHTENING^i, so the compound false-positive rate of the
+    # OR over all segments stays bounded at error_rate / (1 - TIGHTENING)
+    # = 2 · error_rate regardless of how many times the filter scales
+    # (without it the compound rate grows linearly with segment count).
+    TIGHTENING = 0.5
+
     def __init__(self, capacity: int = 1 << 20, error_rate: float = 0.001,
                  expansion: int = 2, seed: int = 0):
         self.capacity = capacity
@@ -65,13 +72,24 @@ class ScalingBloom:
         return hash64_batch(items, seed=self.seed)
 
     def add_batch(self, items: Sequence[str]) -> None:
-        if not len(items):
-            return
-        seg = self.segments[-1]
-        if seg.count + len(items) > seg.capacity:
-            seg = _Segment(seg.capacity * self.expansion, self.error_rate)
-            self.segments.append(seg)
-        seg.add(self._base(items))
+        """Insert, splitting across segments at capacity boundaries — one
+        oversized batch must not overfill a segment past the capacity its
+        bit count was sized for (that would blow the segment's FPP budget,
+        not just waste space)."""
+        items = list(items)
+        i = 0
+        while i < len(items):
+            seg = self.segments[-1]
+            room = seg.capacity - seg.count
+            if room <= 0:
+                seg = _Segment(
+                    seg.capacity * self.expansion,
+                    self.error_rate * self.TIGHTENING ** len(self.segments))
+                self.segments.append(seg)
+                continue
+            chunk = items[i:i + room]
+            seg.add(self._base(chunk))
+            i += len(chunk)
 
     def contains_batch(self, items: Sequence[str]) -> np.ndarray:
         if not len(items):

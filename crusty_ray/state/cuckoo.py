@@ -86,6 +86,16 @@ class CuckooFilter:
             self.count += 1
 
     def delete_batch(self, items: Sequence[str]) -> int:
+        """Remove one fingerprint per item; returns how many were removed.
+
+        Standard cuckoo-filter PRECONDITION (Fan et al. §3.2, undetectable
+        at runtime): only delete items known to have been inserted. Deleting
+        a never-inserted item that fingerprint-collides with an inserted one
+        removes the OTHER item's slot — creating a false NEGATIVE in the
+        authoritative seen set. The crawl engine never deletes (history only
+        grows; politeness locks live in ``ShardState.in_processing``, not
+        here) — this exists for the filter's standalone users and is
+        exercised by the unit tests only."""
         deleted = 0
         if not len(items):
             return 0

@@ -35,6 +35,7 @@ from dataclasses import dataclass, field
 from typing import Any, Optional
 
 from ..config import Config
+from ..core.hashing import hash64
 from ..core.urls import transform_domain
 from .bloom import ScalingBloom
 from .cuckoo import CuckooFilter
@@ -72,6 +73,11 @@ class JobState:
     last_fetch_epoch: int = -(10 ** 9)
     in_flight: int = 0
     term_by: str = ""
+    # per-domain deterministic jitters, constant for the job's lifetime —
+    # computed once at job creation (take_ready used to re-hash the domain
+    # for every active job on every epoch, inside the barrier-critical path)
+    hard_jitter: int = 0
+    delay_jitter: int = 0
 
 
 class ShardState:
@@ -207,6 +213,12 @@ class ShardState:
             root = msg.url or f"http://{msg.domain}/"
             job = JobState(domain=msg.domain, addr_key=key, root_url=root,
                            start_epoch=epoch)
+            if cfg.crawl.job_hard_timeout_jitter_epochs:
+                job.hard_jitter = hash64(msg.domain, seed=13) % (
+                    cfg.crawl.job_hard_timeout_jitter_epochs + 1)
+            if cfg.crawl.delay_jitter_epochs:
+                job.delay_jitter = hash64(msg.domain, seed=11) % (
+                    cfg.crawl.delay_jitter_epochs + 1)
             job.url_seen.add(root)           # root committed like a scheduled task
             job.queue.append((0, root))
             self.jobs[msg.domain] = job
@@ -214,11 +226,7 @@ class ShardState:
         tasks: list[dict] = []
         for domain in sorted(self.jobs):
             job = self.jobs[domain]
-            hard = cfg.crawl.job_hard_timeout_epochs
-            if cfg.crawl.job_hard_timeout_jitter_epochs:
-                from ..core.hashing import hash64
-                hard += hash64(domain, seed=13) % (
-                    cfg.crawl.job_hard_timeout_jitter_epochs + 1)
+            hard = cfg.crawl.job_hard_timeout_epochs + job.hard_jitter
             if epoch - job.start_epoch > hard:
                 # forcible kill (job_hard_timeout): drop remaining queue
                 job.term_by = "hard_timeout"
@@ -229,10 +237,7 @@ class ShardState:
                 continue  # no new tasks; finishes at end_epoch
             # politeness delay + deterministic per-domain jitter
             # (conf/default.yaml:205-209: delay 1s + delay_jitter 1s)
-            delay = cfg.crawl.delay_epochs
-            if cfg.crawl.delay_jitter_epochs:
-                from ..core.hashing import hash64
-                delay += hash64(domain, seed=11) % (cfg.crawl.delay_jitter_epochs + 1)
+            delay = cfg.crawl.delay_epochs + job.delay_jitter
             if not job.queue or epoch - job.last_fetch_epoch < delay:
                 continue
             n = min(cfg.crawl.concurrency, len(job.queue))

@@ -68,8 +68,13 @@ class TopKSketch:
         if est:
             self.heap[item] = max(self.heap.get(item, 0), est)
             if len(self.heap) > self.k * 4:  # bound candidate set
-                cutoff = sorted(self.heap.values(), reverse=True)[self.k * 2]
-                self.heap = {m: c for m, c in self.heap.items() if c > cutoff}
+                # keep exactly the top 2k by (count desc, item) — a strict
+                # `> cutoff` filter would drop ALL entries tied at the
+                # cutoff (e.g. the flat everything-is-1 early stream) and
+                # could empty the candidate set entirely
+                keep = sorted(self.heap.items(),
+                              key=lambda t: (-t[1], t[0]))[: self.k * 2]
+                self.heap = dict(keep)
 
     def query(self, item: str) -> int:
         idxs, fp = self._positions(item)

@@ -34,6 +34,25 @@ class TestScalingBloom:
         probes = [f"d{i}" for i in range(300)] + [f"q{i}" for i in range(300)]
         assert list(bf.contains_batch(probes)) == list(bf2.contains_batch(probes))
 
+    def test_oversized_batch_splits_across_segments(self):
+        # one batch far larger than a segment's capacity must not overfill
+        # it (that would blow the segment's sized-for FPP budget)
+        bf = ScalingBloom(capacity=100, error_rate=0.01, expansion=2)
+        items = [f"big{i}" for i in range(1000)]
+        bf.add_batch(items)
+        assert all(s.count <= s.capacity for s in bf.segments)
+        assert bf.contains_batch(items).all()
+
+    def test_compound_fpp_bounded_after_scaling(self):
+        # RedisBloom-style tightening: after many scale-ups the OR over all
+        # segments stays near 2x the configured rate, not segments x rate
+        bf = ScalingBloom(capacity=500, error_rate=0.01, expansion=2)
+        bf.add_batch([f"in{i}" for i in range(8000)])  # ~5 segments
+        assert len(bf.segments) >= 4
+        probes = [f"out{i}" for i in range(30000)]
+        fpr = bf.contains_batch(probes).mean()
+        assert fpr < 0.025, fpr  # 2x target + margin; untightened ~5x
+
     def test_seed_stability_across_instances(self):
         a, b = ScalingBloom(capacity=500, seed=3), ScalingBloom(capacity=500, seed=3)
         items = [f"i{i}" for i in range(400)]

@@ -27,6 +27,18 @@ class TestTopKSketch:
         overlap = len(set(true_top) & set(got))
         assert overlap >= 8, (true_top, got[:10])
 
+    def test_flat_stream_survives_heap_trim(self):
+        # regression: with every candidate tied at count 1 (typical early
+        # stream), the trim's strict `> cutoff` filter used to empty the
+        # candidate heap entirely and topk() returned []
+        sk = TopKSketch(k=10, width=4096, depth=4)
+        for i in range(500):  # > k*4 distinct items, all count 1
+            sk.add(f"flat{i}.com")
+        top = sk.topk()
+        assert len(top) == 10
+        assert all(c >= 1 for _, c in top)
+        assert len(sk.heap) <= sk.k * 4
+
     def test_deterministic(self):
         stream = self._stream(5_000)
         a, b = TopKSketch(width=512, depth=4, seed=3), TopKSketch(width=512, depth=4, seed=3)
