@@ -172,67 +172,69 @@ def fk_orphan_summary(child_ds, child_key: str, parent_ds, parent_key: str,
     keys) reference a key absent from PARENT. Both sides may be fact-scale —
     neither is broadcast or driver-materialized.
 
-    Plan: the child side pre-aggregates to per-key row counts
-    (``grouped_count`` — the shuffle carries distinct keys, not rows); the
-    parent side dedups per batch; both land in the same coarse key
-    partition (side-tagged union), where a vectorized isin decides orphans
-    and each partition emits ONE partial row. The driver sums
-    O(num_partitions) partials.
+    Plan: ONE pass over each side, one shuffle total. The child side
+    pre-aggregates per batch to per-key partial counts (plus a flagged
+    NULL-tally row, so the NULL count rides the same pass instead of a
+    second fact scan); the parent side dedups per batch. Both land in the
+    same coarse key partition (side-tagged union) where partials sum per
+    key, a vectorized isin decides orphans, and each partition emits ONE
+    partial row. The driver sums O(num_partitions) partials.
 
-    NULL child keys follow the LEFT-JOIN oracle semantics exactly: a NULL
+    NULL keys follow the LEFT-JOIN oracle semantics exactly: a NULL child
     key matches no parent, so its rows count in ``n_child_rows`` and
     ``n_orphan_rows`` — but NOT in ``n_orphan_keys`` (SQL COUNT(DISTINCT)
-    ignores NULLs). ``grouped_count``'s pandas groupby drops NULL-key rows,
-    so they are tallied in a separate slim pass (per-batch scalar partials,
-    one int per block).
+    ignores NULLs); a NULL parent key matches nothing and is dropped.
     """
-    from .agg import grouped_count
 
-    def null_partial(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"__nulls": pd.Series(
-            [int(df[child_key].isna().sum())], dtype="int64")})
+    def local_child(df: pd.DataFrame) -> pd.DataFrame:
+        k = df[child_key]
+        cnt = k.dropna().astype("int64").value_counts()
+        out = pd.DataFrame({"__key": cnt.index.to_numpy(dtype="int64"),
+                            "__n": cnt.to_numpy(dtype="int64")})
+        out["__null"] = np.zeros(len(out), dtype="int64")
+        n_null = int(k.isna().sum())
+        if n_null:
+            out = pd.concat(
+                [out, pd.DataFrame({"__key": np.zeros(1, dtype="int64"),
+                                    "__n": np.full(1, n_null, dtype="int64"),
+                                    "__null": np.ones(1, dtype="int64")})],
+                ignore_index=True)
+        out["__parent"] = np.zeros(len(out), dtype="int64")
+        return out
 
-    n_null = int(child_ds.map_batches(null_partial, batch_format="pandas")
-                 .sum("__nulls") or 0)
-
-    child_counts = grouped_count(child_ds, [child_key], "__n",
-                                 num_partitions)
-
-    def tag_child(df: pd.DataFrame) -> pd.DataFrame:
+    def local_parent(df: pd.DataFrame) -> pd.DataFrame:
+        k = df[parent_key].dropna().drop_duplicates()
         return pd.DataFrame({
-            "__key": df[child_key].astype("int64"),
-            "__n": df["__n"].astype("int64"),
-            "__parent": np.zeros(len(df), dtype="int64")})
-
-    def tag_parent(df: pd.DataFrame) -> pd.DataFrame:
-        k = df[parent_key].drop_duplicates()
-        return pd.DataFrame({
-            "__key": k.astype("int64"),
+            "__key": k.astype("int64").to_numpy(),
             "__n": np.zeros(len(k), dtype="int64"),
+            "__null": np.zeros(len(k), dtype="int64"),
             "__parent": np.ones(len(k), dtype="int64")})
 
-    both = child_counts.map_batches(tag_child, batch_format="pandas") \
-        .union(parent_ds.map_batches(tag_parent, batch_format="pandas"))
+    both = child_ds.map_batches(local_child, batch_format="pandas") \
+        .union(parent_ds.map_batches(local_parent, batch_format="pandas"))
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        nulls = df["__null"] == 1
+        n_null = int(df.loc[nulls, "__n"].sum())
+        df = df[~nulls]
         has_parent = df.loc[df["__parent"] == 1, "__key"].unique()
-        ch = df[df["__parent"] == 0]
+        # all partials of a key hash into this partition — the groupby sum
+        # here IS the global per-key count
+        ch = df[df["__parent"] == 0].groupby("__key", as_index=False)["__n"] \
+            .sum()
         orphan = ~ch["__key"].isin(has_parent)
         return pd.DataFrame({
-            "n_child_rows": pd.Series([int(ch["__n"].sum())], dtype="int64"),
-            "n_orphan_rows": pd.Series([int(ch.loc[orphan, "__n"].sum())],
-                                       dtype="int64"),
+            "n_child_rows": pd.Series([int(ch["__n"].sum()) + n_null],
+                                      dtype="int64"),
+            "n_orphan_rows": pd.Series(
+                [int(ch.loc[orphan, "__n"].sum()) + n_null], dtype="int64"),
             "n_orphan_keys": pd.Series([int(orphan.sum())], dtype="int64")})
 
     parts = partitioned_group_apply(both, ["__key"], partial,
                                     num_partitions).to_pandas()
     if parts.empty:
-        return {"n_child_rows": n_null, "n_orphan_rows": n_null,
-                "n_orphan_keys": 0}
-    out = {c: int(parts[c].sum()) for c in parts.columns}
-    out["n_child_rows"] += n_null
-    out["n_orphan_rows"] += n_null
-    return out
+        return {"n_child_rows": 0, "n_orphan_rows": 0, "n_orphan_keys": 0}
+    return {c: int(parts[c].sum()) for c in parts.columns}
 
 
 def referential_integrity_ds(sf_dir: str, num_partitions: int = 32):

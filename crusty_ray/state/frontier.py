@@ -80,6 +80,21 @@ class JobState:
     delay_jitter: int = 0
 
 
+def job_jitters(domain: str, cfg: Config) -> tuple[int, int]:
+    """(hard_jitter, delay_jitter) for a domain — a pure function of
+    (domain, config), shared by job creation and checkpoint restore so a
+    resumed job always carries exactly the jitters creation would assign
+    (checkpoints written before these fields existed unpickle with the
+    dataclass default 0, which would silently shrink timeouts/delays)."""
+    hard = (hash64(domain, seed=13)
+            % (cfg.crawl.job_hard_timeout_jitter_epochs + 1)
+            if cfg.crawl.job_hard_timeout_jitter_epochs else 0)
+    delay = (hash64(domain, seed=11)
+             % (cfg.crawl.delay_jitter_epochs + 1)
+             if cfg.crawl.delay_jitter_epochs else 0)
+    return hard, delay
+
+
 class ShardState:
     def __init__(self, shard: int, cfg: Config, web_cfg=None, seed: int = 0):
         self.shard = shard
@@ -213,12 +228,7 @@ class ShardState:
             root = msg.url or f"http://{msg.domain}/"
             job = JobState(domain=msg.domain, addr_key=key, root_url=root,
                            start_epoch=epoch)
-            if cfg.crawl.job_hard_timeout_jitter_epochs:
-                job.hard_jitter = hash64(msg.domain, seed=13) % (
-                    cfg.crawl.job_hard_timeout_jitter_epochs + 1)
-            if cfg.crawl.delay_jitter_epochs:
-                job.delay_jitter = hash64(msg.domain, seed=11) % (
-                    cfg.crawl.delay_jitter_epochs + 1)
+            job.hard_jitter, job.delay_jitter = job_jitters(msg.domain, cfg)
             job.url_seen.add(root)           # root committed like a scheduled task
             job.queue.append((0, root))
             self.jobs[msg.domain] = job
@@ -442,6 +452,13 @@ class ShardState:
         self.pending_domains = pickle.loads(snap["pending_domains"])
         self.in_processing = pickle.loads(snap["in_processing"])
         self.jobs = pickle.loads(snap["jobs"])
+        # jitters are derived state — recompute rather than trust the pickle
+        # (older checkpoints predate the fields; unpickling fills the
+        # dataclass default 0, firing hard timeouts early and shrinking
+        # politeness delays after resume)
+        for job in self.jobs.values():
+            job.hard_jitter, job.delay_jitter = job_jitters(job.domain,
+                                                            self.cfg)
         self.ddc = pickle.loads(snap["ddc"])
         self.bloom = ScalingBloom.from_bytes(snap["bloom"])
         self.cuckoo = CuckooFilter.from_bytes(snap["cuckoo"])

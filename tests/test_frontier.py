@@ -226,6 +226,36 @@ class TestCheckpoint:
         assert s.gauges(1) == s2.gauges(1)
         assert s.cuckoo.to_bytes() == s2.cuckoo.to_bytes()
 
+    def test_restore_recomputes_jitters(self):
+        """Checkpoints written before the jitter fields existed unpickle
+        with the dataclass default 0 — restore must recompute them from
+        (domain, config) so resumed jobs keep their creation-time timeouts
+        and politeness delays."""
+        from crusty_ray.core.hashing import hash64
+        s = mk(**{"crawl.delay_jitter_epochs": 2,
+                  "crawl.job_hard_timeout_jitter_epochs": 3})
+        s.enqueue([msg("a.com"), msg("jit2.com", "K2")])
+        s.apply_enqueues(0)
+        s.take_ready(0)
+        snap = s.checkpoint()
+        # simulate an old-format checkpoint: jobs pickled without the fields
+        import pickle
+        jobs = pickle.loads(snap["jobs"])
+        for job in jobs.values():
+            del job.__dict__["hard_jitter"]
+            del job.__dict__["delay_jitter"]
+        snap["jobs"] = pickle.dumps(jobs, protocol=4)
+
+        s2 = ShardState(0, s.cfg)
+        s2.restore(snap)
+        assert any(j.hard_jitter or j.delay_jitter
+                   for j in s2.jobs.values()) or all(
+            hash64(d, seed=13) % 4 == 0 and hash64(d, seed=11) % 3 == 0
+            for d in s2.jobs)
+        for d, j in s2.jobs.items():
+            assert j.hard_jitter == hash64(d, seed=13) % 4
+            assert j.delay_jitter == hash64(d, seed=11) % 3
+
 
 class TestTimeoutsAndJitter:
     def test_soft_timeout_finishes_job(self):

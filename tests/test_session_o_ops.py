@@ -108,6 +108,26 @@ def test_fk_orphans_all_null(ray_session):
     assert s == {"n_child_rows": 2, "n_orphan_rows": 2, "n_orphan_keys": 0}
 
 
+def test_fk_orphans_null_parent_keys(ray_session):
+    """NULL PARENT keys match nothing (SQL join semantics) and must not
+    crash the audit (regression: astype('int64') on a NULL-bearing parent
+    column raised inside the map task)."""
+    import ray
+    from crusty_ray.ops.stats import fk_orphan_summary
+    child = ray.data.from_pandas(pd.DataFrame({
+        "k": pd.Series([1, 2, 9], dtype="int64")}))
+    parent = ray.data.from_pandas(pd.DataFrame({
+        "p": pd.Series([1, None, 2, None], dtype="Int64")}))
+    s = fk_orphan_summary(child, "k", parent, "p")
+    assert s == {"n_child_rows": 3, "n_orphan_rows": 1, "n_orphan_keys": 1}
+
+    # float-NaN parent column (parquet NULLs often read back as float)
+    parent_f = ray.data.from_pandas(pd.DataFrame({
+        "p": pd.Series([1.0, float("nan")], dtype="float64")}))
+    s = fk_orphan_summary(child, "k", parent_f, "p")
+    assert s == {"n_child_rows": 3, "n_orphan_rows": 2, "n_orphan_keys": 2}
+
+
 def test_fk_orphans_all_present(ray_session):
     import ray
     from crusty_ray.ops.stats import fk_orphan_summary
