@@ -326,8 +326,8 @@ def _domain_pagerank(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from crusty_ray.ops import (analog, analytic, behavior, curation, dedup,
-                                graph, joins, quantiles, sample, similarity,
-                                stats, text, windows)
+                                graph, joins, pack, quantiles, sample,
+                                similarity, stats, text, windows)
 
     def lang_distribution(sf_dir: str):
         import ray
@@ -564,6 +564,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # delivery step: deterministic md5 global shuffle rank + token-
         # budget shard packing in shuffled order (two-phase prefix scans)
         "global_shuffle_shards": _global_shuffle_shards,
+        # multi-epoch delivery: a distinct epoch-salted permutation + shard
+        # packing per epoch, both prefix scans grouped by epoch
+        "epoch_shuffle_manifest": pack.epoch_shuffle_manifest_ds,
+        # z-order (Morton) file layout manifest for 2-column scan pruning
+        "zorder_events_layout": pack.zorder_events_layout_ds,
+        # sorted-neighborhood blocking: rank by (n_chars, doc_id) via the
+        # two-phase prefix count, pair each row with its next-w neighbors
+        "sorted_neighborhood_pairs": dedup.sorted_neighborhood_pairs_ds,
         # THE deliverable: curated train split -> shuffled token-budget
         # shards (corpus_curation composed with the shuffle pack)
         "training_manifest": _training_manifest,
@@ -662,6 +670,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_join_urgent_items": joins.bloom_join_urgent_items_ds,
         "anti_join_customers": joins.anti_join_customers_ds,
         "semi_join_events": joins.semi_join_events_ds,
+        # SALTED shuffle join: hot probe keys split across n_salts
+        # sub-partitions, build side replicated per salt (skew lever)
+        "salted_join_segment_stats": joins.salted_join_segment_stats_ds,
         # -- float cosine near-dup (rows-only; quantized face is the oracle)
         "embedding_cosine_pairs": dedup.embedding_cosine_pairs,
         # -- SemDeDup: k-means clusters + within-cluster greedy cosine prune
@@ -760,6 +771,14 @@ def _pagerank_oracle_sql(iters: int = 3) -> str:
         )""")
     return (head + "".join(levels)
             + f" SELECT node, rank AS rank_q FROM r{iters}")
+
+
+# 32-bit Morton interleave of columns x (even bits) and y (odd bits), as a
+# mechanical SQL arithmetic expansion — one term per bit, mirroring
+# crusty_ray.ops.pack.zorder_key bit for bit
+_ZORDER_INTERLEAVE_SQL = " + ".join(
+    [f"(((x >> {i}) & 1) * {1 << (2 * i)})" for i in range(16)]
+    + [f"(((y >> {i}) & 1) * {1 << (2 * i + 1)})" for i in range(16)])
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1606,6 +1625,36 @@ def oracle_sql() -> dict[str, str]:
               ON l.l_orderkey = o.o_orderkey
             GROUP BY 1
         """,
+        "salted_join_segment_stats": """
+            SELECT c_mktsegment, count(*)::BIGINT AS n_events,
+                   sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT
+                       AS value_cents
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY 1
+        """,
+        "sorted_neighborhood_pairs": """
+            WITH r AS (
+              SELECT doc_id, n_chars,
+                     (row_number() OVER (ORDER BY n_chars, doc_id) - 1)
+                         ::BIGINT AS rk
+              FROM documents)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   (b.n_chars - a.n_chars)::BIGINT AS char_gap
+            FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 2
+        """,
+        "zorder_events_layout": f"""
+            WITH b AS (
+              SELECT user_id % 65536 AS x,
+                     ((CAST(floor(epoch(ts)) AS BIGINT) // 60) % 65536) AS y
+              FROM events)
+            SELECT ({_ZORDER_INTERLEAVE_SQL}) >> 26 AS file_id,
+                   count(*)::BIGINT AS n_rows,
+                   min(x)::BIGINT AS min_user_bucket,
+                   max(x)::BIGINT AS max_user_bucket,
+                   min(y)::BIGINT AS min_minute_bucket,
+                   max(y)::BIGINT AS max_minute_bucket
+            FROM b GROUP BY 1
+        """,
         "order_event_coverage": """
             WITH o AS (
               SELECT o_custkey AS custkey, count(*)::BIGINT AS n_orders
@@ -2003,6 +2052,26 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_millibits
             FROM (SELECT doc_id FROM documents) d
             LEFT JOIN per p USING (doc_id)
+        """,
+        "epoch_shuffle_manifest": """
+            WITH e AS (SELECT unnest(generate_series(0, 2))::BIGINT
+                           AS epoch),
+            d AS (
+              SELECT epoch, doc_id,
+                     len(list_filter(string_split(coalesce(text, ''), ' '),
+                                     w -> w <> ''))::BIGINT AS n_tokens,
+                     (('0x' || substr(md5(epoch::VARCHAR || ':'
+                                          || doc_id::VARCHAR), 1, 12))
+                          ::BIGINT * 32768 + doc_id % 32768) AS key
+              FROM documents CROSS JOIN e)
+            SELECT epoch, doc_id, n_tokens,
+                   (row_number() OVER (PARTITION BY epoch ORDER BY key)
+                        - 1)::BIGINT AS shuffle_rank,
+                   (coalesce(sum(n_tokens) OVER (
+                        PARTITION BY epoch ORDER BY key
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) // 4096)::BIGINT AS shard_id
+            FROM d
         """,
         "global_shuffle_shards": """
             WITH d AS (

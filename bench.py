@@ -158,7 +158,9 @@ def bench_queries(sf_dir: str) -> dict:
              "tfidf_cosine_pairs", "token_frequency_spectrum",
              "dedup_canonical", "lang_confusion",
              "event_transitions", "referential_integrity",
-             "temperature_sample", "ccnet_ppl_buckets"]
+             "temperature_sample", "ccnet_ppl_buckets",
+             "salted_join_segment_stats", "zorder_events_layout",
+             "sorted_neighborhood_pairs", "epoch_shuffle_manifest"]
     out = {}
     for name in names:
         t0 = time.time()

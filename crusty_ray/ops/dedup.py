@@ -1638,3 +1638,84 @@ def tfidf_cosine_pairs_ds(sf_dir: str, threshold_ppm: int = 250_000,
 
     return partitioned_group_apply(pairs, ["doc_a", "doc_b"], finish,
                                    num_partitions)
+
+
+# ---------------------------------------------- sorted-neighborhood blocking
+
+def sorted_neighborhood_pairs_ds(sf_dir: str, window: int = 2,
+                                 block: int = 1024,
+                                 num_partitions: int = 32):
+    """Sorted-Neighborhood Method blocking (Hernández & Stolfo 1995) — the
+    third classic candidate-pair generator beside the LSH-bucket and
+    quadrant plans: order the corpus by a blocking key and emit each record
+    paired with its next ``window`` neighbors in that order. Key here is
+    ``(n_chars, doc_id)`` — near-identical documents have near-identical
+    lengths, so length-adjacency is a cheap high-recall blocking axis that
+    needs no text shuffle at all.
+
+    Scale plan: NO global sort. The global rank comes from
+    ``pack.ordered_pack``'s two-phase range-partitioned prefix count
+    (weight 1 → dense 0-based rank, the ``_surprisal_rank`` trick). Ranks
+    then bucket by ``rk // block``; a row whose rank sits within ``window``
+    of its bucket's floor is ALSO copied to the previous bucket (boundary
+    replication — the ≤ window/block overhead replaces any cross-partition
+    coordination), and each bucket pairs rank r with r+1 … r+window
+    entirely locally, emitting only pairs whose LEFT row it owns. Ranks are
+    dense by construction, so neighbor lookup is a vectorized shift, not a
+    join. Output: (doc_a, doc_b, char_gap), doc_a the lower-ranked side.
+    """
+    from .agg import partitioned_group_apply
+    from .pack import ordered_pack
+
+    if not 0 < window < block:
+        raise ValueError(f"need 0 < window < block, got {window}/{block}")
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].astype("int64")
+        nc = batch["n_chars"].astype("int64")
+        return pd.DataFrame({
+            "doc_id": ids, "n_chars": nc,
+            "__key": nc * (1 << 40) + ids,     # doc_id < 2^40 invariant
+            "__one": np.int64(1)})
+
+    docs = _io_read(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "n_chars"]) \
+        .map_batches(keyed, batch_format="pandas")
+    ranked = ordered_pack(docs, "__key", "__one", budget=1,
+                          bucket_width=64 << 40, out_col="__rk",
+                          num_partitions=num_partitions)
+
+    def replicate(df: pd.DataFrame) -> pd.DataFrame:
+        rk = df["__rk"].to_numpy(dtype=np.int64)
+        out = df[["doc_id", "n_chars", "__rk"]].copy()
+        out["__b"] = rk // block
+        tail = (rk % block < window) & (rk >= block)
+        extra = out[tail].copy()
+        extra["__b"] = extra["__b"] - 1
+        return pd.concat([out, extra], ignore_index=True)
+
+    rep = ranked.map_batches(replicate, batch_format="pandas")
+
+    def pairs_in_part(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for b, g in df.groupby("__b", sort=False):
+            g = g.sort_values("__rk")
+            rk = g["__rk"].to_numpy(dtype=np.int64)
+            ids = g["doc_id"].to_numpy(dtype=np.int64)
+            nc = g["n_chars"].to_numpy(dtype=np.int64)
+            own = (rk // block) == b
+            for d in range(1, window + 1):
+                if len(g) <= d:
+                    break
+                m = own[:-d] & (rk[d:] - rk[:-d] == d)
+                outs.append(pd.DataFrame({
+                    "doc_a": ids[:-d][m], "doc_b": ids[d:][m],
+                    "char_gap": nc[d:][m] - nc[:-d][m]}))
+        if not outs:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "char_gap": pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True).astype("int64")
+
+    return partitioned_group_apply(rep, ["__b"], pairs_in_part,
+                                   num_partitions)

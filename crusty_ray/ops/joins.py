@@ -504,3 +504,132 @@ def bloom_join_urgent_items_ds(sf_dir: str, capacity: int = 1 << 17,
 
     exact = hash_join(survivors, build, on=["l_orderkey"], how="inner")
     return grouped_count(exact, ["l_returnflag"], "n_items")
+
+
+# ------------------------------------------------------------ salted join
+
+def salted_hash_join(probe, build, on: str, hot_threshold: int,
+                     salt_by: str, n_salts: int = 8,
+                     num_partitions: int = 32):
+    """Inner equi-join with EXPLICIT hot-key salting — the skew lever the
+    plain ``hash_join`` leaves to the partition ("skew on a hot key is
+    bounded by the partition"): here a key hotter than ``hot_threshold``
+    probe rows is split across ``n_salts`` sub-partitions instead, so no
+    single task ever holds more than ~``hot_threshold`` probe rows of one
+    key (the crawl's hot-domain salting, reference SURVEY §2.8, applied to
+    a relational join).
+
+    Plan: (1) hot-key census — per-batch partial counts of the probe key
+    (``grouped_count``: the shuffle carries distinct keys), filtered to
+    counts ≥ threshold; the hot SET is ≤ n_probe_rows / hot_threshold
+    entries by construction, so it collects to the driver and broadcasts
+    once. (2) both sides fold the salt INTO the key (``key·n_salts +
+    salt`` — keys must fit 2^62/n_salts): probe rows of a hot key spread
+    by ``salt_by % n_salts`` (any stable row id — deterministic, balanced),
+    build rows of a hot key replicate to all ``n_salts`` sub-keys, cold
+    keys take salt 0 on both sides. (3) the salted keys feed the ordinary
+    ``hash_join`` — schema padding, dtype preservation and the
+    co-partitioned merge are shared, not re-implemented.
+
+    ``on`` must be a single int64 column present on both sides;
+    ``salt_by`` an int64 probe column. Non-key columns must be disjoint.
+    Returns the inner-join rows with the original key column restored.
+    """
+    import numpy as np
+
+    from .agg import grouped_count
+
+    counts = grouped_count(probe.select_columns([on]), [on],
+                           "__n", num_partitions)
+
+    def hot_only(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["__n"] >= hot_threshold, [on]]
+
+    hot = counts.map_batches(hot_only, batch_format="pandas").to_pandas()
+    # all-empty pandas blocks lose their columns (repo-wide hazard) — an
+    # empty hot set is the normal cold-only case, not an error
+    hot_keys = (hot[on].to_numpy(dtype=np.int64) if on in hot.columns
+                else np.empty(0, dtype=np.int64))
+    hot_ref = ray.put(np.sort(hot_keys))
+
+    def salt_probe(batch: pd.DataFrame, _cache={}) -> pd.DataFrame:
+        if "h" not in _cache:
+            _cache["h"] = ray.get(hot_ref)
+        batch = batch.copy()
+        k = batch[on].to_numpy(dtype=np.int64)
+        s = np.where(np.isin(k, _cache["h"]),
+                     batch[salt_by].to_numpy(dtype=np.int64) % n_salts, 0)
+        batch["__jk"] = k * n_salts + s
+        return batch.drop(columns=[on])
+
+    def salt_build(batch: pd.DataFrame, _cache={}) -> pd.DataFrame:
+        if "h" not in _cache:
+            _cache["h"] = ray.get(hot_ref)
+        k = batch[on].to_numpy(dtype=np.int64)
+        ishot = np.isin(k, _cache["h"])
+        cold = batch[~ishot].copy()
+        cold["__jk"] = cold[on].to_numpy(dtype=np.int64) * n_salts
+        frames = [cold]
+        hotb = batch[ishot]
+        if len(hotb):
+            for s in range(n_salts):
+                rep = hotb.copy()
+                rep["__jk"] = rep[on].to_numpy(dtype=np.int64) \
+                    * n_salts + s
+                frames.append(rep)
+        return pd.concat(frames, ignore_index=True).drop(columns=[on])
+
+    joined = hash_join(
+        probe.map_batches(salt_probe, batch_format="pandas"),
+        build.map_batches(salt_build, batch_format="pandas"),
+        on=["__jk"], num_partitions=num_partitions)
+
+    def restore_key(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch[on] = (batch["__jk"] // n_salts).astype("int64")
+        return batch.drop(columns=["__jk"])
+
+    return joined.map_batches(restore_key, batch_format="pandas")
+
+
+def salted_join_segment_stats_ds(sf_dir: str, hot_threshold: int = 70,
+                                 n_salts: int = 8):
+    """Per-market-segment event count + value (integer cents) through the
+    SALTED join: events(fact, skewed user_id) ⋈ customer on user_id =
+    c_custkey, aggregated per c_mktsegment. The default threshold BINDS on
+    the test tables (user event counts straddle 70), so both the hot
+    (salted, build replicated) and cold (salt 0) paths execute. Value
+    converts to cents per row BEFORE the join (``_price_cents``
+    convention), so the distributed sum is order-independent and
+    bit-exact vs the SQL face."""
+    import numpy as np
+
+    from ray.data.aggregate import Count, Sum
+
+    from .analytic import _price_cents
+
+    def slim_events(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": batch["user_id"].astype("int64"),
+            "event_id": batch["event_id"].astype("int64"),
+            "value_c": _price_cents(batch["value"])})
+
+    probe = read_table(sf_dir, "events",
+                       ["event_id", "user_id", "value"]) \
+        .map_batches(slim_events, batch_format="pandas")
+
+    def slim_cust(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": batch["c_custkey"].astype("int64"),
+            "c_mktsegment": batch["c_mktsegment"]})
+
+    build = read_table(sf_dir, "customer",
+                       ["c_custkey", "c_mktsegment"]) \
+        .map_batches(slim_cust, batch_format="pandas")
+
+    joined = salted_hash_join(probe, build, on="user_id",
+                              hot_threshold=hot_threshold,
+                              salt_by="event_id", n_salts=n_salts)
+    return joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_events"),
+        Sum(on="value_c", alias_name="value_cents"))

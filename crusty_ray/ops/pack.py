@@ -523,3 +523,139 @@ def training_manifest_ds(sf_dir: str, budget: int = 4096,
     # lazy, the join shuffle would execute twice (the documented hazard)
     joined = joined.materialize()
     return _shuffle_pack(joined, budget, num_partitions)
+
+
+# ----------------------------------------------------------- z-order layout
+
+def _spread16(v: np.ndarray) -> np.ndarray:
+    """Spread the low 16 bits of each int64 to the even bit positions of a
+    32-bit result (the classic Morton-code bit twiddle, vectorized)."""
+    v = v & 0xFFFF
+    v = (v | (v << 8)) & 0x00FF00FF
+    v = (v | (v << 4)) & 0x0F0F0F0F
+    v = (v | (v << 2)) & 0x33333333
+    v = (v | (v << 1)) & 0x55555555
+    return v
+
+
+def zorder_key(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """32-bit Morton (z-order) interleave of two 16-bit bucket columns —
+    x in the even bits, y in the odd bits."""
+    return _spread16(x.astype(np.int64)) | (_spread16(y.astype(np.int64))
+                                            << 1)
+
+
+def zorder_events_layout_ds(sf_dir: str, n_files: int = 64,
+                            num_partitions: int = 32):
+    """Z-order (Morton-curve) file layout for the events table — the
+    lakehouse ``OPTIMIZE ZORDER BY (user_id, minute)`` step: rows map to
+    output files by the top bits of the interleaved (user_id, minute)
+    buckets, so a scan filtered on EITHER column touches a bounded band of
+    files (a single-column sort would cluster one column and scatter the
+    other). Returns the layout manifest the writer and the pruning planner
+    consume: per file, the row count and the min/max of both bucket
+    columns — exactly the parquet row-group statistics a reader prunes on.
+
+    ``n_files`` must be a power of four ≤ 2^32 for an even x/y bit split
+    (64 → top 6 Morton bits → 3 bits of each axis). The whole op is one
+    streaming vectorized ``map_batches`` (the Morton twiddle over numpy
+    int64) + a per-batch-partial min/max/count reduce: per-file partials
+    shuffle, never rows — O(n_files) output regardless of input scale.
+    The actual file WRITE is ``write_dataset(..., partition_cols=
+    ["file_id"])`` over the same key; the manifest face keeps the op
+    oracle-checkable.
+    """
+    shift = 32 - int(n_files - 1).bit_length()
+    if n_files != 1 << (32 - shift):
+        raise ValueError(f"n_files must be a power of two, got {n_files}")
+
+    from .analog import minute_of
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        x = batch["user_id"].to_numpy(dtype=np.int64) % 65536
+        y = minute_of(batch["ts"]) % 65536
+        z = zorder_key(x, y)
+        df = pd.DataFrame({"file_id": (z >> shift).astype(np.int64),
+                           "xb": x, "yb": y})
+        out = df.groupby("file_id", as_index=False).agg(
+            n_rows=("xb", "size"),
+            min_user_bucket=("xb", "min"), max_user_bucket=("xb", "max"),
+            min_minute_bucket=("yb", "min"), max_minute_bucket=("yb", "max"))
+        return out.astype("int64")
+
+    pre = read_table(sf_dir, "events", ["user_id", "ts"]) \
+        .map_batches(keyed, batch_format="pandas")
+
+    def reduce_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("file_id", as_index=False).agg(
+            n_rows=("n_rows", "sum"),
+            min_user_bucket=("min_user_bucket", "min"),
+            max_user_bucket=("max_user_bucket", "max"),
+            min_minute_bucket=("min_minute_bucket", "min"),
+            max_minute_bucket=("max_minute_bucket", "max"))
+        return out.astype("int64")
+
+    return partitioned_group_apply(pre, ["file_id"], reduce_part,
+                                   num_partitions)
+
+
+# ----------------------------------------------------- multi-epoch shuffle
+
+def epoch_shuffle_manifest_ds(sf_dir: str, n_epochs: int = 3,
+                              budget: int = 4096,
+                              num_partitions: int = 32):
+    """Multi-epoch training delivery: ``global_shuffle_shards`` repeated
+    for ``n_epochs`` epochs, each under a DIFFERENT deterministic
+    permutation (the epoch number salts the md5 shuffle key), in ONE
+    pipeline — the manifest a multi-epoch training job reads so no epoch
+    repeats the previous epoch's order (the "reshuffle each epoch"
+    guarantee, without any stored RNG state).
+
+    Scale plan: the per-batch key map replicates each doc row ×n_epochs
+    (slim fixed-width rows — id, token count, key), then BOTH prefix scans
+    (rank, then token-budget shard) run per epoch via ``ordered_pack``'s
+    ``group_cols`` — the driver's exclusive scan is over O(epochs ×
+    range-buckets) totals, everything else stays in workers. Returns
+    (epoch, doc_id, n_tokens, shuffle_rank, shard_id).
+    """
+    import hashlib
+
+    from .io import read_parquet as _io_read
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        from .text import n_tokens_nonempty
+        ids = batch["doc_id"].astype("int64")
+        nt = n_tokens_nonempty(batch["text"]).to_numpy()
+        frames = []
+        for e in range(n_epochs):
+            key = pd.Series(
+                [int(hashlib.md5(f"{e}:{i}".encode()).hexdigest()[:12], 16)
+                 * 32768 + int(i) % 32768 for i in ids],
+                dtype="int64")
+            frames.append(pd.DataFrame({
+                "epoch": np.full(len(ids), e, dtype=np.int64),
+                "doc_id": ids.to_numpy(), "n_tokens": nt,
+                "__key": key.to_numpy(), "__one": np.int64(1)}))
+        return pd.concat(frames, ignore_index=True)
+
+    docs = _io_read(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"]) \
+        .map_batches(keyed, batch_format="pandas")
+
+    ranked = ordered_pack(docs, "__key", "__one", budget=1,
+                          bucket_width=1 << 50, out_col="shuffle_rank",
+                          num_partitions=num_partitions,
+                          group_cols=["epoch"])
+    # feeds the second pack's totals pass AND its assign pass — left lazy
+    # the whole chain would execute twice (the _shuffle_pack hazard)
+    ranked = ranked.materialize()
+    sharded = ordered_pack(ranked, "__key", "n_tokens", budget=budget,
+                           bucket_width=1 << 50, out_col="shard_id",
+                           num_partitions=num_partitions,
+                           group_cols=["epoch"])
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["epoch", "doc_id", "n_tokens", "shuffle_rank",
+                      "shard_id"]].astype("int64")
+
+    return sharded.map_batches(finish, batch_format="pandas")

@@ -119,6 +119,8 @@ SQL_CHECKED = [
     "tfidf_cosine_pairs", "stratified_exact_k",
     "event_transitions", "referential_integrity", "temperature_sample",
     "ccnet_ppl_buckets",
+    "salted_join_segment_stats", "zorder_events_layout",
+    "sorted_neighborhood_pairs", "epoch_shuffle_manifest",
 ]
 
 
