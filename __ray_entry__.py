@@ -633,7 +633,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # domain-authority face is rows-only — pytest oracles the identical
         # integer iteration serially, tests/test_graph.py)
         "trade_pagerank": graph.trade_pagerank_ds,
+        # per-part triangle counts over the co-purchase graph (min-vertex
+        # wedge generation + one closure join; degree-ordered, cap-able)
+        "part_triangles": graph.part_triangles_ds,
         "domain_pagerank": _domain_pagerank,
+        # CDC upsert merge: base + update versions compacted to the latest
+        # row per key (local max-version prune, one pruned shuffle)
+        "upsert_orders_latest": analytic.upsert_orders_latest_ds,
         "sample_stratified": sample.sample_stratified_ds,
         "split_assignment": sample.split_assignment_ds,
         # exactly-k-per-stratum deterministic sample (md5-rank top-k —
@@ -1929,6 +1935,46 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
         """,
         "trade_pagerank": _pagerank_oracle_sql(iters=3),
+        "part_triangles": """
+            WITH pr AS (
+              SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+              FROM lineitem l1 JOIN lineitem l2
+                ON l1.l_orderkey = l2.l_orderkey
+               AND l1.l_partkey < l2.l_partkey
+            ), tri AS (
+              SELECT e1.a, e1.b, e2.b AS c FROM pr e1
+              JOIN pr e2 ON e2.a = e1.b
+              JOIN pr e3 ON e3.a = e1.a AND e3.b = e2.b
+            )
+            SELECT node AS partkey, count(*)::BIGINT AS n_triangles FROM (
+              SELECT a AS node FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri) GROUP BY 1
+        """,
+        "upsert_orders_latest": """
+            WITH base AS (
+              SELECT o_orderkey, 0::BIGINT AS version,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                         AS cents
+              FROM orders
+            ), u1 AS (
+              SELECT o_orderkey, 1::BIGINT, cents + o_orderkey % 1000
+              FROM base WHERE o_orderkey % 7 = 0
+            ), u2 AS (
+              SELECT o_orderkey, 2::BIGINT, cents + 2 * (o_orderkey % 1000)
+              FROM base WHERE o_orderkey % 21 = 0
+            ), allv AS (
+              SELECT * FROM base UNION ALL SELECT * FROM u1
+              UNION ALL SELECT * FROM u2
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                           ORDER BY version DESC) AS rn,
+                     count(*) OVER (PARTITION BY o_orderkey) AS n
+              FROM allv)
+            SELECT o_orderkey, cents AS final_cents,
+                   n::BIGINT AS n_versions
+            FROM ranked WHERE rn = 1
+        """,
         "gopher_quality": _GOPHER_SIG_SQL + """
             SELECT doc_id, n_words, mean_word_len_pm, dup_2gram_pm,
                    top_word_pm

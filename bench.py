@@ -160,7 +160,8 @@ def bench_queries(sf_dir: str) -> dict:
              "event_transitions", "referential_integrity",
              "temperature_sample", "ccnet_ppl_buckets",
              "salted_join_segment_stats", "zorder_events_layout",
-             "sorted_neighborhood_pairs", "epoch_shuffle_manifest"]
+             "sorted_neighborhood_pairs", "epoch_shuffle_manifest",
+             "part_triangles", "upsert_orders_latest"]
     out = {}
     for name in names:
         t0 = time.time()

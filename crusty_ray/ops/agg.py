@@ -117,3 +117,39 @@ def grouped_count_distinct(ds, key_cols: list[str], distinct_col: str,
     pruned = ds.map_batches(local_dedup, batch_format="pandas")
     return partitioned_group_apply(pruned, key_cols, count_in_part,
                                    num_partitions)
+
+
+def merge_latest(ds, key_cols: list[str], version_col: str,
+                 count_col: str = "n_versions", num_partitions: int = 32):
+    """Latest-version row per key + how many versions the key had — the
+    CDC / merge-on-read compaction primitive (``MERGE INTO`` resolution:
+    base rows + update rows in one stream, last-writer-wins by
+    ``version_col``). Versions must be unique per key (the CDC sequence
+    contract); payload columns pass through with the winning row.
+
+    Scale plan: ``grouped_top_n``'s local-prune shape with a count rider —
+    each block keeps one (max-version) row per key it sees plus the number
+    of version rows it pruned, so the shuffle carries ≤ keys-per-block rows
+    however many updates pile onto a hot key; one coarse key partition
+    picks the global winner and sums the riders."""
+    sort_cols = key_cols + [version_col]
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(sort_cols, kind="mergesort")
+        sizes = df.groupby(key_cols, sort=False)[version_col] \
+            .transform("size")
+        out = df[~df.duplicated(key_cols, keep="last")].copy()
+        out[count_col] = sizes[~df.duplicated(key_cols, keep="last")] \
+            .astype("int64")
+        return out
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(sort_cols, kind="mergesort")
+        n = df.groupby(key_cols, sort=False)[count_col].transform("sum")
+        keep = ~df.duplicated(key_cols, keep="last")
+        out = df[keep].copy()
+        out[count_col] = n[keep].astype("int64")
+        return out.reset_index(drop=True)
+
+    pruned = ds.map_batches(local, batch_format="pandas")
+    return partitioned_group_apply(pruned, key_cols, finish, num_partitions)

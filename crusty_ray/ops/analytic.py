@@ -279,3 +279,50 @@ def order_price_ntile_ds(sf_dir: str, k: int = 4):
         })
 
     return partitioned_group_apply(orders, ["o_orderpriority"], ntile)
+
+
+def upsert_orders_latest_ds(sf_dir: str, num_partitions: int = 32):
+    """CDC upsert merge (the lakehouse ``MERGE INTO`` / merge-on-read
+    resolution): the orders base snapshot plus a deterministic update
+    stream — every 7th order re-priced once (version 1, +key‰ cents),
+    every 21st re-priced again (version 2, +2·key‰) — compacted to the
+    LATEST row per key with its version count, via ``agg.merge_latest``.
+
+    The update stream derives in-stream from the same single base read
+    (one ``map_batches`` emits base + update rows per block), so the op
+    costs one scan + one pruned shuffle regardless of update fan-in.
+    Returns (o_orderkey, final_cents, n_versions)."""
+    from .io import read_table
+    from .agg import merge_latest
+
+    def derive(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["o_orderkey"].astype("int64").to_numpy()
+        cents = _price_cents(batch["o_totalprice"])
+        frames = [pd.DataFrame({"o_orderkey": k,
+                                "version": np.zeros(len(k), dtype=np.int64),
+                                "cents": cents})]
+        m1 = k % 7 == 0
+        frames.append(pd.DataFrame({
+            "o_orderkey": k[m1],
+            "version": np.ones(int(m1.sum()), dtype=np.int64),
+            "cents": cents[m1] + k[m1] % 1000}))
+        m2 = k % 21 == 0
+        frames.append(pd.DataFrame({
+            "o_orderkey": k[m2],
+            "version": np.full(int(m2.sum()), 2, dtype=np.int64),
+            "cents": cents[m2] + 2 * (k[m2] % 1000)}))
+        return pd.concat(frames, ignore_index=True)
+
+    versions = read_table(sf_dir, "orders",
+                          ["o_orderkey", "o_totalprice"]) \
+        .map_batches(derive, batch_format="pandas")
+    merged = merge_latest(versions, ["o_orderkey"], "version",
+                          num_partitions=num_partitions)
+
+    def tidy(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "final_cents": df["cents"].astype("int64"),
+            "n_versions": df["n_versions"].astype("int64")})
+
+    return merged.map_batches(tidy, batch_format="pandas")

@@ -365,3 +365,176 @@ def pagerank_reference(edges: list[tuple[int, int]], iters: int = 3) -> dict:
             inflow[v] += rank[u] // outdeg[u]
         rank = {v: (15 * r0 + 85 * inflow[v]) // 100 for v in nodes}
     return rank
+
+
+# ------------------------------------------------------------- triangles
+
+def triangle_counts(edges, num_partitions: int = 32,
+                    max_center_degree: int | None = None,
+                    broadcast_edges: int = 4_000_000):
+    """Per-node triangle counts over an undirected simple graph — the
+    clustering-structure primitive (community density, spam-farm
+    detection). ``edges``: distinct (a, b) int64 rows with a < b,
+    node ids < 2^31 (the packed-closure-key bound).
+
+    Node-iterator with DEGREE ORDERING (the classic shuffle-safe plan):
+    edges partition on their MIN endpoint ``a``; each partition emits the
+    wedges (b, c), b < c, from every ``a``'s (all-greater) neighbor list —
+    so each triangle is generated exactly once, at its smallest vertex,
+    and wedge work at a node is C(deg_gt, 2), not C(deg, 2).
+
+    Adaptive closure (the connected_components / pagerank pattern): the
+    wedge stream is quadratic in degree — on a dense graph it dwarfs the
+    edge set (sf0.1 co-purchase: 1.2M edges → 49M wedges; measured 129 s
+    through the join). While the EDGE set fits one heap
+    (≤ ``broadcast_edges``), it broadcasts once as a sorted packed-int64
+    array (``ray.put``) and each partition closes its own wedges by
+    searchsorted and emits only per-node partial COUNTS — the 49M-row
+    wedge stream never shuffles (measured 129 s → ~8 s). Above the
+    threshold the wedge stream ``hash_join``s the edge set (everything
+    distributed, skew bounded by the coarse partition).
+
+    ``max_center_degree`` (default None = exact, the oracle face): the
+    stop-hash cap of this plan — a node whose greater-neighbor list
+    exceeds the cap emits NO wedges (deterministic drop, documented
+    contract), bounding per-node wedge work at C(cap, 2) under power-law
+    degree skew.
+    """
+    import ray as _ray
+
+    from .agg import grouped_count
+    from .joins import hash_join
+
+    edges = edges.materialize()  # feeds wedge generation AND the closure
+
+    def neighbor_lists(df: pd.DataFrame):
+        for a, g in df.groupby("a", sort=False):
+            nb = np.unique(g["b"].to_numpy(dtype=np.int64))
+            if max_center_degree is not None \
+                    and len(nb) > max_center_degree:
+                continue
+            if len(nb) > 1:
+                ia, ib = np.triu_indices(len(nb), k=1)
+                yield int(a), nb[ia], nb[ib]
+
+    n_edges = edges.count()
+    if n_edges <= broadcast_edges:
+        def pack(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"k": (df["a"].to_numpy(dtype=np.int64)
+                                       << 31)
+                                 | df["b"].to_numpy(dtype=np.int64)})
+
+        keys = np.sort(np.asarray(
+            edges.map_batches(pack, batch_format="pandas").to_pandas()["k"],
+            dtype=np.int64))
+        keys_ref = _ray.put(keys)
+
+        def count_in_part(df: pd.DataFrame, _cache={}) -> pd.DataFrame:
+            if "k" not in _cache:
+                _cache["k"] = _ray.get(keys_ref)
+            ek = _cache["k"]
+            nodes, counts = [], []
+            for a, b, c in neighbor_lists(df):
+                w = (b << 31) | c
+                pos = np.searchsorted(ek, w)
+                closed = (pos < len(ek)) & (ek[np.minimum(pos, len(ek) - 1)]
+                                            == w)
+                if not closed.any():
+                    continue
+                nodes.append(np.array([a], dtype=np.int64))
+                counts.append(np.array([int(closed.sum())], dtype=np.int64))
+                both = np.concatenate([b[closed], c[closed]])
+                u, n = np.unique(both, return_counts=True)
+                nodes.append(u)
+                counts.append(n.astype(np.int64))
+            if not nodes:
+                return pd.DataFrame({
+                    "node": pd.Series([], dtype="int64"),
+                    "n_triangles": pd.Series([], dtype="int64")})
+            out = pd.DataFrame({"node": np.concatenate(nodes),
+                                "n_triangles": np.concatenate(counts)})
+            return out.groupby("node", as_index=False)["n_triangles"] \
+                .sum().astype("int64")
+
+        partials = partitioned_group_apply(edges, ["a"], count_in_part,
+                                           num_partitions)
+
+        def reduce_part(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("node", as_index=False)["n_triangles"].sum() \
+                .astype("int64")
+
+        return partitioned_group_apply(partials, ["node"], reduce_part,
+                                       num_partitions)
+
+    def wedges_in_part(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for a, b, c in neighbor_lists(df):
+            outs.append(pd.DataFrame({
+                "a": np.full(len(b), a, dtype=np.int64), "b": b, "c": c}))
+        if not outs:
+            return pd.DataFrame({col: pd.Series([], dtype="int64")
+                                 for col in ("a", "b", "c")})
+        return pd.concat(outs, ignore_index=True)
+
+    wedges = partitioned_group_apply(edges, ["a"], wedges_in_part,
+                                     num_partitions)
+
+    def closure_key(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"b": df["a"].astype("int64"),
+                             "c": df["b"].astype("int64")})
+
+    tri = hash_join(wedges,
+                    edges.map_batches(closure_key, batch_format="pandas"),
+                    on=["b", "c"], num_partitions=num_partitions)
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": np.concatenate(
+            [df[col].to_numpy(dtype=np.int64) for col in ("a", "b", "c")])})
+
+    return grouped_count(tri.map_batches(melt, batch_format="pandas"),
+                         ["node"], "n_triangles", num_partitions)
+
+
+def part_cooccurrence_edges(sf_dir: str, num_partitions: int = 32):
+    """Distinct co-purchase edges (a, b), a < b: parts appearing together
+    in at least one order. Pair generation is one orderkey partition with a
+    vectorized shift sweep (pairs at sorted distance d, d bounded by the
+    basket size — TPC-H baskets are ≤ ~13 rows, so the sweep is a handful
+    of full-column vector ops, no per-order Python loop)."""
+    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def pairs_in_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["l_orderkey", "l_partkey"]].drop_duplicates() \
+            .sort_values(["l_orderkey", "l_partkey"])
+        k = df["l_orderkey"].to_numpy(dtype=np.int64)
+        p = df["l_partkey"].to_numpy(dtype=np.int64)
+        outs, d = [], 1
+        while d < len(k):
+            m = k[d:] == k[:-d]
+            if not m.any():
+                break
+            outs.append(pd.DataFrame({"a": p[:-d][m], "b": p[d:][m]}))
+            d += 1
+        if not outs:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True).drop_duplicates()
+
+    pairs = partitioned_group_apply(li, ["l_orderkey"], pairs_in_part,
+                                    num_partitions)
+    return distinct_rows(pairs, ["a", "b"], num_partitions)
+
+
+def part_triangles_ds(sf_dir: str, num_partitions: int = 32):
+    """Per-part triangle counts over the co-purchase graph — the
+    market-basket clustering face. Returns (partkey, n_triangles) for every
+    part in at least one triangle."""
+    tri = triangle_counts(part_cooccurrence_edges(sf_dir, num_partitions),
+                          num_partitions)
+
+    def tidy(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"partkey": df["node"].astype("int64"),
+                             "n_triangles": df["n_triangles"]
+                             .astype("int64")})
+
+    return tri.map_batches(tidy, batch_format="pandas")

@@ -123,6 +123,19 @@ def main():
         lambda: zorder_events_layout_ds(OUT),
         lambda df: int(df["n_rows"].sum()) == n_events)
 
+    from crusty_ray.ops.analytic import upsert_orders_latest_ds
+    from crusty_ray.ops.graph import part_triangles_ds
+    n_orders = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/orders.parquet')"
+    ).fetchone()[0]
+    run("part_triangles (sf0.1 co-purchase graph)",
+        lambda: part_triangles_ds(SF),
+        lambda df: len(df) > 0 and (df["n_triangles"] > 0).all())
+    run("upsert_orders_latest (sf0.1 orders)",
+        lambda: upsert_orders_latest_ds(SF),
+        lambda df: len(df) == n_orders
+        and int(df["n_versions"].max()) == 3)
+
     print("ALL OK" if all(checks) else "FAILURES", flush=True)
     ray.shutdown()
 

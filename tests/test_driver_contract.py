@@ -121,6 +121,7 @@ SQL_CHECKED = [
     "ccnet_ppl_buckets",
     "salted_join_segment_stats", "zorder_events_layout",
     "sorted_neighborhood_pairs", "epoch_shuffle_manifest",
+    "part_triangles", "upsert_orders_latest",
 ]
 
 

@@ -160,3 +160,95 @@ def test_epoch_shuffle_each_epoch_is_a_permutation(ray_session):
     # epochs are genuinely different permutations
     assert orders[0] != orders[1]
     assert orders[1] != orders[2]
+
+
+# ------------------------------------------------------------- triangles
+
+def test_triangle_counts_planted(ray_session):
+    """K4 on {1,2,3,4} (4 triangles, every node in 3) plus a dangling
+    path 5-6-7 (no triangles)."""
+    import ray
+    from crusty_ray.ops.graph import triangle_counts
+    import itertools
+    k4 = list(itertools.combinations([1, 2, 3, 4], 2))
+    edges = pd.DataFrame(k4 + [(5, 6), (6, 7)], columns=["a", "b"]) \
+        .astype("int64")
+    got = triangle_counts(ray.data.from_pandas(edges)).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    exp = pd.DataFrame({"node": [1, 2, 3, 4],
+                        "n_triangles": [3, 3, 3, 3]}).astype("int64")
+    pd.testing.assert_frame_equal(got.astype("int64"), exp)
+
+
+def test_triangle_counts_center_degree_cap(ray_session):
+    """The stop cap drops wedges CENTERED at an over-degree min-vertex:
+    a hub 0 connected to 1..5 (all its triangles counted via vertex 0)
+    loses them under cap 3, while a disjoint small triangle survives."""
+    import ray
+    from crusty_ray.ops.graph import triangle_counts
+    hub = [(0, i) for i in range(1, 6)] + [(1, 2), (3, 4)]
+    tri = [(10, 11), (10, 12), (11, 12)]
+    edges = pd.DataFrame(hub + tri, columns=["a", "b"]).astype("int64")
+    full = triangle_counts(ray.data.from_pandas(edges)).to_pandas()
+    assert set(full["node"]) == {0, 1, 2, 3, 4, 10, 11, 12}
+    capped = triangle_counts(ray.data.from_pandas(edges),
+                             max_center_degree=3).to_pandas()
+    assert set(capped["node"]) == {10, 11, 12}
+    assert (capped["n_triangles"] == 1).all()
+
+
+# ------------------------------------------------------------ upsert merge
+
+def test_merge_latest_planted(ray_session):
+    import ray
+    from crusty_ray.ops.agg import merge_latest
+    rows = pd.DataFrame({
+        "k": pd.Series([1, 1, 1, 2, 3, 3], dtype="int64"),
+        "version": pd.Series([0, 2, 1, 0, 5, 0], dtype="int64"),
+        "payload": pd.Series([10, 30, 20, 40, 60, 50], dtype="int64")})
+    got = merge_latest(ray.data.from_pandas(rows), ["k"], "version") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    exp = pd.DataFrame({"k": [1, 2, 3], "version": [2, 0, 5],
+                        "payload": [30, 40, 60],
+                        "n_versions": [3, 1, 2]}).astype("int64")
+    pd.testing.assert_frame_equal(
+        got[["k", "version", "payload", "n_versions"]].astype("int64"), exp)
+
+
+def test_merge_latest_cross_block(ray_session):
+    """Versions of one key split across input blocks must still resolve to
+    the global max and the full count."""
+    import ray
+    from crusty_ray.ops.agg import merge_latest
+    a = pd.DataFrame({"k": pd.Series([7, 7], dtype="int64"),
+                      "version": pd.Series([0, 3], dtype="int64"),
+                      "payload": pd.Series([1, 4], dtype="int64")})
+    b = pd.DataFrame({"k": pd.Series([7, 7], dtype="int64"),
+                      "version": pd.Series([5, 1], dtype="int64"),
+                      "payload": pd.Series([6, 2], dtype="int64")})
+    ds = ray.data.from_pandas([a, b])
+    got = merge_latest(ds, ["k"], "version").to_pandas()
+    assert len(got) == 1
+    assert int(got["version"].iloc[0]) == 5
+    assert int(got["payload"].iloc[0]) == 6
+    assert int(got["n_versions"].iloc[0]) == 4
+
+
+def test_triangle_counts_broadcast_equals_join_path(ray_session):
+    """The adaptive closure's two plans (broadcast searchsorted vs wedge
+    hash_join) must produce identical counts."""
+    import ray
+    from crusty_ray.ops.graph import triangle_counts
+    rng = np.random.RandomState(11)
+    # random graph dense enough to have triangles
+    a = rng.randint(0, 40, size=400)
+    b = rng.randint(0, 40, size=400)
+    e = pd.DataFrame({"a": np.minimum(a, b), "b": np.maximum(a, b)})
+    e = e[e["a"] < e["b"]].drop_duplicates().astype("int64")
+    ds = ray.data.from_pandas(e).materialize()
+    bc = triangle_counts(ds).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    jn = triangle_counts(ds, broadcast_edges=0).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert len(bc) > 0
+    pd.testing.assert_frame_equal(bc.astype("int64"), jn.astype("int64"))
