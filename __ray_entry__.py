@@ -326,8 +326,8 @@ def _domain_pagerank(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from crusty_ray.ops import (analog, analytic, behavior, curation, dedup,
-                                graph, joins, pack, quantiles, sample,
-                                similarity, stats, text, windows)
+                                graph, joins, linkage, pack, quantiles,
+                                sample, similarity, stats, text, windows)
 
     def lang_distribution(sf_dir: str):
         import ray
@@ -636,10 +636,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-part triangle counts over the co-purchase graph (min-vertex
         # wedge generation + one closure join; degree-ordered, cap-able)
         "part_triangles": graph.part_triangles_ds,
+        # fixed-round k-core peeling (adaptive keep-set filter per round)
+        "kcore_parts": graph.kcore_parts_ds,
+        # local clustering coefficient (triangles + degree, integer pm)
+        "clustering_coefficient": graph.clustering_coefficient_ds,
+        # common-neighbors link prediction: top non-adjacent part pairs by
+        # shared co-purchase neighbors (capped wedge plan, adaptive
+        # adjacency filter)
+        "link_prediction_parts": graph.link_prediction_parts_ds,
         "domain_pagerank": _domain_pagerank,
         # CDC upsert merge: base + update versions compacted to the latest
         # row per key (local max-version prune, one pruned shuffle)
         "upsert_orders_latest": analytic.upsert_orders_latest_ds,
+        # SCD2 history: the same CDC stream kept whole, each version with
+        # its validity interval (LEAD per key, one coarse shuffle)
+        "scd2_order_history": analytic.scd2_order_history_ds,
+        # Fellegi-Sunter record-linkage scoring over SNM-blocked pairs
+        # (integer agreement weights, two co-partitioned joins)
+        "record_linkage_scores": linkage.record_linkage_scores_ds,
         "sample_stratified": sample.sample_stratified_ds,
         "split_assignment": sample.split_assignment_ds,
         # exactly-k-per-stratum deterministic sample (md5-rank top-k —
@@ -648,6 +662,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # examples-proportional mixing with temperature T=2: keep rate
         # ∝ sqrt(n_lang), exact integer accept rule b²·n_max < 10⁶·n_s
         "temperature_sample": sample.temperature_sample_ds,
+        # weighted sampling without replacement: integer priority
+        # md5_48(id)//weight, global bottom-n via the local-prune top-n
+        "weighted_doc_sample": sample.weighted_doc_sample_ds,
+        # freshness-decayed activity leaderboard (2^20 >> age_hours, the
+        # crawler's decayed top-k analog in exact integer arithmetic)
+        "decayed_user_activity": behavior.decayed_user_activity_ds,
         "global_sort_topn": analog.global_sort_topn_ds,
         "union_event_classes": analog.union_event_classes_ds,
         "props_value_histogram": analog.props_value_histogram_ds,
@@ -785,6 +805,34 @@ def _pagerank_oracle_sql(iters: int = 3) -> str:
 _ZORDER_INTERLEAVE_SQL = " + ".join(
     [f"(((x >> {i}) & 1) * {1 << (2 * i)})" for i in range(16)]
     + [f"(((y >> {i}) & 1) * {1 << (2 * i + 1)})" for i in range(16)])
+
+
+def _kcore_oracle_sql(k: int = 68, rounds: int = 8) -> str:
+    """Fixed-round k-core peeling as chained MATERIALIZED CTEs — one
+    (d{i}, s{i}) level per round, the exact peel of ops/graph.kcore
+    (MATERIALIZED: each level is referenced 3× by the next; inlined CTEs
+    would re-evaluate the chain exponentially)."""
+    head = """
+        WITH s0 AS MATERIALIZED (
+          SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+          FROM lineitem l1 JOIN lineitem l2
+            ON l1.l_orderkey = l2.l_orderkey
+           AND l1.l_partkey < l2.l_partkey)"""
+    levels = []
+    for i in range(1, rounds + 1):
+        levels.append(f""", d{i} AS MATERIALIZED (
+          SELECT node, count(*)::BIGINT AS c FROM (
+            SELECT a AS node FROM s{i - 1}
+            UNION ALL SELECT b FROM s{i - 1}) GROUP BY 1
+        ), s{i} AS MATERIALIZED (
+          SELECT e.a, e.b FROM s{i - 1} e
+          JOIN d{i} da ON da.node = e.a AND da.c >= {k}
+          JOIN d{i} db ON db.node = e.b AND db.c >= {k})""")
+    tail = f"""
+        SELECT node AS partkey, count(*)::BIGINT AS core_degree FROM (
+          SELECT a AS node FROM s{rounds}
+          UNION ALL SELECT b FROM s{rounds}) GROUP BY 1"""
+    return head + "".join(levels) + tail
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1951,6 +1999,35 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT b FROM tri
               UNION ALL SELECT c FROM tri) GROUP BY 1
         """,
+        "kcore_parts": _kcore_oracle_sql(k=68, rounds=8),
+        "clustering_coefficient": """
+            WITH pr AS MATERIALIZED (
+              SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+              FROM lineitem l1 JOIN lineitem l2
+                ON l1.l_orderkey = l2.l_orderkey
+               AND l1.l_partkey < l2.l_partkey
+            ), deg AS (
+              SELECT node, count(*)::BIGINT AS degree FROM (
+                SELECT a AS node FROM pr UNION ALL SELECT b FROM pr)
+              GROUP BY 1
+            ), tri AS (
+              SELECT e1.a, e1.b, e2.b AS c FROM pr e1
+              JOIN pr e2 ON e2.a = e1.b
+              JOIN pr e3 ON e3.a = e1.a AND e3.b = e2.b
+            ), tn AS (
+              SELECT node, count(*)::BIGINT AS n_triangles FROM (
+                SELECT a AS node FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri) GROUP BY 1
+            )
+            SELECT d.node AS partkey, d.degree,
+                   coalesce(t.n_triangles, 0)::BIGINT AS n_triangles,
+                   CASE WHEN d.degree >= 2
+                        THEN (2000 * coalesce(t.n_triangles, 0))
+                             // (d.degree * (d.degree - 1))
+                        ELSE 0 END::BIGINT AS cc_pm
+            FROM deg d LEFT JOIN tn t USING (node)
+        """,
         "upsert_orders_latest": """
             WITH base AS (
               SELECT o_orderkey, 0::BIGINT AS version,
@@ -1974,6 +2051,119 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, cents AS final_cents,
                    n::BIGINT AS n_versions
             FROM ranked WHERE rn = 1
+        """,
+        # SCD2: same CDC CTEs, LEAD(version) per key = validity interval
+        "scd2_order_history": """
+            WITH base AS (
+              SELECT o_orderkey, 0::BIGINT AS version,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                         AS cents
+              FROM orders
+            ), u1 AS (
+              SELECT o_orderkey, 1::BIGINT, cents + o_orderkey % 1000
+              FROM base WHERE o_orderkey % 7 = 0
+            ), u2 AS (
+              SELECT o_orderkey, 2::BIGINT, cents + 2 * (o_orderkey % 1000)
+              FROM base WHERE o_orderkey % 21 = 0
+            ), allv AS (
+              SELECT * FROM base UNION ALL SELECT * FROM u1
+              UNION ALL SELECT * FROM u2)
+            SELECT o_orderkey, version, cents,
+                   coalesce(lead(version) OVER (PARTITION BY o_orderkey
+                                                ORDER BY version),
+                            -1)::BIGINT AS valid_to_version,
+                   CASE WHEN lead(version) OVER (PARTITION BY o_orderkey
+                                                 ORDER BY version) IS NULL
+                        THEN 1 ELSE 0 END::BIGINT AS is_current
+            FROM allv
+        """,
+        # Fellegi-Sunter over the SNM pairs: the blocking CTE is the
+        # sorted_neighborhood_pairs oracle verbatim; weights mirror
+        # ops/linkage.py's W_* constants
+        "record_linkage_scores": """
+            WITH r AS (
+              SELECT doc_id, n_chars,
+                     (row_number() OVER (ORDER BY n_chars, doc_id) - 1)
+                         ::BIGINT AS rk
+              FROM documents),
+            p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     (b.n_chars - a.n_chars)::BIGINT AS char_gap
+              FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 2),
+            s AS (
+              SELECT p.doc_a, p.doc_b,
+                     (CASE WHEN da.lang = db.lang THEN 22 ELSE -8 END
+                      + CASE WHEN da.source = db.source THEN 18
+                             ELSE -12 END
+                      + CASE WHEN p.char_gap = 0 THEN 15
+                             WHEN p.char_gap <= 2 THEN 6
+                             ELSE -4 END)::BIGINT AS fs_score
+              FROM p
+              JOIN documents da ON da.doc_id = p.doc_a
+              JOIN documents db ON db.doc_id = p.doc_b)
+            SELECT doc_a, doc_b, fs_score,
+                   CASE WHEN fs_score >= 40 THEN 'match'
+                        WHEN fs_score >= 10 THEN 'possible'
+                        ELSE 'non_match' END AS decision
+            FROM s
+        """,
+        # integer priority sampling: u = md5_48('ws:'||id), key u//w,
+        # global bottom-100 by (priority, id)
+        "weighted_doc_sample": """
+            WITH pri AS (
+              SELECT doc_id, n_chars,
+                     (('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 12))
+                          ::BIGINT // greatest(n_chars, 1)) AS priority
+              FROM documents)
+            SELECT (row_number() OVER (ORDER BY priority, doc_id))
+                       ::BIGINT AS rnk,
+                   doc_id, n_chars, priority
+            FROM pri ORDER BY priority, doc_id LIMIT 100
+        """,
+        # freshness decay: 2^20 >> min(age_hours, 20) from the global max
+        # event minute, exact integer shift
+        "decayed_user_activity": """
+            WITH ev AS (
+              SELECT user_id,
+                     (CAST(floor(epoch(ts)) AS BIGINT) // 60) AS minute
+              FROM events),
+            m AS (SELECT max(minute) AS mm FROM ev),
+            sc AS (
+              SELECT user_id,
+                     sum(1048576 >> least((mm - minute) // 60, 20))
+                         ::BIGINT AS decay_score
+              FROM ev, m GROUP BY 1)
+            SELECT (row_number() OVER (ORDER BY decay_score DESC, user_id))
+                       ::BIGINT AS rnk,
+                   user_id, decay_score
+            FROM sc ORDER BY decay_score DESC, user_id LIMIT 50
+        """,
+        # common-neighbors link prediction: wedge self-join over the
+        # both-direction neighbor list, minus existing edges, top 50
+        "link_prediction_parts": """
+            WITH pr AS MATERIALIZED (
+              SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+              FROM lineitem l1 JOIN lineitem l2
+                ON l1.l_orderkey = l2.l_orderkey
+               AND l1.l_partkey < l2.l_partkey
+            ), nb AS (
+              SELECT a AS node, b AS nb FROM pr
+              UNION ALL SELECT b, a FROM pr
+            ), w AS (
+              SELECT n1.nb AS u, n2.nb AS v, count(*)::BIGINT
+                         AS common_neighbors
+              FROM nb n1 JOIN nb n2
+                ON n1.node = n2.node AND n1.nb < n2.nb
+              GROUP BY 1, 2
+            ), cand AS (
+              SELECT u, v, common_neighbors FROM w
+              WHERE NOT EXISTS (SELECT 1 FROM pr
+                                WHERE pr.a = w.u AND pr.b = w.v))
+            SELECT (row_number() OVER (
+                        ORDER BY common_neighbors DESC, u, v))
+                       ::BIGINT AS rnk,
+                   u AS part_u, v AS part_v, common_neighbors
+            FROM cand ORDER BY common_neighbors DESC, u, v LIMIT 50
         """,
         "gopher_quality": _GOPHER_SIG_SQL + """
             SELECT doc_id, n_words, mean_word_len_pm, dup_2gram_pm,

@@ -161,7 +161,11 @@ def bench_queries(sf_dir: str) -> dict:
              "temperature_sample", "ccnet_ppl_buckets",
              "salted_join_segment_stats", "zorder_events_layout",
              "sorted_neighborhood_pairs", "epoch_shuffle_manifest",
-             "part_triangles", "upsert_orders_latest"]
+             "part_triangles", "upsert_orders_latest",
+             "kcore_parts", "clustering_coefficient",
+             "scd2_order_history", "record_linkage_scores",
+             "weighted_doc_sample", "decayed_user_activity",
+             "link_prediction_parts"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -281,6 +281,29 @@ def order_price_ntile_ds(sf_dir: str, k: int = 4):
     return partitioned_group_apply(orders, ["o_orderpriority"], ntile)
 
 
+def _cdc_version_rows(batch: pd.DataFrame) -> pd.DataFrame:
+    """The deterministic CDC fixture shared by the upsert-merge and SCD2
+    ops: base snapshot (version 0) plus every 7th order re-priced once
+    (version 1, +key‰ cents) and every 21st re-priced again (version 2,
+    +2·key‰) — emitted in-stream per block, one scan total."""
+    k = batch["o_orderkey"].astype("int64").to_numpy()
+    cents = _price_cents(batch["o_totalprice"])
+    frames = [pd.DataFrame({"o_orderkey": k,
+                            "version": np.zeros(len(k), dtype=np.int64),
+                            "cents": cents})]
+    m1 = k % 7 == 0
+    frames.append(pd.DataFrame({
+        "o_orderkey": k[m1],
+        "version": np.ones(int(m1.sum()), dtype=np.int64),
+        "cents": cents[m1] + k[m1] % 1000}))
+    m2 = k % 21 == 0
+    frames.append(pd.DataFrame({
+        "o_orderkey": k[m2],
+        "version": np.full(int(m2.sum()), 2, dtype=np.int64),
+        "cents": cents[m2] + 2 * (k[m2] % 1000)}))
+    return pd.concat(frames, ignore_index=True)
+
+
 def upsert_orders_latest_ds(sf_dir: str, num_partitions: int = 32):
     """CDC upsert merge (the lakehouse ``MERGE INTO`` / merge-on-read
     resolution): the orders base snapshot plus a deterministic update
@@ -295,27 +318,9 @@ def upsert_orders_latest_ds(sf_dir: str, num_partitions: int = 32):
     from .io import read_table
     from .agg import merge_latest
 
-    def derive(batch: pd.DataFrame) -> pd.DataFrame:
-        k = batch["o_orderkey"].astype("int64").to_numpy()
-        cents = _price_cents(batch["o_totalprice"])
-        frames = [pd.DataFrame({"o_orderkey": k,
-                                "version": np.zeros(len(k), dtype=np.int64),
-                                "cents": cents})]
-        m1 = k % 7 == 0
-        frames.append(pd.DataFrame({
-            "o_orderkey": k[m1],
-            "version": np.ones(int(m1.sum()), dtype=np.int64),
-            "cents": cents[m1] + k[m1] % 1000}))
-        m2 = k % 21 == 0
-        frames.append(pd.DataFrame({
-            "o_orderkey": k[m2],
-            "version": np.full(int(m2.sum()), 2, dtype=np.int64),
-            "cents": cents[m2] + 2 * (k[m2] % 1000)}))
-        return pd.concat(frames, ignore_index=True)
-
     versions = read_table(sf_dir, "orders",
                           ["o_orderkey", "o_totalprice"]) \
-        .map_batches(derive, batch_format="pandas")
+        .map_batches(_cdc_version_rows, batch_format="pandas")
     merged = merge_latest(versions, ["o_orderkey"], "version",
                           num_partitions=num_partitions)
 
@@ -326,3 +331,58 @@ def upsert_orders_latest_ds(sf_dir: str, num_partitions: int = 32):
             "n_versions": df["n_versions"].astype("int64")})
 
     return merged.map_batches(tidy, batch_format="pandas")
+
+
+def scd2_history(versions, key_col: str, version_col: str,
+                 num_partitions: int = 32):
+    """Slowly-Changing-Dimension type-2 history build (Kimball SCD2): turn
+    a CDC version stream into validity intervals — each row gains
+    ``valid_to_version`` (the NEXT version of the same key, the ``LEAD``
+    window) and ``is_current`` (1 on the last version; its valid_to is the
+    -1 open-interval sentinel, integer so the oracle hashes). The dual of
+    ``agg.merge_latest``: merge keeps the latest row, SCD2 keeps them ALL
+    with lineage.
+
+    One coarse hash-partition shuffle on the key; inside the partition the
+    lead is a vectorized sort + shift over every key at once (no per-key
+    groups)."""
+    from .agg import partitioned_group_apply
+
+    def lead_in_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values([key_col, version_col],
+                           kind="mergesort").reset_index(drop=True)
+        k = g[key_col].to_numpy(dtype=np.int64)
+        v = g[version_col].to_numpy(dtype=np.int64)
+        nxt = np.empty(len(g), dtype=np.int64)
+        if len(g):
+            same = np.empty(len(g), dtype=bool)
+            same[:-1] = k[:-1] == k[1:]
+            same[-1] = False
+            nxt[:-1] = np.where(same[:-1], v[1:], -1)
+            nxt[-1] = -1
+        g["valid_to_version"] = nxt
+        g["is_current"] = (nxt == -1).astype(np.int64)
+        return g
+
+    return partitioned_group_apply(versions, [key_col], lead_in_part,
+                                   num_partitions)
+
+
+def scd2_order_history_ds(sf_dir: str, num_partitions: int = 32):
+    """Contract face: the shared CDC fixture (``_cdc_version_rows``)
+    expanded to its full SCD2 history — (o_orderkey, version, cents,
+    valid_to_version, is_current), every price version kept with its
+    validity interval."""
+    from .io import read_table
+
+    versions = read_table(sf_dir, "orders",
+                          ["o_orderkey", "o_totalprice"]) \
+        .map_batches(_cdc_version_rows, batch_format="pandas")
+    hist = scd2_history(versions, "o_orderkey", "version",
+                        num_partitions=num_partitions)
+
+    def tidy(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["o_orderkey", "version", "cents",
+                   "valid_to_version", "is_current"]].astype("int64")
+
+    return hist.map_batches(tidy, batch_format="pandas")

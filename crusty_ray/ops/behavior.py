@@ -158,3 +158,60 @@ def event_transition_matrix_ds(sf_dir: str, num_partitions: int = 32):
         ["n_transitions"].sum()
     out["n_transitions"] = out["n_transitions"].astype("int64")
     return out.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+
+
+# ------------------------------------------------ freshness-decayed activity
+def decayed_user_activity_ds(sf_dir: str, n: int = 50,
+                             num_partitions: int = 32):
+    """Freshness-decayed per-user activity leaderboard — the training-data
+    analog of the crawler's time-decayed top-k domains (reference:
+    redis-calc applies a decay factor per TOPK tick, lib.rs:21-31 /
+    topk.rs): every event contributes ``2^20 >> min(age_hours, 20)`` where
+    age is measured back from the corpus's LAST event, so a user's score
+    halves per hour of staleness — in EXACT integer arithmetic (a right
+    shift, not a float pow), so the DuckDB face hashes bit-exact.
+
+    Plan: one O(1)-driver global max-minute scan (2-column pruned read),
+    then contributions are per-row map-only, per-batch partial sums shrink
+    the shuffle to distinct users per block, one coarse partition finishes,
+    and the top-n is the ``grouped_top_n`` constant-group local-prune plan
+    (O(blocks·n) shuffle rows). Returns (rnk, user_id, decay_score)."""
+    from .agg import grouped_top_n, partitioned_group_apply
+
+    def minutes(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "minute": (df["ts"].astype("int64") // 60_000_000)
+            .astype("int64")})
+
+    # materialize: the projected (user_id, minute) blocks feed BOTH the
+    # max-minute scan and the contribution pass — left lazy, the fact read
+    # + map would execute twice end-to-end
+    ev = read_table(sf_dir, "events", ["user_id", "ts"]) \
+        .map_batches(minutes, batch_format="pandas").materialize()
+    max_minute = int(ev.max("minute"))  # O(1) driver scalar
+
+    def contrib(df: pd.DataFrame) -> pd.DataFrame:
+        age_h = (max_minute - df["minute"].to_numpy(dtype=np.int64)) // 60
+        w = (1 << 20) >> np.minimum(age_h, 20)
+        part = pd.DataFrame({"user_id": df["user_id"], "decay_score": w})
+        return part.groupby("user_id", as_index=False)["decay_score"] \
+            .sum().astype("int64")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("user_id", as_index=False)["decay_score"].sum() \
+            .astype("int64")
+        out["__g"] = np.int64(0)
+        return out
+
+    scores = partitioned_group_apply(
+        ev.map_batches(contrib, batch_format="pandas"),
+        ["user_id"], finish, num_partitions)
+    top = grouped_top_n(scores, ["__g"], "decay_score", n, ascending=False,
+                        tie_cols=["user_id"], rank_col="rnk",
+                        num_partitions=num_partitions)
+
+    def tidy(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["rnk", "user_id", "decay_score"]].astype("int64")
+
+    return top.map_batches(tidy, batch_format="pandas")

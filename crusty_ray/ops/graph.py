@@ -53,6 +53,37 @@ def distinct_rows(ds, cols: list[str], num_partitions: int = 32):
                                    cols, finish, num_partitions)
 
 
+def _melt_nodes(df: pd.DataFrame, cols=("a", "b")) -> pd.DataFrame:
+    """Every endpoint of every edge row as one int64 ``node`` column — the
+    degree-pass melt shared by kcore / clustering / triangle reduction."""
+    return pd.DataFrame({"node": np.concatenate(
+        [df[c].to_numpy(dtype=np.int64) for c in cols])})
+
+
+def _packed_edge_keys(edges) -> np.ndarray:
+    """Driver-collected SORTED ``(a << 31) | b`` packed keys of a distinct
+    (a, b), a < b edge Dataset (node ids < 2^31) — the broadcast
+    edge-membership array shared by the triangle closure and the
+    link-prediction adjacency filter. O(edges) driver memory by intent:
+    callers gate on ``broadcast_edges`` before taking this path."""
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": (df["a"].to_numpy(dtype=np.int64) << 31)
+                             | df["b"].to_numpy(dtype=np.int64)})
+
+    return np.sort(np.asarray(
+        edges.map_batches(pack, batch_format="pandas").to_pandas()["k"],
+        dtype=np.int64))
+
+
+def _packed_member(ek: np.ndarray, u: np.ndarray, v: np.ndarray):
+    """Vectorized membership of (u, v) pairs in a `_packed_edge_keys`
+    array (searchsorted with the end-of-array bounds guard)."""
+    w = (u << 31) | v
+    pos = np.searchsorted(ek, w)
+    return (pos < len(ek)) & (ek[np.minimum(pos, len(ek) - 1)] == w)
+
+
 def pagerank(edges, iters: int = 3, num_partitions: int = 32,
              broadcast_nodes: int = 2_000_000):
     """Integer PageRank over a DISTINCT (src:int64, dst:int64) edge Dataset.
@@ -161,8 +192,12 @@ def pagerank(edges, iters: int = 3, num_partitions: int = 32,
                 "rank_q": (15 * r0 + 85 * s) // 100,
             })
 
-        rank = joined.map_batches(update,
-                                  batch_format="pandas").materialize()
+        # repartition: each iteration's joins emit O(input-blocks) blocks,
+        # so the iterated chain compounds the block count (the kcore loop
+        # measured 3× per round, 1.6 s → 107 s over six) — coalesce the
+        # carried table once per iteration to keep rounds flat
+        rank = joined.map_batches(update, batch_format="pandas") \
+            .repartition(num_partitions).materialize()
 
     def strip(df: pd.DataFrame) -> pd.DataFrame:
         return df[["node", "rank_q"]]
@@ -419,15 +454,7 @@ def triangle_counts(edges, num_partitions: int = 32,
 
     n_edges = edges.count()
     if n_edges <= broadcast_edges:
-        def pack(df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({"k": (df["a"].to_numpy(dtype=np.int64)
-                                       << 31)
-                                 | df["b"].to_numpy(dtype=np.int64)})
-
-        keys = np.sort(np.asarray(
-            edges.map_batches(pack, batch_format="pandas").to_pandas()["k"],
-            dtype=np.int64))
-        keys_ref = _ray.put(keys)
+        keys_ref = _ray.put(_packed_edge_keys(edges))
 
         def count_in_part(df: pd.DataFrame, _cache={}) -> pd.DataFrame:
             if "k" not in _cache:
@@ -435,10 +462,7 @@ def triangle_counts(edges, num_partitions: int = 32,
             ek = _cache["k"]
             nodes, counts = [], []
             for a, b, c in neighbor_lists(df):
-                w = (b << 31) | c
-                pos = np.searchsorted(ek, w)
-                closed = (pos < len(ek)) & (ek[np.minimum(pos, len(ek) - 1)]
-                                            == w)
+                closed = _packed_member(ek, b, c)
                 if not closed.any():
                     continue
                 nodes.append(np.array([a], dtype=np.int64))
@@ -488,8 +512,7 @@ def triangle_counts(edges, num_partitions: int = 32,
                     on=["b", "c"], num_partitions=num_partitions)
 
     def melt(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"node": np.concatenate(
-            [df[col].to_numpy(dtype=np.int64) for col in ("a", "b", "c")])})
+        return _melt_nodes(df, ("a", "b", "c"))
 
     return grouped_count(tri.map_batches(melt, batch_format="pandas"),
                          ["node"], "n_triangles", num_partitions)
@@ -538,3 +561,255 @@ def part_triangles_ds(sf_dir: str, num_partitions: int = 32):
                              .astype("int64")})
 
     return tri.map_batches(tidy, batch_format="pandas")
+
+
+def kcore(edges, k: int, rounds: int = 8, num_partitions: int = 32,
+          broadcast_nodes: int = 2_000_000):
+    """Fixed-round k-core peeling over a distinct (a, b), a < b edge
+    Dataset: ``rounds`` iterations of "drop every node with degree < k in
+    the surviving subgraph" — the density-core decomposition (community
+    cores, junk-tail pruning). The FIXED round count is the oracle
+    contract (the SQL face unrolls the same rounds); peeling that reaches
+    a fixpoint earlier stops early — identical output, rounds are
+    idempotent at the fixpoint.
+
+    Per round: one melt + ``grouped_count`` degree pass, then the
+    adaptive keep-set filter (pagerank/triangles pattern) — while the
+    surviving NODE set fits one heap (≤ ``broadcast_nodes``) it
+    broadcasts once as a sorted array and the edge filter is one
+    shuffle-free ``np.isin`` map over the edges; above the threshold the
+    filter is two co-partitioned ``hash_join`` semis. Edge tables shrink
+    monotonically. Returns (node, core_degree) for the surviving nodes.
+    """
+    import ray as _ray
+
+    from .agg import grouped_count
+    from .joins import hash_join
+
+    edges = edges.materialize()
+    n_edges = edges.count()
+    for _ in range(rounds):
+        if n_edges == 0:
+            break
+        deg = grouped_count(edges.map_batches(_melt_nodes,
+                                              batch_format="pandas"),
+                            ["node"], "c", num_partitions)
+
+        def keep_only(df: pd.DataFrame) -> pd.DataFrame:
+            return df.loc[df["c"] >= k, ["node"]]
+
+        keep = deg.map_batches(keep_only, batch_format="pandas") \
+            .materialize()
+        if keep.count() <= broadcast_nodes:
+            kp = keep.to_pandas()
+            arr = (np.sort(kp["node"].to_numpy(dtype=np.int64))
+                   if "node" in kp.columns else np.empty(0, dtype=np.int64))
+            keep_ref = _ray.put(arr)
+
+            def filt(df: pd.DataFrame, _cache={}) -> pd.DataFrame:
+                if "s" not in _cache:
+                    _cache["s"] = _ray.get(keep_ref)
+                s = _cache["s"]
+                a = df["a"].to_numpy(dtype=np.int64)
+                b = df["b"].to_numpy(dtype=np.int64)
+                return df[np.isin(a, s) & np.isin(b, s)]
+
+            edges = edges.map_batches(filt, batch_format="pandas") \
+                .materialize()
+        else:
+            def as_a(df):
+                return pd.DataFrame({"a": df["node"].astype("int64")})
+
+            def as_b(df):
+                return pd.DataFrame({"b": df["node"].astype("int64")})
+
+            # repartition before materializing: each hash_join emits
+            # O(input-blocks) blocks, so an ITERATIVE join chain grows the
+            # block count ~3× per round (measured 3→729 blocks over six
+            # rounds, round wall 1.6 s → 107 s) — coalescing to
+            # num_partitions keeps per-round cost flat
+            edges = hash_join(
+                hash_join(edges,
+                          keep.map_batches(as_a, batch_format="pandas"),
+                          on=["a"], num_partitions=num_partitions),
+                keep.map_batches(as_b, batch_format="pandas"),
+                on=["b"], num_partitions=num_partitions) \
+                .repartition(num_partitions).materialize()
+        n2 = edges.count()
+        if n2 == n_edges:   # fixpoint — remaining rounds are no-ops
+            break
+        n_edges = n2
+
+    if n_edges == 0:  # fully peeled: explicit typed empty (pandas would
+        return _ray.data.from_pandas(  # otherwise drop the schema)
+            pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                          "core_degree": pd.Series([], dtype="int64")}))
+    return grouped_count(edges.map_batches(_melt_nodes,
+                                           batch_format="pandas"),
+                         ["node"], "core_degree", num_partitions)
+
+
+def kcore_parts_ds(sf_dir: str, k: int = 68, rounds: int = 8,
+                   num_partitions: int = 32):
+    """k-core of the co-purchase part graph — (partkey, core_degree) for
+    parts surviving 8 peel rounds at degree ≥ k (k=68 binds on every test
+    table — some parts peel with cascade, the core survives; the graph has
+    a sharp phase transition just above it)."""
+    core = kcore(part_cooccurrence_edges(sf_dir, num_partitions), k,
+                 rounds, num_partitions)
+
+    def tidy(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"partkey": df["node"].astype("int64"),
+                             "core_degree": df["core_degree"]
+                             .astype("int64")})
+
+    return core.map_batches(tidy, batch_format="pandas")
+
+
+def clustering_coefficient_ds(sf_dir: str, num_partitions: int = 32):
+    """Per-part local clustering coefficient over the co-purchase graph —
+    cc_pm = (2000 · triangles) // (deg · (deg-1)) (integer per-mille, 0
+    when deg < 2): how clique-like each part's neighborhood is. One
+    degree pass + the triangle plan + one co-partitioned left join.
+    Returns (partkey, degree, n_triangles, cc_pm) over ALL nodes."""
+    from .agg import grouped_count
+    from .joins import hash_join
+
+    edges = part_cooccurrence_edges(sf_dir, num_partitions).materialize()
+
+    deg = grouped_count(edges.map_batches(_melt_nodes,
+                                          batch_format="pandas"),
+                        ["node"], "degree", num_partitions)
+    tri = triangle_counts(edges, num_partitions)
+    both = hash_join(deg, tri, on=["node"], how="left",
+                     fill={"n_triangles": np.int64(0)},
+                     num_partitions=num_partitions)
+
+    def cc(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["degree"].to_numpy(dtype=np.int64)
+        t = df["n_triangles"].to_numpy(dtype=np.int64)
+        denom = d * (d - 1)
+        pm = np.where(denom > 0, (2000 * t) // np.maximum(denom, 1), 0)
+        return pd.DataFrame({"partkey": df["node"].astype("int64"),
+                             "degree": d, "n_triangles": t,
+                             "cc_pm": pm.astype(np.int64)})
+
+    return both.map_batches(cc, batch_format="pandas")
+
+
+def common_neighbor_pairs(edges, num_partitions: int = 32,
+                          max_center_degree: int | None = None,
+                          broadcast_edges: int = 4_000_000):
+    """Common-neighbors link prediction (the Liben-Nowell & Kleinberg 2003
+    baseline): for every NON-adjacent pair (u, v) with at least one shared
+    neighbor, count the shared neighbors — the score that ranks "links
+    likely to appear". ``edges``: distinct (a, b) int64, a < b, ids < 2^31.
+
+    Plan: every edge melts BOTH directions (unlike triangles, a wedge at
+    center m scores the pair for every center, so degree-ordering does not
+    apply); wedge pairs (u < v) are emitted per center inside one coarse
+    partition on the center — work C(deg, 2), bounded by
+    ``max_center_degree`` (None = exact, the oracle face; a capped center
+    emits NO wedges, the deterministic stop-hash contract shared with
+    ``triangle_counts``). ``grouped_count`` collapses the wedge stream to
+    (u, v, common_neighbors); existing edges are then removed by the
+    adaptive filter — a broadcast sorted packed-key searchsorted while the
+    edge set fits one heap (≤ ``broadcast_edges``), else a co-partitioned
+    left ``hash_join`` against a marker column.
+    """
+    import ray as _ray
+
+    from .agg import grouped_count, partitioned_group_apply
+    from .joins import hash_join
+
+    edges = edges.materialize()  # feeds the melt AND the adjacency filter
+
+    def melt_directed(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy(dtype=np.int64)
+        b = df["b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"node": np.concatenate([a, b]),
+                             "nb": np.concatenate([b, a])})
+
+    nbr = edges.map_batches(melt_directed, batch_format="pandas")
+
+    def pairs_in_part(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("node", sort=False):
+            nb = np.unique(g["nb"].to_numpy(dtype=np.int64))
+            if max_center_degree is not None \
+                    and len(nb) > max_center_degree:
+                continue
+            if len(nb) > 1:
+                ia, ib = np.triu_indices(len(nb), k=1)
+                outs.append(pd.DataFrame({"u": nb[ia], "v": nb[ib]}))
+        if not outs:
+            return pd.DataFrame({"u": pd.Series([], dtype="int64"),
+                                 "v": pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    wedges = partitioned_group_apply(nbr, ["node"], pairs_in_part,
+                                     num_partitions)
+    counts = grouped_count(wedges, ["u", "v"], "common_neighbors",
+                           num_partitions)
+
+    if edges.count() <= broadcast_edges:
+        keys_ref = _ray.put(_packed_edge_keys(edges))
+
+        def drop_adjacent(df: pd.DataFrame, _cache={}) -> pd.DataFrame:
+            if "k" not in _cache:
+                _cache["k"] = _ray.get(keys_ref)
+            adj = _packed_member(_cache["k"],
+                                 df["u"].to_numpy(dtype=np.int64),
+                                 df["v"].to_numpy(dtype=np.int64))
+            return df[~adj]
+
+        return counts.map_batches(drop_adjacent, batch_format="pandas")
+
+    def marker(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"u": df["a"].astype("int64"),
+                             "v": df["b"].astype("int64"),
+                             "__adj": np.ones(len(df), dtype=np.int64)})
+
+    joined = hash_join(counts,
+                       edges.map_batches(marker, batch_format="pandas"),
+                       on=["u", "v"], how="left",
+                       fill={"__adj": np.int64(0)},
+                       num_partitions=num_partitions)
+
+    def keep_new(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["__adj"] == 0, ["u", "v", "common_neighbors"]]
+
+    return joined.map_batches(keep_new, batch_format="pandas")
+
+
+def link_prediction_parts_ds(sf_dir: str, n: int = 50,
+                             num_partitions: int = 32):
+    """Top-``n`` predicted links over the co-purchase part graph — the
+    non-adjacent part pairs sharing the most co-purchase neighbors
+    ("parts likely to be bought together next"). Deterministic total order
+    (common_neighbors DESC, part_u, part_v); the top-n is the
+    ``grouped_top_n`` constant-group local-prune plan. Returns
+    (rnk, part_u, part_v, common_neighbors)."""
+    from .agg import grouped_top_n
+
+    cand = common_neighbor_pairs(
+        part_cooccurrence_edges(sf_dir, num_partitions),
+        num_partitions=num_partitions)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"part_u": df["u"].astype("int64"),
+                             "part_v": df["v"].astype("int64"),
+                             "common_neighbors": df["common_neighbors"]
+                             .astype("int64"),
+                             "__g": np.zeros(len(df), dtype=np.int64)})
+
+    top = grouped_top_n(cand.map_batches(tag, batch_format="pandas"),
+                        ["__g"], "common_neighbors", n, ascending=False,
+                        tie_cols=["part_u", "part_v"], rank_col="rnk",
+                        num_partitions=num_partitions)
+
+    def tidy(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["rnk", "part_u", "part_v", "common_neighbors"]] \
+            .astype("int64")
+
+    return top.map_batches(tidy, batch_format="pandas")

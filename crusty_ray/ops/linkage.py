@@ -1,0 +1,94 @@
+"""Record-linkage scoring — the Fellegi–Sunter decision model (Fellegi &
+Sunter 1969) over blocked candidate pairs: the classic entity-resolution
+step between blocking (which candidate pairs to look at) and clustering
+(which matches to merge). The reference engine has no linkage stage; this
+is part of the training-data curation surface (joining crawled corpora to
+catalog/metadata sets without a shared key).
+
+Plan shape: candidate pairs come from the already-distributed
+sorted-neighborhood blocking plan (``dedup.sorted_neighborhood_pairs_ds``
+— no new pair generator); each pair is then re-joined to the record table
+twice through the generic ``hash_join`` (record table stays fact-scale,
+never broadcast), and the field-agreement scoring is one vectorized pandas
+expression per partition. Weights are INTEGER log-odds-style scores so the
+DuckDB oracle hashes bit-exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+# Integer agreement weights (log-odds flavored: agreement on a selective
+# field earns more than a common field; disagreement penalties are milder
+# than agreements, per the classic m/u asymmetry). These constants are the
+# oracle contract — the SQL face repeats them literally.
+W_LANG_AGREE, W_LANG_DIS = 22, -8
+W_SOURCE_AGREE, W_SOURCE_DIS = 18, -12
+W_GAP_ZERO, W_GAP_NEAR, W_GAP_FAR = 15, 6, -4
+T_MATCH, T_POSSIBLE = 40, 10
+
+
+_FIELDS = ["lang", "source"]  # the fields the weight table scores on
+
+
+def fs_score_pairs(pairs, records, id_col: str,
+                   num_partitions: int = 32):
+    """Score (doc_a, doc_b, char_gap) candidate pairs against ``records``
+    (``id_col`` + lang + source columns) with the Fellegi–Sunter integer
+    weights above (the weight table is field-specific, so the field list
+    is fixed alongside it). Two co-partitioned ``hash_join`` passes pull
+    each side's field vector onto the pair row; the comparison itself is
+    vectorized. Returns (doc_a, doc_b, fs_score, decision)."""
+    from .joins import hash_join
+
+    def side(suffix: str, key: str):
+        def rename(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({key: df[id_col].astype("int64")})
+            for f in _FIELDS:
+                out[f + suffix] = df[f]
+            return out
+        return rename
+
+    a = records.map_batches(side("_a", "doc_a"), batch_format="pandas")
+    b = records.map_batches(side("_b", "doc_b"), batch_format="pandas")
+    joined = hash_join(
+        hash_join(pairs, a, on=["doc_a"], num_partitions=num_partitions),
+        b, on=["doc_b"], num_partitions=num_partitions)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        s = np.zeros(n, dtype=np.int64)
+        # pandas object == with NaN on either side is False -> the
+        # disagreement branch, same as SQL's CASE WHEN a = b (NULL-false)
+        lang_eq = (df["lang_a"] == df["lang_b"]).to_numpy()
+        src_eq = (df["source_a"] == df["source_b"]).to_numpy()
+        s += np.where(lang_eq, W_LANG_AGREE, W_LANG_DIS)
+        s += np.where(src_eq, W_SOURCE_AGREE, W_SOURCE_DIS)
+        gap = df["char_gap"].to_numpy(dtype=np.int64)
+        s += np.where(gap == 0, W_GAP_ZERO,
+                      np.where(gap <= 2, W_GAP_NEAR, W_GAP_FAR))
+        decision = np.where(s >= T_MATCH, "match",
+                            np.where(s >= T_POSSIBLE, "possible",
+                                     "non_match"))
+        return pd.DataFrame({
+            "doc_a": df["doc_a"].astype("int64"),
+            "doc_b": df["doc_b"].astype("int64"),
+            "fs_score": s,
+            "decision": pd.Series(decision, dtype="object")})
+
+    return joined.map_batches(score, batch_format="pandas")
+
+
+def record_linkage_scores_ds(sf_dir: str, window: int = 2,
+                             num_partitions: int = 32):
+    """Fellegi–Sunter linkage over the documents table: SNM length-blocked
+    candidate pairs scored on (lang, source, char_gap) agreement. Returns
+    (doc_a, doc_b, fs_score, decision) for every candidate pair."""
+    from .dedup import sorted_neighborhood_pairs_ds
+    from .io import read_table
+
+    pairs = sorted_neighborhood_pairs_ds(sf_dir, window=window,
+                                         num_partitions=num_partitions)
+    records = read_table(sf_dir, "documents", ["doc_id"] + _FIELDS)
+    return fs_score_pairs(pairs, records, "doc_id", num_partitions)

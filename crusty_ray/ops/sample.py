@@ -170,3 +170,55 @@ def temperature_sample_ds(sf_dir: str):
                       ["lang"], "n").to_pandas()
     counts = dict(zip(n["lang"], n["n"].astype(int)))
     return temperature_sample(docs, "doc_id", "lang", counts)
+
+
+# ------------------------------------------------- weighted priority sample
+def weighted_priority_sample(ds, id_col: str, weight_col: str, n: int,
+                             salt: str = "ws", num_partitions: int = 32):
+    """Deterministic weighted sampling WITHOUT replacement — integer
+    priority sampling (the A-Res / Efraimidis-Spirtsis idea with the
+    repo's hash-in-place-of-RNG convention): each row draws the stable
+    uniform ``md5_48(salt:id)`` and its priority is ``u // max(w, 1)`` —
+    heavier rows get stochastically smaller priorities — and the sample is
+    the global bottom-``n`` by (priority, id). All-integer, so the DuckDB
+    face is bit-exact; membership is a pure row function (stable under
+    repartitioning and corpus growth, like every sampler in this module).
+
+    Scale plan: priorities are per-row map-only; the bottom-n is
+    ``grouped_top_n`` under a constant group — a local per-batch prune
+    keeps ≤ n rows per block, so the shuffle moves O(blocks·n) rows, never
+    the corpus. Returns (rnk, id, weight, priority)."""
+    import hashlib
+
+    from .agg import grouped_top_n
+
+    def prio(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].astype("int64")
+        w = np.maximum(batch[weight_col].to_numpy(dtype=np.int64), 1)
+        u = np.fromiter(
+            (int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:12], 16)
+             for i in ids),
+            dtype=np.int64, count=len(ids))
+        return pd.DataFrame({id_col: ids, weight_col: batch[weight_col]
+                             .astype("int64"), "priority": u // w,
+                             "__g": np.zeros(len(ids), dtype=np.int64)})
+
+    keyed = ds.map_batches(prio, batch_format="pandas")
+    top = grouped_top_n(keyed, ["__g"], "priority", n, ascending=True,
+                        tie_cols=[id_col], rank_col="rnk",
+                        num_partitions=num_partitions)
+
+    def tidy(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["rnk", id_col, weight_col, "priority"]]
+
+    return top.map_batches(tidy, batch_format="pandas")
+
+
+def weighted_doc_sample_ds(sf_dir: str, n: int = 100):
+    """Contract face: 100 documents sampled ∝ length (n_chars as the token
+    proxy) — the importance-sampling step that upweights long documents in
+    a mixture without replacement."""
+    from .io import read_table
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
+    return weighted_priority_sample(docs, "doc_id", "n_chars", n)

@@ -252,3 +252,56 @@ def test_triangle_counts_broadcast_equals_join_path(ray_session):
         .sort_values("node").reset_index(drop=True)
     assert len(bc) > 0
     pd.testing.assert_frame_equal(bc.astype("int64"), jn.astype("int64"))
+
+
+# ------------------------------------------------------------------ k-core
+
+def test_kcore_planted_cascade(ray_session):
+    """A triangle (3-core... actually 2-core) with a pendant chain: k=2
+    peels the chain in CASCADE (each removal lowers the next node's
+    degree), leaving exactly the triangle with core degrees 2."""
+    import ray
+    from crusty_ray.ops.graph import kcore
+    edges = pd.DataFrame(
+        [(1, 2), (1, 3), (2, 3),      # triangle — the 2-core
+         (3, 4), (4, 5), (5, 6)],     # pendant chain, peels one per round
+        columns=["a", "b"]).astype("int64")
+    got = kcore(ray.data.from_pandas(edges), k=2,
+                num_partitions=4).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    exp = pd.DataFrame({"node": [1, 2, 3],
+                        "core_degree": [2, 2, 2]}).astype("int64")
+    pd.testing.assert_frame_equal(got.astype("int64"), exp)
+
+
+def test_kcore_fully_peeled_is_typed_empty(ray_session):
+    """Ray's to_pandas() drops columns on any empty dataset, so the typed
+    empty is asserted at the schema level."""
+    import ray
+    from crusty_ray.ops.graph import kcore
+    edges = pd.DataFrame([(1, 2), (2, 3)], columns=["a", "b"]) \
+        .astype("int64")
+    got = kcore(ray.data.from_pandas(edges), k=5, num_partitions=4)
+    assert got.schema().names == ["node", "core_degree"]
+    assert got.count() == 0
+
+
+def test_kcore_join_path_equals_broadcast(ray_session):
+    """The adaptive keep-set filter's two plans (broadcast isin vs two
+    hash_join semis) must peel identically."""
+    import ray
+    from crusty_ray.ops.graph import kcore
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 30, size=200)
+    b = rng.randint(0, 30, size=200)
+    e = pd.DataFrame({"a": np.minimum(a, b), "b": np.maximum(a, b)})
+    e = e[e["a"] < e["b"]].drop_duplicates().astype("int64")
+    ds = ray.data.from_pandas(e).materialize()
+    bc = kcore(ds, k=8, rounds=4, num_partitions=4).to_pandas() \
+        .sort_values("node") \
+        .reset_index(drop=True)
+    jn = kcore(ds, k=8, rounds=4, broadcast_nodes=0,
+               num_partitions=4) \
+        .to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(bc.astype("int64"), jn.astype("int64"))

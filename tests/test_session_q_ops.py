@@ -1,0 +1,212 @@
+"""Session-q ops: SCD2 history, Fellegi–Sunter linkage scoring, weighted
+priority sampling, decayed activity, common-neighbors link prediction. The
+SQL faces are covered by test_driver_contract; these pin the mechanics the
+SQL compare can't see (cross-block version assembly, decision-branch
+coverage, repartition stability, both adjacency-filter plans, the degree
+cap).
+"""
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------------- SCD2
+
+def test_scd2_cross_block_versions(ray_session):
+    """Versions of one key arriving in DIFFERENT input blocks must still
+    chain into one interval sequence."""
+    import ray
+    from crusty_ray.ops.analytic import scd2_history
+    b1 = pd.DataFrame({"o_orderkey": [1, 2], "version": [0, 0],
+                       "cents": [100, 200]})
+    b2 = pd.DataFrame({"o_orderkey": [1, 1], "version": [2, 1],
+                       "cents": [120, 110]})
+    ds = ray.data.from_pandas([b1, b2])
+    got = scd2_history(ds, "o_orderkey", "version", num_partitions=4).to_pandas() \
+        .sort_values(["o_orderkey", "version"]).reset_index(drop=True)
+    exp = pd.DataFrame({
+        "o_orderkey": [1, 1, 1, 2],
+        "version": [0, 1, 2, 0],
+        "cents": [100, 110, 120, 200],
+        "valid_to_version": [1, 2, -1, -1],
+        "is_current": [0, 0, 1, 1]})
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+
+
+def test_scd2_current_rows_equal_upsert(ray_session):
+    """The SCD2 face's is_current slice must be exactly the upsert-merge
+    face's latest rows (same fixture, dual outputs)."""
+    from crusty_ray.ops.analytic import (scd2_order_history_ds,
+                                         upsert_orders_latest_ds)
+    hist = scd2_order_history_ds(SF).to_pandas()
+    cur = hist[hist["is_current"] == 1][["o_orderkey", "cents"]] \
+        .sort_values("o_orderkey").reset_index(drop=True)
+    ups = upsert_orders_latest_ds(SF).to_pandas() \
+        [["o_orderkey", "final_cents"]].rename(
+            columns={"final_cents": "cents"}) \
+        .sort_values("o_orderkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(cur.astype("int64"), ups.astype("int64"))
+    # every non-current row's valid_to is a real later version of its key
+    stale = hist[hist["is_current"] == 0]
+    assert (stale["valid_to_version"] > stale["version"]).all()
+
+
+# ---------------------------------------------------------------- linkage
+
+def test_fs_score_pairs_branch_coverage(ray_session):
+    """Planted pairs hitting every decision branch, checked against the
+    weight constants directly."""
+    import ray
+    from crusty_ray.ops.linkage import fs_score_pairs
+    records = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "lang": ["en", "en", "en", "de", "fr", "en"],
+        "source": ["web", "web", "wiki", "web", "wiki", "web"]})
+    pairs = pd.DataFrame({
+        "doc_a": [1, 1, 1, 4],
+        "doc_b": [2, 3, 4, 5],
+        "char_gap": [0, 2, 9, 9]})
+    got = fs_score_pairs(
+        ray.data.from_pandas(pairs), ray.data.from_pandas(records),
+        "doc_id", num_partitions=4).to_pandas() \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    # (1,2): agree+agree+gap0 = 22+18+15 = 55 match
+    # (1,3): agree+dis+near  = 22-12+6  = 16 possible
+    # (1,4): dis+agree+far   = -8+18-4  =  6 non_match
+    # (4,5): dis+dis+far     = -8-12-4  = -24 non_match
+    assert got["fs_score"].tolist() == [55, 16, 6, -24]
+    assert got["decision"].tolist() == ["match", "possible", "non_match",
+                                        "non_match"]
+
+
+def test_record_linkage_scores_consistent_with_snm(ray_session):
+    """Every SNM candidate pair is scored exactly once; decisions respect
+    the thresholds."""
+    from crusty_ray.ops.dedup import sorted_neighborhood_pairs_ds
+    from crusty_ray.ops.linkage import (T_MATCH, T_POSSIBLE,
+                                        record_linkage_scores_ds)
+    pairs = sorted_neighborhood_pairs_ds(SF).to_pandas()
+    scored = record_linkage_scores_ds(SF).to_pandas()
+    assert len(scored) == len(pairs)
+    assert set(map(tuple, scored[["doc_a", "doc_b"]].to_numpy())) \
+        == set(map(tuple, pairs[["doc_a", "doc_b"]].to_numpy()))
+    m = scored["decision"] == "match"
+    p = scored["decision"] == "possible"
+    n = scored["decision"] == "non_match"
+    assert (scored.loc[m, "fs_score"] >= T_MATCH).all()
+    assert (scored.loc[p, "fs_score"] >= T_POSSIBLE).all() \
+        and (scored.loc[p, "fs_score"] < T_MATCH).all()
+    assert (scored.loc[n, "fs_score"] < T_POSSIBLE).all()
+
+
+# ------------------------------------------------------- weighted sampling
+
+def test_weighted_sample_repartition_stable(ray_session):
+    """The sample is a pure row function + global bottom-n: 1-block and
+    8-block layouts of the same table must agree exactly."""
+    import ray
+    from crusty_ray.ops.sample import weighted_priority_sample
+    df = pd.DataFrame({"id": np.arange(1000, dtype=np.int64),
+                       "w": (np.arange(1000, dtype=np.int64) % 17) + 1})
+    one = weighted_priority_sample(
+        ray.data.from_pandas(df), "id", "w", 40,
+        num_partitions=4).to_pandas() \
+        .sort_values("rnk").reset_index(drop=True)
+    eight = weighted_priority_sample(
+        ray.data.from_pandas(df).repartition(8), "id", "w", 40,
+        num_partitions=4) \
+        .to_pandas().sort_values("rnk").reset_index(drop=True)
+    pd.testing.assert_frame_equal(one, eight[one.columns])
+    assert len(one) == 40 and one["rnk"].tolist() == list(range(1, 41))
+
+
+def test_weighted_sample_prefers_heavy_rows(ray_session):
+    """Priority u//w: rows a million times heavier should dominate the
+    sample (100 heavy + 900 light, n=50 → all 50 heavy)."""
+    import ray
+    from crusty_ray.ops.sample import weighted_priority_sample
+    df = pd.DataFrame({"id": np.arange(1000, dtype=np.int64)})
+    df["w"] = np.where(df["id"] < 100, 1_000_000_000_000, 1)
+    got = weighted_priority_sample(
+        ray.data.from_pandas(df), "id", "w", 50,
+        num_partitions=4).to_pandas()
+    assert (got["id"] < 100).all()
+
+
+# --------------------------------------------------------- decayed activity
+
+def test_decayed_activity_matches_pandas(ray_session):
+    """Exact integer recompute of the whole leaderboard from the raw
+    table (shift decay, max-minute anchor, tie order)."""
+    import pyarrow.parquet as pq
+    from crusty_ray.ops.behavior import decayed_user_activity_ds
+    got = decayed_user_activity_ds(SF, n=25, num_partitions=4).to_pandas() \
+        .sort_values("rnk").reset_index(drop=True)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    minute = ev["ts"].astype("int64") // 60_000_000
+    age_h = (minute.max() - minute) // 60
+    w = (1 << 20) >> np.minimum(age_h.to_numpy(dtype=np.int64), 20)
+    sc = pd.DataFrame({"user_id": ev["user_id"], "decay_score": w}) \
+        .groupby("user_id", as_index=False).sum() \
+        .sort_values(["decay_score", "user_id"], ascending=[False, True]) \
+        .head(25).reset_index(drop=True)
+    sc["rnk"] = np.arange(1, len(sc) + 1)
+    pd.testing.assert_frame_equal(
+        got[["rnk", "user_id", "decay_score"]].astype("int64"),
+        sc[["rnk", "user_id", "decay_score"]].astype("int64"))
+
+
+# ------------------------------------------------- common-neighbor pairs
+
+def _cn(ray_session_edges, **kw):
+    import ray
+    from crusty_ray.ops.graph import common_neighbor_pairs
+    ds = ray.data.from_pandas(ray_session_edges.astype("int64"))
+    kw.setdefault("num_partitions", 4)
+    out = common_neighbor_pairs(ds, **kw).to_pandas()
+    if out.empty:  # Ray to_pandas() drops columns on empty datasets
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ("u", "v", "common_neighbors")})
+    return out.sort_values(["u", "v"]).reset_index(drop=True) \
+        .astype("int64")
+
+
+def test_common_neighbors_path_star_triangle(ray_session):
+    # path 1-2-3: (1,3) share {2}; triangle adds edge (1,3) → no candidates
+    path = pd.DataFrame({"a": [1, 2], "b": [2, 3]})
+    got = _cn(path)
+    exp = pd.DataFrame({"u": [1], "v": [3], "common_neighbors": [1]})
+    pd.testing.assert_frame_equal(got, exp.astype("int64"))
+    tri = pd.DataFrame({"a": [1, 1, 2], "b": [2, 3, 3]})
+    assert len(_cn(tri)) == 0
+    # star center 0 with leaves 1..4: every leaf pair shares exactly {0}
+    star = pd.DataFrame({"a": [0] * 4, "b": [1, 2, 3, 4]})
+    got = _cn(star)
+    assert len(got) == 6 and (got["common_neighbors"] == 1).all()
+
+
+def test_common_neighbors_join_path_equals_broadcast(ray_session):
+    """broadcast searchsorted filter vs the left-join marker plan."""
+    rng = np.random.RandomState(11)
+    a = rng.randint(0, 40, size=300)
+    b = rng.randint(0, 40, size=300)
+    e = pd.DataFrame({"a": np.minimum(a, b), "b": np.maximum(a, b)})
+    e = e[e["a"] < e["b"]].drop_duplicates()
+    bc = _cn(e)
+    jn = _cn(e, broadcast_edges=0)
+    pd.testing.assert_frame_equal(bc, jn)
+    assert len(bc) > 0
+
+
+def test_common_neighbors_degree_cap(ray_session):
+    """A capped hub center emits no wedges: star pairs vanish, path pairs
+    through low-degree centers survive."""
+    # hub 0 -> leaves 1..5, plus path 10-11-12
+    e = pd.DataFrame({"a": [0, 0, 0, 0, 0, 10, 11],
+                      "b": [1, 2, 3, 4, 5, 11, 12]})
+    got = _cn(e, max_center_degree=3)
+    exp = pd.DataFrame({"u": [10], "v": [12], "common_neighbors": [1]})
+    pd.testing.assert_frame_equal(got, exp.astype("int64"))
