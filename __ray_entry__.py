@@ -325,9 +325,10 @@ def _domain_pagerank(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from crusty_ray.ops import (analog, analytic, behavior, curation, dedup,
-                                graph, joins, linkage, pack, quantiles,
-                                sample, similarity, stats, text, windows)
+    from crusty_ray.ops import (analog, analytic, basket, behavior,
+                                curation, dedup, graph, joins, linkage,
+                                pack, quantiles, sample, similarity, stats,
+                                text, windows)
 
     def lang_distribution(sf_dir: str):
         import ray
@@ -644,6 +645,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # shared co-purchase neighbors (capped wedge plan, adaptive
         # adjacency filter)
         "link_prediction_parts": graph.link_prediction_parts_ds,
+        # neighborhood-Jaccard link prediction: the normalized score
+        # (1000·cn // (du+dv−cn)) over the same candidate plan
+        "neighborhood_jaccard": graph.neighborhood_jaccard_parts_ds,
+        # market-basket association rules: support/confidence/lift in
+        # integer per-mille, min_support prunes before the joins
+        "association_rules": basket.association_rules_ds,
         "domain_pagerank": _domain_pagerank,
         # CDC upsert merge: base + update versions compacted to the latest
         # row per key (local max-version prune, one pruned shuffle)
@@ -654,6 +661,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Fellegi-Sunter record-linkage scoring over SNM-blocked pairs
         # (integer agreement weights, two co-partitioned joins)
         "record_linkage_scores": linkage.record_linkage_scores_ds,
+        # exact Levenshtein name linkage over balance-blocked customer
+        # pairs (batch-vectorized Wagner-Fischer DP)
+        "name_linkage": linkage.name_linkage_ds,
+        # first/last-touch purchase attribution (forward-fill per user,
+        # -1 for never-clicked converters)
+        "purchase_attribution": behavior.purchase_attribution_ds,
         "sample_stratified": sample.sample_stratified_ds,
         "split_assignment": sample.split_assignment_ds,
         # exactly-k-per-stratum deterministic sample (md5-rank top-k —
@@ -2138,14 +2151,123 @@ def oracle_sql() -> dict[str, str]:
                    user_id, decay_score
             FROM sc ORDER BY decay_score DESC, user_id LIMIT 50
         """,
+        # neighborhood Jaccard: the link-prediction candidates normalized
+        # by the union-neighborhood size, integer per-mille
+        "neighborhood_jaccard": """
+            WITH lp AS (
+              SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+              FROM lineitem
+            ), pr AS MATERIALIZED (
+              SELECT l1.p AS a, l2.p AS b
+              FROM lp l1 JOIN lp l2 ON l1.o = l2.o AND l1.p < l2.p
+              GROUP BY 1, 2 HAVING count(*) >= 2
+            ), nb AS (
+              SELECT a AS node, b AS nb FROM pr
+              UNION ALL SELECT b, a FROM pr
+            ), deg AS (
+              SELECT node, count(*)::BIGINT AS degree FROM nb GROUP BY 1
+            ), w AS (
+              SELECT n1.nb AS u, n2.nb AS v, count(*)::BIGINT
+                         AS common_neighbors
+              FROM nb n1 JOIN nb n2
+                ON n1.node = n2.node AND n1.nb < n2.nb
+              GROUP BY 1, 2
+            ), cand AS (
+              SELECT w.u, w.v, w.common_neighbors,
+                     (1000 * w.common_neighbors
+                      // (du.degree + dv.degree - w.common_neighbors))
+                         ::BIGINT AS jaccard_pm
+              FROM w
+              JOIN deg du ON du.node = w.u
+              JOIN deg dv ON dv.node = w.v
+              WHERE NOT EXISTS (SELECT 1 FROM pr
+                                WHERE pr.a = w.u AND pr.b = w.v))
+            SELECT (row_number() OVER (ORDER BY jaccard_pm DESC, u, v))
+                       ::BIGINT AS rnk,
+                   u AS part_u, v AS part_v, common_neighbors, jaccard_pm
+            FROM cand ORDER BY jaccard_pm DESC, u, v LIMIT 50
+        """,
+        # association rules at pair depth: both directions, joint support
+        # >= 3, confidence/lift in floor-divided per-mille
+        "association_rules": """
+            WITH lp AS MATERIALIZED (
+              SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+              FROM lineitem
+            ), pairs AS (
+              SELECT l1.p AS a, l2.p AS b, count(*)::BIGINT AS pair_support
+              FROM lp l1 JOIN lp l2 ON l1.o = l2.o AND l1.p < l2.p
+              GROUP BY 1, 2 HAVING count(*) >= 3
+            ), supp AS (
+              SELECT p AS item, count(*)::BIGINT AS item_support
+              FROM lp GROUP BY 1
+            ), n AS (SELECT count(DISTINCT o)::BIGINT AS n_orders FROM lp),
+            dir AS (
+              SELECT a AS antecedent, b AS consequent, pair_support
+              FROM pairs
+              UNION ALL SELECT b, a, pair_support FROM pairs)
+            SELECT d.antecedent, d.consequent, d.pair_support,
+                   sa.item_support AS ant_support,
+                   (1000 * d.pair_support // sa.item_support)
+                       ::BIGINT AS confidence_pm,
+                   (1000 * n.n_orders * d.pair_support
+                    // (sa.item_support * sc.item_support))
+                       ::BIGINT AS lift_pm
+            FROM dir d
+            JOIN supp sa ON sa.item = d.antecedent
+            JOIN supp sc ON sc.item = d.consequent, n
+        """,
+        # exact Levenshtein over balance-SNM customer pairs
+        "name_linkage": """
+            WITH c AS (
+              SELECT c_custkey, c_name,
+                     CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+              FROM customer
+            ), r AS (
+              SELECT c_custkey, c_name, cents,
+                     (row_number() OVER (ORDER BY cents, c_custkey) - 1)
+                         ::BIGINT AS rk
+              FROM c)
+            SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+                   (b.cents - a.cents)::BIGINT AS bal_gap_cents,
+                   levenshtein(a.c_name, b.c_name)::BIGINT AS name_distance
+            FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 2
+        """,
+        # first/last-touch attribution: per-user running min/max click
+        # rank, joined back to the click's event id, -1 when none
+        "purchase_attribution": """
+            WITH s AS MATERIALIZED (
+              SELECT event_id, user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                         ::BIGINT AS rn
+              FROM events
+            ), m AS (
+              SELECT *,
+                     max(CASE WHEN event_type = 'click' THEN rn END)
+                         OVER (PARTITION BY user_id ORDER BY rn) AS lrn,
+                     min(CASE WHEN event_type = 'click' THEN rn END)
+                         OVER (PARTITION BY user_id ORDER BY rn) AS frn
+              FROM s)
+            SELECT m.event_id, m.user_id,
+                   coalesce(fc.event_id, -1)::BIGINT
+                       AS first_touch_event_id,
+                   coalesce(lc.event_id, -1)::BIGINT
+                       AS last_touch_event_id
+            FROM m
+            LEFT JOIN s fc ON fc.user_id = m.user_id AND fc.rn = m.frn
+            LEFT JOIN s lc ON lc.user_id = m.user_id AND lc.rn = m.lrn
+            WHERE m.event_type = 'purchase'
+        """,
         # common-neighbors link prediction: wedge self-join over the
         # both-direction neighbor list, minus existing edges, top 50
         "link_prediction_parts": """
-            WITH pr AS MATERIALIZED (
-              SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
-              FROM lineitem l1 JOIN lineitem l2
-                ON l1.l_orderkey = l2.l_orderkey
-               AND l1.l_partkey < l2.l_partkey
+            WITH lp AS (
+              SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+              FROM lineitem
+            ), pr AS MATERIALIZED (
+              SELECT l1.p AS a, l2.p AS b
+              FROM lp l1 JOIN lp l2 ON l1.o = l2.o AND l1.p < l2.p
+              GROUP BY 1, 2 HAVING count(*) >= 2
             ), nb AS (
               SELECT a AS node, b AS nb FROM pr
               UNION ALL SELECT b, a FROM pr

@@ -165,7 +165,8 @@ def bench_queries(sf_dir: str) -> dict:
              "kcore_parts", "clustering_coefficient",
              "scd2_order_history", "record_linkage_scores",
              "weighted_doc_sample", "decayed_user_activity",
-             "link_prediction_parts"]
+             "link_prediction_parts", "neighborhood_jaccard",
+             "association_rules", "name_linkage", "purchase_attribution"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -215,3 +215,68 @@ def decayed_user_activity_ds(sf_dir: str, n: int = 50,
         return df[["rnk", "user_id", "decay_score"]].astype("int64")
 
     return top.map_batches(tidy, batch_format="pandas")
+
+
+# ------------------------------------------------------ touch attribution
+def touch_attribution(ds, user_col: str, order_cols: list[str],
+                      id_col: str, type_col: str, touch_type: str,
+                      credit_type: str, num_partitions: int = 32):
+    """First/last-touch marketing attribution: for every ``credit_type``
+    event (e.g. purchase), find the SAME user's first and most recent
+    preceding ``touch_type`` event (e.g. click) in (ts, id) order — the
+    two classic single-touch credit models, -1 when the user never
+    touched before converting. Returns (id, user, first_touch_event_id,
+    last_touch_event_id).
+
+    One coarse user partition; inside, BOTH models are vectorized over
+    every user at once — last-touch is a forward-fill of touch ids, and
+    first-touch forward-fills only each user's FIRST touch (cumsum mask),
+    so no per-user loop, no window join."""
+    from .agg import partitioned_group_apply
+
+    def attribute(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values([user_col] + order_cols,
+                           kind="mergesort").reset_index(drop=True)
+        is_touch = (g[type_col] == touch_type).to_numpy()
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        grp = g[user_col]
+        touch_id = pd.Series(np.where(is_touch, ids.astype("float64"),
+                                      np.nan))
+        # STRICTLY-before semantics: forward-fill the touch ids, then
+        # shift one row within the user — row i sees the fill state as of
+        # row i-1, so a credit event that is itself a touch (generic
+        # touch_type == credit_type calls) never attributes to itself
+        last = touch_id.groupby(grp, sort=False).ffill() \
+            .groupby(grp, sort=False).shift(1)
+        # first touch per user: keep only the FIRST touch row's id, then
+        # forward-fill it over the rest of the user's history
+        nth_touch = pd.Series(is_touch.astype(np.int64)) \
+            .groupby(grp, sort=False).cumsum().to_numpy()
+        first_only = pd.Series(np.where(is_touch & (nth_touch == 1),
+                                        ids.astype("float64"), np.nan))
+        first = first_only.groupby(grp, sort=False).ffill() \
+            .groupby(grp, sort=False).shift(1)
+        keep = (g[type_col] == credit_type).to_numpy()
+        return pd.DataFrame({
+            id_col: ids[keep],
+            user_col: g[user_col].to_numpy(dtype=np.int64)[keep],
+            "first_touch_event_id": np.nan_to_num(
+                first.to_numpy()[keep], nan=-1.0).astype(np.int64),
+            "last_touch_event_id": np.nan_to_num(
+                last.to_numpy()[keep], nan=-1.0).astype(np.int64)})
+
+    return partitioned_group_apply(ds, [user_col], attribute,
+                                   num_partitions)
+
+
+def purchase_attribution_ds(sf_dir: str, num_partitions: int = 32):
+    """Contract face: every purchase event attributed to the user's first
+    and most recent preceding click (strictly-before in (ts, event_id)
+    order — a purchase row is never its own touch since its type differs),
+    -1 for never-clicked converters."""
+    ev = read_table(sf_dir, "events", ["event_id", "user_id", "ts",
+                                       "event_type"])
+    return touch_attribution(ev, "user_id", ["ts", "event_id"],
+                             "event_id", "event_type",
+                             touch_type="click", credit_type="purchase",
+                             num_partitions=num_partitions)

@@ -1642,16 +1642,17 @@ def tfidf_cosine_pairs_ds(sf_dir: str, threshold_ppm: int = 250_000,
 
 # ---------------------------------------------- sorted-neighborhood blocking
 
-def sorted_neighborhood_pairs_ds(sf_dir: str, window: int = 2,
-                                 block: int = 1024,
-                                 num_partitions: int = 32):
+def snm_pairs(ds, id_col: str, metric_col: str, window: int = 2,
+              block: int = 1024, metric_offset: int = 0,
+              out_a: str = "id_a", out_b: str = "id_b",
+              gap_col: str = "gap", num_partitions: int = 32):
     """Sorted-Neighborhood Method blocking (Hernández & Stolfo 1995) — the
     third classic candidate-pair generator beside the LSH-bucket and
-    quadrant plans: order the corpus by a blocking key and emit each record
-    paired with its next ``window`` neighbors in that order. Key here is
-    ``(n_chars, doc_id)`` — near-identical documents have near-identical
-    lengths, so length-adjacency is a cheap high-recall blocking axis that
-    needs no text shuffle at all.
+    quadrant plans, GENERIC over (id, integer blocking metric): order the
+    corpus by (metric, id) and emit each record paired with its next
+    ``window`` neighbors in that order. ``metric_offset`` shifts a
+    possibly-negative metric non-negative before key packing (ids < 2^40,
+    shifted metric ≥ 0 — the repo's composite-key invariant).
 
     Scale plan: NO global sort. The global rank comes from
     ``pack.ordered_pack``'s two-phase range-partitioned prefix count
@@ -1662,7 +1663,8 @@ def sorted_neighborhood_pairs_ds(sf_dir: str, window: int = 2,
     coordination), and each bucket pairs rank r with r+1 … r+window
     entirely locally, emitting only pairs whose LEFT row it owns. Ranks are
     dense by construction, so neighbor lookup is a vectorized shift, not a
-    join. Output: (doc_a, doc_b, char_gap), doc_a the lower-ranked side.
+    join. Output: (out_a, out_b, gap_col), out_a the lower-ranked side and
+    gap_col the (unshifted) metric difference.
     """
     from .agg import partitioned_group_apply
     from .pack import ordered_pack
@@ -1671,23 +1673,32 @@ def sorted_neighborhood_pairs_ds(sf_dir: str, window: int = 2,
         raise ValueError(f"need 0 < window < block, got {window}/{block}")
 
     def keyed(batch: pd.DataFrame) -> pd.DataFrame:
-        ids = batch["doc_id"].astype("int64")
-        nc = batch["n_chars"].astype("int64")
+        ids = batch[id_col].astype("int64")
+        metric = batch[metric_col].astype("int64")
+        shifted = metric + metric_offset
+        if len(batch) and (int(shifted.min()) < 0
+                           or int(ids.max()) >= (1 << 40)):
+            # ordered_pack's order key must be non-negative and the pack
+            # needs ids < 2^40 — fail loudly instead of emitting silently
+            # wrong candidate pairs (e.g. a negative metric without its
+            # metric_offset)
+            raise ValueError(
+                f"snm_pairs key out of range: metric+offset min "
+                f"{int(shifted.min())}, id max {int(ids.max())} "
+                f"(need shifted ≥ 0 and ids < 2^40)")
         return pd.DataFrame({
-            "doc_id": ids, "n_chars": nc,
-            "__key": nc * (1 << 40) + ids,     # doc_id < 2^40 invariant
+            "__id": ids, "__m": metric,
+            "__key": shifted * (1 << 40) + ids,
             "__one": np.int64(1)})
 
-    docs = _io_read(f"{sf_dir}/documents.parquet",
-                    columns=["doc_id", "n_chars"]) \
-        .map_batches(keyed, batch_format="pandas")
-    ranked = ordered_pack(docs, "__key", "__one", budget=1,
+    ranked = ordered_pack(ds.map_batches(keyed, batch_format="pandas"),
+                          "__key", "__one", budget=1,
                           bucket_width=64 << 40, out_col="__rk",
                           num_partitions=num_partitions)
 
     def replicate(df: pd.DataFrame) -> pd.DataFrame:
         rk = df["__rk"].to_numpy(dtype=np.int64)
-        out = df[["doc_id", "n_chars", "__rk"]].copy()
+        out = df[["__id", "__m", "__rk"]].copy()
         out["__b"] = rk // block
         tail = (rk % block < window) & (rk >= block)
         extra = out[tail].copy()
@@ -1701,21 +1712,36 @@ def sorted_neighborhood_pairs_ds(sf_dir: str, window: int = 2,
         for b, g in df.groupby("__b", sort=False):
             g = g.sort_values("__rk")
             rk = g["__rk"].to_numpy(dtype=np.int64)
-            ids = g["doc_id"].to_numpy(dtype=np.int64)
-            nc = g["n_chars"].to_numpy(dtype=np.int64)
+            ids = g["__id"].to_numpy(dtype=np.int64)
+            nc = g["__m"].to_numpy(dtype=np.int64)
             own = (rk // block) == b
             for d in range(1, window + 1):
                 if len(g) <= d:
                     break
                 m = own[:-d] & (rk[d:] - rk[:-d] == d)
                 outs.append(pd.DataFrame({
-                    "doc_a": ids[:-d][m], "doc_b": ids[d:][m],
-                    "char_gap": nc[d:][m] - nc[:-d][m]}))
+                    out_a: ids[:-d][m], out_b: ids[d:][m],
+                    gap_col: nc[d:][m] - nc[:-d][m]}))
         if not outs:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64"),
-                                 "char_gap": pd.Series([], dtype="int64")})
+            return pd.DataFrame({out_a: pd.Series([], dtype="int64"),
+                                 out_b: pd.Series([], dtype="int64"),
+                                 gap_col: pd.Series([], dtype="int64")})
         return pd.concat(outs, ignore_index=True).astype("int64")
 
     return partitioned_group_apply(rep, ["__b"], pairs_in_part,
                                    num_partitions)
+
+
+def sorted_neighborhood_pairs_ds(sf_dir: str, window: int = 2,
+                                 block: int = 1024,
+                                 num_partitions: int = 32):
+    """SNM blocking over documents, keyed (n_chars, doc_id) —
+    near-identical documents have near-identical lengths, so
+    length-adjacency is a cheap high-recall blocking axis that needs no
+    text shuffle at all. Output: (doc_a, doc_b, char_gap); the generic
+    plan is ``snm_pairs``."""
+    docs = _io_read(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "n_chars"])
+    return snm_pairs(docs, "doc_id", "n_chars", window=window, block=block,
+                     out_a="doc_a", out_b="doc_b", gap_col="char_gap",
+                     num_partitions=num_partitions)

@@ -520,32 +520,44 @@ def triangle_counts(edges, num_partitions: int = 32,
 
 def part_cooccurrence_edges(sf_dir: str, num_partitions: int = 32):
     """Distinct co-purchase edges (a, b), a < b: parts appearing together
-    in at least one order. Pair generation is one orderkey partition with a
-    vectorized shift sweep (pairs at sorted distance d, d bounded by the
-    basket size — TPC-H baskets are ≤ ~13 rows, so the sweep is a handful
-    of full-column vector ops, no per-order Python loop)."""
+    in at least one order. Pair generation is one orderkey partition with
+    the shared vectorized shift sweep (``basket._sweep_pairs`` — TPC-H
+    baskets are ≤ ~13 rows, so the sweep is a handful of full-column
+    vector ops, no per-order Python loop)."""
+    from .basket import _sweep_pairs
+
     li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
-    def pairs_in_part(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[["l_orderkey", "l_partkey"]].drop_duplicates() \
-            .sort_values(["l_orderkey", "l_partkey"])
-        k = df["l_orderkey"].to_numpy(dtype=np.int64)
-        p = df["l_partkey"].to_numpy(dtype=np.int64)
-        outs, d = [], 1
-        while d < len(k):
-            m = k[d:] == k[:-d]
-            if not m.any():
-                break
-            outs.append(pd.DataFrame({"a": p[:-d][m], "b": p[d:][m]}))
-            d += 1
-        if not outs:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64")})
-        return pd.concat(outs, ignore_index=True).drop_duplicates()
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"o": df["l_orderkey"].astype("int64"),
+                             "p": df["l_partkey"].astype("int64")})
 
-    pairs = partitioned_group_apply(li, ["l_orderkey"], pairs_in_part,
-                                    num_partitions)
+    pairs = partitioned_group_apply(
+        li.map_batches(slim, batch_format="pandas"), ["o"],
+        lambda df: _sweep_pairs(df).drop_duplicates(), num_partitions)
     return distinct_rows(pairs, ["a", "b"], num_partitions)
+
+
+def part_cosupport_edges(sf_dir: str, min_support: int = 2,
+                         num_partitions: int = 32):
+    """Support-filtered co-purchase edges: (a, b), a < b, appearing
+    together in ≥ ``min_support`` DISTINCT orders. The support filter is
+    the graph-side stop-hash cap — the raw co-occurrence graph is dense
+    (sf0.1: 1.2M edges, median degree ~119, 148M wedges), while repeat
+    co-purchases are sparse (sf0.1: 3.6k edges, max degree 6) — so
+    exact all-wedge plans (link prediction, Jaccard) stay bounded at any
+    scale. The count is ``basket.pair_support_counts`` (the shared
+    sweep + one pair-keyed count)."""
+    from .basket import pair_support_counts
+
+    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    supp = pair_support_counts(li, "l_orderkey", "l_partkey",
+                               num_partitions)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["pair_support"] >= min_support, ["a", "b"]]
+
+    return supp.map_batches(keep, batch_format="pandas")
 
 
 def part_triangles_ds(sf_dir: str, num_partitions: int = 32):
@@ -784,7 +796,9 @@ def common_neighbor_pairs(edges, num_partitions: int = 32,
 
 def link_prediction_parts_ds(sf_dir: str, n: int = 50,
                              num_partitions: int = 32):
-    """Top-``n`` predicted links over the co-purchase part graph — the
+    """Top-``n`` predicted links over the SUPPORT-2 co-purchase part
+    graph (``part_cosupport_edges`` — repeat co-purchases only; the raw
+    graph is too dense for exact all-wedge scoring, see that docstring) —
     non-adjacent part pairs sharing the most co-purchase neighbors
     ("parts likely to be bought together next"). Deterministic total order
     (common_neighbors DESC, part_u, part_v); the top-n is the
@@ -793,7 +807,7 @@ def link_prediction_parts_ds(sf_dir: str, n: int = 50,
     from .agg import grouped_top_n
 
     cand = common_neighbor_pairs(
-        part_cooccurrence_edges(sf_dir, num_partitions),
+        part_cosupport_edges(sf_dir, num_partitions=num_partitions),
         num_partitions=num_partitions)
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
@@ -811,5 +825,66 @@ def link_prediction_parts_ds(sf_dir: str, n: int = 50,
     def tidy(df: pd.DataFrame) -> pd.DataFrame:
         return df[["rnk", "part_u", "part_v", "common_neighbors"]] \
             .astype("int64")
+
+    return top.map_batches(tidy, batch_format="pandas")
+
+
+def neighborhood_jaccard_parts_ds(sf_dir: str, n: int = 50,
+                                  num_partitions: int = 32):
+    """Neighborhood-Jaccard link prediction over the support-2
+    co-purchase graph — the normalized counterpart of
+    ``link_prediction_parts_ds``: score each NON-adjacent candidate
+    pair by |N(u)∩N(v)| / |N(u)∪N(v)| in integer per-mille,
+    jaccard_pm = 1000·cn // (deg_u + deg_v − cn) (cn ≥ 1 on every
+    candidate, so the denominator is positive). Normalization favors
+    exclusive shared neighborhoods over sheer hub overlap.
+
+    Plan: the shared ``common_neighbor_pairs`` wedge plan, plus one
+    degree pass joined on each endpoint through the generic ``hash_join``;
+    the top-n is the constant-group local-prune plan. Returns
+    (rnk, part_u, part_v, common_neighbors, jaccard_pm)."""
+    from .agg import grouped_count, grouped_top_n
+    from .joins import hash_join
+
+    edges = part_cosupport_edges(sf_dir, num_partitions=num_partitions) \
+        .materialize()
+    cand = common_neighbor_pairs(edges, num_partitions=num_partitions)
+    deg = grouped_count(edges.map_batches(_melt_nodes,
+                                          batch_format="pandas"),
+                        ["node"], "degree", num_partitions)
+
+    def as_u(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"u": df["node"].astype("int64"),
+                             "deg_u": df["degree"].astype("int64")})
+
+    def as_v(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"v": df["node"].astype("int64"),
+                             "deg_v": df["degree"].astype("int64")})
+
+    both = hash_join(
+        hash_join(cand, deg.map_batches(as_u, batch_format="pandas"),
+                  on=["u"], num_partitions=num_partitions),
+        deg.map_batches(as_v, batch_format="pandas"),
+        on=["v"], num_partitions=num_partitions)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        cn = df["common_neighbors"].to_numpy(dtype=np.int64)
+        du = df["deg_u"].to_numpy(dtype=np.int64)
+        dv = df["deg_v"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "part_u": df["u"].astype("int64"),
+            "part_v": df["v"].astype("int64"),
+            "common_neighbors": cn,
+            "jaccard_pm": 1000 * cn // (du + dv - cn),
+            "__g": np.zeros(len(df), dtype=np.int64)})
+
+    top = grouped_top_n(both.map_batches(score, batch_format="pandas"),
+                        ["__g"], "jaccard_pm", n, ascending=False,
+                        tie_cols=["part_u", "part_v"], rank_col="rnk",
+                        num_partitions=num_partitions)
+
+    def tidy(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["rnk", "part_u", "part_v", "common_neighbors",
+                   "jaccard_pm"]].astype("int64")
 
     return top.map_batches(tidy, batch_format="pandas")

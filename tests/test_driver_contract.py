@@ -125,6 +125,8 @@ SQL_CHECKED = [
     "kcore_parts", "clustering_coefficient",
     "scd2_order_history", "record_linkage_scores", "weighted_doc_sample",
     "decayed_user_activity", "link_prediction_parts",
+    "neighborhood_jaccard", "association_rules", "name_linkage",
+    "purchase_attribution",
 ]
 
 

@@ -210,3 +210,161 @@ def test_common_neighbors_degree_cap(ray_session):
     got = _cn(e, max_center_degree=3)
     exp = pd.DataFrame({"u": [10], "v": [12], "common_neighbors": [1]})
     pd.testing.assert_frame_equal(got, exp.astype("int64"))
+
+
+# -------------------------------------------------------- association rules
+
+def test_association_rules_planted(ray_session):
+    """Three baskets share (10,20), one has (10,30): min_support=3 keeps
+    only (10,20), both directions, with exact integer confidence/lift."""
+    import ray
+    from crusty_ray.ops.basket import association_rules
+    rows = [(1, 10), (1, 20), (2, 10), (2, 20), (3, 10), (3, 20),
+            (4, 10), (4, 30)]
+    df = pd.DataFrame(rows, columns=["o", "p"]).astype("int64")
+    got = association_rules(ray.data.from_pandas(df), "o", "p",
+                            min_support=3, num_partitions=4).to_pandas() \
+        .sort_values(["antecedent", "consequent"]).reset_index(drop=True)
+    # supp(10)=4, supp(20)=3, supp(10,20)=3, N=4
+    exp = pd.DataFrame({
+        "antecedent": [10, 20], "consequent": [20, 10],
+        "pair_support": [3, 3], "ant_support": [4, 3],
+        "confidence_pm": [1000 * 3 // 4, 1000 * 3 // 3],
+        "lift_pm": [1000 * 4 * 3 // (4 * 3), 1000 * 4 * 3 // (3 * 4)]})
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+
+
+def test_association_rules_dup_lines_count_once(ray_session):
+    """Duplicate (basket, item) lines (multi-quantity order lines) must
+    not inflate support: distinct-per-basket semantics."""
+    import ray
+    from crusty_ray.ops.basket import association_rules
+    rows = [(1, 10), (1, 10), (1, 20), (2, 10), (2, 20), (2, 20)]
+    df = pd.DataFrame(rows, columns=["o", "p"]).astype("int64")
+    got = association_rules(ray.data.from_pandas(df), "o", "p",
+                            min_support=2, num_partitions=4).to_pandas()
+    assert (got["pair_support"] == 2).all() and len(got) == 2
+
+
+# ------------------------------------------------------------- levenshtein
+
+def _lev_ref(a: str, b: str) -> int:
+    prev = list(range(len(a) + 1))
+    for j, cb in enumerate(b, 1):
+        cur = [j]
+        for i, ca in enumerate(a, 1):
+            cur.append(min(prev[i] + 1, cur[i - 1] + 1,
+                           prev[i - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(a)]
+
+
+def test_levenshtein_batch_vs_reference():
+    from crusty_ray.ops.linkage import levenshtein_batch
+    rng = np.random.RandomState(7)
+    alpha = "abcdef#0123"
+    strs = ["".join(alpha[i] for i in rng.randint(0, len(alpha),
+                                                  size=rng.randint(0, 14)))
+            for _ in range(120)]
+    sa, sb = strs[:60], strs[60:]
+    got = levenshtein_batch(sa, sb)
+    exp = np.array([_lev_ref(a, b) for a, b in zip(sa, sb)])
+    assert (got == exp).all()
+
+
+def test_name_linkage_distances_exact(ray_session):
+    from crusty_ray.ops.linkage import name_linkage_ds
+    import pyarrow.parquet as pq
+    got = name_linkage_ds(SF, num_partitions=4).to_pandas()
+    cust = pq.read_table(f"{SF}/customer.parquet",
+                         columns=["c_custkey", "c_name"]).to_pandas()
+    names = dict(zip(cust["c_custkey"], cust["c_name"]))
+    assert len(got) > 0
+    sample = got.head(50)
+    for _, r in sample.iterrows():
+        assert r["name_distance"] == _lev_ref(names[r["cust_a"]],
+                                              names[r["cust_b"]])
+
+
+# -------------------------------------------------------------- attribution
+
+def test_touch_attribution_planted(ray_session):
+    import ray
+    from crusty_ray.ops.behavior import touch_attribution
+    ev = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5, 6, 7],
+        "user_id":  [9, 9, 9, 9, 9, 8, 8],
+        "ts":       [10, 20, 30, 40, 50, 10, 20],
+        "event_type": ["click", "view", "purchase", "click", "purchase",
+                       "purchase", "click"]})
+    got = touch_attribution(ray.data.from_pandas(ev), "user_id",
+                            ["ts", "event_id"], "event_id", "event_type",
+                            "click", "purchase", num_partitions=4) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    # user 9: purchase@3 -> first=1 last=1; purchase@5 -> first=1 last=4
+    # user 8: purchase@6 precedes its click -> -1/-1
+    exp = pd.DataFrame({
+        "event_id": [3, 5, 6], "user_id": [9, 9, 8],
+        "first_touch_event_id": [1, 1, -1],
+        "last_touch_event_id": [1, 4, -1]})
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+
+
+# ----------------------------------------------------- neighborhood jaccard
+
+def test_neighborhood_jaccard_consistent(ray_session):
+    """jaccard_pm must equal 1000·cn // (deg_u + deg_v − cn) recomputed
+    from the raw co-purchase graph."""
+    import pyarrow.parquet as pq
+    from crusty_ray.ops.graph import neighborhood_jaccard_parts_ds
+    got = neighborhood_jaccard_parts_ds(SF, n=30, num_partitions=4) \
+        .to_pandas()
+    assert len(got) > 0
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey", "l_partkey"]).to_pandas()
+    li = li.drop_duplicates()
+    m = li.merge(li, on="l_orderkey")
+    e = m[m["l_partkey_x"] < m["l_partkey_y"]] \
+        .groupby(["l_partkey_x", "l_partkey_y"], as_index=False).size()
+    e = e[e["size"] >= 2][["l_partkey_x", "l_partkey_y"]]
+    deg = pd.concat([e["l_partkey_x"], e["l_partkey_y"]]) \
+        .value_counts().to_dict()
+    for _, r in got.head(30).iterrows():
+        du, dv = deg[r["part_u"]], deg[r["part_v"]]
+        cn = r["common_neighbors"]
+        assert r["jaccard_pm"] == 1000 * cn // (du + dv - cn)
+
+
+def test_touch_attribution_same_type_strictly_before(ray_session):
+    """touch_type == credit_type: a click credits to the PREVIOUS click,
+    never to itself (the strictly-before contract)."""
+    import ray
+    from crusty_ray.ops.behavior import touch_attribution
+    ev = pd.DataFrame({
+        "event_id": [1, 2, 3],
+        "user_id":  [9, 9, 9],
+        "ts":       [10, 20, 30],
+        "event_type": ["click", "click", "click"]})
+    got = touch_attribution(ray.data.from_pandas(ev), "user_id",
+                            ["ts", "event_id"], "event_id", "event_type",
+                            "click", "click", num_partitions=4) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    exp = pd.DataFrame({
+        "event_id": [1, 2, 3], "user_id": [9, 9, 9],
+        "first_touch_event_id": [-1, 1, 1],
+        "last_touch_event_id": [-1, 1, 2]})
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+
+
+def test_snm_pairs_rejects_unshifted_negative_metric(ray_session):
+    import pytest
+    import ray
+    from crusty_ray.ops.dedup import snm_pairs
+    df = pd.DataFrame({"id": [1, 2, 3], "m": [-5, 0, 5]}).astype("int64")
+    with pytest.raises(Exception) as ei:
+        snm_pairs(ray.data.from_pandas(df), "id", "m",
+                  num_partitions=4).to_pandas()
+    assert "snm_pairs key out of range" in str(ei.value)
+    ok = snm_pairs(ray.data.from_pandas(df), "id", "m", metric_offset=5,
+                   num_partitions=4).to_pandas()
+    assert len(ok) == 3  # window 2 over 3 ranked rows
