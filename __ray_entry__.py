@@ -667,6 +667,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # first/last-touch purchase attribution (forward-fill per user,
         # -1 for never-clicked converters)
         "purchase_attribution": behavior.purchase_attribution_ds,
+        # per-user OLS value trend from algebraic sums (slope per-mille,
+        # DuckDB-truncating division)
+        "user_value_trend": stats.user_value_trend_ds,
+        # grouped MODE: each user's dominant event type, lexicographic
+        # tie-break
+        "user_modal_event": stats.user_modal_event_ds,
+        # ratio-to-report: revenue share per market segment in per-mille
+        "segment_revenue_share": stats.segment_revenue_share_ds,
+        # top-3 TF-IDF keywords per document (shared ibits idf convention)
+        "doc_keywords": text.doc_keywords_ds,
         "sample_stratified": sample.sample_stratified_ds,
         "split_assignment": sample.split_assignment_ds,
         # exactly-k-per-stratum deterministic sample (md5-rank top-k —
@@ -2257,6 +2267,86 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN s fc ON fc.user_id = m.user_id AND fc.rn = m.frn
             LEFT JOIN s lc ON lc.user_id = m.user_id AND lc.rn = m.lrn
             WHERE m.event_type = 'purchase'
+        """,
+        # per-user OLS slope: algebraic sums, x anchored at the corpus
+        # min-minute, truncating integer division (DuckDB // semantics)
+        "user_value_trend": """
+            WITH ev AS (
+              SELECT user_id,
+                     (CAST(floor(epoch(ts)) AS BIGINT) // 60) AS minute,
+                     CAST(floor(value * 1000 + 0.5) AS BIGINT) AS y
+              FROM events),
+            x0 AS (SELECT min(minute) AS m0 FROM ev),
+            s AS (
+              SELECT user_id, count(*)::BIGINT AS n,
+                     sum(minute - m0)::BIGINT AS sx,
+                     sum(y)::BIGINT AS sy,
+                     sum((minute - m0) * y)::BIGINT AS sxy,
+                     sum((minute - m0) * (minute - m0))::BIGINT AS sxx
+              FROM ev, x0 GROUP BY 1)
+            SELECT user_id, n AS n_events,
+                   CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+                        THEN (1000 * (n * sxy - sx * sy))
+                             // (n * sxx - sx * sx)
+                        ELSE 0 END::BIGINT AS slope_pm
+            FROM s
+        """,
+        # grouped mode with deterministic lexicographic tie-break
+        "user_modal_event": """
+            WITH c AS (
+              SELECT user_id, event_type, count(*)::BIGINT
+                         AS n_occurrences
+              FROM events GROUP BY 1, 2),
+            r AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY user_id
+                  ORDER BY n_occurrences DESC, event_type) AS rn
+              FROM c)
+            SELECT user_id, event_type AS modal_type, n_occurrences
+            FROM r WHERE rn = 1
+        """,
+        # ratio-to-report over the customer join
+        "segment_revenue_share": """
+            WITH seg AS (
+              SELECT c.c_mktsegment,
+                     sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                         ::BIGINT AS seg_cents
+              FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+              GROUP BY 1),
+            t AS (SELECT sum(seg_cents)::BIGINT AS total FROM seg)
+            SELECT c_mktsegment, seg_cents,
+                   (1000 * seg_cents // total)::BIGINT AS share_pm
+            FROM seg, t
+        """,
+        # top-3 TF-IDF keywords per doc (the tfidf_cosine_pairs ibits
+        # convention: w = tf · (length(bin(N // df)) - 1), ibits > 0)
+        "doc_keywords": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(coalesce(text, ''),
+                                                     ' '),
+                                        x -> x <> '')) AS token
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, token, count(*)::BIGINT AS tf
+              FROM tok GROUP BY 1, 2
+            ), df AS (
+              SELECT token, count(DISTINCT doc_id)::BIGINT AS df
+              FROM tf GROUP BY 1
+            ), n AS (SELECT count(*)::BIGINT AS n FROM documents),
+            wt AS (
+              SELECT t.doc_id, t.token,
+                     (t.tf * (length(bin(n.n // d.df)) - 1))
+                         ::BIGINT AS weight
+              FROM tf t JOIN df d USING (token) CROSS JOIN n
+              WHERE length(bin(n.n // d.df)) - 1 > 0
+            ), r AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY doc_id
+                  ORDER BY weight DESC, token) AS rn
+              FROM wt)
+            SELECT doc_id, rn::BIGINT AS rn, token, weight
+            FROM r WHERE rn <= 3
         """,
         # common-neighbors link prediction: wedge self-join over the
         # both-direction neighbor list, minus existing edges, top 50

@@ -166,7 +166,9 @@ def bench_queries(sf_dir: str) -> dict:
              "scd2_order_history", "record_linkage_scores",
              "weighted_doc_sample", "decayed_user_activity",
              "link_prediction_parts", "neighborhood_jaccard",
-             "association_rules", "name_linkage", "purchase_attribution"]
+             "association_rules", "name_linkage", "purchase_attribution",
+             "user_value_trend", "user_modal_event",
+             "segment_revenue_share", "doc_keywords"]
     out = {}
     for name in names:
         t0 = time.time()

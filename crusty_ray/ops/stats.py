@@ -260,3 +260,138 @@ def referential_integrity_ds(sf_dir: str, num_partitions: int = 32):
     for c in out.columns[1:]:
         out[c] = out[c].astype("int64")
     return out.sort_values("rel").reset_index(drop=True)
+
+
+# ----------------------------------------------------------- grouped trend
+def _trunc_div(num: np.ndarray, den: np.ndarray) -> np.ndarray:
+    """Integer division TRUNCATING toward zero — DuckDB's ``//`` semantics
+    for signed operands (Python/numpy ``//`` floors: -7//2 is -4 in
+    Python but -3 in DuckDB). Required whenever an oracled quotient can
+    be negative; the repo's usual ``//`` convention only holds for
+    non-negative values."""
+    q = np.abs(num) // np.maximum(np.abs(den), 1)
+    return np.where(np.sign(num) * np.sign(den) < 0, -q, q)
+
+
+def user_value_trend_ds(sf_dir: str, num_partitions: int = 32):
+    """Per-user least-squares trend of event value over time — OLS slope
+    from the four algebraic sums (n, Σx, Σy, Σxy, Σx²), the canonical
+    "trend per entity" analytic a pipeline derives drift/engagement
+    signals from. slope_pm = 1000·(n·Σxy − Σx·Σy) ⫽ (n·Σx² − (Σx)²)
+    (truncating division, matching DuckDB ``//``; 0 when n < 2 or the
+    x-variance is zero). x = minutes since the corpus's FIRST event
+    (bounded magnitudes keep every product inside int64 — anchoring at
+    epoch would overflow n·Σx²); y = value in exact integer milli-units.
+
+    Plan: one O(1)-driver min-minute scan, per-batch partial sums (the
+    algebraic-aggregate identity — sums add across blocks), one coarse
+    user partition to finish. Returns (user_id, n_events, slope_pm)."""
+    from .agg import partitioned_group_apply
+
+    def xy(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "x": (df["ts"].astype("int64") // 60_000_000).astype("int64"),
+            "y": np.floor(df["value"].to_numpy(dtype=np.float64) * 1000
+                          + 0.5).astype(np.int64)})
+
+    ev = read_table(sf_dir, "events", ["user_id", "ts", "value"]) \
+        .map_batches(xy, batch_format="pandas").materialize()
+    x0 = int(ev.min("x"))  # O(1) driver scalar
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["x"].to_numpy(dtype=np.int64) - x0
+        y = df["y"].to_numpy(dtype=np.int64)
+        p = pd.DataFrame({"user_id": df["user_id"], "n": np.int64(1),
+                          "sx": x, "sy": y, "sxy": x * y, "sxx": x * x})
+        return p.groupby("user_id", as_index=False).sum().astype("int64")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False).sum().astype("int64")
+        n = g["n"].to_numpy()
+        sx, sy = g["sx"].to_numpy(), g["sy"].to_numpy()
+        sxy, sxx = g["sxy"].to_numpy(), g["sxx"].to_numpy()
+        den = n * sxx - sx * sx
+        slope = _trunc_div(1000 * (n * sxy - sx * sy), den)
+        return pd.DataFrame({
+            "user_id": g["user_id"],
+            "n_events": n,
+            "slope_pm": np.where((n >= 2) & (den > 0), slope, 0)
+            .astype(np.int64)})
+
+    return partitioned_group_apply(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["user_id"], finish, num_partitions)
+
+
+def user_modal_event_ds(sf_dir: str, num_partitions: int = 32):
+    """Per-user modal event type (the grouped MODE with a deterministic
+    lexicographic-min tie-break) — each user's dominant action. One
+    (user, type) ``grouped_count`` (per-batch partials) + the
+    ``grouped_top_n(n=1)`` local-prune plan. Returns
+    (user_id, modal_type, n_occurrences)."""
+    from .agg import grouped_count, grouped_top_n
+
+    ev = read_table(sf_dir, "events", ["user_id", "event_type"])
+    counts = grouped_count(ev, ["user_id", "event_type"], "n_occurrences",
+                           num_partitions)
+    top = grouped_top_n(counts, ["user_id"], "n_occurrences", 1,
+                        ascending=False, tie_cols=["event_type"],
+                        num_partitions=num_partitions)
+
+    def tidy(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "modal_type": df["event_type"],
+            "n_occurrences": df["n_occurrences"].astype("int64")})
+
+    return top.map_batches(tidy, batch_format="pandas")
+
+
+def segment_revenue_share_ds(sf_dir: str, num_partitions: int = 32):
+    """Revenue share per market segment — the ratio-to-report analytic:
+    share_pm = 1000 · segment_cents // total_cents over the
+    customer⋈orders join. The join is the generic ``hash_join`` on
+    custkey (both sides fact-scale capable); per-batch partial cent sums
+    shrink the shuffle to distinct segments per block; the total derives
+    from the segment sums (card-sized), no second pass. Returns
+    (c_mktsegment, seg_cents, share_pm)."""
+    from .agg import partitioned_group_apply
+    from .joins import hash_join
+
+    def cust_slim(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"o_custkey": df["c_custkey"].astype("int64"),
+                             "c_mktsegment": df["c_mktsegment"]})
+
+    def ord_slim(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_custkey": df["o_custkey"].astype("int64"),
+            "cents": np.floor(df["o_totalprice"].to_numpy(dtype=np.float64)
+                              * 100 + 0.5).astype(np.int64)})
+
+    joined = hash_join(
+        read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(ord_slim, batch_format="pandas"),
+        read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .map_batches(cust_slim, batch_format="pandas"),
+        on=["o_custkey"], num_partitions=num_partitions)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("c_mktsegment", as_index=False)["cents"].sum()
+        out["cents"] = out["cents"].astype("int64")
+        return out
+
+    segs = partitioned_group_apply(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["c_mktsegment"], partial, num_partitions).to_pandas()
+    if segs.empty:
+        return pd.DataFrame({"c_mktsegment": pd.Series([], dtype="object"),
+                             "seg_cents": pd.Series([], dtype="int64"),
+                             "share_pm": pd.Series([], dtype="int64")})
+    total = int(segs["cents"].sum())
+    out = pd.DataFrame({
+        "c_mktsegment": segs["c_mktsegment"],
+        "seg_cents": segs["cents"].astype("int64"),
+        "share_pm": (1000 * segs["cents"].astype("int64")
+                     // max(total, 1)).astype("int64")})
+    return out.sort_values("c_mktsegment").reset_index(drop=True)

@@ -1688,3 +1688,73 @@ def lang_confusion_ds(sf_dir: str):
     out = parts.groupby(["lang", "lang_pred"], as_index=False)["n_docs"].sum()
     out["n_docs"] = out["n_docs"].astype("int64")
     return out.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
+
+
+def doc_keywords_ds(sf_dir: str, k: int = 3, num_partitions: int = 32):
+    """Top-``k`` keywords per document by the exact integer TF-IDF weight
+    w = tf · ibits, ibits = bit_length(N // df) − 1 (the corpus-wide
+    integer-quantized idf shared with ``dedup.tfidf_cosine_pairs_ds`` —
+    one bit convention, one oracle expression). Tokens with ibits = 0
+    (present in over half the corpus) never rank — the built-in stopword
+    suppression. Deterministic tie order (weight DESC, token ASC).
+
+    Plan: one distributed df pass (per-batch distinct (token, doc)
+    partials → token-hash partition), the O(vocab) ibits table broadcast
+    once via ``ray.put``; the per-doc ranking is then entirely in-batch
+    (a document is one input row — no second shuffle at all). Returns
+    (doc_id, rn, token, weight)."""
+    import ray as _ray
+
+    from .agg import partitioned_group_apply
+
+    docs = _io_read(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
+    n_docs = docs.count()
+
+    def tok_doc_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        doc, tok = [], []
+        for d, t in zip(batch["doc_id"], batch["text"].fillna("")):
+            for w in set(t.split(" ")):
+                if w:
+                    doc.append(d)
+                    tok.append(w)
+        return pd.DataFrame({"token": pd.Series(tok, dtype="object"),
+                             "doc_id": pd.Series(doc, dtype="int64")})
+
+    def df_count(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        out = d.groupby("token", as_index=False).size() \
+            .rename(columns={"size": "df"})
+        return out.astype({"df": "int64"})
+
+    df_tbl = partitioned_group_apply(
+        docs.map_batches(tok_doc_partial, batch_format="pandas"),
+        ["token"], df_count, num_partitions).to_pandas()
+    ibits = {t: (n_docs // int(c)).bit_length() - 1
+             for t, c in zip(df_tbl["token"], df_tbl["df"])}
+    ibits_ref = _ray.put(ibits)
+
+    def rank_in_doc(batch: pd.DataFrame, _cache={}) -> pd.DataFrame:
+        if "ib" not in _cache:
+            _cache["ib"] = _ray.get(ibits_ref)
+        ib = _cache["ib"]
+        out_doc, out_rn, out_tok, out_w = [], [], [], []
+        for d, t in zip(batch["doc_id"], batch["text"].fillna("")):
+            tf: dict = {}
+            for w in t.split(" "):
+                if w:
+                    tf[w] = tf.get(w, 0) + 1
+            scored = [(c * ib[w], w) for w, c in tf.items() if ib[w] > 0]
+            scored.sort(key=lambda x: (-x[0], x[1]))
+            for rn, (wt, w) in enumerate(scored[:k], 1):
+                out_doc.append(d)
+                out_rn.append(rn)
+                out_tok.append(w)
+                out_w.append(wt)
+        return pd.DataFrame({
+            "doc_id": pd.Series(out_doc, dtype="int64"),
+            "rn": pd.Series(out_rn, dtype="int64"),
+            "token": pd.Series(out_tok, dtype="object"),
+            "weight": pd.Series(out_w, dtype="int64")})
+
+    return docs.map_batches(rank_in_doc, batch_format="pandas")

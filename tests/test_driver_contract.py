@@ -127,6 +127,8 @@ SQL_CHECKED = [
     "decayed_user_activity", "link_prediction_parts",
     "neighborhood_jaccard", "association_rules", "name_linkage",
     "purchase_attribution",
+    "user_value_trend", "user_modal_event", "segment_revenue_share",
+    "doc_keywords",
 ]
 
 

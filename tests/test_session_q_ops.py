@@ -368,3 +368,105 @@ def test_snm_pairs_rejects_unshifted_negative_metric(ray_session):
     ok = snm_pairs(ray.data.from_pandas(df), "id", "m", metric_offset=5,
                    num_partitions=4).to_pandas()
     assert len(ok) == 3  # window 2 over 3 ranked rows
+
+
+# ------------------------------------------------------------ wave-3 ops
+
+def test_trunc_div_matches_duckdb():
+    import duckdb
+    from crusty_ray.ops.stats import _trunc_div
+    nums = np.array([-7, 7, -7, 6, 0, -1], dtype=np.int64)
+    dens = np.array([2, -2, -2, 3, 5, 4], dtype=np.int64)
+    got = _trunc_div(nums, dens)
+    exp = [duckdb.sql(f"SELECT {a} // {b}").fetchone()[0]
+           for a, b in zip(nums, dens)]
+    assert got.tolist() == exp
+
+
+def test_user_value_trend_matches_pandas(ray_session):
+    import pyarrow.parquet as pq
+    from crusty_ray.ops.stats import user_value_trend_ds
+    got = user_value_trend_ds(SF, num_partitions=4).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "value"]).to_pandas()
+    minute = ev["ts"].astype("int64") // 60_000_000
+    x = (minute - minute.min()).to_numpy(dtype=np.int64)
+    y = np.floor(ev["value"].to_numpy() * 1000 + 0.5).astype(np.int64)
+    ref = pd.DataFrame({"user_id": ev["user_id"], "x": x, "y": y,
+                        "xy": x * y, "xx": x * x, "n": 1}) \
+        .groupby("user_id", as_index=False).sum()
+    n = ref["n"].to_numpy(dtype=np.int64)
+    sx, sy = ref["x"].to_numpy(np.int64), ref["y"].to_numpy(np.int64)
+    sxy, sxx = ref["xy"].to_numpy(np.int64), ref["xx"].to_numpy(np.int64)
+    den = n * sxx - sx * sx
+    num = 1000 * (n * sxy - sx * sy)
+    q = np.abs(num) // np.maximum(np.abs(den), 1)
+    slope = np.where(np.sign(num) * np.sign(den) < 0, -q, q)
+    exp = pd.DataFrame({
+        "user_id": ref["user_id"].astype("int64"), "n_events": n,
+        "slope_pm": np.where((n >= 2) & (den > 0), slope, 0)
+        .astype(np.int64)}).sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+    assert (got["slope_pm"] < 0).any()  # negative slopes actually occur
+
+
+def test_user_modal_event_matches_pandas(ray_session):
+    import pyarrow.parquet as pq
+    from crusty_ray.ops.stats import user_modal_event_ds
+    got = user_modal_event_ds(SF, num_partitions=4).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type"]).to_pandas()
+    c = ev.groupby(["user_id", "event_type"], as_index=False).size()
+    c = c.sort_values(["user_id", "size", "event_type"],
+                      ascending=[True, False, True])
+    exp = c.groupby("user_id", as_index=False).head(1).rename(
+        columns={"event_type": "modal_type", "size": "n_occurrences"}) \
+        .sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, exp[["user_id", "modal_type", "n_occurrences"]]
+        .astype({"user_id": "int64", "n_occurrences": "int64"}))
+
+
+def test_segment_revenue_share_sums(ray_session):
+    from crusty_ray.ops.stats import segment_revenue_share_ds
+    got = segment_revenue_share_ds(SF, num_partitions=4)
+    assert len(got) == 5
+    # floor shares sum to ≤ 1000 and within 5 per-mille of it
+    assert 995 <= got["share_pm"].sum() <= 1000
+    assert (1000 * got["seg_cents"] // got["seg_cents"].sum()
+            == got["share_pm"]).all()
+
+
+def test_doc_keywords_matches_pandas(ray_session):
+    import pyarrow.parquet as pq
+    from crusty_ray.ops.text import doc_keywords_ds
+    got = doc_keywords_ds(SF, num_partitions=4).to_pandas() \
+        .sort_values(["doc_id", "rn"]).reset_index(drop=True)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    n_docs = len(docs)
+    dfc: dict = {}
+    for t in docs["text"].fillna(""):
+        for w in set(x for x in t.split(" ") if x):
+            dfc[w] = dfc.get(w, 0) + 1
+    rows = []
+    for d, t in zip(docs["doc_id"], docs["text"].fillna("")):
+        tf: dict = {}
+        for w in t.split(" "):
+            if w:
+                tf[w] = tf.get(w, 0) + 1
+        scored = []
+        for w, c in tf.items():
+            ib = (n_docs // dfc[w]).bit_length() - 1
+            if ib > 0:
+                scored.append((c * ib, w))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        for rn, (wt, w) in enumerate(scored[:3], 1):
+            rows.append((d, rn, w, wt))
+    exp = pd.DataFrame(rows, columns=["doc_id", "rn", "token", "weight"]) \
+        .sort_values(["doc_id", "rn"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, exp.astype({"doc_id": "int64", "rn": "int64",
+                         "weight": "int64"}))
