@@ -1534,32 +1534,13 @@ def tfidf_cosine_pairs_ds(sf_dir: str, threshold_ppm: int = 250_000,
 
     from .agg import partitioned_group_apply
 
+    from .text import token_ibits_ref
+
     docs = _io_read(f"{sf_dir}/documents.parquet",
                     columns=["doc_id", "source", "text"])
-    n_docs = docs.count()
-
-    def tok_doc_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        doc, tok = [], []
-        for d, t in zip(batch["doc_id"], batch["text"].fillna("")):
-            for w in set(t.split(" ")):
-                if w:
-                    doc.append(d)
-                    tok.append(w)
-        return pd.DataFrame({"token": pd.Series(tok, dtype="object"),
-                             "doc_id": pd.Series(doc, dtype="int64")})
-
-    def df_count(df: pd.DataFrame) -> pd.DataFrame:
-        d = df.drop_duplicates()
-        out = d.groupby("token", as_index=False).size() \
-            .rename(columns={"size": "df"})
-        return out.astype({"df": "int64"})
-
-    df_tbl = partitioned_group_apply(
-        docs.map_batches(tok_doc_partial, batch_format="pandas"),
-        ["token"], df_count, num_partitions).to_pandas()
-    ibits = {t: (n_docs // int(c)).bit_length() - 1
-             for t, c in zip(df_tbl["token"], df_tbl["df"])}
-    ibits_ref = ray.put({t: b for t, b in ibits.items() if b > 0})
+    # the shared integer-idf pass (one bit convention for every TF-IDF
+    # face); the table arrives pre-filtered to ibits > 0
+    _, ibits_ref = token_ibits_ref(docs, num_partitions)
 
     def weights(batch: pd.DataFrame, _cache={}) -> pd.DataFrame:
         if "m" not in _cache:

@@ -268,8 +268,14 @@ def _trunc_div(num: np.ndarray, den: np.ndarray) -> np.ndarray:
     for signed operands (Python/numpy ``//`` floors: -7//2 is -4 in
     Python but -3 in DuckDB). Required whenever an oracled quotient can
     be negative; the repo's usual ``//`` convention only holds for
-    non-negative values."""
-    q = np.abs(num) // np.maximum(np.abs(den), 1)
+    non-negative values. den == 0 raises (DuckDB errors there too) —
+    mask zero denominators BEFORE calling, as ``user_value_trend`` does.
+    Accepts object-dtype (Python int) arrays for quantities past int64."""
+    num, den = np.asarray(num), np.asarray(den)
+    if (den == 0).any():
+        raise ZeroDivisionError("_trunc_div: zero denominator — mask "
+                                "invalid rows before dividing")
+    q = np.abs(num) // np.abs(den)
     return np.where(np.sign(num) * np.sign(den) < 0, -q, q)
 
 
@@ -297,6 +303,12 @@ def user_value_trend_ds(sf_dir: str, num_partitions: int = 32):
 
     ev = read_table(sf_dir, "events", ["user_id", "ts", "value"]) \
         .map_batches(xy, batch_format="pandas").materialize()
+    if ev.count() == 0:  # empty-table face: typed empty, like the oracle
+        import ray as _ray
+        return _ray.data.from_pandas(
+            pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                          "n_events": pd.Series([], dtype="int64"),
+                          "slope_pm": pd.Series([], dtype="int64")}))
     x0 = int(ev.min("x"))  # O(1) driver scalar
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -308,16 +320,25 @@ def user_value_trend_ds(sf_dir: str, num_partitions: int = 32):
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("user_id", as_index=False).sum().astype("int64")
-        n = g["n"].to_numpy()
-        sx, sy = g["sx"].to_numpy(), g["sy"].to_numpy()
-        sxy, sxx = g["sxy"].to_numpy(), g["sxx"].to_numpy()
+        # the cross-term products run in PYTHON ints (object dtype): the
+        # module's grouped_int_variance discipline — 1000·(n·Σxy − Σx·Σy)
+        # exceeds int64 headroom on long event spans, and numpy would
+        # wrap silently where the HUGEINT oracle stays exact
+        n = g["n"].to_numpy(dtype=object)
+        sx, sy = g["sx"].to_numpy(dtype=object), g["sy"].to_numpy(object)
+        sxy = g["sxy"].to_numpy(dtype=object)
+        sxx = g["sxx"].to_numpy(dtype=object)
         den = n * sxx - sx * sx
-        slope = _trunc_div(1000 * (n * sxy - sx * sy), den)
+        valid = (g["n"].to_numpy() >= 2) & (den > 0).astype(bool)
+        slope = np.zeros(len(g), dtype=np.int64)
+        if valid.any():
+            slope[valid] = _trunc_div(
+                1000 * (n * sxy - sx * sy)[valid],
+                den[valid]).astype(np.int64)
         return pd.DataFrame({
             "user_id": g["user_id"],
-            "n_events": n,
-            "slope_pm": np.where((n >= 2) & (den > 0), slope, 0)
-            .astype(np.int64)})
+            "n_events": g["n"].astype("int64"),
+            "slope_pm": slope})
 
     return partitioned_group_apply(
         ev.map_batches(partial, batch_format="pandas"),
@@ -364,10 +385,15 @@ def segment_revenue_share_ds(sf_dir: str, num_partitions: int = 32):
                              "c_mktsegment": df["c_mktsegment"]})
 
     def ord_slim(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
+        # per-batch pre-aggregation: cents per customer BEFORE the join
+        # (integer sums commute) — the all-to-all moves ≤ customers-per-
+        # block rows instead of every order (~10× fewer on TPC-H)
+        out = pd.DataFrame({
             "o_custkey": df["o_custkey"].astype("int64"),
             "cents": np.floor(df["o_totalprice"].to_numpy(dtype=np.float64)
                               * 100 + 0.5).astype(np.int64)})
+        return out.groupby("o_custkey", as_index=False)["cents"].sum() \
+            .astype("int64")
 
     joined = hash_join(
         read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])

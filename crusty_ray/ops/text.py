@@ -1690,25 +1690,19 @@ def lang_confusion_ds(sf_dir: str):
     return out.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
 
 
-def doc_keywords_ds(sf_dir: str, k: int = 3, num_partitions: int = 32):
-    """Top-``k`` keywords per document by the exact integer TF-IDF weight
-    w = tf · ibits, ibits = bit_length(N // df) − 1 (the corpus-wide
-    integer-quantized idf shared with ``dedup.tfidf_cosine_pairs_ds`` —
-    one bit convention, one oracle expression). Tokens with ibits = 0
-    (present in over half the corpus) never rank — the built-in stopword
-    suppression. Deterministic tie order (weight DESC, token ASC).
-
-    Plan: one distributed df pass (per-batch distinct (token, doc)
-    partials → token-hash partition), the O(vocab) ibits table broadcast
-    once via ``ray.put``; the per-doc ranking is then entirely in-batch
-    (a document is one input row — no second shuffle at all). Returns
-    (doc_id, rn, token, weight)."""
+def token_ibits_ref(docs, num_partitions: int = 32):
+    """ONE distributed corpus document-frequency pass → the broadcast
+    integer-idf table: (token → ibits), ibits = bit_length(N // df) − 1,
+    PRE-FILTERED to ibits > 0 (tokens in more than half the corpus carry
+    no signal and would only bloat the broadcast). Returns
+    (n_docs, ray.ObjectRef[dict]). The single source of the bit
+    convention shared by ``dedup.tfidf_cosine_pairs_ds`` and
+    ``doc_keywords_ds`` — per-batch distinct (token, doc) partials, one
+    token-hash partition, O(vocab) driver table."""
     import ray as _ray
 
     from .agg import partitioned_group_apply
 
-    docs = _io_read(f"{sf_dir}/documents.parquet",
-                    columns=["doc_id", "text"])
     n_docs = docs.count()
 
     def tok_doc_partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1730,9 +1724,30 @@ def doc_keywords_ds(sf_dir: str, k: int = 3, num_partitions: int = 32):
     df_tbl = partitioned_group_apply(
         docs.map_batches(tok_doc_partial, batch_format="pandas"),
         ["token"], df_count, num_partitions).to_pandas()
-    ibits = {t: (n_docs // int(c)).bit_length() - 1
-             for t, c in zip(df_tbl["token"], df_tbl["df"])}
-    ibits_ref = _ray.put(ibits)
+    ibits = {t: b for t, b in
+             ((t, (n_docs // int(c)).bit_length() - 1)
+              for t, c in zip(df_tbl["token"], df_tbl["df"])) if b > 0}
+    return n_docs, _ray.put(ibits)
+
+
+def doc_keywords_ds(sf_dir: str, k: int = 3, num_partitions: int = 32):
+    """Top-``k`` keywords per document by the exact integer TF-IDF weight
+    w = tf · ibits, ibits = bit_length(N // df) − 1 (the corpus-wide
+    integer-quantized idf shared with ``dedup.tfidf_cosine_pairs_ds`` —
+    one bit convention, one oracle expression). Tokens with ibits = 0
+    (present in over half the corpus) never rank — the built-in stopword
+    suppression. Deterministic tie order (weight DESC, token ASC).
+
+    Plan: one distributed df pass (per-batch distinct (token, doc)
+    partials → token-hash partition), the O(vocab) ibits table broadcast
+    once via ``ray.put``; the per-doc ranking is then entirely in-batch
+    (a document is one input row — no second shuffle at all). Returns
+    (doc_id, rn, token, weight)."""
+    import ray as _ray
+
+    docs = _io_read(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
+    _, ibits_ref = token_ibits_ref(docs, num_partitions)
 
     def rank_in_doc(batch: pd.DataFrame, _cache={}) -> pd.DataFrame:
         if "ib" not in _cache:
@@ -1742,9 +1757,9 @@ def doc_keywords_ds(sf_dir: str, k: int = 3, num_partitions: int = 32):
         for d, t in zip(batch["doc_id"], batch["text"].fillna("")):
             tf: dict = {}
             for w in t.split(" "):
-                if w:
+                if w in ib:  # table pre-filtered to ibits > 0
                     tf[w] = tf.get(w, 0) + 1
-            scored = [(c * ib[w], w) for w, c in tf.items() if ib[w] > 0]
+            scored = [(c * ib[w], w) for w, c in tf.items()]
             scored.sort(key=lambda x: (-x[0], x[1]))
             for rn, (wt, w) in enumerate(scored[:k], 1):
                 out_doc.append(d)
