@@ -677,6 +677,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue_share": stats.segment_revenue_share_ds,
         # top-3 TF-IDF keywords per document (shared ibits idf convention)
         "doc_keywords": text.doc_keywords_ds,
+        # per-class precision/recall/F1 of LangId vs declared labels
+        # (derived from the card-sized confusion matrix)
+        "langid_eval": text.langid_eval_ds,
+        # deterministic DeepWalk corpus over the support-2 part graph
+        # (hash-driven neighbor choice; one co-partitioned join per hop)
+        "part_random_walks": graph.part_random_walks_ds,
         "sample_stratified": sample.sample_stratified_ds,
         "split_assignment": sample.split_assignment_ds,
         # exactly-k-per-stratum deterministic sample (md5-rank top-k —
@@ -828,6 +834,44 @@ def _pagerank_oracle_sql(iters: int = 3) -> str:
 _ZORDER_INTERLEAVE_SQL = " + ".join(
     [f"(((x >> {i}) & 1) * {1 << (2 * i)})" for i in range(16)]
     + [f"(((y >> {i}) & 1) * {1 << (2 * i + 1)})" for i in range(16)])
+
+
+def _walks_oracle_sql(length: int = 4) -> str:
+    """Deterministic DeepWalk corpus as unrolled per-hop CTEs — one
+    MATERIALIZED frontier per hop (each is referenced by the next hop AND
+    the output union), the exact plan of ops/graph.random_walks over the
+    support-2 co-purchase graph."""
+    head = """
+        WITH lp AS (
+          SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        ), pr AS MATERIALIZED (
+          SELECT l1.p AS a, l2.p AS b
+          FROM lp l1 JOIN lp l2 ON l1.o = l2.o AND l1.p < l2.p
+          GROUP BY 1, 2 HAVING count(*) >= 2
+        ), nb AS (
+          SELECT a AS node, b AS nb FROM pr
+          UNION ALL SELECT b, a FROM pr
+        ), rk AS MATERIALIZED (
+          SELECT node, nb,
+                 (row_number() OVER (PARTITION BY node ORDER BY nb) - 1)
+                     ::BIGINT AS idx,
+                 count(*) OVER (PARTITION BY node)::BIGINT AS deg
+          FROM nb
+        ), s0 AS MATERIALIZED (
+          SELECT DISTINCT node AS start, node FROM nb)"""
+    hops = []
+    for t in range(1, length + 1):
+        hops.append(f""", s{t} AS MATERIALIZED (
+          SELECT f.start, r.nb AS node
+          FROM s{t - 1} f JOIN rk r ON r.node = f.node
+           AND r.idx = ('0x' || substr(md5(f.start::VARCHAR || ':{t}:'
+                                           || f.node::VARCHAR), 1, 12))
+                           ::BIGINT % r.deg)""")
+    tail = "".join(
+        f"""{'' if t == 0 else '            UNION ALL '}SELECT start,
+                {t}::BIGINT AS step, node FROM s{t}\n"""
+        for t in range(length + 1))
+    return head + "".join(hops) + "\n        " + tail
 
 
 def _kcore_oracle_sql(k: int = 68, rounds: int = 8) -> str:
@@ -1012,6 +1056,44 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN pred p USING (doc_id)
             GROUP BY 1, 2
         """,
+        # per-class P/R/F1 from the same confusion CTE; f1 computed on
+        # the per-mille integers exactly as the Python face does
+        "langid_eval": f"""
+            WITH pred AS ({langid_sql}),
+            cm AS MATERIALIZED (
+              SELECT d.lang, p.lang_pred, count(*)::BIGINT AS n
+              FROM documents d JOIN pred p USING (doc_id)
+              GROUP BY 1, 2
+            ), cls AS (
+              SELECT lang AS class FROM cm
+              UNION SELECT lang_pred FROM cm
+            ), pr AS (
+              SELECT c.class,
+                     coalesce((SELECT sum(n) FROM cm
+                               WHERE lang = c.class
+                                 AND lang_pred = c.class), 0)
+                         ::BIGINT AS tp,
+                     coalesce((SELECT sum(n) FROM cm
+                               WHERE lang_pred = c.class), 0)
+                         ::BIGINT AS n_pred,
+                     coalesce((SELECT sum(n) FROM cm
+                               WHERE lang = c.class), 0)
+                         ::BIGINT AS n_actual
+              FROM cls c
+            ), pm AS (
+              SELECT class, tp, (n_pred - tp) AS fp, (n_actual - tp) AS fn,
+                     (1000 * tp // greatest(n_pred, 1))
+                         ::BIGINT AS precision_pm,
+                     (1000 * tp // greatest(n_actual, 1))
+                         ::BIGINT AS recall_pm
+              FROM pr)
+            SELECT class AS lang, tp, fp, fn, precision_pm, recall_pm,
+                   (2 * precision_pm * recall_pm
+                    // greatest(precision_pm + recall_pm, 1))
+                       ::BIGINT AS f1_pm
+            FROM pm
+        """,
+        "part_random_walks": _walks_oracle_sql(length=4),
         "dedup_canonical": """
             WITH r AS (
               SELECT md5(coalesce(text, '')) AS text_md5, doc_id, n_chars,

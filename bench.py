@@ -168,7 +168,8 @@ def bench_queries(sf_dir: str) -> dict:
              "link_prediction_parts", "neighborhood_jaccard",
              "association_rules", "name_linkage", "purchase_attribution",
              "user_value_trend", "user_modal_event",
-             "segment_revenue_share", "doc_keywords"]
+             "segment_revenue_share", "doc_keywords", "langid_eval",
+             "part_random_walks"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -888,3 +888,144 @@ def neighborhood_jaccard_parts_ds(sf_dir: str, n: int = 50,
                    "jaccard_pm"]].astype("int64")
 
     return top.map_batches(tidy, batch_format="pandas")
+
+
+def random_walks(edges, length: int = 4, num_partitions: int = 32,
+                 broadcast_edges: int = 4_000_000):
+    """Deterministic DeepWalk-style walk corpus (Perozzi et al. 2014's
+    preprocessing step) over a distinct (a, b), a < b undirected edge
+    Dataset: one walk per start node, ``length`` hops, the step from
+    node v at hop t choosing neighbor index
+    ``md5_48("start:t:v") % deg(v)`` in neighbor-id order — the repo's
+    hash-in-place-of-RNG convention, so the corpus is reproducible,
+    engine-independent, and exactly SQL-expressible (the oracle unrolls
+    the hops). Returns (start, step, node), step 0..length.
+
+    Plan: the ranked neighbor table (node, idx, nb, deg — both edge
+    directions, one coarse node partition builds ranks vectorized) is
+    the only stateful side. Adaptive execution (the pagerank/triangles
+    pattern): while the directed-neighbor table fits one heap
+    (≤ ``broadcast_edges`` rows) it broadcasts once as a CSR-style
+    (sorted node keys, offsets, flat neighbor array) triple and the
+    whole walk runs inside one shuffle-free ``map_batches`` over the
+    start nodes (each hop a vectorized searchsorted + take — measured
+    9.3 s → ~1 s at sf0.1); above the threshold each hop is ONE
+    co-partitioned ``hash_join`` of the frontier on the current node —
+    the join fans out ×deg and a vectorized filter keeps the chosen
+    index (bounded by the graph's max degree; use a support-filtered
+    graph for dense inputs, see ``part_cosupport_edges``)."""
+    import hashlib
+
+    import ray as _ray
+
+    from .agg import partitioned_group_apply
+    from .joins import hash_join
+
+    def melt_directed(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy(dtype=np.int64)
+        b = df["b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"node": np.concatenate([a, b]),
+                             "nb": np.concatenate([b, a])})
+
+    def rank_in_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates().sort_values(["node", "nb"],
+                                             kind="mergesort")
+        g = g.reset_index(drop=True)
+        grp = g.groupby("node", sort=False)
+        g["idx"] = grp.cumcount().astype("int64")
+        g["deg"] = grp["nb"].transform("size").astype("int64")
+        return g
+
+    nbr = partitioned_group_apply(
+        edges.map_batches(melt_directed, batch_format="pandas"),
+        ["node"], rank_in_part, num_partitions).materialize()
+
+    def _md5_pick(start: np.ndarray, t: int, cur: np.ndarray) -> np.ndarray:
+        return np.fromiter(
+            (int(hashlib.md5(f"{s}:{t}:{v}".encode()).hexdigest()[:12], 16)
+             for s, v in zip(start, cur)),
+            dtype=np.int64, count=len(cur))
+
+    if nbr.count() <= broadcast_edges:
+        tbl = nbr.to_pandas().sort_values(["node", "idx"])
+        keys = tbl["node"].to_numpy(dtype=np.int64)
+        flat = tbl["nb"].to_numpy(dtype=np.int64)
+        uniq, offs = np.unique(keys, return_index=True)
+        degs = np.diff(np.append(offs, len(keys))).astype(np.int64)
+        csr_ref = _ray.put((uniq, offs.astype(np.int64), degs, flat))
+
+        def walk_all(df: pd.DataFrame, _cache={}) -> pd.DataFrame:
+            if "c" not in _cache:
+                _cache["c"] = _ray.get(csr_ref)
+            uniq, offs, degs, flat = _cache["c"]
+            start = df["node"].to_numpy(dtype=np.int64)
+            cur = start.copy()
+            outs = [pd.DataFrame({"start": start,
+                                  "step": np.zeros(len(start),
+                                                   dtype=np.int64),
+                                  "node": cur})]
+            for t in range(1, length + 1):
+                pos = np.searchsorted(uniq, cur)
+                h = _md5_pick(start, t, cur)
+                cur = flat[offs[pos] + h % degs[pos]]
+                outs.append(pd.DataFrame({
+                    "start": start,
+                    "step": np.full(len(start), t, dtype=np.int64),
+                    "node": cur}))
+            return pd.concat(outs, ignore_index=True)
+
+        def starts_only(df: pd.DataFrame) -> pd.DataFrame:
+            return df.loc[df["idx"] == 0, ["node"]]
+
+        return nbr.map_batches(starts_only, batch_format="pandas") \
+            .map_batches(walk_all, batch_format="pandas")
+
+    def starts(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.loc[df["idx"] == 0, ["node"]]
+        return pd.DataFrame({"start": s["node"].astype("int64"),
+                             "node": s["node"].astype("int64")})
+
+    frontier = nbr.map_batches(starts, batch_format="pandas")
+    hops = [frontier]   # step 0 rows: (start, node=start)
+    for t in range(1, length + 1):
+        joined = hash_join(frontier, nbr, on=["node"],
+                           num_partitions=num_partitions)
+
+        def step(df: pd.DataFrame, _t=t) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame({"start": pd.Series([], dtype="int64"),
+                                     "node": pd.Series([], dtype="int64")})
+            h = _md5_pick(df["start"].to_numpy(dtype=np.int64), _t,
+                          df["node"].to_numpy(dtype=np.int64))
+            pick = df[h % df["deg"].to_numpy(dtype=np.int64)
+                      == df["idx"].to_numpy(dtype=np.int64)]
+            return pd.DataFrame({"start": pick["start"].astype("int64"),
+                                 "node": pick["nb"].astype("int64")})
+
+        frontier = joined.map_batches(step, batch_format="pandas") \
+            .materialize()  # feeds BOTH the output and the next hop
+        hops.append(frontier)
+
+    out = None
+    for t, h in enumerate(hops):
+        def tag(df: pd.DataFrame, _t=t) -> pd.DataFrame:
+            return pd.DataFrame({"start": df["start"].astype("int64"),
+                                 "step": np.full(len(df), _t,
+                                                 dtype=np.int64),
+                                 "node": df["node"].astype("int64")})
+
+        tagged = h.map_batches(tag, batch_format="pandas")
+        out = tagged if out is None else out.union(tagged)
+    return out
+
+
+def part_random_walks_ds(sf_dir: str, length: int = 4,
+                         num_partitions: int = 32):
+    """Walk corpus over the support-2 co-purchase part graph — the
+    graph-embedding preprocessing face (node2vec/DeepWalk input:
+    sequences a skip-gram model trains on). One deterministic walk per
+    part, ``length`` hops. Returns (start, step, node)."""
+    return random_walks(
+        part_cosupport_edges(sf_dir, num_partitions=num_partitions)
+        .materialize(),
+        length=length, num_partitions=num_partitions)

@@ -1773,3 +1773,30 @@ def doc_keywords_ds(sf_dir: str, k: int = 3, num_partitions: int = 32):
             "weight": pd.Series(out_w, dtype="int64")})
 
     return docs.map_batches(rank_in_doc, batch_format="pandas")
+
+
+def langid_eval_ds(sf_dir: str):
+    """Classifier evaluation of the LangId heuristic against the corpus's
+    declared labels — per-class tp / fp / fn and integer per-mille
+    precision / recall / F1, the model-eval report every curation
+    pipeline publishes next to its confusion matrix. Derived entirely
+    from the card-sized ``lang_confusion_ds`` output (one distributed
+    pass; the per-class arithmetic is O(langs) driver work).
+    f1_pm = 2·p·r // max(p+r, 1) on the per-mille integers — exactly the
+    SQL face's expression, so the report hashes bit-exact."""
+    cm = lang_confusion_ds(sf_dir)
+    classes = sorted(set(cm["lang"]) | set(cm["lang_pred"]))
+    rows = []
+    for c in classes:
+        tp = int(cm.loc[(cm["lang"] == c) & (cm["lang_pred"] == c),
+                        "n_docs"].sum())
+        fp = int(cm.loc[cm["lang_pred"] == c, "n_docs"].sum()) - tp
+        fn = int(cm.loc[cm["lang"] == c, "n_docs"].sum()) - tp
+        p = 1000 * tp // max(tp + fp, 1)
+        r = 1000 * tp // max(tp + fn, 1)
+        rows.append((c, tp, fp, fn, p, r, 2 * p * r // max(p + r, 1)))
+    return pd.DataFrame(rows, columns=[
+        "lang", "tp", "fp", "fn", "precision_pm", "recall_pm", "f1_pm"]) \
+        .astype({"tp": "int64", "fp": "int64", "fn": "int64",
+                 "precision_pm": "int64", "recall_pm": "int64",
+                 "f1_pm": "int64"})

@@ -128,7 +128,7 @@ SQL_CHECKED = [
     "neighborhood_jaccard", "association_rules", "name_linkage",
     "purchase_attribution",
     "user_value_trend", "user_modal_event", "segment_revenue_share",
-    "doc_keywords",
+    "doc_keywords", "langid_eval", "part_random_walks",
 ]
 
 

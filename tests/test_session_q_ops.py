@@ -470,3 +470,47 @@ def test_doc_keywords_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(
         got, exp.astype({"doc_id": "int64", "rn": "int64",
                          "weight": "int64"}))
+
+
+# ---------------------------------------------------------- random walks
+
+def test_random_walks_structure(ray_session):
+    """Every hop follows a real edge, every start walks the full length,
+    and the hash-driven choice is reproducible run-to-run."""
+    import ray
+    from crusty_ray.ops.graph import random_walks
+    e = pd.DataFrame({"a": [1, 1, 2, 3], "b": [2, 3, 3, 4]}).astype("int64")
+    ds = ray.data.from_pandas(e).materialize()
+    w1 = random_walks(ds, length=3, num_partitions=4).to_pandas() \
+        .sort_values(["start", "step"]).reset_index(drop=True)
+    w2 = random_walks(ds, length=3, num_partitions=4).to_pandas() \
+        .sort_values(["start", "step"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(w1, w2)          # deterministic
+    wj = random_walks(ds, length=3, num_partitions=4,
+                      broadcast_edges=0).to_pandas() \
+        .sort_values(["start", "step"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(w1, wj)          # both plans identical
+    assert len(w1) == 4 * 4                        # 4 nodes × steps 0..3
+    adj = set(map(tuple, e.to_numpy())) | set(map(tuple,
+                                                  e[["b", "a"]].to_numpy()))
+    for s, g in w1.groupby("start"):
+        g = g.sort_values("step")
+        assert g["step"].tolist() == [0, 1, 2, 3]
+        assert g.iloc[0]["node"] == s
+        path = g["node"].tolist()
+        for u, v in zip(path, path[1:]):
+            assert (u, v) in adj
+
+
+def test_langid_eval_identity(ray_session):
+    """tp/fp/fn must re-derive from the confusion matrix and F1 from the
+    per-mille integers exactly."""
+    from crusty_ray.ops.text import lang_confusion_ds, langid_eval_ds
+    cm = lang_confusion_ds(SF)
+    ev = langid_eval_ds(SF)
+    assert int(ev["tp"].sum()) == int(
+        cm.loc[cm["lang"] == cm["lang_pred"], "n_docs"].sum())
+    assert (ev["tp"].sum() + ev["fn"].sum()) == cm["n_docs"].sum()
+    assert (ev["tp"].sum() + ev["fp"].sum()) == cm["n_docs"].sum()
+    p, r = ev["precision_pm"], ev["recall_pm"]
+    assert (ev["f1_pm"] == 2 * p * r // (p + r).clip(lower=1)).all()
