@@ -836,22 +836,30 @@ _ZORDER_INTERLEAVE_SQL = " + ".join(
     + [f"(((y >> {i}) & 1) * {1 << (2 * i + 1)})" for i in range(16)])
 
 
+_COSUPPORT_NB_CTE = """lp AS (
+              SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+              FROM lineitem
+            ), pr AS MATERIALIZED (
+              SELECT l1.p AS a, l2.p AS b
+              FROM lp l1 JOIN lp l2 ON l1.o = l2.o AND l1.p < l2.p
+              GROUP BY 1, 2 HAVING count(*) >= 2
+            ), nb AS (
+              SELECT a AS node, b AS nb FROM pr
+              UNION ALL SELECT b, a FROM pr
+            )"""
+# the support-2 co-purchase graph + both-direction neighbor list, the ONE
+# SQL mirror of ops/graph.part_cosupport_edges shared by the
+# link-prediction, jaccard and walk oracles (min_support drift would
+# silently desynchronize them)
+
+
 def _walks_oracle_sql(length: int = 4) -> str:
     """Deterministic DeepWalk corpus as unrolled per-hop CTEs — one
     MATERIALIZED frontier per hop (each is referenced by the next hop AND
     the output union), the exact plan of ops/graph.random_walks over the
     support-2 co-purchase graph."""
-    head = """
-        WITH lp AS (
-          SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
-        ), pr AS MATERIALIZED (
-          SELECT l1.p AS a, l2.p AS b
-          FROM lp l1 JOIN lp l2 ON l1.o = l2.o AND l1.p < l2.p
-          GROUP BY 1, 2 HAVING count(*) >= 2
-        ), nb AS (
-          SELECT a AS node, b AS nb FROM pr
-          UNION ALL SELECT b, a FROM pr
-        ), rk AS MATERIALIZED (
+    head = f"""
+        WITH {_COSUPPORT_NB_CTE}, rk AS MATERIALIZED (
           SELECT node, nb,
                  (row_number() OVER (PARTITION BY node ORDER BY nb) - 1)
                      ::BIGINT AS idx,
@@ -2245,18 +2253,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # neighborhood Jaccard: the link-prediction candidates normalized
         # by the union-neighborhood size, integer per-mille
-        "neighborhood_jaccard": """
-            WITH lp AS (
-              SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-              FROM lineitem
-            ), pr AS MATERIALIZED (
-              SELECT l1.p AS a, l2.p AS b
-              FROM lp l1 JOIN lp l2 ON l1.o = l2.o AND l1.p < l2.p
-              GROUP BY 1, 2 HAVING count(*) >= 2
-            ), nb AS (
-              SELECT a AS node, b AS nb FROM pr
-              UNION ALL SELECT b, a FROM pr
-            ), deg AS (
+        "neighborhood_jaccard": f"""
+            WITH {_COSUPPORT_NB_CTE}, deg AS (
               SELECT node, count(*)::BIGINT AS degree FROM nb GROUP BY 1
             ), w AS (
               SELECT n1.nb AS u, n2.nb AS v, count(*)::BIGINT
@@ -2432,18 +2430,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # common-neighbors link prediction: wedge self-join over the
         # both-direction neighbor list, minus existing edges, top 50
-        "link_prediction_parts": """
-            WITH lp AS (
-              SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-              FROM lineitem
-            ), pr AS MATERIALIZED (
-              SELECT l1.p AS a, l2.p AS b
-              FROM lp l1 JOIN lp l2 ON l1.o = l2.o AND l1.p < l2.p
-              GROUP BY 1, 2 HAVING count(*) >= 2
-            ), nb AS (
-              SELECT a AS node, b AS nb FROM pr
-              UNION ALL SELECT b, a FROM pr
-            ), w AS (
+        "link_prediction_parts": f"""
+            WITH {_COSUPPORT_NB_CTE}, w AS (
               SELECT n1.nb AS u, n2.nb AS v, count(*)::BIGINT
                          AS common_neighbors
               FROM nb n1 JOIN nb n2

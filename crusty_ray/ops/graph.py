@@ -946,7 +946,13 @@ def random_walks(edges, length: int = 4, num_partitions: int = 32,
              for s, v in zip(start, cur)),
             dtype=np.int64, count=len(cur))
 
-    if nbr.count() <= broadcast_edges:
+    n_nbr = nbr.count()
+    if n_nbr == 0:  # empty graph: explicit typed empty (Ray drops the
+        return _ray.data.from_pandas(  # schema of all-empty datasets)
+            pd.DataFrame({"start": pd.Series([], dtype="int64"),
+                          "step": pd.Series([], dtype="int64"),
+                          "node": pd.Series([], dtype="int64")}))
+    if n_nbr <= broadcast_edges:
         tbl = nbr.to_pandas().sort_values(["node", "idx"])
         keys = tbl["node"].to_numpy(dtype=np.int64)
         flat = tbl["nb"].to_numpy(dtype=np.int64)
@@ -985,19 +991,31 @@ def random_walks(edges, length: int = 4, num_partitions: int = 32,
         return pd.DataFrame({"start": s["node"].astype("int64"),
                              "node": s["node"].astype("int64")})
 
+    # known trade of this path: hash_join co-partitions BOTH sides per
+    # call, so the immutable ranked table re-shuffles once per hop — a
+    # pre-partitioned-side join API would shuffle only the frontier
     frontier = nbr.map_batches(starts, batch_format="pandas")
     hops = [frontier]   # step 0 rows: (start, node=start)
     for t in range(1, length + 1):
-        joined = hash_join(frontier, nbr, on=["node"],
-                           num_partitions=num_partitions)
+        def with_hash(df: pd.DataFrame, _t=t) -> pd.DataFrame:
+            # hash BEFORE the join: one md5 per walk per hop, not one
+            # per fanned-out joined row (the hash depends only on
+            # frontier columns)
+            out = df[["start", "node"]].copy()
+            out["h"] = _md5_pick(df["start"].to_numpy(dtype=np.int64),
+                                 _t, df["node"].to_numpy(dtype=np.int64))
+            return out
 
-        def step(df: pd.DataFrame, _t=t) -> pd.DataFrame:
+        joined = hash_join(
+            frontier.map_batches(with_hash, batch_format="pandas"),
+            nbr, on=["node"], num_partitions=num_partitions)
+
+        def step(df: pd.DataFrame) -> pd.DataFrame:
             if not len(df):
                 return pd.DataFrame({"start": pd.Series([], dtype="int64"),
                                      "node": pd.Series([], dtype="int64")})
-            h = _md5_pick(df["start"].to_numpy(dtype=np.int64), _t,
-                          df["node"].to_numpy(dtype=np.int64))
-            pick = df[h % df["deg"].to_numpy(dtype=np.int64)
+            pick = df[df["h"].to_numpy(dtype=np.int64)
+                      % df["deg"].to_numpy(dtype=np.int64)
                       == df["idx"].to_numpy(dtype=np.int64)]
             return pd.DataFrame({"start": pick["start"].astype("int64"),
                                  "node": pick["nb"].astype("int64")})
