@@ -683,6 +683,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic DeepWalk corpus over the support-2 part graph
         # (hash-driven neighbor choice; one co-partitioned join per hop)
         "part_random_walks": graph.part_random_walks_ds,
+        # skip-gram (center, context, n_pairs) training pairs from the
+        # walk corpus — the word2vec preprocessing composition
+        "part_skipgram_pairs": graph.part_skipgram_pairs_ds,
         "sample_stratified": sample.sample_stratified_ds,
         "split_assignment": sample.split_assignment_ds,
         # exactly-k-per-stratum deterministic sample (md5-rank top-k —
@@ -880,6 +883,21 @@ def _walks_oracle_sql(length: int = 4) -> str:
                 {t}::BIGINT AS step, node FROM s{t}\n"""
         for t in range(length + 1))
     return head + "".join(hops) + "\n        " + tail
+
+
+def _skipgram_oracle_sql(length: int = 4, window: int = 2) -> str:
+    """Skip-gram pairs over the unrolled walk corpus: the symmetric
+    within-window self-join of (start, step, node) on the walk id —
+    exactly ops/graph.skipgram_pairs' both-direction sweep + count."""
+    return f"""
+        WITH w AS MATERIALIZED ({_walks_oracle_sql(length)})
+        SELECT a.node AS center, b.node AS context,
+               count(*)::BIGINT AS n_pairs
+        FROM w a JOIN w b
+          ON a.start = b.start AND a.step <> b.step
+         AND abs(a.step - b.step) <= {window}
+        GROUP BY 1, 2
+    """
 
 
 def _kcore_oracle_sql(k: int = 68, rounds: int = 8) -> str:
@@ -1102,6 +1120,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pm
         """,
         "part_random_walks": _walks_oracle_sql(length=4),
+        "part_skipgram_pairs": _skipgram_oracle_sql(length=4, window=2),
         "dedup_canonical": """
             WITH r AS (
               SELECT md5(coalesce(text, '')) AS text_md5, doc_id, n_chars,

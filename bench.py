@@ -169,7 +169,7 @@ def bench_queries(sf_dir: str) -> dict:
              "association_rules", "name_linkage", "purchase_attribution",
              "user_value_trend", "user_modal_event",
              "segment_revenue_share", "doc_keywords", "langid_eval",
-             "part_random_walks"]
+             "part_random_walks", "part_skipgram_pairs"]
     out = {}
     for name in names:
         t0 = time.time()

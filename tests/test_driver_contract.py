@@ -129,6 +129,7 @@ SQL_CHECKED = [
     "purchase_attribution",
     "user_value_trend", "user_modal_event", "segment_revenue_share",
     "doc_keywords", "langid_eval", "part_random_walks",
+    "part_skipgram_pairs",
 ]
 
 

@@ -514,3 +514,27 @@ def test_langid_eval_identity(ray_session):
     assert (ev["tp"].sum() + ev["fp"].sum()) == cm["n_docs"].sum()
     p, r = ev["precision_pm"], ev["recall_pm"]
     assert (ev["f1_pm"] == 2 * p * r // (p + r).clip(lower=1)).all()
+
+
+def test_skipgram_pairs_matches_bruteforce(ray_session):
+    """Pairs recomputed from the walk corpus itself: symmetric, within
+    window, counts aggregated across walks."""
+    import ray
+    from crusty_ray.ops.graph import random_walks, skipgram_pairs
+    e = pd.DataFrame({"a": [1, 1, 2, 3], "b": [2, 3, 3, 4]}).astype("int64")
+    walks = random_walks(ray.data.from_pandas(e).materialize(),
+                         length=3, num_partitions=4).materialize()
+    got = skipgram_pairs(walks, window=2, num_partitions=4).to_pandas() \
+        .sort_values(["center", "context"]).reset_index(drop=True)
+    w = walks.to_pandas()
+    ref: dict = {}
+    for _, g in w.groupby("start"):
+        g = g.sort_values("step")
+        nodes = g["node"].tolist()
+        for i, u in enumerate(nodes):
+            for j, v in enumerate(nodes):
+                if i != j and abs(i - j) <= 2:
+                    ref[(u, v)] = ref.get((u, v), 0) + 1
+    exp = pd.DataFrame([(c, x, n) for (c, x), n in sorted(ref.items())],
+                       columns=["center", "context", "n_pairs"])
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
