@@ -28,28 +28,44 @@ from .agg import grouped_count, grouped_count_distinct, \
 from .io import read_table
 
 
-def _sweep_pairs(df: pd.DataFrame, key: str = "o",
-                 item: str = "p") -> pd.DataFrame:
-    """Per-basket distinct item pairs (a < b) via the vectorized shift
-    sweep — pairs at sorted distance d, d bounded by the basket size, so
-    the Python loop is a handful of full-column vector ops, never
-    per-basket. Input may hold duplicate (basket, item) lines (dedup is
-    fused here); every basket containing both items emits the pair
-    exactly once. The ONE pair generator shared by the co-purchase edge
-    builders (`ops/graph.py`) and association rules."""
-    df = df[[key, item]].drop_duplicates().sort_values([key, item])
+def _sweep_pairs(df: pd.DataFrame, key: str = "o", item: str = "p",
+                 sort_col: str | None = None, max_d: int | None = None,
+                 symmetric: bool = False, dedup: bool = True,
+                 out_cols: tuple[str, str] = ("a", "b")) -> pd.DataFrame:
+    """Per-group item pairs via the vectorized shift sweep — pairs at
+    sorted distance d, so the Python loop is a handful of full-column
+    vector ops, never per-group. The ONE pair generator shared by the
+    co-purchase edge builders (`ops/graph.py`), association rules, and
+    skip-gram pair extraction.
+
+    Default shape (baskets): dedup (basket, item) lines, sort by item
+    within basket, unbounded d → every basket containing both items emits
+    the (a < b) pair exactly once. Variants: ``sort_col`` orders rows by a
+    different column than the emitted one (skip-gram sorts by step, emits
+    node); ``max_d`` caps the sweep distance (the skip-gram window);
+    ``symmetric`` emits both directions; ``dedup=False`` keeps duplicate
+    input rows (walks may revisit a node). The sweep always stops early
+    when no group has more than d rows (no match at d ⇒ none at d+1)."""
+    sort_col = sort_col or item
+    df = df[list(dict.fromkeys([key, sort_col, item]))]
+    if dedup:
+        df = df.drop_duplicates()
+    df = df.sort_values([key, sort_col])
     k = df[key].to_numpy(dtype=np.int64)
     p = df[item].to_numpy(dtype=np.int64)
     outs, d = [], 1
-    while d < len(k):
+    while d < len(k) and (max_d is None or d <= max_d):
         m = k[d:] == k[:-d]
         if not m.any():
             break
-        outs.append(pd.DataFrame({"a": p[:-d][m], "b": p[d:][m]}))
+        a, b = p[:-d][m], p[d:][m]
+        outs.append(pd.DataFrame({out_cols[0]: a, out_cols[1]: b}))
+        if symmetric:
+            outs.append(pd.DataFrame({out_cols[0]: b, out_cols[1]: a}))
         d += 1
     if not outs:
-        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                             "b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({out_cols[0]: pd.Series([], dtype="int64"),
+                             out_cols[1]: pd.Series([], dtype="int64")})
     return pd.concat(outs, ignore_index=True)
 
 

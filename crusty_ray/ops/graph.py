@@ -1054,29 +1054,27 @@ def skipgram_pairs(walks, window: int = 2, num_partitions: int = 32):
     preprocessing step DeepWalk feeds its walks into: every ordered
     (center, context) node pair within ``window`` steps of each other in
     the same walk, aggregated to (center, context, n_pairs). One coarse
-    partition on the walk id; inside, pairing is the vectorized shift
-    sweep over the step-sorted frame (both directions emitted — skip-gram
-    is symmetric in ±window), then a ``grouped_count`` collapse."""
+    partition on the walk id; inside, pairing is the shared shift sweep
+    (`basket._sweep_pairs`) over the step-sorted frame — steps are dense
+    per walk, so row distance d == step gap d — with both directions
+    emitted (skip-gram is symmetric in ±window) and duplicates kept
+    (walks may revisit a node); then a ``grouped_count`` collapse."""
+    import ray as _ray
+
     from .agg import grouped_count, partitioned_group_apply
+    from .basket import _sweep_pairs
 
     def pairs_in_walk(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.sort_values(["start", "step"],
-                           kind="mergesort").reset_index(drop=True)
-        s = g["start"].to_numpy(dtype=np.int64)
-        node = g["node"].to_numpy(dtype=np.int64)
-        outs = []
-        for d in range(1, window + 1):
-            if len(g) <= d:
-                break
-            m = s[d:] == s[:-d]   # steps are dense per walk, so row
-            a, b = node[:-d][m], node[d:][m]   # distance d == step gap d
-            outs.append(pd.DataFrame({"center": a, "context": b}))
-            outs.append(pd.DataFrame({"center": b, "context": a}))
-        if not outs:
-            return pd.DataFrame({"center": pd.Series([], dtype="int64"),
-                                 "context": pd.Series([], dtype="int64")})
-        return pd.concat(outs, ignore_index=True)
+        return _sweep_pairs(df, key="start", item="node", sort_col="step",
+                            max_d=window, symmetric=True, dedup=False,
+                            out_cols=("center", "context"))
 
+    walks = walks.materialize()
+    if walks.count() == 0:  # zero groups would yield a schema-less empty
+        return _ray.data.from_pandas(
+            pd.DataFrame({"center": pd.Series([], dtype="int64"),
+                          "context": pd.Series([], dtype="int64"),
+                          "n_pairs": pd.Series([], dtype="int64")}))
     pairs = partitioned_group_apply(walks, ["start"], pairs_in_walk,
                                     num_partitions)
     return grouped_count(pairs, ["center", "context"], "n_pairs",
@@ -1088,9 +1086,7 @@ def part_skipgram_pairs_ds(sf_dir: str, length: int = 4, window: int = 2,
     """Skip-gram pairs over the deterministic part walk corpus — the
     end-to-end graph-embedding preprocessing face (walks → training
     pairs). Returns (center, context, n_pairs)."""
-    walks = random_walks(
-        part_cosupport_edges(sf_dir, num_partitions=num_partitions)
-        .materialize(),
-        length=length, num_partitions=num_partitions)
+    walks = part_random_walks_ds(sf_dir, length=length,
+                                 num_partitions=num_partitions)
     return skipgram_pairs(walks, window=window,
                           num_partitions=num_partitions)

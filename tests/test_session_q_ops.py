@@ -538,3 +538,17 @@ def test_skipgram_pairs_matches_bruteforce(ray_session):
     exp = pd.DataFrame([(c, x, n) for (c, x), n in sorted(ref.items())],
                        columns=["center", "context", "n_pairs"])
     pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+
+
+def test_skipgram_pairs_empty_corpus(ray_session):
+    """Empty walk corpus must return a TYPED empty (center, context,
+    n_pairs) — zero map_groups groups would otherwise drop the schema."""
+    import ray
+    from crusty_ray.ops.graph import random_walks, skipgram_pairs
+    e = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                      "b": pd.Series([], dtype="int64")})
+    walks = random_walks(ray.data.from_pandas(e).materialize(),
+                         length=3, num_partitions=4)
+    got = skipgram_pairs(walks, window=2, num_partitions=4)
+    assert got.schema().names == ["center", "context", "n_pairs"]
+    assert got.count() == 0
