@@ -503,6 +503,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # outlier pruning: d2 to the label's quantized mean (LAION-style
         # centroid-distance curation; reuses the centroid partial sums)
         "embedding_outliers": similarity.embedding_outliers_ds,
+        # fixed-round Lloyd k-means (broadcast centroids -> algebraic
+        # partials per round; quantized, bit-exact vs the unrolled oracle)
+        "kmeans_embeddings": similarity.kmeans_embeddings_ds,
         "filter_frequent_tokens": text.filter_frequent_tokens_ds,
         # unigram-LM surprisal quality scoring (CCNet-style, integer-
         # quantized bits so the SQL oracle is bit-exact)
@@ -648,6 +651,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # neighborhood-Jaccard link prediction: the normalized score
         # (1000·cn // (du+dv−cn)) over the same candidate plan
         "neighborhood_jaccard": graph.neighborhood_jaccard_parts_ds,
+        # GraphSAGE-style 1-hop mean/max neighbor-feature aggregation
+        # (degree + truncated-mean/max neighbor price per part)
+        "part_neighbor_stats": graph.part_neighbor_stats_ds,
         # market-basket association rules: support/confidence/lift in
         # integer per-mille, min_support prunes before the joins
         "association_rules": basket.association_rules_ds,
@@ -661,6 +667,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Fellegi-Sunter record-linkage scoring over SNM-blocked pairs
         # (integer agreement weights, two co-partitioned joins)
         "record_linkage_scores": linkage.record_linkage_scores_ds,
+        # entity resolution end-to-end: FS match edges -> transitive
+        # closure (hash-min components) -> entity id + size per doc
+        "entity_clusters": linkage.entity_clusters_ds,
         # exact Levenshtein name linkage over balance-blocked customer
         # pairs (batch-vectorized Wagner-Fischer DP)
         "name_linkage": linkage.name_linkage_ds,
@@ -897,6 +906,50 @@ def _skipgram_oracle_sql(length: int = 4, window: int = 2) -> str:
           ON a.start = b.start AND a.step <> b.step
          AND abs(a.step - b.step) <= {window}
         GROUP BY 1, 2
+    """
+
+
+def _kmeans_oracle_sql(k: int = 8, rounds: int = 2) -> str:
+    """Fixed-round Lloyd k-means as unrolled CTEs — the exact plan of
+    ops/similarity.kmeans_quant: quantize, seed on the k smallest vec_ids,
+    per round (assign by min d2 with ties to the lowest cid, per-dim
+    truncated-mean update via lockstep UNNEST/generate_subscripts, empty
+    clusters COALESCE to their previous centroid), final assignment."""
+    d2 = ("list_sum(list_transform(list_zip(v.qe, c.cen),"
+          " x -> (x[1] - x[2]) * (x[1] - x[2])))::BIGINT")
+    ctes = [f"""q AS MATERIALIZED (
+              SELECT vec_id, list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+              FROM embeddings),
+            c0 AS MATERIALIZED (
+              SELECT (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT
+                         AS cid, qe AS cen
+              FROM q ORDER BY vec_id LIMIT {k})"""]
+    for r in range(rounds):
+        ctes.append(f"""a{r} AS MATERIALIZED (
+              SELECT vec_id, cid FROM (
+                SELECT v.vec_id, c.cid, {d2} AS d2
+                FROM q v CROSS JOIN c{r} c) t
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d2, cid) = 1),
+            u{r} AS (
+              SELECT a{r}.cid, generate_subscripts(q.qe, 1) AS dim,
+                     unnest(q.qe) AS val
+              FROM a{r} JOIN q USING (vec_id)),
+            m{r} AS (
+              SELECT cid, list(s ORDER BY dim) AS cen FROM (
+                SELECT cid, dim, sum(val) // count(*) AS s
+                FROM u{r} GROUP BY cid, dim) GROUP BY cid),
+            c{r + 1} AS MATERIALIZED (
+              SELECT c{r}.cid, coalesce(m{r}.cen, c{r}.cen) AS cen
+              FROM c{r} LEFT JOIN m{r} USING (cid))""")
+    return f"""
+        WITH {', '.join(ctes)}
+        SELECT vec_id, cid AS cluster, d2 FROM (
+          SELECT v.vec_id, c.cid, {d2} AS d2
+          FROM q v CROSS JOIN c{rounds} c) t
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d2, cid) = 1
     """
 
 
@@ -2132,6 +2185,7 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT c FROM tri) GROUP BY 1
         """,
         "kcore_parts": _kcore_oracle_sql(k=68, rounds=8),
+        "kmeans_embeddings": _kmeans_oracle_sql(k=8, rounds=2),
         "clustering_coefficient": """
             WITH pr AS MATERIALIZED (
               SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
@@ -2239,6 +2293,47 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'non_match' END AS decision
             FROM s
         """,
+        # entity resolution: the record_linkage CTEs' match pairs as
+        # edges, recursive min-reachability closure, count per entity
+        "entity_clusters": """
+            WITH RECURSIVE r AS (
+              SELECT doc_id, n_chars,
+                     (row_number() OVER (ORDER BY n_chars, doc_id) - 1)
+                         ::BIGINT AS rk
+              FROM documents),
+            p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     (b.n_chars - a.n_chars)::BIGINT AS char_gap
+              FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 2),
+            s AS (
+              SELECT p.doc_a, p.doc_b,
+                     (CASE WHEN da.lang = db.lang THEN 22 ELSE -8 END
+                      + CASE WHEN da.source = db.source THEN 18
+                             ELSE -12 END
+                      + CASE WHEN p.char_gap = 0 THEN 15
+                             WHEN p.char_gap <= 2 THEN 6
+                             ELSE -4 END)::BIGINT AS fs_score
+              FROM p
+              JOIN documents da ON da.doc_id = p.doc_a
+              JOIN documents db ON db.doc_id = p.doc_b),
+            m AS MATERIALIZED (
+              SELECT doc_a, doc_b FROM s WHERE fs_score >= 40),
+            edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM m
+              UNION ALL SELECT doc_b, doc_a FROM m),
+            reach(u, lab) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.u, reach.lab FROM edges e JOIN reach
+                ON reach.u = e.v),
+            ent AS (
+              SELECT u AS doc_id, MIN(lab) AS entity_id
+              FROM reach GROUP BY u)
+            SELECT doc_id, entity_id,
+                   count(*) OVER (PARTITION BY entity_id)::BIGINT
+                       AS entity_size
+            FROM ent
+        """,
         # integer priority sampling: u = md5_48('ws:'||id), key u//w,
         # global bottom-100 by (priority, id)
         "weighted_doc_sample": """
@@ -2269,6 +2364,20 @@ def oracle_sql() -> dict[str, str]:
                        ::BIGINT AS rnk,
                    user_id, decay_score
             FROM sc ORDER BY decay_score DESC, user_id LIMIT 50
+        """,
+        # 1-hop neighbor aggregation: the shared cosupport neighbor list
+        # joined to part prices, count / trunc-mean / max per node
+        "part_neighbor_stats": f"""
+            WITH {_COSUPPORT_NB_CTE}, pc AS (
+              SELECT p_partkey,
+                     CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                         AS cents
+              FROM part)
+            SELECT nb.node AS partkey, count(*)::BIGINT AS degree,
+                   (sum(pc.cents) // count(*))::BIGINT AS avg_nb_cents,
+                   max(pc.cents)::BIGINT AS max_nb_cents
+            FROM nb JOIN pc ON pc.p_partkey = nb.nb
+            GROUP BY 1
         """,
         # neighborhood Jaccard: the link-prediction candidates normalized
         # by the union-neighborhood size, integer per-mille

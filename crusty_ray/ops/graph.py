@@ -1090,3 +1090,69 @@ def part_skipgram_pairs_ds(sf_dir: str, length: int = 4, window: int = 2,
                                  num_partitions=num_partitions)
     return skipgram_pairs(walks, window=window,
                           num_partitions=num_partitions)
+
+
+# ----------------------------------------------- neighbor feature aggregation
+
+def neighbor_feature_agg(edges, features, id_col: str, feat_col: str,
+                         num_partitions: int = 32):
+    """GraphSAGE-style 1-hop neighborhood aggregation (Hamilton et al.
+    2017's mean aggregator, integerized): for every node with at least one
+    edge, the count / truncated mean / max of its NEIGHBORS' feature —
+    the message-passing primitive a graph-ML pipeline runs per layer.
+
+    Plan: melt the (a, b) edge list both directions (node, nb), pull the
+    neighbor's feature through the generic shuffle ``hash_join`` (the
+    feature table is node-scale — never broadcast), then one
+    coarse-partitioned grouped finish. The mean is DuckDB ``//`` on a
+    non-negative sum (callers with signed features must switch to
+    ``stats._trunc_div``). Returns (id_col, degree, avg_<feat>, max_<feat>).
+    """
+    from .joins import hash_join
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy(dtype=np.int64)
+        b = df["b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({id_col: np.concatenate([a, b]),
+                             "__nb": np.concatenate([b, a])})
+
+    def feat_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"__nb": df[id_col].astype("int64"),
+                             "__f": df[feat_col].astype("int64")})
+
+    joined = hash_join(edges.map_batches(melt, batch_format="pandas"),
+                       features.map_batches(feat_side,
+                                            batch_format="pandas"),
+                       on=["__nb"], num_partitions=num_partitions)
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(id_col)["__f"]
+        out = pd.DataFrame({"degree": g.size(), "__sum": g.sum(),
+                            f"max_{feat_col}": g.max()})
+        out[f"avg_{feat_col}"] = out["__sum"] // out["degree"]
+        return out.drop(columns="__sum").reset_index().astype("int64") \
+            [[id_col, "degree", f"avg_{feat_col}", f"max_{feat_col}"]]
+
+    return partitioned_group_apply(joined, [id_col], agg, num_partitions)
+
+
+def part_neighbor_stats_ds(sf_dir: str, min_support: int = 2,
+                           num_partitions: int = 32):
+    """1-hop neighbor price statistics over the support-2 co-purchase
+    graph: for each part, how many repeat co-purchase partners it has and
+    the truncated-mean / max of their retail prices in cents — the graph
+    feature-engineering face (node features = aggregated neighbor
+    features). Returns (partkey, degree, avg_nb_cents, max_nb_cents)."""
+    edges = part_cosupport_edges(sf_dir, min_support=min_support,
+                                 num_partitions=num_partitions)
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.floor(df["p_retailprice"].to_numpy(dtype=np.float64)
+                     * 100.0 + 0.5).astype(np.int64)
+        return pd.DataFrame({"partkey": df["p_partkey"].astype("int64"),
+                             "nb_cents": c})
+
+    feats = read_table(sf_dir, "part", ["p_partkey", "p_retailprice"]) \
+        .map_batches(cents, batch_format="pandas")
+    return neighbor_feature_agg(edges, feats, "partkey", "nb_cents",
+                                num_partitions)

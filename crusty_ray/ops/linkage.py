@@ -191,3 +191,51 @@ def name_linkage_ds(sf_dir: str, window: int = 2,
                                                df["name_b"].tolist())})
 
     return joined.map_batches(dist, batch_format="pandas")
+
+
+# ------------------------------------------------- entity resolution clusters
+
+def entity_clusters_ds(sf_dir: str, window: int = 2,
+                       num_partitions: int = 32):
+    """Entity resolution end-to-end: SNM blocking → Fellegi–Sunter scoring
+    → transitive closure of the ``match`` decisions into entity clusters.
+    Every document is labeled with its entity id (the min doc_id reachable
+    through match edges — singletons are their own entity) plus the
+    entity's total size, the grouping a curation pipeline uses to pick one
+    canonical record per real-world entity (Benjelloun et al. 2009's
+    "merge" step after pairwise matching).
+
+    Composition, nothing new driver-side: ``record_linkage_scores_ds``
+    (already-distributed SNM + scoring) → filter to matches →
+    ``dedup.connected_components`` (hash-min label propagation, adaptive
+    driver/BSP) → one coarse-partitioned count per entity attached back to
+    the member rows in the same partition pass. Returns
+    (doc_id, entity_id, entity_size)."""
+    from .agg import partitioned_group_apply
+    from .dedup import connected_components
+    from .io import read_table
+
+    scores = record_linkage_scores_ds(sf_dir, window=window,
+                                      num_partitions=num_partitions)
+
+    def match_edges(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df["decision"] == "match"]
+        return pd.DataFrame({"u": m["doc_a"].astype("int64"),
+                             "v": m["doc_b"].astype("int64")})
+
+    edges = scores.map_batches(match_edges, batch_format="pandas")
+    nodes = read_table(sf_dir, "documents", ["doc_id"])
+    labels = connected_components(edges, nodes, "doc_id",
+                                  out_label="entity_id",
+                                  num_partitions=num_partitions)
+
+    def with_size(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["entity_size"] = df.groupby("entity_id")["doc_id"] \
+            .transform("size").astype("int64")
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["entity_id"] = out["entity_id"].astype("int64")
+        return out
+
+    return partitioned_group_apply(labels, ["entity_id"], with_size,
+                                   num_partitions)

@@ -725,3 +725,105 @@ def embedding_outliers_ds(sf_dir: str, threshold: int = 1_000_000):
             "is_outlier": (d2 > threshold).astype("int64")})
 
     return joined.map_batches(score, batch_format="pandas")
+
+
+# ---------------------------------------------------------- k-means (Lloyd)
+
+def kmeans_quant(ds, id_col: str, vec_col: str, k: int = 8,
+                 rounds: int = 2):
+    """Fixed-round Lloyd k-means over integer-quantized vectors — the
+    iterative-ML-training primitive (broadcast model state → algebraic
+    partials → tiny driver reduce, repeated), fully deterministic so the
+    unrolled-CTE SQL oracle hashes bit-exact:
+
+    - vectors quantize to ``floor(x·1000)`` int64 (the repo convention);
+    - init: the ``k`` rows with the smallest ids are centroids 0..k−1;
+    - assign: argmin squared L2, ties to the LOWEST centroid id
+      (np.argmin's first-hit == the oracle's ``ORDER BY d2, cid`` rank);
+    - update: per-dim TRUNCATED mean (``stats._trunc_div`` — quantized
+      components go negative, so DuckDB ``//`` semantics are load-bearing);
+      a cluster that lost every member keeps its previous centroid.
+
+    Per round: ONE broadcast of the k×dim int64 model (``ray.put``), one
+    streaming pass emitting ≤ k partial rows per block (packed-bytes sums),
+    an O(blocks·k·dim) driver combine — the vectors themselves never
+    shuffle, and the input re-reads from storage each round rather than
+    pinning the corpus in the object store. After ``rounds`` updates the
+    final assignment streams out as (id, cluster, d2)."""
+    from .stats import _trunc_div
+
+    def quant(df: pd.DataFrame) -> pd.DataFrame:
+        mat = [np.floor(np.asarray(v, np.float64) * 1000.0).astype(np.int64)
+               for v in df[vec_col]]
+        return pd.DataFrame({id_col: df[id_col].astype("int64"),
+                             "__q": mat})
+
+    qds = ds.map_batches(quant, batch_format="pandas")
+
+    # ---- init: bottom-k by id (per-block partial prune, tiny driver merge)
+    def bottomk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.nsmallest(k, id_col)
+
+    seed = qds.map_batches(bottomk, batch_format="pandas").to_pandas() \
+        .nsmallest(k, id_col).sort_values(id_col)  # ≤ k·blocks rows
+    cen = np.stack(seed["__q"].to_numpy())  # (k, dim), cid = row index
+    dim = cen.shape[1]
+
+    def _assign(mat: np.ndarray, c: np.ndarray):
+        # (n, k) int64 distances; argmin's first hit = lowest cid on ties
+        d = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        return a, d[np.arange(len(a)), a]
+
+    for _ in range(rounds):
+        cref = ray.put(cen)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(cref)
+            if df.empty:
+                return pd.DataFrame({"cid": pd.Series([], dtype="int64"),
+                                     "qsum": pd.Series([], dtype="object"),
+                                     "n": pd.Series([], dtype="int64")})
+            mat = np.stack(df["__q"].to_numpy())
+            a, _ = _assign(mat, c)
+            rows = []
+            for cid in np.unique(a):
+                sel = mat[a == cid]
+                rows.append({"cid": int(cid),
+                             "qsum": sel.sum(axis=0).tobytes(),
+                             "n": int(len(sel))})
+            return pd.DataFrame(rows)
+
+        parts = qds.map_batches(partial, batch_format="pandas").to_pandas()
+        nxt = cen.copy()
+        for cid, g in parts.groupby("cid"):
+            s = np.sum([np.frombuffer(b, dtype=np.int64) for b in g["qsum"]],
+                       axis=0)
+            n = int(g["n"].sum())
+            nxt[int(cid)] = _trunc_div(s, np.full(dim, n, dtype=np.int64))
+        cen = nxt
+
+    cref = ray.put(cen)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "cluster": pd.Series([], dtype="int64"),
+                                 "d2": pd.Series([], dtype="int64")})
+        mat = np.stack(df["__q"].to_numpy())
+        a, d2 = _assign(mat, ray.get(cref))
+        return pd.DataFrame({id_col: df[id_col].astype("int64"),
+                             "cluster": a.astype("int64"),
+                             "d2": d2.astype("int64")})
+
+    return qds.map_batches(final, batch_format="pandas")
+
+
+def kmeans_embeddings_ds(sf_dir: str, k: int = 8, rounds: int = 2):
+    """Fixed-round quantized k-means over the embeddings table — the
+    SQL-oracled face of the iterative clustering loop (init = k smallest
+    vec_ids, two Lloyd updates, final assignment). Returns
+    (vec_id, cluster, d2)."""
+    ds = _io_read(f"{sf_dir}/embeddings.parquet",
+                  columns=["vec_id", "embedding"])
+    return kmeans_quant(ds, "vec_id", "embedding", k=k, rounds=rounds)

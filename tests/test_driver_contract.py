@@ -130,6 +130,7 @@ SQL_CHECKED = [
     "user_value_trend", "user_modal_event", "segment_revenue_share",
     "doc_keywords", "langid_eval", "part_random_walks",
     "part_skipgram_pairs",
+    "entity_clusters", "part_neighbor_stats", "kmeans_embeddings",
 ]
 
 

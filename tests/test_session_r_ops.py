@@ -1,0 +1,159 @@
+"""Session-r ops: entity-resolution clusters, GraphSAGE-style neighbor
+feature aggregation, fixed-round quantized k-means. The SQL faces are
+covered by test_driver_contract; these pin the mechanics the SQL compare
+can't see (transitive chaining across blocks, truncated-mean semantics on
+signed sums, tie-breaks, empty-cluster carry-over, block-layout stability).
+"""
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------- entity clusters
+
+def test_entity_clusters_transitive_and_sized(ray_session):
+    """Match chains must close transitively into one entity, and every doc
+    (including singletons) gets a row with the right size."""
+    from crusty_ray.ops.linkage import entity_clusters_ds
+    got = entity_clusters_ds(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id"])
+    assert len(got) == len(docs)
+    assert set(got["doc_id"]) == set(docs["doc_id"])
+    # entity_id is the min member of its cluster
+    mins = got.groupby("entity_id")["doc_id"].min()
+    assert (mins.index == mins.values).all()
+    # sizes are consistent with the actual grouping
+    sizes = got.groupby("entity_id")["doc_id"].size()
+    merged = got.merge(sizes.rename("true_size"), on="entity_id")
+    assert (merged["entity_size"] == merged["true_size"]).all()
+
+
+def test_entity_clusters_match_edges_agree_with_scores(ray_session):
+    """Two docs joined by a direct match edge must share an entity; two
+    docs in different components must not."""
+    from crusty_ray.ops.linkage import (entity_clusters_ds,
+                                        record_linkage_scores_ds)
+    ent = entity_clusters_ds(SF).to_pandas().set_index("doc_id")["entity_id"]
+    sc = record_linkage_scores_ds(SF).to_pandas()
+    m = sc[sc["decision"] == "match"]
+    assert len(m) > 0, "fixture has no match pairs - test is vacuous"
+    assert (ent.loc[m["doc_a"]].to_numpy()
+            == ent.loc[m["doc_b"]].to_numpy()).all()
+
+
+# -------------------------------------------- neighbor feature aggregation
+
+def test_neighbor_feature_agg_planted(ray_session):
+    """Hand-computed star + triangle: degree, truncated mean, max."""
+    import ray
+    from crusty_ray.ops.graph import neighbor_feature_agg
+    # graph: 1-2, 1-3, 2-3 (triangle), 4-1 (pendant)
+    edges = ray.data.from_pandas(pd.DataFrame(
+        {"a": [1, 1, 2, 4], "b": [2, 3, 3, 1]}))
+    feats = ray.data.from_pandas(pd.DataFrame(
+        {"node": [1, 2, 3, 4], "price": [10, 25, 31, 7]}))
+    got = neighbor_feature_agg(edges, feats, "node", "price",
+                               num_partitions=4).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    exp = pd.DataFrame({
+        "node": [1, 2, 3, 4],
+        "degree": [3, 2, 2, 1],
+        # node 1 nbrs {2,3,4}: (25+31+7)//3 = 21; node 2 nbrs {1,3}:
+        # 41//2 = 20; node 3 nbrs {1,2}: 35//2 = 17; node 4 nbr {1}: 10
+        "avg_price": [21, 20, 17, 10],
+        "max_price": [31, 31, 25, 10]})
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+
+
+def test_part_neighbor_stats_degree_equals_nb_list(ray_session):
+    """Degrees must equal the cosupport graph's per-node edge counts."""
+    from crusty_ray.ops.graph import (part_cosupport_edges,
+                                      part_neighbor_stats_ds)
+    got = part_neighbor_stats_ds(SF).to_pandas()
+    ed = part_cosupport_edges(SF).to_pandas()
+    deg = pd.concat([ed["a"], ed["b"]]).value_counts()
+    assert set(got["partkey"]) == set(deg.index)
+    merged = got.set_index("partkey")["degree"]
+    assert (merged.loc[deg.index].to_numpy() == deg.to_numpy()).all()
+
+
+# ------------------------------------------------------------ k-means
+
+def _ref_kmeans(mat, ids, k, rounds):
+    """Pure-numpy single-process Lloyd with the op's exact conventions."""
+    from crusty_ray.ops.stats import _trunc_div
+    order = np.argsort(ids)
+    cen = mat[order[:k]].copy()
+    for _ in range(rounds):
+        d = ((mat[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for cid in range(k):
+            sel = mat[a == cid]
+            if len(sel):
+                cen[cid] = _trunc_div(
+                    sel.sum(axis=0),
+                    np.full(mat.shape[1], len(sel), dtype=np.int64))
+    d = ((mat[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+    a = d.argmin(axis=1)
+    return a, d[np.arange(len(a)), a]
+
+
+def test_kmeans_quant_equals_reference(ray_session):
+    """Distributed plan ≡ the single-process reference, including on a
+    fixture with NEGATIVE components (trunc-div is load-bearing) and an
+    initial centroid that immediately loses all members (carry-over)."""
+    import ray
+    from crusty_ray.ops.similarity import kmeans_quant
+    rng = np.random.RandomState(7)
+    mat = rng.randint(-3000, 3000, size=(60, 5)).astype(np.int64)
+    # two ids form a far-away duplicate pair so one seed goes empty
+    mat[0] = mat[1]
+    ids = np.arange(100, 160, dtype=np.int64)
+    df = pd.DataFrame({"vid": ids,
+                       "vec": [(m / 1000.0).tolist() for m in mat]})
+    # the reference sees exactly what the op's quantizer produces (the
+    # /1000*1000 round-trip is NOT exact in binary floats)
+    mat = np.floor(np.stack([np.asarray(v, np.float64)
+                             for v in df["vec"]]) * 1000.0).astype(np.int64)
+    assert (mat < 0).any(), "fixture must exercise negative components"
+    ds = ray.data.from_pandas([df.iloc[:17], df.iloc[17:40], df.iloc[40:]])
+    got = kmeans_quant(ds, "vid", "vec", k=4, rounds=3).to_pandas() \
+        .sort_values("vid").reset_index(drop=True)
+    a, d2 = _ref_kmeans(mat, ids, 4, 3)
+    assert (got["cluster"].to_numpy() == a).all()
+    assert (got["d2"].to_numpy() == d2).all()
+
+
+def test_kmeans_block_layout_stable(ray_session):
+    """Same input split into different block layouts → identical output
+    (int sums are order-independent; the seed prune is global)."""
+    from crusty_ray.ops.similarity import kmeans_embeddings_ds
+    import crusty_ray.ops.io as cio
+    got1 = kmeans_embeddings_ds(SF).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    import ray
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"]).to_pandas()
+    from crusty_ray.ops.similarity import kmeans_quant
+    ds = ray.data.from_pandas(
+        [t.iloc[i::7].reset_index(drop=True) for i in range(7)])
+    got2 = kmeans_quant(ds, "vec_id", "embedding").to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got1, got2)
+
+
+def test_kmeans_tie_breaks_to_lowest_cid(ray_session):
+    """A point equidistant to two centroids must take the lower cid."""
+    import ray
+    from crusty_ray.ops.similarity import kmeans_quant
+    # seeds at 0 and 2; the third point at 1 ties → cluster 0
+    df = pd.DataFrame({"vid": [1, 2, 3],
+                       "vec": [[0.0], [0.002], [0.001]]})
+    got = kmeans_quant(ray.data.from_pandas(df), "vid", "vec",
+                       k=2, rounds=0).to_pandas() \
+        .sort_values("vid").reset_index(drop=True)
+    assert got.loc[2, "cluster"] == 0 and got.loc[2, "d2"] == 1
