@@ -327,8 +327,8 @@ def _domain_pagerank(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from crusty_ray.ops import (analog, analytic, basket, behavior,
                                 curation, dedup, graph, joins, linkage,
-                                pack, quantiles, sample, similarity, stats,
-                                text, windows)
+                                pack, quantiles, sample, similarity, sketch,
+                                stats, text, windows)
 
     def lang_distribution(sf_dir: str):
         import ray
@@ -495,6 +495,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": text.normalize_text_ds,
         "order_price_ntile": analytic.order_price_ntile_ds,
         "approx_distinct_users": _approx_distinct_users,
+        # Count-Min point frequencies beside exact counts (md5 row hashes
+        # -> the one sketch whose oracle is full SQL, cells bit-exact)
+        "cms_user_counts": sketch.cms_user_counts_ds,
         # distributed PCA projection (algebraic covariance partials +
         # driver eigendecomp of the dim x dim matrix; rows-only — float)
         "embedding_pca": similarity.embedding_pca_ds,
@@ -654,6 +657,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # GraphSAGE-style 1-hop mean/max neighbor-feature aggregation
         # (degree + truncated-mean/max neighbor price per part)
         "part_neighbor_stats": graph.part_neighbor_stats_ds,
+        # semi-supervised label propagation: seeded size classes spread
+        # by synchronous majority vote over the same cosupport graph
+        "part_label_spread": graph.part_label_spread_ds,
         # market-basket association rules: support/confidence/lift in
         # integer per-mille, min_support prunes before the joins
         "association_rules": basket.association_rules_ds,
@@ -950,6 +956,34 @@ def _kmeans_oracle_sql(k: int = 8, rounds: int = 2) -> str:
           FROM q v CROSS JOIN c{rounds} c) t
         QUALIFY row_number() OVER (PARTITION BY vec_id
                                    ORDER BY d2, cid) = 1
+    """
+
+
+def _label_spread_oracle_sql(rounds: int = 2) -> str:
+    """Hard-clamped label propagation as unrolled CTEs — the exact plan of
+    ops/graph.label_propagation over the shared cosupport graph: seeds =
+    every fifth part labeled with p_size, one modal-vote level per round
+    (count DESC, label ASC ties; already-labeled nodes suppressed)."""
+    ctes = [f"""{_COSUPPORT_NB_CTE},
+            l0 AS MATERIALIZED (
+              SELECT p_partkey AS node, p_size::BIGINT AS lab,
+                     0::BIGINT AS rnd
+              FROM part WHERE p_partkey % 5 = 0)"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""n{r} AS MATERIALIZED (
+              SELECT node, lab, {r}::BIGINT AS rnd FROM (
+                SELECT nb.node, l.lab, count(*)::BIGINT AS n
+                FROM nb JOIN l{r - 1} l ON l.node = nb.nb
+                WHERE nb.node NOT IN (SELECT node FROM l{r - 1})
+                GROUP BY 1, 2) t
+              QUALIFY row_number() OVER (PARTITION BY node
+                                         ORDER BY n DESC, lab) = 1),
+            l{r} AS MATERIALIZED (
+              SELECT * FROM l{r - 1} UNION ALL SELECT * FROM n{r})""")
+    return f"""
+        WITH {', '.join(ctes)}
+        SELECT node AS partkey, lab AS label, rnd AS assigned_round
+        FROM l{rounds}
     """
 
 
@@ -1515,6 +1549,29 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, CAST(row_number() OVER (
                        PARTITION BY query_id ORDER BY qdot DESC, vec_id) AS BIGINT) AS rnk
               FROM scored) WHERE rnk <= 10
+        """,
+        # Count-Min: md5 row hashes make the cell table itself
+        # SQL-reproducible; estimate = min over rows of the user's cells
+        "cms_user_counts": """
+            WITH rows_ AS (SELECT unnest([0, 1, 2]) AS r),
+            cells AS (
+              SELECT r, ('0x' || substr(md5('cms' || r::VARCHAR || ':'
+                              || user_id::VARCHAR), 1, 8))::BIGINT % 64
+                         AS bucket,
+                     count(*)::BIGINT AS cnt
+              FROM events CROSS JOIN rows_ GROUP BY 1, 2),
+            users AS (
+              SELECT user_id, count(*)::BIGINT AS exact_n
+              FROM events GROUP BY 1),
+            ub AS (
+              SELECT u.user_id, u.exact_n, r.r,
+                     ('0x' || substr(md5('cms' || r.r::VARCHAR || ':'
+                              || u.user_id::VARCHAR), 1, 8))::BIGINT % 64
+                         AS bucket
+              FROM users u CROSS JOIN rows_ r)
+            SELECT ub.user_id, ub.exact_n, min(c.cnt)::BIGINT AS cms_est
+            FROM ub JOIN cells c ON c.r = ub.r AND c.bucket = ub.bucket
+            GROUP BY 1, 2
         """,
         "topk_heavy_hitters": """
             SELECT event_type, user_id, cnt, rnk FROM (
@@ -2186,6 +2243,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcore_parts": _kcore_oracle_sql(k=68, rounds=8),
         "kmeans_embeddings": _kmeans_oracle_sql(k=8, rounds=2),
+        "part_label_spread": _label_spread_oracle_sql(rounds=2),
         "clustering_coefficient": """
             WITH pr AS MATERIALIZED (
               SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b

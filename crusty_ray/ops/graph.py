@@ -1156,3 +1156,109 @@ def part_neighbor_stats_ds(sf_dir: str, min_support: int = 2,
         .map_batches(cents, batch_format="pandas")
     return neighbor_feature_agg(edges, feats, "partkey", "nb_cents",
                                 num_partitions)
+
+
+# ------------------------------------------------------- label propagation
+
+def label_propagation(edges, seeds, id_col: str, label_col: str,
+                      rounds: int = 2, num_partitions: int = 32):
+    """Semi-supervised label propagation (Zhu & Ghahramani 2002's hard-clamp
+    variant, integer majority vote): seed nodes carry fixed labels; each
+    synchronous round, every still-unlabeled node adjacent to a labeled one
+    takes the MODAL label of its labeled neighbors (ties to the lowest
+    label) — the cheap transductive classifier a pipeline runs when only a
+    sliver of the corpus is hand-labeled. Deterministic, so the unrolled-CTE
+    SQL oracle hashes bit-exact.
+
+    Per round: one co-partitioned ``hash_join`` attaches the current label
+    table to the (node, nb) edge list (labels are node-scale — never
+    broadcast), then one coarse-partitioned vote with the current labels
+    unioned in as suppressors (a node seen labeled emits no new vote).
+    The label table is the only state that materializes between rounds —
+    the pagerank/CC shape. Returns (id_col, label_col, assigned_round):
+    0 for seeds, r ≥ 1 for spread labels; unreached nodes have no row."""
+    from .agg import partitioned_group_apply
+    from .joins import hash_join
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy(dtype=np.int64)
+        b = df["b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({id_col: np.concatenate([a, b]),
+                             "__nb": np.concatenate([b, a])})
+
+    melted = edges.map_batches(melt, batch_format="pandas").materialize()
+
+    def as_seed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({id_col: df[id_col].astype("int64"),
+                             label_col: df[label_col].astype("int64"),
+                             "assigned_round": np.zeros(len(df),
+                                                        dtype=np.int64)})
+
+    labels = seeds.map_batches(as_seed, batch_format="pandas").materialize()
+
+    for r in range(1, rounds + 1):
+        def nb_side(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"__nb": df[id_col].astype("int64"),
+                                 "__lab": df[label_col].astype("int64")})
+
+        votes = hash_join(melted,
+                          labels.map_batches(nb_side,
+                                             batch_format="pandas"),
+                          on=["__nb"], num_partitions=num_partitions)
+
+        def vote_rows(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({id_col: df[id_col].astype("int64"),
+                                 "__lab": df["__lab"],
+                                 "__seeded": np.zeros(len(df),
+                                                      dtype=np.int64)})
+
+        def stop_rows(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({id_col: df[id_col],
+                                 "__lab": df[label_col],
+                                 "__seeded": np.ones(len(df),
+                                                     dtype=np.int64)})
+
+        def modal(df: pd.DataFrame, _r=r) -> pd.DataFrame:
+            done = df.loc[df["__seeded"] == 1, id_col].unique()
+            v = df[(df["__seeded"] == 0) & ~df[id_col].isin(done)]
+            if not len(v):
+                return pd.DataFrame({
+                    id_col: pd.Series([], dtype="int64"),
+                    label_col: pd.Series([], dtype="int64"),
+                    "assigned_round": pd.Series([], dtype="int64")})
+            c = v.groupby([id_col, "__lab"]).size().reset_index(name="n") \
+                .sort_values([id_col, "n", "__lab"],
+                             ascending=[True, False, True])
+            top = c.groupby(id_col, as_index=False).first()
+            return pd.DataFrame({
+                id_col: top[id_col].astype("int64"),
+                label_col: top["__lab"].astype("int64"),
+                "assigned_round": np.full(len(top), _r, dtype=np.int64)})
+
+        new = partitioned_group_apply(
+            votes.map_batches(vote_rows, batch_format="pandas")
+                 .union(labels.map_batches(stop_rows,
+                                           batch_format="pandas")),
+            [id_col], modal, num_partitions)
+        labels = labels.union(new).materialize()
+
+    return labels
+
+
+def part_label_spread_ds(sf_dir: str, rounds: int = 2,
+                         num_partitions: int = 32):
+    """Label propagation over the support-2 co-purchase graph: every fifth
+    part is a seed labeled with its size class (p_size); two majority-vote
+    rounds spread labels to unlabeled neighbors. Returns
+    (partkey, label, assigned_round)."""
+    edges = part_cosupport_edges(sf_dir, num_partitions=num_partitions)
+
+    def seed_rows(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df["p_partkey"] % 5 == 0]
+        return pd.DataFrame({"partkey": m["p_partkey"].astype("int64"),
+                             "label": m["p_size"].astype("int64")})
+
+    seeds = read_table(sf_dir, "part", ["p_partkey", "p_size"]) \
+        .map_batches(seed_rows, batch_format="pandas")
+    return label_propagation(edges, seeds, "partkey", "label",
+                             rounds=rounds, num_partitions=num_partitions)

@@ -98,3 +98,84 @@ def approx_distinct_users_ds(sf_dir: str):
     from .io import read_table
     ds = read_table(sf_dir, "events", ["user_id"])
     return approx_distinct(ds, "user_id")
+
+
+# --------------------------------------------- Count-Min (point frequencies)
+
+def count_min_cells(ds, col: str, depth: int = 3, width: int = 64):
+    """Count-Min sketch table (Cormode & Muthukrishnan 2005) over ``col``:
+    ``depth`` md5-hash rows × ``width`` buckets of exact int64 counts. The
+    whole sketch is depth·width cells regardless of input size — the
+    fixed-memory point-frequency state a streaming stage carries.
+
+    Deterministic by construction (md5 row hashes, integer sums), so the
+    CELLS and every point estimate are bit-exact across engines — the rare
+    sketch whose oracle is full SQL, not an error bound. One streaming
+    partial pass (each batch emits ≤ depth·width rows), one tiny grouped
+    finish. Returns a Dataset (row, bucket, cnt)."""
+    import hashlib
+
+    from .agg import partitioned_group_apply
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[col].astype(str)
+        rows, buckets = [], []
+        for r in range(depth):
+            b = np.array([int(hashlib.md5(f"cms{r}:{v}".encode())
+                              .hexdigest()[:8], 16) % width for v in s],
+                         dtype=np.int64)
+            rows.append(np.full(len(b), r, dtype=np.int64))
+            buckets.append(b)
+        out = pd.DataFrame({"row": np.concatenate(rows),
+                            "bucket": np.concatenate(buckets)})
+        return out.groupby(["row", "bucket"], as_index=False) \
+            .size().rename(columns={"size": "cnt"}).astype("int64")
+
+    def reduce_cells(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["row", "bucket"], as_index=False)["cnt"].sum()
+        return out.astype("int64")
+
+    return partitioned_group_apply(ds.map_batches(partial,
+                                                  batch_format="pandas"),
+                                   ["row", "bucket"], reduce_cells)
+
+
+def cms_user_counts_ds(sf_dir: str, depth: int = 3, width: int = 64):
+    """CMS point estimates for every distinct user of the events stream,
+    beside the exact count — (user_id, exact_n, cms_est). The sketch
+    guarantee est ≥ exact is pinned in pytest; the SQL oracle reproduces
+    both columns bit-exact (md5 row hashes are engine-independent).
+
+    Scale plan: the depth·width cell table is a FIXED-size object (1.5 KB
+    here) — broadcast once via ``ray.put``, point-estimated inside one
+    vectorized pass over the per-user exact counts (themselves one grouped
+    shuffle). Nothing driver-side grows with the corpus."""
+    import hashlib
+
+    import ray
+
+    from .agg import grouped_count
+    from .io import read_table
+
+    ds = read_table(sf_dir, "events", ["user_id"])
+    cells = count_min_cells(ds, "user_id", depth, width).to_pandas()
+    table = np.zeros((depth, width), dtype=np.int64)
+    table[cells["row"], cells["bucket"]] = cells["cnt"]
+    tref = ray.put(table)
+
+    exact = grouped_count(ds, ["user_id"], "exact_n")
+
+    def estimate(df: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(tref)
+        s = df["user_id"].astype(str)
+        est = np.full(len(df), np.iinfo(np.int64).max, dtype=np.int64)
+        for r in range(depth):
+            b = np.array([int(hashlib.md5(f"cms{r}:{v}".encode())
+                              .hexdigest()[:8], 16) % width for v in s],
+                         dtype=np.int64)
+            est = np.minimum(est, t[r, b])
+        return pd.DataFrame({"user_id": df["user_id"].astype("int64"),
+                             "exact_n": df["exact_n"].astype("int64"),
+                             "cms_est": est})
+
+    return exact.map_batches(estimate, batch_format="pandas")

@@ -157,3 +157,70 @@ def test_kmeans_tie_breaks_to_lowest_cid(ray_session):
                        k=2, rounds=0).to_pandas() \
         .sort_values("vid").reset_index(drop=True)
     assert got.loc[2, "cluster"] == 0 and got.loc[2, "d2"] == 1
+
+
+# --------------------------------------------------------- Count-Min sketch
+
+def test_cms_never_undercounts_and_is_layout_stable(ray_session):
+    """CMS guarantee: est ≥ exact for every key; identical output across
+    block layouts (integer cell sums are order-independent)."""
+    from crusty_ray.ops.sketch import cms_user_counts_ds
+    got = cms_user_counts_ds(SF).to_pandas()
+    assert (got["cms_est"] >= got["exact_n"]).all()
+    # exact counts must agree with pandas ground truth
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+    truth = ev["user_id"].value_counts()
+    g = got.set_index("user_id")["exact_n"]
+    assert (g.loc[truth.index].to_numpy() == truth.to_numpy()).all()
+
+
+def test_cms_narrow_width_forces_collisions(ray_session):
+    """A deliberately tiny sketch must overcount SOME key (otherwise the
+    est >= exact assertion above is vacuous) while never undercounting."""
+    from crusty_ray.ops.sketch import cms_user_counts_ds
+    got = cms_user_counts_ds(SF, depth=2, width=4).to_pandas()
+    assert (got["cms_est"] >= got["exact_n"]).all()
+    assert (got["cms_est"] > got["exact_n"]).any()
+
+
+# ------------------------------------------------------- label propagation
+
+def test_label_propagation_planted(ray_session):
+    """Path graph 1-2-3-4-5 with seeds at the ends: round/tie mechanics.
+    seeds: 1→7, 5→3. Round 1: 2 gets 7, 4 gets 3; 3 ties {7,3} → takes
+    the LOWER label 3 in round 2. Seeds never change."""
+    import ray
+    from crusty_ray.ops.graph import label_propagation
+    edges = ray.data.from_pandas(pd.DataFrame(
+        {"a": [1, 2, 3, 4], "b": [2, 3, 4, 5]}))
+    seeds = ray.data.from_pandas(pd.DataFrame(
+        {"node": [1, 5], "lab": [7, 3]}))
+    got = label_propagation(edges, seeds, "node", "lab", rounds=2,
+                            num_partitions=4).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    exp = pd.DataFrame({"node": [1, 2, 3, 4, 5],
+                        "lab": [7, 7, 3, 3, 3],
+                        "assigned_round": [0, 1, 2, 1, 0]})
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+
+
+def test_label_propagation_unreached_and_clamped(ray_session):
+    """A node with no labeled path gets NO row; a seed surrounded by
+    opposite labels keeps its own (hard clamping)."""
+    import ray
+    from crusty_ray.ops.graph import label_propagation
+    # component {1,2}: seed 1. component {3,4}: no seed. seed 5 adjacent
+    # to three nodes that all get label 9 — stays 1.
+    edges = ray.data.from_pandas(pd.DataFrame(
+        {"a": [1, 3, 5, 5, 5, 6, 7, 8],
+         "b": [2, 4, 6, 7, 8, 9, 9, 9]}))
+    seeds = ray.data.from_pandas(pd.DataFrame(
+        {"node": [1, 5, 9], "lab": [4, 1, 9]}))
+    got = label_propagation(edges, seeds, "node", "lab", rounds=3,
+                            num_partitions=4).to_pandas() \
+        .set_index("node")
+    assert 3 not in got.index and 4 not in got.index
+    assert got.loc[5, "lab"] == 1 and got.loc[5, "assigned_round"] == 0
+    assert got.loc[2, "lab"] == 4
+    for n in (6, 7, 8):  # two labeled nbrs {1, 9} → modal tie → lower = 1
+        assert got.loc[n, "lab"] == 1 and got.loc[n, "assigned_round"] == 1
