@@ -870,6 +870,32 @@ _COSUPPORT_NB_CTE = """lp AS (
 # link-prediction, jaccard and walk oracles (min_support drift would
 # silently desynchronize them)
 
+_FS_SCORES_CTES = """r AS (
+              SELECT doc_id, n_chars,
+                     (row_number() OVER (ORDER BY n_chars, doc_id) - 1)
+                         ::BIGINT AS rk
+              FROM documents),
+            p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     (b.n_chars - a.n_chars)::BIGINT AS char_gap
+              FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 2),
+            s AS (
+              SELECT p.doc_a, p.doc_b,
+                     (CASE WHEN da.lang = db.lang THEN 22 ELSE -8 END
+                      + CASE WHEN da.source = db.source THEN 18
+                             ELSE -12 END
+                      + CASE WHEN p.char_gap = 0 THEN 15
+                             WHEN p.char_gap <= 2 THEN 6
+                             ELSE -4 END)::BIGINT AS fs_score
+              FROM p
+              JOIN documents da ON da.doc_id = p.doc_a
+              JOIN documents db ON db.doc_id = p.doc_b)"""
+# the SNM-blocked Fellegi-Sunter pair scores (window = 2, the
+# linkage.py W_*/T_* weight constants verbatim), the ONE SQL mirror of
+# ops/linkage.fs_score_pairs shared by the record_linkage_scores and
+# entity_clusters oracles — weight/threshold drift in one face would
+# silently desynchronize the other
+
 
 def _walks_oracle_sql(length: int = 4) -> str:
     """Deterministic DeepWalk corpus as unrolled per-hop CTEs — one
@@ -2324,27 +2350,8 @@ def oracle_sql() -> dict[str, str]:
         # Fellegi-Sunter over the SNM pairs: the blocking CTE is the
         # sorted_neighborhood_pairs oracle verbatim; weights mirror
         # ops/linkage.py's W_* constants
-        "record_linkage_scores": """
-            WITH r AS (
-              SELECT doc_id, n_chars,
-                     (row_number() OVER (ORDER BY n_chars, doc_id) - 1)
-                         ::BIGINT AS rk
-              FROM documents),
-            p AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                     (b.n_chars - a.n_chars)::BIGINT AS char_gap
-              FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 2),
-            s AS (
-              SELECT p.doc_a, p.doc_b,
-                     (CASE WHEN da.lang = db.lang THEN 22 ELSE -8 END
-                      + CASE WHEN da.source = db.source THEN 18
-                             ELSE -12 END
-                      + CASE WHEN p.char_gap = 0 THEN 15
-                             WHEN p.char_gap <= 2 THEN 6
-                             ELSE -4 END)::BIGINT AS fs_score
-              FROM p
-              JOIN documents da ON da.doc_id = p.doc_a
-              JOIN documents db ON db.doc_id = p.doc_b)
+        "record_linkage_scores": f"""
+            WITH {_FS_SCORES_CTES}
             SELECT doc_a, doc_b, fs_score,
                    CASE WHEN fs_score >= 40 THEN 'match'
                         WHEN fs_score >= 10 THEN 'possible'
@@ -2353,27 +2360,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # entity resolution: the record_linkage CTEs' match pairs as
         # edges, recursive min-reachability closure, count per entity
-        "entity_clusters": """
-            WITH RECURSIVE r AS (
-              SELECT doc_id, n_chars,
-                     (row_number() OVER (ORDER BY n_chars, doc_id) - 1)
-                         ::BIGINT AS rk
-              FROM documents),
-            p AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                     (b.n_chars - a.n_chars)::BIGINT AS char_gap
-              FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 2),
-            s AS (
-              SELECT p.doc_a, p.doc_b,
-                     (CASE WHEN da.lang = db.lang THEN 22 ELSE -8 END
-                      + CASE WHEN da.source = db.source THEN 18
-                             ELSE -12 END
-                      + CASE WHEN p.char_gap = 0 THEN 15
-                             WHEN p.char_gap <= 2 THEN 6
-                             ELSE -4 END)::BIGINT AS fs_score
-              FROM p
-              JOIN documents da ON da.doc_id = p.doc_a
-              JOIN documents db ON db.doc_id = p.doc_b),
+        "entity_clusters": f"""
+            WITH RECURSIVE {_FS_SCORES_CTES},
             m AS MATERIALIZED (
               SELECT doc_a, doc_b FROM s WHERE fs_score >= 40),
             edges AS (

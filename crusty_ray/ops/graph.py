@@ -60,6 +60,17 @@ def _melt_nodes(df: pd.DataFrame, cols=("a", "b")) -> pd.DataFrame:
         [df[c].to_numpy(dtype=np.int64) for c in cols])})
 
 
+def _melt_edges(df: pd.DataFrame, out_node: str = "node",
+                out_nb: str = "nb") -> pd.DataFrame:
+    """Undirected (a, b) edge frame → both-direction (out_node, out_nb)
+    rows — the shared neighbor-list melt (one kernel; renamed outputs for
+    callers that join on reserved column names)."""
+    a = df["a"].to_numpy(dtype=np.int64)
+    b = df["b"].to_numpy(dtype=np.int64)
+    return pd.DataFrame({out_node: np.concatenate([a, b]),
+                         out_nb: np.concatenate([b, a])})
+
+
 def _packed_edge_keys(edges) -> np.ndarray:
     """Driver-collected SORTED ``(a << 31) | b`` packed keys of a distinct
     (a, b), a < b edge Dataset (node ids < 2^31) — the broadcast
@@ -737,10 +748,7 @@ def common_neighbor_pairs(edges, num_partitions: int = 32,
     edges = edges.materialize()  # feeds the melt AND the adjacency filter
 
     def melt_directed(df: pd.DataFrame) -> pd.DataFrame:
-        a = df["a"].to_numpy(dtype=np.int64)
-        b = df["b"].to_numpy(dtype=np.int64)
-        return pd.DataFrame({"node": np.concatenate([a, b]),
-                             "nb": np.concatenate([b, a])})
+        return _melt_edges(df)
 
     nbr = edges.map_batches(melt_directed, batch_format="pandas")
 
@@ -922,10 +930,7 @@ def random_walks(edges, length: int = 4, num_partitions: int = 32,
     from .joins import hash_join
 
     def melt_directed(df: pd.DataFrame) -> pd.DataFrame:
-        a = df["a"].to_numpy(dtype=np.int64)
-        b = df["b"].to_numpy(dtype=np.int64)
-        return pd.DataFrame({"node": np.concatenate([a, b]),
-                             "nb": np.concatenate([b, a])})
+        return _melt_edges(df)
 
     def rank_in_part(df: pd.DataFrame) -> pd.DataFrame:
         g = df.drop_duplicates().sort_values(["node", "nb"],
@@ -1108,17 +1113,24 @@ def neighbor_feature_agg(edges, features, id_col: str, feat_col: str,
     non-negative sum (callers with signed features must switch to
     ``stats._trunc_div``). Returns (id_col, degree, avg_<feat>, max_<feat>).
     """
+    import ray as _ray
+
     from .joins import hash_join
 
     def melt(df: pd.DataFrame) -> pd.DataFrame:
-        a = df["a"].to_numpy(dtype=np.int64)
-        b = df["b"].to_numpy(dtype=np.int64)
-        return pd.DataFrame({id_col: np.concatenate([a, b]),
-                             "__nb": np.concatenate([b, a])})
+        return _melt_edges(df, out_node=id_col, out_nb="__nb")
 
     def feat_side(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"__nb": df[id_col].astype("int64"),
                              "__f": df[feat_col].astype("int64")})
+
+    edges = edges.materialize()
+    if edges.count() == 0:  # empty graph: typed empty (schema-less
+        # all-empty datasets would crash hash_join's schema probe)
+        return _ray.data.from_pandas(pd.DataFrame({
+            c: pd.Series([], dtype="int64")
+            for c in [id_col, "degree", f"avg_{feat_col}",
+                      f"max_{feat_col}"]}))
 
     joined = hash_join(edges.map_batches(melt, batch_format="pandas"),
                        features.map_batches(feat_side,
@@ -1181,10 +1193,7 @@ def label_propagation(edges, seeds, id_col: str, label_col: str,
     from .joins import hash_join
 
     def melt(df: pd.DataFrame) -> pd.DataFrame:
-        a = df["a"].to_numpy(dtype=np.int64)
-        b = df["b"].to_numpy(dtype=np.int64)
-        return pd.DataFrame({id_col: np.concatenate([a, b]),
-                             "__nb": np.concatenate([b, a])})
+        return _melt_edges(df, out_node=id_col, out_nb="__nb")
 
     melted = edges.map_batches(melt, batch_format="pandas").materialize()
 
@@ -1195,6 +1204,10 @@ def label_propagation(edges, seeds, id_col: str, label_col: str,
                                                         dtype=np.int64)})
 
     labels = seeds.map_batches(as_seed, batch_format="pandas").materialize()
+
+    if melted.count() == 0:  # no edges: nothing spreads — the seeds ARE
+        # the answer (and a schema-less empty would crash hash_join)
+        return labels
 
     for r in range(1, rounds + 1):
         def nb_side(df: pd.DataFrame) -> pd.DataFrame:

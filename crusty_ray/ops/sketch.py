@@ -102,6 +102,13 @@ def approx_distinct_users_ds(sf_dir: str):
 
 # --------------------------------------------- Count-Min (point frequencies)
 
+def _cms_buckets(values: pd.Series, r: int, width: int) -> np.ndarray:
+    """Row-``r`` bucket ids: ``analog.md5_shard`` over the ``cms{r}:``-
+    prefixed key — ONE hashing kernel for the build and probe sides (an
+    independent copy on either side would silently break est ≥ exact)."""
+    from .analog import md5_shard
+    return md5_shard(f"cms{r}:" + values.astype(str), width)
+
 def count_min_cells(ds, col: str, depth: int = 3, width: int = 64):
     """Count-Min sketch table (Cormode & Muthukrishnan 2005) over ``col``:
     ``depth`` md5-hash rows × ``width`` buckets of exact int64 counts. The
@@ -113,17 +120,13 @@ def count_min_cells(ds, col: str, depth: int = 3, width: int = 64):
     sketch whose oracle is full SQL, not an error bound. One streaming
     partial pass (each batch emits ≤ depth·width rows), one tiny grouped
     finish. Returns a Dataset (row, bucket, cnt)."""
-    import hashlib
-
     from .agg import partitioned_group_apply
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         s = df[col].astype(str)
         rows, buckets = [], []
         for r in range(depth):
-            b = np.array([int(hashlib.md5(f"cms{r}:{v}".encode())
-                              .hexdigest()[:8], 16) % width for v in s],
-                         dtype=np.int64)
+            b = _cms_buckets(s, r, width)
             rows.append(np.full(len(b), r, dtype=np.int64))
             buckets.append(b)
         out = pd.DataFrame({"row": np.concatenate(rows),
@@ -150,8 +153,6 @@ def cms_user_counts_ds(sf_dir: str, depth: int = 3, width: int = 64):
     here) — broadcast once via ``ray.put``, point-estimated inside one
     vectorized pass over the per-user exact counts (themselves one grouped
     shuffle). Nothing driver-side grows with the corpus."""
-    import hashlib
-
     import ray
 
     from .agg import grouped_count
@@ -160,20 +161,22 @@ def cms_user_counts_ds(sf_dir: str, depth: int = 3, width: int = 64):
     ds = read_table(sf_dir, "events", ["user_id"])
     cells = count_min_cells(ds, "user_id", depth, width).to_pandas()
     table = np.zeros((depth, width), dtype=np.int64)
-    table[cells["row"], cells["bucket"]] = cells["cnt"]
+    if "cnt" in cells.columns:  # empty input yields no cell rows (and a
+        # schema-less frame), exactly like approx_distinct's partials
+        table[cells["row"], cells["bucket"]] = cells["cnt"]
     tref = ray.put(table)
 
     exact = grouped_count(ds, ["user_id"], "exact_n")
 
     def estimate(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "user_id" not in df.columns:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ["user_id", "exact_n", "cms_est"]})
         t = ray.get(tref)
         s = df["user_id"].astype(str)
         est = np.full(len(df), np.iinfo(np.int64).max, dtype=np.int64)
         for r in range(depth):
-            b = np.array([int(hashlib.md5(f"cms{r}:{v}".encode())
-                              .hexdigest()[:8], 16) % width for v in s],
-                         dtype=np.int64)
-            est = np.minimum(est, t[r, b])
+            est = np.minimum(est, t[r, _cms_buckets(s, r, width)])
         return pd.DataFrame({"user_id": df["user_id"].astype("int64"),
                              "exact_n": df["exact_n"].astype("int64"),
                              "cms_est": est})

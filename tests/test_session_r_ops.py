@@ -131,7 +131,6 @@ def test_kmeans_block_layout_stable(ray_session):
     """Same input split into different block layouts → identical output
     (int sums are order-independent; the seed prune is global)."""
     from crusty_ray.ops.similarity import kmeans_embeddings_ds
-    import crusty_ray.ops.io as cio
     got1 = kmeans_embeddings_ds(SF).to_pandas() \
         .sort_values("vec_id").reset_index(drop=True)
     import ray
@@ -224,3 +223,29 @@ def test_label_propagation_unreached_and_clamped(ray_session):
     assert got.loc[2, "lab"] == 4
     for n in (6, 7, 8):  # two labeled nbrs {1, 9} → modal tie → lower = 1
         assert got.loc[n, "lab"] == 1 and got.loc[n, "assigned_round"] == 1
+
+
+# ------------------------------------------------------ empty-input guards
+
+def test_session_r_empty_input_guards(ray_session):
+    """Empty edge/event sets must return typed-empty (or seed-only)
+    results, not crash in hash_join/cell-table schema probes."""
+    import ray
+    from crusty_ray.ops.graph import label_propagation, neighbor_feature_agg
+    from crusty_ray.ops.sketch import count_min_cells
+    empty_edges = ray.data.from_pandas(pd.DataFrame(
+        {"a": pd.Series([], dtype="int64"),
+         "b": pd.Series([], dtype="int64")}))
+    feats = ray.data.from_pandas(pd.DataFrame({"node": [1], "f": [2]}))
+    got = neighbor_feature_agg(empty_edges, feats, "node", "f").to_pandas()
+    # Ray's to_pandas drops columns from all-empty datasets — the guard's
+    # contract is "no crash, zero rows", same as the pagerank guard
+    assert len(got) == 0
+    seeds = ray.data.from_pandas(pd.DataFrame({"node": [1], "lab": [9]}))
+    lp = label_propagation(empty_edges, seeds, "node", "lab",
+                           rounds=2).to_pandas()
+    assert len(lp) == 1 and lp.loc[0, "lab"] == 9
+    ev = ray.data.from_pandas(pd.DataFrame(
+        {"user_id": pd.Series([], dtype="int64")}))
+    cells = count_min_cells(ev, "user_id").to_pandas()
+    assert len(cells) == 0
