@@ -169,7 +169,9 @@ def bench_queries(sf_dir: str) -> dict:
              "association_rules", "name_linkage", "purchase_attribution",
              "user_value_trend", "user_modal_event",
              "segment_revenue_share", "doc_keywords", "langid_eval",
-             "part_random_walks", "part_skipgram_pairs"]
+             "part_random_walks", "part_skipgram_pairs",
+             "entity_clusters", "part_neighbor_stats", "kmeans_embeddings",
+             "cms_user_counts", "part_label_spread"]
     out = {}
     for name in names:
         t0 = time.time()
