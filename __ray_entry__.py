@@ -509,6 +509,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fixed-round Lloyd k-means (broadcast centroids -> algebraic
         # partials per round; quantized, bit-exact vs the unrolled oracle)
         "kmeans_embeddings": similarity.kmeans_embeddings_ds,
+        # distribution-shift monitor: per-label centroid vs the global
+        # centroid (re-reduces the same quantized partial sums)
+        "embedding_drift_by_label": similarity.embedding_drift_by_label_ds,
         "filter_frequent_tokens": text.filter_frequent_tokens_ds,
         # unigram-LM surprisal quality scoring (CCNet-style, integer-
         # quantized bits so the SQL oracle is bit-exact)
@@ -660,6 +663,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # semi-supervised label propagation: seeded size classes spread
         # by synchronous majority vote over the same cosupport graph
         "part_label_spread": graph.part_label_spread_ds,
+        # integer HITS hubs/authorities over the customer->part purchase
+        # bipartite graph (per-half-round max renormalization)
+        "purchase_hits": graph.purchase_hits_ds,
         # market-basket association rules: support/confidence/lift in
         # integer per-mille, min_support prunes before the joins
         "association_rules": basket.association_rules_ds,
@@ -1010,6 +1016,47 @@ def _label_spread_oracle_sql(rounds: int = 2) -> str:
         WITH {', '.join(ctes)}
         SELECT node AS partkey, lab AS label, rnd AS assigned_round
         FROM l{rounds}
+    """
+
+
+def _hits_oracle_sql(rounds: int = 2, scale: int = 10**6,
+                     top_n: int = 25) -> str:
+    """Integer HITS as chained CTEs — the exact plan of
+    ops/graph.hits_scores over the distinct customer→part purchase edges:
+    one (a{r}, h{r}) pair per round, each half renormalized by its global
+    max (``s·scale // max``), hubs seeded at 1 (so round 1's authority raw
+    sum is the in-degree); output = top-N per side."""
+    ctes = ["""e AS MATERIALIZED (
+              SELECT DISTINCT o_custkey AS hub, l_partkey AS auth
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey)"""]
+    for r in range(1, rounds + 1):
+        src = ("SELECT auth, count(*)::BIGINT AS s FROM e GROUP BY 1"
+               if r == 1 else
+               f"SELECT e.auth, sum(h{r - 1}.s)::BIGINT AS s FROM e "
+               f"JOIN h{r - 1} ON h{r - 1}.node = e.hub GROUP BY 1")
+        ctes.append(f"""a{r}r AS ({src}),
+            a{r} AS MATERIALIZED (
+              SELECT auth AS node,
+                     s * {scale} // (SELECT max(s) FROM a{r}r) AS s
+              FROM a{r}r),
+            h{r}r AS (
+              SELECT e.hub, sum(a{r}.s)::BIGINT AS s FROM e
+              JOIN a{r} ON a{r}.node = e.auth GROUP BY 1),
+            h{r} AS MATERIALIZED (
+              SELECT hub AS node,
+                     s * {scale} // (SELECT max(s) FROM h{r}r) AS s
+              FROM h{r}r)""")
+    return f"""
+        WITH {', '.join(ctes)}
+        SELECT side, node, score, rnk FROM (
+          SELECT 'hub' AS side, node, s AS score,
+                 row_number() OVER (ORDER BY s DESC, node)::BIGINT AS rnk
+          FROM h{rounds}
+          UNION ALL
+          SELECT 'authority', node, s,
+                 row_number() OVER (ORDER BY s DESC, node)::BIGINT
+          FROM a{rounds})
+        WHERE rnk <= {top_n}
     """
 
 
@@ -1867,6 +1914,34 @@ def oracle_sql() -> dict[str, str]:
                   FROM embeddings)
             GROUP BY 1, 2
         """,
+        # drift: label floor-means vs the global floor-mean over the same
+        # quantized sums (the label_centroids_quant CTE re-reduced)
+        "embedding_drift_by_label": """
+            WITH s AS (
+              SELECT label, dim,
+                     SUM(CAST(FLOOR(CAST(e AS DOUBLE) * 1000) AS BIGINT))
+                         AS qsum,
+                     COUNT(*)::BIGINT AS n
+              FROM (SELECT label, UNNEST(embedding) AS e,
+                           GENERATE_SUBSCRIPTS(embedding, 1) AS dim
+                    FROM embeddings)
+              GROUP BY 1, 2),
+            g AS (
+              SELECT dim,
+                     CAST(FLOOR(CAST(SUM(qsum) AS DOUBLE) / SUM(n))
+                          AS BIGINT) AS gmean
+              FROM s GROUP BY 1),
+            lm AS (
+              SELECT label, dim,
+                     CAST(FLOOR(CAST(qsum AS DOUBLE) / n) AS BIGINT)
+                         AS lmean, n
+              FROM s)
+            SELECT CAST(lm.label AS BIGINT) AS label, lm.n,
+                   SUM((lm.lmean - g.gmean) * (lm.lmean - g.gmean))
+                       ::BIGINT AS drift_d2
+            FROM lm JOIN g USING (dim)
+            GROUP BY 1, 2
+        """,
         "pack_token_chunks": """
             WITH t AS (
               SELECT doc_id,
@@ -2270,6 +2345,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore_parts": _kcore_oracle_sql(k=68, rounds=8),
         "kmeans_embeddings": _kmeans_oracle_sql(k=8, rounds=2),
         "part_label_spread": _label_spread_oracle_sql(rounds=2),
+        "purchase_hits": _hits_oracle_sql(rounds=2),
         "clustering_coefficient": """
             WITH pr AS MATERIALIZED (
               SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b

@@ -1275,3 +1275,120 @@ def part_label_spread_ds(sf_dir: str, rounds: int = 2,
         .map_batches(seed_rows, batch_format="pandas")
     return label_propagation(edges, seeds, "partkey", "label",
                              rounds=rounds, num_partitions=num_partitions)
+
+
+# ------------------------------------------------------- HITS (Kleinberg)
+
+def hits_scores(edges, rounds: int = 2, scale: int = 10**6,
+                num_partitions: int = 32):
+    """Integer HITS (Kleinberg 1999) over a directed bipartite
+    (hub, auth) edge Dataset — hubs and authorities reinforce mutually:
+    per round, every authority's score is the sum of its in-linking hubs'
+    scores, then every hub's the sum of its authorities'. Each half-round
+    renormalizes by the global max (``s·scale // max(s)``, one scalar
+    aggregate — the integer analog of the L∞ normalization), which keeps
+    every score in [0, scale] and the plan deterministic/SQL-exact at any
+    round count (int64-safe while max-degree · scale² < 2^63, i.e. degree
+    < ~9·10^6 at the default scale).
+
+    Per half-round: one co-partitioned ``hash_join`` (edge ⋈ score on the
+    emitting side), one grouped sum on the receiving side, one broadcast
+    scalar — the pagerank shape; only slim int64 rows move. Hub scores
+    start at 1. Returns a Dataset (side, node, score): side ∈
+    {'hub', 'authority'} with the final round's normalized scores."""
+    import ray as _ray
+
+    from .agg import partitioned_group_apply
+    from .joins import hash_join
+
+    edges = edges.materialize()
+    if edges.count() == 0:
+        return _ray.data.from_pandas(pd.DataFrame({
+            "side": pd.Series([], dtype="object"),
+            "node": pd.Series([], dtype="int64"),
+            "score": pd.Series([], dtype="int64")}))
+
+    def half_round(score_ds, from_col: str, to_col: str):
+        """scores keyed ``from_col`` → normalized sums keyed ``to_col``."""
+        if score_ds is None:  # h0 = 1 for every hub: the sum IS the degree
+            def deg(df: pd.DataFrame) -> pd.DataFrame:
+                out = df.groupby(to_col, as_index=False).size() \
+                        .rename(columns={"size": "s", to_col: "node"})
+                return out.astype("int64")
+            raw = partitioned_group_apply(edges, [to_col], deg,
+                                          num_partitions)
+        else:
+            def as_score(df: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame({from_col: df["node"].astype("int64"),
+                                     "s": df["s"].astype("int64")})
+
+            j = hash_join(edges,
+                          score_ds.map_batches(as_score,
+                                               batch_format="pandas"),
+                          on=[from_col], num_partitions=num_partitions)
+
+            def summed(df: pd.DataFrame) -> pd.DataFrame:
+                out = df.groupby(to_col, as_index=False)["s"].sum() \
+                        .rename(columns={to_col: "node"})
+                return out.astype("int64")
+
+            raw = partitioned_group_apply(j, [to_col], summed,
+                                          num_partitions)
+        raw = raw.materialize()
+        mx = raw.max("s")
+
+        def norm(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "node": df["node"].astype("int64"),
+                "s": (df["s"].to_numpy(np.int64) * scale) // mx})
+
+        return raw.map_batches(norm, batch_format="pandas").materialize()
+
+    h = None
+    for _ in range(rounds):
+        a = half_round(h, "hub", "auth")
+        h = half_round(a, "auth", "hub")
+
+    def tag(side):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"side": pd.Series([side] * len(df),
+                                                   dtype="object"),
+                                 "node": df["node"].astype("int64"),
+                                 "score": df["s"].astype("int64")})
+        return f
+
+    return h.map_batches(tag("hub"), batch_format="pandas").union(
+        a.map_batches(tag("authority"), batch_format="pandas"))
+
+
+def purchase_hits_ds(sf_dir: str, rounds: int = 2, top_n: int = 25,
+                     num_partitions: int = 32):
+    """HITS over the customer→part purchase graph (hub = a customer with
+    broad buying across popular parts, authority = a part bought by strong
+    hubs) — the mutual-reinforcement ranking face. Edges: each DISTINCT
+    (custkey, partkey) from lineitem ⋈ orders. Returns the top ``top_n``
+    per side: (side, node, score, rnk)."""
+    from .agg import grouped_top_n
+    from .joins import hash_join
+
+    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def okey(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"l_orderkey": df["o_orderkey"].astype("int64"),
+                             "o_custkey": df["o_custkey"].astype("int64")})
+
+    pairs = distinct_rows(
+        hash_join(li, orders.map_batches(okey, batch_format="pandas"),
+                  on=["l_orderkey"], num_partitions=num_partitions),
+        ["o_custkey", "l_partkey"], num_partitions)
+
+    def as_edge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"hub": df["o_custkey"].astype("int64"),
+                             "auth": df["l_partkey"].astype("int64")})
+
+    scores = hits_scores(pairs.map_batches(as_edge, batch_format="pandas"),
+                         rounds=rounds, num_partitions=num_partitions)
+    return grouped_top_n(scores, ["side"], "score", top_n,
+                         tie_cols=["node"], rank_col="rnk",
+                         num_partitions=num_partitions)

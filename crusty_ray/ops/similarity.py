@@ -827,3 +827,50 @@ def kmeans_embeddings_ds(sf_dir: str, k: int = 8, rounds: int = 2):
     ds = _io_read(f"{sf_dir}/embeddings.parquet",
                   columns=["vec_id", "embedding"])
     return kmeans_quant(ds, "vec_id", "embedding", k=k, rounds=rounds)
+
+
+def embedding_drift_by_label_ds(sf_dir: str):
+    """Per-label embedding drift: squared distance between each label's
+    quantized floor-mean and the GLOBAL floor-mean — the dataset-card
+    monitor that flags a source/labelled slice whose vectors wander from
+    the corpus center (distribution-shift detection on the embedding
+    table). Returns (label, n, drift_d2).
+
+    Scale plan: reuses ``label_centroids_quant_ds``'s algebraic partial
+    sums (only |labels|·dim slim rows exist downstream); the global mean
+    comes from re-reducing those SAME label sums over dim — the whole
+    finish is O(|labels|·dim) rows, one extra coarse shuffle. The mean
+    convention is ``embedding_outliers_ds``'s: floor_divide (the oracle's
+    ``floor(qsum::DOUBLE / n)``, exact at these magnitudes)."""
+    from .agg import partitioned_group_apply
+
+    sums = label_centroids_quant_ds(sf_dir).materialize()  # (label,dim,qsum,n)
+
+    def glob_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("dim", as_index=False).agg(gsum=("qsum", "sum"),
+                                                    gn=("n", "sum"))
+        return out.astype("int64")
+
+    gmean = partitioned_group_apply(sums, ["dim"], glob_part).to_pandas()
+    # dim rows total — the global centroid is a fixed-size constant
+    gm = np.floor_divide(
+        gmean.sort_values("dim")["gsum"].to_numpy(np.int64),
+        gmean.sort_values("dim")["gn"].to_numpy(np.int64))
+    import ray as _ray
+    gref = _ray.put(gm)
+
+    def drift(df: pd.DataFrame) -> pd.DataFrame:
+        g = _ray.get(gref)
+        rows = []
+        for lab, grp in df.groupby("label"):
+            grp = grp.sort_values("dim")
+            m = np.floor_divide(grp["qsum"].to_numpy(np.int64),
+                                grp["n"].to_numpy(np.int64))
+            d2 = int(((m - g) ** 2).sum())
+            rows.append((int(lab), int(grp["n"].iloc[0]), d2))
+        return pd.DataFrame({
+            "label": pd.Series([r[0] for r in rows], dtype="int64"),
+            "n": pd.Series([r[1] for r in rows], dtype="int64"),
+            "drift_d2": pd.Series([r[2] for r in rows], dtype="int64")})
+
+    return partitioned_group_apply(sums, ["label"], drift)

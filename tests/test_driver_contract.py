@@ -131,7 +131,8 @@ SQL_CHECKED = [
     "doc_keywords", "langid_eval", "part_random_walks",
     "part_skipgram_pairs",
     "entity_clusters", "part_neighbor_stats", "kmeans_embeddings",
-    "cms_user_counts", "part_label_spread",
+    "cms_user_counts", "part_label_spread", "embedding_drift_by_label",
+    "purchase_hits",
 ]
 
 

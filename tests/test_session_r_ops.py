@@ -249,3 +249,60 @@ def test_session_r_empty_input_guards(ray_session):
         {"user_id": pd.Series([], dtype="int64")}))
     cells = count_min_cells(ev, "user_id").to_pandas()
     assert len(cells) == 0
+
+
+# ------------------------------------------------------- embedding drift
+
+def test_embedding_drift_matches_numpy_reference(ray_session):
+    """drift_d2 per label ≡ a pure-numpy replica of the floor-mean
+    convention (floor_divide on quantized sums, label vs global)."""
+    from crusty_ray.ops.similarity import embedding_drift_by_label_ds
+    got = embedding_drift_by_label_ds(SF).to_pandas() \
+        .sort_values("label").reset_index(drop=True)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["embedding", "label"])
+    q = np.floor(np.stack([np.asarray(v, np.float64)
+                           for v in emb["embedding"]]) * 1000.0) \
+        .astype(np.int64)
+    labs = emb["label"].to_numpy()
+    gmean = np.floor_divide(q.sum(axis=0), len(q))
+    exp = []
+    for lab in sorted(pd.unique(labs)):
+        sel = q[labs == lab]
+        lmean = np.floor_divide(sel.sum(axis=0), len(sel))
+        exp.append((int(lab), len(sel), int(((lmean - gmean) ** 2).sum())))
+    ref = pd.DataFrame(exp, columns=["label", "n", "drift_d2"])
+    pd.testing.assert_frame_equal(got.astype("int64"), ref.astype("int64"))
+
+
+# ----------------------------------------------------------------- HITS
+
+def test_hits_planted_one_round(ray_session):
+    """Hand-computed 1-round HITS on a 2x3 bipartite graph. Edges:
+    h1→{a1,a2,a3}, h2→{a1}. a1 raw = indeg: a1=2,a2=1,a3=1 → norm (×1e6//2)
+    = [1e6, 5e5, 5e5]. h raw: h1 = 2e6, h2 = 1e6 → norm = [1e6, 5e5]."""
+    import ray
+    from crusty_ray.ops.graph import hits_scores
+    edges = ray.data.from_pandas(pd.DataFrame(
+        {"hub": [1, 1, 1, 2], "auth": [10, 20, 30, 10]}))
+    got = hits_scores(edges, rounds=1, num_partitions=4).to_pandas() \
+        .sort_values(["side", "node"]).reset_index(drop=True)
+    exp = pd.DataFrame({
+        "side": ["authority", "authority", "authority", "hub", "hub"],
+        "node": [10, 20, 30, 1, 2],
+        "score": [1_000_000, 500_000, 500_000, 1_000_000, 500_000]})
+    pd.testing.assert_frame_equal(
+        got, exp.astype({"node": "int64", "score": "int64"}))
+
+
+def test_purchase_hits_shape_and_normalization(ray_session):
+    """Both sides rank 1..25, scores weakly decreasing within a side, and
+    each side's top score is exactly the normalization scale."""
+    from crusty_ray.ops.graph import purchase_hits_ds
+    got = purchase_hits_ds(SF).to_pandas()
+    for side, g in got.groupby("side"):
+        g = g.sort_values("rnk")
+        assert list(g["rnk"]) == list(range(1, 26))
+        assert g["score"].is_monotonic_decreasing or \
+            (g["score"].diff().dropna() <= 0).all()
+        assert g["score"].iloc[0] == 1_000_000
