@@ -676,6 +676,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SCD2 history: the same CDC stream kept whole, each version with
         # its validity interval (LEAD per key, one coarse shuffle)
         "scd2_order_history": analytic.scd2_order_history_ds,
+        # incremental view maintenance: base group sums + per-key version
+        # deltas ≡ recomputing the view from the merged latest rows
+        "ivm_segment_totals": analytic.ivm_segment_totals_ds,
+        # bloom data-skipping index + point-lookup prune report (per
+        # hour-shard md5 bit sets; hit=0 rows are the read amplification)
+        "bloom_prune_report": pack.bloom_prune_report_ds,
         # Fellegi-Sunter record-linkage scoring over SNM-blocked pairs
         # (integer agreement weights, two co-partitioned joins)
         "record_linkage_scores": linkage.record_linkage_scores_ds,
@@ -875,6 +881,25 @@ _COSUPPORT_NB_CTE = """lp AS (
 # SQL mirror of ops/graph.part_cosupport_edges shared by the
 # link-prediction, jaccard and walk oracles (min_support drift would
 # silently desynchronize them)
+
+_CDC_ALLV_CTES = """base AS (
+              SELECT o_orderkey, 0::BIGINT AS version,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                         AS cents
+              FROM orders
+            ), u1 AS (
+              SELECT o_orderkey, 1::BIGINT, cents + o_orderkey % 1000
+              FROM base WHERE o_orderkey % 7 = 0
+            ), u2 AS (
+              SELECT o_orderkey, 2::BIGINT, cents + 2 * (o_orderkey % 1000)
+              FROM base WHERE o_orderkey % 21 = 0
+            ), allv AS (
+              SELECT * FROM base UNION ALL SELECT * FROM u1
+              UNION ALL SELECT * FROM u2)"""
+# the deterministic CDC version stream (analytic._cdc_version_rows
+# verbatim), the ONE SQL mirror shared by the upsert-merge, SCD2 and IVM
+# oracles — a re-price drift in one face would silently desynchronize
+# the others
 
 _FS_SCORES_CTES = """r AS (
               SELECT doc_id, n_chars,
@@ -2374,22 +2399,8 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0 END::BIGINT AS cc_pm
             FROM deg d LEFT JOIN tn t USING (node)
         """,
-        "upsert_orders_latest": """
-            WITH base AS (
-              SELECT o_orderkey, 0::BIGINT AS version,
-                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
-                         AS cents
-              FROM orders
-            ), u1 AS (
-              SELECT o_orderkey, 1::BIGINT, cents + o_orderkey % 1000
-              FROM base WHERE o_orderkey % 7 = 0
-            ), u2 AS (
-              SELECT o_orderkey, 2::BIGINT, cents + 2 * (o_orderkey % 1000)
-              FROM base WHERE o_orderkey % 21 = 0
-            ), allv AS (
-              SELECT * FROM base UNION ALL SELECT * FROM u1
-              UNION ALL SELECT * FROM u2
-            ), ranked AS (
+        "upsert_orders_latest": f"""
+            WITH {_CDC_ALLV_CTES}, ranked AS (
               SELECT *, row_number() OVER (PARTITION BY o_orderkey
                                            ORDER BY version DESC) AS rn,
                      count(*) OVER (PARTITION BY o_orderkey) AS n
@@ -2398,22 +2409,62 @@ def oracle_sql() -> dict[str, str]:
                    n::BIGINT AS n_versions
             FROM ranked WHERE rn = 1
         """,
-        # SCD2: same CDC CTEs, LEAD(version) per key = validity interval
-        "scd2_order_history": """
-            WITH base AS (
-              SELECT o_orderkey, 0::BIGINT AS version,
-                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
-                         AS cents
-              FROM orders
-            ), u1 AS (
-              SELECT o_orderkey, 1::BIGINT, cents + o_orderkey % 1000
-              FROM base WHERE o_orderkey % 7 = 0
-            ), u2 AS (
-              SELECT o_orderkey, 2::BIGINT, cents + 2 * (o_orderkey % 1000)
-              FROM base WHERE o_orderkey % 21 = 0
-            ), allv AS (
-              SELECT * FROM base UNION ALL SELECT * FROM u1
-              UNION ALL SELECT * FROM u2)
+        # bloom skipping: the index and report are md5-deterministic, so
+        # the whole pruning decision surface is SQL-checkable
+        "bloom_prune_report": """
+            WITH su AS (
+              SELECT DISTINCT
+                     (CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS shard,
+                     user_id
+              FROM events),
+            bits AS (
+              SELECT DISTINCT shard,
+                     ('0x' || substr(md5('b0:' || user_id::VARCHAR), 1, 8))
+                         ::BIGINT % 256 AS bit
+              FROM su
+              UNION
+              SELECT DISTINCT shard,
+                     ('0x' || substr(md5('b1:' || user_id::VARCHAR), 1, 8))
+                         ::BIGINT % 256
+              FROM su),
+            q AS (SELECT DISTINCT user_id FROM su
+                  ORDER BY user_id LIMIT 20),
+            pb AS (
+              SELECT user_id,
+                     ('0x' || substr(md5('b0:' || user_id::VARCHAR), 1, 8))
+                         ::BIGINT % 256 AS bit, 0 AS salt
+              FROM q
+              UNION ALL
+              SELECT user_id,
+                     ('0x' || substr(md5('b1:' || user_id::VARCHAR), 1, 8))
+                         ::BIGINT % 256, 1
+              FROM q),
+            may AS (
+              SELECT pb.user_id, b.shard
+              FROM pb JOIN bits b ON b.bit = pb.bit
+              GROUP BY 1, 2 HAVING count(DISTINCT pb.salt) = 2)
+            SELECT may.user_id, may.shard,
+                   CASE WHEN su2.user_id IS NOT NULL THEN 1 ELSE 0 END
+                       ::BIGINT AS hit
+            FROM may LEFT JOIN su su2
+              ON su2.user_id = may.user_id AND su2.shard = may.shard
+        """,
+        # IVM contract: the oracle RECOMPUTES the per-segment view from
+        # the merged latest rows; the Ray face maintains it from deltas
+        "ivm_segment_totals": f"""
+            WITH {_CDC_ALLV_CTES}, ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                           ORDER BY version DESC) AS rn
+              FROM allv)
+            SELECT (o_orderkey % 10)::BIGINT AS segment,
+                   count(*)::BIGINT AS n_keys,
+                   sum(cents)::BIGINT AS total_cents
+            FROM ranked WHERE rn = 1
+            GROUP BY 1
+        """,
+        # SCD2: same CDC CTEs, LEAD(version) OVER = validity interval
+        "scd2_order_history": f"""
+            WITH {_CDC_ALLV_CTES}
             SELECT o_orderkey, version, cents,
                    coalesce(lead(version) OVER (PARTITION BY o_orderkey
                                                 ORDER BY version),

@@ -659,3 +659,98 @@ def epoch_shuffle_manifest_ds(sf_dir: str, n_epochs: int = 3,
                       "shard_id"]].astype("int64")
 
     return sharded.map_batches(finish, batch_format="pandas")
+
+
+# ----------------------------------------------- bloom data-skipping index
+
+def bloom_prune_report_ds(sf_dir: str, nbits: int = 256,
+                          n_queries: int = 20, num_partitions: int = 32):
+    """Bloom data-skipping index + point-lookup prune report — the
+    lakehouse file-skipping pattern (Parquet/Delta bloom filters): each
+    hour-shard of the event log publishes the SET of md5 bit positions its
+    user ids light up (2 salted hashes, ``nbits`` buckets); a point lookup
+    consults only the index and reads a shard iff BOTH its bits are
+    present. Deterministic md5 bits make index AND report SQL-exact —
+    false negatives are impossible by construction (the oracle proves it:
+    every actually-containing shard appears), false positives show up as
+    ``hit = 0`` rows, the read amplification a capacity planner watches.
+
+    Plan: one streaming pass emits (shard, bit) pairs (per-batch local
+    dedup), one coarse distinct builds the index; the ``n_queries``
+    smallest user ids probe it — their 2·n probe bits broadcast as a
+    constant, candidates resolve per (shard, bit) IN the index partition,
+    and ground truth joins in through the same coarse (user, shard)
+    partition. Returns (user_id, shard, hit) for every may-contain pair.
+    """
+    import ray as _ray
+
+    from .agg import partitioned_group_apply
+    from .analog import md5_shard
+    from .graph import distinct_rows
+    from .io import read_table
+
+    ev = read_table(sf_dir, "events", ["ts", "user_id"])
+
+    def shard_user(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "shard": (df["ts"].astype("int64") // 3_600_000_000)
+            .astype("int64"),
+            "user_id": df["user_id"].astype("int64")}).drop_duplicates()
+
+    su = ev.map_batches(shard_user, batch_format="pandas").materialize()
+
+    def bit_rows(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for s in (0, 1):
+            frames.append(pd.DataFrame({
+                "shard": df["shard"],
+                "bit": md5_shard(f"b{s}:" + df["user_id"].astype(str),
+                                 nbits)}))
+        return pd.concat(frames, ignore_index=True).drop_duplicates()
+
+    bits = distinct_rows(su.map_batches(bit_rows, batch_format="pandas"),
+                         ["shard", "bit"], num_partitions)
+
+    # ---- the n smallest user ids (per-block prune, tiny driver merge)
+    def bottomq(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["user_id"]].drop_duplicates().nsmallest(n_queries,
+                                                           "user_id")
+
+    q = su.map_batches(bottomq, batch_format="pandas").to_pandas() \
+        .drop_duplicates().nsmallest(n_queries, "user_id")
+    probe = pd.concat([
+        pd.DataFrame({"user_id": q["user_id"].astype("int64"),
+                      "bit": md5_shard(f"b{s}:" + q["user_id"].astype(str),
+                                       nbits),
+                      "salt": np.full(len(q), s, dtype=np.int64)})
+        for s in (0, 1)], ignore_index=True)
+    pref = _ray.put(probe)
+    quser = _ray.put(set(q["user_id"].astype("int64")))
+
+    def candidates(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(_ray.get(pref), on="bit")
+        return m[["user_id", "shard", "salt"]]
+
+    cand = bits.map_batches(candidates, batch_format="pandas")
+
+    def truth_rows(df: pd.DataFrame) -> pd.DataFrame:
+        qs = _ray.get(quser)
+        m = df[df["user_id"].isin(list(qs))]
+        return pd.DataFrame({"user_id": m["user_id"].astype("int64"),
+                             "shard": m["shard"].astype("int64"),
+                             "salt": np.full(len(m), -1, dtype=np.int64)})
+
+    both = cand.union(su.map_batches(truth_rows, batch_format="pandas"))
+
+    def report(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "shard"])["salt"] \
+            .agg(lambda s: (1 if {0, 1} <= set(s) else 0)
+                 + (2 if (s == -1).any() else 0)).reset_index(name="m")
+        may = g[g["m"] % 2 == 1]
+        return pd.DataFrame({
+            "user_id": may["user_id"].astype("int64"),
+            "shard": may["shard"].astype("int64"),
+            "hit": (may["m"] >= 2).astype("int64")})
+
+    return partitioned_group_apply(both, ["user_id", "shard"], report,
+                                   num_partitions)

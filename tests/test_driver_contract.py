@@ -132,7 +132,7 @@ SQL_CHECKED = [
     "part_skipgram_pairs",
     "entity_clusters", "part_neighbor_stats", "kmeans_embeddings",
     "cms_user_counts", "part_label_spread", "embedding_drift_by_label",
-    "purchase_hits",
+    "purchase_hits", "ivm_segment_totals", "bloom_prune_report",
 ]
 
 

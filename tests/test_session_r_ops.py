@@ -306,3 +306,68 @@ def test_purchase_hits_shape_and_normalization(ray_session):
         assert g["score"].is_monotonic_decreasing or \
             (g["score"].diff().dropna() <= 0).all()
         assert g["score"].iloc[0] == 1_000_000
+
+
+# ------------------------------------------ incremental view maintenance
+
+def test_ivm_maintained_equals_recompute(ray_session):
+    """The IVM contract: base sums + per-key deltas ≡ recomputing the
+    view from the merged latest rows (the upsert face)."""
+    from crusty_ray.ops.analytic import (ivm_segment_totals_ds,
+                                         upsert_orders_latest_ds)
+    got = ivm_segment_totals_ds(SF).to_pandas() \
+        .sort_values("segment").reset_index(drop=True)
+    latest = upsert_orders_latest_ds(SF).to_pandas()
+    ref = latest.assign(segment=latest["o_orderkey"] % 10) \
+        .groupby("segment", as_index=False) \
+        .agg(n_keys=("o_orderkey", "size"), total_cents=("final_cents",
+                                                         "sum")) \
+        .sort_values("segment").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), ref.astype("int64"))
+
+
+def test_ivm_delta_aggregate_planted(ray_session):
+    """Hand-computed deltas incl. an update whose key spans blocks and an
+    insert-as-update (no base row): k=1 base 100 → 110 → 95; k=2 base 50;
+    k=3 arrives only as version-1 row of value 7 (counts 0, adds 7)."""
+    import ray
+    from crusty_ray.ops.analytic import ivm_delta_aggregate
+    b1 = pd.DataFrame({"k": [1, 2], "version": [0, 0], "cents": [100, 50]})
+    b2 = pd.DataFrame({"k": [1, 1, 3], "version": [2, 1, 1],
+                       "cents": [95, 110, 7]})
+    ds = ray.data.from_pandas([b1, b2])
+    got = ivm_delta_aggregate(
+        ds, "k", "version", "cents",
+        lambda df: df["k"].to_numpy(np.int64) % 2,
+        num_partitions=4).to_pandas() \
+        .sort_values("segment").reset_index(drop=True)
+    # segment 0: k=2 → (1, 50); segment 1: k=1 gives 95 (100+10-15),
+    # k=3 gives 7 with count 0 → (1, 102)
+    exp = pd.DataFrame({"segment": [0, 1], "n_keys": [1, 1],
+                        "total_cents": [50, 102]})
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+
+
+# --------------------------------------------------- bloom prune report
+
+def test_bloom_prune_no_false_negatives_and_fp_visible(ray_session):
+    """Every (query user, shard) pair that truly exists must appear with
+    hit=1 (bloom guarantees no false negatives); a deliberately tiny bit
+    space must produce hit=0 rows (false positives — the pruning cost)."""
+    from crusty_ray.ops.pack import bloom_prune_report_ds
+    got = bloom_prune_report_ds(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["ts", "user_id"])
+    shard = (ev["ts"].astype("int64") // 3_600_000_000).astype("int64")
+    su = pd.DataFrame({"shard": shard, "user_id": ev["user_id"]}) \
+        .drop_duplicates()
+    q = sorted(su["user_id"].unique())[:20]
+    truth = su[su["user_id"].isin(q)]
+    have = set(map(tuple, got.loc[got["hit"] == 1,
+                                  ["user_id", "shard"]].to_numpy()))
+    want = set(map(tuple, truth[["user_id", "shard"]].to_numpy()))
+    assert have == want  # no false negatives, and hit=1 only when true
+    tiny = bloom_prune_report_ds(SF, nbits=16).to_pandas()
+    assert (tiny["hit"] == 0).any(), "16-bit space must force collisions"
+    have16 = set(map(tuple, tiny.loc[tiny["hit"] == 1,
+                                     ["user_id", "shard"]].to_numpy()))
+    assert have16 == want
