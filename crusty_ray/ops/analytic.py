@@ -407,7 +407,8 @@ def ivm_delta_aggregate(versions, key_col: str, version_col: str,
     base alone — upserts change values, not key cardinality.
 
     ``group_fn(frame) -> int64 array``: the grouping key derived from
-    ``key_col``. Returns (segment, n_keys, total)."""
+    ``key_col``. Returns (segment, n_keys, total) — faces rename the
+    generic ``total`` to their domain column."""
     from .agg import partitioned_group_apply
 
     def parts(df: pd.DataFrame) -> pd.DataFrame:
@@ -435,7 +436,7 @@ def ivm_delta_aggregate(versions, key_col: str, version_col: str,
         out = df.groupby("segment", as_index=False).sum()
         return pd.DataFrame({"segment": out["segment"].astype("int64"),
                              "n_keys": out["c"].astype("int64"),
-                             "total_cents": out["d"].astype("int64")})
+                             "total": out["d"].astype("int64")})
 
     return partitioned_group_apply(partials, ["segment"], finish,
                                    num_partitions)
@@ -455,5 +456,8 @@ def ivm_segment_totals_ds(sf_dir: str, num_partitions: int = 32):
     def seg(df: pd.DataFrame) -> np.ndarray:
         return df["o_orderkey"].to_numpy(np.int64) % 10
 
-    return ivm_delta_aggregate(versions, "o_orderkey", "version", "cents",
-                               seg, num_partitions)
+    out = ivm_delta_aggregate(versions, "o_orderkey", "version", "cents",
+                              seg, num_partitions)
+    return out.map_batches(
+        lambda b: b.rename(columns={"total": "total_cents"}),
+        batch_format="pandas")

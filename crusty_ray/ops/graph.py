@@ -1301,6 +1301,8 @@ def hits_scores(edges, rounds: int = 2, scale: int = 10**6,
     from .agg import partitioned_group_apply
     from .joins import hash_join
 
+    if rounds < 1:
+        raise ValueError(f"hits_scores needs rounds >= 1, got {rounds}")
     edges = edges.materialize()
     if edges.count() == 0:
         return _ray.data.from_pandas(pd.DataFrame({

@@ -727,14 +727,18 @@ def bloom_prune_report_ds(sf_dir: str, nbits: int = 256,
     pref = _ray.put(probe)
     quser = _ray.put(set(q["user_id"].astype("int64")))
 
-    def candidates(df: pd.DataFrame) -> pd.DataFrame:
-        m = df.merge(_ray.get(pref), on="bit")
+    def candidates(df: pd.DataFrame, _cache={}) -> pd.DataFrame:
+        if "p" not in _cache:  # one fetch/deserialize per worker process
+            _cache["p"] = _ray.get(pref)
+        m = df.merge(_cache["p"], on="bit")
         return m[["user_id", "shard", "salt"]]
 
     cand = bits.map_batches(candidates, batch_format="pandas")
 
-    def truth_rows(df: pd.DataFrame) -> pd.DataFrame:
-        qs = _ray.get(quser)
+    def truth_rows(df: pd.DataFrame, _cache={}) -> pd.DataFrame:
+        if "q" not in _cache:
+            _cache["q"] = _ray.get(quser)
+        qs = _cache["q"]
         m = df[df["user_id"].isin(list(qs))]
         return pd.DataFrame({"user_id": m["user_id"].astype("int64"),
                              "shard": m["shard"].astype("int64"),

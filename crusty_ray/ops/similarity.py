@@ -853,9 +853,9 @@ def embedding_drift_by_label_ds(sf_dir: str):
 
     gmean = partitioned_group_apply(sums, ["dim"], glob_part).to_pandas()
     # dim rows total — the global centroid is a fixed-size constant
-    gm = np.floor_divide(
-        gmean.sort_values("dim")["gsum"].to_numpy(np.int64),
-        gmean.sort_values("dim")["gn"].to_numpy(np.int64))
+    g = gmean.sort_values("dim")
+    gm = np.floor_divide(g["gsum"].to_numpy(np.int64),
+                         g["gn"].to_numpy(np.int64))
     import ray as _ray
     gref = _ray.put(gm)
 

@@ -303,8 +303,7 @@ def test_purchase_hits_shape_and_normalization(ray_session):
     for side, g in got.groupby("side"):
         g = g.sort_values("rnk")
         assert list(g["rnk"]) == list(range(1, 26))
-        assert g["score"].is_monotonic_decreasing or \
-            (g["score"].diff().dropna() <= 0).all()
+        assert g["score"].is_monotonic_decreasing  # non-strict: ties ok
         assert g["score"].iloc[0] == 1_000_000
 
 
@@ -344,7 +343,7 @@ def test_ivm_delta_aggregate_planted(ray_session):
     # segment 0: k=2 → (1, 50); segment 1: k=1 gives 95 (100+10-15),
     # k=3 gives 7 with count 0 → (1, 102)
     exp = pd.DataFrame({"segment": [0, 1], "n_keys": [1, 1],
-                        "total_cents": [50, 102]})
+                        "total": [50, 102]})
     pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
 
 
