@@ -630,6 +630,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ANALYZE statistics pass; exact NDV via the two-level
         # distinct-pair plan)
         "lineitem_profile": stats.numeric_profile_ds,
+        # Deequ-style rule report: five declarative constraints scored
+        # (uniqueness via exact NDV; the rest map-only violation tallies)
+        "quality_rules_report": stats.quality_rules_ds,
         # -- behavior analytics (SQL-checked)
         "cohort_retention": behavior.cohort_retention_ds,
         "funnel_counts": behavior.funnel_counts_ds,
@@ -679,6 +682,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incremental view maintenance: base group sums + per-key version
         # deltas ≡ recomputing the view from the merged latest rows
         "ivm_segment_totals": analytic.ivm_segment_totals_ds,
+        # snapshot diff: two deterministic price snapshots -> I/U/D change
+        # feed (one scan, side-tagged rows, one coarse key shuffle)
+        "snapshot_diff_orders": analytic.snapshot_diff_orders_ds,
         # bloom data-skipping index + point-lookup prune report (per
         # hour-shard md5 bit sets; hit=0 rows are the read amplification)
         "bloom_prune_report": pack.bloom_prune_report_ds,
@@ -724,6 +730,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # weighted sampling without replacement: integer priority
         # md5_48(id)//weight, global bottom-n via the local-prune top-n
         "weighted_doc_sample": sample.weighted_doc_sample_ds,
+        # per-stratum weighted sample: same integer A-Res priority,
+        # bottom-20 per language via the local-prune grouped top-n
+        "grouped_weighted_sample": sample.grouped_weighted_doc_sample_ds,
         # freshness-decayed activity leaderboard (2^20 >> age_hours, the
         # crawler's decayed top-k analog in exact integer arithmetic)
         "decayed_user_activity": behavior.decayed_user_activity_ds,
@@ -2227,6 +2236,46 @@ def oracle_sql() -> dict[str, str]:
        coalesce(sum(CAST(floor(l_tax * 100 + 0.5) AS BIGINT)), 0)::BIGINT AS sum_cents
     FROM lineitem
         """,
+        # Deequ-style rule report: each constraint scored as
+        # (n_checked, n_violations, floor per-mille pass rate)
+        "quality_rules_report": """
+            WITH base AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                         AS cents
+              FROM orders),
+            v AS (
+              SELECT 'orderkey_unique' AS rule_name,
+                     count(*)::BIGINT AS n_checked,
+                     (count(*) - count(DISTINCT o_orderkey))::BIGINT
+                         AS n_violations
+              FROM base
+              UNION ALL
+              SELECT 'custkey_not_null', count(*)::BIGINT,
+                     (count(*) - count(o_custkey))::BIGINT
+              FROM base
+              UNION ALL
+              SELECT 'status_in_domain', count(*)::BIGINT,
+                     coalesce(sum(CASE WHEN o_orderstatus NOT IN
+                                            ('F', 'O', 'P')
+                                       THEN 1 ELSE 0 END), 0)::BIGINT
+              FROM base
+              UNION ALL
+              SELECT 'orderdate_before_2001', count(*)::BIGINT,
+                     coalesce(sum(CASE WHEN o_orderdate >=
+                                            TIMESTAMP '2001-01-01'
+                                       THEN 1 ELSE 0 END), 0)::BIGINT
+              FROM base
+              UNION ALL
+              SELECT 'price_cents_le_40m', count(*)::BIGINT,
+                     coalesce(sum(CASE WHEN cents > 40000000
+                                       THEN 1 ELSE 0 END), 0)::BIGINT
+              FROM base)
+            SELECT rule_name, n_checked, n_violations,
+                   ((n_checked - n_violations) * 1000
+                    // greatest(n_checked, 1))::BIGINT AS pass_per_mille
+            FROM v
+        """,
         "price_var_by_priority": """
             SELECT o_orderpriority, count(*)::BIGINT AS n,
                    CASE WHEN count(*) < 2 THEN -1 ELSE
@@ -2462,6 +2511,33 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rn = 1
             GROUP BY 1
         """,
+        # snapshot diff: OLD = base cents, NEW = latest CDC cents minus
+        # every 13th key (deletes) plus synthetic 2e9+key inserts for
+        # every 11th; FULL OUTER JOIN classifies I/U/D, equal rows drop
+        "snapshot_diff_orders": """
+            WITH base AS (
+              SELECT o_orderkey AS k,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                         AS cents
+              FROM orders),
+            snap_a AS (SELECT k, cents FROM base),
+            snap_b AS (
+              SELECT k, cents + CASE WHEN k % 21 = 0 THEN 2 * (k % 1000)
+                                     WHEN k % 7 = 0 THEN k % 1000
+                                     ELSE 0 END AS cents
+              FROM base WHERE k % 13 <> 0
+              UNION ALL
+              SELECT 2000000000 + k, cents + 500
+              FROM base WHERE k % 11 = 0)
+            SELECT coalesce(a.k, b.k)::BIGINT AS o_orderkey,
+                   CASE WHEN a.k IS NULL THEN 'I'
+                        WHEN b.k IS NULL THEN 'D'
+                        ELSE 'U' END AS change,
+                   coalesce(a.cents, -1)::BIGINT AS old_cents,
+                   coalesce(b.cents, -1)::BIGINT AS new_cents
+            FROM snap_a a FULL OUTER JOIN snap_b b ON a.k = b.k
+            WHERE a.k IS NULL OR b.k IS NULL OR a.cents <> b.cents
+        """,
         # SCD2: same CDC CTEs, LEAD(version) OVER = validity interval
         "scd2_order_history": f"""
             WITH {_CDC_ALLV_CTES}
@@ -2519,6 +2595,22 @@ def oracle_sql() -> dict[str, str]:
                        ::BIGINT AS rnk,
                    doc_id, n_chars, priority
             FROM pri ORDER BY priority, doc_id LIMIT 100
+        """,
+        # per-language weighted sample: same md5 priority (salt 'gws'),
+        # bottom-20 per lang by (priority, doc_id)
+        "grouped_weighted_sample": """
+            WITH pri AS (
+              SELECT lang, doc_id, n_chars,
+                     (('0x' || substr(md5('gws:' || doc_id::VARCHAR),
+                                      1, 12))
+                          ::BIGINT // greatest(n_chars, 1)) AS priority
+              FROM documents)
+            SELECT lang,
+                   (row_number() OVER (PARTITION BY lang
+                                       ORDER BY priority, doc_id))
+                       ::BIGINT AS rnk,
+                   doc_id, n_chars, priority
+            FROM pri QUALIFY rnk <= 20
         """,
         # freshness decay: 2^20 >> min(age_hours, 20) from the global max
         # event minute, exact integer shift

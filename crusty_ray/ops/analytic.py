@@ -461,3 +461,75 @@ def ivm_segment_totals_ds(sf_dir: str, num_partitions: int = 32):
     return out.map_batches(
         lambda b: b.rename(columns={"total": "total_cents"}),
         batch_format="pandas")
+
+
+def snapshot_diff(sides, key_col: str, val_col: str,
+                  num_partitions: int = 32):
+    """Generic distributed snapshot diff — the CDC-feed primitive that
+    turns two table snapshots into an I/U/D change stream (what a
+    lakehouse emits from two commits). ``sides`` carries BOTH snapshots
+    as side-tagged rows (``__side`` 0 = old, 1 = new); the diff is one
+    coarse hash partition on the key (every key's two rows co-locate),
+    then a vectorized outer merge per partition classifies each key:
+    only-old → 'D', only-new → 'I', value changed → 'U'; unchanged keys
+    emit nothing. Shuffling both snapshots once is the floor for a diff
+    (each side must meet the other); no driver materialization, and the
+    output is O(changes), not O(rows).
+
+    Returns (key, change, old_<val>, new_<val>) with -1 sentinels on the
+    missing side (keeps the schema all-BIGINT for the bit-exact face)."""
+
+    def diff_in_part(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[df["__side"] == 0][[key_col, val_col]] \
+            .rename(columns={val_col: f"old_{val_col}"})
+        b = df[df["__side"] == 1][[key_col, val_col]] \
+            .rename(columns={val_col: f"new_{val_col}"})
+        m = a.merge(b, on=key_col, how="outer")
+        old = m[f"old_{val_col}"]
+        new = m[f"new_{val_col}"]
+        change = np.where(old.isna(), "I", np.where(new.isna(), "D", "U"))
+        m = m.assign(change=change)
+        m = m[(old.isna()) | (new.isna()) | (old != new)].copy()
+        m[f"old_{val_col}"] = m[f"old_{val_col}"].fillna(-1).astype("int64")
+        m[f"new_{val_col}"] = m[f"new_{val_col}"].fillna(-1).astype("int64")
+        m[key_col] = m[key_col].astype("int64")
+        return m[[key_col, "change", f"old_{val_col}", f"new_{val_col}"]]
+
+    return partitioned_group_apply(sides, [key_col], diff_in_part,
+                                   num_partitions)
+
+
+def snapshot_diff_orders_ds(sf_dir: str, num_partitions: int = 32):
+    """Contract face: diff two deterministic snapshots of the orders price
+    table. Snapshot OLD = base cents; snapshot NEW = the latest cents from
+    the shared CDC stream (the ``_cdc_version_rows`` re-price rule: +2·key‰
+    for key%21, else +key‰ for key%7), minus every 13th key (deletes), plus
+    a synthetic insert 2·10⁹+key (+500 cents) for every 11th key. Both
+    sides derive from ONE base scan (a single map emits the side-tagged
+    rows), so the op costs one scan + one key shuffle. Returns
+    (o_orderkey, change, old_cents, new_cents)."""
+    from .io import read_table
+
+    def sides(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["o_orderkey"].astype("int64").to_numpy()
+        cents = _price_cents(batch["o_totalprice"])
+        latest = cents + np.where(k % 21 == 0, 2 * (k % 1000),
+                                  np.where(k % 7 == 0, k % 1000, 0))
+        frames = [
+            pd.DataFrame({"o_orderkey": k, "__side": 0, "cents": cents}),
+            pd.DataFrame({"o_orderkey": k[k % 13 != 0], "__side": 1,
+                          "cents": latest[k % 13 != 0]}),
+        ]
+        ins = k % 11 == 0
+        frames.append(pd.DataFrame({
+            "o_orderkey": 2_000_000_000 + k[ins], "__side": 1,
+            "cents": cents[ins] + 500}))
+        out = pd.concat(frames, ignore_index=True)
+        out["__side"] = out["__side"].astype("int64")
+        out["cents"] = out["cents"].astype("int64")
+        return out
+
+    tagged = read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_totalprice"]) \
+        .map_batches(sides, batch_format="pandas")
+    return snapshot_diff(tagged, "o_orderkey", "cents", num_partitions)

@@ -222,3 +222,52 @@ def weighted_doc_sample_ds(sf_dir: str, n: int = 100):
 
     docs = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
     return weighted_priority_sample(docs, "doc_id", "n_chars", n)
+
+
+def grouped_weighted_sample(ds, id_col: str, group_col: str,
+                            weight_col: str, n: int, salt: str = "gws",
+                            num_partitions: int = 32):
+    """Per-GROUP deterministic weighted sampling without replacement — the
+    stratified form of ``weighted_priority_sample`` (integer A-Res priority
+    ``md5_48(salt:id) // max(w, 1)``, bottom-``n`` per group instead of
+    globally). The mixture-building op: pick k docs ∝ length inside every
+    language/source stratum in one pass.
+
+    Scale plan identical to the global sampler: priorities are per-row
+    map-only; ``grouped_top_n`` local-prunes each block to ≤ n rows per
+    group it sees, so the shuffle moves O(blocks·groups·n) rows, never the
+    corpus. Returns (group, rnk, id, weight, priority)."""
+    import hashlib
+
+    from .agg import grouped_top_n
+
+    def prio(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].astype("int64")
+        w = np.maximum(batch[weight_col].to_numpy(dtype=np.int64), 1)
+        u = np.fromiter(
+            (int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:12], 16)
+             for i in ids),
+            dtype=np.int64, count=len(ids))
+        return pd.DataFrame({group_col: batch[group_col], id_col: ids,
+                             weight_col: batch[weight_col].astype("int64"),
+                             "priority": u // w})
+
+    keyed = ds.map_batches(prio, batch_format="pandas")
+    top = grouped_top_n(keyed, [group_col], "priority", n, ascending=True,
+                        tie_cols=[id_col], rank_col="rnk",
+                        num_partitions=num_partitions)
+
+    def tidy(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[group_col, "rnk", id_col, weight_col, "priority"]]
+
+    return top.map_batches(tidy, batch_format="pandas")
+
+
+def grouped_weighted_doc_sample_ds(sf_dir: str, n: int = 20):
+    """Contract face: 20 documents per language sampled ∝ length — the
+    per-stratum importance sample that keeps every language represented
+    while upweighting long documents inside each."""
+    from .io import read_table
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return grouped_weighted_sample(docs, "doc_id", "lang", "n_chars", n)

@@ -421,3 +421,70 @@ def segment_revenue_share_ds(sf_dir: str, num_partitions: int = 32):
         "share_pm": (1000 * segs["cents"].astype("int64")
                      // max(total, 1)).astype("int64")})
     return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def quality_rules_ds(sf_dir: str, num_partitions: int = 32):
+    """Deequ-style data-quality RULE report over orders — the validation
+    pass a pipeline runs before trusting an ingest: five declarative
+    constraints (uniqueness, completeness, domain membership, freshness
+    bound, value bound), each scored (n_checked, n_violations,
+    pass_per_mille). Distinct from ``numeric_profile_ds`` (ANALYZE-style
+    statistics): this asserts CONTRACTS and counts breaches.
+
+    Scale plan: four rules are per-batch violation tallies (map-only slim
+    partials, driver reduce is O(blocks·rules)); uniqueness is exact via
+    the ``grouped_count_distinct`` two-level plan (per-batch key dedup →
+    one coarse shuffle of distinct keys), violations = n − NDV. All-integer
+    scoring (floor per-mille on non-negative operands) keeps the face
+    bit-exact vs the SQL oracle."""
+    from .agg import grouped_count_distinct
+    from .io import read_table
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+            "o_totalprice"]
+    ds = read_table(sf_dir, "orders", cols)
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        cents = np.floor(batch["o_totalprice"].to_numpy(np.float64)
+                         * 100.0 + 0.5).astype(np.int64)
+        dt = batch["o_orderdate"].to_numpy()
+        rows = [
+            ("custkey_not_null", n, int(batch["o_custkey"].isna().sum())),
+            ("status_in_domain", n,
+             int((~batch["o_orderstatus"].isin(["F", "O", "P"])).sum())),
+            ("orderdate_before_2001", n,
+             int((dt >= np.datetime64("2001-01-01")).sum())),
+            ("price_cents_le_40m", n, int((cents > 40_000_000).sum())),
+        ]
+        return pd.DataFrame(rows, columns=["rule_name", "n_checked",
+                                           "n_violations"])
+
+    parts = ds.map_batches(partials, batch_format="pandas").to_pandas()
+    if "rule_name" not in parts.columns:  # empty table drops the schema
+        parts = pd.DataFrame({"rule_name": pd.Series([], dtype=object),
+                              "n_checked": pd.Series([], dtype="int64"),
+                              "n_violations": pd.Series([], dtype="int64")})
+    agg = parts.groupby("rule_name", as_index=False).sum()
+
+    def key_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "__g": np.zeros(batch["o_orderkey"].nunique(), dtype=np.int64),
+            "k": batch["o_orderkey"].astype("int64").unique()})
+
+    ndv = grouped_count_distinct(
+        ds.map_batches(key_rows, batch_format="pandas"),
+        ["__g"], "k", "ndv", num_partitions).to_pandas()
+    n_total = int(agg["n_checked"].max()) if len(agg) else 0
+    n_distinct = int(ndv["ndv"].iloc[0]) if len(ndv) else 0
+    agg = pd.concat([agg, pd.DataFrame(
+        [("orderkey_unique", n_total, n_total - n_distinct)],
+        columns=["rule_name", "n_checked", "n_violations"])],
+        ignore_index=True)
+
+    agg["n_checked"] = agg["n_checked"].astype("int64")
+    agg["n_violations"] = agg["n_violations"].astype("int64")
+    agg["pass_per_mille"] = (
+        (agg["n_checked"] - agg["n_violations"]) * 1000
+        // agg["n_checked"].clip(lower=1)).astype("int64")
+    return agg.sort_values("rule_name").reset_index(drop=True)

@@ -133,6 +133,8 @@ SQL_CHECKED = [
     "entity_clusters", "part_neighbor_stats", "kmeans_embeddings",
     "cms_user_counts", "part_label_spread", "embedding_drift_by_label",
     "purchase_hits", "ivm_segment_totals", "bloom_prune_report",
+    "snapshot_diff_orders", "grouped_weighted_sample",
+    "quality_rules_report",
 ]
 
 
