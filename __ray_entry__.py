@@ -685,6 +685,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # snapshot diff: two deterministic price snapshots -> I/U/D change
         # feed (one scan, side-tagged rows, one coarse key shuffle)
         "snapshot_diff_orders": analytic.snapshot_diff_orders_ds,
+        # per-priority PERCENT_RANK of price in floor per-mille (the
+        # windowed ECDF; row_number over the (cents, key) total order)
+        "price_percent_rank": analytic.price_percent_rank_ds,
+        # per-returnflag Spearman rank correlation qty vs price
+        # (row_number ranks, truncating per-mille rho)
+        "spearman_qty_price": stats.spearman_qty_price_ds,
+        # exact DISTINCT users per trailing 3-hour sliding window
+        # (pair dedup -> bounded window replicate -> one distinct shuffle)
+        "sliding_distinct_users": windows.sliding_distinct_users_ds,
         # bloom data-skipping index + point-lookup prune report (per
         # hour-shard md5 bit sets; hit=0 rows are the read amplification)
         "bloom_prune_report": pack.bloom_prune_report_ds,
@@ -2537,6 +2546,75 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(b.cents, -1)::BIGINT AS new_cents
             FROM snap_a a FULL OUTER JOIN snap_b b ON a.k = b.k
             WHERE a.k IS NULL OR b.k IS NULL OR a.cents <> b.cents
+        """,
+        # windowed ECDF: percent_rank as (row_number-1)*1000 // (n-1)
+        # over the (cents, key) total order per priority
+        "price_percent_rank": """
+            WITH c AS (
+              SELECT o_orderkey, o_orderpriority,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                         AS cents
+              FROM orders)
+            SELECT o_orderkey, o_orderpriority, cents,
+                   ((row_number() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY cents, o_orderkey) - 1)
+                    * 1000
+                    // greatest(count(*) OVER (PARTITION BY
+                                               o_orderpriority) - 1, 1))
+                       ::BIGINT AS pct_pm
+            FROM c
+        """,
+        # Spearman on DOUBLED AVERAGE ranks (2*avg = 2*rank() + ties - 1,
+        # always integer; the only deterministic tie handling — no unique
+        # row id exists); rho = (4N - 6*sum_d2)*1000 // 4N, N = n(n^2-1),
+        # HUGEINT intermediates, truncating division
+        "spearman_qty_price": """
+            WITH c AS (
+              SELECT l_returnflag,
+                     CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q,
+                     CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                         AS p
+              FROM lineitem),
+            r AS (
+              SELECT l_returnflag,
+                     2 * rank() OVER (PARTITION BY l_returnflag
+                                      ORDER BY q)
+                       + count(*) OVER (PARTITION BY l_returnflag, q)
+                       - 1 AS rq2,
+                     2 * rank() OVER (PARTITION BY l_returnflag
+                                      ORDER BY p)
+                       + count(*) OVER (PARTITION BY l_returnflag, p)
+                       - 1 AS rp2
+              FROM c),
+            s AS (
+              SELECT l_returnflag, count(*)::BIGINT AS n,
+                     sum(((rq2 - rp2) * (rq2 - rp2))::HUGEINT) AS d2
+              FROM r GROUP BY 1)
+            SELECT l_returnflag, n, d2::BIGINT AS sum_d2,
+                   (((4 * n::HUGEINT * (n::HUGEINT * n::HUGEINT - 1)
+                      - 6 * d2) * 1000)
+                    // greatest(4 * n::HUGEINT
+                                * (n::HUGEINT * n::HUGEINT - 1), 1))
+                       ::BIGINT AS rho_pm
+            FROM s
+        """,
+        # sliding exact distinct: replicate each distinct (hour, user)
+        # pair to the 3 windows it serves, count distinct per window
+        # hour that exists in the data
+        "sliding_distinct_users": """
+            WITH hu AS (
+              SELECT DISTINCT
+                     (CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS h,
+                     user_id
+              FROM events),
+            hours AS (SELECT DISTINCT h FROM hu),
+            tw AS (
+              SELECT hu.h + r.i AS window_hour, hu.user_id
+              FROM hu, range(3) r(i))
+            SELECT tw.window_hour,
+                   count(DISTINCT tw.user_id)::BIGINT AS n_users
+            FROM tw JOIN hours ON hours.h = tw.window_hour
+            GROUP BY 1
         """,
         # SCD2: same CDC CTEs, LEAD(version) OVER = validity interval
         "scd2_order_history": f"""

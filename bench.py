@@ -171,7 +171,12 @@ def bench_queries(sf_dir: str) -> dict:
              "segment_revenue_share", "doc_keywords", "langid_eval",
              "part_random_walks", "part_skipgram_pairs",
              "entity_clusters", "part_neighbor_stats", "kmeans_embeddings",
-             "cms_user_counts", "part_label_spread"]
+             "cms_user_counts", "part_label_spread", "purchase_hits",
+             "embedding_drift_by_label", "ivm_segment_totals",
+             "bloom_prune_report", "snapshot_diff_orders",
+             "grouped_weighted_sample", "quality_rules_report",
+             "price_percent_rank", "spearman_qty_price",
+             "sliding_distinct_users"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -533,3 +533,44 @@ def snapshot_diff_orders_ds(sf_dir: str, num_partitions: int = 32):
                         ["o_orderkey", "o_totalprice"]) \
         .map_batches(sides, batch_format="pandas")
     return snapshot_diff(tagged, "o_orderkey", "cents", num_partitions)
+
+
+def price_percent_rank_ds(sf_dir: str, num_partitions: int = 32):
+    """Per-priority PERCENT_RANK of each order's price, in floor
+    per-mille — the windowed ECDF ((rank−1)·1000 // (n−1), SQL's
+    ``percent_rank() OVER (PARTITION BY priority ORDER BY ...)``) used
+    for within-stratum score normalization before blending. Ranks are
+    ``row_number`` over the total order (cents, o_orderkey), so ties
+    rank deterministically and both faces agree bit-exact.
+
+    Scale plan: the repo's window-op contract — ONE coarse hash
+    partition on the PARTITION BY key, one vectorized argsort per group
+    inside. Output is per-row (the normalized scores feed downstream
+    blends); all integer. Returns (o_orderkey, o_orderpriority, cents,
+    pct_pm)."""
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": batch["o_orderkey"].astype("int64"),
+            "o_orderpriority": batch["o_orderpriority"],
+            "cents": _price_cents(batch["o_totalprice"])})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for pri, g in df.groupby("o_orderpriority", sort=False):
+            n = len(g)
+            rn = np.empty(n, dtype=np.int64)
+            rn[np.lexsort((g["o_orderkey"].to_numpy(),
+                           g["cents"].to_numpy()))] = np.arange(n)
+            out.append(pd.DataFrame({
+                "o_orderkey": g["o_orderkey"].to_numpy(),
+                "o_orderpriority": pri,
+                "cents": g["cents"].to_numpy(),
+                "pct_pm": rn * 1000 // max(n - 1, 1)}))
+        return pd.concat(out, ignore_index=True)
+
+    ds = read_table(sf_dir, "orders",
+                    ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    prepped = ds.map_batches(prep, batch_format="pandas")
+    return partitioned_group_apply(prepped, ["o_orderpriority"], finish,
+                                   num_partitions)

@@ -488,3 +488,63 @@ def quality_rules_ds(sf_dir: str, num_partitions: int = 32):
         (agg["n_checked"] - agg["n_violations"]) * 1000
         // agg["n_checked"].clip(lower=1)).astype("int64")
     return agg.sort_values("rule_name").reset_index(drop=True)
+
+
+def spearman_qty_price_ds(sf_dir: str, num_partitions: int = 32):
+    """Per-returnflag Spearman rank correlation between quantity and
+    extended price — the distribution-free association measure (does
+    bigger quantity mean bigger price, monotonic only). Ranks are
+    AVERAGE ranks (the classical tie handling), which is the only
+    deterministic choice here: the synthetic lineitem has duplicate
+    (l_orderkey, l_linenumber) pairs, so no row-id tie-break exists and
+    row_number ranks would pair arbitrarily between the two sorts.
+    Doubled average ranks (2·avg is always integer) keep everything
+    exact; ρ = 1 − 6Σd²/(n(n²−1)) with Σd² = sum_d2/4 becomes
+    ((4N − 6·sum_d2)·1000) // 4N, TRUNCATING per-mille (the simple
+    formula applied to tie-averaged ranks — documented convention, not
+    the tie-corrected estimator).
+
+    Scale plan: rank-based stats need each group whole for the two
+    sorts — ONE coarse hash partition on l_returnflag
+    (``partitioned_group_apply``, the repo's window-op contract), two
+    vectorized pandas average-ranks inside, one row per group out. Σd²
+    stays int64 to n ≈ 10⁹ rows/group; the final ×1000 numerator is
+    Python-int arithmetic on the already-reduced scalars, so no scale
+    breaks it. Returns (l_returnflag, n, sum_d2, rho_pm)."""
+    from .agg import partitioned_group_apply
+
+    cols = ["l_returnflag", "l_quantity", "l_extendedprice"]
+    ds = read_table(sf_dir, "lineitem", cols)
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": batch["l_returnflag"],
+            "q": np.floor(batch["l_quantity"].to_numpy(np.float64)
+                          * 100.0 + 0.5).astype(np.int64),
+            "p": np.floor(batch["l_extendedprice"].to_numpy(np.float64)
+                          * 100.0 + 0.5).astype(np.int64)})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for flag, g in df.groupby("l_returnflag", sort=False):
+            n = len(g)
+            # 2·average-rank is exactly integer (.5 granularity; float64
+            # exact to 2^52) — ties get identical ranks, so the pairing
+            # between the two sorts is deterministic by construction
+            rq2 = (2.0 * g["q"].rank(method="average")).astype(np.int64)
+            rp2 = (2.0 * g["p"].rank(method="average")).astype(np.int64)
+            d = (rq2 - rp2).to_numpy()
+            sum_d2 = int(np.dot(d, d))
+            big_n = 4 * n * (n * n - 1)  # Python int — never overflows
+            numer = (big_n - 6 * sum_d2) * 1000
+            rho_pm = int(_trunc_div(np.array([numer], dtype=object),
+                                    np.array([max(big_n, 1)],
+                                             dtype=object))[0])
+            rows.append((flag, n, sum_d2, rho_pm))
+        return pd.DataFrame(rows, columns=["l_returnflag", "n", "sum_d2",
+                                           "rho_pm"]).astype(
+            {"n": "int64", "sum_d2": "int64", "rho_pm": "int64"})
+
+    prepped = ds.map_batches(prep, batch_format="pandas")
+    return partitioned_group_apply(prepped, ["l_returnflag"], finish,
+                                   num_partitions)

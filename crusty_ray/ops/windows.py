@@ -88,3 +88,48 @@ def session_windows_ds(sf_dir: str, gap_minutes: int = 30):
         return out[["user_id", "session_id", "n_events", "start_us", "end_us"]]
 
     return partitioned_group_apply(ds, ["user_id"], sessions_in_part)
+
+
+def sliding_distinct_users_ds(sf_dir: str, width: int = 3,
+                              num_partitions: int = 32):
+    """Exact DISTINCT users per trailing ``width``-hour sliding window —
+    the windowed-cardinality gauge (concurrent-user dashboards, abuse
+    windows) that a running SUM cannot give because distinct doesn't
+    subtract. Window hops are hour buckets; a window is reported for every
+    hour that has at least one event.
+
+    Scale plan: per-batch dedup to (hour, user) pairs first (the stream
+    shrinks to its distinct pairs), replicate each pair to the ``width``
+    windows it can serve (+0..width-1 hours — bounded constant fan-out,
+    the standard window-replicate trick), drop target hours absent from
+    the data via a broadcast of the tiny distinct-hour set, then ONE
+    coarse shuffle: ``grouped_count_distinct`` on (window_hour, user).
+    Returns (window_hour, n_users)."""
+    import ray
+
+    from .agg import grouped_count_distinct
+
+    ds = read_table(sf_dir, "events", ["ts", "user_id"])
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "h": minute_of(batch["ts"]) // 60,
+            "user_id": batch["user_id"].astype("int64"),
+        }).drop_duplicates()
+
+    hu = ds.map_batches(pairs, batch_format="pandas")
+    hours = np.asarray(sorted(hu.unique("h")), dtype=np.int64)
+    hours_ref = ray.put(hours)
+
+    def expand(batch: pd.DataFrame, _cache={}) -> pd.DataFrame:
+        if "hs" not in _cache:
+            _cache["hs"] = ray.get(hours_ref)
+        frames = [pd.DataFrame({"window_hour": batch["h"] + i,
+                                "user_id": batch["user_id"]})
+                  for i in range(width)]
+        out = pd.concat(frames, ignore_index=True)
+        return out[np.isin(out["window_hour"].to_numpy(), _cache["hs"])]
+
+    tw = hu.map_batches(expand, batch_format="pandas")
+    return grouped_count_distinct(tw, ["window_hour"], "user_id",
+                                  "n_users", num_partitions)

@@ -134,7 +134,8 @@ SQL_CHECKED = [
     "cms_user_counts", "part_label_spread", "embedding_drift_by_label",
     "purchase_hits", "ivm_segment_totals", "bloom_prune_report",
     "snapshot_diff_orders", "grouped_weighted_sample",
-    "quality_rules_report",
+    "quality_rules_report", "price_percent_rank", "spearman_qty_price",
+    "sliding_distinct_users",
 ]
 
 
