@@ -508,9 +508,13 @@ def spearman_qty_price_ds(sf_dir: str, num_partitions: int = 32):
     sorts — ONE coarse hash partition on l_returnflag
     (``partitioned_group_apply``, the repo's window-op contract), two
     vectorized pandas average-ranks inside, one row per group out. Σd²
-    stays int64 to n ≈ 10⁹ rows/group; the final ×1000 numerator is
-    Python-int arithmetic on the already-reduced scalars, so no scale
-    breaks it. Returns (l_returnflag, n, sum_d2, rho_pm)."""
+    can reach 4n³/3, past int64 at n ≈ 1.9·10⁶ rows/group — the
+    accumulation switches to per-chunk int64 dots summed in Python ints
+    (chunk size sized so C·(2n)² provably fits int64); the final ×1000
+    numerator is Python-int arithmetic on the already-reduced scalars.
+    Returns (l_returnflag, n, sum_d2, rho_pm) — sum_d2 is emitted as
+    int64 and is part of the oracle face at test scales; ρ_pm is the
+    scale-safe output."""
     from .agg import partitioned_group_apply
 
     cols = ["l_returnflag", "l_quantity", "l_extendedprice"]
@@ -534,7 +538,13 @@ def spearman_qty_price_ds(sf_dir: str, num_partitions: int = 32):
             rq2 = (2.0 * g["q"].rank(method="average")).astype(np.int64)
             rp2 = (2.0 * g["p"].rank(method="average")).astype(np.int64)
             d = (rq2 - rp2).to_numpy()
-            sum_d2 = int(np.dot(d, d))
+            if n <= 1_500_000:  # 4n³/3 < 2⁶³ — one int64 dot is exact
+                sum_d2 = int(np.dot(d, d))
+            else:  # chunk so C·(2n)² < 2⁶³; per-chunk dots sum as
+                # Python ints (d² itself is int64-safe to n < 1.5·10⁹)
+                c = max(1, int(2**63 // (4 * n * n)))
+                sum_d2 = sum(int(np.dot(d[i:i + c], d[i:i + c]))
+                             for i in range(0, n, c))
             big_n = 4 * n * (n * n - 1)  # Python int — never overflows
             numer = (big_n - 6 * sum_d2) * 1000
             rho_pm = int(_trunc_div(np.array([numer], dtype=object),
