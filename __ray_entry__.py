@@ -688,6 +688,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-priority PERCENT_RANK of price in floor per-mille (the
         # windowed ECDF; row_number over the (cents, key) total order)
         "price_percent_rank": analytic.price_percent_rank_ds,
+        # per-user rolling discrete median of the trailing 5 event
+        # values (vectorized shift-matrix kernel, quantile_disc face)
+        "rolling_median_user_value": analytic.rolling_median_user_value_ds,
+        # consecutive event-type TRIPLE counts per user (3-gram session
+        # motifs; same total event order as the transition matrix)
+        "event_trigrams": behavior.event_trigrams_ds,
+        # leakage-safe split: md5 bucket of the SOURCE, whole sources
+        # co-assign to train/val/test
+        "grouped_split_assignment": sample.grouped_split_assignment_ds,
         # per-returnflag Spearman rank correlation qty vs price
         # (row_number ranks, truncating per-mille rho)
         "spearman_qty_price": stats.spearman_qty_price_ds,
@@ -2546,6 +2555,45 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(b.cents, -1)::BIGINT AS new_cents
             FROM snap_a a FULL OUTER JOIN snap_b b ON a.k = b.k
             WHERE a.k IS NULL OR b.k IS NULL OR a.cents <> b.cents
+        """,
+        # rolling discrete median: quantile_disc(0.5) over the trailing
+        # 5-row window per user in (ts, event_id) order — lower-middle
+        # convention matches the (w-1)//2 gather in the Ray kernel
+        "rolling_median_user_value": """
+            WITH c AS (
+              SELECT event_id, user_id, ts,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events)
+            SELECT event_id, user_id, cents,
+                   quantile_disc(cents, 0.5) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                       ::BIGINT AS roll_med_cents
+            FROM c
+        """,
+        # consecutive event-type triples per user: two LEADs over the
+        # shared (ts, event_id) total order
+        "event_trigrams": """
+            WITH o AS (
+              SELECT event_type AS t1,
+                     lead(event_type, 1) OVER w AS t2,
+                     lead(event_type, 2) OVER w AS t3
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT t1, t2, t3, count(*)::BIGINT AS n
+            FROM o WHERE t3 IS NOT NULL
+            GROUP BY 1, 2, 3
+        """,
+        # group-level split: the md5-per-mille bucket of the SOURCE
+        # decides every doc of that source at once
+        "grouped_split_assignment": """
+            SELECT doc_id, source,
+                   CASE WHEN b < 900 THEN 'train'
+                        WHEN b < 950 THEN 'val' ELSE 'test' END AS split
+            FROM (SELECT doc_id, source,
+                         ('0x' || substr(md5(source), 1, 8))::BIGINT
+                         % 1000 AS b
+                  FROM documents)
         """,
         # windowed ECDF: percent_rank as (row_number-1)*1000 // (n-1)
         # over the (cents, key) total order per priority

@@ -176,7 +176,8 @@ def bench_queries(sf_dir: str) -> dict:
              "bloom_prune_report", "snapshot_diff_orders",
              "grouped_weighted_sample", "quality_rules_report",
              "price_percent_rank", "spearman_qty_price",
-             "sliding_distinct_users"]
+             "sliding_distinct_users", "rolling_median_user_value",
+             "event_trigrams", "grouped_split_assignment"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -574,3 +574,54 @@ def price_percent_rank_ds(sf_dir: str, num_partitions: int = 32):
     prepped = ds.map_batches(prep, batch_format="pandas")
     return partitioned_group_apply(prepped, ["o_orderpriority"], finish,
                                    num_partitions)
+
+
+def rolling_median_user_value_ds(sf_dir: str, window: int = 5,
+                                 num_partitions: int = 32):
+    """Per-user rolling DISCRETE median of the trailing ``window`` event
+    values (cents) — the robust rolling baseline (spike-resistant, unlike
+    a rolling mean) behind anomaly gates. Discrete median = the sorted
+    window's element at index (w−1)//2 (DuckDB ``quantile_disc(0.5)``'s
+    lower-middle convention), so everything stays integer and bit-exact.
+    Event order is the repo's total convention (ts, event_id).
+
+    Scale plan: the window-op contract — ONE coarse hash partition on
+    user_id, then a fully vectorized in-partition kernel: ``window``
+    groupby-shifted value columns stacked to an (n, w) matrix (shifts
+    never cross a user boundary), int64-max padding for short prefixes,
+    one row-wise ``np.sort``, one gather at the per-row middle index. No
+    per-row Python, no per-user loop. Returns (event_id, user_id,
+    cents, roll_med_cents)."""
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": batch["event_id"].astype("int64"),
+            "user_id": batch["user_id"].astype("int64"),
+            "ts": batch["ts"],
+            "cents": np.floor(batch["value"].to_numpy(np.float64)
+                              * 100.0 + 0.5).astype(np.int64)})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = d.groupby("user_id", sort=False)
+        n = len(d)
+        mat = np.full((n, window), np.iinfo(np.int64).max, dtype=np.int64)
+        mat[:, 0] = d["cents"].to_numpy()
+        for i in range(1, window):
+            s = g["cents"].shift(i)
+            v = s.notna().to_numpy()
+            mat[v, i] = s.to_numpy()[v]
+        cnt = np.minimum(g.cumcount().to_numpy() + 1, window)
+        mat.sort(axis=1)
+        med = mat[np.arange(n), (cnt - 1) // 2]
+        return pd.DataFrame({"event_id": d["event_id"].to_numpy(),
+                             "user_id": d["user_id"].to_numpy(),
+                             "cents": d["cents"].to_numpy(),
+                             "roll_med_cents": med})
+
+    from .io import read_table
+    ev = read_table(sf_dir, "events", ["event_id", "user_id", "ts",
+                                       "value"])
+    prepped = ev.map_batches(prep, batch_format="pandas")
+    return partitioned_group_apply(prepped, ["user_id"], finish,
+                                   num_partitions)

@@ -280,3 +280,41 @@ def purchase_attribution_ds(sf_dir: str, num_partitions: int = 32):
                              "event_id", "event_type",
                              touch_type="click", credit_type="purchase",
                              num_partitions=num_partitions)
+
+
+def event_trigrams_ds(sf_dir: str, num_partitions: int = 32):
+    """Sequential-pattern mining one order up from the transition matrix:
+    counts of every CONSECUTIVE event-type triple inside a user's history
+    (the 3-gram session motifs behind funnel discovery). Same total event
+    order as `event_transition_matrix_ds` (ts, event_id tie-break) so the
+    two faces can never disagree on adjacency.
+
+    Plan: one partition on user_id, a vectorized double groupby-shift
+    pairs each event with its two successors, O(types³) partial cells per
+    partition, card-sized driver sum. Returns (t1, t2, t3, n)."""
+    events = read_table(sf_dir, "events",
+                        ["event_id", "user_id", "ts", "event_type"])
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = d.groupby("user_id", sort=False)["event_type"]
+        n1 = g.shift(-1)
+        n2 = g.shift(-2)
+        keep = n2.notna().to_numpy()
+        cells = pd.DataFrame({"t1": d["event_type"].to_numpy()[keep],
+                              "t2": n1.to_numpy()[keep],
+                              "t3": n2.to_numpy()[keep]})
+        out = cells.groupby(["t1", "t2", "t3"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return out.astype({"n": "int64"})
+
+    parts = partitioned_group_apply(events, ["user_id"], per_part,
+                                    num_partitions).to_pandas()
+    if parts.empty:  # Ray drops the schema when every partition is empty
+        parts = pd.DataFrame({"t1": pd.Series([], dtype="object"),
+                              "t2": pd.Series([], dtype="object"),
+                              "t3": pd.Series([], dtype="object"),
+                              "n": pd.Series([], dtype="int64")})
+    out = parts.groupby(["t1", "t2", "t3"], as_index=False)["n"].sum()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["t1", "t2", "t3"]).reset_index(drop=True)

@@ -271,3 +271,30 @@ def grouped_weighted_doc_sample_ds(sf_dir: str, n: int = 20):
 
     docs = read_table(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
     return grouped_weighted_sample(docs, "doc_id", "lang", "n_chars", n)
+
+
+def grouped_split_assignment_ds(sf_dir: str):
+    """Leakage-safe GROUP-level split: every document of a source lands in
+    the same train/val/test split, because the md5 per-mille bucket hashes
+    the SOURCE, not the doc — the group-aware split that prevents
+    near-duplicate leakage across splits when a source's documents
+    correlate (the failure mode `split_leakage` measures; this op is the
+    preventive assignment). Same bounds and same `_md5_bucket_pm` kernel
+    as `assign_splits` — map-only, stable under repartitioning and corpus
+    growth. Returns (doc_id, source, split)."""
+    from .io import read_table
+
+    bounds = [("train", 900), ("val", 950), ("test", 1000)]
+    cuts = [b for _, b in bounds]
+    names = [n for n, _ in bounds]
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        b = _md5_bucket_pm(batch["source"])
+        idx = np.searchsorted(cuts, b, side="right")
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "source": batch["source"],
+            "split": pd.Series([names[i] for i in idx], dtype="object")})
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "source"])
+    return docs.map_batches(assign, batch_format="pandas")

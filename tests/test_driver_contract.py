@@ -135,7 +135,8 @@ SQL_CHECKED = [
     "purchase_hits", "ivm_segment_totals", "bloom_prune_report",
     "snapshot_diff_orders", "grouped_weighted_sample",
     "quality_rules_report", "price_percent_rank", "spearman_qty_price",
-    "sliding_distinct_users",
+    "sliding_distinct_users", "rolling_median_user_value",
+    "event_trigrams", "grouped_split_assignment",
 ]
 
 
