@@ -712,6 +712,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # entity resolution end-to-end: FS match edges -> transitive
         # closure (hash-min components) -> entity id + size per doc
         "entity_clusters": linkage.entity_clusters_ds,
+        # survivorship / golden-record merge per entity: modal lang,
+        # min doc, max chars via associative (entity, lang) cells
+        "golden_records": linkage.golden_records_ds,
+        # Hamilton largest-remainder apportionment of 100k training
+        # slots across sources proportional to chars (exact Σ == k)
+        "source_quota_allocation": sample.source_quota_allocation_ds,
+        # partitioning-skew diagnostic: per-shard event load in
+        # per-mille of perfect balance (the pre-salting check)
+        "shard_skew_report": analog.shard_skew_report_ds,
         # exact Levenshtein name linkage over balance-blocked customer
         # pairs (batch-vectorized Wagner-Fischer DP)
         "name_linkage": linkage.name_linkage_ds,
@@ -2708,6 +2717,76 @@ def oracle_sql() -> dict[str, str]:
                    count(*) OVER (PARTITION BY entity_id)::BIGINT
                        AS entity_size
             FROM ent
+        """,
+        # survivorship over the same entity CTEs: modal lang
+        # (count DESC, lang ASC), min doc, max chars per entity
+        "golden_records": f"""
+            WITH RECURSIVE {_FS_SCORES_CTES},
+            m AS MATERIALIZED (
+              SELECT doc_a, doc_b FROM s WHERE fs_score >= 40),
+            edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM m
+              UNION ALL SELECT doc_b, doc_a FROM m),
+            reach(u, lab) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.u, reach.lab FROM edges e JOIN reach
+                ON reach.u = e.v),
+            ent AS (
+              SELECT u AS doc_id, MIN(lab) AS entity_id
+              FROM reach GROUP BY u),
+            j AS (
+              SELECT ent.entity_id, d.doc_id, d.lang, d.n_chars
+              FROM ent JOIN documents d USING (doc_id)),
+            lc AS (
+              SELECT entity_id, lang, count(*)::BIGINT AS n
+              FROM j GROUP BY 1, 2),
+            md AS (
+              SELECT entity_id, lang AS canonical_lang
+              FROM lc
+              QUALIFY row_number() OVER (PARTITION BY entity_id
+                                         ORDER BY n DESC, lang) = 1),
+            g AS (
+              SELECT entity_id, min(doc_id)::BIGINT AS canonical_doc,
+                     count(*)::BIGINT AS n_members,
+                     max(n_chars)::BIGINT AS max_chars
+              FROM j GROUP BY 1)
+            SELECT g.entity_id, g.canonical_doc, md.canonical_lang,
+                   g.n_members, g.max_chars
+            FROM g JOIN md USING (entity_id)
+        """,
+        # Hamilton apportionment: floor(chars*k/total) + 1 for the
+        # (k - sum floors) largest remainders (rem DESC, source ASC)
+        "source_quota_allocation": """
+            WITH s AS (
+              SELECT source, sum(n_chars)::BIGINT AS chars
+              FROM documents GROUP BY 1),
+            t AS (SELECT greatest(sum(chars), 1)::HUGEINT AS total FROM s),
+            q AS (
+              SELECT source, chars,
+                     (chars::HUGEINT * 100000 // total)::BIGINT AS fl,
+                     (chars::HUGEINT * 100000 % total)::BIGINT AS rem
+              FROM s, t),
+            l AS (SELECT (100000 - sum(fl))::BIGINT AS leftover FROM q)
+            SELECT source, chars,
+                   (fl + CASE WHEN row_number() OVER (ORDER BY rem DESC,
+                                                      source)
+                              <= leftover THEN 1 ELSE 0 END)
+                       ::BIGINT AS quota
+            FROM q, l
+        """,
+        # per-shard load in per-mille of perfect balance, md5 shard of
+        # user_id (the shard_assignment convention, 32 shards)
+        "shard_skew_report": """
+            WITH c AS (
+              SELECT (('0x' || substr(md5(user_id::VARCHAR), 1, 8))
+                          ::BIGINT % 32) AS shard,
+                     count(*)::BIGINT AS n_rows
+              FROM events GROUP BY 1),
+            t AS (SELECT greatest(sum(n_rows), 1)::BIGINT AS total FROM c)
+            SELECT shard, n_rows,
+                   (n_rows * 1000 * 32 // total)::BIGINT AS load_pm
+            FROM c, t
         """,
         # integer priority sampling: u = md5_48('ws:'||id), key u//w,
         # global bottom-100 by (priority, id)

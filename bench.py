@@ -177,7 +177,9 @@ def bench_queries(sf_dir: str) -> dict:
              "grouped_weighted_sample", "quality_rules_report",
              "price_percent_rank", "spearman_qty_price",
              "sliding_distinct_users", "rolling_median_user_value",
-             "event_trigrams", "grouped_split_assignment"]
+             "event_trigrams", "grouped_split_assignment",
+             "golden_records", "source_quota_allocation",
+             "shard_skew_report"]
     out = {}
     for name in names:
         t0 = time.time()

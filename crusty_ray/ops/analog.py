@@ -346,3 +346,31 @@ def k_anonymity_report_ds(sf_dir: str, k: int = 5, num_partitions: int = 32):
         return out
 
     return counts.map_batches(gate, batch_format="pandas")
+
+
+def shard_skew_report_ds(sf_dir: str, shard_total: int = 32):
+    """Partitioning-skew diagnostic: hash events by user onto
+    ``shard_total`` shards (the md5 convention every sharded op here
+    uses) and report each shard's load in per-mille of perfect balance
+    (1000 = exactly total/shards) — the pre-flight check that decides
+    whether a shuffle key needs salting. Per-batch partial counts, one
+    card-sized shuffle, driver finish on ``shard_total`` rows. Returns
+    (shard, n_rows, load_pm)."""
+    from .agg import grouped_count
+
+    ev = _read(sf_dir, "events", ["user_id"])
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "shard": md5_shard(batch["user_id"], shard_total)})
+
+    counts = grouped_count(ev.map_batches(keyed, batch_format="pandas"),
+                           ["shard"], "n_rows").to_pandas()
+    if "shard" not in counts.columns:
+        return pd.DataFrame({"shard": pd.Series([], dtype="int64"),
+                             "n_rows": pd.Series([], dtype="int64"),
+                             "load_pm": pd.Series([], dtype="int64")})
+    total = int(counts["n_rows"].sum())
+    counts["load_pm"] = (counts["n_rows"] * 1000 * shard_total
+                         // max(total, 1)).astype("int64")
+    return counts.sort_values("shard").reset_index(drop=True)

@@ -239,3 +239,57 @@ def entity_clusters_ds(sf_dir: str, window: int = 2,
 
     return partitioned_group_apply(labels, ["entity_id"], with_size,
                                    num_partitions)
+
+
+def golden_records_ds(sf_dir: str, num_partitions: int = 32):
+    """Survivorship (golden-record merge) on top of entity resolution —
+    the MDM step after `entity_clusters_ds`: each entity's canonical
+    attributes from deterministic survivorship rules: canonical_doc =
+    MIN member doc_id, canonical_lang = the members' modal lang
+    (lexicographic tie-break), max_chars = MAX member length, n_members.
+
+    Scale plan: the cluster map joins the doc attributes through the
+    generic co-partitioned `hash_join` (both sides fact-scale, no
+    broadcast); survivorship pre-aggregates per batch to (entity, lang)
+    partial cells — counts/max/min are all associative, and the MODE
+    becomes an argmax over the summed per-lang counts — then ONE coarse
+    entity partition finishes. Returns (entity_id, canonical_doc,
+    canonical_lang, n_members, max_chars)."""
+    from .agg import partitioned_group_apply
+    from .io import read_table
+    from .joins import hash_join
+
+    ent = entity_clusters_ds(sf_dir, num_partitions=num_partitions) \
+        .map_batches(lambda b: b[["doc_id", "entity_id"]],
+                     batch_format="pandas")
+    docs = read_table(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    j = hash_join(ent, docs, on=["doc_id"], num_partitions=num_partitions)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby(["entity_id", "lang"], as_index=False).agg(
+            n=("doc_id", "size"), max_chars=("n_chars", "max"),
+            min_doc=("doc_id", "min"))
+        return out.astype({"n": "int64", "max_chars": "int64",
+                           "min_doc": "int64"})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        cell = df.groupby(["entity_id", "lang"], as_index=False).agg(
+            n=("n", "sum"), max_chars=("max_chars", "max"),
+            min_doc=("min_doc", "min"))
+        cell = cell.sort_values(["entity_id", "n", "lang"],
+                                ascending=[True, False, True],
+                                kind="mergesort")
+        top = cell.drop_duplicates("entity_id", keep="first")
+        tot = cell.groupby("entity_id", as_index=False).agg(
+            n_members=("n", "sum"), max_chars=("max_chars", "max"),
+            canonical_doc=("min_doc", "min"))
+        out = tot.merge(top[["entity_id", "lang"]], on="entity_id") \
+            .rename(columns={"lang": "canonical_lang"})
+        out = out[["entity_id", "canonical_doc", "canonical_lang",
+                   "n_members", "max_chars"]]
+        return out.astype({"entity_id": "int64", "canonical_doc": "int64",
+                           "n_members": "int64", "max_chars": "int64"})
+
+    cells = j.map_batches(partial, batch_format="pandas")
+    return partitioned_group_apply(cells, ["entity_id"], finish,
+                                   num_partitions)

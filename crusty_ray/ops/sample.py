@@ -298,3 +298,50 @@ def grouped_split_assignment_ds(sf_dir: str):
 
     docs = read_table(sf_dir, "documents", ["doc_id", "source"])
     return docs.map_batches(assign, batch_format="pandas")
+
+
+def source_quota_allocation_ds(sf_dir: str, k: int = 100_000):
+    """Hamilton (largest-remainder) apportionment of a fixed training-slot
+    budget across sources ∝ total characters — the exact-integer mixture
+    quota step (epochs-per-source / repetition factors) that float weights
+    can't do reproducibly: Σquota == k exactly, floor share first, the
+    k − Σfloor leftovers to the largest remainders (remainder DESC, source
+    ASC tie-break).
+
+    Scale plan: the char totals are a distributed per-source sum (per-batch
+    partials, one card-sized shuffle); the apportionment itself runs on the
+    driver over O(sources) rows in Python ints (chars·k would pass int64 at
+    corpus scale). Returns (source, chars, quota)."""
+    from .agg import partitioned_group_apply
+    from .io import read_table
+
+    docs = read_table(sf_dir, "documents", ["source", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby("source", as_index=False)["n_chars"].sum() \
+            .rename(columns={"n_chars": "chars"})
+        return out.astype({"chars": "int64"})
+
+    def sum_in_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("source", as_index=False)["chars"].sum()
+        return out.astype({"chars": "int64"})
+
+    s = partitioned_group_apply(
+        docs.map_batches(partial, batch_format="pandas"),
+        ["source"], sum_in_part).to_pandas()
+    if "source" not in s.columns:  # empty corpus drops the schema
+        return pd.DataFrame({"source": pd.Series([], dtype=object),
+                             "chars": pd.Series([], dtype="int64"),
+                             "quota": pd.Series([], dtype="int64")})
+    total = int(s["chars"].sum())
+    chars = [int(c) for c in s["chars"]]
+    floors = [c * k // max(total, 1) for c in chars]
+    rems = [c * k % max(total, 1) for c in chars]
+    leftover = k - sum(floors)
+    order = sorted(range(len(s)), key=lambda i: (-rems[i],
+                                                 s["source"].iloc[i]))
+    bump = set(order[:leftover])
+    s = s.reset_index(drop=True)
+    s["quota"] = pd.Series([floors[i] + (1 if i in bump else 0)
+                            for i in range(len(s))], dtype="int64")
+    return s.sort_values("source").reset_index(drop=True)

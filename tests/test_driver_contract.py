@@ -136,7 +136,8 @@ SQL_CHECKED = [
     "snapshot_diff_orders", "grouped_weighted_sample",
     "quality_rules_report", "price_percent_rank", "spearman_qty_price",
     "sliding_distinct_users", "rolling_median_user_value",
-    "event_trigrams", "grouped_split_assignment",
+    "event_trigrams", "grouped_split_assignment", "golden_records",
+    "source_quota_allocation", "shard_skew_report",
 ]
 
 
