@@ -213,3 +213,54 @@ def test_percent_rank_bounds_and_monotone(ray_session):
         assert g["pct_pm"].iloc[0] == 0
         assert g["pct_pm"].iloc[-1] == 1000
         assert g["pct_pm"].is_monotonic_increasing
+
+
+# ------------------------------------------------------- golden records
+
+def test_golden_records_consistent_with_clusters(ray_session):
+    """One golden row per entity; canonical_doc is the entity id itself
+    (min member), n_members matches the cluster size, and the modal lang
+    is a lang actually present among members."""
+    from crusty_ray.ops.linkage import entity_clusters_ds, golden_records_ds
+    ent = entity_clusters_ds(SF).to_pandas()
+    gold = golden_records_ds(SF).to_pandas()
+    assert len(gold) == ent["entity_id"].nunique()
+    assert (gold["canonical_doc"] == gold["entity_id"]).all()
+    sizes = ent.groupby("entity_id").size()
+    m = gold.set_index("entity_id")
+    assert (m["n_members"] == sizes.loc[m.index]).all()
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    member_langs = ent.merge(docs, on="doc_id") \
+        .groupby("entity_id")["lang"].agg(set)
+    assert all(m.loc[e, "canonical_lang"] in langs
+               for e, langs in member_langs.items())
+
+
+# ----------------------------------------------------- quota allocation
+
+def test_quota_allocation_exact_budget_and_monotone(ray_session):
+    """Σquota ≡ k exactly for several budgets (incl. ones that force
+    remainder bumps), and a strictly larger char share never gets a
+    smaller quota (Hamilton monotonicity within one allocation)."""
+    from crusty_ray.ops.sample import source_quota_allocation_ds
+    for k in (100_000, 99_991, 7):
+        got = source_quota_allocation_ds(SF, k=k)
+        assert int(got["quota"].sum()) == k
+        g = got.sort_values("chars").reset_index(drop=True)
+        strict = g["chars"].diff().fillna(0) > 0
+        assert (g["quota"].diff().fillna(0)[strict] >= 0).all()
+
+
+# ----------------------------------------------------- shard skew report
+
+def test_shard_skew_total_and_balance(ray_session):
+    from crusty_ray.ops.analog import shard_skew_report_ds
+    got = shard_skew_report_ds(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+    assert int(got["n_rows"].sum()) == len(ev)
+    # the per-mille identity holds row-by-row (empty shards are absent by
+    # construction — both faces GROUP BY present shards only, so at tiny
+    # SF every present shard can sit above 1000)
+    exp = got["n_rows"] * 1000 * 32 // len(ev)
+    assert (got["load_pm"] == exp).all()
