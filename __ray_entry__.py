@@ -721,6 +721,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # partitioning-skew diagnostic: per-shard event load in
         # per-mille of perfect balance (the pre-salting check)
         "shard_skew_report": analog.shard_skew_report_ds,
+        # planner cardinality pre-flight: |orders JOIN lineitem| as
+        # sum a_k*b_k over co-partitioned per-key count histograms
+        "join_size_estimate": stats.orders_lineitem_join_size_ds,
+        # robust rate-spike detection: minute count > 2x the discrete
+        # median of the previous 5 present minutes, per event type
+        "event_rate_anomalies": analog.event_rate_anomalies_ds,
         # exact Levenshtein name linkage over balance-blocked customer
         # pairs (batch-vectorized Wagner-Fischer DP)
         "name_linkage": linkage.name_linkage_ds,
@@ -2717,6 +2723,38 @@ def oracle_sql() -> dict[str, str]:
                    count(*) OVER (PARTITION BY entity_id)::BIGINT
                        AS entity_size
             FROM ent
+        """,
+        # planner cardinality: exact sum of per-key count products
+        "join_size_estimate": """
+            WITH a AS (
+              SELECT o_orderkey AS k, count(*)::BIGINT AS n
+              FROM orders GROUP BY 1),
+            b AS (
+              SELECT l_orderkey AS k, count(*)::BIGINT AS n
+              FROM lineitem GROUP BY 1)
+            SELECT count(*)::BIGINT AS n_matched_keys,
+                   coalesce(sum(a.n * b.n), 0)::BIGINT AS est_rows
+            FROM a JOIN b USING (k)
+        """,
+        # rate spikes: count > 2x quantile_disc(0.5) of the previous 5
+        # present minutes (ROWS frame excludes the current row)
+        "event_rate_anomalies": """
+            WITH c AS (
+              SELECT event_type,
+                     (CAST(floor(epoch(ts)) AS BIGINT) // 60) AS minute,
+                     count(*)::BIGINT AS n_events
+              FROM events GROUP BY 1, 2),
+            w AS (
+              SELECT event_type, minute, n_events,
+                     quantile_disc(n_events, 0.5) OVER (
+                         PARTITION BY event_type ORDER BY minute
+                         ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+                         AS med5,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY minute) AS rn
+              FROM c)
+            SELECT event_type, minute, n_events, med5::BIGINT AS med5
+            FROM w WHERE rn > 5 AND n_events > 2 * med5
         """,
         # survivorship over the same entity CTEs: modal lang
         # (count DESC, lang ASC), min doc, max chars per entity

@@ -179,7 +179,8 @@ def bench_queries(sf_dir: str) -> dict:
              "sliding_distinct_users", "rolling_median_user_value",
              "event_trigrams", "grouped_split_assignment",
              "golden_records", "source_quota_allocation",
-             "shard_skew_report"]
+             "shard_skew_report", "join_size_estimate",
+             "event_rate_anomalies"]
     out = {}
     for name in names:
         t0 = time.time()

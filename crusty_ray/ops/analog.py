@@ -374,3 +374,68 @@ def shard_skew_report_ds(sf_dir: str, shard_total: int = 32):
     counts["load_pm"] = (counts["n_rows"] * 1000 * shard_total
                          // max(total, 1)).astype("int64")
     return counts.sort_values("shard").reset_index(drop=True)
+
+
+def event_rate_anomalies_ds(sf_dir: str, lookback: int = 5,
+                            factor: int = 2, num_partitions: int = 32):
+    """Robust rate-spike detection over the per-(type, minute) event
+    series: a minute is anomalous when its count exceeds ``factor`` × the
+    discrete median of the previous ``lookback`` PRESENT minutes (the
+    median makes the baseline spike-resistant — one prior burst can't
+    raise it, unlike a mean). All-integer; minutes with < ``lookback``
+    history never fire (no baseline yet).
+
+    Plan: the minute counts are the shared ``grouped_count`` pre-agg (the
+    fact stream shrinks to the bucket series); ONE partition per
+    event_type then runs the same vectorized shift-matrix order-statistic
+    kernel as the rolling median (shifts 1..lookback, int64-max padding,
+    one row sort + gather). Returns (event_type, minute, n_events, med5)
+    for the anomalous minutes only — as a driver pandas frame (anomalies
+    are rare by definition, and an all-empty Dataset would drop its
+    schema: the repo-wide empty-block hazard)."""
+    from .agg import grouped_count, partitioned_group_apply
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": batch["event_type"],
+                             "minute": minute_of(batch["ts"])})
+
+    counts = grouped_count(ev.map_batches(keyed, batch_format="pandas"),
+                           ["event_type", "minute"], "n_events",
+                           num_partitions)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["event_type", "minute"], kind="mergesort")
+        g = d.groupby("event_type", sort=False)
+        n = len(d)
+        mat = np.full((n, lookback), np.iinfo(np.int64).max,
+                      dtype=np.int64)
+        for i in range(1, lookback + 1):
+            s = g["n_events"].shift(i)
+            v = s.notna().to_numpy()
+            mat[v, i - 1] = s.to_numpy()[v]
+        hist = np.minimum(g.cumcount().to_numpy(), lookback)
+        mat.sort(axis=1)
+        med = mat[np.arange(n), np.maximum(hist - 1, 0) // 2]
+        fire = (hist >= lookback) & \
+            (d["n_events"].to_numpy() > factor * med)
+        # typed empty keeps the Dataset schema when no minute fires
+        out = pd.DataFrame({
+            "event_type": pd.Series(d["event_type"].to_numpy()[fire],
+                                    dtype=object),
+            "minute": pd.Series(d["minute"].to_numpy()[fire],
+                                dtype="int64"),
+            "n_events": pd.Series(d["n_events"].to_numpy()[fire],
+                                  dtype="int64"),
+            "med5": pd.Series(med[fire], dtype="int64")})
+        return out
+
+    out = partitioned_group_apply(counts, ["event_type"], finish,
+                                  num_partitions).to_pandas()
+    if "event_type" not in out.columns:  # every partition was empty
+        out = pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                            "minute": pd.Series([], dtype="int64"),
+                            "n_events": pd.Series([], dtype="int64"),
+                            "med5": pd.Series([], dtype="int64")})
+    return out.sort_values(["event_type", "minute"]).reset_index(drop=True)

@@ -558,3 +558,60 @@ def spearman_qty_price_ds(sf_dir: str, num_partitions: int = 32):
     prepped = ds.map_batches(prep, batch_format="pandas")
     return partitioned_group_apply(prepped, ["l_returnflag"], finish,
                                    num_partitions)
+
+
+def join_size_estimate(left_ds, left_key: str, right_ds, right_key: str,
+                       num_partitions: int = 32):
+    """Exact equi-join output cardinality WITHOUT running the join —
+    |A ⋈ B| = Σ_k a_k·b_k over the per-key count histograms, the number a
+    cost-based planner wants before picking a join strategy (and the
+    skew/explosion pre-flight: a huge Σ says "salt or rethink" before the
+    shuffle is paid). "Estimate" in the planner sense; the arithmetic is
+    exact.
+
+    Plan: each side pre-aggregates per batch to per-key partial counts
+    (the shuffle carries distinct-keys-per-block rows, never facts), both
+    land in one coarse key partition via a side-tagged union, the
+    partition sums partials per (key, side) and emits ONE
+    (Σ a_k·b_k, matched-keys) row; the driver sums O(partitions) rows.
+    Per-key products are Python-int summed — a single hot key can pass
+    int64 (10⁶ × 10⁶ rows on one key is 10¹²; a few thousand such keys
+    overflow). Returns one row (n_matched_keys, est_rows)."""
+
+    def local(ds, key, side):
+        def cnt(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.groupby(key, as_index=False).size() \
+                .rename(columns={key: "__key", "size": "__n"})
+            out["__side"] = np.full(len(out), side, dtype=np.int64)
+            return out.astype({"__key": "int64", "__n": "int64"})
+        return ds.map_batches(cnt, batch_format="pandas")
+
+    both = local(left_ds, left_key, 0).union(local(right_ds, right_key, 1))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["__key", "__side"], as_index=False)["__n"].sum()
+        a = g[g["__side"] == 0].set_index("__key")["__n"]
+        b = g[g["__side"] == 1].set_index("__key")["__n"]
+        common = a.index.intersection(b.index)
+        est = sum(int(a[k]) * int(b[k]) for k in common)
+        return pd.DataFrame({"n_matched_keys": [len(common)],
+                             "est_rows": [est]}).astype("int64")
+
+    parts = partitioned_group_apply(both, ["__key"], partial,
+                                    num_partitions).to_pandas()
+    if "est_rows" not in parts.columns:
+        return pd.DataFrame({"n_matched_keys": pd.Series([0], dtype="int64"),
+                             "est_rows": pd.Series([0], dtype="int64")})
+    out = pd.DataFrame({
+        "n_matched_keys": [int(parts["n_matched_keys"].sum())],
+        "est_rows": [int(parts["est_rows"].sum())]})
+    return out.astype("int64")
+
+
+def orders_lineitem_join_size_ds(sf_dir: str, num_partitions: int = 32):
+    """Contract face: the planner's cardinality pre-flight for
+    orders ⋈ lineitem on orderkey."""
+    left = read_table(sf_dir, "orders", ["o_orderkey"])
+    right = read_table(sf_dir, "lineitem", ["l_orderkey"])
+    return join_size_estimate(left, "o_orderkey", right, "l_orderkey",
+                              num_partitions)

@@ -137,7 +137,8 @@ SQL_CHECKED = [
     "quality_rules_report", "price_percent_rank", "spearman_qty_price",
     "sliding_distinct_users", "rolling_median_user_value",
     "event_trigrams", "grouped_split_assignment", "golden_records",
-    "source_quota_allocation", "shard_skew_report",
+    "source_quota_allocation", "shard_skew_report", "join_size_estimate",
+    "event_rate_anomalies",
 ]
 
 

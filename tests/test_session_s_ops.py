@@ -264,3 +264,50 @@ def test_shard_skew_total_and_balance(ray_session):
     # SF every present shard can sit above 1000)
     exp = got["n_rows"] * 1000 * 32 // len(ev)
     assert (got["load_pm"] == exp).all()
+
+
+# ---------------------------------------------------- join size estimate
+
+def test_join_size_estimate_equals_real_join(ray_session):
+    """Σ a_k·b_k must equal the true inner-join row count (computed by
+    pandas merge on the driver at this SF)."""
+    from crusty_ray.ops.stats import orders_lineitem_join_size_ds
+    got = orders_lineitem_join_size_ds(SF)
+    o = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey"])
+    li = pd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey"])
+    true_rows = len(o.merge(li, left_on="o_orderkey",
+                            right_on="l_orderkey"))
+    assert int(got["est_rows"].iloc[0]) == true_rows
+    both = set(o["o_orderkey"]) & set(li["l_orderkey"])
+    assert int(got["n_matched_keys"].iloc[0]) == len(both)
+
+
+# --------------------------------------------------- event rate anomaly
+
+def test_event_rate_anomalies_fire_rule(ray_session):
+    """Every reported minute must satisfy the 2x-median rule against a
+    pandas recompute, and the empty case keeps the schema."""
+    from crusty_ray.ops.analog import event_rate_anomalies_ds, minute_of
+    got = event_rate_anomalies_ds(SF)  # pandas (rare-rows driver frame)
+    assert set(got.columns) >= {"event_type", "minute", "n_events", "med5"}
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["ts", "event_type"])
+    ev["minute"] = minute_of(ev["ts"])
+    c = ev.groupby(["event_type", "minute"], as_index=False).size() \
+        .rename(columns={"size": "n"}).sort_values(["event_type", "minute"])
+    exp = []
+    for t, g in c.groupby("event_type"):
+        n = g["n"].tolist()
+        for i in range(5, len(n)):
+            med = sorted(n[i - 5:i])[2]
+            if n[i] > 2 * med:
+                exp.append((t, int(g["minute"].iloc[i]), n[i], med))
+    exp_df = pd.DataFrame(exp, columns=["event_type", "minute",
+                                        "n_events", "med5"])
+    got_s = got.sort_values(["event_type", "minute"]).reset_index(drop=True)
+    exp_s = exp_df.sort_values(["event_type", "minute"]) \
+        .reset_index(drop=True)
+    assert len(got_s) == len(exp_s)
+    if len(exp_s):
+        assert (got_s[["event_type", "minute"]].values
+                == exp_s[["event_type", "minute"]].values).all()
