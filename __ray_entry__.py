@@ -472,6 +472,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq": similarity.ann_pq_ds,                           # rows-only
         # -- language id (stopword heuristic, profile frozen into the oracle)
         "langid": text.langid_ds,
+        # classification-confidence face: margin = best - second-best
+        # profile hits; is_mixed routes ambiguous docs to a heavier model
+        "langid_margin": text.langid_margin_ds,
         "gopher_quality": text.gopher_quality_ds,
         # FineWeb-style ensemble: Gopher signals blended by global
         # percentile rank (histogram-partial ranks, no global sort)
@@ -1167,8 +1170,7 @@ def oracle_sql() -> dict[str, str]:
         for lg in langs)
     mx = "greatest({})".format(", ".join(langs))
     pred_case = " ".join(f"WHEN {lg} = mx THEN '{lg}'" for lg in langs[:-1])
-    langid_sql = f"""
-            WITH w AS (
+    langid_ctes = f"""WITH w AS (
               SELECT doc_id,
                      unnest(regexp_extract_all(lower(coalesce(text, '')), '\\w+')) AS w
               FROM documents
@@ -1181,11 +1183,25 @@ def oracle_sql() -> dict[str, str]:
                      {", ".join(f"coalesce(h.{lg}, 0) AS {lg}" for lg in langs)},
                      coalesce({mx}, 0) AS mx
               FROM documents d LEFT JOIN hits h USING (doc_id)
-            )
-            SELECT doc_id,
-                   CASE WHEN mx = 0 THEN 'unknown' {pred_case}
-                        ELSE '{langs[-1]}' END AS lang_pred,
+            )"""
+    pred_expr = f"""CASE WHEN mx = 0 THEN 'unknown' {pred_case}
+                        ELSE '{langs[-1]}' END AS lang_pred"""
+    langid_sql = f"""
+            {langid_ctes}
+            SELECT doc_id, {pred_expr},
                    CAST(mx AS BIGINT) AS lang_hits
+            FROM scored
+    """
+    # second-best = the (N-1)th element of the ascending per-row score
+    # list (duplicates kept, so a top tie gives margin 0)
+    second = f"(list_sort([{', '.join(langs)}]))[{len(langs) - 1}]"
+    langid_margin_sql = f"""
+            {langid_ctes}
+            SELECT doc_id, {pred_expr},
+                   CAST(mx AS BIGINT) AS lang_hits,
+                   CAST(mx - {second} AS BIGINT) AS margin,
+                   CAST(CASE WHEN mx > 0 AND mx - {second} <= 2
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_mixed
             FROM scored
     """
     return {
@@ -1258,6 +1274,7 @@ def oracle_sql() -> dict[str, str]:
               AND t.doc_id NOT IN (SELECT doc_id FROM matched)
         """,
         "langid": langid_sql,
+        "langid_margin": langid_margin_sql,
         "bpe_token_count": r"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(coalesce(text, ''),

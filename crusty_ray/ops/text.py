@@ -89,12 +89,10 @@ class LangId:
         self.word = _WORD_RE
         self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        # vectorized: explode tokens once, one isin + bincount per profile,
-        # argmax across the (docs × langs) hit matrix. argmax's first-max
-        # rule reproduces the scalar loop's sorted-lang tie-break; zero hits
-        # → "unknown" (same contract as the per-row version; r2 VERDICT
-        # wrong-item #5).
+    def hit_matrix(self, batch: pd.DataFrame):
+        """(docs × langs) stopword-hit counts — the shared kernel of the
+        classify and margin faces. Vectorized: explode tokens once, one
+        isin + bincount per profile."""
         toks = batch["text"].fillna("").str.lower().str.findall(self.word) \
             .reset_index(drop=True)
         n = len(toks)
@@ -106,6 +104,14 @@ class LangId:
         for j, lang in enumerate(langs):
             mask = ex.isin(self.profiles[lang]).to_numpy()
             hit_mat[:, j] = np.bincount(rows[mask], minlength=n)
+        return langs, hit_mat
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        # argmax across the hit matrix. argmax's first-max rule reproduces
+        # the scalar loop's sorted-lang tie-break; zero hits → "unknown"
+        # (same contract as the per-row version; r2 VERDICT wrong-item #5).
+        langs, hit_mat = self.hit_matrix(batch)
+        n = len(hit_mat)
         best_hits = hit_mat.max(axis=1) if n else np.zeros(0, dtype=np.int64)
         best_j = hit_mat.argmax(axis=1) if n else np.zeros(0, dtype=np.int64)
         lang_arr = np.array(langs, dtype=object)[best_j]
@@ -113,6 +119,36 @@ class LangId:
             "doc_id": batch["doc_id"].to_numpy(),
             "lang_pred": np.where(best_hits > 0, lang_arr, "unknown"),
             "lang_hits": pd.Series(best_hits, dtype="int64"),
+        })
+
+
+class LangIdMargin(LangId):
+    """Classification-confidence face: how decisive was LangId's argmax?
+    margin = best − second-best profile hits (0 on a tie); is_mixed flags
+    documents a production pipeline would route to a heavier classifier —
+    some hits, but the top two languages within 2 hits of each other. Same
+    actor-pool shape and the same shared hit-matrix kernel as LangId."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        langs, hit_mat = self.hit_matrix(batch)
+        n = len(hit_mat)
+        if n:
+            best = hit_mat.max(axis=1)
+            best_j = hit_mat.argmax(axis=1)
+            second = np.partition(hit_mat, len(langs) - 2,
+                                  axis=1)[:, len(langs) - 2]
+        else:
+            best = best_j = second = np.zeros(0, dtype=np.int64)
+        lang_arr = np.array(langs, dtype=object)[best_j] if n else \
+            np.zeros(0, dtype=object)
+        margin = best - second
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(),
+            "lang_pred": np.where(best > 0, lang_arr, "unknown"),
+            "lang_hits": pd.Series(best, dtype="int64"),
+            "margin": pd.Series(margin, dtype="int64"),
+            "is_mixed": pd.Series(((best > 0) & (margin <= 2))
+                                  .astype(np.int64), dtype="int64"),
         })
 
 
@@ -179,6 +215,12 @@ def langid_ds(sf_dir: str):
     return _io_read(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"]) \
         .map_batches(LangId, batch_format="pandas", concurrency=2)
+
+
+def langid_margin_ds(sf_dir: str):
+    return _io_read(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"]) \
+        .map_batches(LangIdMargin, batch_format="pandas", concurrency=2)
 
 
 def build_vocab_ds(sf_dir: str, vocab_size: int = 500):
