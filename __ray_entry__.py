@@ -691,6 +691,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-priority PERCENT_RANK of price in floor per-mille (the
         # windowed ECDF; row_number over the (cents, key) total order)
         "price_percent_rank": analytic.price_percent_rank_ds,
+        # RFM segmentation: distributed per-customer R/F/M aggregates,
+        # three global ntile(5) scores, rfm = 100r + 10f + m
+        "customer_rfm": analytic.customer_rfm_ds,
         # per-user rolling discrete median of the trailing 5 event
         # values (vectorized shift-matrix kernel, quantile_disc face)
         "rolling_median_user_value": analytic.rolling_median_user_value_ds,
@@ -2626,6 +2629,30 @@ def oracle_sql() -> dict[str, str]:
                          ('0x' || substr(md5(source), 1, 8))::BIGINT
                          % 1000 AS b
                   FROM documents)
+        """,
+        # RFM: ntile(5) ascending with the (measure, custkey) total
+        # order; SQL ntile rule == sql_ntile_buckets
+        "customer_rfm": """
+            WITH c AS (
+              SELECT o_custkey,
+                     max(CAST(floor(epoch(o_orderdate)) AS BIGINT)
+                         // 86400) AS recency_day,
+                     count(*)::BIGINT AS frequency,
+                     sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                         ::BIGINT AS monetary_cents
+              FROM orders GROUP BY 1),
+            s AS (
+              SELECT o_custkey, recency_day, frequency, monetary_cents,
+                     ntile(5) OVER (ORDER BY recency_day, o_custkey)
+                         ::BIGINT AS r_score,
+                     ntile(5) OVER (ORDER BY frequency, o_custkey)
+                         ::BIGINT AS f_score,
+                     ntile(5) OVER (ORDER BY monetary_cents, o_custkey)
+                         ::BIGINT AS m_score
+              FROM c)
+            SELECT *, (100 * r_score + 10 * f_score + m_score)::BIGINT
+                       AS rfm
+            FROM s
         """,
         # windowed ECDF: percent_rank as (row_number-1)*1000 // (n-1)
         # over the (cents, key) total order per priority

@@ -248,6 +248,22 @@ def users_weekday_and_weekend_ds(sf_dir: str):
         events.map_batches(flags, batch_format="pandas"), ["user_id"], both)
 
 
+def sql_ntile_buckets(rank0: np.ndarray, n: np.ndarray,
+                      k: int) -> np.ndarray:
+    """SQL's exact NTILE rule, vectorized: the first (n % k) buckets take
+    floor(n/k)+1 rows. ``rank0`` is the 0-based rank within the window,
+    ``n`` its window size — the ONE kernel the per-group and the RFM
+    global ntiles share."""
+    base, extra = n // k, n % k
+    cut = extra * (base + 1)  # rows covered by the bigger buckets
+    in_big = rank0 < cut
+    return (np.where(
+        in_big,
+        rank0 // np.maximum(base + 1, 1),
+        extra + (rank0 - cut) // np.maximum(base, 1),
+    ) + 1).astype(np.int64)
+
+
 def order_price_ntile_ds(sf_dir: str, k: int = 4):
     """`ntile(k) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice,
     o_orderkey)` — equal-height bucketing per group, SQL's exact ntile rule
@@ -263,15 +279,7 @@ def order_price_ntile_ds(sf_dir: str, k: int = 4):
             .to_numpy()  # 0-based
         n = g.groupby("o_orderpriority", sort=False)["o_orderkey"] \
             .transform("size").to_numpy()
-        # SQL ntile: first (n % k) buckets have floor(n/k)+1 rows
-        base, extra = n // k, n % k
-        cut = extra * (base + 1)  # rows covered by the bigger buckets
-        in_big = rank0 < cut
-        bucket = np.where(
-            in_big,
-            rank0 // np.maximum(base + 1, 1),
-            extra + (rank0 - cut) // np.maximum(base, 1),
-        ) + 1
+        bucket = sql_ntile_buckets(rank0, n, k)
         return pd.DataFrame({
             "o_orderkey": g["o_orderkey"].astype("int64"),
             "o_orderpriority": g["o_orderpriority"],
@@ -625,3 +633,67 @@ def rolling_median_user_value_ds(sf_dir: str, window: int = 5,
     prepped = ev.map_batches(prep, batch_format="pandas")
     return partitioned_group_apply(prepped, ["user_id"], finish,
                                    num_partitions)
+
+
+def customer_rfm_ds(sf_dir: str, num_partitions: int = 32):
+    """Classic RFM segmentation: per customer, Recency (last order
+    epoch-day), Frequency (order count) and Monetary (total cents), each
+    scored 1–5 by GLOBAL ntile over the customer population (SQL's exact
+    ntile rule via the shared ``sql_ntile_buckets`` kernel; ascending, so
+    5 = most recent / most frequent / highest spend), composed into the
+    marketing-standard ``rfm = 100r + 10f + m`` code.
+
+    Scale plan: the per-customer aggregates are distributed (per-batch
+    partials on the ORDERS fact, one coarse custkey shuffle — max/count/
+    sum are associative); the three global ntiles then run on the
+    customer DIM table in one partition (a global rank needs the whole
+    population ordered — the same single-window contract as
+    ``order_price_ntile``; customer is dim-scale by construction).
+    Returns (o_custkey, recency_day, frequency, monetary_cents, r_score,
+    f_score, m_score, rfm)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        day = (b["o_orderdate"].astype("int64") // 1_000_000 // 86_400)
+        t = pd.DataFrame({"o_custkey": b["o_custkey"].astype("int64"),
+                          "recency_day": day.astype("int64"),
+                          "frequency": np.ones(len(b), dtype=np.int64),
+                          "monetary_cents": _price_cents(b["o_totalprice"])})
+        out = t.groupby("o_custkey", as_index=False).agg(
+            recency_day=("recency_day", "max"),
+            frequency=("frequency", "sum"),
+            monetary_cents=("monetary_cents", "sum"))
+        return out
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("o_custkey", as_index=False).agg(
+            recency_day=("recency_day", "max"),
+            frequency=("frequency", "sum"),
+            monetary_cents=("monetary_cents", "sum"))
+        out["__g"] = np.zeros(len(out), dtype=np.int64)
+        return out
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop(columns="__g").reset_index(drop=True)
+        n = np.full(len(d), len(d), dtype=np.int64)
+        k = d["o_custkey"].to_numpy()
+        scores = {}
+        for name, col in (("r_score", "recency_day"),
+                          ("f_score", "frequency"),
+                          ("m_score", "monetary_cents")):
+            rank0 = np.empty(len(d), dtype=np.int64)
+            rank0[np.lexsort((k, d[col].to_numpy()))] = np.arange(len(d))
+            scores[name] = sql_ntile_buckets(rank0, n, 5)
+        d["r_score"] = scores["r_score"]
+        d["f_score"] = scores["f_score"]
+        d["m_score"] = scores["m_score"]
+        d["rfm"] = (100 * d["r_score"] + 10 * d["f_score"]
+                    + d["m_score"]).astype("int64")
+        return d
+
+    from .io import read_table
+    orders = read_table(sf_dir, "orders",
+                        ["o_custkey", "o_orderdate", "o_totalprice"])
+    partials = orders.map_batches(partial, batch_format="pandas")
+    per_cust = partitioned_group_apply(partials, ["o_custkey"], per_key,
+                                       num_partitions)
+    return partitioned_group_apply(per_cust, ["__g"], score, 1)

@@ -138,7 +138,7 @@ SQL_CHECKED = [
     "sliding_distinct_users", "rolling_median_user_value",
     "event_trigrams", "grouped_split_assignment", "golden_records",
     "source_quota_allocation", "shard_skew_report", "join_size_estimate",
-    "event_rate_anomalies", "langid_margin",
+    "event_rate_anomalies", "langid_margin", "customer_rfm",
 ]
 
 
