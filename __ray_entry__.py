@@ -638,6 +638,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_rules_report": stats.quality_rules_ds,
         # -- behavior analytics (SQL-checked)
         "cohort_retention": behavior.cohort_retention_ds,
+        # cohort LTV matrix: retention's revenue twin (n_customers +
+        # total cents per (cohort_week, week) cell)
+        "cohort_value": behavior.cohort_value_ds,
+        # per-customer repurchase cadence: disc-median + max day gap
+        # between consecutive orders ((date, key) total order)
+        "order_gap_medians": behavior.order_gap_medians_ds,
         "funnel_counts": behavior.funnel_counts_ds,
         # first-order Markov transition counts between consecutive event
         # types per user (ties on ts broken by event_id — total order)
@@ -2629,6 +2635,45 @@ def oracle_sql() -> dict[str, str]:
                          ('0x' || substr(md5(source), 1, 8))::BIGINT
                          % 1000 AS b
                   FROM documents)
+        """,
+        # cohort LTV: min-week cohort join, per (customer, week) sums,
+        # then count+sum per cell
+        "cohort_value": """
+            WITH o AS (
+              SELECT o_custkey,
+                     (CAST(floor(epoch(o_orderdate)) AS BIGINT)
+                      // 86400 // 7) AS week,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                         AS cents
+              FROM orders),
+            c AS (SELECT o_custkey, min(week) AS cohort_week
+                  FROM o GROUP BY 1),
+            p AS (
+              SELECT o.o_custkey, c.cohort_week, o.week,
+                     sum(o.cents) AS cents
+              FROM o JOIN c USING (o_custkey) GROUP BY 1, 2, 3)
+            SELECT cohort_week, week, count(*)::BIGINT AS n_customers,
+                   sum(cents)::BIGINT AS total_cents
+            FROM p GROUP BY 1, 2
+        """,
+        # repurchase cadence: lag day-gaps per customer, disc median +
+        # max per customer (single-order customers emit nothing)
+        "order_gap_medians": """
+            WITH o AS (
+              SELECT o_custkey, o_orderkey,
+                     (CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400)
+                         AS day
+              FROM orders),
+            g AS (
+              SELECT o_custkey,
+                     day - lag(day) OVER (PARTITION BY o_custkey
+                                          ORDER BY day, o_orderkey) AS gap
+              FROM o),
+            v AS (SELECT o_custkey, gap FROM g WHERE gap IS NOT NULL)
+            SELECT o_custkey, (count(*) + 1)::BIGINT AS n_orders,
+                   quantile_disc(gap, 0.5)::BIGINT AS med_gap_days,
+                   max(gap)::BIGINT AS max_gap_days
+            FROM v GROUP BY 1
         """,
         # RFM: ntile(5) ascending with the (measure, custkey) total
         # order; SQL ntile rule == sql_ntile_buckets

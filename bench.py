@@ -180,7 +180,8 @@ def bench_queries(sf_dir: str) -> dict:
              "event_trigrams", "grouped_split_assignment",
              "golden_records", "source_quota_allocation",
              "shard_skew_report", "join_size_estimate",
-             "event_rate_anomalies", "langid_margin", "customer_rfm"]
+             "event_rate_anomalies", "langid_margin", "customer_rfm",
+             "cohort_value", "order_gap_medians"]
     out = {}
     for name in names:
         t0 = time.time()

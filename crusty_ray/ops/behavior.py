@@ -318,3 +318,100 @@ def event_trigrams_ds(sf_dir: str, num_partitions: int = 32):
     out = parts.groupby(["t1", "t2", "t3"], as_index=False)["n"].sum()
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["t1", "t2", "t3"]).reset_index(drop=True)
+
+
+def cohort_value_ds(sf_dir: str, num_partitions: int = 32):
+    """Cohort LTV matrix — retention's revenue twin: customers bucketed by
+    the epoch-week of their FIRST order; for every (cohort_week, active
+    week) cell, how many of the cohort's customers ordered and their total
+    cents. The long-form lifetime-value triangle behind payback analyses.
+
+    Plan mirrors `cohort_retention_ds`: per-batch partial sums to
+    (custkey, week, cents) rows, ONE custkey partition computes each
+    customer's cohort (min week is complete per customer by co-partition)
+    and re-sums per (customer, week), then one card-sized (cohort, week)
+    partition counts customers and sums cents. Returns (cohort_week,
+    week, n_customers, total_cents)."""
+    from .agg import partitioned_group_apply
+
+    orders = read_table(sf_dir, "orders",
+                        ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        week = (df["o_orderdate"].astype("int64") // _US_PER_DAY // 7)
+        cents = np.floor(df["o_totalprice"].to_numpy(np.float64)
+                         * 100.0 + 0.5).astype(np.int64)
+        t = pd.DataFrame({"o_custkey": df["o_custkey"].astype("int64"),
+                          "week": week.astype("int64"), "cents": cents})
+        return t.groupby(["o_custkey", "week"], as_index=False)["cents"] \
+            .sum().astype({"cents": "int64"})
+
+    def per_cust(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.groupby(["o_custkey", "week"], as_index=False)["cents"].sum()
+        cohort = d.groupby("o_custkey")["week"].transform("min")
+        return pd.DataFrame({"cohort_week": cohort.astype("int64"),
+                             "week": d["week"].astype("int64"),
+                             "cents": d["cents"].astype("int64")})
+
+    def per_cell(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["cohort_week", "week"], as_index=False).agg(
+            n_customers=("cents", "size"), total_cents=("cents", "sum"))
+        return out.astype({"n_customers": "int64", "total_cents": "int64"})
+
+    pairs = partitioned_group_apply(
+        orders.map_batches(partial, batch_format="pandas"),
+        ["o_custkey"], per_cust, num_partitions)
+    return partitioned_group_apply(pairs, ["cohort_week", "week"],
+                                   per_cell, num_partitions)
+
+
+def order_gap_medians_ds(sf_dir: str, num_partitions: int = 32):
+    """Per-customer inter-order cadence: the discrete median and max of
+    the day gaps between consecutive orders (ordered by the
+    (orderdate, orderkey) total order, so tied dates gap
+    deterministically) — the repurchase-cycle feature behind churn
+    models. Customers with a single order emit nothing (no gap exists).
+
+    Plan: the window-op contract — ONE custkey partition, vectorized
+    groupby-shift for the gaps, then a per-customer sort + middle gather
+    for the discrete median (same lower-middle convention as
+    ``quantile_disc(0.5)``). Returns (o_custkey, n_orders, med_gap_days,
+    max_gap_days)."""
+    from .agg import partitioned_group_apply
+
+    orders = read_table(sf_dir, "orders",
+                        ["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_custkey": df["o_custkey"].astype("int64"),
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "day": (df["o_orderdate"].astype("int64")
+                    // _US_PER_DAY).astype("int64")})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["o_custkey", "day", "o_orderkey"],
+                           kind="mergesort")
+        g = d.groupby("o_custkey", sort=False)
+        gap = (d["day"] - g["day"].shift(1)).dropna()
+        gaps = pd.DataFrame({
+            "o_custkey": d.loc[gap.index, "o_custkey"].to_numpy(),
+            "gap": gap.to_numpy(dtype=np.int64)})
+        gaps = gaps.sort_values(["o_custkey", "gap"], kind="mergesort")
+        gg = gaps.groupby("o_custkey", sort=False)
+        cnt = gg["gap"].transform("size").to_numpy()
+        pos = gg.cumcount().to_numpy()
+        take = pos == (cnt - 1) // 2  # lower-middle of the sorted gaps
+        med = gaps[take]
+        mx = gg["gap"].max()
+        out = pd.DataFrame({
+            "o_custkey": med["o_custkey"].to_numpy(),
+            "n_orders": (cnt[take] + 1).astype(np.int64),
+            "med_gap_days": med["gap"].to_numpy(),
+            "max_gap_days": mx.loc[med["o_custkey"]].to_numpy(
+                dtype=np.int64)})
+        return out
+
+    prepped = orders.map_batches(prep, batch_format="pandas")
+    return partitioned_group_apply(prepped, ["o_custkey"], finish,
+                                   num_partitions)

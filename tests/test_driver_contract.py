@@ -139,6 +139,7 @@ SQL_CHECKED = [
     "event_trigrams", "grouped_split_assignment", "golden_records",
     "source_quota_allocation", "shard_skew_report", "join_size_estimate",
     "event_rate_anomalies", "langid_margin", "customer_rfm",
+    "cohort_value", "order_gap_medians",
 ]
 
 
