@@ -390,8 +390,10 @@ def order_gap_medians_ds(sf_dir: str, num_partitions: int = 32):
                     // _US_PER_DAY).astype("int64")})
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
+        # reset: .loc[gap.index] below needs unique labels (a concatenated
+        # partition frame may carry duplicates)
         d = df.sort_values(["o_custkey", "day", "o_orderkey"],
-                           kind="mergesort")
+                           kind="mergesort").reset_index(drop=True)
         g = d.groupby("o_custkey", sort=False)
         gap = (d["day"] - g["day"].shift(1)).dropna()
         gaps = pd.DataFrame({
