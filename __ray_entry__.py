@@ -718,6 +718,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bloom data-skipping index + point-lookup prune report (per
         # hour-shard md5 bit sets; hit=0 rows are the read amplification)
         "bloom_prune_report": pack.bloom_prune_report_ds,
+        # zone-map (min/max) range-skipping report: day-shard zones vs a
+        # first-hour query band; overlaps=0 rows are the skipped reads
+        "zonemap_prune_report": pack.zonemap_prune_report_ds,
+        # power-of-two doc-length histogram per source (exact float-log2
+        # bucketing; boundaries are exactly-representable powers of two)
+        "doclen_log_histogram": text.doclen_log_histogram_ds,
         # Fellegi-Sunter record-linkage scoring over SNM-blocked pairs
         # (integer agreement weights, two co-partitioned joins)
         "record_linkage_scores": linkage.record_linkage_scores_ds,
@@ -2635,6 +2641,31 @@ def oracle_sql() -> dict[str, str]:
                          ('0x' || substr(md5(source), 1, 8))::BIGINT
                          % 1000 AS b
                   FROM documents)
+        """,
+        # zone-map pruning: per-day (min,max) minute zones crossed with
+        # the first-hour query band
+        "zonemap_prune_report": """
+            WITH m AS (
+              SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 60) AS minute
+              FROM events),
+            z AS (
+              SELECT minute // 1440 AS shard,
+                     min(minute) AS min_minute, max(minute) AS max_minute
+              FROM m GROUP BY 1),
+            q AS (SELECT shard AS query_id, shard * 1440 AS lo,
+                         shard * 1440 + 59 AS hi FROM z)
+            SELECT q.query_id, z.shard,
+                   CASE WHEN z.min_minute <= q.hi AND z.max_minute >= q.lo
+                        THEN 1 ELSE 0 END::BIGINT AS overlaps
+            FROM q CROSS JOIN z
+        """,
+        # log2 length histogram per source
+        "doclen_log_histogram": """
+            SELECT source,
+                   CAST(floor(log2(greatest(n_chars, 1))) AS BIGINT)
+                       AS bucket,
+                   count(*)::BIGINT AS n_docs
+            FROM documents GROUP BY 1, 2
         """,
         # cohort LTV: min-week cohort join, per (customer, week) sums,
         # then count+sum per cell

@@ -181,7 +181,8 @@ def bench_queries(sf_dir: str) -> dict:
              "golden_records", "source_quota_allocation",
              "shard_skew_report", "join_size_estimate",
              "event_rate_anomalies", "langid_margin", "customer_rfm",
-             "cohort_value", "order_gap_medians"]
+             "cohort_value", "order_gap_medians", "zonemap_prune_report",
+             "doclen_log_histogram"]
     out = {}
     for name in names:
         t0 = time.time()

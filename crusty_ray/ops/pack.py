@@ -758,3 +758,64 @@ def bloom_prune_report_ds(sf_dir: str, nbits: int = 256,
 
     return partitioned_group_apply(both, ["user_id", "shard"], report,
                                    num_partitions)
+
+
+def zonemap_prune_report_ds(sf_dir: str, shard_hours: int = 24,
+                            num_partitions: int = 32):
+    """Zone-map (min/max) data-skipping report — bloom pruning's RANGE
+    twin: each day-shard of the event log publishes its (min, max) event
+    minute; a fixed band of range queries (one per shard: that shard's
+    FIRST hour, the hottest pattern a time-series reader issues) is
+    checked against every shard's zone — a shard must be scanned iff its
+    [min, max] intersects the query window. Exact by construction (min/max
+    on integers); the report shows which scans a zone map saves: rows are
+    (query_id, shard, overlaps) for the full query × shard matrix, and
+    ``overlaps = 0`` rows are the reads skipped.
+
+    Plan: the zones are a per-batch (shard, min, max) partial reduce —
+    one card-sized shuffle; the query band derives from the tiny zone
+    table itself; the cross-check is O(shards²) on the driver (shards are
+    card-sized at any corpus scale: one row per day)."""
+    from .io import read_table
+    from .agg import partitioned_group_apply
+    from .analog import minute_of
+
+    ev = read_table(sf_dir, "events", ["ts"])
+    span = 60 * shard_hours
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = minute_of(b["ts"])
+        t = pd.DataFrame({"shard": m // span, "minute": m})
+        out = t.groupby("shard", as_index=False).agg(
+            min_minute=("minute", "min"), max_minute=("minute", "max"))
+        return out.astype({"shard": "int64", "min_minute": "int64",
+                           "max_minute": "int64"})
+
+    def reduce_shard(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("shard", as_index=False).agg(
+            min_minute=("min_minute", "min"),
+            max_minute=("max_minute", "max"))
+        return out.astype({"shard": "int64", "min_minute": "int64",
+                           "max_minute": "int64"})
+
+    zones = partitioned_group_apply(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["shard"], reduce_shard, num_partitions).to_pandas()
+    if "shard" not in zones.columns:
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "shard": pd.Series([], dtype="int64"),
+                             "overlaps": pd.Series([], dtype="int64")})
+    zones = zones.sort_values("shard").reset_index(drop=True)
+    # query band: each shard's first hour [shard*span, shard*span + 59]
+    q_lo = zones["shard"].to_numpy() * span
+    q_hi = q_lo + 59
+    rows = []
+    for qi in range(len(zones)):
+        overlaps = ((zones["min_minute"].to_numpy() <= q_hi[qi])
+                    & (zones["max_minute"].to_numpy() >= q_lo[qi]))
+        rows.append(pd.DataFrame({
+            "query_id": np.full(len(zones), int(zones["shard"].iloc[qi]),
+                                dtype=np.int64),
+            "shard": zones["shard"].to_numpy(),
+            "overlaps": overlaps.astype(np.int64)}))
+    return pd.concat(rows, ignore_index=True)

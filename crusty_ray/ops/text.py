@@ -1842,3 +1842,27 @@ def langid_eval_ds(sf_dir: str):
         .astype({"tp": "int64", "fp": "int64", "fn": "int64",
                  "precision_pm": "int64", "recall_pm": "int64",
                  "f1_pm": "int64"})
+
+
+def doclen_log_histogram_ds(sf_dir: str, num_partitions: int = 32):
+    """Power-of-two document-length histogram per source — the log-scale
+    size profile (corpus telemetry dashboards, chunk-size planning):
+    bucket = floor(log2(n_chars)). Exact despite the float log2: the only
+    floor boundaries are powers of two, which IEEE doubles represent (and
+    log2 maps) exactly — numpy and DuckDB agree bit-for-bit.
+
+    Map-only bucketing + one card-sized grouped count. Returns
+    (source, bucket, n_docs)."""
+    from .agg import grouped_count
+    from .io import read_table
+
+    docs = read_table(sf_dir, "documents", ["source", "n_chars"])
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        n = np.maximum(b["n_chars"].to_numpy(dtype=np.int64), 1)
+        return pd.DataFrame({
+            "source": b["source"],
+            "bucket": np.floor(np.log2(n)).astype(np.int64)})
+
+    return grouped_count(docs.map_batches(keyed, batch_format="pandas"),
+                         ["source", "bucket"], "n_docs", num_partitions)

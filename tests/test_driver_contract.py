@@ -139,7 +139,8 @@ SQL_CHECKED = [
     "event_trigrams", "grouped_split_assignment", "golden_records",
     "source_quota_allocation", "shard_skew_report", "join_size_estimate",
     "event_rate_anomalies", "langid_margin", "customer_rfm",
-    "cohort_value", "order_gap_medians",
+    "cohort_value", "order_gap_medians", "zonemap_prune_report",
+    "doclen_log_histogram",
 ]
 
 
