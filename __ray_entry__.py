@@ -710,7 +710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # co-assign to train/val/test
         "grouped_split_assignment": sample.grouped_split_assignment_ds,
         # per-returnflag Spearman rank correlation qty vs price
-        # (row_number ranks, truncating per-mille rho)
+        # (tie-safe doubled AVERAGE ranks, truncating per-mille rho)
         "spearman_qty_price": stats.spearman_qty_price_ds,
         # exact DISTINCT users per trailing 3-hour sliding window
         # (pair dedup -> bounded window replicate -> one distinct shuffle)

@@ -153,3 +153,31 @@ def merge_latest(ds, key_cols: list[str], version_col: str,
 
     pruned = ds.map_batches(local, batch_format="pandas")
     return partitioned_group_apply(pruned, key_cols, finish, num_partitions)
+
+
+def trailing_shift_matrix(sorted_df: "pd.DataFrame", key_cols: list[str],
+                          val_col: str, window: int, start: int = 0):
+    """The rolling-order-statistic kernel shared by the rolling median and
+    the rate-anomaly baseline: an (n, window) int64-max-padded matrix whose
+    column j holds each row's value shifted by ``start + j`` WITHIN its
+    group (shifts never cross a group boundary), plus the per-row count of
+    valid window entries. ``start=0`` includes the current row (trailing
+    window); ``start=1`` is the strictly-previous window. Caller sorts;
+    a row-wise ``mat.sort(axis=1)`` then ``mat[i, (cnt-1)//2]`` is the
+    discrete median under the same lower-middle convention as DuckDB's
+    ``quantile_disc(0.5)``."""
+    import numpy as np
+
+    g = sorted_df.groupby(key_cols, sort=False)
+    n = len(sorted_df)
+    mat = np.full((n, window), np.iinfo(np.int64).max, dtype=np.int64)
+    for j in range(window):
+        k = start + j
+        if k == 0:
+            mat[:, 0] = sorted_df[val_col].to_numpy()
+            continue
+        s = g[val_col].shift(k)
+        v = s.notna().to_numpy()
+        mat[v, j] = s.to_numpy()[v]
+    cnt = np.minimum(g.cumcount().to_numpy() + 1 - start, window)
+    return mat, cnt

@@ -406,16 +406,11 @@ def event_rate_anomalies_ds(sf_dir: str, lookback: int = 5,
                            num_partitions)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
+        from .agg import trailing_shift_matrix
         d = df.sort_values(["event_type", "minute"], kind="mergesort")
-        g = d.groupby("event_type", sort=False)
         n = len(d)
-        mat = np.full((n, lookback), np.iinfo(np.int64).max,
-                      dtype=np.int64)
-        for i in range(1, lookback + 1):
-            s = g["n_events"].shift(i)
-            v = s.notna().to_numpy()
-            mat[v, i - 1] = s.to_numpy()[v]
-        hist = np.minimum(g.cumcount().to_numpy(), lookback)
+        mat, hist = trailing_shift_matrix(d, ["event_type"], "n_events",
+                                          lookback, start=1)
         mat.sort(axis=1)
         med = mat[np.arange(n), np.maximum(hist - 1, 0) // 2]
         fire = (hist >= lookback) & \

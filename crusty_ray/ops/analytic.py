@@ -606,20 +606,13 @@ def rolling_median_user_value_ds(sf_dir: str, window: int = 5,
             "event_id": batch["event_id"].astype("int64"),
             "user_id": batch["user_id"].astype("int64"),
             "ts": batch["ts"],
-            "cents": np.floor(batch["value"].to_numpy(np.float64)
-                              * 100.0 + 0.5).astype(np.int64)})
+            "cents": _price_cents(batch["value"])})
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
+        from .agg import trailing_shift_matrix
         d = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-        g = d.groupby("user_id", sort=False)
         n = len(d)
-        mat = np.full((n, window), np.iinfo(np.int64).max, dtype=np.int64)
-        mat[:, 0] = d["cents"].to_numpy()
-        for i in range(1, window):
-            s = g["cents"].shift(i)
-            v = s.notna().to_numpy()
-            mat[v, i] = s.to_numpy()[v]
-        cnt = np.minimum(g.cumcount().to_numpy() + 1, window)
+        mat, cnt = trailing_shift_matrix(d, ["user_id"], "cents", window)
         mat.sort(axis=1)
         med = mat[np.arange(n), (cnt - 1) // 2]
         return pd.DataFrame({"event_id": d["event_id"].to_numpy(),

@@ -188,30 +188,16 @@ def weighted_priority_sample(ds, id_col: str, weight_col: str, n: int,
     ``grouped_top_n`` under a constant group — a local per-batch prune
     keeps ≤ n rows per block, so the shuffle moves O(blocks·n) rows, never
     the corpus. Returns (rnk, id, weight, priority)."""
-    import hashlib
-
-    from .agg import grouped_top_n
-
-    def prio(batch: pd.DataFrame) -> pd.DataFrame:
-        ids = batch[id_col].astype("int64")
-        w = np.maximum(batch[weight_col].to_numpy(dtype=np.int64), 1)
-        u = np.fromiter(
-            (int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:12], 16)
-             for i in ids),
-            dtype=np.int64, count=len(ids))
-        return pd.DataFrame({id_col: ids, weight_col: batch[weight_col]
-                             .astype("int64"), "priority": u // w,
-                             "__g": np.zeros(len(ids), dtype=np.int64)})
-
-    keyed = ds.map_batches(prio, batch_format="pandas")
-    top = grouped_top_n(keyed, ["__g"], "priority", n, ascending=True,
-                        tie_cols=[id_col], rank_col="rnk",
-                        num_partitions=num_partitions)
-
-    def tidy(df: pd.DataFrame) -> pd.DataFrame:
-        return df[["rnk", id_col, weight_col, "priority"]]
-
-    return top.map_batches(tidy, batch_format="pandas")
+    # ONE priority kernel: the global sample is the per-group sampler
+    # under a constant group (dropped on the way out)
+    tagged = ds.map_batches(
+        lambda b: b.assign(__g=np.zeros(len(b), dtype=np.int64)),
+        batch_format="pandas")
+    top = grouped_weighted_sample(tagged, id_col, "__g", weight_col, n,
+                                  salt=salt, num_partitions=num_partitions)
+    return top.map_batches(
+        lambda df: df[["rnk", id_col, weight_col, "priority"]],
+        batch_format="pandas")
 
 
 def weighted_doc_sample_ds(sf_dir: str, n: int = 100):
@@ -279,25 +265,20 @@ def grouped_split_assignment_ds(sf_dir: str):
     the SOURCE, not the doc — the group-aware split that prevents
     near-duplicate leakage across splits when a source's documents
     correlate (the failure mode `split_leakage` measures; this op is the
-    preventive assignment). Same bounds and same `_md5_bucket_pm` kernel
-    as `assign_splits` — map-only, stable under repartitioning and corpus
-    growth. Returns (doc_id, source, split)."""
+    preventive assignment). Delegates to `assign_splits` keyed on the
+    source column — ONE split kernel, map-only, stable under
+    repartitioning and corpus growth. Returns (doc_id, source, split)."""
     from .io import read_table
 
-    bounds = [("train", 900), ("val", 950), ("test", 1000)]
-    cuts = [b for _, b in bounds]
-    names = [n for n, _ in bounds]
-
-    def assign(batch: pd.DataFrame) -> pd.DataFrame:
-        b = _md5_bucket_pm(batch["source"])
-        idx = np.searchsorted(cuts, b, side="right")
-        return pd.DataFrame({
-            "doc_id": batch["doc_id"].astype("int64"),
-            "source": batch["source"],
-            "split": pd.Series([names[i] for i in idx], dtype="object")})
-
     docs = read_table(sf_dir, "documents", ["doc_id", "source"])
-    return docs.map_batches(assign, batch_format="pandas")
+    out = assign_splits(docs, "source",
+                        {"train": 900, "val": 950, "test": 1000},
+                        append=True)
+    return out.map_batches(
+        lambda b: pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
+                                "source": b["source"],
+                                "split": b["split"]}),
+        batch_format="pandas")
 
 
 def source_quota_allocation_ds(sf_dir: str, k: int = 100_000):

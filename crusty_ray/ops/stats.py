@@ -472,8 +472,12 @@ def quality_rules_ds(sf_dir: str, num_partitions: int = 32):
             "__g": np.zeros(batch["o_orderkey"].nunique(), dtype=np.int64),
             "k": batch["o_orderkey"].astype("int64").unique()})
 
+    # the NDV leg re-scans, but pruned to the ONE key column (the tally
+    # pass streams the 5-column read once; two pruned streaming scans beat
+    # materializing a fact-sized intermediate)
+    keys_only = read_table(sf_dir, "orders", ["o_orderkey"])
     ndv = grouped_count_distinct(
-        ds.map_batches(key_rows, batch_format="pandas"),
+        keys_only.map_batches(key_rows, batch_format="pandas"),
         ["__g"], "k", "ndv", num_partitions).to_pandas()
     n_total = int(agg["n_checked"].max()) if len(agg) else 0
     n_distinct = int(ndv["ndv"].iloc[0]) if len(ndv) else 0
