@@ -644,6 +644,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-customer repurchase cadence: disc-median + max day gap
         # between consecutive orders ((date, key) total order)
         "order_gap_medians": behavior.order_gap_medians_ds,
+        # churn flags: last activity vs the corpus's newest event minute,
+        # 72-hour idle threshold (associative grouped max)
+        "user_inactivity_report": behavior.user_inactivity_report_ds,
+        # exact Gini of per-user activity inequality (rank-weighted sum
+        # over the globally ordered count table, truncating per-mille)
+        "events_gini": stats.events_gini_ds,
         "funnel_counts": behavior.funnel_counts_ds,
         # first-order Markov transition counts between consecutive event
         # types per user (ties on ts broken by event_id — total order)
@@ -2666,6 +2672,39 @@ def oracle_sql() -> dict[str, str]:
                        AS bucket,
                    count(*)::BIGINT AS n_docs
             FROM documents GROUP BY 1, 2
+        """,
+        # churn: per-user max minute vs global max, integer hour gaps
+        "user_inactivity_report": """
+            WITH u AS (
+              SELECT user_id,
+                     max(CAST(floor(epoch(ts)) AS BIGINT) // 60)
+                         AS last_minute
+              FROM events GROUP BY 1),
+            m AS (SELECT max(last_minute) AS mm FROM u)
+            SELECT user_id, last_minute,
+                   ((mm - last_minute) // 60)::BIGINT AS idle_hours,
+                   CASE WHEN (mm - last_minute) // 60 >= 72
+                        THEN 1 ELSE 0 END::BIGINT AS churned
+            FROM u, m
+        """,
+        # Gini: G = (2*sum(i*x) - (n+1)*sum(x)) / (n*sum(x)) over the
+        # ascending (count, user) rank, HUGEINT intermediates
+        "events_gini": """
+            WITH c AS (
+              SELECT user_id, count(*)::BIGINT AS x
+              FROM events GROUP BY 1),
+            r AS (
+              SELECT x, row_number() OVER (ORDER BY x, user_id)::HUGEINT
+                         AS i
+              FROM c),
+            s AS (
+              SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+                     sum(i * x::HUGEINT) AS six
+              FROM r)
+            SELECT n::BIGINT AS n_users, sx::BIGINT AS total_events,
+                   ((2 * six - (n + 1) * sx) * 1000 // (n * sx))
+                       ::BIGINT AS gini_pm
+            FROM s
         """,
         # cohort LTV: min-week cohort join, per (customer, week) sums,
         # then count+sum per cell

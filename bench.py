@@ -182,7 +182,8 @@ def bench_queries(sf_dir: str) -> dict:
              "shard_skew_report", "join_size_estimate",
              "event_rate_anomalies", "langid_margin", "customer_rfm",
              "cohort_value", "order_gap_medians", "zonemap_prune_report",
-             "doclen_log_histogram"]
+             "doclen_log_histogram", "user_inactivity_report",
+             "events_gini"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -417,3 +417,45 @@ def order_gap_medians_ds(sf_dir: str, num_partitions: int = 32):
     prepped = orders.map_batches(prep, batch_format="pandas")
     return partitioned_group_apply(prepped, ["o_custkey"], finish,
                                    num_partitions)
+
+
+def user_inactivity_report_ds(sf_dir: str, idle_hours: int = 72,
+                              num_partitions: int = 32):
+    """Churn flags: each user's last activity vs the corpus's newest
+    event — idle_hours of silence marks the user churned (the retention
+    dashboard's complement: who LEFT). All-integer hour math.
+
+    Plan: per-user last minute is an associative grouped MAX (per-batch
+    partials, one coarse shuffle); the global max minute derives from the
+    card-sized per-user result, no second fact scan. Returns (user_id,
+    last_minute, idle_hours, churned)."""
+    from .agg import partitioned_group_apply
+
+    ev = read_table(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        from .analog import minute_of
+        t = pd.DataFrame({
+            "user_id": b["user_id"].astype("int64"),
+            "last_minute": minute_of(b["ts"])})
+        return t.groupby("user_id", as_index=False)["last_minute"].max() \
+            .astype({"last_minute": "int64"})
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False)["last_minute"].max() \
+            .astype({"last_minute": "int64"})
+
+    per_user = partitioned_group_apply(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["user_id"], per_key, num_partitions).to_pandas()
+    if "user_id" not in per_user.columns:
+        return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                             "last_minute": pd.Series([], dtype="int64"),
+                             "idle_hours": pd.Series([], dtype="int64"),
+                             "churned": pd.Series([], dtype="int64")})
+    mx = int(per_user["last_minute"].max())
+    per_user["idle_hours"] = ((mx - per_user["last_minute"]) // 60) \
+        .astype("int64")
+    per_user["churned"] = (per_user["idle_hours"] >= idle_hours) \
+        .astype("int64")
+    return per_user.sort_values("user_id").reset_index(drop=True)

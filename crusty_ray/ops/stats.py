@@ -619,3 +619,55 @@ def orders_lineitem_join_size_ds(sf_dir: str, num_partitions: int = 32):
     right = read_table(sf_dir, "lineitem", ["l_orderkey"])
     return join_size_estimate(left, "o_orderkey", right, "l_orderkey",
                               num_partitions)
+
+
+def exact_dot_int64(a: np.ndarray, b: np.ndarray,
+                    bound: int) -> int:
+    """Exact Σ aᵢ·bᵢ for int64 arrays whose per-element product is ≤
+    ``bound`` (caller-proved): one int64 dot while n·bound fits 2⁶³,
+    else per-chunk dots summed in Python ints — the overflow-safe
+    accumulation the Spearman face introduced, factored for reuse."""
+    n = len(a)
+    if n == 0:
+        return 0
+    if n * bound < 2**63:
+        return int(np.dot(a, b))
+    c = max(1, int(2**63 // max(bound, 1)))
+    return sum(int(np.dot(a[i:i + c], b[i:i + c]))
+               for i in range(0, n, c))
+
+
+def events_gini_ds(sf_dir: str, num_partitions: int = 32):
+    """Exact Gini coefficient of per-user event-count inequality — the
+    corpus-health scalar (is activity spread or whale-dominated?) in
+    truncating per-mille: G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) over the
+    ascending (count, user) rank. Rank ties carry equal x, so the rank
+    order is unique where it matters — fully deterministic.
+
+    Plan: per-user counts are the distributed ``grouped_count``; the
+    rank-weighted sum then needs the counts globally ordered — ONE
+    constant-group partition over the user-DIM-scale count table (the
+    same single-window contract as RFM's global ntiles), with the
+    Σ i·x accumulation overflow-safe via ``exact_dot_int64`` and the
+    final ratio in Python ints. Returns one row
+    (n_users, total_events, gini_pm)."""
+    from .agg import grouped_count
+
+    counts = grouped_count(
+        read_table(sf_dir, "events", ["user_id"]), ["user_id"], "x",
+        num_partitions).to_pandas()
+    if "user_id" not in counts.columns or not len(counts):
+        return pd.DataFrame({"n_users": pd.Series([0], dtype="int64"),
+                             "total_events": pd.Series([0], dtype="int64"),
+                             "gini_pm": pd.Series([0], dtype="int64")})
+    d = counts.sort_values(["x", "user_id"]).reset_index(drop=True)
+    x = d["x"].to_numpy(dtype=np.int64)
+    n = len(x)
+    i = np.arange(1, n + 1, dtype=np.int64)
+    six = exact_dot_int64(i, x, bound=int(n) * int(x.max()))
+    sx = int(x.sum())
+    gini_pm = (2 * six - (n + 1) * sx) * 1000 // (n * sx)
+    return pd.DataFrame({"n_users": pd.Series([n], dtype="int64"),
+                         "total_events": pd.Series([sx], dtype="int64"),
+                         "gini_pm": pd.Series([int(gini_pm)],
+                                              dtype="int64")})

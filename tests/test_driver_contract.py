@@ -140,7 +140,7 @@ SQL_CHECKED = [
     "source_quota_allocation", "shard_skew_report", "join_size_estimate",
     "event_rate_anomalies", "langid_margin", "customer_rfm",
     "cohort_value", "order_gap_medians", "zonemap_prune_report",
-    "doclen_log_histogram",
+    "doclen_log_histogram", "user_inactivity_report", "events_gini",
 ]
 
 
