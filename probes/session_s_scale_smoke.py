@@ -138,6 +138,32 @@ def main():
         lambda: event_trigrams_ds(FACTS),
         lambda df: int(df["n"].sum()) == int(exp_tri))
 
+    # later waves: churn, Gini, RFM, join-size — exact identities at 20x
+    from crusty_ray.ops.analytic import customer_rfm_ds
+    from crusty_ray.ops.behavior import user_inactivity_report_ds
+    from crusty_ray.ops.stats import events_gini_ds
+
+    n_users = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM "
+        f"read_parquet('{FACTS}/events.parquet')").fetchone()[0]
+    n_cust = duckdb.sql(
+        f"SELECT count(DISTINCT o_custkey) FROM "
+        f"read_parquet('{OUT}/orders.parquet')").fetchone()[0]
+    run(f"user_inactivity_report ({n_users} users = 20x)",
+        lambda: user_inactivity_report_ds(FACTS),
+        lambda df: len(df) == n_users and (df["idle_hours"] >= 0).all()
+        and (df["idle_hours"] == 0).any())
+    run(f"events_gini ({n_events} events = 20x)",
+        lambda: events_gini_ds(FACTS),
+        lambda df: len(df) == 1 and int(df["n_users"][0]) == n_users
+        and int(df["total_events"][0]) == n_events
+        and 0 <= int(df["gini_pm"][0]) <= 1000)
+    run(f"customer_rfm ({n_orders} orders = 20x, {n_cust} customers)",
+        lambda: customer_rfm_ds(OUT),
+        lambda df: len(df) == n_cust
+        and df["r_score"].between(1, 5).all()
+        and df["rfm"].between(111, 555).all())
+
     print("ALL OK" if all(checks) else "FAILURES", flush=True)
     ray.shutdown()
 
