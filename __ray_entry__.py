@@ -730,6 +730,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # power-of-two doc-length histogram per source (exact float-log2
         # bucketing; boundaries are exactly-representable powers of two)
         "doclen_log_histogram": text.doclen_log_histogram_ds,
+        # cross-source quantile normalization of lengths: inverse global
+        # ECDF at ceil(r*n_g/n_s) — broadcast card-sized cum table
+        "length_quantile_normalize": text.length_quantile_normalize_ds,
         # Fellegi-Sunter record-linkage scoring over SNM-blocked pairs
         # (integer agreement weights, two co-partitioned joins)
         "record_linkage_scores": linkage.record_linkage_scores_ds,
@@ -2672,6 +2675,31 @@ def oracle_sql() -> dict[str, str]:
                        AS bucket,
                    count(*)::BIGINT AS n_docs
             FROM documents GROUP BY 1, 2
+        """,
+        # quantile normalization: smallest global length whose cumulative
+        # count reaches ceil(r*n_g/n_s)
+        "length_quantile_normalize": """
+            WITH g AS (
+              SELECT n_chars AS v, count(*)::BIGINT AS c
+              FROM documents GROUP BY 1),
+            cum AS (
+              SELECT v, sum(c) OVER (ORDER BY v)::BIGINT AS cc FROM g),
+            t AS (SELECT count(*)::BIGINT AS n_g FROM documents),
+            r AS (
+              SELECT doc_id, source, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_chars, doc_id)
+                         ::HUGEINT AS r,
+                     count(*) OVER (PARTITION BY source)::HUGEINT AS n_s
+              FROM documents),
+            tgt AS (
+              SELECT doc_id, source, n_chars,
+                     ((r * n_g + n_s - 1) // n_s)::BIGINT AS target
+              FROM r, t)
+            SELECT tgt.doc_id, tgt.source, tgt.n_chars,
+                   min(cum.v)::BIGINT AS norm_chars
+            FROM tgt JOIN cum ON cum.cc >= tgt.target
+            GROUP BY 1, 2, 3
         """,
         # churn: per-user max minute vs global max, integer hour gaps
         "user_inactivity_report": """

@@ -183,7 +183,7 @@ def bench_queries(sf_dir: str) -> dict:
              "event_rate_anomalies", "langid_margin", "customer_rfm",
              "cohort_value", "order_gap_medians", "zonemap_prune_report",
              "doclen_log_histogram", "user_inactivity_report",
-             "events_gini"]
+             "events_gini", "length_quantile_normalize"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -1866,3 +1866,61 @@ def doclen_log_histogram_ds(sf_dir: str, num_partitions: int = 32):
 
     return grouped_count(docs.map_batches(keyed, batch_format="pandas"),
                          ["source", "bucket"], "n_docs", num_partitions)
+
+
+def length_quantile_normalize_ds(sf_dir: str, num_partitions: int = 32):
+    """Cross-source quantile normalization of document lengths — the
+    batch-effect correction that maps every source's length distribution
+    onto the GLOBAL one: a doc at within-source rank r of n_s is assigned
+    the smallest global length whose ECDF count reaches
+    ceil(r·n_g / n_s). All-integer (ranks and counts), so bit-exact.
+
+    Scale plan: the global ECDF is a card-sized ``grouped_count`` over
+    DISTINCT length values (lengths repeat heavily — the cum table is
+    O(distinct values), broadcast via ``ray.put``, never the corpus);
+    within-source ranks are one coarse source partition; the inverse-ECDF
+    lookup is a vectorized ``searchsorted`` per batch. The rank×total
+    product switches to Python ints past int64 (n_s·n_g can exceed 2⁶³
+    at corpus scale). Returns (doc_id, source, n_chars, norm_chars)."""
+    import ray as _ray
+
+    from .agg import grouped_count, partitioned_group_apply
+    from .io import read_table
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    g = grouped_count(read_table(sf_dir, "documents", ["n_chars"]),
+                      ["n_chars"], "c", num_partitions).to_pandas()
+    if "n_chars" not in g.columns or not len(g):
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "source": pd.Series([], dtype=object),
+                             "n_chars": pd.Series([], dtype="int64"),
+                             "norm_chars": pd.Series([], dtype="int64")})
+    g = g.sort_values("n_chars").reset_index(drop=True)
+    values = g["n_chars"].to_numpy(dtype=np.int64)
+    cum = g["c"].to_numpy(dtype=np.int64).cumsum()
+    n_g = int(cum[-1])
+    ecdf_ref = _ray.put((values, cum))
+
+    def finish(df: pd.DataFrame, _cache={}) -> pd.DataFrame:
+        if "ecdf" not in _cache:
+            _cache["ecdf"] = _ray.get(ecdf_ref)
+        vals, cc = _cache["ecdf"]
+        d = df.sort_values(["source", "n_chars", "doc_id"],
+                           kind="mergesort").reset_index(drop=True)
+        grp = d.groupby("source", sort=False)
+        r = grp.cumcount().to_numpy() + 1
+        n_s = grp["doc_id"].transform("size").to_numpy()
+        if int(n_s.max()) * n_g < 2**63:  # int64-provable fast path
+            target = (r * n_g + n_s - 1) // n_s
+        else:
+            target = np.array([(int(ri) * n_g + int(si) - 1) // int(si)
+                               for ri, si in zip(r, n_s)], dtype=np.int64)
+        idx = np.searchsorted(cc, target, side="left")
+        return pd.DataFrame({
+            "doc_id": d["doc_id"].astype("int64"),
+            "source": d["source"],
+            "n_chars": d["n_chars"].astype("int64"),
+            "norm_chars": vals[idx]})
+
+    return partitioned_group_apply(docs, ["source"], finish,
+                                   num_partitions)
