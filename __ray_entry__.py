@@ -706,6 +706,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # RFM segmentation: distributed per-customer R/F/M aggregates,
         # three global ntile(5) scores, rfm = 100r + 10f + m
         "customer_rfm": analytic.customer_rfm_ds,
+        # priority mix per arithmetic month in per-mille (composition
+        # drift monitor; card-sized count + derived shares)
+        "priority_mix_shift": analytic.priority_mix_shift_ds,
+        # Benford-style first digit of price cents (string head — float
+        # log10 is inexact at powers of ten)
+        "price_first_digit": analytic.price_first_digit_ds,
         # per-user rolling discrete median of the trailing 5 event
         # values (vectorized shift-matrix kernel, quantile_disc face)
         "rolling_median_user_value": analytic.rolling_median_user_value_ds,
@@ -2675,6 +2681,32 @@ def oracle_sql() -> dict[str, str]:
                        AS bucket,
                    count(*)::BIGINT AS n_docs
             FROM documents GROUP BY 1, 2
+        """,
+        # priority mix: month = epoch-day // 30, share per-mille of the
+        # month total
+        "priority_mix_shift": """
+            WITH c AS (
+              SELECT (CAST(floor(epoch(o_orderdate)) AS BIGINT)
+                      // 86400 // 30) AS month,
+                     o_orderpriority, count(*)::BIGINT AS n_orders
+              FROM orders GROUP BY 1, 2)
+            SELECT month, o_orderpriority, n_orders,
+                   (n_orders * 1000
+                    // sum(n_orders) OVER (PARTITION BY month))
+                       ::BIGINT AS share_pm
+            FROM c
+        """,
+        # Benford audit: leading digit via VARCHAR head, exact
+        "price_first_digit": """
+            WITH d AS (
+              SELECT CAST(substr(CAST(floor(o_totalprice * 100 + 0.5)
+                                      AS BIGINT)::VARCHAR, 1, 1)
+                          AS BIGINT) AS digit
+              FROM orders),
+            c AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY 1),
+            t AS (SELECT greatest(sum(n), 1)::BIGINT AS total FROM c)
+            SELECT digit, n, (n * 1000 // total)::BIGINT AS share_pm
+            FROM c, t
         """,
         # quantile normalization: smallest global length whose cumulative
         # count reaches ceil(r*n_g/n_s)

@@ -183,7 +183,8 @@ def bench_queries(sf_dir: str) -> dict:
              "event_rate_anomalies", "langid_margin", "customer_rfm",
              "cohort_value", "order_gap_medians", "zonemap_prune_report",
              "doclen_log_histogram", "user_inactivity_report",
-             "events_gini", "length_quantile_normalize"]
+             "events_gini", "length_quantile_normalize",
+             "priority_mix_shift", "price_first_digit"]
     out = {}
     for name in names:
         t0 = time.time()

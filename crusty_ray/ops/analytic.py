@@ -690,3 +690,67 @@ def customer_rfm_ds(sf_dir: str, num_partitions: int = 32):
     per_cust = partitioned_group_apply(partials, ["o_custkey"], per_key,
                                        num_partitions)
     return partitioned_group_apply(per_cust, ["__g"], score, 1)
+
+
+def priority_mix_shift_ds(sf_dir: str, num_partitions: int = 32):
+    """Order-priority mix over time: each epoch-month's per-priority order
+    share in per-mille — the composition-drift monitor (is '1-URGENT'
+    growing?) a pipeline owner trends. Month = epoch-day // 30 (the repo's
+    integer-calendar convention: arithmetic months, no locale).
+
+    Plan: one ``grouped_count`` on (month, priority) — per-batch partials,
+    card-sized shuffle; shares derive from the tiny result's month totals.
+    Returns (month, o_orderpriority, n_orders, share_pm)."""
+    from .agg import grouped_count
+
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderdate", "o_orderpriority"])
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        day = b["o_orderdate"].astype("int64") // 86_400_000_000
+        return pd.DataFrame({"month": (day // 30).astype("int64"),
+                             "o_orderpriority": b["o_orderpriority"]})
+
+    counts = grouped_count(orders.map_batches(keyed, batch_format="pandas"),
+                           ["month", "o_orderpriority"], "n_orders",
+                           num_partitions).to_pandas()
+    if "month" not in counts.columns:
+        return pd.DataFrame({
+            "month": pd.Series([], dtype="int64"),
+            "o_orderpriority": pd.Series([], dtype=object),
+            "n_orders": pd.Series([], dtype="int64"),
+            "share_pm": pd.Series([], dtype="int64")})
+    tot = counts.groupby("month")["n_orders"].transform("sum")
+    counts["share_pm"] = (counts["n_orders"] * 1000 // tot).astype("int64")
+    return counts.sort_values(["month", "o_orderpriority"]) \
+        .reset_index(drop=True)
+
+
+def price_first_digit_ds(sf_dir: str, num_partitions: int = 32):
+    """Benford-style first-digit audit of price cents — the fraud/synthetic
+    -data smell test: the leading digit's observed distribution (a natural
+    multiplicative process leans log-uniform; flat or spiked distributions
+    flag generated or capped values). First digit via STRING head on both
+    faces — float log10 is NOT exact at powers of ten, strings are.
+
+    Map-only digit extraction + one card-sized grouped count. Returns
+    (digit, n, share_pm)."""
+    from .agg import grouped_count
+
+    orders = read_table(sf_dir, "orders", ["o_totalprice"])
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        cents = _price_cents(b["o_totalprice"])
+        first = pd.Series(cents).astype(str).str[0].astype("int64")
+        return pd.DataFrame({"digit": first})
+
+    counts = grouped_count(orders.map_batches(keyed, batch_format="pandas"),
+                           ["digit"], "n", num_partitions).to_pandas()
+    if "digit" not in counts.columns:
+        return pd.DataFrame({"digit": pd.Series([], dtype="int64"),
+                             "n": pd.Series([], dtype="int64"),
+                             "share_pm": pd.Series([], dtype="int64")})
+    total = int(counts["n"].sum())
+    counts["share_pm"] = (counts["n"] * 1000 // max(total, 1)) \
+        .astype("int64")
+    return counts.sort_values("digit").reset_index(drop=True)
