@@ -633,6 +633,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ANALYZE statistics pass; exact NDV via the two-level
         # distinct-pair plan)
         "lineitem_profile": stats.numeric_profile_ds,
+        # count-of-counts: orders with exactly k lineitems (two chained
+        # grouped counts — the degree-distribution plan)
+        "order_size_distribution": stats.order_size_distribution_ds,
+        # CR-k whale concentration: top-10 customers' revenue share
+        # per-mille (local-prune top-k + card-sized total)
+        "revenue_concentration": stats.revenue_concentration_ds,
         # Deequ-style rule report: five declarative constraints scored
         # (uniqueness via exact NDV; the rest map-only violation tallies)
         "quality_rules_report": stats.quality_rules_ds,
@@ -2681,6 +2687,32 @@ def oracle_sql() -> dict[str, str]:
                        AS bucket,
                    count(*)::BIGINT AS n_docs
             FROM documents GROUP BY 1, 2
+        """,
+        # count-of-counts over per-order line counts
+        "order_size_distribution": """
+            WITH c AS (
+              SELECT l_orderkey, count(*)::BIGINT AS n_lines
+              FROM lineitem GROUP BY 1)
+            SELECT n_lines, count(*)::BIGINT AS n_orders
+            FROM c GROUP BY 1
+        """,
+        # CR-k: top-10 customer cent sums vs the total
+        "revenue_concentration": """
+            WITH c AS (
+              SELECT o_custkey,
+                     sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                         ::BIGINT AS cents
+              FROM orders GROUP BY 1),
+            t AS (SELECT greatest(sum(cents), 1)::BIGINT AS total FROM c),
+            top AS (
+              SELECT cents FROM c
+              ORDER BY cents DESC, o_custkey LIMIT 10)
+            SELECT 10::BIGINT AS k,
+                   sum(top.cents)::BIGINT AS top_cents,
+                   any_value(t.total)::BIGINT AS total_cents,
+                   (sum(top.cents) * 1000 // any_value(t.total))
+                       ::BIGINT AS cr_pm
+            FROM top, t
         """,
         # priority mix: month = epoch-day // 30, share per-mille of the
         # month total

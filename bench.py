@@ -184,7 +184,8 @@ def bench_queries(sf_dir: str) -> dict:
              "cohort_value", "order_gap_medians", "zonemap_prune_report",
              "doclen_log_histogram", "user_inactivity_report",
              "events_gini", "length_quantile_normalize",
-             "priority_mix_shift", "price_first_digit"]
+             "priority_mix_shift", "price_first_digit",
+             "order_size_distribution", "revenue_concentration"]
     out = {}
     for name in names:
         t0 = time.time()

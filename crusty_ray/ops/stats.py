@@ -671,3 +671,75 @@ def events_gini_ds(sf_dir: str, num_partitions: int = 32):
                          "total_events": pd.Series([sx], dtype="int64"),
                          "gini_pm": pd.Series([int(gini_pm)],
                                               dtype="int64")})
+
+
+def order_size_distribution_ds(sf_dir: str, num_partitions: int = 32):
+    """Count-of-counts (degree-distribution shape): how many orders have
+    exactly k lineitems — the fill-rate histogram capacity planning reads
+    (and the same two-level plan any degree distribution uses). Two
+    chained ``grouped_count``s: per-order line counts (per-batch partials,
+    one key shuffle), then a card-sized count over the counts. Returns
+    (n_lines, n_orders)."""
+    from .agg import grouped_count
+
+    li = read_table(sf_dir, "lineitem", ["l_orderkey"])
+    per_order = grouped_count(li, ["l_orderkey"], "n_lines",
+                              num_partitions)
+    dist = grouped_count(
+        per_order.map_batches(lambda b: b[["n_lines"]],
+                              batch_format="pandas"),
+        ["n_lines"], "n_orders", num_partitions)
+    return dist
+
+
+def revenue_concentration_ds(sf_dir: str, k: int = 10,
+                             num_partitions: int = 32):
+    """CR-k revenue concentration: the share of total order revenue held
+    by the top-``k`` customers, in per-mille — the whale-dependence scalar
+    beside the Gini (Gini sees the whole curve, CR-k the head).
+
+    Plan: distributed per-customer cent sums (associative partials, one
+    key shuffle); the top-k via ``grouped_top_n``'s constant-group
+    local-prune (O(blocks·k) shuffle rows); total from the same partial
+    pass — a second card-sized reduce, no extra fact scan. Returns one
+    row (k, top_cents, total_cents, cr_pm)."""
+    from .agg import grouped_top_n, partitioned_group_apply
+    from .analytic import _price_cents
+
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({"o_custkey": b["o_custkey"].astype("int64"),
+                          "cents": _price_cents(b["o_totalprice"])})
+        return t.groupby("o_custkey", as_index=False)["cents"].sum() \
+            .astype({"cents": "int64"})
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("o_custkey", as_index=False)["cents"].sum()
+        return out.astype({"cents": "int64"})
+
+    per_cust = partitioned_group_apply(
+        orders.map_batches(partial, batch_format="pandas"),
+        ["o_custkey"], per_key, num_partitions).materialize()
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__g"] = np.zeros(len(b), dtype=np.int64)
+        return b
+
+    top = grouped_top_n(per_cust.map_batches(tag, batch_format="pandas"),
+                        ["__g"], "cents", k, ascending=False,
+                        tie_cols=["o_custkey"],
+                        num_partitions=num_partitions).to_pandas()
+    total = sum(int(r["cents"]) for r in
+                per_cust.map_batches(
+                    lambda b: pd.DataFrame(
+                        {"cents": [int(b["cents"].sum())]}),
+                    batch_format="pandas").to_pandas().to_dict("records"))
+    top_cents = int(top["cents"].sum()) if "cents" in top.columns else 0
+    return pd.DataFrame({
+        "k": pd.Series([k], dtype="int64"),
+        "top_cents": pd.Series([top_cents], dtype="int64"),
+        "total_cents": pd.Series([total], dtype="int64"),
+        "cr_pm": pd.Series([top_cents * 1000 // max(total, 1)],
+                           dtype="int64")})

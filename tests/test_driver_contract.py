@@ -142,7 +142,8 @@ SQL_CHECKED = [
     "cohort_value", "order_gap_medians", "zonemap_prune_report",
     "doclen_log_histogram", "user_inactivity_report", "events_gini",
     "length_quantile_normalize", "priority_mix_shift",
-    "price_first_digit",
+    "price_first_digit", "order_size_distribution",
+    "revenue_concentration",
 ]
 
 
