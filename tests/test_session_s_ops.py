@@ -311,3 +311,82 @@ def test_event_rate_anomalies_fire_rule(ray_session):
     if len(exp_s):
         assert (got_s[["event_type", "minute"]].values
                 == exp_s[["event_type", "minute"]].values).all()
+
+
+# ------------------------------------------------------- property tests
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(old=st.dictionaries(st.integers(0, 50), st.integers(0, 5),
+                           max_size=30),
+       new=st.dictionaries(st.integers(0, 50), st.integers(0, 5),
+                           max_size=30))
+def test_snapshot_diff_property(ray_session, old, new):
+    """snapshot_diff ≡ the dict diff on arbitrary snapshots."""
+    import ray
+
+    from crusty_ray.ops.analytic import snapshot_diff
+
+    rows = [{"k": k, "__side": 0, "v": v} for k, v in old.items()] + \
+           [{"k": k, "__side": 1, "v": v} for k, v in new.items()]
+    if not rows:
+        return
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    got = snapshot_diff(ds, "k", "v", num_partitions=4).to_pandas()
+    exp = {}
+    for k in set(old) | set(new):
+        if k not in new:
+            exp[k] = ("D", old[k], -1)
+        elif k not in old:
+            exp[k] = ("I", -1, new[k])
+        elif old[k] != new[k]:
+            exp[k] = ("U", old[k], new[k])
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        assert exp[r["k"]] == (r["change"], r["old_v"], r["new_v"])
+
+
+@settings(max_examples=30, deadline=None)
+@given(n=st.integers(1, 200), k=st.integers(1, 12))
+def test_sql_ntile_buckets_property(n, k):
+    """The shared ntile kernel ≡ DuckDB's NTILE for arbitrary (n, k)."""
+    import duckdb
+
+    from crusty_ray.ops.analytic import sql_ntile_buckets
+
+    got = sql_ntile_buckets(np.arange(n, dtype=np.int64),
+                            np.full(n, n, dtype=np.int64), k)
+    exp = duckdb.sql(
+        f"SELECT ntile({k}) OVER (ORDER BY r) AS b "
+        f"FROM range({n}) t(r) ORDER BY r").df()["b"].to_numpy()
+    assert (got == exp).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(vals=st.lists(st.lists(st.integers(0, 100), min_size=1,
+                              max_size=12), min_size=1, max_size=5),
+       window=st.integers(1, 6),
+       start=st.integers(0, 1))
+def test_trailing_shift_matrix_property(vals, window, start):
+    """The shared rolling-order-statistic kernel's middle gather ≡ the
+    brute sorted-window lower-middle, per group, for both window modes."""
+    from crusty_ray.ops.agg import trailing_shift_matrix
+
+    frames = [pd.DataFrame({"g": gi, "v": grp})
+              for gi, grp in enumerate(vals)]
+    df = pd.concat(frames, ignore_index=True)
+    mat, cnt = trailing_shift_matrix(df, ["g"], "v", window, start=start)
+    mat.sort(axis=1)
+    row = 0
+    for gi, grp in enumerate(vals):
+        for i in range(len(grp)):
+            w = grp[max(0, i - start - window + 1): i + 1 - start]
+            assert cnt[row] == len(w)
+            if w:
+                exp = sorted(w)[(len(w) - 1) // 2]
+                assert mat[row, (cnt[row] - 1) // 2] == exp
+            row += 1
