@@ -814,6 +814,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- windowed aggregates (SQL-checked)
         "sliding_window_counts": windows.sliding_window_counts_ds,
         "session_windows": windows.session_windows_ds,
+        # session-length count-of-counts + bounce share (k=1 row);
+        # composes the gap sessionizer with the degree-distribution plan
+        "session_length_histogram": windows.session_length_histogram_ds,
         # -- analytic windows / rollup / pivot (SQL-checked)
         "running_order_totals": analytic.running_order_totals_ds,
         "lag_event_deltas": analytic.lag_event_deltas_ds,
@@ -1852,6 +1855,34 @@ def oracle_sql() -> dict[str, str]:
                         RANGE BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT)
                        AS window_cnt
             FROM c
+        """,
+        # session-length histogram over the same session CTE; the k=1
+        # row is the bounce rate
+        "session_length_histogram": """
+            WITH e AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             > 1800000000
+                     THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM e
+            ), sess AS (
+              SELECT user_id, session_id, count(*)::BIGINT AS n_events
+              FROM s GROUP BY 1, 2
+            ), c AS (
+              SELECT n_events, count(*)::BIGINT AS n_sessions
+              FROM sess GROUP BY 1),
+            t AS (SELECT greatest(sum(n_sessions), 1)::BIGINT AS total
+                  FROM c)
+            SELECT n_events, n_sessions,
+                   (n_sessions * 1000 // total)::BIGINT AS share_pm
+            FROM c, t
         """,
         "session_windows": """
             WITH e AS (

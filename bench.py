@@ -185,7 +185,8 @@ def bench_queries(sf_dir: str) -> dict:
              "doclen_log_histogram", "user_inactivity_report",
              "events_gini", "length_quantile_normalize",
              "priority_mix_shift", "price_first_digit",
-             "order_size_distribution", "revenue_concentration"]
+             "order_size_distribution", "revenue_concentration",
+             "session_length_histogram"]
     out = {}
     for name in names:
         t0 = time.time()

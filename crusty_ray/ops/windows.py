@@ -133,3 +133,29 @@ def sliding_distinct_users_ds(sf_dir: str, width: int = 3,
     tw = hu.map_batches(expand, batch_format="pandas")
     return grouped_count_distinct(tw, ["window_hour"], "user_id",
                                   "n_users", num_partitions)
+
+
+def session_length_histogram_ds(sf_dir: str, gap_minutes: int = 30,
+                                num_partitions: int = 32):
+    """Session-length distribution + bounce telemetry: how many sessions
+    have exactly k events, each bucket's share in per-mille — the k = 1
+    row IS the bounce rate, the tail is the engagement curve. Composes
+    the gap-sessionizer with the count-of-counts plan: session rows are
+    already card-shrunk by `session_windows_ds`'s one user partition; a
+    second tiny grouped count finishes. Returns
+    (n_events, n_sessions, share_pm)."""
+    from .agg import grouped_count
+
+    sess = session_windows_ds(sf_dir, gap_minutes)
+    dist = grouped_count(
+        sess.map_batches(lambda b: b[["n_events"]],
+                         batch_format="pandas"),
+        ["n_events"], "n_sessions", num_partitions).to_pandas()
+    if "n_events" not in dist.columns:
+        return pd.DataFrame({"n_events": pd.Series([], dtype="int64"),
+                             "n_sessions": pd.Series([], dtype="int64"),
+                             "share_pm": pd.Series([], dtype="int64")})
+    total = int(dist["n_sessions"].sum())
+    dist["share_pm"] = (dist["n_sessions"] * 1000 // max(total, 1)) \
+        .astype("int64")
+    return dist.sort_values("n_events").reset_index(drop=True)

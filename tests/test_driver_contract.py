@@ -143,7 +143,7 @@ SQL_CHECKED = [
     "doclen_log_histogram", "user_inactivity_report", "events_gini",
     "length_quantile_normalize", "priority_mix_shift",
     "price_first_digit", "order_size_distribution",
-    "revenue_concentration",
+    "revenue_concentration", "session_length_histogram",
 ]
 
 
