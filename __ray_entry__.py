@@ -639,6 +639,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CR-k whale concentration: top-10 customers' revenue share
         # per-mille (local-prune top-k + card-sized total)
         "revenue_concentration": stats.revenue_concentration_ds,
+        # header-vs-detail reconciliation audit: order totals vs summed
+        # line extended prices (side-tagged union, one key shuffle)
+        "order_reconciliation": stats.order_reconciliation_ds,
         # Deequ-style rule report: five declarative constraints scored
         # (uniqueness via exact NDV; the rest map-only violation tallies)
         "quality_rules_report": stats.quality_rules_ds,
@@ -2718,6 +2721,38 @@ def oracle_sql() -> dict[str, str]:
                        AS bucket,
                    count(*)::BIGINT AS n_docs
             FROM documents GROUP BY 1, 2
+        """,
+        # reconciliation: header cents vs summed line cents per order
+        "order_reconciliation": """
+            WITH h AS (
+              SELECT o_orderkey AS k,
+                     sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                         ::BIGINT AS header
+              FROM orders GROUP BY 1),
+            d AS (
+              SELECT l_orderkey AS k,
+                     sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                              AS BIGINT))::BIGINT AS detail
+              FROM lineitem GROUP BY 1),
+            j AS (
+              SELECT h.header, d.detail
+              FROM h LEFT JOIN d USING (k))
+            SELECT count(*)::BIGINT AS n_orders,
+                   coalesce(sum(CASE WHEN detail IS NOT NULL
+                                     AND header = detail
+                                THEN 1 ELSE 0 END), 0)::BIGINT AS n_match,
+                   coalesce(sum(CASE WHEN detail IS NOT NULL
+                                     AND header > detail
+                                THEN 1 ELSE 0 END), 0)::BIGINT
+                       AS n_header_higher,
+                   coalesce(sum(CASE WHEN detail IS NOT NULL
+                                     AND header < detail
+                                THEN 1 ELSE 0 END), 0)::BIGINT
+                       AS n_header_lower,
+                   coalesce(sum(CASE WHEN detail IS NULL
+                                THEN 1 ELSE 0 END), 0)::BIGINT
+                       AS n_no_lines
+            FROM j
         """,
         # count-of-counts over per-order line counts
         "order_size_distribution": """

@@ -743,3 +743,65 @@ def revenue_concentration_ds(sf_dir: str, k: int = 10,
         "total_cents": pd.Series([total], dtype="int64"),
         "cr_pm": pd.Series([top_cents * 1000 // max(total, 1)],
                            dtype="int64")})
+
+
+def order_reconciliation_ds(sf_dir: str, num_partitions: int = 32):
+    """Cross-table reconciliation audit — the header-vs-detail consistency
+    check every finance/ETL pipeline runs: each order's header total
+    (cents) against the sum of its lineitems' extended prices (cents),
+    bucketed into exact-match / header-higher / header-lower, plus orders
+    with no lines at all. Counts only — the audit scalar a pipeline gates
+    on; all-integer, so both faces agree bit-exact.
+
+    Plan: both sides pre-aggregate per batch to per-order partial cents
+    (associative sums), meet in ONE coarse key partition via a
+    side-tagged union (the fk-audit shape), and each partition emits one
+    4-bucket partial row; the driver sums O(partitions) rows. Returns one
+    row (n_orders, n_match, n_header_higher, n_header_lower,
+    n_no_lines)."""
+    from .analytic import _price_cents
+
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+
+    def o_part(b: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({"__key": b["o_orderkey"].astype("int64"),
+                          "__cents": _price_cents(b["o_totalprice"])})
+        out = t.groupby("__key", as_index=False)["__cents"].sum()
+        out["__side"] = np.zeros(len(out), dtype=np.int64)
+        return out.astype({"__cents": "int64"})
+
+    def l_part(b: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({"__key": b["l_orderkey"].astype("int64"),
+                          "__cents": _price_cents(b["l_extendedprice"])})
+        out = t.groupby("__key", as_index=False)["__cents"].sum()
+        out["__side"] = np.ones(len(out), dtype=np.int64)
+        return out.astype({"__cents": "int64"})
+
+    both = orders.map_batches(o_part, batch_format="pandas") \
+        .union(li.map_batches(l_part, batch_format="pandas"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["__key", "__side"], as_index=False)["__cents"] \
+            .sum()
+        h = g[g["__side"] == 0].set_index("__key")["__cents"]
+        d = g[g["__side"] == 1].set_index("__key")["__cents"]
+        m = h.to_frame("header").join(d.to_frame("detail"), how="left")
+        no_lines = m["detail"].isna()
+        diff = m.loc[~no_lines, "header"] - m.loc[~no_lines, "detail"]
+        return pd.DataFrame({
+            "n_orders": [len(m)],
+            "n_match": [int((diff == 0).sum())],
+            "n_header_higher": [int((diff > 0).sum())],
+            "n_header_lower": [int((diff < 0).sum())],
+            "n_no_lines": [int(no_lines.sum())]}).astype("int64")
+
+    parts = partitioned_group_apply(both, ["__key"], partial,
+                                    num_partitions).to_pandas()
+    cols = ["n_orders", "n_match", "n_header_higher", "n_header_lower",
+            "n_no_lines"]
+    if "n_orders" not in parts.columns:
+        return pd.DataFrame({c: pd.Series([0], dtype="int64")
+                             for c in cols})
+    return pd.DataFrame({c: pd.Series([int(parts[c].sum())],
+                                      dtype="int64") for c in cols})
