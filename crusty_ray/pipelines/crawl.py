@@ -1021,6 +1021,17 @@ class CrawlEngine:
         with open(f"{ckpt_dir}/driver.pkl", "rb") as f:
             snap = pickle.loads(f.read())
         eng = cls(cfg, web_cfg, out_dir, seeds=seeds)
+        # the frontier is hash-partitioned by crc32(addr_key) % shard_total:
+        # restoring into a different shard count would silently misroute
+        # (or, if smaller, DROP) per-shard state — refuse loudly instead
+        n_ckpt = len([f for f in os.listdir(ckpt_dir)
+                      if f.startswith("shard_") and f.endswith(".pkl")])
+        if n_ckpt != len(eng.actors):
+            raise ValueError(
+                f"resume: checkpoint {name} has {n_ckpt} shards but "
+                f"cfg.jobs.shard_total={cfg.jobs.shard_total}; resharding "
+                f"a checkpoint is not supported — resume with the "
+                f"original shard_total")
         ray.get([a.restore_from.remote(f"{ckpt_dir}/shard_{s:05d}.pkl")
                  for s, a in enumerate(eng.actors)])
         # top-k state rides in the per-shard files; telemetry partitions

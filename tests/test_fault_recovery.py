@@ -103,3 +103,27 @@ def test_sigterm_handler_drains(ray_session, tmp_path):
 
     rec = CrawlEngine.resume(cfg, WEB_CFG, str(tmp_path / "sig")).run()
     _assert_matches_full(rec, full)
+
+
+def test_resume_refuses_resharding(ray_session, tmp_path):
+    """Restoring a checkpoint into a different shard_total would misroute
+    (or silently drop) hash-partitioned frontier state — resume must
+    refuse loudly instead."""
+    import dataclasses
+
+    import pytest
+
+    from crusty_ray.config import test_config
+    from crusty_ray.pipelines.crawl import CrawlEngine
+
+    cfg = test_config()
+    cfg.engine.checkpoint_every_epochs = 1
+    cfg.engine.max_epochs = 2
+    out = str(tmp_path / "reshard")
+    CrawlEngine(cfg, WEB_CFG, out).run(2)
+
+    cfg2 = test_config()
+    cfg2.jobs.shard_total = cfg.jobs.shard_total + 1
+    cfg2.jobs.shard_max = max(cfg2.jobs.shard_max, cfg2.jobs.shard_total)
+    with pytest.raises(ValueError, match="resharding"):
+        CrawlEngine.resume(cfg2, WEB_CFG, out)
