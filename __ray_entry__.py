@@ -394,6 +394,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pads.dataset(img_dir, format="parquet").to_table() \
             .drop_columns(["bytes"]).sort_by("image_id")
 
+    def _audio_features(sf_dir: str):
+        from crusty_ray.ops.multimodal import audio_features_ds
+        return audio_features_ds(sf_dir)
+
+    def _video_frame_sample(sf_dir: str):
+        from crusty_ray.ops.multimodal import video_frame_sample_ds
+        return video_frame_sample_ds(sf_dir)
+
     def multimodal_thumbs(sf_dir: str):
         import ray
         from crusty_ray.datagen.webgraph import SyntheticWeb
@@ -904,6 +912,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_streaming_log": crawl_streaming_log,
         "crawl_images": crawl_images,
         "multimodal_thumbs": multimodal_thumbs,
+        # REAL DSP features over deterministic rawa PCM clips (FFT band
+        # energies, RMS, zero crossings) — actor-pool stateful stage
+        "audio_features": _audio_features,
+        # REAL seek-decoding frame sampler over rawv clips (header read,
+        # byte-offset frame decode, PNG thumbs via the shared codec)
+        "video_frame_sample": _video_frame_sample,
     }
 
 

@@ -11,8 +11,11 @@ are the tested product; codecs are swappable):
   formats (gif/avif/mp4/...), surfaced per-row as ``decode_ok=false`` rather
   than poisoning the batch.
 - **resize**: REAL nearest-neighbor resample (pure numpy index math).
-- **frame_sample / audio features**: STUB — deterministic hash-derived
-  feature vectors standing in for ffmpeg/librosa output.
+- **frame_sample / audio features**: REAL over the deterministic raw-AV
+  containers (``codecs/av.py``): header-seek frame decode + PNG thumbs,
+  and PCM DSP features (RMS, zero crossings, FFT band energies) — the
+  container formats stand in for mp4/wav, the access patterns and math
+  are genuine (swapping in ffmpeg/librosa changes only the decode call).
 """
 
 from __future__ import annotations
@@ -56,42 +59,112 @@ class DecodeResizeStage:
                     .append_column("decode_ok", pa.array(ok, pa.bool_()))
 
 
-class AudioFeatureStub:
-    """STUB: deterministic fake features where librosa would run.
+class AudioFeatureStage:
+    """REAL audio feature extraction over the ``rawa`` PCM container
+    (``codecs/av.py``) — no librosa needed: per clip, duration (ms), RMS
+    energy, peak amplitude, zero-crossing count, and 8 log-spaced FFT
+    band energies (the spectral shape a curation model consumes). One
+    stage instance per actor (the FFT band edges are built once in
+    ``__init__`` — the stateful-stage contract); undecodable rows emit a
+    zero vector with ``audio_ok=false`` so the schema stays fixed-width.
 
-    Real plumbing: binary column in, fixed-width float32 feature vector out,
-    one model "load" per actor. Swap ``_features`` for a real extractor.
-    """
+    Output: ``features`` list<float32> of length 12 = (dur_ms, rms, peak,
+    zero_crossings, 8 band energies) and ``audio_ok``."""
 
-    N_MFCC = 13
+    N_FEATURES = 12
+    N_BANDS = 8
 
     def __init__(self):
-        self.ready = True  # model load goes here
+        # log-spaced band edges as fractions of Nyquist, built once per actor
+        self.edges = np.geomspace(0.01, 1.0, self.N_BANDS + 1)
 
     def _features(self, blob: bytes) -> np.ndarray:
-        h = hash64(blob or b"")
-        rng = np.random.Generator(np.random.PCG64(h))
-        return rng.standard_normal(self.N_MFCC).astype(np.float32)
+        from ..codecs.av import decode_rawa
+        samples, rate = decode_rawa(blob)
+        x = samples.astype(np.float64)
+        n = len(x)
+        spec = np.abs(np.fft.rfft(x)) ** 2
+        freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+        nyq = rate / 2.0
+        bands = [float(spec[(freqs >= lo * nyq) & (freqs < hi * nyq)].sum())
+                 for lo, hi in zip(self.edges[:-1], self.edges[1:])]
+        out = np.array([
+            1000.0 * n / rate,                      # duration ms
+            float(np.sqrt(np.mean(x * x))),         # RMS
+            float(np.abs(x).max(initial=0.0)),      # peak
+            float(np.count_nonzero(np.signbit(x[1:]) !=
+                                   np.signbit(x[:-1]))),  # zero crossings
+        ] + bands, dtype=np.float32)
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = [self._features(b) for b in batch["bytes"].to_pylist()]
+        feats, ok = [], []
+        for blob in batch["bytes"].to_pylist():
+            try:
+                feats.append(self._features(blob))
+                ok.append(True)
+            except Exception:
+                feats.append(np.zeros(self.N_FEATURES, dtype=np.float32))
+                ok.append(False)
         return batch.append_column(
             "features", pa.array([f.tolist() for f in feats],
-                                 pa.list_(pa.float32())))
+                                 pa.list_(pa.float32()))) \
+            .append_column("audio_ok", pa.array(ok, pa.bool_()))
+
+
+class VideoFrameSampleStage:
+    """REAL video frame sampling over the ``rawv`` container: read the
+    header (frame count/geometry — no frame bytes), pick ``n_frames``
+    uniform indices, SEEK-decode only those frames (the byte-offset access
+    pattern an mp4 keyframe sampler has), and emit each sampled frame as a
+    PNG thumbnail through the shared image codec + resize kernel. Rows
+    that aren't rawv emit empty lists with ``video_ok=false``.
+
+    Output: ``frame_indices`` list<int32>, ``frame_pngs`` list<binary>,
+    ``video_ok``."""
+
+    def __init__(self, n_frames: int = 4, thumb: int = 8):
+        self.n_frames, self.thumb = n_frames, thumb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..codecs.av import decode_rawv_frame, rawv_info
+        idx_col, png_col, ok = [], [], []
+        for blob in batch["bytes"].to_pylist():
+            try:
+                _, _, n, _ = rawv_info(blob)
+                k = min(self.n_frames, n)
+                idx = [int(i * n / k) for i in range(k)]
+                pngs = []
+                for i in idx:
+                    px = decode_rawv_frame(blob, i)
+                    pngs.append(encode_image(
+                        resize_nearest(px, self.thumb, self.thumb), "png"))
+                idx_col.append(idx)
+                png_col.append(pngs)
+                ok.append(True)
+            except Exception:
+                idx_col.append([])
+                png_col.append([])
+                ok.append(False)
+        return batch.append_column("frame_indices",
+                                   pa.array(idx_col, pa.list_(pa.int32()))) \
+            .append_column("frame_pngs",
+                           pa.array(png_col, pa.list_(pa.binary()))) \
+            .append_column("video_ok", pa.array(ok, pa.bool_()))
+
+
+# backward-compat names (r2 exposed the stubs; the classes are real now)
+AudioFeatureStub = AudioFeatureStage
 
 
 def frame_sample_stub(n_frames: int):
-    """STUB: video frame sampling — returns deterministic frame indices where
-    ffmpeg seek/decode would run (uniform stride over a fake duration)."""
-    def stage(batch: pa.Table) -> pa.Table:
-        out = []
-        for blob in batch["bytes"].to_pylist():
-            dur = 1 + hash64(blob or b"") % 300  # fake duration (s)
-            idx = [int(i * dur / n_frames) for i in range(n_frames)]
-            out.append(idx)
-        return batch.append_column("frame_indices",
-                                   pa.array(out, pa.list_(pa.int32())))
-    return stage
+    """Compat shim for the r2 stub name — now backed by the REAL
+    seek-decoding stage."""
+    stage = VideoFrameSampleStage(n_frames=n_frames)
+
+    def run(batch: pa.Table) -> pa.Table:
+        return stage(batch)
+    return run
 
 
 class ImageFeatureStage:
@@ -430,3 +503,56 @@ def image_channel_stats(images_path: str, batch_size: int = 64,
                      "var_pm": (1000 * (n * ss - s * s)) // (n * n)
                      if n else 0})
     return pd.DataFrame(rows).astype("int64")
+
+
+def audio_features_ds(sf_dir: str, n_clips: int = 64):
+    """Contract face: deterministic synthetic rawa clips (one per doc id,
+    pure function id → PCM) through the REAL DSP feature stage — the
+    audio leg of the multimodal pipeline, actor-pool stateful stage over
+    binary rows."""
+    import ray
+
+    from ..codecs.av import synth_audio
+    from .io import read_table
+
+    ids = read_table(sf_dir, "documents", ["doc_id"]).limit(n_clips)
+
+    def make(batch: pd.DataFrame) -> pa.Table:
+        d = batch["doc_id"].astype("int64")
+        return pa.table({
+            "clip_id": pa.array(d.to_numpy(), pa.int64()),
+            "bytes": pa.array([synth_audio(int(i)) for i in d],
+                              pa.binary())})
+
+    clips = ids.map_batches(make, batch_format="pandas")
+    feats = clips.map_batches(AudioFeatureStage, batch_format="pyarrow",
+                              batch_size=16, concurrency=2)
+    return feats.map_batches(
+        lambda t: t.drop_columns(["bytes"]), batch_format="pyarrow")
+
+
+def video_frame_sample_ds(sf_dir: str, n_clips: int = 32):
+    """Contract face: deterministic synthetic rawv clips through the REAL
+    seek-decoding frame sampler (header read → uniform indices →
+    byte-offset frame decode → PNG thumbs)."""
+    import ray
+
+    from ..codecs.av import synth_video
+    from .io import read_table
+
+    ids = read_table(sf_dir, "documents", ["doc_id"]).limit(n_clips)
+
+    def make(batch: pd.DataFrame) -> pa.Table:
+        d = batch["doc_id"].astype("int64")
+        return pa.table({
+            "video_id": pa.array(d.to_numpy(), pa.int64()),
+            "bytes": pa.array([synth_video(int(i)) for i in d],
+                              pa.binary())})
+
+    clips = ids.map_batches(make, batch_format="pandas")
+    sampled = clips.map_batches(VideoFrameSampleStage,
+                                batch_format="pyarrow",
+                                batch_size=8, concurrency=2)
+    # slim output: drop the raw container, keep ids + samples
+    return sampled.map_batches(
+        lambda t: t.drop_columns(["bytes"]), batch_format="pyarrow")

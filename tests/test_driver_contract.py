@@ -71,7 +71,8 @@ def test_every_query_is_covered_by_some_check(contract):
                      "image_features", "image_feature_near_dups",
                      "image_channel_stats", "image_patch_grid", "image_augment",
                      "image_text_curation", "webdataset_export",
-                     "crawl_log_compact"}
+                     "crawl_log_compact", "audio_features",
+                     "video_frame_sample"}
     listed = set(SQL_CHECKED) | set(ROWS_ONLY) | crawl_checked
     assert set(queries) == listed, (
         f"unlisted: {set(queries) - listed}; stale: {listed - set(queries)}")

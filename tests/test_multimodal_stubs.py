@@ -1,10 +1,10 @@
 """Multimodal stage plumbing (ops/multimodal.py).
 
 The decode/resize path is real (tested also via the image pipeline); the
-audio-feature and frame-sample stages are honest STUBS for libs absent from
-this container — these tests pin the *plumbing contract* that a real codec
-swap must keep: schema in/out, actor-pool signature, batch flow,
-determinism, and per-row (not per-batch) failure isolation.
+audio-feature and frame-sample stages are REAL over the deterministic
+raw-AV containers (codecs/av.py) — these tests pin the DSP math against
+direct recomputes, the seek-decode ≡ full-decode frame identity, schema
+in/out, actor-pool signature, determinism, and per-row failure isolation.
 """
 
 import numpy as np
@@ -17,45 +17,86 @@ from crusty_ray.ops.multimodal import (AudioFeatureStub, DecodeResizeStage,
 
 
 def _audio_table(n=10):
+    from crusty_ray.codecs.av import synth_audio
     return pa.table({
-        "clip_id": [f"c{i}" for i in range(n)],
-        "bytes": [bytes([i % 251]) * (50 + i) for i in range(n)],
-        "sr": pa.array([16000] * n, pa.int32()),
+        "clip_id": [f"c{i:02d}" for i in range(n)],
+        "bytes": pa.array([synth_audio(i) for i in range(n)], pa.binary()),
     })
 
 
-def test_audio_stub_actor_pool_schema(ray_session):
+def test_audio_features_real_dsp(ray_session):
+    from crusty_ray.codecs.av import decode_rawa, synth_audio
+    from crusty_ray.ops.multimodal import AudioFeatureStage
+
     ds = ray.data.from_arrow(_audio_table()) \
-        .map_batches(AudioFeatureStub, batch_format="pyarrow",
+        .map_batches(AudioFeatureStage, batch_format="pyarrow",
                      batch_size=4, concurrency=2)
-    t = ds.take_all()
-    assert len(t) == 10
-    for row in t:
-        assert len(row["features"]) == AudioFeatureStub.N_MFCC
-        assert np.asarray(row["features"]).dtype == np.float32 or \
-            all(isinstance(x, float) for x in row["features"])
-    # deterministic: same blob → same features, independent of batching
+    rows = ds.sort("clip_id").take_all()
+    assert len(rows) == 10
+    for i, row in enumerate(rows):
+        assert row["audio_ok"]
+        f = np.asarray(row["features"], dtype=np.float64)
+        assert len(f) == AudioFeatureStage.N_FEATURES
+        samples, rate = decode_rawa(synth_audio(i))
+        # real DSP: duration and RMS match a direct recompute
+        assert abs(f[0] - 1000.0 * len(samples) / rate) < 0.5
+        x = samples.astype(np.float64)
+        assert abs(f[1] - np.sqrt(np.mean(x * x))) < 1.0
+        assert f[2] <= 32768 and f[3] > 0
+        # the planted tones put real energy in the spectrum
+        assert f[4:].sum() > 0
+    # deterministic and batching-independent
     ds2 = ray.data.from_arrow(_audio_table()) \
-        .map_batches(AudioFeatureStub(), batch_format="pyarrow",
-                     batch_size=10)  # instance → task mode, same contract
-    assert [r["features"] for r in ds.sort("clip_id").take_all()] == \
+        .map_batches(AudioFeatureStage(), batch_format="pyarrow",
+                     batch_size=10)
+    assert [r["features"] for r in rows] == \
            [r["features"] for r in ds2.sort("clip_id").take_all()]
+    # a non-rawa blob flags, zero-fills, and poisons nothing
+    bad = pa.table({"clip_id": ["bad"],
+                    "bytes": pa.array([b"notaudio"], pa.binary())})
+    r = ray.data.from_arrow(bad).map_batches(
+        AudioFeatureStage(), batch_format="pyarrow").take_all()[0]
+    assert not r["audio_ok"] and not any(r["features"])
 
 
-def test_frame_sample_stub_schema(ray_session):
-    t = pa.table({"video_id": ["v0", "v1"],
-                  "bytes": [b"\x00" * 100, b"\x01" * 200]})
-    ds = ray.data.from_arrow(t).map_batches(
-        frame_sample_stub(8), batch_format="pyarrow", batch_size=1)
-    rows = ds.sort("video_id").take_all()
-    for r in rows:
-        assert len(r["frame_indices"]) == 8
-        assert list(r["frame_indices"]) == sorted(r["frame_indices"])
-    # deterministic per blob
+def test_video_frame_sampling_seeks_real_frames(ray_session):
+    from crusty_ray.codecs.av import (decode_rawv, decode_rawv_frame,
+                                      synth_video)
+    from crusty_ray.codecs.images import decode_image
+    from crusty_ray.ops.multimodal import (VideoFrameSampleStage,
+                                           frame_sample_stub,
+                                           resize_nearest)
+
+    t = pa.table({"video_id": ["v0", "v1", "bad"],
+                  "bytes": pa.array([synth_video(0), synth_video(1),
+                                     b"notvideo"], pa.binary())})
+    rows = ray.data.from_arrow(t).map_batches(
+        VideoFrameSampleStage, batch_format="pyarrow", batch_size=1,
+        concurrency=1).sort("video_id").take_all()
+    by_id = {r["video_id"]: r for r in rows}
+    assert not by_id["bad"]["video_ok"]
+    assert list(by_id["bad"]["frame_indices"]) == []
+    for vid, mid in (("v0", 0), ("v1", 1)):
+        r = by_id[vid]
+        assert r["video_ok"]
+        idx = list(r["frame_indices"])
+        assert idx == sorted(set(idx))
+        blob = synth_video(mid)
+        full = decode_rawv(blob)
+        for i, png in zip(idx, r["frame_pngs"]):
+            # seek-decode ≡ full-decode's frame, and the emitted PNG is
+            # exactly the resized true frame (png is lossless)
+            frame = decode_rawv_frame(blob, i)
+            np.testing.assert_array_equal(frame, full[i])
+            np.testing.assert_array_equal(
+                decode_image(bytes(png), "png"),
+                resize_nearest(frame, 8, 8))
+    # the compat shim drives the same real stage
     rows2 = ray.data.from_arrow(t).map_batches(
-        frame_sample_stub(8), batch_format="pyarrow").sort("video_id").take_all()
-    assert [r["frame_indices"] for r in rows] == \
-           [r["frame_indices"] for r in rows2]
+        frame_sample_stub(4), batch_format="pyarrow").sort("video_id") \
+        .take_all()
+    assert [list(r["frame_indices"]) for r in rows2] == \
+           [list(by_id[r["video_id"]]["frame_indices"]) for r in rows2]
 
 
 def test_decode_stage_isolates_bad_rows(ray_session):
