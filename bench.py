@@ -186,7 +186,8 @@ def bench_queries(sf_dir: str) -> dict:
              "events_gini", "length_quantile_normalize",
              "priority_mix_shift", "price_first_digit",
              "order_size_distribution", "revenue_concentration",
-             "session_length_histogram", "order_reconciliation"]
+             "session_length_histogram", "order_reconciliation",
+             "audio_features", "video_frame_sample"]
     out = {}
     for name in names:
         t0 = time.time()
