@@ -402,6 +402,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from crusty_ray.ops.multimodal import video_frame_sample_ds
         return video_frame_sample_ds(sf_dir)
 
+    def _video_near_dups(sf_dir: str):
+        from crusty_ray.ops.multimodal import video_near_dups_ds
+        return video_near_dups_ds(sf_dir)
+
     def multimodal_thumbs(sf_dir: str):
         import ray
         from crusty_ray.datagen.webgraph import SyntheticWeb
@@ -918,6 +922,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # REAL seek-decoding frame sampler over rawv clips (header read,
         # byte-offset frame decode, PNG thumbs via the shared codec)
         "video_frame_sample": _video_frame_sample,
+        # video near-dups: sampled frame phashes bucket time-shifted
+        # copies; planted-overlap pytest oracle (48/48 pairs exact)
+        "video_near_dups": _video_near_dups,
     }
 
 

@@ -187,7 +187,7 @@ def bench_queries(sf_dir: str) -> dict:
              "priority_mix_shift", "price_first_digit",
              "order_size_distribution", "revenue_concentration",
              "session_length_histogram", "order_reconciliation",
-             "audio_features", "video_frame_sample"]
+             "audio_features", "video_frame_sample", "video_near_dups"]
     out = {}
     for name in names:
         t0 = time.time()

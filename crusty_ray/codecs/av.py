@@ -109,3 +109,21 @@ def synth_audio(media_id: int, n_samples: int = 4000,
            + 500 * rng.standard_normal(n_samples))
     return encode_rawa(np.clip(sig, -32768, 32767).astype(np.int16),
                        sample_rate)
+
+
+def synth_video_overlapping(media_id: int, base_mod: int = 16,
+                            shift: int = 2, w: int = 8, h: int = 8,
+                            n_frames: int = 12, fps: int = 10) -> bytes:
+    """Deterministic clip with PLANTED near-dup structure: frame t of clip
+    v is the base frame (v % base_mod, t + shift·(v // base_mod)) — so
+    clips congruent mod ``base_mod`` are time-shifted versions of the
+    same footage sharing n_frames − shift·Δ frames. The fixture the video
+    near-dup op's pytest oracle is computed against."""
+    frames = np.empty((n_frames, h, w, 3), dtype=np.uint8)
+    base = media_id % base_mod
+    off = shift * (media_id // base_mod)
+    for t in range(n_frames):
+        rng = np.random.Generator(np.random.PCG64(
+            hash64(f"vbase:{base}:{t + off}".encode())))
+        frames[t] = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    return encode_rawv(frames, fps)

@@ -556,3 +556,87 @@ def video_frame_sample_ds(sf_dir: str, n_clips: int = 32):
     # slim output: drop the raw container, keep ids + samples
     return sampled.map_batches(
         lambda t: t.drop_columns(["bytes"]), batch_format="pyarrow")
+
+
+def video_phash_near_dups(videos, min_shared: int = 4,
+                          sample_frames: int = 6,
+                          num_partitions: int = 32):
+    """Video near-duplicate detection — the multimodal dedup composition:
+    SEEK-sample frames from each clip, perceptual-hash each sampled frame
+    (the shared image ``phash64`` kernel), bucket by frame phash (clips
+    sharing ANY frame hash meet — the LSH-style candidate step), and keep
+    pairs sharing ≥ ``min_shared`` distinct frame hashes (the verify
+    step). Catches time-shifted and re-encoded copies that whole-file
+    hashing misses.
+
+    Scale plan: per clip only ``sample_frames`` slim (phash, video_id)
+    rows shuffle — never frame pixels; candidate pairs form inside phash
+    buckets (identical frames are rare across unrelated clips, so buckets
+    are small — a planted-dup fixture pins this); the pair counts collapse
+    through ``grouped_count``. Returns (video_a, video_b, n_shared)."""
+    from ..codecs.images import phash64
+    from ..codecs.av import decode_rawv_frame, rawv_info
+    from .agg import grouped_count, partitioned_group_apply
+
+    k = sample_frames
+
+    def hashes(batch: pa.Table) -> "pd.DataFrame":
+        rows = []
+        for vid, blob in zip(batch["video_id"].to_pylist(),
+                             batch["bytes"].to_pylist()):
+            try:
+                _, _, n, _ = rawv_info(blob)
+                idx = [int(i * n / min(k, n)) for i in range(min(k, n))]
+                for i in idx:
+                    rows.append((int(vid),
+                                 phash64(decode_rawv_frame(blob, i))))
+            except Exception:
+                continue  # undecodable clips emit nothing
+        out = pd.DataFrame(rows, columns=["video_id", "fh"])
+        return out.drop_duplicates().astype({"video_id": "int64",
+                                             "fh": "int64"})
+
+    fh = videos.map_batches(hashes, batch_format="pyarrow", batch_size=8,
+                            concurrency=2)
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        frames_out = []
+        for _, g in df.groupby("fh", sort=False):
+            ids = np.sort(g["video_id"].unique())
+            if len(ids) < 2:
+                continue
+            a, b = np.triu_indices(len(ids), k=1)
+            frames_out.append(pd.DataFrame({"video_a": ids[a],
+                                            "video_b": ids[b]}))
+        if not frames_out:
+            return pd.DataFrame({"video_a": pd.Series([], dtype="int64"),
+                                 "video_b": pd.Series([], dtype="int64")})
+        return pd.concat(frames_out, ignore_index=True)
+
+    cand = partitioned_group_apply(fh, ["fh"], pairs_in_bucket,
+                                   num_partitions)
+    counted = grouped_count(cand, ["video_a", "video_b"], "n_shared",
+                            num_partitions)
+    return counted.filter(lambda r: r["n_shared"] >= min_shared)
+
+
+def video_near_dups_ds(sf_dir: str, n_clips: int = 48,
+                       min_shared: int = 4):
+    """Contract face: the planted-overlap synthetic corpus
+    (``synth_video_overlapping`` — clips congruent mod 16 share shifted
+    footage) through the full sample→phash→bucket→verify plan."""
+    from ..codecs.av import synth_video_overlapping
+    from .io import read_table
+
+    ids = read_table(sf_dir, "documents", ["doc_id"]).limit(n_clips)
+
+    def make(batch: pd.DataFrame) -> pa.Table:
+        d = batch["doc_id"].astype("int64")
+        return pa.table({
+            "video_id": pa.array(d.to_numpy(), pa.int64()),
+            "bytes": pa.array([synth_video_overlapping(int(i))
+                               for i in d], pa.binary())})
+
+    return video_phash_near_dups(
+        ids.map_batches(make, batch_format="pandas"),
+        min_shared=min_shared)

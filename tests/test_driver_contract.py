@@ -72,7 +72,7 @@ def test_every_query_is_covered_by_some_check(contract):
                      "image_channel_stats", "image_patch_grid", "image_augment",
                      "image_text_curation", "webdataset_export",
                      "crawl_log_compact", "audio_features",
-                     "video_frame_sample"}
+                     "video_frame_sample", "video_near_dups"}
     listed = set(SQL_CHECKED) | set(ROWS_ONLY) | crawl_checked
     assert set(queries) == listed, (
         f"unlisted: {set(queries) - listed}; stale: {listed - set(queries)}")

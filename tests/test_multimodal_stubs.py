@@ -256,3 +256,28 @@ class TestImageFeatureNearDups:
         got = image_feature_near_dups(path, threshold_pm=950, n_planes=0,
                                       n_tables=1, max_bucket=4).to_pandas()
         assert len(got) == 0
+
+
+def test_video_phash_near_dups_planted(ray_session):
+    """Planted time-shifted copies: clips congruent mod 16 share footage;
+    with 6 sampled frames and shift 2, Δ=1 pairs share 5 frame hashes,
+    Δ=2 pairs share 4 — all ≥ min_shared=4, and NO cross-base pair may
+    appear (unrelated random frames never collide on phash64 here)."""
+    from crusty_ray.codecs.av import synth_video_overlapping
+    from crusty_ray.ops.multimodal import video_phash_near_dups
+
+    n = 48  # 16 bases x 3 shifted copies
+    t = pa.table({
+        "video_id": pa.array(np.arange(n, dtype=np.int64)),
+        "bytes": pa.array([synth_video_overlapping(i) for i in range(n)],
+                          pa.binary())})
+    got = video_phash_near_dups(ray.data.from_arrow(t), min_shared=4) \
+        .to_pandas()
+    want = set()
+    for base in range(16):
+        ids = [base, base + 16, base + 32]
+        want |= {(ids[0], ids[1], 5), (ids[1], ids[2], 5),
+                 (ids[0], ids[2], 4)}
+    got_set = {(int(r.video_a), int(r.video_b), int(r.n_shared))
+               for r in got.itertuples()}
+    assert got_set == want
