@@ -164,8 +164,37 @@ def main():
         and df["r_score"].between(1, 5).all()
         and df["rfm"].between(111, 555).all())
 
+    checks.append(av_leg())
+
     print("ALL OK" if all(checks) else "FAILURES", flush=True)
     ray.shutdown()
+
+
+def av_leg():
+    """2,000-clip video near-dup sweep (40x the face): 500 bases x 4
+    shifted copies -> expected C(4,2) pairs per base at min_shared=4
+    minus the D=3 pairs that fall below threshold (Δ=3 -> 12-6... with 6
+    sampled even frames and shift 2: Δ=1,2 share >=4, Δ=3 shares 3 <4),
+    i.e. per base pairs = (0,1),(1,2),(2,3) Δ=1 ->5; (0,2),(1,3) Δ=2 ->4;
+    (0,3) Δ=3 ->3 (dropped) = 5 pairs/base -> 2500 exact."""
+    import pyarrow as pa
+
+    from crusty_ray.codecs.av import synth_video_overlapping
+    from crusty_ray.ops.multimodal import video_phash_near_dups
+
+    n = 2000
+    t0, r0 = time.time(), rss_gb()
+    t = pa.table({
+        "video_id": pa.array(np.arange(n, dtype=np.int64)),
+        "bytes": pa.array([synth_video_overlapping(i, base_mod=500)
+                           for i in range(n)], pa.binary())})
+    got = video_phash_near_dups(ray.data.from_arrow(t), min_shared=4) \
+        .to_pandas()
+    ok = len(got) == 500 * 5
+    print(f"video_near_dups ({n} clips = ~40x): {time.time()-t0:.1f}s "
+          f"pairs={len(got)} maxRSS={rss_gb():.2f}GB (start {r0:.2f}) "
+          f"{'OK' if ok else 'FAIL'}", flush=True)
+    return ok
 
 
 if __name__ == "__main__":
