@@ -559,7 +559,7 @@ def video_frame_sample_ds(sf_dir: str, n_clips: int = 32):
 
 
 def video_phash_near_dups(videos, min_shared: int = 4,
-                          sample_frames: int = 6,
+                          sample_frames: int = 6, max_bucket: int = 1024,
                           num_partitions: int = 32):
     """Video near-duplicate detection — the multimodal dedup composition:
     SEEK-sample frames from each clip, perceptual-hash each sampled frame
@@ -567,7 +567,10 @@ def video_phash_near_dups(videos, min_shared: int = 4,
     sharing ANY frame hash meet — the LSH-style candidate step), and keep
     pairs sharing ≥ ``min_shared`` distinct frame hashes (the verify
     step). Catches time-shifted and re-encoded copies that whole-file
-    hashing misses.
+    hashing misses. ``max_bucket`` is the stop-hash cap (same contract as
+    the image twin's): a frame hash shared by more clips than the cap --
+    intro/outro black frames, test cards -- is skipped whole,
+    deterministically, instead of materializing O(m^2) pairs.
 
     Scale plan: per clip only ``sample_frames`` slim (phash, video_id)
     rows shuffle — never frame pixels; candidate pairs form inside phash
@@ -603,8 +606,8 @@ def video_phash_near_dups(videos, min_shared: int = 4,
         frames_out = []
         for _, g in df.groupby("fh", sort=False):
             ids = np.sort(g["video_id"].unique())
-            if len(ids) < 2:
-                continue
+            if len(ids) < 2 or len(ids) > max_bucket:
+                continue  # stop-hash cap: degenerate common frames
             a, b = np.triu_indices(len(ids), k=1)
             frames_out.append(pd.DataFrame({"video_a": ids[a],
                                             "video_b": ids[b]}))

@@ -542,13 +542,8 @@ def spearman_qty_price_ds(sf_dir: str, num_partitions: int = 32):
             rq2 = (2.0 * g["q"].rank(method="average")).astype(np.int64)
             rp2 = (2.0 * g["p"].rank(method="average")).astype(np.int64)
             d = (rq2 - rp2).to_numpy()
-            if n <= 1_500_000:  # 4n³/3 < 2⁶³ — one int64 dot is exact
-                sum_d2 = int(np.dot(d, d))
-            else:  # chunk so C·(2n)² < 2⁶³; per-chunk dots sum as
-                # Python ints (d² itself is int64-safe to n < 1.5·10⁹)
-                c = max(1, int(2**63 // (4 * n * n)))
-                sum_d2 = sum(int(np.dot(d[i:i + c], d[i:i + c]))
-                             for i in range(0, n, c))
+            # |d| ≤ 2n → d² ≤ 4n²; exact_dot_int64 handles every regime
+            sum_d2 = exact_dot_int64(d, d, bound=4 * n * n)
             big_n = 4 * n * (n * n - 1)  # Python int — never overflows
             numer = (big_n - 6 * sum_d2) * 1000
             rho_pm = int(_trunc_div(np.array([numer], dtype=object),
@@ -624,15 +619,19 @@ def orders_lineitem_join_size_ds(sf_dir: str, num_partitions: int = 32):
 def exact_dot_int64(a: np.ndarray, b: np.ndarray,
                     bound: int) -> int:
     """Exact Σ aᵢ·bᵢ for int64 arrays whose per-element product is ≤
-    ``bound`` (caller-proved): one int64 dot while n·bound fits 2⁶³,
-    else per-chunk dots summed in Python ints — the overflow-safe
-    accumulation the Spearman face introduced, factored for reuse."""
+    ``bound`` (caller-proved): one int64 dot while n·bound fits int64,
+    else per-chunk dots summed in Python ints; past 2⁶² (where even a
+    single int64 product could wrap) the whole sum runs in Python ints.
+    The overflow-safe accumulation behind the Spearman and Gini faces."""
     n = len(a)
     if n == 0:
         return 0
-    if n * bound < 2**63:
+    bound = max(int(bound), 1)
+    if n * bound <= 2**63 - 1:
         return int(np.dot(a, b))
-    c = max(1, int(2**63 // max(bound, 1)))
+    if bound >= 2**62:  # a single product may exceed int64 — pure Python
+        return sum(int(x) * int(y) for x, y in zip(a, b))
+    c = max(1, (2**63 - 1) // bound)  # chunk sum provably ≤ int64 max
     return sum(int(np.dot(a[i:i + c], b[i:i + c]))
                for i in range(0, n, c))
 
@@ -646,31 +645,43 @@ def events_gini_ds(sf_dir: str, num_partitions: int = 32):
 
     Plan: per-user counts are the distributed ``grouped_count``; the
     rank-weighted sum then needs the counts globally ordered — ONE
-    constant-group partition over the user-DIM-scale count table (the
-    same single-window contract as RFM's global ntiles), with the
+    constant-group partition over the user-DIM-scale count table, IN A
+    WORKER (the same single-window contract as RFM's global ntiles — the
+    driver never holds the count table), with the
     Σ i·x accumulation overflow-safe via ``exact_dot_int64`` and the
     final ratio in Python ints. Returns one row
     (n_users, total_events, gini_pm)."""
     from .agg import grouped_count
 
+    from .agg import partitioned_group_apply
+
     counts = grouped_count(
         read_table(sf_dir, "events", ["user_id"]), ["user_id"], "x",
-        num_partitions).to_pandas()
-    if "user_id" not in counts.columns or not len(counts):
+        num_partitions)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["x", "user_id"]).reset_index(drop=True)
+        x = d["x"].to_numpy(dtype=np.int64)
+        n = len(x)
+        i = np.arange(1, n + 1, dtype=np.int64)
+        six = exact_dot_int64(i, x, bound=int(n) * int(x.max()))
+        sx = sum(int(v) for v in x)  # Python-int exact at any scale
+        gini_pm = (2 * six - (n + 1) * sx) * 1000 // max(n * sx, 1)
+        return pd.DataFrame({
+            "n_users": pd.Series([n], dtype="int64"),
+            "total_events": pd.Series([sx], dtype="int64"),
+            "gini_pm": pd.Series([int(gini_pm)], dtype="int64")})
+
+    tagged = counts.map_batches(
+        lambda b: b.assign(__g=np.zeros(len(b), dtype=np.int64)),
+        batch_format="pandas")
+    out = partitioned_group_apply(tagged, ["__g"], score, 1).to_pandas()
+    if "n_users" not in out.columns or not len(out):  # empty events
         return pd.DataFrame({"n_users": pd.Series([0], dtype="int64"),
                              "total_events": pd.Series([0], dtype="int64"),
                              "gini_pm": pd.Series([0], dtype="int64")})
-    d = counts.sort_values(["x", "user_id"]).reset_index(drop=True)
-    x = d["x"].to_numpy(dtype=np.int64)
-    n = len(x)
-    i = np.arange(1, n + 1, dtype=np.int64)
-    six = exact_dot_int64(i, x, bound=int(n) * int(x.max()))
-    sx = int(x.sum())
-    gini_pm = (2 * six - (n + 1) * sx) * 1000 // (n * sx)
-    return pd.DataFrame({"n_users": pd.Series([n], dtype="int64"),
-                         "total_events": pd.Series([sx], dtype="int64"),
-                         "gini_pm": pd.Series([int(gini_pm)],
-                                              dtype="int64")})
+    return out.drop(columns=[c for c in out.columns if c.startswith("__")],
+                    errors="ignore").reset_index(drop=True)
 
 
 def order_size_distribution_ds(sf_dir: str, num_partitions: int = 32):

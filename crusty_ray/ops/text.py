@@ -1910,7 +1910,9 @@ def length_quantile_normalize_ds(sf_dir: str, num_partitions: int = 32):
         grp = d.groupby("source", sort=False)
         r = grp.cumcount().to_numpy() + 1
         n_s = grp["doc_id"].transform("size").to_numpy()
-        if int(n_s.max()) * n_g < 2**63:  # int64-provable fast path
+        ns_max = int(n_s.max()) if len(n_s) else 0
+        # r ≤ n_s, so r·n_g + n_s − 1 ≤ ns_max·n_g + ns_max − 1
+        if ns_max * n_g + ns_max - 1 <= 2**63 - 1:  # int64-provable
             target = (r * n_g + n_s - 1) // n_s
         else:
             target = np.array([(int(ri) * n_g + int(si) - 1) // int(si)

@@ -1020,18 +1020,19 @@ class CrawlEngine:
         ckpt_dir = f"{out_dir}/checkpoints/{name}"
         with open(f"{ckpt_dir}/driver.pkl", "rb") as f:
             snap = pickle.loads(f.read())
-        eng = cls(cfg, web_cfg, out_dir, seeds=seeds)
         # the frontier is hash-partitioned by crc32(addr_key) % shard_total:
         # restoring into a different shard count would silently misroute
-        # (or, if smaller, DROP) per-shard state — refuse loudly instead
+        # (or, if smaller, DROP) per-shard state — refuse loudly, and do it
+        # BEFORE constructing the engine (no leaked actor pool on refusal)
         n_ckpt = len([f for f in os.listdir(ckpt_dir)
                       if f.startswith("shard_") and f.endswith(".pkl")])
-        if n_ckpt != len(eng.actors):
+        if n_ckpt != cfg.jobs.shard_total:
             raise ValueError(
                 f"resume: checkpoint {name} has {n_ckpt} shards but "
                 f"cfg.jobs.shard_total={cfg.jobs.shard_total}; resharding "
                 f"a checkpoint is not supported — resume with the "
                 f"original shard_total")
+        eng = cls(cfg, web_cfg, out_dir, seeds=seeds)
         ray.get([a.restore_from.remote(f"{ckpt_dir}/shard_{s:05d}.pkl")
                  for s, a in enumerate(eng.actors)])
         # top-k state rides in the per-shard files; telemetry partitions

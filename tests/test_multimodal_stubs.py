@@ -281,3 +281,25 @@ def test_video_phash_near_dups_planted(ray_session):
     got_set = {(int(r.video_a), int(r.video_b), int(r.n_shared))
                for r in got.itertuples()}
     assert got_set == want
+
+
+def test_video_near_dups_stop_hash_cap(ray_session):
+    """A frame hash shared by more clips than max_bucket is skipped whole
+    — deterministically zero pairs when every bucket is over-cap."""
+    from crusty_ray.codecs.av import synth_video_overlapping
+    from crusty_ray.ops.multimodal import video_phash_near_dups
+
+    # base_mod=1: every clip is shifted footage of ONE base — frame
+    # hashes repeat across many clips, so buckets are large
+    n = 8
+    t = pa.table({
+        "video_id": pa.array(np.arange(n, dtype=np.int64)),
+        "bytes": pa.array([synth_video_overlapping(i, base_mod=1,
+                                                   shift=0)
+                           for i in range(n)], pa.binary())})
+    uncapped = video_phash_near_dups(ray.data.from_arrow(t),
+                                     min_shared=4).to_pandas()
+    assert len(uncapped) == n * (n - 1) // 2  # identical clips: all pairs
+    capped = video_phash_near_dups(ray.data.from_arrow(t), min_shared=4,
+                                   max_bucket=4).to_pandas()
+    assert len(capped) == 0
