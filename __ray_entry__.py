@@ -671,6 +671,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact Gini of per-user activity inequality (rank-weighted sum
         # over the globally ordered count table, truncating per-mille)
         "events_gini": stats.events_gini_ds,
+        # Pareto knee: smallest user head covering >=80% of event value
+        # (5*cum >= 4*total, exact integers, in-worker single window)
+        "value_pareto_point": stats.value_pareto_point_ds,
         "funnel_counts": behavior.funnel_counts_ds,
         # first-order Markov transition counts between consecutive event
         # types per user (ties on ts broken by event_id — total order)
@@ -2851,6 +2854,29 @@ def oracle_sql() -> dict[str, str]:
                    min(cum.v)::BIGINT AS norm_chars
             FROM tgt JOIN cum ON cum.cc >= tgt.target
             GROUP BY 1, 2, 3
+        """,
+        # Pareto point: first rank where 5*cum >= 4*total over the
+        # (cents DESC, user) order
+        "value_pareto_point": """
+            WITH u AS (
+              SELECT user_id,
+                     sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                         ::BIGINT AS cents
+              FROM events GROUP BY 1),
+            r AS (
+              SELECT cents,
+                     sum(cents) OVER (ORDER BY cents DESC, user_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum,
+                     row_number() OVER (ORDER BY cents DESC, user_id)
+                         AS rn
+              FROM u),
+            t AS (SELECT sum(cents)::BIGINT AS total,
+                         count(*)::BIGINT AS n FROM u)
+            SELECT any_value(t.n)::BIGINT AS n_users,
+                   min(r.rn)::BIGINT AS users_to_80pct,
+                   (min(r.rn) * 1000 // greatest(any_value(t.n), 1))
+                       ::BIGINT AS head_share_pm
+            FROM r, t WHERE 5 * r.cum >= 4 * t.total
         """,
         # churn: per-user max minute vs global max, integer hour gaps
         "user_inactivity_report": """

@@ -187,7 +187,8 @@ def bench_queries(sf_dir: str) -> dict:
              "priority_mix_shift", "price_first_digit",
              "order_size_distribution", "revenue_concentration",
              "session_length_histogram", "order_reconciliation",
-             "audio_features", "video_frame_sample", "video_near_dups"]
+             "audio_features", "video_frame_sample", "video_near_dups",
+             "value_pareto_point"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -816,3 +816,64 @@ def order_reconciliation_ds(sf_dir: str, num_partitions: int = 32):
                              for c in cols})
     return pd.DataFrame({c: pd.Series([int(parts[c].sum())],
                                       dtype="int64") for c in cols})
+
+
+def value_pareto_point_ds(sf_dir: str, num_partitions: int = 32):
+    """The Pareto point of user value: the smallest head of users (by
+    total event value, descending) whose cents cover ≥ 80% of the corpus
+    — "how top-heavy is value really" as a head COUNT (the Gini sees the
+    whole curve, CR-k a fixed head; this finds the 80% knee). Exact
+    integers: the condition is 5·cum ≥ 4·total, no percentages.
+
+    Plan: distributed per-user cent sums, then the cumulative scan needs
+    the users globally ordered — ONE constant-group partition IN A WORKER
+    (the single-window contract), vectorized sort + cumsum + argmax.
+    Returns one row (n_users, users_to_80pct, head_share_pm)."""
+    from .agg import grouped_count, partitioned_group_apply
+    from .analytic import _price_cents
+
+    ev = read_table(sf_dir, "events", ["user_id", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({"user_id": b["user_id"].astype("int64"),
+                          "cents": _price_cents(b["value"])})
+        return t.groupby("user_id", as_index=False)["cents"].sum() \
+            .astype({"cents": "int64"})
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("user_id", as_index=False)["cents"].sum()
+        out["__g"] = np.zeros(len(out), dtype=np.int64)
+        return out.astype({"cents": "int64"})
+
+    per_user = partitioned_group_apply(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["user_id"], per_key, num_partitions)
+
+    def knee(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["cents", "user_id"],
+                           ascending=[False, True]).reset_index(drop=True)
+        c = d["cents"].to_numpy(dtype=np.int64)
+        n = len(c)
+        total = sum(int(v) for v in c)  # Python-int exact at any scale
+        cum = 0
+        m = n
+        for i in range(n):  # O(n) over the already-reduced user dim;
+            cum += int(c[i])  # Python ints — cum can pass int64
+            if 5 * cum >= 4 * total:
+                m = i + 1
+                break
+        return pd.DataFrame({
+            "n_users": pd.Series([n], dtype="int64"),
+            "users_to_80pct": pd.Series([m], dtype="int64"),
+            "head_share_pm": pd.Series([m * 1000 // max(n, 1)],
+                                       dtype="int64")})
+
+    out = partitioned_group_apply(per_user, ["__g"], knee, 1).to_pandas()
+    if "n_users" not in out.columns or not len(out):
+        return pd.DataFrame({"n_users": pd.Series([0], dtype="int64"),
+                             "users_to_80pct": pd.Series([0],
+                                                         dtype="int64"),
+                             "head_share_pm": pd.Series([0],
+                                                        dtype="int64")})
+    return out[["n_users", "users_to_80pct", "head_share_pm"]] \
+        .reset_index(drop=True)

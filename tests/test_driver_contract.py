@@ -145,7 +145,7 @@ SQL_CHECKED = [
     "length_quantile_normalize", "priority_mix_shift",
     "price_first_digit", "order_size_distribution",
     "revenue_concentration", "session_length_histogram",
-    "order_reconciliation",
+    "order_reconciliation", "value_pareto_point",
 ]
 
 
