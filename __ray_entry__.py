@@ -784,6 +784,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # robust rate-spike detection: minute count > 2x the discrete
         # median of the previous 5 present minutes, per event type
         "event_rate_anomalies": analog.event_rate_anomalies_ds,
+        # lag-1 autocorrelation of the per-minute rate series (integer
+        # Pearson slope form, truncating per-mille — burstiness monitor)
+        "event_rate_autocorr": analog.event_rate_autocorr_ds,
+        # the (day-of-week, hour) heatmap (epoch-day arithmetic, the
+        # pivot_event_dow convention)
+        "weekday_hour_heatmap": analog.weekday_hour_heatmap_ds,
         # exact Levenshtein name linkage over balance-blocked customer
         # pairs (batch-vectorized Wagner-Fischer DP)
         "name_linkage": linkage.name_linkage_ds,
@@ -2854,6 +2860,41 @@ def oracle_sql() -> dict[str, str]:
                    min(cum.v)::BIGINT AS norm_chars
             FROM tgt JOIN cum ON cum.cc >= tgt.target
             GROUP BY 1, 2, 3
+        """,
+        # lag-1 autocorr: lead pairs per type, algebraic HUGEINT sums,
+        # truncating division (can be negative)
+        "event_rate_autocorr": """
+            WITH c AS (
+              SELECT event_type,
+                     (CAST(floor(epoch(ts)) AS BIGINT) // 60) AS minute,
+                     count(*)::BIGINT AS n_events
+              FROM events GROUP BY 1, 2),
+            p AS (
+              SELECT event_type, n_events AS x,
+                     lead(n_events) OVER (PARTITION BY event_type
+                                          ORDER BY minute) AS y
+              FROM c),
+            v AS (SELECT event_type, x, y FROM p WHERE y IS NOT NULL),
+            s AS (
+              SELECT event_type, count(*)::HUGEINT AS n,
+                     sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+                     sum(x::HUGEINT * x) AS sxx,
+                     sum(x::HUGEINT * y) AS sxy
+              FROM v GROUP BY 1)
+            SELECT event_type, n::BIGINT AS n_pairs,
+                   CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                        ELSE ((n * sxy - sx * sy) * 1000)
+                             // (n * sxx - sx * sx) END::BIGINT AS r1_pm
+            FROM s WHERE n >= 1
+        """,
+        # weekday x hour heatmap, epoch-day arithmetic
+        "weekday_hour_heatmap": """
+            SELECT ((CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7)
+                       ::BIGINT AS dow,
+                   ((CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600)
+                       ::BIGINT AS hour,
+                   count(*)::BIGINT AS n_events
+            FROM events GROUP BY 1, 2
         """,
         # Pareto point: first rank where 5*cum >= 4*total over the
         # (cents DESC, user) order

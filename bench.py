@@ -188,7 +188,8 @@ def bench_queries(sf_dir: str) -> dict:
              "order_size_distribution", "revenue_concentration",
              "session_length_histogram", "order_reconciliation",
              "audio_features", "video_frame_sample", "video_near_dups",
-             "value_pareto_point"]
+             "value_pareto_point", "event_rate_autocorr",
+             "weekday_hour_heatmap"]
     out = {}
     for name in names:
         t0 = time.time()

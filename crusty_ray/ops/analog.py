@@ -434,3 +434,76 @@ def event_rate_anomalies_ds(sf_dir: str, lookback: int = 5,
                             "n_events": pd.Series([], dtype="int64"),
                             "med5": pd.Series([], dtype="int64")})
     return out.sort_values(["event_type", "minute"]).reset_index(drop=True)
+
+
+def event_rate_autocorr_ds(sf_dir: str, num_partitions: int = 32):
+    """Lag-1 autocorrelation of each type's per-minute event-rate series —
+    the burstiness/seasonality detector (ρ₁ ≈ 0 is Poisson-like traffic,
+    high ρ₁ means persistent bursts). Exact integer Pearson as a
+    truncating per-mille ratio of algebraic sums over consecutive pairs:
+    ρ₁ = (n·Σxy − Σx·Σy)·1000 // (n·Σx² − (Σx)²) with x = counts[:-1],
+    y = counts[1:] (the regression-slope form; Python-int finish, so no
+    scale overflows it; can be negative → truncating division).
+
+    Plan: the shared minute pre-agg, then the series per type must be
+    ordered — ONE partition per event_type (the minute series is
+    card-sized at any corpus scale: minutes, not events). Returns
+    (event_type, n_pairs, r1_pm)."""
+    from .agg import grouped_count, partitioned_group_apply
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": batch["event_type"],
+                             "minute": minute_of(batch["ts"])})
+
+    counts = grouped_count(ev.map_batches(keyed, batch_format="pandas"),
+                           ["event_type", "minute"], "n_events",
+                           num_partitions)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        from .stats import _trunc_div
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            c = g.sort_values("minute")["n_events"].to_numpy(np.int64)
+            if len(c) < 2:
+                continue
+            x, y = c[:-1], c[1:]
+            n = len(x)
+            sx = sum(int(v) for v in x)
+            sy = sum(int(v) for v in y)
+            sxx = sum(int(v) * int(v) for v in x)
+            sxy = sum(int(a) * int(b) for a, b in zip(x, y))
+            den = n * sxx - sx * sx
+            if den == 0:  # constant series — autocorr undefined → 0
+                r1 = 0
+            else:
+                r1 = int(_trunc_div(
+                    np.array([(n * sxy - sx * sy) * 1000], dtype=object),
+                    np.array([den], dtype=object))[0])
+            rows.append((et, n, r1))
+        return pd.DataFrame(rows, columns=["event_type", "n_pairs",
+                                           "r1_pm"]).astype(
+            {"n_pairs": "int64", "r1_pm": "int64"})
+
+    return partitioned_group_apply(counts, ["event_type"], finish,
+                                   num_partitions)
+
+
+def weekday_hour_heatmap_ds(sf_dir: str, num_partitions: int = 32):
+    """The ops-dashboard staple: event counts per (day-of-week,
+    hour-of-day) cell — epoch-day arithmetic (0 = Thursday, the
+    ``pivot_event_dow`` convention) so both faces agree with no locale.
+    One card-sized grouped count. Returns (dow, hour, n_events)."""
+    from .agg import grouped_count
+
+    ev = _read(sf_dir, "events", ["ts"])
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        epoch_s = batch["ts"].astype("int64") // 1_000_000
+        return pd.DataFrame({
+            "dow": ((epoch_s // 86_400 + 4) % 7).astype("int64"),
+            "hour": ((epoch_s % 86_400) // 3_600).astype("int64")})
+
+    return grouped_count(ev.map_batches(keyed, batch_format="pandas"),
+                         ["dow", "hour"], "n_events", num_partitions)
