@@ -487,6 +487,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # classification-confidence face: margin = best - second-best
         # profile hits; is_mixed routes ambiguous docs to a heavier model
         "langid_margin": text.langid_margin_ds,
+        # lexical diversity: type-token ratio per doc in per-mille
+        # (token_stats' whitespace tokenization, map-only)
+        "doc_ttr": text.doc_ttr_ds,
         "gopher_quality": text.gopher_quality_ds,
         # FineWeb-style ensemble: Gopher signals blended by global
         # percentile rank (histogram-partial ranks, no global sort)
@@ -2860,6 +2863,19 @@ def oracle_sql() -> dict[str, str]:
                    min(cum.v)::BIGINT AS norm_chars
             FROM tgt JOIN cum ON cum.cc >= tgt.target
             GROUP BY 1, 2, 3
+        """,
+        # TTR: distinct / total whitespace tokens, floor per-mille
+        "doc_ttr": """
+            WITH c AS (
+              SELECT doc_id,
+                     string_split(trim(coalesce(text, '')), ' ') AS toks
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+                   (CAST(len(list_distinct(toks)) AS BIGINT) * 1000
+                    // greatest(len(toks), 1))::BIGINT AS ttr_pm
+            FROM c
         """,
         # lag-1 autocorr: lead pairs per type, algebraic HUGEINT sums,
         # truncating division (can be negative)

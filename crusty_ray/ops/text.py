@@ -1926,3 +1926,31 @@ def length_quantile_normalize_ds(sf_dir: str, num_partitions: int = 32):
 
     return partitioned_group_apply(docs, ["source"], finish,
                                    num_partitions)
+
+
+def doc_ttr_ds(sf_dir: str):
+    """Type-token ratio per document — the lexical-diversity quality
+    signal (low TTR = repetitive/boilerplate text, a Gopher-style
+    filter input): distinct tokens / tokens in floor per-mille, using
+    the same whitespace tokenization as ``token_stats``. Map-only (each
+    document is one row); the per-batch distinct count is a vectorized
+    explode + groupby-nunique, no per-row Python set loop. Returns
+    (doc_id, n_tokens, n_distinct, ttr_pm)."""
+
+    def ttr(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.strip().str.split(" ") \
+            .reset_index(drop=True)
+        n_tok = toks.str.len().to_numpy(dtype=np.int64)
+        ex = toks.explode()
+        nd = ex.groupby(level=0).nunique() \
+            .reindex(range(len(toks)), fill_value=0) \
+            .to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64").to_numpy(),
+            "n_tokens": n_tok,
+            "n_distinct": nd,
+            "ttr_pm": nd * 1000 // np.maximum(n_tok, 1)})
+
+    return _io_read(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"]) \
+        .map_batches(ttr, batch_format="pandas")

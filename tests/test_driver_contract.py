@@ -146,7 +146,7 @@ SQL_CHECKED = [
     "price_first_digit", "order_size_distribution",
     "revenue_concentration", "session_length_histogram",
     "order_reconciliation", "value_pareto_point",
-    "event_rate_autocorr", "weekday_hour_heatmap",
+    "event_rate_autocorr", "weekday_hour_heatmap", "doc_ttr",
 ]
 
 
