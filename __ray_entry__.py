@@ -490,6 +490,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lexical diversity: type-token ratio per doc in per-mille
         # (token_stats' whitespace tokenization, map-only)
         "doc_ttr": text.doc_ttr_ds,
+        # Gini-Simpson language diversity per source (exact integer,
+        # no logs — the float-free entropy alternative)
+        "lang_diversity_by_source": text.lang_diversity_by_source_ds,
         "gopher_quality": text.gopher_quality_ds,
         # FineWeb-style ensemble: Gopher signals blended by global
         # percentile rank (histogram-partial ranks, no global sort)
@@ -2863,6 +2866,20 @@ def oracle_sql() -> dict[str, str]:
                    min(cum.v)::BIGINT AS norm_chars
             FROM tgt JOIN cum ON cum.cc >= tgt.target
             GROUP BY 1, 2, 3
+        """,
+        # Gini-Simpson: (n^2 - sum n_i^2)*1000 // n^2 per source
+        "lang_diversity_by_source": """
+            WITH c AS (
+              SELECT source, lang, count(*)::BIGINT AS n
+              FROM documents GROUP BY 1, 2),
+            g AS (
+              SELECT source, sum(n)::BIGINT AS n_docs,
+                     sum(n * n)::BIGINT AS sum_n2
+              FROM c GROUP BY 1)
+            SELECT source, n_docs,
+                   ((n_docs * n_docs - sum_n2) * 1000
+                    // greatest(n_docs * n_docs, 1))::BIGINT AS simpson_pm
+            FROM g
         """,
         # TTR: distinct / total whitespace tokens, floor per-mille
         "doc_ttr": """

@@ -189,7 +189,8 @@ def bench_queries(sf_dir: str) -> dict:
              "session_length_histogram", "order_reconciliation",
              "audio_features", "video_frame_sample", "video_near_dups",
              "value_pareto_point", "event_rate_autocorr",
-             "weekday_hour_heatmap", "doc_ttr"]
+             "weekday_hour_heatmap", "doc_ttr",
+             "lang_diversity_by_source"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -1954,3 +1954,33 @@ def doc_ttr_ds(sf_dir: str):
     return _io_read(f"{sf_dir}/documents.parquet",
                     columns=["doc_id", "text"]) \
         .map_batches(ttr, batch_format="pandas")
+
+
+def lang_diversity_by_source_ds(sf_dir: str, num_partitions: int = 32):
+    """Gini–Simpson language diversity per source — the exact-integer
+    diversity index (1 − Σ(nᵢ/n)², the probability two random docs from
+    the source differ in language) a corpus monitor trends per ingest:
+    simpson_pm = (n² − Σnᵢ²)·1000 // n². The float-free alternative to
+    Shannon entropy (no logs → bit-exact).
+
+    One card-sized (source, lang) grouped count; the index derives from
+    the tiny result. Returns (source, n_docs, simpson_pm)."""
+    from .agg import grouped_count
+    from .io import read_parquet as _r
+
+    counts = grouped_count(
+        _r(f"{sf_dir}/documents.parquet", columns=["source", "lang"]),
+        ["source", "lang"], "n", num_partitions).to_pandas()
+    if "source" not in counts.columns or not len(counts):
+        return pd.DataFrame({"source": pd.Series([], dtype=object),
+                             "n_docs": pd.Series([], dtype="int64"),
+                             "simpson_pm": pd.Series([], dtype="int64")})
+    counts["n2"] = counts["n"].astype("int64") ** 2
+    g = counts.groupby("source", as_index=False).agg(
+        n_docs=("n", "sum"), sum_n2=("n2", "sum"))
+    n = g["n_docs"].astype("int64")
+    g["simpson_pm"] = ((n * n - g["sum_n2"]) * 1000
+                       // (n * n).clip(lower=1)).astype("int64")
+    return g[["source", "n_docs", "simpson_pm"]] \
+        .astype({"n_docs": "int64"}) \
+        .sort_values("source").reset_index(drop=True)

@@ -147,6 +147,7 @@ SQL_CHECKED = [
     "revenue_concentration", "session_length_histogram",
     "order_reconciliation", "value_pareto_point",
     "event_rate_autocorr", "weekday_hour_heatmap", "doc_ttr",
+    "lang_diversity_by_source",
 ]
 
 

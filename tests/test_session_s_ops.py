@@ -390,3 +390,76 @@ def test_trailing_shift_matrix_property(vals, window, start):
                 exp = sorted(w)[(len(w) - 1) // 2]
                 assert mat[row, (cnt[row] - 1) // 2] == exp
             row += 1
+
+
+# --------------------------------------------- concentration/rate trio
+
+def test_pareto_point_matches_pandas(ray_session):
+    from crusty_ray.ops.stats import value_pareto_point_ds
+    got = value_pareto_point_ds(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "value"])
+    ev["cents"] = np.floor(ev["value"].to_numpy() * 100 + 0.5).astype(
+        np.int64)
+    per = ev.groupby("user_id")["cents"].sum() \
+        .sort_values(ascending=False)
+    total = int(per.sum())
+    cum = 0
+    m = len(per)
+    for i, v in enumerate(per):
+        cum += int(v)
+        if 5 * cum >= 4 * total:
+            m = i + 1
+            break
+    assert int(got["users_to_80pct"].iloc[0]) == m
+    assert int(got["n_users"].iloc[0]) == per.size
+
+
+def test_autocorr_constant_series_is_zero_and_matches_pandas(ray_session):
+    """Zero-denominator (constant series) → 0 by contract; real series
+    match a pandas recompute of the slope-form Pearson."""
+    from crusty_ray.ops.analog import event_rate_autocorr_ds, minute_of
+    got = event_rate_autocorr_ds(SF).to_pandas() \
+        .set_index("event_type")
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["ts", "event_type"])
+    ev["minute"] = minute_of(ev["ts"])
+    for et, g in ev.groupby("event_type"):
+        c = g.groupby("minute").size().sort_index().to_numpy()
+        if len(c) < 2:
+            assert et not in got.index
+            continue
+        x, y = c[:-1].astype(int), c[1:].astype(int)
+        n = len(x)
+        den = n * sum(a * a for a in x) - sum(x) ** 2
+        if den == 0:
+            assert got.loc[et, "r1_pm"] == 0
+        else:
+            num = (n * sum(a * b for a, b in zip(x, y))
+                   - sum(x) * sum(y)) * 1000
+            exp = abs(num) // abs(den) * (1 if num * den >= 0 else -1)
+            assert got.loc[et, "r1_pm"] == exp
+
+
+def test_heatmap_total_identity(ray_session):
+    from crusty_ray.ops.analog import weekday_hour_heatmap_ds
+    got = weekday_hour_heatmap_ds(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["ts"])
+    assert int(got["n_events"].sum()) == len(ev)
+    assert got["dow"].between(0, 6).all()
+    assert got["hour"].between(0, 23).all()
+
+
+def test_simpson_bounds_and_single_lang_zero(ray_session):
+    """0 ≤ simpson ≤ 1000·(k−1)/k, and a single-language source scores 0
+    — checked against a pandas recompute."""
+    from crusty_ray.ops.text import lang_diversity_by_source_ds
+    got = lang_diversity_by_source_ds(SF).set_index("source")
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["source", "lang"])
+    for src, g in docs.groupby("source"):
+        n = len(g)
+        s2 = int((g["lang"].value_counts() ** 2).sum())
+        exp = (n * n - s2) * 1000 // (n * n)
+        assert got.loc[src, "simpson_pm"] == exp
+        assert got.loc[src, "n_docs"] == n
