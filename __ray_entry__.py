@@ -860,6 +860,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_latest_order": joins.asof_latest_order_ds,
         "range_join_prior_events": joins.range_join_events_ds,
         "revenue_by_nation": joins.revenue_by_nation_ds,
+        # region rollup derived from the card-sized nation result (no
+        # second fact scan — the rollup-from-partials identity)
+        "revenue_by_region": joins.revenue_by_region_ds,
+        # supplier scorecard: lines + distinct parts + cents per vendor,
+        # names via broadcast dims (covers the supplier dimension)
+        "supplier_scorecard": joins.supplier_scorecard_ds,
         "customer_order_profile": joins.customer_order_profile_ds,
         # FULL OUTER face of the shuffle hash join: per-key coverage of
         # two pre-aggregated fact tables (orders vs events)
@@ -2865,6 +2871,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT tgt.doc_id, tgt.source, tgt.n_chars,
                    min(cum.v)::BIGINT AS norm_chars
             FROM tgt JOIN cum ON cum.cc >= tgt.target
+            GROUP BY 1, 2, 3
+        """,
+        # region rollup of the nation star join
+        "revenue_by_region": """
+            SELECT r.r_name, count(*)::BIGINT AS n_orders,
+                   sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                       ::BIGINT AS revenue_cents
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY 1
+        """,
+        # supplier scorecard: fact aggregates + dim names
+        "supplier_scorecard": """
+            SELECT s.s_suppkey, s.s_name, n.n_name,
+                   count(*)::BIGINT AS n_lines,
+                   count(DISTINCT l.l_partkey)::BIGINT AS n_parts,
+                   sum(CAST(floor(l.l_extendedprice * 100 + 0.5)
+                            AS BIGINT))::BIGINT AS total_cents
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
             GROUP BY 1, 2, 3
         """,
         # Gini-Simpson: (n^2 - sum n_i^2)*1000 // n^2 per source

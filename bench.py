@@ -190,7 +190,8 @@ def bench_queries(sf_dir: str) -> dict:
              "audio_features", "video_frame_sample", "video_near_dups",
              "value_pareto_point", "event_rate_autocorr",
              "weekday_hour_heatmap", "doc_ttr",
-             "lang_diversity_by_source"]
+             "lang_diversity_by_source", "revenue_by_region",
+             "supplier_scorecard"]
     out = {}
     for name in names:
         t0 = time.time()

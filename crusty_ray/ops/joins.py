@@ -645,3 +645,83 @@ def salted_join_segment_stats_ds(sf_dir: str, hot_threshold: int = 70,
     from .agg import partitioned_group_apply
     pre = joined.map_batches(partial, batch_format="pandas")
     return partitioned_group_apply(pre, ["c_mktsegment"], reduce_part, 8)
+
+
+def supplier_scorecard_ds(sf_dir: str, num_partitions: int = 32):
+    """Supplier scorecard over the lineitem fact: lines shipped, DISTINCT
+    parts carried, total extended cents, plus the supplier name and
+    nation from broadcast dims — the per-vendor health row a procurement
+    dashboard shows. Covers the supplier dimension the other star joins
+    don't touch.
+
+    Plan: line counts + cents are associative per-batch partials; the
+    distinct-part count rides the ``grouped_count_distinct`` two-level
+    plan; both meet on the card-sized per-supplier frame; names attach
+    via one broadcast (supplier and nation are dim tables by
+    construction). Returns (s_suppkey, s_name, n_name, n_lines,
+    n_parts, total_cents)."""
+    import numpy as np
+
+    from .agg import grouped_count_distinct, partitioned_group_apply
+    from .analytic import _price_cents
+
+    li = read_table(sf_dir, "lineitem",
+                    ["l_suppkey", "l_partkey", "l_extendedprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({"s_suppkey": b["l_suppkey"].astype("int64"),
+                          "n_lines": np.ones(len(b), dtype=np.int64),
+                          "total_cents": _price_cents(b["l_extendedprice"])})
+        return t.groupby("s_suppkey", as_index=False).sum() \
+            .astype({"n_lines": "int64", "total_cents": "int64"})
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("s_suppkey", as_index=False).sum() \
+            .astype({"n_lines": "int64", "total_cents": "int64"})
+
+    sums = partitioned_group_apply(
+        li.map_batches(partial, batch_format="pandas"),
+        ["s_suppkey"], per_key, num_partitions).to_pandas()
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "s_suppkey": b["l_suppkey"].astype("int64"),
+            "pk": b["l_partkey"].astype("int64")}).drop_duplicates()
+
+    nd = grouped_count_distinct(
+        read_table(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+        .map_batches(pairs, batch_format="pandas"),
+        ["s_suppkey"], "pk", "n_parts", num_partitions).to_pandas()
+
+    sup = read_table(sf_dir, "supplier",
+                     ["s_suppkey", "s_name", "s_nationkey"]).to_pandas()
+    nation = read_table(sf_dir, "nation",
+                        ["n_nationkey", "n_name"]).to_pandas()
+    sup = sup.merge(nation, left_on="s_nationkey",
+                    right_on="n_nationkey")  # dim x dim, driver-tiny
+    out = sums.merge(nd, on="s_suppkey") \
+        .merge(sup[["s_suppkey", "s_name", "n_name"]], on="s_suppkey")
+    out = out[["s_suppkey", "s_name", "n_name", "n_lines", "n_parts",
+               "total_cents"]]
+    return out.astype({"s_suppkey": "int64", "n_lines": "int64",
+                       "n_parts": "int64", "total_cents": "int64"}) \
+        .sort_values("s_suppkey").reset_index(drop=True)
+
+
+def revenue_by_region_ds(sf_dir: str):
+    """The region rollup of `revenue_by_nation_ds`: the nation result is
+    card-sized, so the region level derives from it through the tiny
+    nation→region dim chain — no second fact scan (the rollup-from-
+    partials identity). Returns (r_name, n_orders, revenue_cents)."""
+    nat = revenue_by_nation_ds(sf_dir).to_pandas()
+    nation = read_table(sf_dir, "nation",
+                        ["n_name", "n_regionkey"]).to_pandas()
+    region = read_table(sf_dir, "region",
+                        ["r_regionkey", "r_name"]).to_pandas()
+    j = nat.merge(nation, on="n_name") \
+        .merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    out = j.groupby("r_name", as_index=False).agg(
+        n_orders=("n_orders", "sum"),
+        revenue_cents=("revenue_cents", "sum"))
+    return out.astype({"n_orders": "int64", "revenue_cents": "int64"}) \
+        .sort_values("r_name").reset_index(drop=True)

@@ -147,7 +147,8 @@ SQL_CHECKED = [
     "revenue_concentration", "session_length_histogram",
     "order_reconciliation", "value_pareto_point",
     "event_rate_autocorr", "weekday_hour_heatmap", "doc_ttr",
-    "lang_diversity_by_source",
+    "lang_diversity_by_source", "revenue_by_region",
+    "supplier_scorecard",
 ]
 
 
