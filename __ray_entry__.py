@@ -629,6 +629,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles_by_priority":
             quantiles.order_price_quantiles_by_priority_ds,
         "order_price_quantiles_cont": quantiles.order_price_quantiles_cont_ds,
+        # order-to-ship latency quantiles per priority (fact x fact
+        # hash_join + the exact two-phase grouped quantile plan)
+        "ship_lag_quantiles": quantiles.ship_lag_quantiles_ds,
         # winsorized robust stats: p05/p95 clamp from the exact two-phase
         # quantiles, broadcast bounds, streaming partial-sum aggregate
         "price_winsorized_stats": quantiles.price_winsorized_stats_ds,
@@ -2873,6 +2876,18 @@ def oracle_sql() -> dict[str, str]:
             FROM tgt JOIN cum ON cum.cc >= tgt.target
             GROUP BY 1, 2, 3
         """,
+        # ship-lag disc quantiles per priority over the orderkey join
+        "ship_lag_quantiles": " UNION ALL ".join(
+            f"""SELECT o.o_orderpriority, {p} AS p_pm,
+                   percentile_disc({p / 1000.0}) WITHIN GROUP (
+                       ORDER BY (CAST(floor(epoch(li.l_shipdate))
+                                      AS BIGINT) // 86400
+                                 - CAST(floor(epoch(o.o_orderdate))
+                                        AS BIGINT) // 86400)::DOUBLE)
+                       AS value
+               FROM lineitem li JOIN orders o
+                 ON o.o_orderkey = li.l_orderkey
+               GROUP BY 1""" for p in (500, 900)),
         # region rollup of the nation star join
         "revenue_by_region": """
             SELECT r.r_name, count(*)::BIGINT AS n_orders,

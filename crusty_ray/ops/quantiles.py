@@ -555,3 +555,48 @@ def price_mad_by_priority_ds(sf_dir: str):
     ds = read_table(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
     return mad_group_stats(ds, "o_orderpriority", "o_totalprice",
                            bucket_width=10_000.0)
+
+
+def ship_lag_quantiles_ds(sf_dir: str, ps_pm: tuple = (500, 900),
+                          num_partitions: int = 32):
+    """Order-to-ship latency quantiles per priority — the supply-chain
+    SLA metric (does '1-URGENT' actually ship faster?): lag_days =
+    ship epoch-day − order epoch-day, through the generic fact⋈fact
+    ``hash_join`` (lineitem ⋈ orders on orderkey — neither side
+    broadcast), then the same exact two-phase grouped quantiles the
+    price faces use. Lag rides as float64 so the ``percentile_disc``
+    value column types match the oracle exactly. Returns
+    (o_orderpriority, p_pm, value)."""
+    from .io import read_table
+    from .joins import hash_join
+
+    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def okey(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": b["o_orderkey"].astype("int64"),
+            "o_orderpriority": b["o_orderpriority"],
+            "__oday": (b["o_orderdate"].astype("int64")
+                       // 86_400_000_000).astype("int64")})
+
+    def lkey(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].astype("int64"),
+            "__sday": (b["l_shipdate"].astype("int64")
+                       // 86_400_000_000).astype("int64")})
+
+    j = hash_join(li.map_batches(lkey, batch_format="pandas"),
+                  orders.map_batches(okey, batch_format="pandas"),
+                  on=["l_orderkey"], num_partitions=num_partitions)
+
+    def lag(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderpriority": b["o_orderpriority"],
+            "lag_days": (b["__sday"] - b["__oday"])
+            .to_numpy(dtype=np.float64)})
+
+    lagged = j.map_batches(lag, batch_format="pandas")
+    return exact_group_quantiles(lagged, "o_orderpriority", "lag_days",
+                                 list(ps_pm), bucket_width=1.0)

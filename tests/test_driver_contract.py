@@ -148,7 +148,7 @@ SQL_CHECKED = [
     "order_reconciliation", "value_pareto_point",
     "event_rate_autocorr", "weekday_hour_heatmap", "doc_ttr",
     "lang_diversity_by_source", "revenue_by_region",
-    "supplier_scorecard",
+    "supplier_scorecard", "ship_lag_quantiles",
 ]
 
 
