@@ -25,7 +25,6 @@ import pandas as pd
 import pyarrow as pa
 
 from ..codecs.images import decode_image, encode_image
-from ..core.hashing import hash64
 
 
 def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
