@@ -869,6 +869,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # supplier scorecard: lines + distinct parts + cents per vendor,
         # names via broadcast dims (covers the supplier dimension)
         "supplier_scorecard": joins.supplier_scorecard_ds,
+        # catalog (brand, type) matrix: count / trunc-mean size / cents
+        # (covers p_brand, p_type, p_size in one card-sized agg)
+        "brand_type_matrix": joins.brand_type_matrix_ds,
+        # per-nation customer census incl. acctbal cents + order counts
+        "nation_customer_stats": joins.nation_customer_stats_ds,
         "customer_order_profile": joins.customer_order_profile_ds,
         # FULL OUTER face of the shuffle hash join: per-key coverage of
         # two pre-aggregated fact tables (orders vs events)
@@ -2910,6 +2915,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier s ON s.s_suppkey = l.l_suppkey
             JOIN nation n ON n.n_nationkey = s.s_nationkey
             GROUP BY 1, 2, 3
+        """,
+        # catalog matrix: trunc-mean size (non-negative // floor == trunc)
+        "brand_type_matrix": """
+            SELECT p_brand, p_type, count(*)::BIGINT AS n_parts,
+                   (sum(p_size)::BIGINT // count(*))::BIGINT AS avg_size,
+                   sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))
+                       ::BIGINT AS total_cents
+            FROM part GROUP BY 1, 2
+        """,
+        # nation census joined to the order counts
+        "nation_customer_stats": """
+            WITH c AS (
+              SELECT n.n_name, count(*)::BIGINT AS n_customers,
+                     sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                         ::BIGINT AS acctbal_cents
+              FROM customer c JOIN nation n
+                ON n.n_nationkey = c.c_nationkey
+              GROUP BY 1),
+            o AS (
+              SELECT n.n_name, count(*)::BIGINT AS n_orders
+              FROM orders oo
+              JOIN customer cc ON cc.c_custkey = oo.o_custkey
+              JOIN nation n ON n.n_nationkey = cc.c_nationkey
+              GROUP BY 1)
+            SELECT c.n_name, c.n_customers, c.acctbal_cents, o.n_orders
+            FROM c JOIN o USING (n_name)
         """,
         # Gini-Simpson: (n^2 - sum n_i^2)*1000 // n^2 per source
         "lang_diversity_by_source": """

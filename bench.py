@@ -191,7 +191,8 @@ def bench_queries(sf_dir: str) -> dict:
              "value_pareto_point", "event_rate_autocorr",
              "weekday_hour_heatmap", "doc_ttr",
              "lang_diversity_by_source", "revenue_by_region",
-             "supplier_scorecard", "ship_lag_quantiles"]
+             "supplier_scorecard", "ship_lag_quantiles",
+             "brand_type_matrix", "nation_customer_stats"]
     out = {}
     for name in names:
         t0 = time.time()

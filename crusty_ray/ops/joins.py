@@ -14,6 +14,7 @@ pattern).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 import ray
@@ -725,3 +726,62 @@ def revenue_by_region_ds(sf_dir: str):
         revenue_cents=("revenue_cents", "sum"))
     return out.astype({"n_orders": "int64", "revenue_cents": "int64"}) \
         .sort_values("r_name").reset_index(drop=True)
+
+
+def brand_type_matrix_ds(sf_dir: str, num_partitions: int = 32):
+    """Catalog composition matrix: per (brand, type) cell, part count,
+    truncated-mean size and total retail cents — the assortment view a
+    merchandiser reads (and the one face covering the part attributes
+    p_brand/p_type/p_size). One card-sized grouped aggregate; integer
+    cents + trunc-mean keep it bit-exact. Returns (p_brand, p_type,
+    n_parts, avg_size, total_cents)."""
+    from .agg import partitioned_group_apply
+    from .analytic import _price_cents
+
+    part = read_table(sf_dir, "part",
+                      ["p_brand", "p_type", "p_size", "p_retailprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({"p_brand": b["p_brand"], "p_type": b["p_type"],
+                          "n_parts": np.ones(len(b), dtype=np.int64),
+                          "size_sum": b["p_size"].astype("int64"),
+                          "total_cents": _price_cents(b["p_retailprice"])})
+        return t.groupby(["p_brand", "p_type"], as_index=False).sum()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["p_brand", "p_type"], as_index=False).sum()
+        g["avg_size"] = (g["size_sum"] // g["n_parts"]).astype("int64")
+        return g[["p_brand", "p_type", "n_parts", "avg_size",
+                  "total_cents"]].astype({"n_parts": "int64",
+                                          "total_cents": "int64"})
+
+    pre = part.map_batches(partial, batch_format="pandas")
+    return partitioned_group_apply(pre, ["p_brand", "p_type"], finish,
+                                   num_partitions)
+
+
+def nation_customer_stats_ds(sf_dir: str):
+    """Per-nation customer census: customers, total account balance in
+    cents, orders placed — the dim-side rollup that covers c_acctbal.
+    Customer and nation are dim tables (driver-tiny); the orders count is
+    the card-sized per-nation aggregate of the same broadcast star join
+    revenue_by_nation uses. Returns (n_name, n_customers,
+    acctbal_cents, n_orders)."""
+    from .analytic import _price_cents  # noqa: F401 (cents convention)
+
+    cust = read_table(sf_dir, "customer",
+                      ["c_custkey", "c_nationkey", "c_acctbal"]).to_pandas()
+    nation = read_table(sf_dir, "nation",
+                        ["n_nationkey", "n_name"]).to_pandas()
+    cust["cents"] = np.floor(cust["c_acctbal"].to_numpy(np.float64)
+                             * 100.0 + 0.5).astype(np.int64)
+    per_nat = cust.groupby("c_nationkey", as_index=False).agg(
+        n_customers=("c_custkey", "size"), acctbal_cents=("cents", "sum"))
+    nat_rev = revenue_by_nation_ds(sf_dir).to_pandas()  # card-sized
+    out = per_nat.merge(nation, left_on="c_nationkey",
+                        right_on="n_nationkey") \
+        .merge(nat_rev[["n_name", "n_orders"]], on="n_name")
+    out = out[["n_name", "n_customers", "acctbal_cents", "n_orders"]]
+    return out.astype({"n_customers": "int64", "acctbal_cents": "int64",
+                       "n_orders": "int64"}) \
+        .sort_values("n_name").reset_index(drop=True)

@@ -149,6 +149,7 @@ SQL_CHECKED = [
     "event_rate_autocorr", "weekday_hour_heatmap", "doc_ttr",
     "lang_diversity_by_source", "revenue_by_region",
     "supplier_scorecard", "ship_lag_quantiles",
+    "brand_type_matrix", "nation_customer_stats",
 ]
 
 
