@@ -446,21 +446,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embedded in a long one, which symmetric Jaccard dilutes
         "ngram_containment_pairs": dedup.ngram_containment_pairs_ds,
         "embedding_quant_dedup": dedup.embedding_quant_dedup_ds,
-        "minhash_candidates": dedup.minhash_candidates_ds,        # rows-only
+        # PRIMARY minhash faces (r3 VERDICT next-#6): the production LSH
+        # plan (band → bucket self-join → stop-hash cap → pair → verified
+        # Jaccard; ops/dedup.py _band_candidates/_verified_jaccard_pairs)
+        # running under the SQL-expressible md5 hash family, so the
+        # driver's DuckDB oracle covers the plan that actually runs. The
+        # crc32/splitmix kernel — same plan, fast hash family, no SQL
+        # twin — is the _crc32 rows-only face below, pinned to brute-force
+        # Jaccard by pytest (test_dedup_distributed).
+        "minhash_candidates": dedup.minhash_md5_candidates_ds,
+        # the stop-hash CAP rule bit-exact-oracled (binding cap of 2)
+        "minhash_candidates_capped": dedup.minhash_md5_candidates_capped_ds,
+        "minhash_near_dups": dedup.minhash_md5_pairs_ds,
+        "minhash_candidates_crc32": dedup.minhash_candidates_ds,  # rows-only
         # production-scale posture: hot band buckets dropped as stop-hashes
         # (deterministic cap; see ops/dedup.py docstring) — rows-only
-        "minhash_candidates_capped":
+        "minhash_candidates_crc32_capped":
             lambda sf: dedup.minhash_candidates_ds(sf, max_bucket=64),
-        "minhash_near_dups": dedup.minhash_dedup_pairs,           # rows-only
-        # SQL-parity md5 face of the same LSH plan (16 perms, 8 bands × 2):
-        # banding AND the verified near-dup pipeline both bit-exact vs
-        # pure-SQL DuckDB twins — the production crc32 kernel above stays
-        # rows-only (no SQL crc32) and is brute-force-equivalence-tested
-        "minhash_candidates_md5": dedup.minhash_md5_candidates_ds,
-        # the stop-hash CAP rule bit-exact-oracled (binding cap of 2)
-        "minhash_candidates_md5_capped":
-            dedup.minhash_md5_candidates_capped_ds,
-        "minhash_near_dups_md5": dedup.minhash_md5_pairs_ds,
+        "minhash_near_dups_crc32": dedup.minhash_dedup_pairs,     # rows-only
         "simhash_near_dups": dedup.simhash_pairs,  # SQL-checked (md5 face)
         # incremental ingestion dedup: new sources kept only if no corpus
         # near-dup (bipartite quadrant plan, SQL-checked)
@@ -1548,9 +1551,9 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnts cb ON cb.doc_id = doc_b
             WHERE (1000 * shared) // (ca.n + cb.n - shared) >= 500
         """,
-        "minhash_candidates_md5":
+        "minhash_candidates":
             _MINHASH_MD5_CTE + "SELECT doc_a, doc_b, n_bands FROM cand",
-        "minhash_candidates_md5_capped": _MINHASH_MD5_CTE + """
+        "minhash_candidates_capped": _MINHASH_MD5_CTE + """
             , bsz AS (
               SELECT band_id, band_hash, count(*) AS n
               FROM band GROUP BY 1, 2
@@ -1566,7 +1569,7 @@ def oracle_sql() -> dict[str, str]:
                  AND a.doc_id < b.doc_id
             GROUP BY 1, 2
         """,
-        "minhash_near_dups_md5": _MINHASH_MD5_CTE + """
+        "minhash_near_dups": _MINHASH_MD5_CTE + """
             , cnts AS (
               SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
             ), inter AS (

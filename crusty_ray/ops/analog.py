@@ -413,6 +413,9 @@ def event_rate_anomalies_ds(sf_dir: str, lookback: int = 5,
                                           lookback, start=1)
         mat.sort(axis=1)
         med = mat[np.arange(n), np.maximum(hist - 1, 0) // 2]
+        # rows with hist == 0 gather the int64-max pad: zero them before
+        # the multiply so factor * med can't wrap (they never fire anyway)
+        med = np.where(hist >= lookback, med, 0)
         fire = (hist >= lookback) & \
             (d["n_events"].to_numpy() > factor * med)
         # typed empty keeps the Dataset schema when no minute fires

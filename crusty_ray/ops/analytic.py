@@ -484,14 +484,22 @@ def snapshot_diff(sides, key_col: str, val_col: str,
     (each side must meet the other); no driver materialization, and the
     output is O(changes), not O(rows).
 
-    Returns (key, change, old_<val>, new_<val>) with -1 sentinels on the
-    missing side (keeps the schema all-BIGINT for the bit-exact face)."""
+    Precondition: keys are unique WITHIN each side (a snapshot has one
+    row per key by definition) — enforced per partition, because a
+    duplicated key would silently cartesian in the outer merge and emit
+    inflated change rows. Returns (key, change, old_<val>, new_<val>)
+    with -1 sentinels on the missing side (keeps the schema all-BIGINT
+    for the bit-exact face)."""
 
     def diff_in_part(df: pd.DataFrame) -> pd.DataFrame:
         a = df[df["__side"] == 0][[key_col, val_col]] \
             .rename(columns={val_col: f"old_{val_col}"})
         b = df[df["__side"] == 1][[key_col, val_col]] \
             .rename(columns={val_col: f"new_{val_col}"})
+        if not a[key_col].is_unique or not b[key_col].is_unique:
+            raise ValueError(
+                "snapshot_diff: duplicate keys within a side — each "
+                "snapshot must carry one row per key")
         m = a.merge(b, on=key_col, how="outer")
         old = m[f"old_{val_col}"]
         new = m[f"new_{val_col}"]

@@ -575,7 +575,12 @@ def join_size_estimate(left_ds, left_key: str, right_ds, right_key: str,
     (Σ a_k·b_k, matched-keys) row; the driver sums O(partitions) rows.
     Per-key products are Python-int summed — a single hot key can pass
     int64 (10⁶ × 10⁶ rows on one key is 10¹²; a few thousand such keys
-    overflow). Returns one row (n_matched_keys, est_rows)."""
+    overflow) — so each partition ships its sum as an int64-safe
+    (hi, lo) = divmod(est, 2⁶²) pair and the driver recombines in
+    Python ints. The returned ``est_rows`` column is int64: estimates
+    past 2⁶³−1 saturate to int64 max (documented ceiling — at that
+    cardinality the answer is "don't run this join" either way).
+    Returns one row (n_matched_keys, est_rows)."""
 
     def local(ds, key, side):
         def cnt(df: pd.DataFrame) -> pd.DataFrame:
@@ -593,17 +598,21 @@ def join_size_estimate(left_ds, left_key: str, right_ds, right_key: str,
         b = g[g["__side"] == 1].set_index("__key")["__n"]
         common = a.index.intersection(b.index)
         est = sum(int(a[k]) * int(b[k]) for k in common)
+        hi, lo = divmod(est, 2 ** 62)  # both int64-safe up to est < 2¹²⁵
         return pd.DataFrame({"n_matched_keys": [len(common)],
-                             "est_rows": [est]}).astype("int64")
+                             "est_hi": [hi], "est_lo": [lo]}) \
+            .astype("int64")
 
     parts = partitioned_group_apply(both, ["__key"], partial,
                                     num_partitions).to_pandas()
-    if "est_rows" not in parts.columns:
+    if "est_hi" not in parts.columns:
         return pd.DataFrame({"n_matched_keys": pd.Series([0], dtype="int64"),
                              "est_rows": pd.Series([0], dtype="int64")})
+    est = sum(int(h) * 2 ** 62 + int(l)
+              for h, l in zip(parts["est_hi"], parts["est_lo"]))
     out = pd.DataFrame({
         "n_matched_keys": [int(parts["n_matched_keys"].sum())],
-        "est_rows": [int(parts["est_rows"].sum())]})
+        "est_rows": [min(est, 2 ** 63 - 1)]})
     return out.astype("int64")
 
 

@@ -1,9 +1,9 @@
 """Windowed aggregates over the events stream (ray_guide streaming pattern).
 
 Ray Data has no event-time windows; streams are an ordered partitioned log:
-partition by key, order by ts within the partition, window inside
-``map_groups`` with pandas. Every output is integer-typed so the DuckDB window
--function oracles hash identically.
+coarse-hash-partition by key (``partitioned_group_apply``), order by ts within
+the partition, window vectorized over the whole partition. Every output is
+integer-typed so the DuckDB window-function oracles hash identically.
 
 - tumbling window  = ops/analog.event_minute_buckets (GROUP BY time bucket)
 - sliding window   = per-key RANGE window over bucket counts (this module)
@@ -32,18 +32,32 @@ def sliding_window_counts_ds(sf_dir: str, width: int = 5):
     ds = read_table(sf_dir, "events", ["ts", "event_type"])
     counts = grouped_count(ds.map_batches(_minutes, batch_format="pandas"),
                            ["event_type", "minute"], "cnt")
+    from .agg import partitioned_group_apply
 
-    def window(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("minute").reset_index(drop=True)
-        m = g["minute"].to_numpy()
-        c = g["cnt"].to_numpy()
+    def window_part(df: pd.DataFrame) -> pd.DataFrame:
+        # all types in the partition windowed in ONE vectorized pass:
+        # offset each type's minutes into a disjoint int64 band so a
+        # single global searchsorted respects the per-type segments
+        # (window lower bounds can't cross a 2⁴⁰ band gap; minutes are
+        # epoch-scale ≈ 2²⁵, width ≪ 2⁴⁰)
+        if not len(df):
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "minute": pd.Series([], dtype="int64"),
+                "cnt": pd.Series([], dtype="int64"),
+                "window_cnt": pd.Series([], dtype="int64")})
+        g = df.sort_values(["event_type", "minute"],
+                           kind="mergesort").reset_index(drop=True)
+        code = g["event_type"].astype("category").cat.codes.to_numpy(np.int64)
+        mg = code * (1 << 40) + g["minute"].to_numpy(np.int64)
+        c = g["cnt"].to_numpy(np.int64)
         csum = np.concatenate([[0], np.cumsum(c)])
-        # trailing RANGE window over minute VALUES (not rows)
-        lo = np.searchsorted(m, m - (width - 1), side="left")
-        g["window_cnt"] = (csum[np.arange(len(m)) + 1] - csum[lo]).astype("int64")
+        lo = np.searchsorted(mg, mg - (width - 1), side="left")
+        g["window_cnt"] = (csum[np.arange(len(mg)) + 1]
+                           - csum[lo]).astype("int64")
         return g[["event_type", "minute", "cnt", "window_cnt"]]
 
-    return counts.groupby("event_type").map_groups(window, batch_format="pandas")
+    return partitioned_group_apply(counts, ["event_type"], window_part)
 
 
 def session_windows_ds(sf_dir: str, gap_minutes: int = 30):
@@ -117,7 +131,9 @@ def sliding_distinct_users_ds(sf_dir: str, width: int = 3,
             "user_id": batch["user_id"].astype("int64"),
         }).drop_duplicates()
 
-    hu = ds.map_batches(pairs, batch_format="pandas")
+    # materialize: unique("h") executes the pair stage; without this the
+    # lazy hu would re-run the full events scan + dedup for expand too
+    hu = ds.map_batches(pairs, batch_format="pandas").materialize()
     hours = np.asarray(sorted(hu.unique("h")), dtype=np.int64)
     hours_ref = ray.put(hours)
 

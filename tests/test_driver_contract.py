@@ -112,10 +112,10 @@ SQL_CHECKED = [
     "bigram_surprisal", "event_dedup_windowed", "corpus_report",
     "k_anonymity_report", "winnowing_pairs", "global_shuffle_shards",
     "training_manifest", "vocab_growth",
-    "minhash_candidates_md5", "minhash_near_dups_md5", "quality_blend_rank",
+    "minhash_candidates", "minhash_near_dups", "quality_blend_rank",
     "order_event_coverage", "price_winsorized_stats",
     "bloom_join_urgent_items", "dedup_rate_by_source",
-    "price_mad_by_priority", "minhash_candidates_md5_capped",
+    "price_mad_by_priority", "minhash_candidates_capped",
     "token_frequency_spectrum", "lang_confusion", "dedup_canonical",
     "tfidf_cosine_pairs", "stratified_exact_k",
     "event_transitions", "referential_integrity", "temperature_sample",
@@ -166,8 +166,8 @@ def test_query_matches_oracle(contract, name):
 
 
 ROWS_ONLY = ["approx_distinct_users", "label_centroids", "embedding_pca",
-             "minhash_candidates", "minhash_candidates_capped",
-             "minhash_near_dups",
+             "minhash_candidates_crc32", "minhash_candidates_crc32_capped",
+             "minhash_near_dups_crc32",
              "ann_bruteforce", "ann_lsh", "ann_ivf", "ann_pq",
              "embedding_cosine_pairs",
              "crawl_pages_per_epoch", "crawl_term_breakdown",
