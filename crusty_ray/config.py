@@ -65,6 +65,9 @@ class CrawlSettings:
                                              # (conf/default.yaml:215-217 jitter)
     accept_content_types_status: tuple[str, ...] = ("text/html", "text/plain")
     accept_content_types_load: tuple[str, ...] = ("text/html",)
+    # reference conf/default.yaml:219 ("crusty/{GIT_SHA}"); the product
+    # token before "/" selects the robots.txt user-agent group (F7)
+    user_agent: str = "crusty/{GIT_SHA}"
 
 
 @dataclass
@@ -177,7 +180,42 @@ def load_config(
         setattr(obj, parts[-1], yaml.safe_load(val) if not isinstance(cur, str) else val)
     if env.get("CRUSTY_SEEDS"):
         cfg.seeds = cfg.seeds + [s.strip() for s in env["CRUSTY_SEEDS"].split(",") if s.strip()]
+    _expand_vars(cfg)
     return cfg
+
+
+def _git_sha() -> str:
+    """Short SHA of the repo HEAD, or "nogit" outside a checkout — the
+    value behind the reference's ``{GIT_SHA}`` config variable
+    (config.rs:248-258, populated at build time there)."""
+    import subprocess
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=5,
+        ).stdout.strip() or "nogit"
+    except Exception:
+        return "nogit"
+
+
+def _expand_vars(obj: Any) -> None:
+    """Expand ``{GIT_SHA}`` in every string config field, recursively —
+    the reference's config var expansion (config.rs:248-258). Lazy: the
+    git subprocess runs only if some field actually uses the variable."""
+    sha: list[str] = []
+
+    def walk(o: Any) -> None:
+        for f in dataclasses.fields(o):
+            v = getattr(o, f.name)
+            if dataclasses.is_dataclass(v):
+                walk(v)
+            elif isinstance(v, str) and "{GIT_SHA}" in v:
+                if not sha:
+                    sha.append(_git_sha())
+                setattr(o, f.name, v.replace("{GIT_SHA}", sha[0]))
+
+    walk(obj)
 
 
 def test_config(**overrides) -> Config:

@@ -119,9 +119,28 @@ class SyntheticWeb:
         r = rng.random()
         if r < self.cfg.disallow_all_fraction:
             return "User-agent: *\nDisallow: /\n"
-        if r < self.cfg.robots_fraction:
+        if r >= self.cfg.robots_fraction:
+            return None  # 404 — everything allowed
+        # the robots'd band splits into four deterministic variants that
+        # exercise the full Google-parser semantics (stages/robots.py):
+        # plain prefix, * / $ wildcards, Allow longest-match override,
+        # and per-agent group selection
+        lo, hi = self.cfg.disallow_all_fraction, self.cfg.robots_fraction
+        q = (r - lo) / (hi - lo)
+        if q < 0.25:
             return "User-agent: *\nDisallow: /private/\n"
-        return None  # 404 — everything allowed
+        if q < 0.5:
+            # wildcard: any path ending in "3" ( /p3, /p13, /private/p3 …)
+            return "User-agent: *\nDisallow: /*3$\n"
+        if q < 0.75:
+            # Allow overrides the shorter Disallow (longest-match wins)
+            return ("User-agent: *\nDisallow: /private/\n"
+                    "Allow: /private/p3\n")
+        # per-agent groups: crusty's own group (selected over *) only
+        # blocks the /p1 prefix; the catch-all would have blocked /p
+        return ("User-agent: googlebot\nDisallow: /\n\n"
+                "User-agent: crusty\nDisallow: /p1\n\n"
+                "User-agent: *\nDisallow: /p\n")
 
     # ------------------------------------------------------------------ pages
     def page_path(self, i: int, j: int) -> str:

@@ -89,12 +89,13 @@ class DiscoverStage:
                 shards.append(got[1])
         return doms, keys, shards
 
-    def _robots(self, domain: str) -> list:
+    def _robots(self, domain: str):
         got = self._robots_cache.get(domain)
         if got is None:
-            from .robots import parse_disallows
-            got = parse_disallows(self.web.robots_body(domain)
-                                  if self.web is not None else None)
+            from .robots import parse_robots
+            got = parse_robots(self.web.robots_body(domain)
+                               if self.web is not None else None,
+                               self.cfg.crawl.user_agent)
             self._robots_cache[domain] = got
         return got
 
@@ -135,8 +136,7 @@ class DiscoverStage:
             if cfg.rules.robots_txt:                              # F7
                 if robots is None:
                     robots = self._robots(task_domain)
-                from .robots import allowed
-                if not allowed(link, robots):
+                if not robots.allowed(link):
                     continue
             # user task filter (JobRules extension slot, rules.rs:55-77)
             if (self.rules.link_filter is not None

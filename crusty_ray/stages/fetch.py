@@ -36,7 +36,7 @@ import pyarrow as pa
 
 from ..config import Config
 from ..datagen.webgraph import SyntheticWeb, WebConfig
-from .robots import allowed, parse_disallows
+from .robots import RobotsRules, parse_robots
 
 RESULT_SCHEMA = pa.schema([
     ("url", pa.string()),
@@ -68,13 +68,14 @@ class FetchStage:
         self.rules = rules or DEFAULT_RULES
         # pluggable parser slot (reference cargo feature, main/Cargo.toml:13-18)
         self._extract = PARSERS[self.rules.parser if rules else parser]
-        self._robots_cache: dict[str, list[str]] = {}
+        self._robots_cache: dict[str, RobotsRules] = {}
 
     # robots are fetched once per domain and cached per actor (reference ST9)
-    def robots_disallows(self, domain: str) -> list[str]:
+    def robots_rules(self, domain: str) -> RobotsRules:
         got = self._robots_cache.get(domain)
         if got is None:
-            got = parse_disallows(self.web.robots_body(domain))
+            got = parse_robots(self.web.robots_body(domain),
+                               self.cfg.crawl.user_agent)
             self._robots_cache[domain] = got
         return got
 
@@ -99,7 +100,7 @@ class FetchStage:
             return self._row(url, domain, depth, shard, rec, redirects, "load_size")
         if rec["fetch_ms"] > cfg.crawl.load_timeout_ms:
             return self._row(url, domain, depth, shard, rec, redirects, "load_timeout")
-        if cfg.rules.robots_txt and not allowed(rec["url"], self.robots_disallows(domain)):
+        if cfg.rules.robots_txt and not self.robots_rules(domain).allowed(rec["url"]):
             return self._row(url, domain, depth, shard, rec, redirects, "load_robots")
         if rec["content_type"] not in cfg.crawl.accept_content_types_load:
             return self._row(url, domain, depth, shard, rec, redirects, "load_content_type")
