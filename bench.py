@@ -26,7 +26,8 @@ def _log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def bench_crawl(num_cpus: int, large: bool = False) -> dict:
+def bench_crawl(num_cpus: int, large: bool = False,
+                mode: str | None = None, with_images: bool = True) -> dict:
     """Headline: the epochal crawl + image decode over the bench-scale
     synthetic web (identical input at every parallelism level).
 
@@ -42,9 +43,10 @@ def bench_crawl(num_cpus: int, large: bool = False) -> dict:
     from crusty_ray.pipelines.streaming import make_engine
 
     cfg = test_config()
-    # GRAFT_CRAWL_MODE=streaming benches the free-running permit mode
-    # (bounded in-flight window) instead of the deterministic BSP loop
-    cfg.engine.mode = os.environ.get("GRAFT_CRAWL_MODE", "bsp")
+    # mode param (bench streaming leg) > GRAFT_CRAWL_MODE env > bsp:
+    # "streaming" benches the free-running permit mode (bounded in-flight
+    # window) instead of the deterministic BSP loop
+    cfg.engine.mode = mode or os.environ.get("GRAFT_CRAWL_MODE", "bsp")
     cfg.jobs.shard_total = 32
     cfg.jobs.shard_max = 32
     cfg.jobs.dequeue_limit = 8000
@@ -100,10 +102,14 @@ def bench_crawl(num_cpus: int, large: bool = False) -> dict:
         pages = eng.pages_fetched_total  # O(1) counter, no telemetry re-read
         log_rows = eng.read_crawl_log().num_rows
 
-        t0 = time.time()
-        img_summary = run_image_pipeline(f"{out}/crawl/crawl_log",
-                                         f"{out}/images", web_cfg, cfg)
-        images_sec = time.time() - t0
+        if with_images:
+            t0 = time.time()
+            img_summary = run_image_pipeline(f"{out}/crawl/crawl_log",
+                                             f"{out}/images", web_cfg, cfg)
+            images_sec = time.time() - t0
+        else:
+            img_summary = {"n_images": 0, "min_lossy_psnr_db": None}
+            images_sec = 0.0
         # steady-state throughput: the big epochs only (excludes the discovery
         # ramp/tail whose fixed per-epoch costs are parallelism-independent).
         # "big" = within 3× of the largest epoch: epoch boundaries are
@@ -115,7 +121,7 @@ def bench_crawl(num_cpus: int, large: bool = False) -> dict:
         steady_pps = (round(sum(s["tasks"] for s in big)
                             / sum(s["seconds"] for s in big), 1)
                       if big else round(log_rows / crawl_sec, 1))
-        return {
+        res = {
             "crawl_sec": round(crawl_sec, 3),
             "images_sec": round(images_sec, 3),
             "pages_fetched": pages,
@@ -128,6 +134,9 @@ def bench_crawl(num_cpus: int, large: bool = False) -> dict:
             "images_per_sec": round(img_summary["n_images"] / max(images_sec, 1e-9), 1),
             "min_lossy_psnr_db": img_summary["min_lossy_psnr_db"],
         }
+        if hasattr(eng, "permit_latency_percentiles"):
+            res["permit_latency"] = eng.permit_latency_percentiles()
+        return res
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -233,6 +242,17 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
         _log(f"  crawl: {c['crawl_sec']}s, {c['pages_per_sec']} pages/s")
         trials.append(c)
     crawl = max(trials, key=lambda c: c["steady_pages_per_sec"])
+    # streaming-mode leg (r3 VERDICT next-#4): the free-running permit mode
+    # at the identical profile — BENCH carries both modes' steady
+    # throughput plus the permit-to-apply latency only streaming has
+    streaming = None
+    if os.environ.get("GRAFT_BENCH_STREAMING", "1") not in ("", "0"):
+        _log(f"streaming-mode crawl (num_cpus={num_cpus})...")
+        streaming = bench_crawl(num_cpus, large=large, mode="streaming",
+                                with_images=False)
+        _log(f"  streaming: {streaming['crawl_sec']}s, "
+             f"steady {streaming['steady_pages_per_sec']} pages/s, "
+             f"latency {streaming.get('permit_latency')}")
     if os.environ.get("GRAFT_BENCH_MODE") == "crawl":
         queries = {}
     else:
@@ -241,12 +261,26 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
     ray.shutdown()
 
     total = crawl["crawl_sec"] + crawl["images_sec"] + sum(queries.values())
+    if streaming is not None:
+        total += streaming["crawl_sec"]   # value stays Σ of the queries dict
+    stream_fields = {}
+    if streaming is not None:
+        stream_fields = {
+            "streaming_crawl_sec": streaming["crawl_sec"],
+            "streaming_steady_pages_per_sec":
+                streaming["steady_pages_per_sec"],
+            "streaming_pages_per_sec": streaming["pages_per_sec"],
+            "streaming_permit_latency": streaming.get("permit_latency"),
+        }
     return {
         "metric": "crawl+decode+ops wall time",
         "value": round(total, 3),
         "unit": "sec",
         "queries": {"crawl": crawl["crawl_sec"], "images": crawl["images_sec"],
+                    **({"crawl_streaming": streaming["crawl_sec"]}
+                       if streaming is not None else {}),
                     **queries},
+        **stream_fields,
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "num_cpus": num_cpus,
         **{k: v for k, v in crawl.items() if k not in ("crawl_sec", "images_sec")},

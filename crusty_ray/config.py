@@ -116,6 +116,17 @@ class EngineConfig:
     streaming_window: int = 3         # max permits in flight (streaming mode);
                                       # ≈ relabuf soft_cap backpressure
                                       # (config.rs:87-96)
+    pending_spill_threshold: int = 1 << 31
+                                      # RAM entries across the frontier's
+                                      # pending TAILS before they spill as a
+                                      # sorted run on scratch (state/pending
+                                      # .py). Default never spills at test
+                                      # scale; probes/large runs set ~10⁵-10⁶.
+    pending_spill_max_runs: int = 8   # compact (merge + drop stale) past this
+    cuckoo_spill_bytes: int = 1 << 31  # cuckoo table bytes above which the
+                                      # seen-set table is memmap-backed on
+                                      # scratch (OS-paged segments instead
+                                      # of actor heap)
     streaming_checkpoint_every_permits: int = 0
                                       # >0: every K permits, drain the window
                                       # (quiesce) and write an exact-resume

@@ -27,11 +27,33 @@ _MAX_KICKS = 500
 
 
 class CuckooFilter:
-    def __init__(self, capacity: int = 1 << 20, seed: int = 0):
+    def __init__(self, capacity: int = 1 << 20, seed: int = 0,
+                 spill_dir: str | None = None,
+                 spill_bytes: int | None = None):
         nbuckets = max(8, 1 << (int(capacity / _SLOTS * 1.05) - 1).bit_length())
         self.nbuckets = nbuckets
         self.seed = seed
-        self.table = np.zeros((nbuckets, _SLOTS), dtype=np.uint16)
+        # size-triggered segment paging (r3 VERDICT next-#1): past
+        # ``spill_bytes`` the table lives in a scratch-backed memmap — the
+        # OS pages 4 KiB segments in/out on demand, so a multi-GiB seen set
+        # costs resident RAM only for its hot buckets. Behavior (hashing,
+        # eviction, serialization) is bit-identical to the in-heap table.
+        nbytes = nbuckets * _SLOTS * 2
+        if spill_bytes is not None and nbytes > spill_bytes:
+            import tempfile
+            if spill_dir:
+                import os
+                os.makedirs(spill_dir, exist_ok=True)
+            fd, self._spill_path = tempfile.mkstemp(
+                prefix="cuckoo_", suffix=".tbl", dir=spill_dir)
+            import os
+            os.close(fd)
+            self.table = np.memmap(self._spill_path, dtype=np.uint16,
+                                   mode="w+", shape=(nbuckets, _SLOTS))
+            self.table[:] = 0
+        else:
+            self._spill_path = None
+            self.table = np.zeros((nbuckets, _SLOTS), dtype=np.uint16)
         self.stash: set[int] = set()  # overflow fingerprint|index pairs (rare)
         self.count = 0
 
@@ -149,9 +171,12 @@ class CuckooFilter:
 
     # -- checkpointing ------------------------------------------------------
     def to_bytes(self) -> bytes:
+        table = self.table
+        if isinstance(table, np.memmap):
+            table = np.array(table)  # serialize contents, not the file ref
         return pickle.dumps(
             {"nbuckets": self.nbuckets, "seed": self.seed, "count": self.count,
-             "table": self.table, "stash": self.stash}, protocol=4)
+             "table": table, "stash": self.stash}, protocol=4)
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "CuckooFilter":
@@ -159,4 +184,5 @@ class CuckooFilter:
         f = cls.__new__(cls)
         f.nbuckets, f.seed, f.count = d["nbuckets"], d["seed"], d["count"]
         f.table, f.stash = d["table"], d["stash"]
+        f._spill_path = None
         return f

@@ -103,14 +103,21 @@ class ShardState:
         # robots, F7) now run in DiscoverStage.sched_filter before routing
         self._web_cfg = web_cfg
 
-        self.pending: dict[str, list] = {}            # addr_key -> sorted [(prio, DomainMsg)]
-        self.pending_domains: set[str] = set()
+        e = cfg.engine
+        # pending domains: spillable store (in-RAM head per addr_key, RAM
+        # tails bounded by pending_spill_threshold, sorted runs on scratch
+        # past it — state/pending.py; r3 VERDICT next-#1)
+        from .pending import PendingStore
+        self.pending = PendingStore(
+            shard, spill_threshold=e.pending_spill_threshold,
+            max_runs=e.pending_spill_max_runs, spill_dir=e.scratch_dir)
         self.in_processing: dict[str, tuple[str, int]] = {}  # addr_key -> (domain, deadline)
         self.jobs: dict[str, JobState] = {}
 
-        e = cfg.engine
         self.bloom = ScalingBloom(e.seen_bloom_capacity, e.seen_bloom_fpp, seed=seed)
-        self.cuckoo = CuckooFilter(e.cuckoo_capacity, seed=seed)
+        self.cuckoo = CuckooFilter(e.cuckoo_capacity, seed=seed,
+                                   spill_dir=e.scratch_dir,
+                                   spill_bytes=e.cuckoo_spill_bytes)
         self.ddc: OrderedDict[str, None] = OrderedDict()
 
         self._absorbed: list[dict] = []
@@ -187,19 +194,32 @@ class ShardState:
         redis-queue enqueue skip-cases (lib.rs:59-95)."""
         msgs = sorted(self._enqueue_buf, key=lambda m: (m.priority(), m.addr_key))
         self._enqueue_buf = []
-        for m in msgs:
-            if m.domain in self.pending_domains:
+        if not msgs:
+            return
+        # seen tier pre-computed VECTORIZED over the whole batch (bloom on
+        # all, cuckoo only on bloom-positives) — exactly order-equivalent
+        # to the per-item checks because nothing in this loop mutates the
+        # filters (_mark_seen runs only at end_epoch). Per-item bloom
+        # probes were ~95% of a large enqueue's wall time.
+        import numpy as np
+        domains = [m.domain for m in msgs]
+        seen = self.bloom.contains_batch(domains)
+        idx = np.nonzero(seen)[0]
+        if len(idx):
+            seen[idx] = self.cuckoo.contains_batch(
+                [domains[i] for i in idx])
+        for m, is_seen in zip(msgs, seen):
+            if self.pending.contains_domain(m.domain):
                 self.stats["skipped_pending"] += 1
                 continue
             proc = self.in_processing.get(m.addr_key)
             if proc is not None and proc[0] == m.domain:
                 self.stats["skipped_processing"] += 1
                 continue
-            if self._seen(m.domain):
+            if is_seen:
                 self.stats["skipped_seen"] += 1
                 continue
-            insort(self.pending.setdefault(m.addr_key, []), (m.priority(), m))
-            self.pending_domains.add(m.domain)
+            self.pending.add(m.priority(), m)
             self.stats["enqueued"] += 1
 
     # ------------------------------------------------------------- dequeue side
@@ -215,15 +235,12 @@ class ShardState:
         self._expire_locks(epoch)
 
         candidates = []
-        for key, q in self.pending.items():
-            if q and key not in self.in_processing:
-                candidates.append((q[0][0], key))
+        for prio, key in self.pending.head_items():
+            if key not in self.in_processing:
+                candidates.append((prio, key))
         candidates.sort()
         for _, key in candidates[: cfg.jobs.dequeue_limit]:
-            _, msg = self.pending[key].pop(0)
-            if not self.pending[key]:
-                del self.pending[key]
-            self.pending_domains.discard(msg.domain)
+            msg = self.pending.pop(key)
             self.in_processing[key] = (msg.domain, epoch + self.lock_ttl_epochs)
             root = msg.url or f"http://{msg.domain}/"
             job = JobState(domain=msg.domain, addr_key=key, root_url=root,
@@ -414,17 +431,24 @@ class ShardState:
     # ------------------------------------------------------------- introspection
     def gauges(self, epoch: int) -> dict:
         """Queue-gauge sampling (A5, crusty.rs:31-54): per-epoch state sizes."""
-        return {
+        import resource
+        out = {
             "epoch": epoch, "shard": self.shard,
-            "pending_domains": len(self.pending_domains),
-            "pending_addr_keys": len(self.pending),
+            "pending_domains": len(self.pending),
+            "pending_addr_keys": self.pending.n_keys(),
             "in_processing": len(self.in_processing),
             "active_jobs": len(self.jobs),
             "seen_count": self.cuckoo.count,
+            # this process's peak RSS (the shard actor when distributed) —
+            # the spill acceptance gauge (probes/spill_10m_smoke.py)
+            "maxrss_mb": resource.getrusage(
+                resource.RUSAGE_SELF).ru_maxrss // 1024,
         }
+        out.update(self.pending.gauges())
+        return out
 
     def idle(self) -> bool:
-        return not (self.pending_domains or self.jobs or self._enqueue_buf
+        return not (len(self.pending) or self.jobs or self._enqueue_buf
                     or self._absorbed or self._absorbed_tables)
 
     # ------------------------------------------------------------- checkpointing
@@ -434,8 +458,10 @@ class ShardState:
         import pickle
         return {
             "shard": self.shard,
-            "pending": pickle.dumps(self.pending, protocol=4),
-            "pending_domains": pickle.dumps(self.pending_domains, protocol=4),
+            # same {addr_key: sorted [(prio, msg)]} format as r1-r3 —
+            # spill-independent, and old checkpoints stay restorable
+            "pending": pickle.dumps(self.pending.snapshot_by_key(),
+                                    protocol=4),
             "in_processing": pickle.dumps(self.in_processing, protocol=4),
             "jobs": pickle.dumps(self.jobs, protocol=4),
             "ddc": pickle.dumps(self.ddc, protocol=4),
@@ -448,8 +474,9 @@ class ShardState:
     def restore(self, snap: dict) -> None:
         import pickle
         assert snap["shard"] == self.shard
-        self.pending = pickle.loads(snap["pending"])
-        self.pending_domains = pickle.loads(snap["pending_domains"])
+        # membership is derived from the entries; the legacy
+        # "pending_domains" key (pre-spill checkpoints) is ignored
+        self.pending.load_by_key(pickle.loads(snap["pending"]))
         self.in_processing = pickle.loads(snap["in_processing"])
         self.jobs = pickle.loads(snap["jobs"])
         # jitters are derived state — recompute rather than trust the pickle
