@@ -406,6 +406,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from crusty_ray.ops.multimodal import video_near_dups_ds
         return video_near_dups_ds(sf_dir)
 
+    def _multimodal_epoch(sf_dir: str):
+        from crusty_ray.ops.multimodal import multimodal_epoch_ds
+        return multimodal_epoch_ds(_images_dir())
+
     def multimodal_thumbs(sf_dir: str):
         import ray
         from crusty_ray.datagen.webgraph import SyntheticWeb
@@ -957,6 +961,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # video near-dups: sampled frame phashes bucket time-shifted
         # copies; planted-overlap pytest oracle (48/48 pairs exact)
         "video_near_dups": _video_near_dups,
+        # ONE-SCAN multimodal epoch: image+audio+video columns decoded in
+        # a single actor-pool pass (vs three separate scans/pools —
+        # per-modality equivalence pinned by tests/test_multimodal_stubs)
+        "multimodal_epoch": _multimodal_epoch,
     }
 
 

@@ -198,6 +198,7 @@ def bench_queries(sf_dir: str) -> dict:
              "order_size_distribution", "revenue_concentration",
              "session_length_histogram", "order_reconciliation",
              "audio_features", "video_frame_sample", "video_near_dups",
+             "multimodal_epoch",
              "value_pareto_point", "event_rate_autocorr",
              "weekday_hour_heatmap", "doc_ttr",
              "lang_diversity_by_source", "revenue_by_region",
@@ -430,12 +431,89 @@ def run_scaling_nodes(large: bool = False) -> dict:
     }
 
 
+def run_scaling_protocol() -> dict:
+    """Quiet-window node-scaling protocol (r3 VERDICT next-#5): make the
+    ≥0.8 node-scaling claim unconditional on this noisy host.
+
+    One WINDOW = (a) a one-shot no-framework control read (mp_control, the
+    identical kernel under plain multiprocessing — the substrate ceiling),
+    then (b) the 1-node and 4-node multi-raylet crawl trials. Windows whose
+    control reads below ``GRAFT_CONTROL_FLOOR`` (default 0.6) are substrate
+    burst windows — recorded but DISCARDED from the claim. Collects
+    ``GRAFT_PROTOCOL_TRIALS`` (default 5) valid windows (up to
+    ``GRAFT_PROTOCOL_MAX_WINDOWS``) and reports the per-window
+    efficiencies, their median, and every control value."""
+    target = int(os.environ.get("GRAFT_PROTOCOL_TRIALS", "5"))
+    floor = float(os.environ.get("GRAFT_CONTROL_FLOOR", "0.6"))
+    max_windows = int(os.environ.get("GRAFT_PROTOCOL_MAX_WINDOWS", "14"))
+    here = os.path.dirname(os.path.abspath(__file__))
+    windows, valid = [], []
+    for w in range(max_windows):
+        if len(valid) >= target:
+            break
+        env = dict(os.environ, CONTROL_ONESHOT="1",
+                   PYTHONPATH=here, GRAFT_BENCH_STREAMING="0")
+        _log(f"window {w}: control read...")
+        ctl = subprocess.run(
+            [sys.executable, os.path.join(here, "probes", "mp_control.py")],
+            env=env, capture_output=True, text=True, cwd=here)
+        try:
+            control = json.loads(
+                ctl.stdout.strip().splitlines()[-1])["control_efficiency"]
+        except Exception:
+            _log(f"  control failed: {ctl.stderr[-300:]}")
+            continue
+        _log(f"  control {control}")
+        thr = {}
+        ok = True
+        for n_nodes in (1, 4):
+            ncores = 8 * n_nodes
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--nodes-child", str(n_nodes)]
+            if shutil.which("taskset"):
+                cmd = ["taskset", "-c", f"0-{ncores - 1}"] + cmd
+            out = subprocess.run(cmd, env=env, capture_output=True,
+                                 text=True, cwd=here)
+            try:
+                r = json.loads(out.stdout.strip().splitlines()[-1])
+            except Exception:
+                _log(f"  nodes={n_nodes} failed: {out.stderr[-300:]}")
+                ok = False
+                break
+            thr[n_nodes] = r["steady_pages_per_sec"]
+            _log(f"  nodes={n_nodes}: steady {thr[n_nodes]} pages/s")
+        if not ok:
+            continue
+        eff = round((thr[4] / thr[1]) / 4.0, 3)
+        is_valid = control >= floor
+        windows.append({"window": w, "control": control,
+                        "steady_1node": thr[1], "steady_4node": thr[4],
+                        "efficiency": eff, "valid": is_valid})
+        if is_valid:
+            valid.append(eff)
+        _log(f"  window {w}: eff {eff} ({'valid' if is_valid else 'DISCARD'}"
+             f", {len(valid)}/{target} collected)")
+    valid.sort()
+    return {
+        "metric": "node scaling efficiency, quiet-window protocol "
+                  "(control-qualified windows, 1 vs 4 raylets × 8 cpus)",
+        "value": valid[len(valid) // 2] if valid else None,
+        "unit": "efficiency (median of valid windows)",
+        "control_floor": floor,
+        "n_valid": len(valid), "n_windows": len(windows),
+        "valid_efficiencies": valid,
+        "windows": windows,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     if "--nodes-child" in sys.argv:
         k = int(sys.argv[sys.argv.index("--nodes-child") + 1])
         print(json.dumps(run_nodes_child(k)))
+    elif "--scaling-protocol" in sys.argv:
+        print(json.dumps(run_scaling_protocol()))
     elif "--scaling-nodes-large" in sys.argv:
         print(json.dumps(run_scaling_nodes(large=True)))
     elif "--scaling-nodes" in sys.argv:

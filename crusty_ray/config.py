@@ -116,6 +116,11 @@ class EngineConfig:
     streaming_window: int = 3         # max permits in flight (streaming mode);
                                       # ≈ relabuf soft_cap backpressure
                                       # (config.rs:87-96)
+    compact_log_at_end: bool = False  # rewrite crawl_log's per-epoch/
+                                      # per-block small files into ~64 MiB
+                                      # files (crawl_log_compact/) at drain —
+                                      # the storage-maintenance pass a long
+                                      # crawl needs (ops/io.compact_dataset)
     pending_spill_threshold: int = 1 << 31
                                       # RAM entries across the frontier's
                                       # pending TAILS before they spill as a

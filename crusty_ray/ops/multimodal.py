@@ -642,3 +642,117 @@ def video_near_dups_ds(sf_dir: str, n_clips: int = 48,
     return video_phash_near_dups(
         ids.map_batches(make, batch_format="pandas"),
         min_shared=min_shared)
+
+
+# ------------------------------------------------- one-scan multimodal epoch
+
+class MultimodalEpochStage:
+    """ALL THREE modalities decoded in ONE actor-pool pass (r3 VERDICT
+    next-#7): a row carries ``bytes``/``fmt`` (image), ``audio_bytes`` and
+    ``video_bytes`` columns — the input_hint's multimodal-row shape — and
+    this stage emits image features, audio DSP features, and sampled-frame
+    phashes together. At 100 TB the payload table is scanned ONCE instead
+    of once per modality; locally it also spins one actor pool instead of
+    three. Setup (FFT band edges, sub-stage construction) happens once per
+    actor in ``__init__``; per-row failures isolate via the *_ok flags.
+
+    Output (slim, fixed-width): image ``features`` (15 float32) + feat_ok,
+    ``audio_features`` (12 float32) + audio_ok, ``frame_indices`` +
+    ``frame_phashes`` (int64, same order) + video_ok."""
+
+    def __init__(self, n_frames: int = 4):
+        self.img = ImageFeatureStage()
+        self.aud = AudioFeatureStage()
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..codecs.av import decode_rawv_frame, rawv_info
+        from ..codecs.images import phash64
+        img_f, img_ok, aud_f, aud_ok = [], [], [], []
+        fidx, fph, vid_ok = [], [], []
+        for blob, fmt, ab, vb in zip(batch["bytes"].to_pylist(),
+                                     batch["fmt"].to_pylist(),
+                                     batch["audio_bytes"].to_pylist(),
+                                     batch["video_bytes"].to_pylist()):
+            try:
+                img_f.append(self.img._features(blob, fmt))
+                img_ok.append(True)
+            except Exception:
+                img_f.append(np.zeros(ImageFeatureStage.N_FEATURES,
+                                      dtype=np.float32))
+                img_ok.append(False)
+            try:
+                aud_f.append(self.aud._features(ab))
+                aud_ok.append(True)
+            except Exception:
+                aud_f.append(np.zeros(AudioFeatureStage.N_FEATURES,
+                                      dtype=np.float32))
+                aud_ok.append(False)
+            try:
+                _, _, n, _ = rawv_info(vb)
+                k = min(self.n_frames, n)
+                idx = [int(i * n / k) for i in range(k)]
+                fidx.append(idx)
+                # int64 wrap of the uint64 phash (bucket identity preserved)
+                fph.append([(h - (1 << 64)) if h >= (1 << 63) else h
+                            for h in (int(phash64(decode_rawv_frame(vb, i)))
+                                      for i in idx)])
+                vid_ok.append(True)
+            except Exception:
+                fidx.append([])
+                fph.append([])
+                vid_ok.append(False)
+        keep = [c for c in batch.column_names
+                if c not in ("bytes", "audio_bytes", "video_bytes")]
+        out = batch.select(keep)
+        return out.append_column(
+            "features", pa.array([f.tolist() for f in img_f],
+                                 pa.list_(pa.float32(),
+                                          ImageFeatureStage.N_FEATURES))) \
+            .append_column("feat_ok", pa.array(img_ok, pa.bool_())) \
+            .append_column("audio_features",
+                           pa.array([f.tolist() for f in aud_f],
+                                    pa.list_(pa.float32(),
+                                             AudioFeatureStage.N_FEATURES))) \
+            .append_column("audio_ok", pa.array(aud_ok, pa.bool_())) \
+            .append_column("frame_indices",
+                           pa.array(fidx, pa.list_(pa.int32()))) \
+            .append_column("frame_phashes",
+                           pa.array([[int(x) for x in r] for r in fph],
+                                    pa.list_(pa.int64()))) \
+            .append_column("video_ok", pa.array(vid_ok, pa.bool_()))
+
+
+def multimodal_epoch_ds(images_path: str, n_rows: int = 64,
+                        batch_size: int = 8, concurrency: int = 2):
+    """ONE payload scan → ONE actor-pool pass over all three modalities.
+
+    The image rows come from the crawl-attached images table (input_hint
+    schema); the audio/video payload columns are the deterministic
+    synthetic containers keyed by the row's image id (this sandbox has no
+    real AV media — the columns, batch sizing and stage signature are the
+    product). Compare against running `image_features_ds` +
+    `audio_features_ds` + `video_frame_sample_ds` separately: same
+    decodes, one scan and one pool instead of three (bench entry
+    ``multimodal_epoch``)."""
+    from ..core.hashing import hash64
+    from .io import read_dataset
+
+    ds = read_dataset(images_path, columns=["image_id", "bytes", "fmt"]) \
+        .limit(n_rows)
+
+    def attach_av(batch: pa.Table) -> pa.Table:
+        from ..codecs.av import synth_audio, synth_video
+        ids = [int(hash64(s) % (1 << 31))
+               for s in batch["image_id"].to_pylist()]
+        return batch.append_column(
+            "audio_bytes", pa.array([synth_audio(i) for i in ids],
+                                    pa.binary())) \
+            .append_column("video_bytes",
+                           pa.array([synth_video(i) for i in ids],
+                                    pa.binary()))
+
+    rows = ds.map_batches(attach_av, batch_format="pyarrow",
+                          batch_size=batch_size)
+    return rows.map_batches(MultimodalEpochStage, batch_format="pyarrow",
+                            batch_size=batch_size, concurrency=concurrency)

@@ -1061,6 +1061,15 @@ class CrawlEngine:
             shutil.rmtree(self.scratch, ignore_errors=True)  # no shm litter
         # telemetry partitions were flushed continuously; drain the tails
         self.spool.flush_all(max(0, self.epochs_run - 1))
+        if self.cfg.engine.compact_log_at_end and self.epochs_run:
+            # small-file compaction at the drain point (ops/io.py policy):
+            # per-epoch/per-block parquet → ~64 MiB files. Written BESIDE
+            # the epoch-partitioned log (crawl_log stays the resumable
+            # layout; the compact copy is the scan-friendly one).
+            from ..ops.io import compact_dataset
+            self.compaction_summary = compact_dataset(
+                f"{self.out_dir}/crawl_log",
+                f"{self.out_dir}/crawl_log_compact")
         with open(f"{self.out_dir}/summary.json", "w") as f:
             json.dump({
                 "epochs_run": self.epochs_run,

@@ -320,18 +320,57 @@ class PendingStore:
             self._compact()
 
     def _compact(self) -> None:
-        """Merge every run into one, dropping stale (popped) entries."""
-        by_key: dict[str, list] = {}
-        for run in self.runs:
-            for prio, m in run.read_all():
-                if self._mh(m.domain) in self.members:
-                    by_key.setdefault(m.addr_key, []).append((prio, m))
-            os.unlink(run.path)
+        """Merge every run into one, dropping stale (popped) entries —
+        STREAMING per key segment (never the whole spilled set in RAM:
+        the first version loaded all runs at once and peaked at ~4 GiB on
+        the 10M smoke; this holds one key's entries at a time)."""
+        old = self.runs
         self.runs = []
         self.spilled_entries = 0
-        for entries in by_key.values():
-            entries.sort()
-        self._write_run(by_key)
+        if not old:
+            return
+        all_hashes = np.unique(np.concatenate(
+            [r.key_hashes for r in old]))
+        path = os.path.join(self._ensure_dir(),
+                            f"run_{self._run_seq:06d}.pkl")
+        self._run_seq += 1
+        handles = [open(r.path, "rb") for r in old]
+        hashes_out, offsets, lengths = [], [], []
+        n = 0
+        try:
+            with open(path, "wb") as out:
+                for kh in all_hashes:
+                    entries = []
+                    for r, f in zip(old, handles):
+                        i = int(np.searchsorted(r.key_hashes, kh))
+                        if i < len(r.key_hashes) and r.key_hashes[i] == kh:
+                            f.seek(int(r.offsets[i]))
+                            entries.extend(
+                                pickle.loads(f.read(int(r.lengths[i]))))
+                    live = [e for e in entries
+                            if self._mh(e[1].domain) in self.members]
+                    if not live:
+                        continue
+                    live.sort()
+                    blob = pickle.dumps(live, protocol=4)
+                    hashes_out.append(int(kh))
+                    offsets.append(out.tell())
+                    lengths.append(len(blob))
+                    out.write(blob)
+                    n += len(live)
+        finally:
+            for f in handles:
+                f.close()
+        for r in old:
+            os.unlink(r.path)
+        if n:
+            self.runs.append(_Run(path,
+                                  np.array(hashes_out, dtype=np.uint64),
+                                  np.array(offsets, dtype=np.int64),
+                                  np.array(lengths, dtype=np.int64), n))
+            self.spilled_entries = n
+        else:
+            os.unlink(path)
 
     # ------------------------------------------------------------ introspection
     def gauges(self) -> dict:

@@ -196,7 +196,7 @@ def test_entry_smoke(ray_session):
 def test_crawl_queries_run(contract):
     queries, _ = contract
     for name in ["crawl_log", "crawl_topk", "crawl_job_metrics",
-                 "crawl_images", "multimodal_thumbs",
+                 "crawl_images", "multimodal_thumbs", "multimodal_epoch",
                  "image_exact_dedup", "image_phash_near_dups",
                  "image_dedup_groups", "image_quality_filter",
                  "image_quality_report", "caption_reuse",

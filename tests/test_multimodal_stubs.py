@@ -303,3 +303,81 @@ def test_video_near_dups_stop_hash_cap(ray_session):
     capped = video_phash_near_dups(ray.data.from_arrow(t), min_shared=4,
                                    max_bucket=4).to_pandas()
     assert len(capped) == 0
+
+
+class TestMultimodalEpoch:
+    """ONE-scan epoch (MultimodalEpochStage): per-modality outputs must be
+    bit-identical to the three separate stages on the same payloads."""
+
+    def _rows(self, n=6):
+        from crusty_ray.codecs.av import synth_audio, synth_video
+        from crusty_ray.codecs.images import encode_image
+        rng = np.random.RandomState(5)
+        imgs = [rng.randint(0, 256, (12, 14, 3)).astype(np.uint8)
+                for _ in range(n)]
+        return pa.table({
+            "image_id": [f"im{i}" for i in range(n)],
+            "bytes": pa.array([encode_image(px, "png") for px in imgs],
+                              pa.binary()),
+            "fmt": ["png"] * n,
+            "audio_bytes": pa.array([synth_audio(100 + i)
+                                     for i in range(n)], pa.binary()),
+            "video_bytes": pa.array([synth_video(200 + i)
+                                     for i in range(n)], pa.binary()),
+        })
+
+    def test_matches_individual_stages(self):
+        from crusty_ray.codecs.images import phash64
+        from crusty_ray.codecs.av import decode_rawv_frame
+        from crusty_ray.ops.multimodal import (AudioFeatureStage,
+                                               ImageFeatureStage,
+                                               MultimodalEpochStage,
+                                               VideoFrameSampleStage)
+        t = self._rows()
+        combined = MultimodalEpochStage()(t)
+
+        img = ImageFeatureStage()(t.select(["image_id", "bytes", "fmt"]))
+        assert combined["features"].to_pylist() == \
+            img["features"].to_pylist()
+        assert combined["feat_ok"].to_pylist() == img["feat_ok"].to_pylist()
+
+        aud = AudioFeatureStage()(pa.table({
+            "bytes": t["audio_bytes"]}))
+        assert combined["audio_features"].to_pylist() == \
+            aud["features"].to_pylist()
+
+        vid = VideoFrameSampleStage()(pa.table({"bytes": t["video_bytes"]}))
+        assert combined["frame_indices"].to_pylist() == \
+            vid["frame_indices"].to_pylist()
+        # phashes of the SAME sampled frames, recomputed directly
+        for row, (idxs, blob) in enumerate(zip(
+                vid["frame_indices"].to_pylist(),
+                t["video_bytes"].to_pylist())):
+            want = [int(phash64(decode_rawv_frame(blob, i))) for i in idxs]
+            want = [(h - (1 << 64)) if h >= (1 << 63) else h for h in want]
+            assert combined["frame_phashes"].to_pylist()[row] == want
+
+    def test_bad_rows_isolate_per_modality(self):
+        t = self._rows(3)
+        t = t.set_column(t.column_names.index("audio_bytes"), "audio_bytes",
+                         pa.array([b"junk", t["audio_bytes"][1].as_py(),
+                                   b""], pa.binary()))
+        from crusty_ray.ops.multimodal import MultimodalEpochStage
+        out = MultimodalEpochStage()(t)
+        assert out["audio_ok"].to_pylist() == [False, True, False]
+        assert out["feat_ok"].to_pylist() == [True, True, True]
+        assert out["video_ok"].to_pylist() == [True, True, True]
+
+    def test_epoch_ds_runs_one_pass(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+        from crusty_ray.ops.multimodal import multimodal_epoch_ds
+        t = self._rows(10).select(["image_id", "bytes", "fmt"])
+        pq.write_table(t, tmp_path / "images.parquet")
+        out = multimodal_epoch_ds(str(tmp_path), n_rows=10).to_pandas()
+        assert len(out) == 10
+        assert set(out.columns) >= {"image_id", "features", "feat_ok",
+                                    "audio_features", "audio_ok",
+                                    "frame_indices", "frame_phashes",
+                                    "video_ok"}
+        assert out["feat_ok"].all() and out["audio_ok"].all() \
+            and out["video_ok"].all()
