@@ -230,6 +230,11 @@ def _approx_distinct_users(sf_dir: str):
     return approx_distinct_users_ds(sf_dir)
 
 
+def _hll_registers(sf_dir: str):
+    from crusty_ray.ops.sketch import hll_registers_md5_ds
+    return hll_registers_md5_ds(sf_dir)
+
+
 def _pack_token_chunks(sf_dir: str):
     from crusty_ray.ops.pack import pack_token_chunks_ds
     return pack_token_chunks_ds(sf_dir)
@@ -523,6 +528,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": text.normalize_text_ds,
         "order_price_ntile": analytic.order_price_ntile_ds,
         "approx_distinct_users": _approx_distinct_users,
+        # the HLL register STATE under the md5 family — the sketch fold
+        # bit-exact-oracled even though the float estimator can't be
+        "hll_registers": _hll_registers,
         # Count-Min point frequencies beside exact counts (md5 row hashes
         # -> the one sketch whose oracle is full SQL, cells bit-exact)
         "cms_user_counts": sketch.cms_user_counts_ds,
@@ -3247,6 +3255,23 @@ def oracle_sql() -> dict[str, str]:
                    count(*) OVER (PARTITION BY entity_id)::BIGINT
                        AS entity_size
             FROM ent
+        """,
+        # HLL register state under the md5 family (p=6): bucket = h % 64,
+        # rho = 59 - bit_length(h // 64) with bit_length via unpadded bin()
+        "hll_registers": """
+            WITH h AS (
+              SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
+                     ::UBIGINT AS hv
+              FROM (SELECT DISTINCT user_id FROM events)
+            ), parts AS (
+              SELECT CAST(hv % 64 AS BIGINT) AS bucket, hv // 64 AS w
+              FROM h
+            )
+            SELECT bucket,
+                   CAST(MAX(CASE WHEN w = 0 THEN 59
+                            ELSE 59 - length(bin(w)) END) AS BIGINT)
+                       AS max_rho
+            FROM parts GROUP BY bucket ORDER BY bucket
         """,
         # planner cardinality: exact sum of per-key count products
         "join_size_estimate": """

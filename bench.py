@@ -451,7 +451,10 @@ def run_scaling_protocol() -> dict:
     for w in range(max_windows):
         if len(valid) >= target:
             break
-        env = dict(os.environ, CONTROL_ONESHOT="1",
+        # LARGE-epoch profile: the ≥300k-task-epoch regime where per-epoch
+        # fixed costs are <1% — the profile every r3 ≥0.8 reading used and
+        # the one the 10^10-URL rule targets
+        env = dict(os.environ, CONTROL_ONESHOT="1", GRAFT_BENCH_LARGE="1",
                    PYTHONPATH=here, GRAFT_BENCH_STREAMING="0")
         _log(f"window {w}: control read...")
         ctl = subprocess.run(
@@ -464,6 +467,16 @@ def run_scaling_protocol() -> dict:
             _log(f"  control failed: {ctl.stderr[-300:]}")
             continue
         _log(f"  control {control}")
+        if control < floor:
+            # substrate burst window — skip the engine trials entirely
+            # (the control IS the qualification; engine numbers from a
+            # burst window would be discarded anyway), and idle a while so
+            # consecutive windows sample different substrate phases
+            windows.append({"window": w, "control": control,
+                            "valid": False, "skipped": True})
+            _log(f"  window {w}: DISCARD (control < {floor})")
+            time.sleep(float(os.environ.get("GRAFT_PROTOCOL_SLEEP", "60")))
+            continue
         thr = {}
         ok = True
         for n_nodes in (1, 4):

@@ -182,3 +182,66 @@ def cms_user_counts_ds(sf_dir: str, depth: int = 3, width: int = 64):
                              "cms_est": est})
 
     return exact.map_batches(estimate, batch_format="pandas")
+
+
+# ------------------------------------------- HLL md5 register oracle face
+
+def _bitlen64(w: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit length of uint64 values (binary-search shifts —
+    float tricks are inexact past 2^53, and the md5 suffixes here are
+    58-bit)."""
+    res = np.zeros(len(w), dtype=np.int64)
+    cur = w.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        big = cur >= (np.uint64(1) << np.uint64(s))
+        res[big] += s
+        cur[big] >>= np.uint64(s)
+    res += (cur > 0).astype(np.int64)
+    return res
+
+
+def hll_registers_md5_ds(sf_dir: str, p: int = 6):
+    """SQL-parity HLL REGISTER face: the per-bucket max-ρ register table of
+    an HLL sketch over distinct users, under the md5 hash family — every
+    step (hash, bucket, suffix, leading-zero rank) an exact DuckDB
+    expression, so the sketch STATE is bit-exact-oracled even though the
+    float estimator itself cannot be (``approx_distinct_users`` stays
+    rows-only with its pytest error-bound oracle; this face proves the
+    distributed register fold those estimates are made of).
+
+    hash = first 8 md5 bytes of CAST(user_id AS VARCHAR); bucket = h % 2^p;
+    w = h // 2^p; ρ = (64−p) − bit_length(w) + 1 (w=0 → 64−p+1,
+    bit_length via DuckDB's unpadded ``bin()``). Registers fold per batch
+    (max is associative/commutative — block-layout independent), the driver
+    reduces ≤ blocks × 2^p slim partial rows. Returns (bucket, max_rho)
+    for non-empty buckets."""
+    import hashlib
+
+    from .io import read_table
+
+    m = 1 << p
+    ds = read_table(sf_dir, "events", ["user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"bucket": pd.Series([], dtype="int64"),
+                              "max_rho": pd.Series([], dtype="int64")})
+        if not len(df):
+            return empty
+        uniq = df["user_id"].astype("int64").unique()
+        hv = np.array([int(hashlib.md5(str(int(u)).encode()).hexdigest()[:16],
+                           16) for u in uniq], dtype=np.uint64)
+        idx = (hv & np.uint64(m - 1)).astype(np.int64)
+        w = hv >> np.uint64(p)
+        rho = np.where(w == 0, 64 - p + 1,
+                       (64 - p) - _bitlen64(w) + 1).astype(np.int64)
+        out = pd.DataFrame({"bucket": idx, "max_rho": rho}) \
+            .groupby("bucket", as_index=False).max()
+        return out.astype("int64")
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if "bucket" not in parts.columns:
+        return pd.DataFrame({"bucket": pd.Series([], dtype="int64"),
+                             "max_rho": pd.Series([], dtype="int64")})
+    out = parts.groupby("bucket", as_index=False).max() \
+        .sort_values("bucket").reset_index(drop=True)
+    return out.astype("int64")

@@ -72,7 +72,8 @@ def test_every_query_is_covered_by_some_check(contract):
                      "image_channel_stats", "image_patch_grid", "image_augment",
                      "image_text_curation", "webdataset_export",
                      "crawl_log_compact", "audio_features",
-                     "video_frame_sample", "video_near_dups"}
+                     "video_frame_sample", "video_near_dups",
+                     "multimodal_epoch"}
     listed = set(SQL_CHECKED) | set(ROWS_ONLY) | crawl_checked
     assert set(queries) == listed, (
         f"unlisted: {set(queries) - listed}; stale: {listed - set(queries)}")
@@ -149,7 +150,7 @@ SQL_CHECKED = [
     "event_rate_autocorr", "weekday_hour_heatmap", "doc_ttr",
     "lang_diversity_by_source", "revenue_by_region",
     "supplier_scorecard", "ship_lag_quantiles",
-    "brand_type_matrix", "nation_customer_stats",
+    "brand_type_matrix", "nation_customer_stats", "hll_registers",
 ]
 
 
