@@ -326,8 +326,11 @@ class FrontierShardActor:
     def checkpoint_to(self, path: str) -> None:
         """Write this shard's snapshot to its own file (atomic) — per-shard
         checkpointing keeps the driver O(1) as shard_total grows (the r1
-        monolithic driver-gathered pickle was a scale funnel)."""
-        blob = pickle.dumps(self.state.checkpoint(), protocol=4)
+        monolithic driver-gathered pickle was a scale funnel). Spilled
+        pending runs are OS-copied beside it (``<path>.runs/``), keeping
+        checkpoint RAM O(heads + tails), never O(pending)."""
+        blob = pickle.dumps(self.state.checkpoint(run_dir=path + ".runs"),
+                            protocol=4)
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
             f.write(blob)
@@ -335,7 +338,8 @@ class FrontierShardActor:
 
     def restore_from(self, path: str) -> None:
         with open(path, "rb") as f:
-            self.state.restore(pickle.loads(f.read()))
+            self.state.restore(pickle.loads(f.read()),
+                               run_dir=path + ".runs")
 
     def seen_filter_bytes(self) -> bytes:
         return self.state.cuckoo.to_bytes()

@@ -452,16 +452,35 @@ class ShardState:
                     or self._absorbed or self._absorbed_tables)
 
     # ------------------------------------------------------------- checkpointing
-    def checkpoint(self) -> dict:
+    def checkpoint(self, run_dir: str | None = None) -> dict:
         """Full state snapshot — everything resume-exactness needs
-        (SURVEY.md §7.4.6): frontier order, locks, budgets, filters, ddc."""
+        (SURVEY.md §7.4.6): frontier order, locks, budgets, filters, ddc.
+
+        ``run_dir``: where to OS-copy spilled pending runs (the engine
+        passes its per-shard checkpoint path + ".runs"). With it, a
+        SPILLED store checkpoints at O(heads + tails + membership-table)
+        RAM — the full-materialization path would undo the spill's RAM
+        ceiling at 10^8 pending. Without it (simulator / unspilled / old
+        callers) the r1-r3 {addr_key: entries} format is written."""
         import pickle
-        return {
-            "shard": self.shard,
+        if run_dir is not None and self.pending.runs:
+            from .pending import _intset_to_bytes
+            pend = {
+                "pending_mode": "spill_v1",
+                "pending_ram": pickle.dumps(self.pending.ram_by_key(),
+                                            protocol=4),
+                "pending_members": _intset_to_bytes(self.pending.members),
+                "pending_runs": pickle.dumps(
+                    self.pending.checkpoint_runs(run_dir), protocol=4),
+            }
+        else:
             # same {addr_key: sorted [(prio, msg)]} format as r1-r3 —
             # spill-independent, and old checkpoints stay restorable
-            "pending": pickle.dumps(self.pending.snapshot_by_key(),
-                                    protocol=4),
+            pend = {"pending": pickle.dumps(self.pending.snapshot_by_key(),
+                                            protocol=4)}
+        return {
+            "shard": self.shard,
+            **pend,
             "in_processing": pickle.dumps(self.in_processing, protocol=4),
             "jobs": pickle.dumps(self.jobs, protocol=4),
             "ddc": pickle.dumps(self.ddc, protocol=4),
@@ -471,12 +490,18 @@ class ShardState:
             "topk_store": pickle.dumps(self.topk_store.checkpoint(), protocol=4),
         }
 
-    def restore(self, snap: dict) -> None:
+    def restore(self, snap: dict, run_dir: str | None = None) -> None:
         import pickle
         assert snap["shard"] == self.shard
-        # membership is derived from the entries; the legacy
-        # "pending_domains" key (pre-spill checkpoints) is ignored
-        self.pending.load_by_key(pickle.loads(snap["pending"]))
+        if snap.get("pending_mode") == "spill_v1":
+            self.pending.restore_spilled(
+                pickle.loads(snap["pending_ram"]),
+                snap["pending_members"],
+                pickle.loads(snap["pending_runs"]), run_dir)
+        else:
+            # membership is derived from the entries; the legacy
+            # "pending_domains" key (pre-spill checkpoints) is ignored
+            self.pending.load_by_key(pickle.loads(snap["pending"]))
         self.in_processing = pickle.loads(snap["in_processing"])
         self.jobs = pickle.loads(snap["jobs"])
         # jitters are derived state — recompute rather than trust the pickle

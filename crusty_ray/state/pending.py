@@ -424,3 +424,78 @@ class PendingStore:
                 os.unlink(run.path)
             except OSError:
                 pass
+
+
+# ------------------------------------------------------------ spill-aware
+# checkpointing (the O(pending)-RAM snapshot path is only for unspilled /
+# legacy states; a spilled store checkpoints its immutable run FILES by OS
+# copy and its membership table by buffer dump — RAM stays O(heads+tails))
+
+def _intset_to_bytes(s: IntSet) -> bytes:
+    return pickle.dumps({"slots": s.slots, "n": s.n, "tombs": s.tombs},
+                        protocol=4)
+
+
+def _intset_from_bytes(blob: bytes) -> IntSet:
+    d = pickle.loads(blob)
+    out = IntSet.__new__(IntSet)
+    out.slots = d["slots"]
+    out.mask = len(d["slots"]) - 1
+    out.n, out.tombs = d["n"], d["tombs"]
+    return out
+
+
+def _ram_by_key(self) -> dict[str, list]:
+    """Heads + RAM tails only — bounded by the spill threshold."""
+    out: dict[str, list] = {}
+    for key, head in self.heads.items():
+        out[key] = [head] + list(self.tails.get(key, []))
+    return out
+
+
+def _checkpoint_runs(self, run_dir: str) -> list[dict]:
+    """OS-copy the immutable run files into ``run_dir``; return the
+    manifest (filenames + index arrays — O(keys), not O(entries))."""
+    import shutil as _sh
+    os.makedirs(run_dir, exist_ok=True)
+    manifest = []
+    for i, r in enumerate(self.runs):
+        name = f"run_{i:06d}.pkl"
+        _sh.copyfile(r.path, os.path.join(run_dir, name))
+        manifest.append({"name": name, "key_hashes": r.key_hashes,
+                         "offsets": r.offsets, "lengths": r.lengths,
+                         "n_entries": r.n_entries})
+    return manifest
+
+
+def _restore_spilled(self, ram: dict[str, list], members_blob: bytes,
+                     manifest: list[dict], run_dir: str) -> None:
+    """Restore a spilled checkpoint: RAM part verbatim, membership from
+    its table dump, run files copied into a fresh spill dir (the
+    checkpoint dir stays immutable for re-resume)."""
+    import shutil as _sh
+    self.drop_files()
+    self.heads, self.tails, self.tail_count = {}, {}, 0
+    self.runs, self.spilled_entries = [], 0
+    for key, entries in ram.items():
+        if not entries:
+            continue
+        entries = sorted(entries)
+        self.heads[key] = entries[0]
+        if len(entries) > 1:
+            self.tails[key] = entries[1:]
+            self.tail_count += len(entries) - 1
+    self.members = _intset_from_bytes(members_blob)
+    for m in manifest:
+        dst = os.path.join(self._ensure_dir(),
+                           f"run_{self._run_seq:06d}.pkl")
+        self._run_seq += 1
+        _sh.copyfile(os.path.join(run_dir, m["name"]), dst)
+        self.runs.append(_Run(dst, m["key_hashes"], m["offsets"],
+                              m["lengths"], m["n_entries"]))
+        self.spilled_entries += m["n_entries"]
+
+
+PendingStore.ram_by_key = _ram_by_key
+PendingStore.checkpoint_runs = _checkpoint_runs
+PendingStore.restore_spilled = _restore_spilled

@@ -205,3 +205,37 @@ def test_engine_sim_exact_with_spill(ray_session, tmp_path, threshold):
         check_dtype=False)
     assert sorted(eng.finished_domains) == sorted(sim.finished_domains)
     assert eng.seen_filter_bytes() == sim.seen_filter_bytes()
+
+
+class TestSpillAwareCheckpoint:
+    def test_spill_v1_roundtrip(self, tmp_path):
+        rng = random.Random(9)
+        s = mk(4, tmp_path / "a", **{"jobs.dequeue_limit": 6})
+        for epoch in range(6):
+            s.enqueue(msgs_for(rng, 50, epoch))
+            s.apply_enqueues(epoch)
+            s.take_ready(epoch)
+        assert s.pending.gauges()["pending_spill_runs"] > 0
+        run_dir = str(tmp_path / "ckpt_runs")
+        snap = s.checkpoint(run_dir=run_dir)
+        # the spilled format: RAM part + membership table + run manifest,
+        # never the full entry materialization
+        assert snap.get("pending_mode") == "spill_v1"
+        assert "pending" not in snap
+        import os
+        assert len(os.listdir(run_dir)) == \
+            s.pending.gauges()["pending_spill_runs"]
+
+        s2 = mk(4, tmp_path / "b", **{"jobs.dequeue_limit": 6})
+        s2.restore(snap, run_dir=run_dir)
+        assert len(s.pending) == len(s2.pending)
+        assert s.pending.n_keys() == s2.pending.n_keys()
+        for epoch in range(6, 11):
+            assert s.take_ready(epoch) == s2.take_ready(epoch)
+
+    def test_unspilled_keeps_legacy_format(self, tmp_path):
+        s = mk(1 << 31, tmp_path / "c")
+        s.enqueue(msgs_for(random.Random(1), 30, 0))
+        s.apply_enqueues(0)
+        snap = s.checkpoint(run_dir=str(tmp_path / "r"))
+        assert "pending" in snap and "pending_mode" not in snap
