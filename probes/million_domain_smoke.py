@@ -45,6 +45,13 @@ def main() -> None:
     cfg.engine.checkpoint_every_epochs = 6
     cfg.engine.min_epoch_rows_for_ray = 256
     cfg.engine.max_epochs = 10
+    # SMOKE_SPILL=<n>: force the spillable pending store + cuckoo memmap
+    # paging through the FULL engine path (actors, exchanges, spill-aware
+    # checkpoints) — the frontier-RAM posture at production scale
+    if os.environ.get("SMOKE_SPILL"):
+        cfg.engine.pending_spill_threshold = int(os.environ["SMOKE_SPILL"])
+        cfg.engine.pending_spill_max_runs = 16
+        cfg.engine.cuckoo_spill_bytes = 1 << 20
 
     web_cfg = WebConfig(n_domains=n_domains, max_pages_per_domain=12,
                         hub_domains=16, images_per_page=1,
