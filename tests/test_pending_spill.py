@@ -239,3 +239,38 @@ class TestSpillAwareCheckpoint:
         s.apply_enqueues(0)
         snap = s.checkpoint(run_dir=str(tmp_path / "r"))
         assert "pending" in snap and "pending_mode" not in snap
+
+
+def test_engine_resume_through_spilled_checkpoint(ray_session, tmp_path):
+    """Full engine: run with spilling + periodic checkpoints, hard-stop,
+    resume from the spilled (spill_v1, run-file-copied) checkpoint, and
+    finish — the complete log must equal the simulator's uninterrupted
+    run (resume ≡ uninterrupted, SURVEY §7.4.6, now through the
+    spill-aware checkpoint path)."""
+    import pandas as pd
+
+    from crusty_ray.datagen.webgraph import WebConfig
+    from crusty_ray.pipelines.crawl import CrawlEngine
+    from crusty_ray.sim.simulator import CrawlSimulator
+
+    cfg = test_config()
+    cfg.engine.pending_spill_threshold = 3
+    cfg.engine.pending_spill_max_runs = 2
+    cfg.engine.checkpoint_every_epochs = 4
+    web = WebConfig(n_domains=60, max_pages_per_domain=10)
+    out = str(tmp_path / "out")
+
+    CrawlEngine(cfg, web, out).run(8)          # interrupted at epoch 8
+    CrawlEngine.resume(cfg, web, out).run(24)  # finish from the checkpoint
+    sim = CrawlSimulator(cfg, web).run(24)
+
+    eng = CrawlEngine.resume(cfg, web, out)    # reader handle
+    edf = pd.DataFrame(eng.read_crawl_log().to_pylist())
+    sdf = pd.DataFrame(sim.crawl_log)
+    cols = ["epoch", "domain", "url"]
+    pd.testing.assert_frame_equal(
+        edf[cols].sort_values(cols).reset_index(drop=True).astype(
+            {"epoch": "int64"}),
+        sdf[cols].sort_values(cols).reset_index(drop=True).astype(
+            {"epoch": "int64"}),
+        check_dtype=False)
