@@ -202,14 +202,22 @@ class ShardState:
         # filters (_mark_seen runs only at end_epoch). Per-item bloom
         # probes were ~95% of a large enqueue's wall time.
         import numpy as np
+
+        from ..core.hashing import hash64_batch
+        from .pending import _MEMBER_SEED
         domains = [m.domain for m in msgs]
         seen = self.bloom.contains_batch(domains)
         idx = np.nonzero(seen)[0]
         if len(idx):
             seen[idx] = self.cuckoo.contains_batch(
                 [domains[i] for i in idx])
-        for m, is_seen in zip(msgs, seen):
-            if self.pending.contains_domain(m.domain):
+        # membership hashes precomputed once for the whole batch (the
+        # per-item contains+add path re-hashed every domain 2-3×; hashing
+        # was ~30% of a large enqueue's wall time)
+        mhs = hash64_batch(domains, seed=_MEMBER_SEED)
+        for m, is_seen, mh in zip(msgs, seen, mhs):
+            mh = int(mh)
+            if self.pending.contains_mh(mh):
                 self.stats["skipped_pending"] += 1
                 continue
             proc = self.in_processing.get(m.addr_key)
@@ -219,7 +227,7 @@ class ShardState:
             if is_seen:
                 self.stats["skipped_seen"] += 1
                 continue
-            self.pending.add(m.priority(), m)
+            self.pending.add_mh(m.priority(), m, mh)
             self.stats["enqueued"] += 1
 
     # ------------------------------------------------------------- dequeue side

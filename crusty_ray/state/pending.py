@@ -198,6 +198,11 @@ class PendingStore:
     def contains_domain(self, domain: str) -> bool:
         return self._mh(domain) in self.members
 
+    def contains_mh(self, mh: int) -> bool:
+        """Membership by PRECOMPUTED domain hash (the batch enqueue path
+        hashes every domain once, vectorized, instead of per check)."""
+        return mh in self.members
+
     def __len__(self) -> int:
         return len(self.members)
 
@@ -207,7 +212,11 @@ class PendingStore:
     # ------------------------------------------------------------ insert side
     def add(self, prio: tuple, msg) -> None:
         """Insert a NEW pending domain (caller has checked membership)."""
-        self.members.add(self._mh(msg.domain))
+        self.add_mh(prio, msg, self._mh(msg.domain))
+
+    def add_mh(self, prio: tuple, msg, mh: int) -> None:
+        """`add` with the domain hash precomputed by the caller."""
+        self.members.add(mh)
         key = msg.addr_key
         cur = self.heads.get(key)
         if cur is None:
