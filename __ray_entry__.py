@@ -491,6 +491,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_bruteforce": similarity.ann_bruteforce_ds,           # rows-only
         "ann_lsh": similarity.ann_lsh_ds,                         # rows-only
         "ann_ivf": similarity.ann_ivf_ds,                         # rows-only
+        # SQL-oracled twins of the bucketed-ANN plans (r4: the md5-minhash
+        # pattern applied to similarity search — same probe topology,
+        # integer/md5 math so DuckDB replays them bit-exactly)
+        "ann_ivf_quant": similarity.ann_ivf_quant_ds,
+        "ann_lsh_md5": similarity.ann_lsh_md5_ds,
         # PQ/ADC: m uint8 codes per vector (Jégou et al. 2011) — the
         # memory-compression scale path; recall pinned in test_ann_recall
         "ann_pq": similarity.ann_pq_ds,                           # rows-only
@@ -1128,12 +1133,13 @@ def _skipgram_oracle_sql(length: int = 4, window: int = 2) -> str:
     """
 
 
-def _kmeans_oracle_sql(k: int = 8, rounds: int = 2) -> str:
-    """Fixed-round Lloyd k-means as unrolled CTEs — the exact plan of
-    ops/similarity.kmeans_quant: quantize, seed on the k smallest vec_ids,
-    per round (assign by min d2 with ties to the lowest cid, per-dim
-    truncated-mean update via lockstep UNNEST/generate_subscripts, empty
-    clusters COALESCE to their previous centroid), final assignment."""
+def _kmeans_cte_parts(k: int = 8, rounds: int = 2) -> tuple[list, str]:
+    """The shared unrolled-CTE body of the quantized-Lloyd plan
+    (ops/similarity._kmeans_centroids): quantize, seed on the k smallest
+    vec_ids, per round (assign by min d2 with ties to the lowest cid,
+    per-dim truncated-mean update via lockstep UNNEST/generate_subscripts,
+    empty clusters COALESCE to their previous centroid). Returns
+    (cte_list, d2_expr); the final centroid table is ``c{rounds}``."""
     d2 = ("list_sum(list_transform(list_zip(v.qe, c.cen),"
           " x -> (x[1] - x[2]) * (x[1] - x[2])))::BIGINT")
     ctes = [f"""q AS MATERIALIZED (
@@ -1162,6 +1168,14 @@ def _kmeans_oracle_sql(k: int = 8, rounds: int = 2) -> str:
             c{r + 1} AS MATERIALIZED (
               SELECT c{r}.cid, coalesce(m{r}.cen, c{r}.cen) AS cen
               FROM c{r} LEFT JOIN m{r} USING (cid))""")
+    return ctes, d2
+
+
+def _kmeans_oracle_sql(k: int = 8, rounds: int = 2) -> str:
+    """Fixed-round Lloyd k-means as unrolled CTEs — the exact plan of
+    ops/similarity.kmeans_quant: the shared training body plus the final
+    assignment."""
+    ctes, d2 = _kmeans_cte_parts(k, rounds)
     return f"""
         WITH {', '.join(ctes)}
         SELECT vec_id, cid AS cluster, d2 FROM (
@@ -1169,6 +1183,89 @@ def _kmeans_oracle_sql(k: int = 8, rounds: int = 2) -> str:
           FROM q v CROSS JOIN c{rounds} c) t
         QUALIFY row_number() OVER (PARTITION BY vec_id
                                    ORDER BY d2, cid) = 1
+    """
+
+
+def _ann_ivf_quant_oracle_sql(n_queries: int = 8, k: int = 10,
+                              n_lists: int = 8, rounds: int = 2,
+                              nprobe: int = 2) -> str:
+    """IVF-Flat under the quantized metric — the exact plan of
+    ops/similarity.ann_ivf_quant_ds: the shared Lloyd training body
+    (k = n_lists), full inverted-list assignment, per-query nprobe probe
+    selection by (d2, cid), integer-dot top-k within probed lists."""
+    ctes, d2 = _kmeans_cte_parts(n_lists, rounds)
+    ctes.append(f"""af AS MATERIALIZED (
+              SELECT vec_id, cid FROM (
+                SELECT v.vec_id, c.cid, {d2} AS d2
+                FROM q v CROSS JOIN c{rounds} c) t
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d2, cid) = 1),
+            qsel AS MATERIALIZED (
+              SELECT vec_id AS query_id, qe
+              FROM q ORDER BY vec_id LIMIT {n_queries}),
+            probes AS (
+              SELECT query_id, cid FROM (
+                SELECT v.query_id, c.cid, {d2} AS d2
+                FROM qsel v CROSS JOIN c{rounds} c) t
+              QUALIFY row_number() OVER (PARTITION BY query_id
+                                         ORDER BY d2, cid) <= {nprobe}),
+            scored AS (
+              SELECT p.query_id, af.vec_id,
+                     CAST(list_inner_product(s.qe, v.qe) AS BIGINT) AS qdot
+              FROM probes p
+              JOIN af ON af.cid = p.cid
+              JOIN q v ON v.vec_id = af.vec_id
+              JOIN qsel s ON s.query_id = p.query_id)""")
+    return f"""
+        WITH {', '.join(ctes)}
+        SELECT query_id, vec_id, qdot, rnk FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY qdot DESC, vec_id) AS BIGINT) AS rnk
+          FROM scored) WHERE rnk <= {k}
+    """
+
+
+def _ann_lsh_md5_oracle_sql(n_queries: int = 8, k: int = 10,
+                            n_bits: int = 4) -> str:
+    """Sign-random-projection LSH under the md5-Rademacher plane family —
+    the exact plan of ops/similarity.ann_lsh_md5_ds: coefficient (b, i) =
+    ±1 by md5 first-8-hex parity, bucket bit b set iff the integer
+    projection is strictly positive, queries probe their own bucket,
+    integer-dot top-k."""
+    return f"""
+        WITH d AS MATERIALIZED (
+          SELECT vec_id, list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+          FROM embeddings),
+        comp AS (
+          SELECT vec_id, generate_subscripts(qe, 1) AS i, unnest(qe) AS v
+          FROM d),
+        dots AS (
+          SELECT vec_id, b,
+                 sum(v * CASE WHEN ('0x' || substr(md5('lshp' || b::VARCHAR
+                       || ':' || i::VARCHAR), 1, 8))::BIGINT % 2 = 0
+                     THEN 1 ELSE -1 END)::BIGINT AS s
+          FROM comp CROSS JOIN (SELECT unnest(range({n_bits})) AS b) bits
+          GROUP BY 1, 2),
+        buck AS MATERIALIZED (
+          SELECT vec_id,
+                 sum(CASE WHEN s > 0 THEN 1 << b ELSE 0 END)::BIGINT
+                     AS bucket
+          FROM dots GROUP BY 1),
+        qsel AS (
+          SELECT d.vec_id AS query_id, d.qe AS qq, buck.bucket AS qb
+          FROM d JOIN buck USING (vec_id)
+          ORDER BY d.vec_id LIMIT {n_queries}),
+        scored AS (
+          SELECT qsel.query_id, d.vec_id,
+                 CAST(list_inner_product(qsel.qq, d.qe) AS BIGINT) AS qdot
+          FROM qsel
+          JOIN buck ON buck.bucket = qsel.qb
+          JOIN d ON d.vec_id = buck.vec_id)
+        SELECT query_id, vec_id, qdot, rnk FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY qdot DESC, vec_id) AS BIGINT) AS rnk
+          FROM scored) WHERE rnk <= {k}
     """
 
 
@@ -2607,6 +2704,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcore_parts": _kcore_oracle_sql(k=68, rounds=8),
         "kmeans_embeddings": _kmeans_oracle_sql(k=8, rounds=2),
+        "ann_ivf_quant": _ann_ivf_quant_oracle_sql(
+            n_queries=8, k=10, n_lists=8, rounds=2, nprobe=2),
+        "ann_lsh_md5": _ann_lsh_md5_oracle_sql(
+            n_queries=8, k=10, n_bits=4),
         "part_label_spread": _label_spread_oracle_sql(rounds=2),
         "purchase_hits": _hits_oracle_sql(rounds=2),
         "clustering_coefficient": """

@@ -750,15 +750,49 @@ def kmeans_quant(ds, id_col: str, vec_col: str, k: int = 8,
     shuffle, and the input re-reads from storage each round rather than
     pinning the corpus in the object store. After ``rounds`` updates the
     final assignment streams out as (id, cluster, d2)."""
-    from .stats import _trunc_div
+    qds = ds.map_batches(_quant_stage(id_col, vec_col),
+                         batch_format="pandas")
+    cen = _kmeans_centroids(qds, id_col, k, rounds)
+    cref = ray.put(cen)
 
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "cluster": pd.Series([], dtype="int64"),
+                                 "d2": pd.Series([], dtype="int64")})
+        mat = np.stack(df["__q"].to_numpy())
+        a, d2 = _assign_quant(mat, ray.get(cref))
+        return pd.DataFrame({id_col: df[id_col].astype("int64"),
+                             "cluster": a.astype("int64"),
+                             "d2": d2.astype("int64")})
+
+    return qds.map_batches(final, batch_format="pandas")
+
+
+def _quant_stage(id_col: str, vec_col: str):
+    """Per-batch floor(x·1000) quantizer → (id_col, __q) frames."""
     def quant(df: pd.DataFrame) -> pd.DataFrame:
         mat = [np.floor(np.asarray(v, np.float64) * 1000.0).astype(np.int64)
                for v in df[vec_col]]
         return pd.DataFrame({id_col: df[id_col].astype("int64"),
                              "__q": mat})
+    return quant
 
-    qds = ds.map_batches(quant, batch_format="pandas")
+
+def _assign_quant(mat: np.ndarray, c: np.ndarray):
+    """(n, k) int64 squared distances; argmin's first hit = lowest cid on
+    ties (== the oracle's ``ORDER BY d2, cid`` rank)."""
+    d = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    a = d.argmin(axis=1)
+    return a, d[np.arange(len(a)), a]
+
+
+def _kmeans_centroids(qds, id_col: str, k: int, rounds: int) -> np.ndarray:
+    """The Lloyd training loop of ``kmeans_quant`` (seed on the k smallest
+    ids, ``rounds`` truncated-mean updates) returning the final (k × dim)
+    int64 centroid matrix — shared with the IVF coarse quantizer so both
+    faces replay the identical unrolled-CTE SQL plan."""
+    from .stats import _trunc_div
 
     # ---- init: bottom-k by id (per-block partial prune, tiny driver merge)
     def bottomk(df: pd.DataFrame) -> pd.DataFrame:
@@ -768,12 +802,6 @@ def kmeans_quant(ds, id_col: str, vec_col: str, k: int = 8,
         .nsmallest(k, id_col).sort_values(id_col)  # ≤ k·blocks rows
     cen = np.stack(seed["__q"].to_numpy())  # (k, dim), cid = row index
     dim = cen.shape[1]
-
-    def _assign(mat: np.ndarray, c: np.ndarray):
-        # (n, k) int64 distances; argmin's first hit = lowest cid on ties
-        d = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-        a = d.argmin(axis=1)
-        return a, d[np.arange(len(a)), a]
 
     for _ in range(rounds):
         cref = ray.put(cen)
@@ -785,7 +813,7 @@ def kmeans_quant(ds, id_col: str, vec_col: str, k: int = 8,
                                      "qsum": pd.Series([], dtype="object"),
                                      "n": pd.Series([], dtype="int64")})
             mat = np.stack(df["__q"].to_numpy())
-            a, _ = _assign(mat, c)
+            a, _ = _assign_quant(mat, c)
             rows = []
             for cid in np.unique(a):
                 sel = mat[a == cid]
@@ -802,21 +830,7 @@ def kmeans_quant(ds, id_col: str, vec_col: str, k: int = 8,
             n = int(g["n"].sum())
             nxt[int(cid)] = _trunc_div(s, np.full(dim, n, dtype=np.int64))
         cen = nxt
-
-    cref = ray.put(cen)
-
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
-                                 "cluster": pd.Series([], dtype="int64"),
-                                 "d2": pd.Series([], dtype="int64")})
-        mat = np.stack(df["__q"].to_numpy())
-        a, d2 = _assign(mat, ray.get(cref))
-        return pd.DataFrame({id_col: df[id_col].astype("int64"),
-                             "cluster": a.astype("int64"),
-                             "d2": d2.astype("int64")})
-
-    return qds.map_batches(final, batch_format="pandas")
+    return cen
 
 
 def kmeans_embeddings_ds(sf_dir: str, k: int = 8, rounds: int = 2):
@@ -827,6 +841,170 @@ def kmeans_embeddings_ds(sf_dir: str, k: int = 8, rounds: int = 2):
     ds = _io_read(f"{sf_dir}/embeddings.parquet",
                   columns=["vec_id", "embedding"])
     return kmeans_quant(ds, "vec_id", "embedding", k=k, rounds=rounds)
+
+
+# ------------------------------------------- SQL-oracled approximate faces
+
+def _merge_topk_qdot(k: int):
+    """Per-query global top-k finish over integer-dot partials
+    (qdot DESC, vec_id ASC, rnk 1..k) — the ``ann_quantized`` convention."""
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["qdot", "vec_id"],
+                              ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+    return merge
+
+
+def ann_ivf_quant_ds(sf_dir: str, n_queries: int = 8, k: int = 10,
+                     n_lists: int = 8, rounds: int = 2, nprobe: int = 2):
+    """IVF-Flat under the integer-quantized metric — the SQL-oracled twin
+    of ``ann_ivf_ds`` (the md5-minhash pattern: the production IVF plan
+    with the float spherical quantizer swapped for the repo's quantized
+    Lloyd coarse quantizer, so DuckDB replays training, assignment, probe
+    selection AND scoring bit-exactly; cf. the reference's approximate
+    structures being seed-stable for reproducibility, SURVEY §7.4):
+
+    - coarse quantizer: ``_kmeans_centroids`` (k = n_lists, fixed rounds —
+      the identical unrolled-CTE plan `kmeans_embeddings` oracles);
+    - inverted-list assignment: argmin integer L2 d2, ties to the lowest
+      list id;
+    - probe selection: per query the ``nprobe`` lists by (d2, cid);
+    - scoring: integer inner product within probed lists only, top-k by
+      (qdot DESC, vec_id).
+
+    Scale plan is ``ann_ivf_ds``'s: centroids broadcast once (O(n_lists ×
+    dim)), each batch assigns + scores locally and emits ≤ k rows per
+    (query, block), the per-query merge is tiny. Fan-in per query drops
+    ~n_lists/nprobe vs brute force — recall < 1 by design (asserted vs
+    brute in tests), while staying bit-exact vs the oracle.
+    Returns (query_id, vec_id, qdot, rnk)."""
+    ds = _io_read(f"{sf_dir}/embeddings.parquet",
+                  columns=["vec_id", "embedding"])
+    qds = ds.map_batches(_quant_stage("vec_id", "embedding"),
+                         batch_format="pandas")
+    cen = _kmeans_centroids(qds, "vec_id", n_lists, rounds)
+
+    queries = _load_queries(sf_dir, n_queries)
+    qq = np.stack([np.floor(np.asarray(v, np.float64) * 1000.0)
+                   .astype(np.int64) for v in queries["embedding"]])
+    # nprobe nearest lists per query: stable argsort over d2 == the
+    # oracle's ORDER BY d2, cid (cid IS the row index)
+    qd2 = ((qq[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+    probes = [np.argsort(row, kind="stable")[:nprobe] for row in qd2]
+    ref = ray.put((queries["vec_id"].to_numpy(), qq, cen,
+                   [set(map(int, p)) for p in probes]))
+
+    class IvfQuantScorer:
+        def __init__(self):
+            self.qids, self.qmat, self.cen, self.probes = ray.get(ref)
+            self.k = k
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if not len(batch):
+                return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                     for c in ("query_id", "vec_id", "qdot")})
+            ids = batch["vec_id"].to_numpy()
+            mat = np.stack(batch["__q"].to_numpy())
+            assign, _ = _assign_quant(mat, self.cen)
+            dots = self.qmat @ mat.T                       # (Q, B) int64
+            rows = {"query_id": [], "vec_id": [], "qdot": []}
+            for qi, qid in enumerate(self.qids):
+                sel = np.nonzero(np.isin(assign,
+                                         list(self.probes[qi])))[0]
+                if not len(sel):
+                    continue
+                o = np.lexsort((ids[sel], -dots[qi][sel]))[: self.k]
+                pick = sel[o]
+                rows["query_id"].extend([qid] * len(pick))
+                rows["vec_id"].extend(ids[pick])
+                rows["qdot"].extend(dots[qi][pick])
+            return pd.DataFrame(rows).astype(
+                {"query_id": "int64", "vec_id": "int64", "qdot": "int64"})
+
+    partial = qds.map_batches(IvfQuantScorer, batch_format="pandas",
+                              batch_size=4096, concurrency=2)
+    return partial.groupby("query_id").map_groups(
+        _merge_topk_qdot(k), batch_format="pandas")
+
+
+def _lsh_md5_planes(n_bits: int, dim: int) -> np.ndarray:
+    """±1 Rademacher projection planes from the repo's md5 shard kernel
+    (parity of the first 8 hex digits of ``md5('lshp{b}:{i}')``, i
+    1-based) — sign-random-projection with Rademacher entries has the
+    same cosine collision property as Gaussian planes (Charikar 2002;
+    Achlioptas 2003 for the ±1 family) while every coefficient is a
+    DuckDB-replicable expression."""
+    import hashlib
+    coef = np.empty((n_bits, dim), dtype=np.int64)
+    for b in range(n_bits):
+        for i in range(1, dim + 1):
+            h = int(hashlib.md5(f"lshp{b}:{i}".encode()).hexdigest()[:8], 16)
+            coef[b, i - 1] = 1 if h % 2 == 0 else -1
+    return coef
+
+
+def _lsh_md5_bucket(mat: np.ndarray, coef: np.ndarray) -> np.ndarray:
+    """Bucket id: bit b set iff the integer projection is strictly
+    positive (> 0, never >= — the oracle's CASE WHEN s > 0)."""
+    dots = coef @ mat.T                                  # (bits, n) int64
+    bucket = np.zeros(dots.shape[1], dtype=np.int64)
+    for b in range(coef.shape[0]):
+        bucket |= (dots[b] > 0).astype(np.int64) << b
+    return bucket
+
+
+def ann_lsh_md5_ds(sf_dir: str, n_queries: int = 8, k: int = 10,
+                   n_bits: int = 4):
+    """Sign-random-projection LSH under the md5-Rademacher plane family —
+    the SQL-oracled twin of ``ann_lsh_ds``: identical bucket-probe plan
+    (each query scores only its own hyperplane bucket, fan-in drops
+    ~2^n_bits), but planes, bucket bits and scores are all exact integer /
+    md5 expressions DuckDB replays bit-for-bit. Recall < 1 by design
+    (asserted vs brute force in tests). Returns (query_id, vec_id, qdot,
+    rnk) — queries whose bucket holds < k vectors return fewer rows."""
+    queries = _load_queries(sf_dir, n_queries)
+    dim = len(queries["embedding"][0])
+    coef = _lsh_md5_planes(n_bits, dim)
+    qq = np.stack([np.floor(np.asarray(v, np.float64) * 1000.0)
+                   .astype(np.int64) for v in queries["embedding"]])
+    qbuck = _lsh_md5_bucket(qq, coef)
+    ref = ray.put((queries["vec_id"].to_numpy(), qq, qbuck, coef))
+
+    class Md5LshScorer:
+        def __init__(self):
+            self.qids, self.qmat, self.qbuck, self.coef = ray.get(ref)
+            self.k = k
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if not len(batch):
+                return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                     for c in ("query_id", "vec_id", "qdot")})
+            ids = batch["vec_id"].to_numpy()
+            mat = np.stack([
+                np.floor(np.asarray(v, np.float64) * 1000.0).astype(np.int64)
+                for v in batch["embedding"]])
+            buck = _lsh_md5_bucket(mat, self.coef)
+            rows = {"query_id": [], "vec_id": [], "qdot": []}
+            for qi, qid in enumerate(self.qids):
+                sel = np.nonzero(buck == self.qbuck[qi])[0]
+                if not len(sel):
+                    continue
+                dots = mat[sel] @ self.qmat[qi]
+                o = np.lexsort((ids[sel], -dots))[: self.k]
+                rows["query_id"].extend([qid] * len(o))
+                rows["vec_id"].extend(ids[sel][o])
+                rows["qdot"].extend(dots[o])
+            return pd.DataFrame(rows).astype(
+                {"query_id": "int64", "vec_id": "int64", "qdot": "int64"})
+
+    ds = _io_read(f"{sf_dir}/embeddings.parquet",
+                  columns=["vec_id", "embedding"])
+    partial = ds.map_batches(Md5LshScorer, batch_format="pandas",
+                             batch_size=4096, concurrency=2)
+    return partial.groupby("query_id").map_groups(
+        _merge_topk_qdot(k), batch_format="pandas")
 
 
 def embedding_drift_by_label_ds(sf_dir: str):

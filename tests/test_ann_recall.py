@@ -186,3 +186,100 @@ def test_embedding_pca_matches_serial(ray_session):
     var = proj.var(axis=0, ddof=1)
     np.testing.assert_allclose(var, evals[::-1][:8], rtol=1e-6)
     assert (np.diff(var) <= 1e-9).all()
+
+
+# ------------------------- SQL-oracled quantized twins (r4, md5 pattern)
+
+def _qmat(sf: str):
+    import numpy as np
+    df = pd.read_parquet(f"{sf}/embeddings.parquet")[["vec_id", "embedding"]] \
+        .sort_values("vec_id").reset_index(drop=True)
+    q = np.stack([np.floor(np.asarray(v, np.float64) * 1000.0)
+                  .astype(np.int64) for v in df["embedding"]])
+    return df["vec_id"].to_numpy(), q
+
+
+def test_ivf_quant_matches_reference(ray_session):
+    """ann_ivf_quant_ds ≡ a from-scratch serial replay of the whole plan
+    (quantize → Lloyd train → assign → probe → integer-dot top-k) — the
+    pytest half of the face's oracle pair (the SQL half runs in
+    test_driver_contract)."""
+    import numpy as np
+    n_q, k, n_lists, rounds, nprobe = 8, 10, 8, 2, 2
+    ids, q = _qmat(SF)
+
+    cen = q[:n_lists].copy()                      # ids pre-sorted ascending
+    for _ in range(rounds):
+        d = ((q[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for c in range(n_lists):
+            m = q[a == c]
+            if len(m):
+                s = m.sum(axis=0)
+                cen[c] = np.sign(s) * (np.abs(s) // len(m))   # trunc div
+    d = ((q[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+    assign = d.argmin(axis=1)
+
+    rows = []
+    for qi in range(n_q):
+        qd2 = ((q[qi] - cen) ** 2).sum(axis=1)
+        probes = np.argsort(qd2, kind="stable")[:nprobe]
+        sel = np.nonzero(np.isin(assign, probes))[0]
+        dots = q[sel] @ q[qi]
+        o = np.lexsort((ids[sel], -dots))[:k]
+        for r, j in enumerate(o, start=1):
+            rows.append((ids[qi], ids[sel][j], dots[j], r))
+    want = pd.DataFrame(rows, columns=["query_id", "vec_id", "qdot", "rnk"])
+
+    got = similarity.ann_ivf_quant_ds(
+        SF, n_queries=n_q, k=k, n_lists=n_lists,
+        rounds=rounds, nprobe=nprobe).to_pandas()
+    got = got.sort_values(["query_id", "rnk"]).reset_index(drop=True)
+    want = want.sort_values(["query_id", "rnk"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns].astype("int64"),
+                                  want.astype("int64"))
+
+
+def test_lsh_md5_matches_reference(ray_session):
+    """ann_lsh_md5_ds ≡ a serial replay: md5-parity ±1 planes, strictly-
+    positive bucket bits, own-bucket probe, integer-dot top-k."""
+    import hashlib
+    import numpy as np
+    n_q, k, n_bits = 8, 10, 4
+    ids, q = _qmat(SF)
+    dim = q.shape[1]
+
+    coef = np.empty((n_bits, dim), dtype=np.int64)
+    for b in range(n_bits):
+        for i in range(1, dim + 1):
+            h = int(hashlib.md5(f"lshp{b}:{i}".encode()).hexdigest()[:8], 16)
+            coef[b, i - 1] = 1 if h % 2 == 0 else -1
+    proj = coef @ q.T
+    bucket = sum(((proj[b] > 0).astype(np.int64) << b)
+                 for b in range(n_bits))
+
+    rows = []
+    for qi in range(n_q):
+        sel = np.nonzero(bucket == bucket[qi])[0]
+        dots = q[sel] @ q[qi]
+        o = np.lexsort((ids[sel], -dots))[:k]
+        for r, j in enumerate(o, start=1):
+            rows.append((ids[qi], ids[sel][j], dots[j], r))
+    want = pd.DataFrame(rows, columns=["query_id", "vec_id", "qdot", "rnk"])
+
+    got = similarity.ann_lsh_md5_ds(SF, n_queries=n_q, k=k,
+                                    n_bits=n_bits).to_pandas()
+    got = got.sort_values(["query_id", "rnk"]).reset_index(drop=True)
+    want = want.sort_values(["query_id", "rnk"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns].astype("int64"),
+                                  want.astype("int64"))
+
+
+def test_quant_twins_overlap_brute(ray_session, brute):
+    """The quantized twins stay *useful* ANN: their probed candidates
+    overlap the float brute-force top-k (recall floors sized for the
+    500-row test table; the faces' exactness is pinned above/in SQL)."""
+    ivf = similarity.ann_ivf_quant_ds(SF).to_pandas()
+    lsh = similarity.ann_lsh_md5_ds(SF).to_pandas()
+    assert _recall(ivf, brute) >= 0.3
+    assert _recall(lsh, brute) >= 0.2
