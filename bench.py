@@ -349,12 +349,14 @@ def run_scaling(large: bool = False) -> dict:
     }
 
 
-def run_nodes_child(n_nodes: int, cpus_per_node: int = 8) -> dict:
+def run_nodes_child(n_nodes: int, cpus_per_node: int | None = None) -> dict:
     """One multi-raylet trial: a local cluster of ``n_nodes`` genuine Ray
     nodes (each its own raylet + object store, so cross-node block transfer
     and per-node plasma really happen), the crawl spread across them."""
     os.environ.setdefault("OMP_NUM_THREADS", "1")
     os.environ.setdefault("ARROW_IO_THREADS", "2")
+    if cpus_per_node is None:
+        cpus_per_node = int(os.environ.get("GRAFT_NODE_CPUS", "8"))
     import ray
     from ray.cluster_utils import Cluster
 
@@ -392,6 +394,7 @@ def run_scaling_nodes(large: bool = False) -> dict:
     nodes; the absorb/exchange shard store lands on the host FS, which every
     node shares (the multi-node shared-storage semantics). Same interleaved
     best-of protocol as run_scaling (this host's CPU steal, BASELINE.md)."""
+    node_cpus = int(os.environ.get("GRAFT_NODE_CPUS", "8"))
     results: dict[int, dict] = {}
     for n_nodes in (1, 4, 1, 4):
         env = dict(os.environ)
@@ -401,7 +404,7 @@ def run_scaling_nodes(large: bool = False) -> dict:
             env.pop("GRAFT_BENCH_LARGE", None)  # inherited var must not
                                                 # silently flip the profile
         _log(f"scaling-nodes run n_nodes={n_nodes}...")
-        ncores = 8 * n_nodes
+        ncores = node_cpus * n_nodes
         cmd = [sys.executable, os.path.abspath(__file__),
                "--nodes-child", str(n_nodes)]
         if shutil.which("taskset"):
@@ -420,7 +423,7 @@ def run_scaling_nodes(large: bool = False) -> dict:
     thr4 = results[4]["steady_pages_per_sec"]
     return {
         "metric": "node scaling efficiency (steady-state pages/sec, "
-                  "1 node vs 4 nodes × 8 cpus, multi-raylet"
+                  f"1 node vs 4 nodes × {node_cpus} cpus, multi-raylet"
                   + (", large epochs)" if large else ")"),
         "value": round((thr4 / thr1) / 4.0, 3),
         "unit": "efficiency",
@@ -457,8 +460,10 @@ def run_scaling_protocol() -> dict:
         # LARGE-epoch profile: the ≥300k-task-epoch regime where per-epoch
         # fixed costs are <1% — the profile every r3 ≥0.8 reading used and
         # the one the 10^10-URL rule targets
+        nc = int(os.environ.get("GRAFT_NODE_CPUS", "8"))
         env = dict(os.environ, CONTROL_ONESHOT="1", GRAFT_BENCH_LARGE="1",
-                   PYTHONPATH=here, GRAFT_BENCH_STREAMING="0")
+                   PYTHONPATH=here, GRAFT_BENCH_STREAMING="0",
+                   CONTROL_PROCS=f"{nc},{nc * 4}")
         _log(f"window {w}: control read...")
         ctl = subprocess.run(
             [sys.executable, os.path.join(here, "probes", "mp_control.py")],
@@ -483,7 +488,7 @@ def run_scaling_protocol() -> dict:
         thr = {}
         ok = True
         for n_nodes in (1, 4):
-            ncores = 8 * n_nodes
+            ncores = int(os.environ.get("GRAFT_NODE_CPUS", "8")) * n_nodes
             cmd = [sys.executable, os.path.abspath(__file__),
                    "--nodes-child", str(n_nodes)]
             if shutil.which("taskset"):

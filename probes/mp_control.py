@@ -69,18 +69,23 @@ def run_level(nproc: int) -> float:
 
 def main() -> None:
     best: dict[int, float] = {}
-    # CONTROL_ONESHOT=1: one (8, 32) pass — the quick quiet-window read the
+    # CONTROL_PROCS="4,16" reads the substrate ceiling at a different N /
+    # 4N pair (default 8/32 — the historic series)
+    lo, hi = (int(x) for x in
+              os.environ.get("CONTROL_PROCS", "8,32").split(","))
+    # CONTROL_ONESHOT=1: one (lo, hi) pass — the quick quiet-window read the
     # bench.py --scaling-protocol driver uses to qualify each window
-    levels = (8, 32) if os.environ.get("CONTROL_ONESHOT") else (8, 32, 8, 32)
+    levels = (lo, hi) if os.environ.get("CONTROL_ONESHOT") \
+        else (lo, hi, lo, hi)
     for nproc in levels:
         thr = run_level(nproc)
         print(f"  control {nproc} procs: {thr:,.0f} pages/s", file=sys.stderr)
         best[nproc] = max(best.get(nproc, 0), thr)
-    eff = (best[32] / best[8]) / 4.0
+    eff = (best[hi] / best[lo]) / (hi / lo)
     print(json.dumps({
         "metric": "no-framework multiprocessing control (same kernel)",
-        "pages_per_sec_8": round(best[8], 1),
-        "pages_per_sec_32": round(best[32], 1),
+        f"pages_per_sec_{lo}": round(best[lo], 1),
+        f"pages_per_sec_{hi}": round(best[hi], 1),
         "control_efficiency": round(eff, 3),
     }))
 
