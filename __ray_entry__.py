@@ -496,6 +496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer/md5 math so DuckDB replays them bit-exactly)
         "ann_ivf_quant": similarity.ann_ivf_quant_ds,
         "ann_lsh_md5": similarity.ann_lsh_md5_ds,
+        "ann_pq_quant": similarity.ann_pq_quant_ds,
         # PQ/ADC: m uint8 codes per vector (Jégou et al. 2011) — the
         # memory-compression scale path; recall pinned in test_ann_recall
         "ann_pq": similarity.ann_pq_ds,                           # rows-only
@@ -1133,41 +1134,48 @@ def _skipgram_oracle_sql(length: int = 4, window: int = 2) -> str:
     """
 
 
-def _kmeans_cte_parts(k: int = 8, rounds: int = 2) -> tuple[list, str]:
+_QUANT_Q_CTE = """q AS MATERIALIZED (
+              SELECT vec_id, list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+              FROM embeddings)"""
+
+
+def _kmeans_cte_parts(k: int = 8, rounds: int = 2, src: str = "q",
+                      prefix: str = "", emit_src: bool = True) -> tuple:
     """The shared unrolled-CTE body of the quantized-Lloyd plan
     (ops/similarity._kmeans_centroids): quantize, seed on the k smallest
     vec_ids, per round (assign by min d2 with ties to the lowest cid,
     per-dim truncated-mean update via lockstep UNNEST/generate_subscripts,
-    empty clusters COALESCE to their previous centroid). Returns
-    (cte_list, d2_expr); the final centroid table is ``c{rounds}``."""
+    empty clusters COALESCE to their previous centroid). ``src`` is a CTE
+    of (vec_id, qe) rows; ``prefix`` namespaces the training CTEs so m
+    subspace codebooks can unroll side by side (the PQ oracle). Returns
+    (cte_list, d2_expr); the final centroid table is ``{prefix}c{rounds}``."""
     d2 = ("list_sum(list_transform(list_zip(v.qe, c.cen),"
           " x -> (x[1] - x[2]) * (x[1] - x[2])))::BIGINT")
-    ctes = [f"""q AS MATERIALIZED (
-              SELECT vec_id, list_transform(embedding,
-                x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
-              FROM embeddings),
-            c0 AS MATERIALIZED (
+    ctes = [_QUANT_Q_CTE] if emit_src else []
+    p = prefix
+    ctes.append(f"""{p}c0 AS MATERIALIZED (
               SELECT (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT
                          AS cid, qe AS cen
-              FROM q ORDER BY vec_id LIMIT {k})"""]
+              FROM {src} ORDER BY vec_id LIMIT {k})""")
     for r in range(rounds):
-        ctes.append(f"""a{r} AS MATERIALIZED (
+        ctes.append(f"""{p}a{r} AS MATERIALIZED (
               SELECT vec_id, cid FROM (
                 SELECT v.vec_id, c.cid, {d2} AS d2
-                FROM q v CROSS JOIN c{r} c) t
+                FROM {src} v CROSS JOIN {p}c{r} c) t
               QUALIFY row_number() OVER (PARTITION BY vec_id
                                          ORDER BY d2, cid) = 1),
-            u{r} AS (
-              SELECT a{r}.cid, generate_subscripts(q.qe, 1) AS dim,
-                     unnest(q.qe) AS val
-              FROM a{r} JOIN q USING (vec_id)),
-            m{r} AS (
+            {p}u{r} AS (
+              SELECT {p}a{r}.cid, generate_subscripts({src}.qe, 1) AS dim,
+                     unnest({src}.qe) AS val
+              FROM {p}a{r} JOIN {src} USING (vec_id)),
+            {p}m{r} AS (
               SELECT cid, list(s ORDER BY dim) AS cen FROM (
                 SELECT cid, dim, sum(val) // count(*) AS s
-                FROM u{r} GROUP BY cid, dim) GROUP BY cid),
-            c{r + 1} AS MATERIALIZED (
-              SELECT c{r}.cid, coalesce(m{r}.cen, c{r}.cen) AS cen
-              FROM c{r} LEFT JOIN m{r} USING (cid))""")
+                FROM {p}u{r} GROUP BY cid, dim) GROUP BY cid),
+            {p}c{r + 1} AS MATERIALIZED (
+              SELECT {p}c{r}.cid, coalesce({p}m{r}.cen, {p}c{r}.cen) AS cen
+              FROM {p}c{r} LEFT JOIN {p}m{r} USING (cid))""")
     return ctes, d2
 
 
@@ -1221,6 +1229,50 @@ def _ann_ivf_quant_oracle_sql(n_queries: int = 8, k: int = 10,
         SELECT query_id, vec_id, qdot, rnk FROM (
           SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                    ORDER BY qdot DESC, vec_id) AS BIGINT) AS rnk
+          FROM scored) WHERE rnk <= {k}
+    """
+
+
+def _ann_pq_quant_oracle_sql(n_queries: int = 8, k: int = 10, m: int = 4,
+                             ks: int = 8, rounds: int = 2,
+                             dim: int = 64) -> str:
+    """PQ/ADC under the quantized metric — the exact plan of
+    ops/similarity.ann_pq_quant_ds: per subspace, the shared Lloyd
+    training body over the sliced subvectors (``list_slice``), full code
+    assignment, then ADC = Σ over subspaces of d2(query subvector,
+    assigned codebook entry); smallest adc_d2 wins, ties to vec_id."""
+    dsub = dim // m
+    ctes = [_QUANT_Q_CTE]
+    score_terms = []
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        ctes.append(f"""qs{s} AS MATERIALIZED (
+              SELECT vec_id, list_slice(qe, {lo}, {hi}) AS qe FROM q)""")
+        sub, d2 = _kmeans_cte_parts(ks, rounds, src=f"qs{s}",
+                                    prefix=f"s{s}", emit_src=False)
+        ctes.extend(sub)
+        ctes.append(f"""s{s}f AS MATERIALIZED (
+              SELECT vec_id, cid FROM (
+                SELECT v.vec_id, c.cid, {d2} AS d2
+                FROM qs{s} v CROSS JOIN s{s}c{rounds} c) t
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d2, cid) = 1),
+            p{s} AS (
+              SELECT v.qid AS query_id, f.vec_id, {d2} AS d
+              FROM (SELECT vec_id AS qid, qe FROM qs{s}
+                    ORDER BY vec_id LIMIT {n_queries}) v
+              CROSS JOIN s{s}f f
+              JOIN s{s}c{rounds} c ON c.cid = f.cid)""")
+        score_terms.append(f"SELECT * FROM p{s}")
+    ctes.append(f"""scored AS (
+              SELECT query_id, vec_id, sum(d)::BIGINT AS adc_d2
+              FROM ({' UNION ALL '.join(score_terms)})
+              GROUP BY 1, 2)""")
+    return f"""
+        WITH {', '.join(ctes)}
+        SELECT query_id, vec_id, adc_d2, rnk FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY adc_d2, vec_id) AS BIGINT) AS rnk
           FROM scored) WHERE rnk <= {k}
     """
 
@@ -2708,6 +2760,8 @@ def oracle_sql() -> dict[str, str]:
             n_queries=8, k=10, n_lists=8, rounds=2, nprobe=2),
         "ann_lsh_md5": _ann_lsh_md5_oracle_sql(
             n_queries=8, k=10, n_bits=4),
+        "ann_pq_quant": _ann_pq_quant_oracle_sql(
+            n_queries=8, k=10, m=4, ks=8, rounds=2, dim=64),
         "part_label_spread": _label_spread_oracle_sql(rounds=2),
         "purchase_hits": _hits_oracle_sql(rounds=2),
         "clustering_coefficient": """

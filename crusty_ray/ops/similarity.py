@@ -929,6 +929,134 @@ def ann_ivf_quant_ds(sf_dir: str, n_queries: int = 8, k: int = 10,
         _merge_topk_qdot(k), batch_format="pandas")
 
 
+def _pq_codebooks_quant(qds, id_col: str, m: int, ks: int, rounds: int,
+                        dim: int) -> list:
+    """Fused product-quantization codebook training under the quantized
+    metric: ONE Lloyd loop trains all ``m`` subspace codebooks together
+    (per-batch partials keyed (subspace, cid) — the table is scanned
+    ``rounds + 1`` times total, not per subspace). Seeds are the ``ks``
+    smallest ids' subvectors; updates are truncated means — the identical
+    unrolled-CTE plan as ``_kmeans_centroids``, per subspace."""
+    from .stats import _trunc_div
+    dsub = dim // m
+
+    def bottomk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.nsmallest(ks, id_col)
+
+    seed = qds.map_batches(bottomk, batch_format="pandas").to_pandas() \
+        .nsmallest(ks, id_col).sort_values(id_col)
+    full = np.stack(seed["__q"].to_numpy())
+    cbs = [full[:, s * dsub:(s + 1) * dsub].copy() for s in range(m)]
+
+    for _ in range(rounds):
+        ref = ray.put(cbs)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(ref)
+            if df.empty:
+                return pd.DataFrame({"s": pd.Series([], dtype="int64"),
+                                     "cid": pd.Series([], dtype="int64"),
+                                     "qsum": pd.Series([], dtype="object"),
+                                     "n": pd.Series([], dtype="int64")})
+            mat = np.stack(df["__q"].to_numpy())
+            rows = []
+            for s in range(m):
+                sub = mat[:, s * dsub:(s + 1) * dsub]
+                a, _ = _assign_quant(sub, c[s])
+                for cid in np.unique(a):
+                    sel = sub[a == cid]
+                    rows.append({"s": s, "cid": int(cid),
+                                 "qsum": sel.sum(axis=0).tobytes(),
+                                 "n": int(len(sel))})
+            return pd.DataFrame(rows)
+
+        parts = qds.map_batches(partial, batch_format="pandas").to_pandas()
+        nxt = [c.copy() for c in cbs]
+        for (s, cid), g in parts.groupby(["s", "cid"]):
+            ssum = np.sum([np.frombuffer(b, dtype=np.int64)
+                           for b in g["qsum"]], axis=0)
+            n = int(g["n"].sum())
+            nxt[int(s)][int(cid)] = _trunc_div(
+                ssum, np.full(dsub, n, dtype=np.int64))
+        cbs = nxt
+    return cbs
+
+
+def ann_pq_quant_ds(sf_dir: str, n_queries: int = 8, k: int = 10,
+                    m: int = 4, ks: int = 8, rounds: int = 2):
+    """PQ/ADC under the integer-quantized metric — the SQL-oracled twin of
+    ``ann_pq_ds``, completing the ANN family's oracle story (brute →
+    ann_quantized, IVF → ann_ivf_quant, LSH → ann_lsh_md5, PQ → this):
+    ``m`` subspace codebooks of ``ks`` codes each trained by quantized
+    Lloyd, every vector encoded as its per-subspace argmin code, queries
+    scored by asymmetric distance (ADC: Σ_s d2(query_sub, codebook[code]))
+    — smallest adc_d2 wins, ties to the lowest vec_id.
+
+    Scale plan: the codebooks are O(m·ks·dsub) and broadcast once; vectors
+    never shuffle (each batch encodes + scores locally, emitting ≤ k rows
+    per (query, block)); at production scale the stored codes are m bytes
+    per vector — the memory-compression path of ``ann_pq_ds`` — while the
+    quantized math keeps DuckDB replay bit-exact.
+    Returns (query_id, vec_id, adc_d2, rnk)."""
+    ds = _io_read(f"{sf_dir}/embeddings.parquet",
+                  columns=["vec_id", "embedding"])
+    qds = ds.map_batches(_quant_stage("vec_id", "embedding"),
+                         batch_format="pandas")
+    queries = _load_queries(sf_dir, n_queries)
+    dim = len(queries["embedding"][0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    cbs = _pq_codebooks_quant(qds, "vec_id", m, ks, rounds, dim)
+
+    qq = np.stack([np.floor(np.asarray(v, np.float64) * 1000.0)
+                   .astype(np.int64) for v in queries["embedding"]])
+    # per-query ADC lookup tables: T[qi][s][code] = d2(query_sub, cb entry)
+    tables = np.stack([
+        np.stack([((qq[qi, s * dsub:(s + 1) * dsub] - cbs[s]) ** 2)
+                  .sum(axis=1) for s in range(m)])
+        for qi in range(len(qq))])                     # (Q, m, ks) int64
+    ref = ray.put((queries["vec_id"].to_numpy(), cbs, tables))
+
+    class PqQuantScorer:
+        def __init__(self):
+            self.qids, self.cbs, self.tables = ray.get(ref)
+            self.k = k
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if not len(batch):
+                return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                     for c in ("query_id", "vec_id",
+                                               "adc_d2")})
+            ids = batch["vec_id"].to_numpy()
+            mat = np.stack(batch["__q"].to_numpy())
+            codes = np.stack([
+                _assign_quant(mat[:, s * dsub:(s + 1) * dsub],
+                              self.cbs[s])[0]
+                for s in range(m)], axis=1)            # (B, m)
+            rows = {"query_id": [], "vec_id": [], "adc_d2": []}
+            for qi, qid in enumerate(self.qids):
+                adc = self.tables[qi][np.arange(m), codes].sum(axis=1)
+                o = np.lexsort((ids, adc))[: self.k]   # adc ASC, id ASC
+                rows["query_id"].extend([qid] * len(o))
+                rows["vec_id"].extend(ids[o])
+                rows["adc_d2"].extend(adc[o])
+            return pd.DataFrame(rows).astype(
+                {"query_id": "int64", "vec_id": "int64", "adc_d2": "int64"})
+
+    partial = qds.map_batches(PqQuantScorer, batch_format="pandas",
+                              batch_size=4096, concurrency=2)
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["adc_d2", "vec_id"]).head(k)
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partial.groupby("query_id").map_groups(merge,
+                                                  batch_format="pandas")
+
+
 def _lsh_md5_planes(n_bits: int, dim: int) -> np.ndarray:
     """±1 Rademacher projection planes from the repo's md5 shard kernel
     (parity of the first 8 hex digits of ``md5('lshp{b}:{i}')``, i

@@ -283,3 +283,55 @@ def test_quant_twins_overlap_brute(ray_session, brute):
     lsh = similarity.ann_lsh_md5_ds(SF).to_pandas()
     assert _recall(ivf, brute) >= 0.3
     assert _recall(lsh, brute) >= 0.2
+
+
+def test_pq_quant_matches_reference(ray_session):
+    """ann_pq_quant_ds ≡ a from-scratch serial replay (per-subspace Lloyd →
+    encode → ADC top-k) — the pytest half of the face's oracle pair."""
+    import numpy as np
+    n_q, k, m, ks, rounds = 8, 10, 4, 8, 2
+    ids, q = _qmat(SF)
+    dim = q.shape[1]
+    dsub = dim // m
+
+    cbs = []
+    for s in range(m):
+        sub = q[:, s * dsub:(s + 1) * dsub]
+        cen = sub[:ks].copy()
+        for _ in range(rounds):
+            d = ((sub[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for c in range(ks):
+                mm = sub[a == c]
+                if len(mm):
+                    ssum = mm.sum(axis=0)
+                    cen[c] = np.sign(ssum) * (np.abs(ssum) // len(mm))
+        cbs.append(cen)
+
+    codes = np.stack([
+        ((q[:, s * dsub:(s + 1) * dsub][:, None, :]
+          - cbs[s][None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        for s in range(m)], axis=1)                        # (n, m)
+
+    rows = []
+    for qi in range(n_q):
+        adc = np.zeros(len(ids), dtype=np.int64)
+        for s in range(m):
+            t = ((q[qi, s * dsub:(s + 1) * dsub] - cbs[s]) ** 2).sum(axis=1)
+            adc += t[codes[:, s]]
+        o = np.lexsort((ids, adc))[:k]
+        for r, j in enumerate(o, start=1):
+            rows.append((ids[qi], ids[j], adc[j], r))
+    want = pd.DataFrame(rows, columns=["query_id", "vec_id", "adc_d2", "rnk"])
+
+    got = similarity.ann_pq_quant_ds(SF, n_queries=n_q, k=k, m=m, ks=ks,
+                                     rounds=rounds).to_pandas()
+    got = got.sort_values(["query_id", "rnk"]).reset_index(drop=True)
+    want = want.sort_values(["query_id", "rnk"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns].astype("int64"),
+                                  want.astype("int64"))
+
+
+def test_pq_quant_overlap_brute(ray_session, brute):
+    pq = similarity.ann_pq_quant_ds(SF).to_pandas()
+    assert _recall(pq, brute) >= 0.3
