@@ -585,6 +585,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": text.inverted_index_ds,
         # BM25 ranking vs a fixed term query (exact integer quantization)
         "bm25_scores": text.bm25_scores_ds,
+        # sparse→dense two-stage retrieval (BM25 candidates, quantized
+        # vector rerank — both stages the repo's bit-exact conventions)
+        "hybrid_retrieval": text.hybrid_retrieval_ds,
         # DSIR importance weights (hashed n-gram log-likelihood ratio vs a
         # target source, integer-quantized bits)
         "dsir_weights": text.dsir_weights_ds,
@@ -4276,6 +4279,71 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1
             )
             SELECT doc_id, score_mb FROM scored
+        """,
+        # two-stage hybrid retrieval: the bm25_scores chain proposes the
+        # top-50 candidates, the quantized query vector (vec_id 0, doc_id
+        # ≡ vec_id) reranks by integer inner product
+        "hybrid_retrieval": """
+            WITH base AS (
+              SELECT doc_id,
+                     len(list_filter(string_split(text, ' '),
+                                     w -> w <> ''))::BIGINT AS dl
+              FROM documents
+            ), ex AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents
+            ), hits AS (
+              SELECT doc_id, term FROM ex
+              WHERE term IN ('dup', 'table', 'scan')
+            ), tot AS (
+              SELECT count(*)::BIGINT AS n_docs,
+                     (SELECT count(*) FROM ex WHERE term <> '')::BIGINT
+                         AS n_tok
+              FROM base
+            ), dfs AS (
+              SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+              FROM hits GROUP BY 1
+            ), tfs AS (
+              SELECT doc_id, term, count(*)::BIGINT AS tf
+              FROM hits GROUP BY 1, 2
+            ), scored AS (
+              SELECT f.doc_id,
+                     sum(
+                       ((length(bin(t2.n_docs // d.df)) - 1)
+                        * (1000 * f.tf * 2200))
+                       // (1000 * f.tf
+                           + ((1200 * (250
+                               + (750 * ((1000 * b.dl * t2.n_docs)
+                                         // t2.n_tok)) // 1000)) // 1000))
+                     )::BIGINT AS score_mb
+              FROM tfs f
+              JOIN dfs d USING (term)
+              JOIN base b USING (doc_id)
+              CROSS JOIN tot t2
+              GROUP BY 1
+            ), cand AS (
+              SELECT doc_id, score_mb FROM (
+                SELECT *, row_number() OVER (ORDER BY score_mb DESC,
+                                             doc_id) AS crnk
+                FROM scored) WHERE crnk <= 50
+            ), qv AS (
+              SELECT list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qq
+              FROM embeddings WHERE vec_id = 0
+            ), rer AS (
+              SELECT c.doc_id, c.score_mb,
+                     CAST(list_inner_product(qv.qq,
+                       list_transform(e.embedding,
+                         x -> CAST(floor(CAST(x AS DOUBLE) * 1000)
+                                   AS BIGINT))) AS BIGINT) AS qdot
+              FROM cand c
+              JOIN embeddings e ON e.vec_id = c.doc_id
+              CROSS JOIN qv
+            )
+            SELECT doc_id, score_mb, qdot, rnk FROM (
+              SELECT *, CAST(row_number() OVER (ORDER BY qdot DESC,
+                       doc_id) AS BIGINT) AS rnk
+              FROM rer) WHERE rnk <= 10
         """,
         "dsir_weights": """
             WITH toks AS (

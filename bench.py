@@ -156,7 +156,8 @@ def bench_queries(sf_dir: str) -> dict:
              "unigram_surprisal", "source_quality_gate",
              "embedding_outliers", "duplicated_spans",
              "source_overlap_matrix", "chunk_documents", "pmi_collocations",
-             "inverted_index", "bm25_scores", "data_mixture", "dsir_weights",
+             "inverted_index", "bm25_scores", "hybrid_retrieval",
+             "data_mixture", "dsir_weights",
              "split_leakage", "exact_substr_removal", "nb_classifier",
              "winnowing_fingerprints", "curriculum_order", "hard_negatives",
              "order_price_quantiles_sketch", "embedding_pca",

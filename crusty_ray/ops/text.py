@@ -1511,6 +1511,90 @@ def bm25_scores_ds(sf_dir: str, query_terms: tuple[str, ...] =
         .map_batches(score, batch_format="pandas")
 
 
+def hybrid_retrieval_ds(sf_dir: str, query_terms: tuple[str, ...] =
+                        ("dup", "table", "scan"), query_vec_id: int = 0,
+                        n_candidates: int = 50, k: int = 10):
+    """Two-stage hybrid retrieval — the classic search-stack composition
+    (sparse candidate generation, dense rerank; cf. DPR-era pipelines and
+    every production RAG stack): BM25 against a fixed term query proposes
+    the top ``n_candidates`` docs, then the query VECTOR (the embedding
+    row ``query_vec_id``, aligned doc_id ≡ vec_id) reranks them by integer
+    quantized inner product. Both stages reuse the repo's bit-exact
+    conventions (``bm25_scores_ds`` integer BM25; ``ann_quantized``
+    floor(x·1000) dots), so the whole two-stage plan is one SQL oracle.
+
+    Scale plan: stage 1 is the shuffle-free BM25 pass + a constant-group
+    local-prune top-N (each block emits ≤ n_candidates rows, one tiny
+    merge — never a global sort); the candidate set is card-sized by
+    construction and broadcasts with the query vector; stage 2 streams the
+    embedding table once, scoring only candidate rows (at production scale
+    this is an id-pushdown read of n_candidates rows, not a scan).
+    Ties: candidate cut by (score_mb DESC, doc_id), final by (qdot DESC,
+    doc_id). Returns (doc_id, score_mb, qdot, rnk), rnk 1..k."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray as _ray
+
+    bm25 = bm25_scores_ds(sf_dir, query_terms)
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["score_mb", "doc_id"],
+                              ascending=[False, True]).head(n_candidates)
+
+    cand = bm25.map_batches(local_top, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(["score_mb", "doc_id"],
+                            ascending=[False, True]).head(n_candidates)
+
+    qt = pads.dataset(f"{sf_dir}/embeddings.parquet", format="parquet") \
+        .to_table(filter=pads.field("vec_id") == pc.scalar(query_vec_id),
+                  columns=["embedding"])
+    qq = np.floor(np.asarray(qt["embedding"][0].as_py(), np.float64)
+                  * 1000.0).astype(np.int64)
+    ref = _ray.put((dict(zip(cand["doc_id"].astype("int64"),
+                             cand["score_mb"].astype("int64"))), qq))
+
+    class Rerank:
+        def __init__(self):
+            self.scores, self.qq = _ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids = batch["vec_id"].astype("int64").to_numpy()
+            sel = np.nonzero(np.isin(ids, list(self.scores)))[0]
+            if not len(sel):
+                return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                     for c in ("doc_id", "score_mb",
+                                               "qdot")})
+            mat = np.stack([
+                np.floor(np.asarray(v, np.float64) * 1000.0)
+                .astype(np.int64)
+                for v in batch["embedding"].iloc[sel]])
+            return pd.DataFrame({
+                "doc_id": ids[sel],
+                "score_mb": [self.scores[i] for i in ids[sel]],
+                "qdot": mat @ self.qq}).astype("int64")
+
+    rer = _io_read(f"{sf_dir}/embeddings.parquet",
+                   columns=["vec_id", "embedding"]) \
+        .map_batches(Rerank, batch_format="pandas", batch_size=4096,
+                     concurrency=2)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["qdot", "doc_id"],
+                           ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["doc_id", "score_mb", "qdot", "rnk"]]
+
+    # card-sized finish (≤ n_candidates rows): one constant-group merge
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__g"] = np.int64(0)
+        return df
+
+    return rer.map_batches(tag, batch_format="pandas") \
+        .groupby("__g").map_groups(finish, batch_format="pandas")
+
+
 def _hashed_feature_buckets(texts: pd.Series, m: int) -> pd.Series:
     """Explode each doc into its DSIR features — unigrams + consecutive
     bigrams of non-empty space-split tokens (the pmi_collocations adjacency
