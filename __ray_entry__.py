@@ -497,6 +497,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_quant": similarity.ann_ivf_quant_ds,
         "ann_lsh_md5": similarity.ann_lsh_md5_ds,
         "ann_pq_quant": similarity.ann_pq_quant_ds,
+        # integer power-iteration PCA: the float embedding_pca's
+        # bit-exact twin (trunc-div covariance, L-inf renormalized
+        # matvec rounds, pinned sign)
+        "pca_power_quant": similarity.pca_power_quant_ds,
         # PQ/ADC: m uint8 codes per vector (Jégou et al. 2011) — the
         # memory-compression scale path; recall pinned in test_ann_recall
         "ann_pq": similarity.ann_pq_ds,                           # rows-only
@@ -1277,6 +1281,52 @@ def _ann_pq_quant_oracle_sql(n_queries: int = 8, k: int = 10, m: int = 4,
           SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                    ORDER BY adc_d2, vec_id) AS BIGINT) AS rnk
           FROM scored) WHERE rnk <= {k}
+    """
+
+
+def _pca_power_quant_oracle_sql(rounds: int = 3, scale: int = 10 ** 6) -> str:
+    """Integer power-iteration PCA — the exact plan of
+    ops/similarity.pca_power_quant_ds: trunc-mean centering, trunc-div
+    integer covariance, ``rounds`` unrolled matvec + L∞-renormalization
+    steps (HUGEINT through the w·scale product, trunc toward zero), sign
+    pinned at the largest-|component| dim (lowest dim on ties)."""
+    ctes = [_QUANT_Q_CTE, """comp AS MATERIALIZED (
+              SELECT vec_id, generate_subscripts(qe, 1) AS dim,
+                     unnest(qe) AS val
+              FROM q),
+            nrow AS (SELECT count(*)::BIGINT AS n FROM q),
+            mu AS MATERIALIZED (
+              SELECT dim, sum(val) // (SELECT n FROM nrow) AS mv
+              FROM comp GROUP BY 1),
+            cent AS MATERIALIZED (
+              SELECT vec_id, comp.dim, val - mv AS c
+              FROM comp JOIN mu USING (dim)),
+            cov AS MATERIALIZED (
+              SELECT a.dim AS i, b.dim AS j,
+                     sum(a.c * b.c) // (SELECT n FROM nrow) AS cij
+              FROM cent a JOIN cent b USING (vec_id) GROUP BY 1, 2),
+            v0 AS (SELECT dim AS j, {s}::HUGEINT AS v FROM mu)"""
+            .format(s=scale)]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""w{r} AS MATERIALIZED (
+              SELECT cov.i AS j, sum(cij * v{r - 1}.v) AS w
+              FROM cov JOIN v{r - 1} ON v{r - 1}.j = cov.j GROUP BY 1),
+            v{r} AS MATERIALIZED (
+              SELECT j, (abs(w)::HUGEINT * {scale}
+                         // (SELECT max(abs(w)) FROM w{r}))
+                        * (CASE WHEN w >= 0 THEN 1 ELSE -1 END) AS v
+              FROM w{r})""")
+    ctes.append(f"""vs AS (
+              SELECT j, CASE WHEN (SELECT v FROM v{rounds}
+                                   ORDER BY abs(v) DESC, j LIMIT 1) < 0
+                             THEN -v ELSE v END AS v
+              FROM v{rounds})""")
+    return f"""
+        WITH {', '.join(ctes)}
+        SELECT comp.vec_id, CAST(sum(comp.val * vs.v) AS BIGINT)
+                   AS pc1_score
+        FROM comp JOIN vs ON vs.j = comp.dim
+        GROUP BY 1
     """
 
 
@@ -2765,6 +2815,7 @@ def oracle_sql() -> dict[str, str]:
             n_queries=8, k=10, n_bits=4),
         "ann_pq_quant": _ann_pq_quant_oracle_sql(
             n_queries=8, k=10, m=4, ks=8, rounds=2, dim=64),
+        "pca_power_quant": _pca_power_quant_oracle_sql(rounds=6),
         "part_label_spread": _label_spread_oracle_sql(rounds=2),
         "purchase_hits": _hits_oracle_sql(rounds=2),
         "clustering_coefficient": """

@@ -160,7 +160,7 @@ def bench_queries(sf_dir: str) -> dict:
              "data_mixture", "dsir_weights",
              "split_leakage", "exact_substr_removal", "nb_classifier",
              "winnowing_fingerprints", "curriculum_order", "hard_negatives",
-             "order_price_quantiles_sketch", "embedding_pca",
+             "order_price_quantiles_sketch", "embedding_pca", "pca_power_quant",
              "price_quantiles_by_priority_sketch", "lineitem_profile",
              "bigram_surprisal", "event_dedup_windowed", "corpus_report",
              "k_anonymity_report", "winnowing_pairs",

@@ -1057,6 +1057,101 @@ def ann_pq_quant_ds(sf_dir: str, n_queries: int = 8, k: int = 10,
                                                   batch_format="pandas")
 
 
+def pca_power_quant_ds(sf_dir: str, rounds: int = 6, scale: int = 10 ** 6):
+    """Dominant principal component by integer power iteration — the
+    SQL-oracled twin of the float ``embedding_pca_ds`` (eigh is not
+    SQL-replicable; a fixed-round power iteration under integer
+    renormalization is, the same trick that made HITS oracle-able):
+
+    - vectors quantize to floor(x·1000) (the repo convention);
+    - integer mean m = trunc_div(Σqe, n) per dim (the centroid convention);
+    - covariance C̄ = trunc_div(Σ (qe−m)(qe−m)ᵀ, n) — dividing by n INSIDE
+      keeps every later matvec int64-safe at any corpus size (entries ≤
+      (2·maxq)², independent of n);
+    - ``rounds`` power steps from v₀ = scale·1: w = C̄v, then v =
+      trunc_div(w·scale, max|w|) (L∞ integer renormalization, ties and
+      signs exact);
+    - sign pinned by forcing the largest-|component| dim positive
+      (lowest dim on ties) — the float face's convention;
+    - output: per-vector projection pc1_score = qe·v (NOT centered — the
+      oracle's contract; an affine shift of the true PC1 coordinate).
+
+    Convergence caveat (documented, tested): power iteration converges at
+    rate (λ₂/λ₁)^rounds — on anisotropic data (real embedding tables) a
+    few rounds recover PC1 (pinned ≥0.99-correlation on a planted-spike
+    fixture in tests); the near-isotropic synthetic table has λ₂/λ₁ ≈
+    0.99, so there the face's contract is the exact deterministic
+    iteration itself (the Krylov direction), not a converged eigenvector.
+
+    Scale plan: pass 1 streams per-block (n, Σqe) partials; pass 2 streams
+    packed (qe−m)(qe−m)ᵀ partial Gram rows (dim×dim int64 per block — the
+    O(blocks·dim²) driver combine of the PCA/k-means family); the 64-round
+    driver matvec is O(dim²); pass 3 broadcasts v and scores each batch
+    shuffle-free. Returns (vec_id, pc1_score)."""
+    from .stats import _trunc_div
+
+    ds = _io_read(f"{sf_dir}/embeddings.parquet",
+                  columns=["vec_id", "embedding"])
+    qds = ds.map_batches(_quant_stage("vec_id", "embedding"),
+                         batch_format="pandas").materialize()
+
+    def sum_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"n": pd.Series([], dtype="int64"),
+                                 "s": pd.Series([], dtype="object")})
+        mat = np.stack(df["__q"].to_numpy())
+        return pd.DataFrame({"n": [len(mat)],
+                             "s": [mat.sum(axis=0).tobytes()]})
+
+    parts = qds.map_batches(sum_partial, batch_format="pandas").to_pandas()
+    n = int(parts["n"].sum())
+    s = np.sum([np.frombuffer(b, dtype=np.int64) for b in parts["s"]],
+               axis=0)
+    dim = len(s)
+    m = _trunc_div(s, np.full(dim, n, dtype=np.int64))
+    mref = ray.put(m)
+
+    def gram_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"g": pd.Series([], dtype="object")})
+        c = np.stack(df["__q"].to_numpy()) - ray.get(mref)
+        return pd.DataFrame({"g": [(c.T @ c).tobytes()]})
+
+    gparts = qds.map_batches(gram_partial, batch_format="pandas").to_pandas()
+    G = np.sum([np.frombuffer(b, dtype=np.int64).reshape(dim, dim)
+                for b in gparts["g"]], axis=0)
+    C = _trunc_div(G, np.full((dim, dim), n, dtype=np.int64))
+
+    v = np.full(dim, scale, dtype=np.int64)
+    for _ in range(rounds):
+        w = C @ v                     # ≤ dim·maxC·scale ≈ 1e15, int64-safe
+        mx = int(np.abs(w).max())
+        if mx:
+            # w·scale can pass int64 (the oracle's sum() is HUGEINT); the
+            # O(dim) renormalization runs in exact Python ints, truncating
+            # toward zero like DuckDB //
+            v = np.array([(abs(int(x)) * scale // mx)
+                          * (1 if x >= 0 else -1) for x in w],
+                         dtype=np.int64)
+        else:
+            v = w
+    # pin the sign: largest-|component| dim (lowest dim on ties) positive
+    j = int(np.argmax(np.abs(v)))
+    if v[j] < 0:
+        v = -v
+    vref = ray.put(v)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                 "pc1_score": pd.Series([], dtype="int64")})
+        mat = np.stack(df["__q"].to_numpy())
+        return pd.DataFrame({"vec_id": df["vec_id"].astype("int64"),
+                             "pc1_score": mat @ ray.get(vref)})
+
+    return qds.map_batches(score, batch_format="pandas")
+
+
 def _lsh_md5_planes(n_bits: int, dim: int) -> np.ndarray:
     """±1 Rademacher projection planes from the repo's md5 shard kernel
     (parity of the first 8 hex digits of ``md5('lshp{b}:{i}')``, i
