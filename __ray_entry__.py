@@ -644,6 +644,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_assignment": analog.shard_assignment_ds,
         "segment_order_counts": analog.segment_order_counts_ds,
         "event_minute_buckets": analog.event_minute_buckets_ds,
+        # CUSUM sustained-shift changepoints per type rate series
+        # (the spike detector's persistent-shift sibling)
+        "event_rate_changepoints": analog.event_rate_changepoints_ds,
         # stream hygiene: first event per (user, type, minute) window,
         # LEFT-complete kept/dropped verdicts
         "event_dedup_windowed": analog.event_dedup_windowed_ds,
@@ -3496,6 +3499,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         # rate spikes: count > 2x quantile_disc(0.5) of the previous 5
         # present minutes (ROWS frame excludes the current row)
+        "event_rate_changepoints": """
+            WITH mc AS (
+              SELECT event_type,
+                     (CAST(floor(epoch(ts)) AS BIGINT) // 60) AS minute,
+                     count(*)::BIGINT AS n_events
+              FROM events GROUP BY 1, 2
+            ), mu AS (
+              SELECT event_type,
+                     (sum(n_events) + count(*) - 1) // count(*) AS k
+              FROM mc GROUP BY 1
+            ), cum AS (
+              SELECT mc.event_type, minute, n_events, mu.k,
+                     sum(n_events - mu.k) OVER (
+                       PARTITION BY mc.event_type ORDER BY minute) AS c
+              FROM mc JOIN mu USING (event_type)
+            ), cs AS (
+              SELECT event_type, minute, n_events, k,
+                     (c - least(0, min(c) OVER (
+                        PARTITION BY event_type ORDER BY minute)))::BIGINT
+                         AS cusum
+              FROM cum
+            )
+            SELECT event_type, minute, n_events, cusum,
+                   (CASE WHEN cusum > 5 * k THEN 1 ELSE 0 END)::BIGINT
+                       AS is_alarm
+            FROM cs
+        """,
         "event_rate_anomalies": """
             WITH c AS (
               SELECT event_type,

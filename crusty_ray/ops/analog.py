@@ -439,6 +439,70 @@ def event_rate_anomalies_ds(sf_dir: str, lookback: int = 5,
     return out.sort_values(["event_type", "minute"]).reset_index(drop=True)
 
 
+def event_rate_changepoints_ds(sf_dir: str, alarm_mult: int = 5,
+                               num_partitions: int = 32):
+    """CUSUM upward-shift changepoint detection per event-type rate series
+    (Page 1954, zero-reference form) — the sustained-shift monitor beside
+    ``event_rate_anomalies``'s single-minute spike detector: per type,
+    deviations from the type's integer mean rate accumulate as
+    s_t = max(0, s_{t-1} + (c_t − k)), and a minute ALARMS while
+    s_t > alarm_mult·k (a persistent rate increase keeps the statistic
+    climbing where one spike decays back). The reference value k is the
+    CEILING mean ((total + m − 1) // m — CUSUM's standard allowance-above-
+    target: a truncated mean under-estimates the rate, so every typical
+    minute would contribute positive drift and the statistic would climb
+    without any real shift; rounding the reference UP makes typical drift
+    non-positive and the alarm specific to genuine sustained shifts).
+
+    All-integer and closed-form: the max(0, ·) recurrence is
+    s_t = cum_t − min(0, min_{j≤t} cum_j), turning the sequential scan
+    into a vectorized cumsum + running-min (no per-row loop, no stateful
+    scan operator — the same trick that makes it two SQL window calls).
+    Missing minutes are not in the series (observed-minute CUSUM — both
+    engine and oracle agree by construction).
+
+    Plan: the shared minute-bucket ``grouped_count`` pre-agg shrinks the
+    fact stream to the bucket series, then ONE coarse partition per
+    event_type runs the closed form (the windowed-analytics convention —
+    group count = |types|, documented tiny).
+    Returns (event_type, minute, n_events, cusum, is_alarm)."""
+    from .agg import grouped_count, partitioned_group_apply
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": batch["event_type"],
+                             "minute": minute_of(batch["ts"])})
+
+    counts = grouped_count(ev.map_batches(keyed, batch_format="pandas"),
+                           ["event_type", "minute"], "n_events",
+                           num_partitions)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for et, g in df.groupby("event_type"):
+            g = g.sort_values("minute")
+            cnt = g["n_events"].to_numpy(np.int64)
+            k = (int(cnt.sum()) + len(cnt) - 1) // len(cnt)  # ceil mean
+            cum = np.cumsum(cnt - k)
+            cusum = cum - np.minimum(np.minimum.accumulate(cum), 0)
+            frames.append(pd.DataFrame({
+                "event_type": pd.Series([et] * len(g), dtype=object),
+                "minute": g["minute"].to_numpy(np.int64),
+                "n_events": cnt,
+                "cusum": cusum.astype(np.int64),
+                "is_alarm": (cusum > alarm_mult * k).astype(np.int64)}))
+        if not frames:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                **{c: pd.Series([], dtype="int64")
+                   for c in ("minute", "n_events", "cusum", "is_alarm")}})
+        return pd.concat(frames, ignore_index=True)
+
+    return partitioned_group_apply(counts, ["event_type"], finish,
+                                   num_partitions)
+
+
 def event_rate_autocorr_ds(sf_dir: str, num_partitions: int = 32):
     """Lag-1 autocorrelation of each type's per-minute event-rate series —
     the burstiness/seasonality detector (ρ₁ ≈ 0 is Poisson-like traffic,

@@ -142,7 +142,8 @@ SQL_CHECKED = [
     "sliding_distinct_users", "rolling_median_user_value",
     "event_trigrams", "grouped_split_assignment", "golden_records",
     "source_quota_allocation", "shard_skew_report", "join_size_estimate",
-    "event_rate_anomalies", "langid_margin", "customer_rfm",
+    "event_rate_anomalies", "event_rate_changepoints",
+    "langid_margin", "customer_rfm",
     "cohort_value", "order_gap_medians", "zonemap_prune_report",
     "doclen_log_histogram", "user_inactivity_report", "events_gini",
     "length_quantile_normalize", "priority_mix_shift",

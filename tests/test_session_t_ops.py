@@ -104,3 +104,63 @@ def test_pca_power_quant_recovers_planted_spike(ray_session, tmp_path):
     pc1 = x @ evecs[:, -1]
     corr = np.corrcoef(got["pc1_score"].to_numpy(np.float64), pc1)[0, 1]
     assert abs(corr) >= 0.99, corr
+
+
+# ---------------------------------------- CUSUM rate changepoints
+
+def test_changepoints_fire_on_planted_shift(ray_session, tmp_path):
+    """A sustained rate doubling must alarm (and keep alarming), while the
+    pre-shift stationary half must not — the specificity/sensitivity pair
+    a changepoint monitor exists for."""
+    from crusty_ray.ops import analog
+    rng = np.random.default_rng(11)
+    rows = []
+    eid = 0
+    for minute in range(240):
+        lam = 5 if minute < 120 else 10          # sustained doubling at 120
+        for _ in range(int(rng.poisson(lam))):
+            rows.append((eid, minute * 60_000_000, eid % 7, "click", 1.0,
+                         "{}"))
+            eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type", "value", "props"])
+    # match the testdata tables' timestamp[us] physical type —
+    # minute_of reads int64 microseconds
+    df["ts"] = pd.to_datetime(df["ts"], unit="us").astype("datetime64[us]")
+    df.to_parquet(tmp_path / "events.parquet")
+
+    got = analog.event_rate_changepoints_ds(str(tmp_path)).to_pandas() \
+        .sort_values("minute").reset_index(drop=True)
+    pre = got[got["minute"] < 120]
+    assert pre["is_alarm"].sum() == 0, "false alarms before the shift"
+    # detection delay ≈ threshold/drift = 5k/(lam_post − k) ≈ 20-40 min, and
+    # near the crossing the statistic can dip back under (measured: first
+    # alarm at minute 160 for this seed, solid from ~180) — assert the
+    # stable tail, not the marginal crossing
+    first = got[got["is_alarm"] == 1]["minute"].min()
+    assert 120 <= first <= 170, first
+    tail = got[got["minute"] >= 200]
+    assert (tail["is_alarm"] == 1).all(), "lost the sustained shift"
+
+
+def test_changepoints_match_serial_replay(ray_session):
+    from crusty_ray.ops import analog
+    got = analog.event_rate_changepoints_ds(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["minute"] = (ev["ts"].astype("int64") // 1_000_000) // 60
+    frames = []
+    for et, g in ev.groupby("event_type"):
+        mc = g.groupby("minute").size().sort_index()
+        cnt = mc.to_numpy(np.int64)
+        k = (int(cnt.sum()) + len(cnt) - 1) // len(cnt)
+        cum = np.cumsum(cnt - k)
+        cusum = cum - np.minimum(np.minimum.accumulate(cum), 0)
+        frames.append(pd.DataFrame({
+            "event_type": et, "minute": mc.index.to_numpy(np.int64),
+            "n_events": cnt, "cusum": cusum,
+            "is_alarm": (cusum > 5 * k).astype(np.int64)}))
+    want = pd.concat(frames, ignore_index=True)
+    cols = ["event_type", "minute", "n_events", "cusum", "is_alarm"]
+    a = got[cols].sort_values(cols[:2]).reset_index(drop=True)
+    b = want[cols].sort_values(cols[:2]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
