@@ -1150,6 +1150,49 @@ _QUANT_Q_CTE = """q AS MATERIALIZED (
               FROM embeddings)"""
 
 
+# the integer-BM25 CTE chain (query terms 'dup','table','scan'; idf via
+# bin(), k1/b carried per-mille) — ONE copy shared by the bm25_scores and
+# hybrid_retrieval oracles so the scoring contract cannot drift
+_BM25_CTES = """base AS (
+              SELECT doc_id,
+                     len(list_filter(string_split(text, ' '),
+                                     w -> w <> ''))::BIGINT AS dl
+              FROM documents
+            ), ex AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents
+            ), hits AS (
+              SELECT doc_id, term FROM ex
+              WHERE term IN ('dup', 'table', 'scan')
+            ), tot AS (
+              SELECT count(*)::BIGINT AS n_docs,
+                     (SELECT count(*) FROM ex WHERE term <> '')::BIGINT
+                         AS n_tok
+              FROM base
+            ), dfs AS (
+              SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+              FROM hits GROUP BY 1
+            ), tfs AS (
+              SELECT doc_id, term, count(*)::BIGINT AS tf
+              FROM hits GROUP BY 1, 2
+            ), scored AS (
+              SELECT f.doc_id,
+                     sum(
+                       ((length(bin(t2.n_docs // d.df)) - 1)
+                        * (1000 * f.tf * 2200))
+                       // (1000 * f.tf
+                           + ((1200 * (250
+                               + (750 * ((1000 * b.dl * t2.n_docs)
+                                         // t2.n_tok)) // 1000)) // 1000))
+                     )::BIGINT AS score_mb
+              FROM tfs f
+              JOIN dfs d USING (term)
+              JOIN base b USING (doc_id)
+              CROSS JOIN tot t2
+              GROUP BY 1
+            )"""
+
+
 def _kmeans_cte_parts(k: int = 8, rounds: int = 2, src: str = "q",
                       prefix: str = "", emit_src: bool = True) -> tuple:
     """The shared unrolled-CTE body of the quantized-Lloyd plan
@@ -1316,7 +1359,7 @@ def _pca_power_quant_oracle_sql(rounds: int = 3, scale: int = 10 ** 6) -> str:
               FROM cov JOIN v{r - 1} ON v{r - 1}.j = cov.j GROUP BY 1),
             v{r} AS MATERIALIZED (
               SELECT j, (abs(w)::HUGEINT * {scale}
-                         // (SELECT max(abs(w)) FROM w{r}))
+                         // (SELECT greatest(1, max(abs(w))) FROM w{r}))
                         * (CASE WHEN w >= 0 THEN 1 ELSE -1 END) AS v
               FROM w{r})""")
     ctes.append(f"""vs AS (
@@ -1341,13 +1384,10 @@ def _ann_lsh_md5_oracle_sql(n_queries: int = 8, k: int = 10,
     projection is strictly positive, queries probe their own bucket,
     integer-dot top-k."""
     return f"""
-        WITH d AS MATERIALIZED (
-          SELECT vec_id, list_transform(embedding,
-            x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
-          FROM embeddings),
+        WITH {_QUANT_Q_CTE},
         comp AS (
           SELECT vec_id, generate_subscripts(qe, 1) AS i, unnest(qe) AS v
-          FROM d),
+          FROM q),
         dots AS (
           SELECT vec_id, b,
                  sum(v * CASE WHEN ('0x' || substr(md5('lshp' || b::VARCHAR
@@ -1361,15 +1401,15 @@ def _ann_lsh_md5_oracle_sql(n_queries: int = 8, k: int = 10,
                      AS bucket
           FROM dots GROUP BY 1),
         qsel AS (
-          SELECT d.vec_id AS query_id, d.qe AS qq, buck.bucket AS qb
-          FROM d JOIN buck USING (vec_id)
-          ORDER BY d.vec_id LIMIT {n_queries}),
+          SELECT q.vec_id AS query_id, q.qe AS qq, buck.bucket AS qb
+          FROM q JOIN buck USING (vec_id)
+          ORDER BY q.vec_id LIMIT {n_queries}),
         scored AS (
-          SELECT qsel.query_id, d.vec_id,
-                 CAST(list_inner_product(qsel.qq, d.qe) AS BIGINT) AS qdot
+          SELECT qsel.query_id, q.vec_id,
+                 CAST(list_inner_product(qsel.qq, q.qe) AS BIGINT) AS qdot
           FROM qsel
           JOIN buck ON buck.bucket = qsel.qb
-          JOIN d ON d.vec_id = buck.vec_id)
+          JOIN q ON q.vec_id = buck.vec_id)
         SELECT query_id, vec_id, qdot, rnk FROM (
           SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                    ORDER BY qdot DESC, vec_id) AS BIGINT) AS rnk
@@ -3497,8 +3537,8 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(sum(a.n * b.n), 0)::BIGINT AS est_rows
             FROM a JOIN b USING (k)
         """,
-        # rate spikes: count > 2x quantile_disc(0.5) of the previous 5
-        # present minutes (ROWS frame excludes the current row)
+        # CUSUM sustained shifts: s_t = cum - min(0, running-min cum),
+        # ceiling-mean reference (allowance above target)
         "event_rate_changepoints": """
             WITH mc AS (
               SELECT event_type,
@@ -3526,6 +3566,8 @@ def oracle_sql() -> dict[str, str]:
                        AS is_alarm
             FROM cs
         """,
+        # rate spikes: count > 2x quantile_disc(0.5) of the previous 5
+        # present minutes (ROWS frame excludes the current row)
         "event_rate_anomalies": """
             WITH c AS (
               SELECT event_type,
@@ -4320,89 +4362,15 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1, 2
             ) WHERE shared_fps >= 2
         """,
-        "bm25_scores": """
-            WITH base AS (
-              SELECT doc_id,
-                     len(list_filter(string_split(text, ' '),
-                                     w -> w <> ''))::BIGINT AS dl
-              FROM documents
-            ), ex AS (
-              SELECT doc_id, unnest(string_split(text, ' ')) AS term
-              FROM documents
-            ), hits AS (
-              SELECT doc_id, term FROM ex
-              WHERE term IN ('dup', 'table', 'scan')
-            ), tot AS (
-              SELECT count(*)::BIGINT AS n_docs,
-                     (SELECT count(*) FROM ex WHERE term <> '')::BIGINT
-                         AS n_tok
-              FROM base
-            ), dfs AS (
-              SELECT term, count(DISTINCT doc_id)::BIGINT AS df
-              FROM hits GROUP BY 1
-            ), tfs AS (
-              SELECT doc_id, term, count(*)::BIGINT AS tf
-              FROM hits GROUP BY 1, 2
-            ), scored AS (
-              SELECT f.doc_id,
-                     sum(
-                       ((length(bin(t2.n_docs // d.df)) - 1)
-                        * (1000 * f.tf * 2200))
-                       // (1000 * f.tf
-                           + ((1200 * (250
-                               + (750 * ((1000 * b.dl * t2.n_docs)
-                                         // t2.n_tok)) // 1000)) // 1000))
-                     )::BIGINT AS score_mb
-              FROM tfs f
-              JOIN dfs d USING (term)
-              JOIN base b USING (doc_id)
-              CROSS JOIN tot t2
-              GROUP BY 1
-            )
+        "bm25_scores": f"""
+            WITH {_BM25_CTES}
             SELECT doc_id, score_mb FROM scored
         """,
         # two-stage hybrid retrieval: the bm25_scores chain proposes the
         # top-50 candidates, the quantized query vector (vec_id 0, doc_id
         # ≡ vec_id) reranks by integer inner product
-        "hybrid_retrieval": """
-            WITH base AS (
-              SELECT doc_id,
-                     len(list_filter(string_split(text, ' '),
-                                     w -> w <> ''))::BIGINT AS dl
-              FROM documents
-            ), ex AS (
-              SELECT doc_id, unnest(string_split(text, ' ')) AS term
-              FROM documents
-            ), hits AS (
-              SELECT doc_id, term FROM ex
-              WHERE term IN ('dup', 'table', 'scan')
-            ), tot AS (
-              SELECT count(*)::BIGINT AS n_docs,
-                     (SELECT count(*) FROM ex WHERE term <> '')::BIGINT
-                         AS n_tok
-              FROM base
-            ), dfs AS (
-              SELECT term, count(DISTINCT doc_id)::BIGINT AS df
-              FROM hits GROUP BY 1
-            ), tfs AS (
-              SELECT doc_id, term, count(*)::BIGINT AS tf
-              FROM hits GROUP BY 1, 2
-            ), scored AS (
-              SELECT f.doc_id,
-                     sum(
-                       ((length(bin(t2.n_docs // d.df)) - 1)
-                        * (1000 * f.tf * 2200))
-                       // (1000 * f.tf
-                           + ((1200 * (250
-                               + (750 * ((1000 * b.dl * t2.n_docs)
-                                         // t2.n_tok)) // 1000)) // 1000))
-                     )::BIGINT AS score_mb
-              FROM tfs f
-              JOIN dfs d USING (term)
-              JOIN base b USING (doc_id)
-              CROSS JOIN tot t2
-              GROUP BY 1
-            ), cand AS (
+        "hybrid_retrieval": f"""
+            WITH {_BM25_CTES}, cand AS (
               SELECT doc_id, score_mb FROM (
                 SELECT *, row_number() OVER (ORDER BY score_mb DESC,
                                              doc_id) AS crnk

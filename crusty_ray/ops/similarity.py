@@ -908,18 +908,19 @@ def ann_ivf_quant_ds(sf_dir: str, n_queries: int = 8, k: int = 10,
             ids = batch["vec_id"].to_numpy()
             mat = np.stack(batch["__q"].to_numpy())
             assign, _ = _assign_quant(mat, self.cen)
-            dots = self.qmat @ mat.T                       # (Q, B) int64
             rows = {"query_id": [], "vec_id": [], "qdot": []}
             for qi, qid in enumerate(self.qids):
+                # dots only for the probed lists' rows (≈ nprobe/n_lists of
+                # the batch) — the fan-in saving IS the point of IVF
                 sel = np.nonzero(np.isin(assign,
                                          list(self.probes[qi])))[0]
                 if not len(sel):
                     continue
-                o = np.lexsort((ids[sel], -dots[qi][sel]))[: self.k]
-                pick = sel[o]
-                rows["query_id"].extend([qid] * len(pick))
-                rows["vec_id"].extend(ids[pick])
-                rows["qdot"].extend(dots[qi][pick])
+                dots = mat[sel] @ self.qmat[qi]
+                o = np.lexsort((ids[sel], -dots))[: self.k]
+                rows["query_id"].extend([qid] * len(o))
+                rows["vec_id"].extend(ids[sel][o])
+                rows["qdot"].extend(dots[o])
             return pd.DataFrame(rows).astype(
                 {"query_id": "int64", "vec_id": "int64", "qdot": "int64"})
 

@@ -34,29 +34,28 @@ def rss_gb():
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
 
 
+def _replicate(table: str, key: str, replicas: int) -> None:
+    """Key-strided replication: ids stay unique and the base table's
+    smallest ids (the query sets) are preserved verbatim."""
+    path = f"{OUT}/{table}.parquet"
+    if os.path.exists(path):
+        return
+    src = pq.read_table(f"/root/testdata/sf0.01/{table}.parquet")
+    stride = int(pc.max(src[key]).as_py()) + 1
+    frames = []
+    for k in range(replicas):
+        cols = {n: (pc.add(src[n], k * stride) if n == key else src[n])
+                for n in src.column_names}
+        frames.append(pa.table(cols))
+    pq.write_table(pa.concat_tables(frames), path)
+
+
 def build():
     os.makedirs(OUT, exist_ok=True)
     # embeddings: sf0.01-sized base (500 rows — the contract fixture) so
-    # the 100x table is 50k vectors; key stride keeps ids unique and the
-    # 8 smallest ids (the query set) identical to the base table's
-    if not os.path.exists(f"{OUT}/embeddings.parquet"):
-        emb = pq.read_table("/root/testdata/sf0.01/embeddings.parquet")
-        stride = int(pc.max(emb["vec_id"]).as_py()) + 1
-        frames = []
-        for k in range(EMB_REPLICAS):
-            cols = {n: (pc.add(emb[n], k * stride) if n == "vec_id"
-                        else emb[n]) for n in emb.column_names}
-            frames.append(pa.table(cols))
-        pq.write_table(pa.concat_tables(frames), f"{OUT}/embeddings.parquet")
-    if not os.path.exists(f"{OUT}/documents.parquet"):
-        doc = pq.read_table("/root/testdata/sf0.01/documents.parquet")
-        stride = int(pc.max(doc["doc_id"]).as_py()) + 1
-        frames = []
-        for k in range(DOC_REPLICAS):
-            cols = {n: (pc.add(doc[n], k * stride) if n == "doc_id"
-                        else doc[n]) for n in doc.column_names}
-            frames.append(pa.table(cols))
-        pq.write_table(pa.concat_tables(frames), f"{OUT}/documents.parquet")
+    # the 100x table is 50k vectors
+    _replicate("embeddings", "vec_id", EMB_REPLICAS)
+    _replicate("documents", "doc_id", DOC_REPLICAS)
 
 
 def main():
