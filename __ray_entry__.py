@@ -589,6 +589,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": text.inverted_index_ds,
         # BM25 ranking vs a fixed term query (exact integer quantization)
         "bm25_scores": text.bm25_scores_ds,
+        # Zipf power-law fit over the token spectrum (integer
+        # bit-length log proxies, exact OLS)
+        "zipf_fit": text.zipf_fit_ds,
         # sparse→dense two-stage retrieval (BM25 candidates, quantized
         # vector rerank — both stages the repo's bit-exact conventions)
         "hybrid_retrieval": text.hybrid_retrieval_ds,
@@ -1675,6 +1678,43 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT c AS occurrences, count(*)::BIGINT AS n_tokens
             FROM cnt GROUP BY 1
+        """,
+        "zipf_fit": """
+            WITH tok AS (
+              SELECT unnest(list_filter(string_split(coalesce(text, ''), ' '),
+                                        x -> x <> '')) AS token
+              FROM documents
+            ), cnt AS (
+              SELECT token, count(*)::BIGINT AS c FROM tok GROUP BY 1
+            ), spec AS (
+              SELECT c AS occurrences, count(*)::BIGINT AS n_tokens
+              FROM cnt GROUP BY 1
+            ), r AS (
+              SELECT occurrences,
+                     sum(n_tokens) OVER (ORDER BY occurrences DESC)::BIGINT
+                         AS rank_hi
+              FROM spec
+            ), pts AS (
+              SELECT (length(bin(rank_hi)) - 1)::BIGINT AS x,
+                     (length(bin(occurrences)) - 1)::BIGINT AS y
+              FROM r
+            ), sums AS (
+              SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+                     sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+                     sum(x * x)::BIGINT AS sxx
+              FROM pts
+            ), fit AS (
+              SELECT n, sx, sy,
+                     CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN 0
+                          ELSE (1000 * (n * sxy - sx * sy))
+                               // (n * sxx - sx * sx) END AS slope_pm
+              FROM sums
+            )
+            SELECT n AS n_points, slope_pm::BIGINT AS slope_pm,
+                   (CASE WHEN n = 0 THEN 0
+                         ELSE (1000 * sy - slope_pm * sx) // n END)::BIGINT
+                       AS intercept_pm
+            FROM fit
         """,
         "lang_confusion": f"""
             WITH pred AS ({langid_sql})

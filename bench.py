@@ -176,7 +176,7 @@ def bench_queries(sf_dir: str) -> dict:
              "global_shuffle_shards", "training_manifest",
              "quality_blend_rank", "order_event_coverage",
              "bloom_join_urgent_items", "price_winsorized_stats",
-             "tfidf_cosine_pairs", "token_frequency_spectrum",
+             "tfidf_cosine_pairs", "token_frequency_spectrum", "zipf_fit",
              "dedup_canonical", "lang_confusion",
              "event_transitions", "referential_integrity",
              "temperature_sample", "ccnet_ppl_buckets",

@@ -1778,6 +1778,48 @@ def token_frequency_spectrum_ds(sf_dir: str):
         .sort_values("occurrences").reset_index(drop=True)
 
 
+def zipf_fit_ds(sf_dir: str):
+    """Zipf power-law fit over the token frequency spectrum — the
+    dataset-card diagnostic that a corpus's rank-frequency curve follows
+    the natural-language power law (log-log slope near −1; template or
+    boilerplate corpora flatten or spike). Integer-exact: for each
+    distinct occurrence count c, the Zipf RANK of the last token at that
+    count is rank_hi(c) = Σ over c' ≥ c of n_tokens(c') (one window
+    cumsum over the card-sized spectrum), and the fit is OLS on the
+    bit-length log proxies x = bitlen(rank_hi)−1, y = bitlen(c)−1 (the
+    repo's integer floor-log2 surprisal/idf convention) using
+    ``user_value_trend``'s exact slope_pm formula (Python-int cross
+    terms, truncating division; the denominator n·Σx²−(Σx)² is ≥ 0 so
+    only the numerator carries sign).
+
+    Plan: the spectrum pass is ``token_frequency_spectrum_ds``'s (one
+    token-hash shuffle, O(|spectrum|) rows out); the fit itself is
+    O(|spectrum|) driver arithmetic on a card-sized table. Returns ONE
+    row (n_points, slope_pm, intercept_pm)."""
+    spec = token_frequency_spectrum_ds(sf_dir) \
+        .sort_values("occurrences", ascending=False)
+    rank_hi = spec["n_tokens"].cumsum().to_numpy(dtype=np.int64)
+    occ = spec["occurrences"].to_numpy(dtype=np.int64)
+    x = np.array([int(r).bit_length() - 1 for r in rank_hi], dtype=np.int64)
+    y = np.array([int(v).bit_length() - 1 for v in occ], dtype=np.int64)
+    n = len(x)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy, sxx = int((x * y).sum()), int((x * x).sum())
+    den = n * sxx - sx * sx
+    if n < 2 or den == 0:
+        slope = 0
+    else:
+        num = 1000 * (n * sxy - sx * sy)
+        slope = (abs(num) // den) * (1 if num >= 0 else -1)  # trunc, den > 0
+    if n:
+        inum = 1000 * sy - slope * sx
+        intercept = (abs(inum) // n) * (1 if inum >= 0 else -1)
+    else:
+        intercept = 0
+    return pd.DataFrame({"n_points": [n], "slope_pm": [slope],
+                         "intercept_pm": [intercept]}).astype("int64")
+
+
 def lang_confusion_ds(sf_dir: str):
     """Language-metadata audit: confusion matrix of the stored ``lang``
     column vs the LangId heuristic's prediction — the standard check that a

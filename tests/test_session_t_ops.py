@@ -164,3 +164,49 @@ def test_changepoints_match_serial_replay(ray_session):
     a = got[cols].sort_values(cols[:2]).reset_index(drop=True)
     b = want[cols].sort_values(cols[:2]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+# ---------------------------------------- Zipf power-law fit
+
+def test_zipf_fit_matches_serial_replay(ray_session):
+    from crusty_ray.ops import text
+    got = text.zipf_fit_ds(SF)
+    ev = pd.read_parquet(f"{SF}/documents.parquet")
+    toks = ev["text"].fillna("").str.split(" ").explode()
+    toks = toks[toks.notna() & (toks != "")]
+    spec = toks.value_counts().value_counts().sort_index(ascending=False)
+    rank_hi = spec.cumsum().to_numpy(np.int64)
+    occ = spec.index.to_numpy(np.int64)
+    x = np.array([int(r).bit_length() - 1 for r in rank_hi], np.int64)
+    y = np.array([int(v).bit_length() - 1 for v in occ], np.int64)
+    n, sx, sy = len(x), int(x.sum()), int(y.sum())
+    sxy, sxx = int((x * y).sum()), int((x * x).sum())
+    den = n * sxx - sx * sx
+    num = 1000 * (n * sxy - sx * sy)
+    slope = 0 if n < 2 or den == 0 else (abs(num) // den) * (1 if num >= 0 else -1)
+    inum = 1000 * sy - slope * sx
+    intercept = (abs(inum) // n) * (1 if inum >= 0 else -1)
+    assert got.iloc[0].tolist() == [n, slope, intercept]
+
+
+def test_zipf_fit_detects_power_law(ray_session, tmp_path):
+    """A genuinely Zipfian corpus (token pmf ∝ 1/rank) must fit a strongly
+    negative log-log slope, while the repo's flat synthetic corpus reads
+    near zero — the contrast the dataset-card diagnostic exists for."""
+    from crusty_ray.ops import text
+    rng = np.random.default_rng(3)
+    vocab = 2000
+    p = 1.0 / np.arange(1, vocab + 1)
+    p /= p.sum()
+    docs = []
+    for d in range(200):
+        words = rng.choice(vocab, size=300, p=p)
+        docs.append(" ".join(f"w{w}" for w in words))
+    pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64), "text": docs,
+                  "lang": "en", "source": "zipf",
+                  "n_chars": [len(t) for t in docs]}) \
+        .to_parquet(tmp_path / "documents.parquet")
+    fit = text.zipf_fit_ds(str(tmp_path))
+    assert fit["slope_pm"].iloc[0] <= -600, fit
+    flat = text.zipf_fit_ds(SF)
+    assert abs(int(flat["slope_pm"].iloc[0])) < 400
