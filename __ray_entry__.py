@@ -501,6 +501,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bit-exact twin (trunc-div covariance, L-inf renormalized
         # matvec rounds, pinned sign)
         "pca_power_quant": similarity.pca_power_quant_ds,
+        # IVF index maintenance: delta rows assigned to the frozen
+        # base-trained quantizer (add-without-retrain)
+        "ann_ivf_append": similarity.ann_ivf_append_ds,
         # PQ/ADC: m uint8 codes per vector (Jégou et al. 2011) — the
         # memory-compression scale path; recall pinned in test_ann_recall
         "ann_pq": similarity.ann_pq_ds,                           # rows-only
@@ -1330,6 +1333,29 @@ def _ann_pq_quant_oracle_sql(n_queries: int = 8, k: int = 10, m: int = 4,
           SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                    ORDER BY adc_d2, vec_id) AS BIGINT) AS rnk
           FROM scored) WHERE rnk <= {k}
+    """
+
+
+def _ann_ivf_append_oracle_sql(split: int = 250, n_lists: int = 8,
+                               rounds: int = 2) -> str:
+    """IVF add-without-retrain — the exact plan of
+    ops/similarity.ann_ivf_append_ds: the shared Lloyd training body over
+    the BASE rows only (vec_id < split), then one assignment of the delta
+    rows (ties to the lowest list id)."""
+    ctes = [_QUANT_Q_CTE,
+            f"""qbase AS MATERIALIZED (
+              SELECT * FROM q WHERE vec_id < {split})"""]
+    sub, d2 = _kmeans_cte_parts(n_lists, rounds, src="qbase",
+                                emit_src=False)
+    ctes.extend(sub)
+    return f"""
+        WITH {', '.join(ctes)}
+        SELECT vec_id, cid AS list_id, d2 FROM (
+          SELECT v.vec_id, c.cid, {d2} AS d2
+          FROM (SELECT * FROM q WHERE vec_id >= {split}) v
+          CROSS JOIN c{rounds} c) t
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d2, cid) = 1
     """
 
 
@@ -2899,6 +2925,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_quant": _ann_pq_quant_oracle_sql(
             n_queries=8, k=10, m=4, ks=8, rounds=2, dim=64),
         "pca_power_quant": _pca_power_quant_oracle_sql(rounds=6),
+        "ann_ivf_append": _ann_ivf_append_oracle_sql(
+            split=250, n_lists=8, rounds=2),
         "part_label_spread": _label_spread_oracle_sql(rounds=2),
         "purchase_hits": _hits_oracle_sql(rounds=2),
         "clustering_coefficient": """

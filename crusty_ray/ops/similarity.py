@@ -930,6 +930,47 @@ def ann_ivf_quant_ds(sf_dir: str, n_queries: int = 8, k: int = 10,
         _merge_topk_qdot(k), batch_format="pandas")
 
 
+def ann_ivf_append_ds(sf_dir: str, split: int = 250, n_lists: int = 8,
+                      rounds: int = 2):
+    """IVF index maintenance — assign NEW vectors to a FROZEN coarse
+    quantizer (the production "add to index without retraining" path every
+    vector store runs between periodic retrains; the ingest sibling of
+    ``incremental_dedup``'s bipartite plan): centroids train on the BASE
+    rows only (vec_id < split — "the index as built"), then the delta rows
+    (vec_id ≥ split — "the day's new embeddings") stream through one
+    assignment pass against the broadcast centroids. The base is never
+    rescanned at ingest time beyond training, and the delta pass is
+    shuffle-free. Returns (vec_id, list_id, d2) for the delta rows."""
+    ds = _io_read(f"{sf_dir}/embeddings.parquet",
+                  columns=["vec_id", "embedding"])
+    qds = ds.map_batches(_quant_stage("vec_id", "embedding"),
+                         batch_format="pandas")
+
+    def base_only(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["vec_id"] < split]
+
+    def delta_only(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["vec_id"] >= split]
+
+    cen = _kmeans_centroids(qds.map_batches(base_only,
+                                            batch_format="pandas"),
+                            "vec_id", n_lists, rounds)
+    cref = ray.put(cen)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ("vec_id", "list_id", "d2")})
+        mat = np.stack(df["__q"].to_numpy())
+        a, d2 = _assign_quant(mat, ray.get(cref))
+        return pd.DataFrame({"vec_id": df["vec_id"].astype("int64"),
+                             "list_id": a.astype("int64"),
+                             "d2": d2.astype("int64")})
+
+    return qds.map_batches(delta_only, batch_format="pandas") \
+        .map_batches(assign, batch_format="pandas")
+
+
 def _pq_codebooks_quant(qds, id_col: str, m: int, ks: int, rounds: int,
                         dim: int) -> list:
     """Fused product-quantization codebook training under the quantized

