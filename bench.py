@@ -100,14 +100,14 @@ def bench_crawl(num_cpus: int, large: bool = False,
         eng = make_engine(cfg, web_cfg, f"{out}/crawl", seeds=seeds).run()
         crawl_sec = time.time() - t0
         pages = eng.pages_fetched_total  # O(1) counter, no telemetry re-read
-        log_rows = eng.read_crawl_log().num_rows
-        # URLs discovered/sec — the north rule's second per-stage rate:
-        # Σ n_links over the log (column-pruned read of the int32 column)
         import pyarrow.compute as _pc
-        import pyarrow.dataset as _pads
-        nl = _pads.dataset(f"{out}/crawl/crawl_log",
-                           format="parquet").to_table(columns=["n_links"])
-        urls_discovered = int(_pc.sum(nl["n_links"]).as_py() or 0)
+        log = eng.read_crawl_log()
+        log_rows = log.num_rows
+        # URLs-discovered rate — the north rule's second per-stage rate:
+        # Σ n_links over the log = the GROSS discovery stream (links
+        # extracted; re-discoveries of a known URL count — frontier dedup
+        # is downstream of this stage, so the stage rate is the gross one)
+        links_extracted = int(_pc.sum(log["n_links"]).as_py() or 0)
 
         if with_images:
             t0 = time.time()
@@ -137,8 +137,8 @@ def bench_crawl(num_cpus: int, large: bool = False,
             "jobs_finished": eng.jobs_finished_total,
             "pages_per_sec": round(log_rows / crawl_sec, 1),
             "steady_pages_per_sec": steady_pps,
-            "urls_discovered": urls_discovered,
-            "urls_discovered_per_sec": round(urls_discovered / crawl_sec, 1),
+            "links_extracted": links_extracted,
+            "urls_discovered_per_sec": round(links_extracted / crawl_sec, 1),
             "n_images": img_summary["n_images"],
             "images_per_sec": round(img_summary["n_images"] / max(images_sec, 1e-9), 1),
             "min_lossy_psnr_db": img_summary["min_lossy_psnr_db"],

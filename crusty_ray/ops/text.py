@@ -1805,17 +1805,13 @@ def zipf_fit_ds(sf_dir: str):
     n = len(x)
     sx, sy = int(x.sum()), int(y.sum())
     sxy, sxx = int((x * y).sum()), int((x * x).sum())
+    from .stats import _trunc_div
     den = n * sxx - sx * sx
     if n < 2 or den == 0:
         slope = 0
     else:
-        num = 1000 * (n * sxy - sx * sy)
-        slope = (abs(num) // den) * (1 if num >= 0 else -1)  # trunc, den > 0
-    if n:
-        inum = 1000 * sy - slope * sx
-        intercept = (abs(inum) // n) * (1 if inum >= 0 else -1)
-    else:
-        intercept = 0
+        slope = int(_trunc_div(1000 * (n * sxy - sx * sy), den))
+    intercept = int(_trunc_div(1000 * sy - slope * sx, n)) if n else 0
     return pd.DataFrame({"n_points": [n], "slope_pm": [slope],
                          "intercept_pm": [intercept]}).astype("int64")
 

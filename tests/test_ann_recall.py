@@ -365,10 +365,11 @@ def test_ivf_append_matches_reference(ray_session):
         want.sort_values("vec_id").reset_index(drop=True).astype("int64"))
 
 
-def test_ivf_append_consistent_with_full_quantizer(ray_session):
-    """Frozen-quantizer appends and the full ann_ivf_quant index agree on
-    the assignment rule: every delta row's list is the argmin against ITS
-    quantizer (they differ only in which rows trained it)."""
+def test_ivf_append_structural_bounds(ray_session):
+    """Structural contract of the append output: delta rows only, list
+    ids inside the trained quantizer's range, non-negative distances.
+    (The assignment rule itself is pinned exactly by the serial-replay
+    test above and the DuckDB oracle in the driver contract.)"""
     got = similarity.ann_ivf_append_ds(SF).to_pandas()
     assert (got["vec_id"] >= 250).all()
     assert got["list_id"].between(0, 7).all()
