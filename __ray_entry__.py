@@ -164,24 +164,50 @@ _CURATION_SQL = """
             WHERE coalesce(h.n_hit, 0) = 0
         """
 
-def _crawl_outputs() -> dict:
-    """Run one small deterministic crawl (engine, not simulator) and memoize
-    its artifacts for the crawl-facing rows-only queries."""
-    if _CRAWL_CACHE:
-        return _CRAWL_CACHE
+_CRAWL_MAX_EPOCHS = 15
+
+
+def _crawl_cfg():
+    """The one config the registered crawl queries AND their simulator
+    oracle share — any knob change here changes both sides together."""
     from crusty_ray.config import test_config
     from crusty_ray.datagen.webgraph import WebConfig
-    from crusty_ray.pipelines.crawl import CrawlEngine
 
     cfg = test_config()
     cfg.rules.total_link_budget = 20
     cfg.rules.links_per_task_budget = 8
     cfg.rules.max_level = 5
     web_cfg = WebConfig(n_domains=40, max_pages_per_domain=10)
+    return cfg, web_cfg
+
+
+def _crawl_outputs() -> dict:
+    """Run one small deterministic crawl (engine, not simulator) and memoize
+    its artifacts for the crawl-facing queries."""
+    if _CRAWL_CACHE:
+        return _CRAWL_CACHE
+    from crusty_ray.pipelines.crawl import CrawlEngine
+
+    cfg, web_cfg = _crawl_cfg()
     out = os.path.join(tempfile.mkdtemp(prefix="crusty_ray_entry_"), "crawl")
-    eng = CrawlEngine(cfg, web_cfg, out).run(15)
+    eng = CrawlEngine(cfg, web_cfg, out).run(_CRAWL_MAX_EPOCHS)
     _CRAWL_CACHE.update({"engine": eng, "out": out, "cfg": cfg, "web_cfg": web_cfg})
     return _CRAWL_CACHE
+
+
+def _sim_fixture_dir() -> str:
+    """Expected crawl outputs from the pure-Python reference simulator,
+    materialized as parquet so `oracle_sql()` can hash-check the crawl faces
+    (r4 VERDICT missing #1). The tag pins every input that shapes the
+    output; the simulator shares zero execution code with the Ray engine."""
+    from crusty_ray.sim.fixture import ensure_sim_fixture
+
+    cfg, web_cfg = _crawl_cfg()
+    tag = (f"v1-d{web_cfg.n_domains}p{web_cfg.max_pages_per_domain}"
+           f"-b{cfg.rules.total_link_budget}-{cfg.rules.links_per_task_budget}"
+           f"-l{cfg.rules.max_level}-e{_CRAWL_MAX_EPOCHS}"
+           f"-s{cfg.jobs.shard_total}")
+    return ensure_sim_fixture(cfg, web_cfg, _CRAWL_MAX_EPOCHS, tag)
 
 
 def _images_dir() -> str:
@@ -1589,7 +1615,53 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS BIGINT) AS is_mixed
             FROM scored
     """
+    # Crawl faces: the oracle is the deterministic pure-Python reference
+    # simulator (sim/simulator.py — zero shared execution code with the Ray
+    # engine), materialized once as parquet (_sim_fixture_dir) so the
+    # driver's DuckDB compare can hash-check the crawl path end-to-end
+    # (engine output vs simulator expectation — the same equality
+    # tests/test_crawl_e2e.py proves, now driver-visible). The dashboard
+    # metric faces aggregate the ENGINE's log in Ray and the SIMULATOR's
+    # log in SQL, cross-checking both the crawl and the aggregation.
+    fix = _sim_fixture_dir()
+    exp_log = f"read_parquet('{fix}/expected_crawl_log.parquet')"
     return {
+        "crawl_log": f"SELECT * FROM {exp_log}",
+        "crawl_topk": f"""
+            SELECT epoch, tld, domain, hits
+            FROM read_parquet('{fix}/expected_topk.parquet')
+        """,
+        "crawl_job_metrics": f"""
+            SELECT epoch, shard, domain, pages_fetched, pages_scheduled,
+                   linked_domains, duration_epochs, term_by
+            FROM read_parquet('{fix}/expected_job_metrics.parquet')
+        """,
+        "crawl_pages_per_epoch": f"""
+            SELECT epoch,
+                   count(*) AS pages,
+                   sum(CASE WHEN term_by = '' THEN 1 ELSE 0 END) AS follow_ok,
+                   sum(read_size_b) AS rx_bytes,
+                   count(DISTINCT domain) AS domains
+            FROM {exp_log} GROUP BY epoch
+        """,
+        "crawl_term_breakdown": f"""
+            SELECT term_by, count(*) AS n_tasks FROM {exp_log}
+            GROUP BY term_by
+        """,
+        "crawl_politeness_report": f"""
+            WITH de AS (
+              SELECT domain, epoch, count(*) AS pages
+              FROM {exp_log} GROUP BY domain, epoch
+            ), g AS (
+              SELECT domain, epoch, pages,
+                     epoch - lag(epoch) OVER (PARTITION BY domain
+                                              ORDER BY epoch) AS gap
+              FROM de
+            )
+            SELECT domain, sum(pages) AS n_pages, count(*) AS n_epochs,
+                   coalesce(min(gap), -1) AS min_epoch_gap
+            FROM g GROUP BY domain
+        """,
         "simhash_near_dups": r"""
             WITH toks AS (
               SELECT doc_id,

@@ -62,8 +62,7 @@ def test_every_query_is_covered_by_some_check(contract):
     of the check lists below — a new query that lands in none would silently
     skip conformance."""
     queries, _ = contract
-    crawl_checked = {"crawl_log", "crawl_topk", "crawl_job_metrics",
-                     "crawl_images", "multimodal_thumbs",
+    crawl_checked = {"crawl_images", "multimodal_thumbs",
                      "image_exact_dedup", "image_phash_near_dups",
                      "image_dedup_groups", "image_quality_filter",
                      "image_quality_report", "caption_reuse",
@@ -154,6 +153,11 @@ SQL_CHECKED = [
     "lang_diversity_by_source", "revenue_by_region",
     "supplier_scorecard", "ship_lag_quantiles",
     "brand_type_matrix", "nation_customer_stats", "hll_registers",
+    # crawl faces — oracle is the reference simulator's expected outputs
+    # materialized as parquet (sim/fixture.py), hash-checked like any other
+    "crawl_log", "crawl_topk", "crawl_job_metrics",
+    "crawl_pages_per_epoch", "crawl_term_breakdown",
+    "crawl_politeness_report",
 ]
 
 
@@ -174,8 +178,6 @@ ROWS_ONLY = ["approx_distinct_users", "label_centroids", "embedding_pca",
              "minhash_near_dups_crc32",
              "ann_bruteforce", "ann_lsh", "ann_ivf", "ann_pq",
              "embedding_cosine_pairs",
-             "crawl_pages_per_epoch", "crawl_term_breakdown",
-             "crawl_politeness_report",
              "crawl_stage_gauges", "crawl_db_metrics", "crawl_streaming_log",
              "domain_pagerank", "compression_ratio", "semdedup",
              "bpe_train", "bpe_encode"]
@@ -199,8 +201,7 @@ def test_entry_smoke(ray_session):
 
 def test_crawl_queries_run(contract):
     queries, _ = contract
-    for name in ["crawl_log", "crawl_topk", "crawl_job_metrics",
-                 "crawl_images", "multimodal_thumbs", "multimodal_epoch",
+    for name in ["crawl_images", "multimodal_thumbs", "multimodal_epoch",
                  "image_exact_dedup", "image_phash_near_dups",
                  "image_dedup_groups", "image_quality_filter",
                  "image_quality_report", "caption_reuse",
