@@ -27,7 +27,8 @@ def _log(msg: str) -> None:
 
 
 def bench_crawl(num_cpus: int, large: bool = False,
-                mode: str | None = None, with_images: bool = True) -> dict:
+                mode: str | None = None, with_images: bool = True,
+                with_epoch_ab: bool = False) -> dict:
     """Headline: the epochal crawl + image decode over the bench-scale
     synthetic web (identical input at every parallelism level).
 
@@ -145,6 +146,40 @@ def bench_crawl(num_cpus: int, large: bool = False,
         }
         if hasattr(eng, "permit_latency_percentiles"):
             res["permit_latency"] = eng.permit_latency_percentiles()
+        if with_images and with_epoch_ab and img_summary["n_images"]:
+            # full-scale one-scan-vs-three-scans A/B over THIS crawl's whole
+            # images table (r4 VERDICT next #3 — the registered face used to
+            # cap at 64 demo rows): identical modality decodes, the only
+            # difference is payload scans (1 vs 3) and actor pools (1 vs 3)
+            from crusty_ray.ops.multimodal import (multimodal_epoch_ds,
+                                                   multimodal_separate_scans)
+            # warm the worker processes once, then best-of-2 per side —
+            # the same burst-noise protocol as the headline crawl trials
+            multimodal_epoch_ds(f"{out}/images", n_rows=64) \
+                .materialize().count()
+            one_scan, three_scans, n_ep = float("inf"), float("inf"), 0
+            for _ in range(2):
+                t0 = time.time()
+                n_ep = multimodal_epoch_ds(f"{out}/images") \
+                    .materialize().count()
+                one_scan = min(one_scan, time.time() - t0)
+                t0 = time.time()
+                for d in multimodal_separate_scans(f"{out}/images"):
+                    d.materialize().count()
+                three_scans = min(three_scans, time.time() - t0)
+            res.update({
+                "multimodal_epoch_rows": n_ep,
+                "multimodal_epoch_full_sec": round(one_scan, 3),
+                "multimodal_separate_scans_sec": round(three_scans, 3),
+                "multimodal_epoch_speedup": round(
+                    three_scans / max(one_scan, 1e-9), 2),
+                # the structural (100 TB) metric: payload bytes leave
+                # storage once per epoch instead of once per modality
+                "multimodal_payload_scan_ratio": 3.0,
+            })
+            _log(f"  multimodal epoch A/B: {n_ep} rows, one-scan "
+                 f"{one_scan:.2f}s vs three-scan {three_scans:.2f}s "
+                 f"({three_scans / max(one_scan, 1e-9):.2f}x)")
         return res
     finally:
         shutil.rmtree(out, ignore_errors=True)
@@ -254,10 +289,15 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
     for t in range(n_trials):
         _log(f"headline crawl trial {t + 1}/{n_trials} (num_cpus={num_cpus}"
              f"{', large' if large else ''})...")
-        c = bench_crawl(num_cpus, large=large)
+        c = bench_crawl(num_cpus, large=large, with_epoch_ab=(t == 0))
         _log(f"  crawl: {c['crawl_sec']}s, {c['pages_per_sec']} pages/s")
         trials.append(c)
     crawl = max(trials, key=lambda c: c["steady_pages_per_sec"])
+    for k in ("multimodal_epoch_rows", "multimodal_epoch_full_sec",
+              "multimodal_separate_scans_sec", "multimodal_epoch_speedup",
+              "multimodal_payload_scan_ratio"):
+        if k in trials[0]:  # the A/B runs once, on trial 0
+            crawl[k] = trials[0][k]
     # streaming-mode leg (r3 VERDICT next-#4): the free-running permit mode
     # at the identical profile — BENCH carries both modes' steady
     # throughput plus the permit-to-apply latency only streaming has
