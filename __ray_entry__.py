@@ -1385,7 +1385,10 @@ def _ann_ivf_append_oracle_sql(split: int = 250, n_lists: int = 8,
     """
 
 
-def _pca_power_quant_oracle_sql(rounds: int = 3, scale: int = 10 ** 6) -> str:
+def _pca_power_quant_oracle_sql(rounds: int = 6, scale: int = 10 ** 6) -> str:
+    # rounds default MUST track ops/similarity.pca_power_quant_ds (6) — a
+    # divergent default would silently generate a non-matching oracle
+    # (r4 ADVICE)
     """Integer power-iteration PCA — the exact plan of
     ops/similarity.pca_power_quant_ds: trunc-mean centering, trunc-div
     integer covariance, ``rounds`` unrolled matvec + L∞-renormalization

@@ -798,8 +798,15 @@ def _kmeans_centroids(qds, id_col: str, k: int, rounds: int) -> np.ndarray:
     def bottomk(df: pd.DataFrame) -> pd.DataFrame:
         return df.nsmallest(k, id_col)
 
-    seed = qds.map_batches(bottomk, batch_format="pandas").to_pandas() \
-        .nsmallest(k, id_col).sort_values(id_col)  # ≤ k·blocks rows
+    seed = qds.map_batches(bottomk, batch_format="pandas").to_pandas()
+    if seed.empty:
+        # reachable from ann_ivf_append_ds when no vec_id < split (e.g.
+        # the table is smaller than the split) — fail with the sizing
+        # context instead of an opaque KeyError/np.stack crash (r4 ADVICE)
+        raise ValueError(
+            "k-means seed set is empty: the source dataset has no rows "
+            f"(check the base/split sizing — need at least {k} vectors)")
+    seed = seed.nsmallest(k, id_col).sort_values(id_col)  # ≤ k·blocks rows
     cen = np.stack(seed["__q"].to_numpy())  # (k, dim), cid = row index
     dim = cen.shape[1]
 
@@ -985,8 +992,12 @@ def _pq_codebooks_quant(qds, id_col: str, m: int, ks: int, rounds: int,
     def bottomk(df: pd.DataFrame) -> pd.DataFrame:
         return df.nsmallest(ks, id_col)
 
-    seed = qds.map_batches(bottomk, batch_format="pandas").to_pandas() \
-        .nsmallest(ks, id_col).sort_values(id_col)
+    seed = qds.map_batches(bottomk, batch_format="pandas").to_pandas()
+    if seed.empty:
+        raise ValueError(
+            "PQ codebook seed set is empty: the source dataset has no rows "
+            f"(check the base/split sizing — need at least {ks} vectors)")
+    seed = seed.nsmallest(ks, id_col).sort_values(id_col)
     full = np.stack(seed["__q"].to_numpy())
     cbs = [full[:, s * dsub:(s + 1) * dsub].copy() for s in range(m)]
 

@@ -1548,6 +1548,12 @@ def hybrid_retrieval_ds(sf_dir: str, query_terms: tuple[str, ...] =
     qt = pads.dataset(f"{sf_dir}/embeddings.parquet", format="parquet") \
         .to_table(filter=pads.field("vec_id") == pc.scalar(query_vec_id),
                   columns=["embedding"])
+    if qt.num_rows == 0:
+        # no such query vector: degrade to zero rows, matching the SQL
+        # oracle's empty join result (r4 ADVICE — engine and oracle must
+        # agree on this edge instead of raising IndexError)
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ("doc_id", "score_mb", "qdot", "rnk")})
     qq = np.floor(np.asarray(qt["embedding"][0].as_py(), np.float64)
                   * 1000.0).astype(np.int64)
     ref = _ray.put((dict(zip(cand["doc_id"].astype("int64"),

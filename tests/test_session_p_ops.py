@@ -305,3 +305,22 @@ def test_kcore_join_path_equals_broadcast(ray_session):
         .to_pandas() \
         .sort_values("node").reset_index(drop=True)
     pd.testing.assert_frame_equal(bc.astype("int64"), jn.astype("int64"))
+
+
+def test_shuffle_lineage_probe_degrades_gracefully(ray_session, monkeypatch):
+    """r4 VERDICT wrong #2: the private-API probe (_all_to_all_cls) must
+    degrade to a no-op — dataset returned unchanged, no exception — when
+    Ray's internal symbol vanishes on an upgrade."""
+    import ray as _ray
+    from crusty_ray.ops import joins
+
+    ds = _ray.data.range(100).groupby("id").count()  # shuffle lineage
+    # normal path: probe finds the symbol and materializes
+    assert joins._all_to_all_cls() is not None
+    out = joins._materialize_if_shuffle_lineage(ds)
+    assert out.count() == 100
+
+    # vanished-symbol path: permanent None → unchanged dataset, no error
+    monkeypatch.setattr(joins, "_ALL_TO_ALL_PROBE", None)
+    ds2 = _ray.data.range(50).groupby("id").count()
+    assert joins._materialize_if_shuffle_lineage(ds2) is ds2

@@ -210,3 +210,38 @@ def test_zipf_fit_detects_power_law(ray_session, tmp_path):
     assert fit["slope_pm"].iloc[0] <= -600, fit
     flat = text.zipf_fit_ds(SF)
     assert abs(int(flat["slope_pm"].iloc[0])) < 400
+
+
+def test_hybrid_retrieval_missing_query_vec_returns_empty(ray_session):
+    """r4 ADVICE: an absent query_vec_id must degrade to zero rows (the SQL
+    oracle's empty join result), not raise IndexError."""
+    got = text.hybrid_retrieval_ds(SF, query_vec_id=10**9)
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    assert len(got) == 0
+    assert list(got.columns) == ["doc_id", "score_mb", "qdot", "rnk"]
+
+
+def test_kmeans_empty_seed_raises_clear_error(ray_session, tmp_path):
+    """r4 ADVICE: an empty seed frame (table smaller than the append split)
+    must raise a sizing error, not crash inside np.stack."""
+    import pytest
+    from crusty_ray.ops import similarity
+    pd.DataFrame({
+        "vec_id": np.arange(3, dtype=np.int64),
+        "embedding": [np.zeros(8, dtype=np.float32).tolist()] * 3,
+        "label": ["a", "b", "c"],
+    }).to_parquet(tmp_path / "embeddings.parquet")
+    with pytest.raises(ValueError, match="split sizing"):
+        similarity.ann_ivf_append_ds(str(tmp_path), split=0)
+
+
+def test_pca_oracle_default_rounds_matches_engine():
+    """r4 ADVICE: the oracle helper's rounds default must track the engine
+    default so a caller relying on defaults gets a matching oracle."""
+    import inspect
+    from crusty_ray.ops import similarity
+    eng = inspect.signature(similarity.pca_power_quant_ds)
+    orc = inspect.signature(entry._pca_power_quant_oracle_sql)
+    assert (eng.parameters["rounds"].default
+            == orc.parameters["rounds"].default == 6)
