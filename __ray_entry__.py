@@ -252,8 +252,60 @@ def entry() -> Any:
 # --------------------------------------------------------------------- queries
 
 def _approx_distinct_users(sf_dir: str):
+    # r5 primary promotion: the md5-register face with the INTEGER
+    # fixed-point estimator — the whole plan SQL-oracled
+    from crusty_ray.ops.sketch import approx_distinct_users_md5_ds
+    return approx_distinct_users_md5_ds(sf_dir)
+
+
+def _approx_distinct_users_float(sf_dir: str):
     from crusty_ray.ops.sketch import approx_distinct_users_ds
     return approx_distinct_users_ds(sf_dir)
+
+
+def _approx_distinct_users_oracle_sql(p: int = 6) -> str:
+    """Integer fixed-point HLL — the exact plan of
+    ops/sketch.approx_distinct_users_md5_ds. alpha_ppm and the linear-
+    counting ln table are INTEGER constants imported from the engine module
+    (single source of truth), so DuckDB never evaluates a float."""
+    from crusty_ray.ops.sketch import hll_alpha_ppm, hll_ln_table_e6
+    m = 1 << p
+    scale = 64 - p + 1
+    numerator = hll_alpha_ppm(m) * m * m * (1 << scale)
+    lc_threshold = (5 * m * 10 ** 6) // 2
+    ln_cases = " ".join(f"WHEN {k} THEN {v}" for k, v in
+                        enumerate(hll_ln_table_e6(m)) if k)
+    return f"""
+        WITH h AS (
+          SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
+                 ::UBIGINT AS hv
+          FROM (SELECT DISTINCT user_id FROM events)
+        ), parts AS (
+          SELECT CAST(hv % {m} AS BIGINT) AS bucket, hv // {m} AS w FROM h
+        ), regs AS (
+          SELECT bucket,
+                 CAST(MAX(CASE WHEN w = 0 THEN {scale}
+                          ELSE {scale} - length(bin(w)) END) AS BIGINT)
+                     AS max_rho
+          FROM parts GROUP BY bucket
+        ), s AS (
+          SELECT count(*)::BIGINT AS nonempty,
+                 SUM(CAST(1::BIGINT << ({scale} - max_rho) AS HUGEINT))
+                     AS s_regs
+          FROM regs
+        ), est AS (
+          SELECT ({m} - nonempty) AS zeros,
+                 CAST('{numerator}' AS HUGEINT)
+                 // (s_regs + CAST({m} - nonempty AS HUGEINT)
+                     * CAST(1::BIGINT << {scale} AS HUGEINT)) AS raw_e6
+          FROM s
+        )
+        SELECT CAST(CASE WHEN raw_e6 <= {lc_threshold} AND zeros > 0
+                    THEN {m} * CASE zeros {ln_cases} END
+                    ELSE raw_e6 END AS BIGINT) AS estimate_e6,
+               CAST({p} AS BIGINT) AS p, CAST(zeros AS BIGINT) AS zeros
+        FROM est
+    """
 
 
 def _hll_registers(sf_dir: str):
@@ -567,16 +619,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": text.normalize_text_ds,
         "order_price_ntile": analytic.order_price_ntile_ds,
         "approx_distinct_users": _approx_distinct_users,
+        "approx_distinct_users_float": _approx_distinct_users_float,
         # the HLL register STATE under the md5 family — the sketch fold
         # bit-exact-oracled even though the float estimator can't be
         "hll_registers": _hll_registers,
         # Count-Min point frequencies beside exact counts (md5 row hashes
         # -> the one sketch whose oracle is full SQL, cells bit-exact)
         "cms_user_counts": sketch.cms_user_counts_ds,
-        # distributed PCA projection (algebraic covariance partials +
-        # driver eigendecomp of the dim x dim matrix; rows-only — float)
-        "embedding_pca": similarity.embedding_pca_ds,
-        "label_centroids": similarity.label_centroids_ds,
+        # PRIMARY promoted r5 (the r4 minhash move repeated): the integer
+        # power-iteration face IS embedding_pca now — SQL-oracled; the
+        # float eigendecomp face keeps the _float name, rows-only
+        "embedding_pca": similarity.pca_power_quant_ds,
+        "embedding_pca_float": similarity.embedding_pca_ds,
+        # PRIMARY promoted r5: quantized per-label centroid sums are the
+        # registered face; float means keep the _float name, rows-only
+        "label_centroids": similarity.label_centroids_quant_ds,
+        "label_centroids_float": similarity.label_centroids_ds,
         "label_centroids_quant": similarity.label_centroids_quant_ds,
         # outlier pruning: d2 to the label's quantized mean (LAION-style
         # centroid-distance curation; reuses the centroid partial sums)
@@ -953,7 +1011,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_cosine_pairs": dedup.embedding_cosine_pairs,
         # -- SemDeDup: k-means clusters + within-cluster greedy cosine prune
         # (rows-only; serial-greedy-equality pytest oracle at n_clusters=1)
-        "semdedup": dedup.semdedup_ds,
+        # r5 primary promotion: the quantized-Lloyd + integer-dot greedy
+        # IS semdedup now (recursive-CTE oracled); float face keeps _float
+        "semdedup": dedup.semdedup_quant_ds,
+        "semdedup_float": dedup.semdedup_ds,
         # -- crawl dashboard metrics over the crawl's own output (A6)
         "crawl_pages_per_epoch": _crawl_metric("pages_per_epoch_ds"),
         "crawl_term_breakdown": _crawl_metric("term_breakdown_ds"),
@@ -1276,6 +1337,81 @@ def _kmeans_oracle_sql(k: int = 8, rounds: int = 2) -> str:
           FROM q v CROSS JOIN c{rounds} c) t
         QUALIFY row_number() OVER (PARTITION BY vec_id
                                    ORDER BY d2, cid) = 1
+    """
+
+
+def _semdedup_quant_oracle_sql(n_clusters: int = 8, rounds: int = 2,
+                               threshold_q: int = 300_000) -> str:
+    """SemDeDup under the quantized metric — the exact plan of
+    ops/dedup.semdedup_quant_ds: the shared Lloyd training body
+    (k = n_clusters), argmin-d2 assignment (ties to the lowest cid), then
+    the sequential within-cluster greedy keep/drop unrolled as a
+    one-rank-per-step recursive CTE (each cluster's kept-rank list rides
+    in a LIST column; the drop test is list_has_any against the row's
+    pre-aggregated candidate-dup edge list — a correlated EXISTS inside
+    the recursion silently misses rows in DuckDB, hence the join form).
+    dup_of = highest-qdot kept row, first-max tie-break (ORDER BY qdot
+    DESC, rj)."""
+    ctes, d2 = _kmeans_cte_parts(n_clusters, rounds)
+    ctes.append(f"""af AS MATERIALIZED (
+              SELECT vec_id, cid AS cluster FROM (
+                SELECT v.vec_id, c.cid, {d2} AS d2
+                FROM q v CROSS JOIN c{rounds} c) t
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d2, cid) = 1),
+            g AS MATERIALIZED (
+              SELECT af.vec_id, af.cluster, q.qe,
+                     CAST(row_number() OVER (PARTITION BY af.cluster
+                                             ORDER BY af.vec_id) AS BIGINT)
+                         AS r
+              FROM af JOIN q USING (vec_id)),
+            pairs AS MATERIALIZED (
+              SELECT * FROM (
+                SELECT a.cluster, a.r AS ri, b.r AS rj, b.vec_id AS vj,
+                       CAST(list_inner_product(a.qe, b.qe) AS BIGINT) AS qdot
+                FROM g a JOIN g b ON a.cluster = b.cluster AND b.r < a.r) t
+              WHERE qdot >= {threshold_q}),
+            elist AS MATERIALIZED (
+              SELECT cluster, ri, list(rj) AS rjs
+              FROM pairs GROUP BY cluster, ri),
+            sizes AS (SELECT cluster, max(r) AS n FROM g GROUP BY cluster),
+            rec AS (
+              SELECT cluster, CAST(0 AS BIGINT) AS k,
+                     CAST([] AS BIGINT[]) AS kept
+              FROM sizes
+              UNION ALL
+              SELECT rec.cluster, rec.k + 1,
+                     CASE WHEN coalesce(list_has_any(e.rjs, rec.kept), FALSE)
+                          THEN rec.kept
+                          ELSE list_append(rec.kept, rec.k + 1) END
+              FROM rec
+              JOIN sizes s ON s.cluster = rec.cluster
+              LEFT JOIN elist e ON e.cluster = rec.cluster
+                                AND e.ri = rec.k + 1
+              WHERE rec.k < s.n),
+            fin AS (SELECT rec.cluster, rec.kept
+                    FROM rec JOIN sizes s
+                      ON s.cluster = rec.cluster AND rec.k = s.n),
+            keepf AS (
+              SELECT g.cluster, g.vec_id, g.r,
+                     list_contains(f.kept, g.r) AS keep
+              FROM g JOIN fin f ON f.cluster = g.cluster),
+            dups AS (
+              SELECT cluster, ri, vj AS dup_of FROM (
+                SELECT p.cluster, p.ri, p.vj,
+                       row_number() OVER (PARTITION BY p.cluster, p.ri
+                                          ORDER BY p.qdot DESC, p.rj) AS rn
+                FROM pairs p JOIN keepf kj
+                  ON kj.cluster = p.cluster AND kj.r = p.rj AND kj.keep) t
+              WHERE rn = 1)""")
+    return f"""
+        WITH RECURSIVE {', '.join(ctes)}
+        SELECT k.vec_id, k.cluster,
+               CAST(k.keep AS BIGINT) AS keep,
+               CAST(CASE WHEN k.keep THEN -1
+                    ELSE coalesce(d.dup_of, -1) END AS BIGINT) AS dup_of
+        FROM keepf k LEFT JOIN dups d
+          ON d.cluster = k.cluster AND d.ri = k.r
     """
 
 
@@ -2523,6 +2659,17 @@ def oracle_sql() -> dict[str, str]:
                   FROM embeddings)
             GROUP BY 1, 2
         """,
+        # r5 primary promotion: label_centroids IS the quant face now
+        "label_centroids": """
+            SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+                   CAST(SUM(CAST(FLOOR(CAST(e AS DOUBLE) * 1000) AS BIGINT))
+                        AS BIGINT) AS qsum,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT label, UNNEST(embedding) AS e,
+                         GENERATE_SUBSCRIPTS(embedding, 1) AS dim
+                  FROM embeddings)
+            GROUP BY 1, 2
+        """,
         # drift: label floor-means vs the global floor-mean over the same
         # quantized sums (the label_centroids_quant CTE re-reduced)
         "embedding_drift_by_label": """
@@ -2993,6 +3140,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcore_parts": _kcore_oracle_sql(k=68, rounds=8),
         "kmeans_embeddings": _kmeans_oracle_sql(k=8, rounds=2),
+        "semdedup": _semdedup_quant_oracle_sql(),
         "ann_ivf_quant": _ann_ivf_quant_oracle_sql(
             n_queries=8, k=10, n_lists=8, rounds=2, nprobe=2),
         "ann_lsh_md5": _ann_lsh_md5_oracle_sql(
@@ -3000,6 +3148,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_quant": _ann_pq_quant_oracle_sql(
             n_queries=8, k=10, m=4, ks=8, rounds=2, dim=64),
         "pca_power_quant": _pca_power_quant_oracle_sql(rounds=6),
+        # r5 primary promotion: embedding_pca IS the power-iteration face
+        "embedding_pca": _pca_power_quant_oracle_sql(rounds=6),
         "ann_ivf_append": _ann_ivf_append_oracle_sql(
             split=250, n_lists=8, rounds=2),
         "part_label_spread": _label_spread_oracle_sql(rounds=2),
@@ -3653,6 +3803,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # HLL register state under the md5 family (p=6): bucket = h % 64,
         # rho = 59 - bit_length(h // 64) with bit_length via unpadded bin()
+        # r5 primary promotion: the integer fixed-point HLL estimate
+        "approx_distinct_users": _approx_distinct_users_oracle_sql(),
         "hll_registers": """
             WITH h AS (
               SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))

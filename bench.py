@@ -401,10 +401,47 @@ def run_scaling(large: bool = False) -> dict:
     }
 
 
+def _raylet_pids() -> set:
+    """Live raylet pids via /proc (no psutil in this container)."""
+    pids = set()
+    for d in os.listdir("/proc"):
+        if d.isdigit():
+            try:
+                with open(f"/proc/{d}/comm") as f:
+                    if f.read().strip() == "raylet":
+                        pids.add(int(d))
+            except OSError:
+                pass
+    return pids
+
+
+def _pin_tree(pid: int, cpus: set) -> None:
+    """Pin a process and its CURRENT children to a core set; later children
+    (ray worker processes — forked by the raylet) inherit the affinity."""
+    try:
+        os.sched_setaffinity(pid, cpus)
+    except OSError:
+        return
+    try:
+        with open(f"/proc/{pid}/task/{pid}/children") as f:
+            kids = [int(x) for x in f.read().split()]
+    except OSError:
+        kids = []
+    for k in kids:
+        _pin_tree(k, cpus)
+
+
 def run_nodes_child(n_nodes: int, cpus_per_node: int | None = None) -> dict:
     """One multi-raylet trial: a local cluster of ``n_nodes`` genuine Ray
     nodes (each its own raylet + object store, so cross-node block transfer
-    and per-node plasma really happen), the crawl spread across them."""
+    and per-node plasma really happen), the crawl spread across them.
+
+    ``GRAFT_PIN_NODES=1`` (r4 VERDICT next #4, pinned variant): pin each
+    node's raylet — and therefore every worker it later forks — to its own
+    DISJOINT ``cpus_per_node``-core slice, emulating per-node CPU isolation
+    so the host scheduler cannot steal cores across "nodes" mid-epoch. The
+    driver + GCS ride node 0's slice (the head-node layout of a real
+    cluster)."""
     os.environ.setdefault("OMP_NUM_THREADS", "1")
     os.environ.setdefault("ARROW_IO_THREADS", "2")
     if cpus_per_node is None:
@@ -412,13 +449,35 @@ def run_nodes_child(n_nodes: int, cpus_per_node: int | None = None) -> dict:
     import ray
     from ray.cluster_utils import Cluster
 
+    pin = os.environ.get("GRAFT_PIN_NODES") not in (None, "", "0")
+    slices = [set(range(i * cpus_per_node, (i + 1) * cpus_per_node))
+              for i in range(n_nodes)]
+    seen_raylets = _raylet_pids() if pin else set()
+
     store = 6_000_000_000  # per node — aggregate store scales with nodes,
                            # exactly as a real N- vs 4N-node cluster's would
     cluster = Cluster(initialize_head=True,
                       head_node_args={"num_cpus": cpus_per_node,
                                       "object_store_memory": store})
-    for _ in range(n_nodes - 1):
+    if pin:
+        new = _raylet_pids() - seen_raylets
+        for pid in new:
+            _pin_tree(pid, slices[0])
+        seen_raylets |= new
+    for i in range(n_nodes - 1):
         cluster.add_node(num_cpus=cpus_per_node, object_store_memory=store)
+        if pin:
+            new = _raylet_pids() - seen_raylets
+            for pid in new:
+                _pin_tree(pid, slices[i + 1])
+            seen_raylets |= new
+    if pin:
+        # driver rides the head node's slice — own pid only (the raylets
+        # are this process's children; _pin_tree here would re-pin them)
+        try:
+            os.sched_setaffinity(0, slices[0])
+        except OSError:
+            pass
     ray.init(address=cluster.address, include_dashboard=False,
              logging_level="ERROR")
     want = n_nodes * cpus_per_node

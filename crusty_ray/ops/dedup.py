@@ -1440,6 +1440,89 @@ def semdedup_ds(sf_dir: str, n_clusters: int = 16, threshold_pm: int = 950,
                                    num_partitions=min(n_clusters, 32))
 
 
+def semdedup_quant_ds(sf_dir: str, n_clusters: int = 8, rounds: int = 2,
+                      threshold_q: int = 300_000):
+    """SemDeDup under the INTEGER quantized metric — the SQL-oracled twin
+    of ``semdedup_ds`` (r4 VERDICT next #6, the md5-minhash pattern applied
+    to the embedding-dedup family): the identical cluster-then-greedy plan
+    with the float spherical quantizer swapped for the repo's quantized
+    Lloyd coarse quantizer (``similarity._kmeans_centroids`` — the same
+    unrolled-CTE body `kmeans_embeddings`/`ann_ivf_quant` oracle) and the
+    within-cluster cosine replaced by the integer dot of floor(x·1000)
+    vectors, so DuckDB replays training, assignment AND the sequential
+    greedy keep/drop bit-exactly (the greedy unrolls as a one-rank-per-step
+    recursive CTE carrying each cluster's kept-rank list).
+
+    Greedy contract (== semdedup_ds): visiting vec_ids ascending within a
+    cluster, a row is dropped iff its qdot to an already-KEPT row is
+    ≥ ``threshold_q``; dup_of = the kept row with the highest qdot
+    (first-max tie-break), -1 for kept rows. Returns one row per vector:
+    (vec_id, cluster, keep[0/1 int], dup_of).
+
+    Scale plan is semdedup_ds's: centroids broadcast once, one shuffle-free
+    assignment map, the greedy runs inside ``partitioned_group_apply`` on
+    the cluster id (pair space bounded by cluster sizes, never corpus²).
+    The float face keeps the ``semdedup_float`` name (rows-only)."""
+    import ray as _ray
+
+    from .agg import partitioned_group_apply
+    from .similarity import _assign_quant, _kmeans_centroids, _quant_stage
+
+    ds = _io_read(f"{sf_dir}/embeddings.parquet",
+                  columns=["vec_id", "embedding"])
+    qds = ds.map_batches(_quant_stage("vec_id", "embedding"),
+                         batch_format="pandas")
+    cen = _kmeans_centroids(qds, "vec_id", n_clusters, rounds)
+    cent_ref = _ray.put(cen)
+
+    def assign(batch: pd.DataFrame, _cache={}) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                 "cluster": pd.Series([], dtype="int64"),
+                                 "q": pd.Series([], dtype="object")})
+        if "C" not in _cache:  # one fetch per worker process
+            _cache["C"] = _ray.get(cent_ref)
+        mat = np.stack(batch["__q"].to_list())
+        a, _ = _assign_quant(mat, _cache["C"])
+        return pd.DataFrame({"vec_id": batch["vec_id"].astype("int64"),
+                             "cluster": a.astype(np.int64),
+                             "q": list(mat)})
+
+    _empty = pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                           "cluster": pd.Series([], dtype="int64"),
+                           "keep": pd.Series([], dtype="int64"),
+                           "dup_of": pd.Series([], dtype="int64")})
+
+    def prune_cluster(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for cl, g in df.groupby("cluster", sort=False):
+            order = np.argsort(g["vec_id"].to_numpy(), kind="stable")
+            ids = g["vec_id"].to_numpy()[order]
+            mat = np.stack(g["q"].to_list())[order]
+            qd = mat @ mat.T  # exact int64 dots (|q| ≤ ~1000·dim)
+            keep = np.zeros(len(ids), dtype=np.int64)
+            dup_of = np.full(len(ids), -1, dtype=np.int64)
+            kept_idx: list[int] = []
+            for i in range(len(ids)):
+                if kept_idx:
+                    sims = qd[i, kept_idx]
+                    j = int(np.argmax(sims))  # first max == lowest rank
+                    if sims[j] >= threshold_q:
+                        dup_of[i] = ids[kept_idx[j]]
+                        continue
+                keep[i] = 1
+                kept_idx.append(i)
+            frames.append(pd.DataFrame({
+                "vec_id": ids, "cluster": np.int64(cl),
+                "keep": keep, "dup_of": dup_of}))
+        return pd.concat(frames, ignore_index=True) if frames else _empty
+
+    assigned = qds.map_batches(assign, batch_format="pandas",
+                               batch_size=4096)
+    return partitioned_group_apply(assigned, ["cluster"], prune_cluster,
+                                   num_partitions=min(n_clusters, 32))
+
+
 def dedup_canonical_ds(sf_dir: str):
     """Canonical-representative selection: for every exact-duplicate group
     (same text md5), keep the BEST copy — longest ``n_chars``, ties broken

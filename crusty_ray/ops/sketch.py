@@ -245,3 +245,52 @@ def hll_registers_md5_ds(sf_dir: str, p: int = 6):
     out = parts.groupby("bucket", as_index=False).max() \
         .sort_values("bucket").reset_index(drop=True)
     return out.astype("int64")
+
+
+# ------------------- integer fixed-point HLL estimate (md5 register face)
+
+def hll_alpha_ppm(m: int) -> int:
+    """The HLL bias constant alpha_m in parts-per-million — an INTEGER
+    frozen at definition time, shared verbatim by the engine and the SQL
+    oracle (the single-source-of-truth convention of _LANG_PROFILES)."""
+    return round(0.7213 / (1.0 + 1.079 / m) * 10 ** 6)
+
+
+def hll_ln_table_e6(m: int) -> list[int]:
+    """round(ln(m/k)·10^6) for k = 0..m (index 0 unused) — the linear-
+    counting branch's log, precomputed to integers so neither engine
+    evaluates a float log at query time."""
+    import math
+    return [0] + [round(math.log(m / k) * 10 ** 6) for k in range(1, m + 1)]
+
+
+def approx_distinct_users_md5_ds(sf_dir: str, p: int = 6) -> pd.DataFrame:
+    """≈ COUNT(DISTINCT user_id) — the PRODUCTION HLL plan under the md5
+    register face, with the ESTIMATOR itself in integer fixed point so the
+    whole pipeline (hash → register fold → estimate) is bit-exact-oracled
+    in SQL (r4 VERDICT next #6; the float-native estimator keeps the
+    ``approx_distinct_users_float`` name, rows-only with its pytest
+    error-bound oracle).
+
+    Fixed-point algebra (SCALE = 64-p+1, the max possible rho):
+      S_num  = Σ_buckets 2^(SCALE - rho)   (empty registers: rho=0)
+      est_e6 = alpha_ppm · m² · 2^SCALE // S_num          (raw estimate ·10^6)
+      if est_e6 ≤ 2.5·m·10^6 and zeros > 0:
+          est_e6 = m · ln_table_e6[zeros]                 (linear counting)
+    Every step is exact integer arithmetic (HUGEINT in DuckDB, Python ints
+    here); est_e6 stays inside int64 for any realistic cardinality
+    (overflows only past ~9·10^12 distinct at p=6 — far beyond the sketch's
+    useful range at that precision).
+
+    Returns one row: (estimate_e6, p, zeros)."""
+    m = 1 << p
+    scale = 64 - p + 1
+    regs = hll_registers_md5_ds(sf_dir, p)
+    s_num = sum(1 << (scale - int(r)) for r in regs["max_rho"])
+    zeros = m - len(regs)
+    s_num += zeros << scale
+    est_e6 = (hll_alpha_ppm(m) * m * m * (1 << scale)) // s_num
+    if est_e6 <= (5 * m * 10 ** 6) // 2 and zeros:
+        est_e6 = m * hll_ln_table_e6(m)[zeros]
+    return pd.DataFrame({"estimate_e6": [est_e6], "p": [p],
+                         "zeros": [zeros]}).astype("int64")

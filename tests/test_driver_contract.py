@@ -153,6 +153,9 @@ SQL_CHECKED = [
     "lang_diversity_by_source", "revenue_by_region",
     "supplier_scorecard", "ship_lag_quantiles",
     "brand_type_matrix", "nation_customer_stats", "hll_registers",
+    "embedding_pca", "label_centroids",  # r5 primary promotions
+    "approx_distinct_users",  # r5: integer fixed-point HLL estimate
+    "semdedup",  # r5: quantized-Lloyd + recursive-CTE greedy
     # crawl faces — oracle is the reference simulator's expected outputs
     # materialized as parquet (sim/fixture.py), hash-checked like any other
     "crawl_log", "crawl_topk", "crawl_job_metrics",
@@ -173,13 +176,14 @@ def test_query_matches_oracle(contract, name):
                                   check_exact=True, obj=name)
 
 
-ROWS_ONLY = ["approx_distinct_users", "label_centroids", "embedding_pca",
+ROWS_ONLY = ["approx_distinct_users_float", "label_centroids_float",
+             "embedding_pca_float",
              "minhash_candidates_crc32", "minhash_candidates_crc32_capped",
              "minhash_near_dups_crc32",
              "ann_bruteforce", "ann_lsh", "ann_ivf", "ann_pq",
              "embedding_cosine_pairs",
              "crawl_stage_gauges", "crawl_db_metrics", "crawl_streaming_log",
-             "domain_pagerank", "compression_ratio", "semdedup",
+             "domain_pagerank", "compression_ratio", "semdedup_float",
              "bpe_train", "bpe_encode"]
 
 
