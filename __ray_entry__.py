@@ -203,7 +203,7 @@ def _sim_fixture_dir() -> str:
     from crusty_ray.sim.fixture import ensure_sim_fixture
 
     cfg, web_cfg = _crawl_cfg()
-    tag = (f"v1-d{web_cfg.n_domains}p{web_cfg.max_pages_per_domain}"
+    tag = (f"v2-d{web_cfg.n_domains}p{web_cfg.max_pages_per_domain}"
            f"-b{cfg.rules.total_link_budget}-{cfg.rules.links_per_task_budget}"
            f"-l{cfg.rules.max_level}-e{_CRAWL_MAX_EPOCHS}"
            f"-s{cfg.jobs.shard_total}")
@@ -1087,26 +1087,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 # ------------------------------------------------------------------ oracle SQL
 
-def _pagerank_oracle_sql(iters: int = 3) -> str:
-    """The trade-graph integer PageRank as chained CTEs — one r{k} level per
-    iteration, the exact floor-division update of ops/graph.pagerank (BIGINT
-    `//` in DuckDB floors like numpy int64 for the all-positive ranks)."""
-    head = """
-        WITH pairs AS (
-          SELECT DISTINCT l_suppkey AS s, o_custkey AS c
-          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        ), edges AS (
-          SELECT 2 * s AS src, 2 * c + 1 AS dst FROM pairs
-          UNION ALL SELECT 2 * c + 1, 2 * s FROM pairs
-        ), nodes AS (
-          SELECT src AS node FROM edges UNION SELECT dst FROM edges
-        ), deg AS (
-          SELECT src AS node, count(*)::BIGINT AS outdeg FROM edges GROUP BY 1
-        ), base AS (
-          SELECT (1000000000000 // count(*))::BIGINT AS r0 FROM nodes
-        ), r0 AS (
-          SELECT node, (SELECT r0 FROM base) AS rank FROM nodes
-        )"""
+def _pagerank_levels(iters: int) -> str:
+    """The shared integer-PageRank iteration body — one r{k} CTE per
+    iteration, the exact floor-division update of ops/graph.pagerank
+    (BIGINT `//` in DuckDB floors like numpy int64 for all-positive
+    ranks). Node type is whatever the caller's edges CTE carries (int ids
+    for the trade face, domain VARCHARs for the crawl face — the integers
+    are isomorphic under any injective relabeling)."""
     levels = []
     for k in range(1, iters + 1):
         levels.append(f""", r{k} AS (
@@ -1119,8 +1106,47 @@ def _pagerank_oracle_sql(iters: int = 3) -> str:
                          JOIN deg d ON d.node = e.src
             GROUP BY 1) i USING (node)
         )""")
-    return (head + "".join(levels)
+    return "".join(levels)
+
+
+_PAGERANK_COMMON_CTES = """nodes AS (
+          SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        ), deg AS (
+          SELECT src AS node, count(*)::BIGINT AS outdeg FROM edges GROUP BY 1
+        ), base AS (
+          SELECT (1000000000000 // count(*))::BIGINT AS r0 FROM nodes
+        ), r0 AS (
+          SELECT node, (SELECT r0 FROM base) AS rank FROM nodes
+        )"""
+
+
+def _pagerank_oracle_sql(iters: int = 3) -> str:
+    """The trade-graph integer PageRank as chained CTEs."""
+    head = f"""
+        WITH pairs AS (
+          SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ), edges AS (
+          SELECT 2 * s AS src, 2 * c + 1 AS dst FROM pairs
+          UNION ALL SELECT 2 * c + 1, 2 * s FROM pairs
+        ), {_PAGERANK_COMMON_CTES}"""
+    return (head + _pagerank_levels(iters)
             + f" SELECT node, rank AS rank_q FROM r{iters}")
+
+
+def _domain_pagerank_oracle_sql(iters: int = 3) -> str:
+    """domain_pagerank's oracle (r5): the identical integer iteration over
+    the reference simulator's expected cross-domain edge table
+    (sim/fixture.py — the same out-link derivation the engine's EdgeStage
+    performs, done serially), nodes = domain name strings."""
+    fix = _sim_fixture_dir()
+    head = f"""
+        WITH edges AS (
+          SELECT src_domain AS src, dst_domain AS dst
+          FROM read_parquet('{fix}/expected_domain_edges.parquet')
+        ), {_PAGERANK_COMMON_CTES}"""
+    return (head + _pagerank_levels(iters)
+            + f" SELECT node AS domain, rank AS rank_q FROM r{iters}")
 
 
 # 32-bit Morton interleave of columns x (even bits) and y (odd bits), as a
@@ -3122,6 +3148,8 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
         """,
         "trade_pagerank": _pagerank_oracle_sql(iters=3),
+        # r5: the crawl-native pagerank face, simulator-edge-fixture oracled
+        "domain_pagerank": _domain_pagerank_oracle_sql(iters=3),
         "part_triangles": """
             WITH pr AS (
               SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b

@@ -50,6 +50,25 @@ def ensure_sim_fixture(cfg, web_cfg, max_epochs: int, tag: str) -> str:
         os.path.join(tmp, "expected_topk.parquet"), index=False)
     pd.DataFrame(sim.job_metrics).to_parquet(
         os.path.join(tmp, "expected_job_metrics.parquet"), index=False)
+    # distinct cross-domain link edges — the SAME derivation as
+    # ops/graph.domain_link_edges (re-derive each fetched page's out-links
+    # from the deterministic web, keep normalized cross-domain targets),
+    # done serially so domain_pagerank's oracle can replay the integer
+    # PageRank over them in SQL
+    from ..core.urls import transform_domain
+    from ..datagen.webgraph import SyntheticWeb
+    web = SyntheticWeb(web_cfg)
+    edges = set()
+    for row in sim.crawl_log:
+        rec = web.page_record(row["url"])
+        for link in rec["out_links"]:
+            host = link.split("/", 3)[2] if "//" in link else ""
+            tgt = transform_domain(host)
+            if tgt and tgt != row["domain"]:
+                edges.add((row["domain"], tgt))
+    pd.DataFrame(sorted(edges), columns=["src_domain", "dst_domain"]) \
+        .to_parquet(os.path.join(tmp, "expected_domain_edges.parquet"),
+                    index=False)
     with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
         f.write("ok")
     try:

@@ -156,6 +156,7 @@ SQL_CHECKED = [
     "embedding_pca", "label_centroids",  # r5 primary promotions
     "approx_distinct_users",  # r5: integer fixed-point HLL estimate
     "semdedup",  # r5: quantized-Lloyd + recursive-CTE greedy
+    "domain_pagerank",  # r5: simulator-edge-fixture oracle
     # crawl faces — oracle is the reference simulator's expected outputs
     # materialized as parquet (sim/fixture.py), hash-checked like any other
     "crawl_log", "crawl_topk", "crawl_job_metrics",
@@ -183,7 +184,7 @@ ROWS_ONLY = ["approx_distinct_users_float", "label_centroids_float",
              "ann_bruteforce", "ann_lsh", "ann_ivf", "ann_pq",
              "embedding_cosine_pairs",
              "crawl_stage_gauges", "crawl_db_metrics", "crawl_streaming_log",
-             "domain_pagerank", "compression_ratio", "semdedup_float",
+             "compression_ratio", "semdedup_float",
              "bpe_train", "bpe_encode"]
 
 
