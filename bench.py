@@ -28,7 +28,7 @@ def _log(msg: str) -> None:
 
 def bench_crawl(num_cpus: int, large: bool = False,
                 mode: str | None = None, with_images: bool = True,
-                with_epoch_ab: bool = False) -> dict:
+                keep_images_dir: str | None = None) -> dict:
     """Headline: the epochal crawl + image decode over the bench-scale
     synthetic web (identical input at every parallelism level).
 
@@ -146,40 +146,12 @@ def bench_crawl(num_cpus: int, large: bool = False,
         }
         if hasattr(eng, "permit_latency_percentiles"):
             res["permit_latency"] = eng.permit_latency_percentiles()
-        if with_images and with_epoch_ab and img_summary["n_images"]:
-            # full-scale one-scan-vs-three-scans A/B over THIS crawl's whole
-            # images table (r4 VERDICT next #3 — the registered face used to
-            # cap at 64 demo rows): identical modality decodes, the only
-            # difference is payload scans (1 vs 3) and actor pools (1 vs 3)
-            from crusty_ray.ops.multimodal import (multimodal_epoch_ds,
-                                                   multimodal_separate_scans)
-            # warm the worker processes once, then best-of-2 per side —
-            # the same burst-noise protocol as the headline crawl trials
-            multimodal_epoch_ds(f"{out}/images", n_rows=64) \
-                .materialize().count()
-            one_scan, three_scans, n_ep = float("inf"), float("inf"), 0
-            for _ in range(2):
-                t0 = time.time()
-                n_ep = multimodal_epoch_ds(f"{out}/images") \
-                    .materialize().count()
-                one_scan = min(one_scan, time.time() - t0)
-                t0 = time.time()
-                for d in multimodal_separate_scans(f"{out}/images"):
-                    d.materialize().count()
-                three_scans = min(three_scans, time.time() - t0)
-            res.update({
-                "multimodal_epoch_rows": n_ep,
-                "multimodal_epoch_full_sec": round(one_scan, 3),
-                "multimodal_separate_scans_sec": round(three_scans, 3),
-                "multimodal_epoch_speedup": round(
-                    three_scans / max(one_scan, 1e-9), 2),
-                # the structural (100 TB) metric: payload bytes leave
-                # storage once per epoch instead of once per modality
-                "multimodal_payload_scan_ratio": 3.0,
-            })
-            _log(f"  multimodal epoch A/B: {n_ep} rows, one-scan "
-                 f"{one_scan:.2f}s vs three-scan {three_scans:.2f}s "
-                 f"({three_scans / max(one_scan, 1e-9):.2f}x)")
+        if with_images and keep_images_dir and img_summary["n_images"]:
+            # hand the full images table to the caller (the multimodal A/B
+            # runs LAST in run_full: its ~100 extra actor-pool workers
+            # linger in the session and were measured slowing the
+            # subsequent streaming leg's wall 5x)
+            shutil.move(f"{out}/images", keep_images_dir)
         return res
     finally:
         shutil.rmtree(out, ignore_errors=True)
@@ -286,18 +258,18 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
     # BASELINE numbers use).
     n_trials = max(1, int(os.environ.get("GRAFT_BENCH_TRIALS", "2")))
     trials = []
+    ab_images_dir = None
     for t in range(n_trials):
         _log(f"headline crawl trial {t + 1}/{n_trials} (num_cpus={num_cpus}"
              f"{', large' if large else ''})...")
-        c = bench_crawl(num_cpus, large=large, with_epoch_ab=(t == 0))
+        kept_images = (tempfile.mkdtemp(prefix="crusty_ab_") + "/images"
+                       if t == 0 else None)
+        c = bench_crawl(num_cpus, large=large, keep_images_dir=kept_images)
+        if kept_images:
+            ab_images_dir = kept_images
         _log(f"  crawl: {c['crawl_sec']}s, {c['pages_per_sec']} pages/s")
         trials.append(c)
     crawl = max(trials, key=lambda c: c["steady_pages_per_sec"])
-    for k in ("multimodal_epoch_rows", "multimodal_epoch_full_sec",
-              "multimodal_separate_scans_sec", "multimodal_epoch_speedup",
-              "multimodal_payload_scan_ratio"):
-        if k in trials[0]:  # the A/B runs once, on trial 0
-            crawl[k] = trials[0][k]
     # streaming-mode leg (r3 VERDICT next-#4): the free-running permit mode
     # at the identical profile — BENCH carries both modes' steady
     # throughput plus the permit-to-apply latency only streaming has
@@ -314,7 +286,31 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
     else:
         _log("operator queries...")
         queries = bench_queries(sf_dir)
+
     ray.shutdown()
+
+    ab_fields = {}
+    if ab_images_dir and os.path.isdir(ab_images_dir):
+        # fresh-process A/B over trial 0's whole images table — see
+        # run_epoch_ab_child for why it must not share this session
+        _log("multimodal epoch A/B (fresh process)...")
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--epoch-ab", ab_images_dir],
+                env=dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus)),
+                capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            ab_fields = json.loads(out.stdout.strip().splitlines()[-1])
+            _log(f"  A/B: {ab_fields['multimodal_epoch_rows']} rows, "
+                 f"one-scan {ab_fields['multimodal_epoch_full_sec']}s vs "
+                 f"three-scan {ab_fields['multimodal_separate_scans_sec']}s "
+                 f"({ab_fields['multimodal_epoch_speedup']}x)")
+        except (subprocess.CalledProcessError, json.JSONDecodeError) as e:
+            _log(f"  A/B failed: {e}")
+        finally:
+            shutil.rmtree(os.path.dirname(ab_images_dir),
+                          ignore_errors=True)
 
     total = crawl["crawl_sec"] + crawl["images_sec"] + sum(queries.values())
     if streaming is not None:
@@ -337,6 +333,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                        if streaming is not None else {}),
                     **queries},
         **stream_fields,
+        **ab_fields,
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "num_cpus": num_cpus,
         **{k: v for k, v in crawl.items() if k not in ("crawl_sec", "images_sec")},
@@ -638,12 +635,51 @@ def run_scaling_protocol() -> dict:
     }
 
 
+
+def run_epoch_ab_child(images_dir: str, num_cpus: int) -> dict:
+    """Fresh-process multimodal one-scan-vs-three-scans A/B (r4 VERDICT
+    next #3). Isolated in its own Ray session: measured 3.46x clean vs
+    0.8-2.8x inside a late, worker-bloated bench session — pool-spinup
+    against ~100 lingering idle workers corrupts both sides."""
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    from crusty_ray.ops.multimodal import (multimodal_epoch_ds,
+                                           multimodal_separate_scans)
+    multimodal_epoch_ds(images_dir, n_rows=64).materialize().count()
+    one_scan, three_scans, n_ep = float("inf"), float("inf"), 0
+    for _ in range(2):
+        t0 = time.time()
+        n_ep = multimodal_epoch_ds(images_dir).materialize().count()
+        one_scan = min(one_scan, time.time() - t0)
+        t0 = time.time()
+        for d in multimodal_separate_scans(images_dir):
+            d.materialize().count()
+        three_scans = min(three_scans, time.time() - t0)
+    ray.shutdown()
+    return {
+        "multimodal_epoch_rows": n_ep,
+        "multimodal_epoch_full_sec": round(one_scan, 3),
+        "multimodal_separate_scans_sec": round(three_scans, 3),
+        "multimodal_epoch_speedup": round(
+            three_scans / max(one_scan, 1e-9), 2),
+        # the structural (100 TB) metric: payload bytes leave storage
+        # once per epoch instead of once per modality
+        "multimodal_payload_scan_ratio": 3.0,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     if "--nodes-child" in sys.argv:
         k = int(sys.argv[sys.argv.index("--nodes-child") + 1])
         print(json.dumps(run_nodes_child(k)))
+    elif "--epoch-ab" in sys.argv:
+        d = sys.argv[sys.argv.index("--epoch-ab") + 1]
+        print(json.dumps(run_epoch_ab_child(d, num_cpus)))
     elif "--scaling-protocol" in sys.argv:
         print(json.dumps(run_scaling_protocol()))
     elif "--scaling-nodes-large" in sys.argv:
