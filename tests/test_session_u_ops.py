@@ -49,3 +49,18 @@ def test_hll_estimate_close_to_exact(ray_session):
     ).fetchone()[0]
     # p=6 standard error ~13%; allow 3 sigma
     assert abs(got / 10**6 - exact) <= 0.4 * exact
+
+
+def test_new_twin_defaults_match_engine_oracle():
+    """The r4 PCA advice generalized: every r5 promotion's tunable default
+    must agree between the engine function and its oracle generator, so a
+    caller relying on defaults always gets a matching oracle."""
+    import inspect
+    from crusty_ray.ops import dedup
+    sd_e = inspect.signature(dedup.semdedup_quant_ds).parameters
+    sd_o = inspect.signature(entry._semdedup_quant_oracle_sql).parameters
+    for k in ("n_clusters", "rounds", "threshold_q"):
+        assert sd_e[k].default == sd_o[k].default, k
+    hll_e = inspect.signature(sketch.approx_distinct_users_md5_ds).parameters
+    hll_o = inspect.signature(entry._approx_distinct_users_oracle_sql).parameters
+    assert hll_e["p"].default == hll_o["p"].default == 6
