@@ -84,6 +84,77 @@ def read_dataset(path: str, columns=None, max_blocks: int | None = None):
     return read_parquet(path, columns=columns, max_blocks=max_blocks)
 
 
+def lance_fragment_rows(total_rows: int, total_bytes: int,
+                        target_bytes: int = 64 << 20,
+                        max_rows: int = 1 << 20,
+                        min_rows: int = 1) -> int:
+    """Rows-per-fragment sizing for a Lance compaction — the same
+    byte-budget discipline as ``compact_dataset``: measure bytes/row from
+    the dataset itself (never guess from row counts), target
+    ``target_bytes`` per fragment, clamp to [min_rows, max_rows] (Lance's
+    default fragment ceiling is 1M rows; a payload table with MB-scale
+    binary rows must size fragments by BYTES or one fragment balloons to
+    tens of GB and every scan/merge of it stops being parallel)."""
+    if total_rows <= 0:
+        return max_rows  # nothing measured: Lance's own default ceiling
+    bytes_per_row = max(1, total_bytes // total_rows)
+    return int(max(min_rows, min(max_rows, target_bytes // bytes_per_row)))
+
+
+def lance_maintain(path: str, target_bytes: int = 64 << 20,
+                   keep_hours: float = 24.0 * 7,
+                   compact_min_fragments: int = 2) -> dict:
+    """The Lance storage-maintenance pass a long ingest needs (the Lance
+    analog of ``compact_dataset`` — per-epoch appends accumulate small
+    fragments AND every commit appends a version manifest, so both axes
+    need periodic trimming):
+
+    1. **fragment compaction** — when the dataset holds ≥
+       ``compact_min_fragments`` fragments, rewrite toward
+       ``lance_fragment_rows``-sized fragments (bytes-measured, clamped);
+    2. **version pruning** — drop manifests older than ``keep_hours``
+       (time-travel window; the compaction itself creates a version, so
+       pruning runs after it).
+
+    Returns a summary dict (fragments/versions before/after, the
+    rows-per-fragment used, bytes freed). Requires the ``lance`` package —
+    callers gate on ``storage_backend() == 'lance'``; the logic itself is
+    exercised in-sandbox against a minimal API fake
+    (tests/test_storage_seam.py) since the real package cannot be
+    installed here."""
+    from datetime import timedelta
+
+    import lance
+
+    ds = lance.dataset(path)
+    frags_before = len(ds.get_fragments())
+    rows = ds.count_rows()
+    data_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _dn, fs in os.walk(path) for f in fs
+        if not dp.startswith(os.path.join(path, "_versions")))
+    per_frag = lance_fragment_rows(rows, data_bytes,
+                                   target_bytes=target_bytes)
+    compacted = False
+    if frags_before >= compact_min_fragments:
+        ds.optimize.compact_files(target_rows_per_fragment=per_frag)
+        ds = lance.dataset(path)  # reopen at the post-compaction version
+        compacted = True
+    versions_before = len(ds.versions())
+    stats = ds.cleanup_old_versions(older_than=timedelta(hours=keep_hours))
+    ds = lance.dataset(path)
+    return {
+        "fragments_before": frags_before,
+        "fragments_after": len(ds.get_fragments()),
+        "rows_per_fragment": per_frag,
+        "compacted": compacted,
+        "versions_before": versions_before,
+        "versions_after": len(ds.versions()),
+        "bytes_removed": int(getattr(stats, "bytes_removed", 0)),
+        "rows": rows,
+    }
+
+
 def compact_dataset(path: str, out_path: str,
                     target_bytes: int = 64 << 20):
     """Small-file compaction — the storage-maintenance pass a long crawl
