@@ -623,9 +623,10 @@ def run_scaling_protocol() -> dict:
         _log(f"  window {w}: eff {eff} ({'valid' if is_valid else 'DISCARD'}"
              f", {len(valid)}/{target} collected)")
     valid.sort()
+    nc = int(os.environ.get("GRAFT_NODE_CPUS", "8"))
     return {
         "metric": "node scaling efficiency, quiet-window protocol "
-                  "(control-qualified windows, 1 vs 4 raylets × 8 cpus)",
+                  f"(control-qualified windows, 1 vs 4 raylets × {nc} cpus)",
         "value": valid[len(valid) // 2] if valid else None,
         "unit": "efficiency (median of valid windows)",
         "control_floor": floor,
