@@ -529,6 +529,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact-similarity counterpart the MinHash/SimHash tiers estimate
         "tfidf_cosine_pairs": dedup.tfidf_cosine_pairs_ds,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs_ds,
+        # prefix-filter exact set-similarity self-join (SSJoin/All-Pairs):
+        # the provably-complete candidate generator beside MinHash-LSH —
+        # df-rarest-first prefixes, in-bucket pairing, exact verify
+        "prefix_jaccard_pairs": dedup.prefix_jaccard_pairs_ds,
         # asymmetric containment (shared / min set): catches a short doc
         # embedded in a long one, which symmetric Jaccard dilutes
         "ngram_containment_pairs": dedup.ngram_containment_pairs_ds,
@@ -563,6 +567,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_groups": dedup.doc_dedup_groups_ds,
         # -- similarity search
         "ann_quantized": similarity.ann_quantized_ds,
+        # exact kNN GRAPH (self-join): every vector's top-k neighbors via
+        # bucket-replicated block-nested-loop — the graph the embedding
+        # dedup/label-prop/curation ops consume; IVF cells swap in at scale
+        "knn_graph": similarity.knn_graph_quant_ds,
         # contrastive-training hard negatives: per-anchor top-k most
         # similar DIFFERENT-label vectors (quantized, bit-exact)
         "hard_negatives": similarity.hard_negatives_ds,
@@ -626,6 +634,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Count-Min point frequencies beside exact counts (md5 row hashes
         # -> the one sketch whose oracle is full SQL, cells bit-exact)
         "cms_user_counts": sketch.cms_user_counts_ds,
+        # KMV bottom-k distinct: the third cardinality-sketch family (next
+        # to HLL + exact) — hash, bottom-k fold AND the integer (k-1)/U_(k)
+        # estimator all bit-exact under the 60-bit md5 face
+        "kmv_distinct_by_type": sketch.kmv_distinct_by_type_ds,
         # PRIMARY promoted r5 (the r4 minhash move repeated): the integer
         # power-iteration face IS embedding_pca now — SQL-oracled; the
         # float eigendecomp face keeps the _float name, rows-only
@@ -2085,6 +2097,57 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_dups
             FROM documents GROUP BY 1
         """,
+        # prefix-filter SSJoin (ops/dedup.prefix_jaccard_pairs_ds): the
+        # corpus-wide distinct-3-gram convention, df-rarest-first canonical
+        # order, prefix s-ceil(t*s)+1, bucket pairing, exact integer
+        # Jaccard >= 500 per-mille (candidates provably complete)
+        "prefix_jaccard_pairs": """
+            WITH t0 AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), ex AS (
+              SELECT doc_id, unnest(t) AS tok,
+                     generate_subscripts(t, 1) AS i, len(t) AS n
+              FROM t0
+            ), g0 AS (
+              SELECT doc_id,
+                     tok || ' ' || lead(tok, 1) OVER win || ' '
+                         || lead(tok, 2) OVER win AS w,
+                     i, n
+              FROM ex WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+            ), toks AS (
+              SELECT DISTINCT doc_id, w FROM g0 WHERE i + 2 <= n
+            ), df AS (
+              SELECT w, count(*) AS dfn FROM toks GROUP BY w
+            ), sz AS (
+              SELECT doc_id, count(*) AS s FROM toks GROUP BY doc_id
+            ), ord AS (
+              SELECT t.doc_id, t.w,
+                     row_number() OVER (PARTITION BY t.doc_id
+                                        ORDER BY df.dfn, t.w) AS rn,
+                     sz.s
+              FROM toks t JOIN df USING (w) JOIN sz USING (doc_id)
+            ), pref AS (
+              SELECT doc_id, w FROM ord
+              WHERE rn <= s - ((500 * s + 999) // 1000) + 1
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM pref a JOIN pref b ON a.w = b.w AND a.doc_id < b.doc_id
+            ), inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS i
+              FROM cand c
+              JOIN toks ta ON ta.doc_id = c.doc_a
+              JOIN toks tb ON tb.doc_id = c.doc_b AND tb.w = ta.w
+              GROUP BY 1, 2
+            )
+            SELECT i.doc_a, i.doc_b,
+                   CAST((1000 * i.i) // (sa.s + sb.s - i.i) AS BIGINT)
+                       AS jaccard_pm
+            FROM inter i
+            JOIN sz sa ON sa.doc_id = i.doc_a
+            JOIN sz sb ON sb.doc_id = i.doc_b
+            WHERE (1000 * i.i) // (sa.s + sb.s - i.i) >= 500
+            ORDER BY doc_a, doc_b
+        """,
         "ngram_jaccard_pairs": """
             WITH toks AS (
               SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
@@ -2328,6 +2391,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT u AS vec_id, MIN(r) AS component_id
             FROM reach GROUP BY u
+        """,
+        # exact kNN graph (ops/similarity.knn_graph_quant_ds): full
+        # quantized self-join, self excluded, top-10 per vector
+        "knn_graph": """
+            WITH d AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+              FROM embeddings
+            ), scored AS (
+              SELECT a.vec_id, b.vec_id AS neighbor_id,
+                     CAST(list_inner_product(a.qe, b.qe) AS BIGINT) AS qdot
+              FROM d a JOIN d b ON a.vec_id <> b.vec_id
+            )
+            SELECT vec_id, neighbor_id, qdot, rnk FROM (
+              SELECT *, CAST(row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY qdot DESC, neighbor_id) AS BIGINT) AS rnk
+              FROM scored) WHERE rnk <= 10
         """,
         "ann_quantized": """
             WITH d AS (
@@ -3833,6 +3915,32 @@ def oracle_sql() -> dict[str, str]:
         # rho = 59 - bit_length(h // 64) with bit_length via unpadded bin()
         # r5 primary promotion: the integer fixed-point HLL estimate
         "approx_distinct_users": _approx_distinct_users_oracle_sql(),
+        # KMV bottom-k distinct per event_type (ops/sketch.py k=64 face):
+        # 60-bit md5 hashes, per-group bottom-k, integer (k-1)·2^60 // kth
+        # estimator (HUGEINT numerator), exact when the sketch never fills
+        "kmv_distinct_by_type": """
+            WITH h AS (
+              SELECT DISTINCT event_type,
+                     ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                     ::BIGINT AS hv
+              FROM events
+            ), r AS (
+              SELECT event_type, hv,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY hv) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n_u
+              FROM h
+            )
+            SELECT event_type,
+                   CAST(LEAST(n_u, 64) AS BIGINT) AS n_kept,
+                   CAST(hv AS BIGINT) AS kth_hash,
+                   CAST(CASE WHEN n_u < 64 THEN n_u
+                        ELSE CAST(63 AS HUGEINT)
+                             * CAST(1::BIGINT << 60 AS HUGEINT)
+                             // greatest(hv, 1) END AS BIGINT) AS estimate
+            FROM r WHERE rn = LEAST(n_u, 64)
+            ORDER BY event_type
+        """,
         "hll_registers": """
             WITH h AS (
               SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))

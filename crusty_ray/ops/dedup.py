@@ -1809,3 +1809,104 @@ def sorted_neighborhood_pairs_ds(sf_dir: str, window: int = 2,
     return snm_pairs(docs, "doc_id", "n_chars", window=window, block=block,
                      out_a="doc_a", out_b="doc_b", gap_col="char_gap",
                      num_partitions=num_partitions)
+
+
+# ----------------------------- prefix-filter set-similarity join (SSJoin)
+
+def _distinct_gram_rows(batch: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, w) rows — DISTINCT word 3-grams per document under the
+    corpus-wide SQL-parity convention (``ops.text.space_split_ngrams`` =
+    the ``ngram_jaccard_pairs`` oracle's lead-window CTE). A doc is one
+    input row, so per-batch dedup is globally complete."""
+    from .text import space_split_ngrams
+    ids, grams = [], []
+    for d, t in zip(batch["doc_id"], batch["text"].fillna("")):
+        gs = space_split_ngrams(t)
+        ids.extend([int(d)] * len(gs))
+        grams.extend(gs)
+    return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                         "w": pd.Series(grams, dtype=object)})
+
+
+def prefix_jaccard_pairs_ds(sf_dir: str, threshold_pm: int = 500,
+                            num_partitions: int = 32):
+    """EXACT set-similarity self-join over document 3-gram sets — prefix
+    filtering (SSJoin, Chaudhuri/Ganti/Kaushik ICDE'06; All-Pairs, Bayardo
+    et al. WWW'07): the deterministic, no-false-negative alternative to
+    MinHash-LSH candidates, over the SAME gram sets the MinHash verify
+    scores (``space_split_ngrams``). Canonical gram order = ascending
+    global document frequency (rarest first), ties by gram string; a doc
+    of ``s`` distinct grams indexes only its first ``s - ceil(t·s) + 1``
+    grams; any pair with Jaccard ≥ t provably shares a prefix gram (the
+    minimal common gram of the intersection lies in both prefixes — if it
+    sat outside doc x's prefix, the whole intersection would fit in x's
+    suffix of size ceil(t·s)-1 < ceil(t·s) ≤ |∩|), so candidates are
+    COMPLETE — unlike LSH there is no recall loss — while hot
+    (boilerplate-class) grams never generate buckets because frequent
+    grams sort to the suffix.
+
+    Plan (every exchange a coarse hash partition, no broadcast state):
+      1. explode DISTINCT (doc_id, gram) rows, in-batch;
+      2. shuffle on gram → attach global df to each row;
+      3. shuffle on doc_id → rank by (df, gram), keep the prefix;
+      4. shuffle on gram → in-bucket self-merge → distinct candidate
+         pairs (prefix buckets are df-ordered-rare, hence small);
+      5. the shared two-shuffle bucketed verify
+         (``_verified_jaccard_pairs``, same ``_md5_gram_hashes`` side as
+         the MinHash face) computes exact integer Jaccard over the full
+         gram sets and keeps floor-per-mille ≥ ``threshold_pm``.
+
+    At 100 TB this is the exact-dedup complement to the MinHash path: same
+    shuffle discipline (slim int64/gram-hash rows, never text), one more
+    exchange than LSH in return for provably-zero false negatives.
+    Returns (doc_a, doc_b, jaccard_pm) — bit-exact vs
+    ``oracle_sql()['prefix_jaccard_pairs']``."""
+    from .agg import partitioned_group_apply
+
+    docs = _io_read(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
+    toks = docs.map_batches(_distinct_gram_rows, batch_format="pandas")
+
+    # 2. gram-partitioned df attach: a partition holds every row of each
+    # of its grams, so the group size IS the gram's global df
+    def attach_df(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["dfn"] = out.groupby("w")["doc_id"].transform("size") \
+            .astype("int64")
+        return out
+
+    with_df = partitioned_group_apply(toks, ["w"], attach_df, num_partitions)
+
+    # 3. doc-partitioned prefix: rank tokens rarest-first, keep the first
+    # s - ceil(t·s) + 1 (integer ceil: (t_pm·s + 999) // 1000)
+    def take_prefix(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "dfn", "w"], kind="mergesort")
+        g = df.groupby("doc_id")["w"]
+        rn = g.cumcount() + 1
+        s = g.transform("size").astype("int64")
+        keep = rn <= s - ((threshold_pm * s + 999) // 1000) + 1
+        return df.loc[keep, ["doc_id", "w"]].reset_index(drop=True)
+
+    pref = partitioned_group_apply(with_df, ["doc_id"], take_prefix,
+                                   num_partitions)
+
+    # 4. prefix-token buckets → candidate pairs (vectorized self-merge,
+    # the _band_candidates shape), then distinct pairs
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="w")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        return pd.DataFrame({"doc_a": m["doc_id_x"].astype("int64"),
+                             "doc_b": m["doc_id_y"].astype("int64")})
+
+    pairs = partitioned_group_apply(pref, ["w"], pairs_in_bucket,
+                                    num_partitions)
+
+    def distinct_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates().reset_index(drop=True)
+
+    cands = partitioned_group_apply(pairs, ["doc_a", "doc_b"],
+                                    distinct_pairs, num_partitions)
+
+    # 5. exact verify over full token sets (shared bucketed two-shuffle)
+    return _verified_jaccard_pairs(cands, sf_dir, _md5_gram_hashes,
+                                   threshold_pm=threshold_pm)

@@ -1328,3 +1328,96 @@ def embedding_drift_by_label_ds(sf_dir: str):
             "drift_d2": pd.Series([r[2] for r in rows], dtype="int64")})
 
     return partitioned_group_apply(sums, ["label"], drift)
+
+
+# ------------------------------------------------ exact kNN graph (self-join)
+
+def knn_graph_quant_ds(sf_dir: str, k: int = 10, n_buckets: int = 4,
+                       num_partitions: int = 16):
+    """Exact k-nearest-neighbor GRAPH over the embeddings table — for
+    EVERY vector, its top-``k`` neighbors by integer quantized inner
+    product (floor(x·1000), the repo-wide DuckDB-bit-exact convention),
+    self excluded, ties by neighbor vec_id. The self-join face beside the
+    query-side ANN ops: kNN graphs are what dedup clustering
+    (SemDeDup-style), label propagation over embeddings, and
+    graph-connectivity curation consume.
+
+    Plan — block-nested-loop via bucket replication (the distributed exact
+    formulation; FAISS calls it sharded brute force):
+      1. the RIGHT side hash-buckets by ``md5(vec_id) % n_buckets``; the
+         LEFT side replicates once per bucket (slim int64 qe rows — no
+         raw floats, no text);
+      2. one coarse hash partition per bucket: ONE vectorized int64
+         matmul left×bucket, each left row keeps its bucket-local top-k
+         (k rows per (left, bucket) — the shuffle moves O(N·B·k) slim
+         rows, never O(N²));
+      3. ``grouped_top_n`` merges bucket partials into the exact global
+         top-k per vector (bottom-k of a union = bottom-k of per-bucket
+         bottom-k's).
+
+    Scale honesty: an exact kNN graph is intrinsically O(N²) compute at
+    any layout — this face is the exact baseline and verify oracle; the
+    100-TB path swaps step 1's hash buckets for IVF cells
+    (``ann_ivf_quant``'s trained quantizer), turning the same plan into
+    the standard approximate kNN-graph build with probed-cell recall.
+    At the exact face, ``n_buckets`` bounds per-task right-side size;
+    the left replica stream is ``n_buckets`` × N slim rows.
+
+    Returns (vec_id, neighbor_id, qdot, rnk), rnk 1..k — bit-exact vs
+    ``oracle_sql()['knn_graph']``."""
+    from .agg import grouped_top_n, partitioned_group_apply
+    from .analog import md5_shard
+
+    ds = _io_read(f"{sf_dir}/embeddings.parquet",
+                  columns=["vec_id", "embedding"])
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["vec_id"].to_numpy(np.int64)
+        qe = [np.floor(np.asarray(v, np.float64) * 1000.0).astype(np.int64)
+              for v in batch["embedding"]]
+        right_b = md5_shard(pd.Series(ids), n_buckets)
+        frames = [pd.DataFrame({"vec_id": ids, "qe": qe, "side": 1,
+                                "bucket": right_b})]
+        for b in range(n_buckets):
+            frames.append(pd.DataFrame({"vec_id": ids, "qe": qe, "side": 0,
+                                        "bucket": b}))
+        out = pd.concat(frames, ignore_index=True)
+        return out.astype({"vec_id": "int64", "side": "int64",
+                           "bucket": "int64"})
+
+    rows = ds.map_batches(explode, batch_format="pandas")
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        # per-bucket groupby INSIDE the partition (the
+        # partitioned_group_apply contract): a coarse partition may hold
+        # several buckets, and mixing them would emit duplicate
+        # (vec_id, neighbor) partials — one per co-resident left replica
+        out = {"vec_id": [], "neighbor_id": [], "qdot": []}
+        for _, grp in df.groupby("bucket", sort=False):
+            left = grp[grp["side"] == 0]
+            right = grp[grp["side"] == 1]
+            if not len(left) or not len(right):
+                continue
+            lid = left["vec_id"].to_numpy(np.int64)
+            rid = right["vec_id"].to_numpy(np.int64)
+            lmat = np.stack(left["qe"].to_numpy())
+            rmat = np.stack(right["qe"].to_numpy())
+            dots = lmat @ rmat.T
+            for i in range(len(lid)):
+                cand = np.nonzero(rid != lid[i])[0]  # self excluded
+                if not len(cand):
+                    continue
+                order = cand[np.lexsort((rid[cand], -dots[i][cand]))][:k]
+                out["vec_id"].extend([lid[i]] * len(order))
+                out["neighbor_id"].extend(rid[order])
+                out["qdot"].extend(dots[i][order])
+        return pd.DataFrame({
+            "vec_id": pd.Series(out["vec_id"], dtype="int64"),
+            "neighbor_id": pd.Series(out["neighbor_id"], dtype="int64"),
+            "qdot": pd.Series(out["qdot"], dtype="int64")})
+
+    partials = partitioned_group_apply(rows, ["bucket"], local_topk,
+                                       num_partitions=n_buckets)
+    return grouped_top_n(partials, ["vec_id"], "qdot", k, ascending=False,
+                         tie_cols=["neighbor_id"], rank_col="rnk",
+                         num_partitions=num_partitions)

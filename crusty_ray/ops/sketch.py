@@ -294,3 +294,87 @@ def approx_distinct_users_md5_ds(sf_dir: str, p: int = 6) -> pd.DataFrame:
         est_e6 = m * hll_ln_table_e6(m)[zeros]
     return pd.DataFrame({"estimate_e6": [est_e6], "p": [p],
                          "zeros": [zeros]}).astype("int64")
+
+
+# ------------------------------------- KMV bottom-k distinct (md5 face)
+
+KMV_BITS = 60  # 15 md5 hex chars: BIGINT-safe in DuckDB, uniform on [0, 2^60)
+
+
+def kmv_distinct_by_type_ds(sf_dir: str, k: int = 64) -> pd.DataFrame:
+    """≈ COUNT(DISTINCT user_id) per event_type via the KMV (k-minimum-
+    values) bottom-k sketch (Bar-Yossef et al. 2002; Beyer et al. SIGMOD'07)
+    — the third cardinality sketch family next to HLL
+    (``approx_distinct_users``) and exact distinct, and the one whose whole
+    state AND estimator are trivially integer: keep the ``k`` smallest
+    distinct 60-bit hashes per group; the k-th smallest value ``kth``
+    estimates density, so ``estimate = (k-1)·2^60 // kth`` (unbiased
+    (k-1)/U_(k) form), exact when fewer than ``k`` distinct hashes exist.
+
+    Scale plan (100 TB): a block's partial is ≤ groups×k slim int64 rows —
+    bottom-k of a union is bottom-k of the per-block bottom-k's
+    (associative/commutative, block-layout independent, same contract as
+    the HLL register fold); a tree ``map_batches`` merge collapses ~256
+    partials per task and the driver folds the final card-sized frame
+    (n_groups × k rows). Unlike HLL, KMV sketches also intersect
+    (|A∩B| via the Jaccard of the union sketch) — that is why engines keep
+    both families.
+
+    Hash face: first 15 md5 hex chars of CAST(user_id AS VARCHAR) — every
+    step an exact DuckDB expression, so the full pipeline (hash → bottom-k
+    → integer estimate) is bit-exact-oracled
+    (``oracle_sql()['kmv_distinct_by_type']``).
+
+    Returns one row per event_type: (event_type, n_kept, kth_hash,
+    estimate), sorted by event_type."""
+    import hashlib
+
+    from .io import read_table
+
+    ds = read_table(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                              "hv": pd.Series([], dtype="int64")})
+        if not len(df):
+            return empty
+        uniq = df[["event_type", "user_id"]].drop_duplicates()
+        hv = np.array([int(hashlib.md5(str(int(u)).encode()).hexdigest()[:15],
+                           16) for u in uniq["user_id"].astype("int64")],
+                      dtype=np.int64)
+        out = pd.DataFrame({"event_type": uniq["event_type"].to_numpy(),
+                            "hv": hv}).drop_duplicates()
+        out = out.sort_values(["event_type", "hv"]) \
+            .groupby("event_type", as_index=False).head(k)
+        return out.reset_index(drop=True)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        out = df.drop_duplicates().sort_values(["event_type", "hv"]) \
+            .groupby("event_type", as_index=False).head(k)
+        return out.reset_index(drop=True)
+
+    # one partial per BLOCK, then a ~256-way tree merge (the HLL pattern)
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=None) \
+        .map_batches(merge, batch_format="pandas", batch_size=256 * k) \
+        .to_pandas()
+    if "event_type" not in parts.columns or not len(parts):
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             "n_kept": pd.Series([], dtype="int64"),
+                             "kth_hash": pd.Series([], dtype="int64"),
+                             "estimate": pd.Series([], dtype="int64")})
+    kept = merge(parts)
+    rows = []
+    for et, g in kept.groupby("event_type", sort=True):
+        n_kept = len(g)
+        kth = int(g["hv"].max())  # k-th smallest kept = max of the kept set
+        if n_kept < k:
+            est = n_kept  # sketch never filled: the kept set IS the universe
+        else:
+            est = ((k - 1) << KMV_BITS) // max(kth, 1)
+        rows.append((et, n_kept, kth, est))
+    out = pd.DataFrame(rows, columns=["event_type", "n_kept", "kth_hash",
+                                      "estimate"])
+    return out.astype({"n_kept": "int64", "kth_hash": "int64",
+                       "estimate": "int64"})
