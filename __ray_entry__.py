@@ -608,6 +608,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # FineWeb-style ensemble: Gopher signals blended by global
         # percentile rank (histogram-partial ranks, no global sort)
         "quality_blend_rank": curation.quality_blend_rank_ds,
+        # chi² feature selection: each source's most discriminative tokens
+        # (2×2 df contingency, integer trunc ·10^6 — the boilerplate finder)
+        "source_token_chi2": curation.source_token_chi2_ds,
         "compression_ratio": text.compression_ratio_ds,   # rows-only (zlib)
         # benchmark decontamination: broadcast the held-out set's distinct
         # n-grams, count per-doc overlap (GPT-3 appendix-C style)
@@ -4532,6 +4535,49 @@ def oracle_sql() -> dict[str, str]:
                         OVER (ORDER BY c.checkpoint))::BIGINT AS vocab_size
             FROM cps c CROSS JOIN step st CROSS JOIN nd
             LEFT JOIN counts ct ON ct.b = c.checkpoint
+        """,
+        # chi² discriminative tokens (ops/curation.source_token_chi2_ds):
+        # HUGEINT cross-term, trunc ·10^6, df<N + multi-source guards
+        "source_token_chi2": """
+            WITH toks AS (
+              SELECT DISTINCT doc_id, source, w FROM (
+                SELECT doc_id, source,
+                       unnest(list_filter(string_split(coalesce(text, ''), ' '),
+                              x -> x <> '')) AS w
+                FROM documents)
+            ), ns AS (
+              SELECT source, count(*)::BIGINT AS n_s FROM documents GROUP BY source
+            ), tot AS (
+              SELECT count(*)::BIGINT AS n FROM documents
+            ), dft AS (
+              SELECT w, count(*)::BIGINT AS df FROM toks GROUP BY w
+            ), o AS (
+              SELECT w, source, count(*)::BIGINT AS o11
+              FROM toks GROUP BY w, source
+            ), cells AS (
+              SELECT o.source, o.w, o.o11,
+                     dft.df - o.o11 AS o12,
+                     ns.n_s - o.o11 AS o21,
+                     tot.n - ns.n_s - (dft.df - o.o11) AS o22,
+                     tot.n AS n
+              FROM o JOIN dft USING (w) JOIN ns USING (source) CROSS JOIN tot
+              WHERE dft.df < tot.n
+            ), chi AS (
+              SELECT source, w, o11,
+                     CAST(CAST(n AS HUGEINT)
+                          * CAST(o11 * o22 - o12 * o21 AS HUGEINT)
+                          * CAST(o11 * o22 - o12 * o21 AS HUGEINT)
+                          * 1000000
+                          // (CAST(o11 + o12 AS HUGEINT) * (o21 + o22)
+                              * (o11 + o21) * (o12 + o22))
+                          AS BIGINT) AS chi2_e6
+              FROM cells WHERE (o12 + o22) > 0
+            )
+            SELECT source, w, o11, chi2_e6, CAST(rnk AS BIGINT) AS rnk FROM (
+              SELECT *, row_number() OVER (PARTITION BY source
+                        ORDER BY chi2_e6 DESC, w) AS rnk
+              FROM chi) WHERE rnk <= 10
+            ORDER BY source, rnk
         """,
         "corpus_report": """
             SELECT coalesce(source, 'ALL') AS source,

@@ -628,3 +628,96 @@ def ccnet_perplexity_buckets_ds(sf_dir: str, num_partitions: int = 32):
                                     index=batch.index)})
 
     return ranked.map_batches(finish, batch_format="pandas")
+
+
+# -------------------------------- chi² discriminative tokens per source
+
+def source_token_chi2_ds(sf_dir: str, k: int = 10,
+                         num_partitions: int = 32):
+    """Top-``k`` DISCRIMINATIVE tokens per source by the 2×2 chi-square
+    statistic over document frequency — the classic feature-selection
+    score (Yang & Pedersen ICML'97) a corpus curator uses to fingerprint
+    what makes each source distinct (and a quality analyst uses to catch
+    boilerplate: a template string chi²-locks onto its source).
+
+    For token t and source s over N docs:
+      o11 = docs in s containing t        o12 = df(t) − o11
+      o21 = n_s − o11                     o22 = N − n_s − o12
+      chi² = N·(o11·o22 − o12·o21)² / ((o11+o12)(o21+o22)(o11+o21)(o12+o22))
+
+    Integer contract: ``chi2_e6 = trunc(chi²·10^6)`` computed with Python
+    bignums (the cross term overflows int64; DuckDB mirrors in HUGEINT);
+    the result ≤ N·10^6 fits int64. Only tokens PRESENT in the source are
+    ranked (absent tokens measure anti-association), and tokens appearing
+    in every doc are excluded (o21+o22 = 0 — chi² undefined; they also
+    discriminate nothing). Ties break by token string.
+
+    Scale plan: DISTINCT (doc, source, token) rows explode in-batch; one
+    token-keyed coarse partition holds each token's whole posting list, so
+    df and the per-source o11 are exact in-partition; the per-source doc
+    counts (card-sized: o(sources)) broadcast as plain Python values
+    captured in the closure; ``grouped_top_n`` finishes the per-source
+    top-k. No text ever shuffles.
+
+    Returns (source, w, o11, chi2_e6, rnk), rnk 1..k — bit-exact vs
+    ``oracle_sql()['source_token_chi2']``."""
+    from .agg import grouped_top_n, partitioned_group_apply
+
+    docs = _io_read(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "source", "text"])
+
+    # card-sized source census (one tiny aggregate; the only driver state)
+    census = docs.map_batches(
+        lambda b: b.groupby("source", as_index=False)
+                   .agg(n_s=("doc_id", "size")),
+        batch_format="pandas").to_pandas() \
+        .groupby("source", as_index=False)["n_s"].sum()
+    n_s_map = dict(zip(census["source"], census["n_s"].astype(int)))
+    n_total = int(census["n_s"].sum())
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, srcs, toks = [], [], []
+        for d, s, t in zip(batch["doc_id"], batch["source"],
+                           batch["text"].fillna("")):
+            ws = {w for w in t.split(" ") if w}
+            ids.extend([int(d)] * len(ws))
+            srcs.extend([s] * len(ws))
+            toks.extend(ws)
+        return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                             "source": pd.Series(srcs, dtype=object),
+                             "w": pd.Series(toks, dtype=object)})
+
+    rows = docs.map_batches(explode, batch_format="pandas")
+
+    def chi2_in_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"source": [], "w": [], "o11": [], "chi2_e6": []}
+        per = df.groupby("w")
+        for w, grp in per:
+            dft = len(grp)  # distinct docs containing w (doc_id unique)
+            if dft >= n_total:
+                continue  # token in every doc: o21+o22 = 0, undefined
+            for s, o11 in grp.groupby("source")["doc_id"].size().items():
+                o11 = int(o11)
+                n_s = n_s_map[s]
+                o12 = dft - o11
+                o21 = n_s - o11
+                o22 = n_total - n_s - o12
+                num = n_total * (o11 * o22 - o12 * o21) ** 2 * 10 ** 6
+                den = (o11 + o12) * (o21 + o22) * (o11 + o21) * (o12 + o22)
+                if den == 0:
+                    continue  # single-source corpus (o12+o22 = 0)
+                out["source"].append(s)
+                out["w"].append(w)
+                out["o11"].append(o11)
+                out["chi2_e6"].append(num // den)
+        return pd.DataFrame({
+            "source": pd.Series(out["source"], dtype=object),
+            "w": pd.Series(out["w"], dtype=object),
+            "o11": pd.Series(out["o11"], dtype="int64"),
+            "chi2_e6": pd.Series(out["chi2_e6"], dtype="int64")})
+
+    scored = partitioned_group_apply(rows, ["w"], chi2_in_part,
+                                     num_partitions)
+    return grouped_top_n(scored, ["source"], "chi2_e6", k, ascending=False,
+                         tie_cols=["w"], rank_col="rnk",
+                         num_partitions=num_partitions)

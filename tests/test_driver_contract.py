@@ -157,8 +157,10 @@ SQL_CHECKED = [
     "approx_distinct_users",  # r5: integer fixed-point HLL estimate
     "semdedup",  # r5: quantized-Lloyd + recursive-CTE greedy
     "domain_pagerank",  # r5: simulator-edge-fixture oracle
-    # r5 continuation: KMV sketch, prefix-filter SSJoin, exact kNN graph
+    # r5 continuation: KMV sketch, prefix-filter SSJoin, exact kNN graph,
+    # chi² discriminative tokens
     "kmv_distinct_by_type", "prefix_jaccard_pairs", "knn_graph",
+    "source_token_chi2",
     # crawl faces — oracle is the reference simulator's expected outputs
     # materialized as parquet (sim/fixture.py), hash-checked like any other
     "crawl_log", "crawl_topk", "crawl_job_metrics",

@@ -177,3 +177,36 @@ def test_new_op_defaults_match_oracle_constants():
     assert "LEAST(n_u, 64)" in o["kmv_distinct_by_type"]
     assert "(500 * s + 999)" in o["prefix_jaccard_pairs"]
     assert "rnk <= 10" in o["knn_graph"]
+
+
+# -------------------------------------- chi² discriminative tokens
+
+def test_source_token_chi2_matches_oracle(ray_session):
+    from crusty_ray.ops import curation
+    got = curation.source_token_chi2_ds(SF).to_pandas() \
+        .sort_values(["source", "rnk"]).reset_index(drop=True)
+    want = _oracle_on(SF, entry.oracle_sql()["source_token_chi2"],
+                      tables=("documents",)) \
+        .sort_values(["source", "rnk"]).reset_index(drop=True)
+    cols = ["source", "w", "o11", "chi2_e6", "rnk"]
+    pd.testing.assert_frame_equal(got[cols], want[cols], check_dtype=False)
+
+
+def test_source_token_chi2_planted_marker(ray_session, tmp_path):
+    """A token exclusive to one source must rank #1 for that source with
+    the maximal chi² (= N·10^6 for a perfect association)."""
+    texts = (["SENTINEL common alpha"] * 5
+             + ["common beta gamma"] * 5)
+    pd.DataFrame({"doc_id": np.arange(10, dtype=np.int64),
+                  "text": texts,
+                  "lang": ["en"] * 10,
+                  "source": ["marked"] * 5 + ["plain"] * 5,
+                  "n_chars": [len(t) for t in texts]}) \
+        .to_parquet(tmp_path / "documents.parquet")
+    from crusty_ray.ops import curation
+    got = curation.source_token_chi2_ds(str(tmp_path)).to_pandas()
+    top = got[(got["source"] == "marked") & (got["rnk"] == 1)]
+    assert top["w"].tolist() == ["SENTINEL"]
+    assert int(top["chi2_e6"].iloc[0]) == 10 * 10 ** 6  # perfect 2×2
+    # 'common' (in every doc) must be excluded everywhere
+    assert not (got["w"] == "common").any()
