@@ -833,6 +833,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-part triangle counts over the co-purchase graph (min-vertex
         # wedge generation + one closure join; degree-ordered, cap-able)
         "part_triangles": graph.part_triangles_ds,
+        # friend-of-friend reach: distinct <=2-hop neighborhood size per
+        # part (the expansion-budget estimate for related-item retrieval)
+        "part_two_hop_reach": graph.part_two_hop_reach_ds,
         # fixed-round k-core peeling (adaptive keep-set filter per round)
         "kcore_parts": graph.kcore_parts_ds,
         # local clustering coefficient (triangles + degree, integer pm)
@@ -3231,6 +3234,25 @@ def oracle_sql() -> dict[str, str]:
                      count(*)::BIGINT AS n_users FROM s1
               UNION ALL SELECT 2, 'click', count(*) FROM s2
               UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+        """,
+        # 2-hop reach (ops/graph.part_two_hop_reach_ds) over the shared
+        # cosupport graph: wedge endpoints ∪ direct edges, distinct, counted
+        "part_two_hop_reach": f"""
+            WITH {_COSUPPORT_NB_CTE}, deg AS (
+              SELECT node, count(*)::BIGINT AS n1 FROM nb GROUP BY node
+            ), two AS (
+              SELECT a.node AS u, b.nb AS v
+              FROM nb a JOIN nb b ON a.nb = b.node
+              WHERE b.nb <> a.node
+              UNION
+              SELECT node, nb FROM nb
+            ), reach AS (
+              SELECT u AS node, count(DISTINCT v)::BIGINT AS reach2
+              FROM two GROUP BY u
+            )
+            SELECT d.node AS partkey, d.n1, r.reach2
+            FROM deg d JOIN reach r USING (node)
+            ORDER BY partkey
         """,
         "trade_pagerank": _pagerank_oracle_sql(iters=3),
         # r5: the crawl-native pagerank face, simulator-edge-fixture oracled

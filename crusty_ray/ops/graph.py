@@ -1394,3 +1394,89 @@ def purchase_hits_ds(sf_dir: str, rounds: int = 2, top_n: int = 25,
     return grouped_top_n(scores, ["side"], "score", top_n,
                          tie_cols=["node"], rank_col="rnk",
                          num_partitions=num_partitions)
+
+
+# ------------------------------------------------------- 2-hop reach
+
+def part_two_hop_reach_ds(sf_dir: str, min_support: int = 2,
+                          num_partitions: int = 32):
+    """Distinct ≤2-hop neighborhood size per part over the support-filtered
+    co-purchase graph — friend-of-friend REACH, the candidate-generation
+    cardinality behind "related items" / "people you may know" retrieval
+    (and the budget estimate an expansion stage needs before it runs).
+
+    reach2(u) = |{v ≠ u : dist(u, v) ≤ 2}|; n1(u) = degree. The support
+    cap (``part_cosupport_edges``) is what keeps the wedge sweep bounded —
+    on the raw co-occurrence graph 2-hop sets explode quadratically in the
+    hot-degree tail, on the support-2 graph max degree is single-digit.
+
+    Plan: melt to both-direction rows; one middle-node partition emits all
+    ordered wedge endpoint pairs (vectorized repeat×tile per group); union
+    the direct edges; ``distinct_rows`` + ``grouped_count`` finish — every
+    exchange a coarse hash partition of slim int64 pairs. The degree and
+    reach counts pivot together in one node-keyed partition (tagged
+    union, no join).
+
+    Returns (partkey, n1, reach2) sorted-free — bit-exact vs
+    ``oracle_sql()['part_two_hop_reach']``."""
+    from .agg import grouped_count, partitioned_group_apply
+
+    edges = part_cosupport_edges(sf_dir, min_support, num_partitions)
+    sym = edges.map_batches(
+        lambda df: _melt_edges(df, out_node="src", out_nb="dst"),
+        batch_format="pandas")
+
+    def wedge_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        us, vs = [], []
+        for _, grp in df.groupby("src", sort=False):
+            nbrs = grp["dst"].to_numpy(dtype=np.int64)
+            d = len(nbrs)
+            if d < 2:
+                continue
+            u = np.repeat(nbrs, d)
+            v = np.tile(nbrs, d)
+            keep = u != v
+            us.append(u[keep])
+            vs.append(v[keep])
+        if not us:
+            return pd.DataFrame({"u": pd.Series([], dtype="int64"),
+                                 "v": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"u": np.concatenate(us),
+                             "v": np.concatenate(vs)})
+
+    wedges = partitioned_group_apply(sym, ["src"], wedge_pairs,
+                                     num_partitions)
+    direct = sym.map_batches(
+        lambda df: pd.DataFrame({"u": df["src"].astype("int64"),
+                                 "v": df["dst"].astype("int64")}),
+        batch_format="pandas")
+    reach = grouped_count(
+        distinct_rows(wedges.union(direct), ["u", "v"], num_partitions),
+        ["u"], "reach2", num_partitions)
+    deg = grouped_count(sym.map_batches(
+        lambda df: pd.DataFrame({"u": df["src"].astype("int64")}),
+        batch_format="pandas"), ["u"], "n1", num_partitions)
+
+    def tag(col, kind):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"u": df["u"].astype("int64"),
+                                 "c": df[col].astype("int64"),
+                                 "kind": np.int64(kind)})
+        return f
+
+    tagged = deg.map_batches(tag("n1", 1), batch_format="pandas").union(
+        reach.map_batches(tag("reach2", 2), batch_format="pandas"))
+
+    def pivot(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for u, grp in df.groupby("u", sort=False):
+            k = dict(zip(grp["kind"], grp["c"]))
+            out.append((int(u), int(k.get(1, 0)), int(k.get(2, 0))))
+        return pd.DataFrame({"partkey": pd.Series([r[0] for r in out],
+                                                  dtype="int64"),
+                             "n1": pd.Series([r[1] for r in out],
+                                             dtype="int64"),
+                             "reach2": pd.Series([r[2] for r in out],
+                                                 dtype="int64")})
+
+    return partitioned_group_apply(tagged, ["u"], pivot, num_partitions)

@@ -210,3 +210,41 @@ def test_source_token_chi2_planted_marker(ray_session, tmp_path):
     assert int(top["chi2_e6"].iloc[0]) == 10 * 10 ** 6  # perfect 2×2
     # 'common' (in every doc) must be excluded everywhere
     assert not (got["w"] == "common").any()
+
+
+# ------------------------------------------------------- 2-hop reach
+
+def test_two_hop_reach_matches_oracle(ray_session):
+    from crusty_ray.ops import graph
+    got = graph.part_two_hop_reach_ds(SF).to_pandas() \
+        .sort_values("partkey").reset_index(drop=True)
+    want = _oracle_on(SF, entry.oracle_sql()["part_two_hop_reach"],
+                      tables=("lineitem",)) \
+        .sort_values("partkey").reset_index(drop=True)
+    cols = ["partkey", "n1", "reach2"]
+    pd.testing.assert_frame_equal(got[cols].astype("int64"),
+                                  want[cols].astype("int64"))
+
+
+def test_two_hop_reach_path_graph(ray_session, tmp_path):
+    """Planted path a–b–c–d (each edge in 2 orders for support): reach2 of
+    the endpoints is 2, of the middles 3; n1 is 1/2/2/1."""
+    rows = []
+    ok = 0
+    for (x, y) in [(1, 2), (2, 3), (3, 4)]:
+        for _ in range(2):  # support 2 per edge
+            rows += [(ok, x), (ok, y)]
+            ok += 1
+    df = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    df["l_linenumber"] = df.groupby("l_orderkey").cumcount() + 1
+    df["l_quantity"] = 1.0
+    df["l_extendedprice"] = 1.0
+    df["l_returnflag"] = "N"
+    df["l_shipdate"] = pd.to_datetime("2024-01-01")
+    df.to_parquet(tmp_path / "lineitem.parquet")
+    from crusty_ray.ops import graph
+    got = graph.part_two_hop_reach_ds(str(tmp_path)).to_pandas() \
+        .sort_values("partkey").reset_index(drop=True)
+    assert got["partkey"].tolist() == [1, 2, 3, 4]
+    assert got["n1"].tolist() == [1, 2, 2, 1]
+    assert got["reach2"].tolist() == [2, 3, 3, 2]
