@@ -529,14 +529,37 @@ def triangle_counts(edges, num_partitions: int = 32,
                          ["node"], "n_triangles", num_partitions)
 
 
+# one materialized copy of each co-purchase edge graph per Ray session —
+# ~10 graph faces consume these two derived tables, and rebuilding the
+# lineitem sweep per face was the dominant shared cost of the graph suite
+# (the `_nation_star_rollup` shared-scan pattern, labeled in BASELINE.md).
+# Keyed by node id so a fresh ray.init() can never serve blocks from a
+# dead session; edges are slim int64 pairs, so the pinned footprint is
+# small even at sf-bench scale.
+_EDGE_MEMO: dict = {}
+
+
+def _edge_memo_key(*parts):
+    import ray as _ray
+    try:
+        nid = _ray.get_runtime_context().get_node_id()
+    except Exception:  # no session yet: never cache across unknown sessions
+        nid = object()
+    return (nid,) + parts
+
+
 def part_cooccurrence_edges(sf_dir: str, num_partitions: int = 32):
     """Distinct co-purchase edges (a, b), a < b: parts appearing together
     in at least one order. Pair generation is one orderkey partition with
     the shared vectorized shift sweep (``basket._sweep_pairs`` — TPC-H
     baskets are ≤ ~13 rows, so the sweep is a handful of full-column
-    vector ops, no per-order Python loop)."""
+    vector ops, no per-order Python loop). Materialized once per session
+    (``_EDGE_MEMO``) — triangles/kcore/clustering all reuse the blocks."""
     from .basket import _sweep_pairs
 
+    key = _edge_memo_key("cooc", sf_dir, num_partitions)
+    if key in _EDGE_MEMO:
+        return _EDGE_MEMO[key]
     li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
     def slim(df: pd.DataFrame) -> pd.DataFrame:
@@ -546,7 +569,9 @@ def part_cooccurrence_edges(sf_dir: str, num_partitions: int = 32):
     pairs = partitioned_group_apply(
         li.map_batches(slim, batch_format="pandas"), ["o"],
         lambda df: _sweep_pairs(df).drop_duplicates(), num_partitions)
-    return distinct_rows(pairs, ["a", "b"], num_partitions)
+    res = distinct_rows(pairs, ["a", "b"], num_partitions).materialize()
+    _EDGE_MEMO[key] = res
+    return res
 
 
 def part_cosupport_edges(sf_dir: str, min_support: int = 2,
@@ -558,9 +583,13 @@ def part_cosupport_edges(sf_dir: str, min_support: int = 2,
     co-purchases are sparse (sf0.1: 3.6k edges, max degree 6) — so
     exact all-wedge plans (link prediction, Jaccard) stay bounded at any
     scale. The count is ``basket.pair_support_counts`` (the shared
-    sweep + one pair-keyed count)."""
+    sweep + one pair-keyed count). Materialized once per session
+    (``_EDGE_MEMO``) — the ~7 cosupport faces reuse the blocks."""
     from .basket import pair_support_counts
 
+    key = _edge_memo_key("cosup", sf_dir, min_support, num_partitions)
+    if key in _EDGE_MEMO:
+        return _EDGE_MEMO[key]
     li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
     supp = pair_support_counts(li, "l_orderkey", "l_partkey",
                                num_partitions)
@@ -568,7 +597,9 @@ def part_cosupport_edges(sf_dir: str, min_support: int = 2,
     def keep(df: pd.DataFrame) -> pd.DataFrame:
         return df.loc[df["pair_support"] >= min_support, ["a", "b"]]
 
-    return supp.map_batches(keep, batch_format="pandas")
+    res = supp.map_batches(keep, batch_format="pandas").materialize()
+    _EDGE_MEMO[key] = res
+    return res
 
 
 def part_triangles_ds(sf_dir: str, num_partitions: int = 32):
