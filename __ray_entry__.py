@@ -571,6 +571,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bucket-replicated block-nested-loop — the graph the embedding
         # dedup/label-prop/curation ops consume; IVF cells swap in at scale
         "knn_graph": similarity.knn_graph_quant_ds,
+        # mutual-kNN clustering: kNN graph → both-directions edge filter →
+        # connected components (hub edges never merge clusters)
+        "mutual_knn_clusters": similarity.mutual_knn_clusters_ds,
         # contrastive-training hard negatives: per-anchor top-k most
         # similar DIFFERENT-label vectors (quantized, bit-exact)
         "hard_negatives": similarity.hard_negatives_ds,
@@ -2387,6 +2390,40 @@ def oracle_sql() -> dict[str, str]:
               SELECT a.vec_id AS pu, b.vec_id AS pv
               FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
               WHERE list_inner_product(a.qe, b.qe) >= 300000
+            ), edges AS (
+              SELECT pu AS u, pv AS v FROM pairs
+              UNION ALL SELECT pv, pu FROM pairs
+            ), reach(u, r) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+            )
+            SELECT u AS vec_id, MIN(r) AS component_id
+            FROM reach GROUP BY u
+        """,
+        # mutual-kNN clustering (ops/similarity.mutual_knn_clusters_ds):
+        # k=5 kNN graph, both-directions pair filter, recursive-CTE CC
+        "mutual_knn_clusters": """
+            WITH RECURSIVE d AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+              FROM embeddings
+            ), scored AS (
+              SELECT a.vec_id, b.vec_id AS neighbor_id,
+                     CAST(list_inner_product(a.qe, b.qe) AS BIGINT) AS qdot
+              FROM d a JOIN d b ON a.vec_id <> b.vec_id
+            ), knn AS (
+              SELECT vec_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (
+                         PARTITION BY vec_id
+                         ORDER BY qdot DESC, neighbor_id) AS rnk
+                FROM scored) WHERE rnk <= 5
+            ), pairs AS (
+              SELECT a.vec_id AS pu, a.neighbor_id AS pv
+              FROM knn a JOIN knn b ON a.vec_id = b.neighbor_id
+                                   AND a.neighbor_id = b.vec_id
+              WHERE a.vec_id < a.neighbor_id
             ), edges AS (
               SELECT pu AS u, pv AS v FROM pairs
               UNION ALL SELECT pv, pu FROM pairs

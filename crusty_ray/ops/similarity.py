@@ -1421,3 +1421,47 @@ def knn_graph_quant_ds(sf_dir: str, k: int = 10, n_buckets: int = 4,
     return grouped_top_n(partials, ["vec_id"], "qdot", k, ascending=False,
                          tie_cols=["neighbor_id"], rank_col="rnk",
                          num_partitions=num_partitions)
+
+
+def mutual_knn_clusters_ds(sf_dir: str, k: int = 5, n_buckets: int = 4,
+                           num_partitions: int = 16):
+    """Mutual-kNN clustering over the embeddings table — vectors u, v are
+    linked iff EACH is in the other's top-``k`` (the classic
+    shared/mutual-NN clustering rule: asymmetric neighbor edges into hub
+    vectors do NOT merge clusters, which is what makes plain kNN-graph
+    components collapse and mutual-kNN components stable), then clusters =
+    connected components of the mutual graph.
+
+    Composition face: ``knn_graph_quant_ds`` (exact bucket-replicated kNN
+    graph) → one pair-keyed partition keeps the pairs present in BOTH
+    directions → the shared adaptive ``connected_components`` (dedup's
+    hash-min BSP / driver union-find). Every vector gets a row; singletons
+    label themselves. The 100-TB path swaps the exact kNN stage for the
+    IVF-bucketed one, everything downstream unchanged.
+
+    Returns (vec_id, component_id), component_id = min reachable vec_id —
+    bit-exact vs ``oracle_sql()['mutual_knn_clusters']``."""
+    from .agg import partitioned_group_apply
+    from .dedup import connected_components
+
+    knn = knn_graph_quant_ds(sf_dir, k=k, n_buckets=n_buckets,
+                             num_partitions=num_partitions)
+
+    def to_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["vec_id"].to_numpy(np.int64)
+        v = df["neighbor_id"].to_numpy(np.int64)
+        return pd.DataFrame({"a": np.minimum(u, v), "b": np.maximum(u, v),
+                             "fwd": (u < v).astype(np.int64)})
+
+    def mutual_only(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["a", "b"])["fwd"].nunique()
+        keep = g[g == 2].reset_index()
+        return pd.DataFrame({"u": keep["a"].astype("int64"),
+                             "v": keep["b"].astype("int64")})
+
+    edges = partitioned_group_apply(
+        knn.map_batches(to_pairs, batch_format="pandas"), ["a", "b"],
+        mutual_only, num_partitions)
+    nodes = _io_read(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+    return connected_components(edges, nodes, "vec_id", "component_id",
+                                num_partitions)

@@ -248,3 +248,30 @@ def test_two_hop_reach_path_graph(ray_session, tmp_path):
     assert got["partkey"].tolist() == [1, 2, 3, 4]
     assert got["n1"].tolist() == [1, 2, 2, 1]
     assert got["reach2"].tolist() == [2, 3, 3, 2]
+
+
+# -------------------------------------------------- mutual-kNN clusters
+
+def test_mutual_knn_clusters_matches_oracle(ray_session):
+    got = similarity.mutual_knn_clusters_ds(SF).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    want = _oracle_on(SF, entry.oracle_sql()["mutual_knn_clusters"],
+                      tables=("embeddings",)) \
+        .sort_values("vec_id").reset_index(drop=True)
+    cols = ["vec_id", "component_id"]
+    pd.testing.assert_frame_equal(got[cols].astype("int64"),
+                                  want[cols].astype("int64"))
+
+
+def test_mutual_knn_edges_are_symmetric_subset(ray_session):
+    """Every mutual edge is in the kNN graph BOTH ways; components never
+    exceed the label clusters' granularity badly (sanity: ≥ n_labels
+    clusters would be ideal, but at minimum every vector is labeled and
+    component ids are component minima)."""
+    got = similarity.mutual_knn_clusters_ds(SF).to_pandas()
+    assert len(got) == 500  # every vector labeled
+    # component_id is the min member: the row holding its own id exists
+    roots = set(got["component_id"])
+    assert roots <= set(got["vec_id"])
+    mins = got.groupby("component_id")["vec_id"].min()
+    assert (mins.index == mins.values).all()
