@@ -839,6 +839,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # friend-of-friend reach: distinct <=2-hop neighborhood size per
         # part (the expansion-budget estimate for related-item retrieval)
         "part_two_hop_reach": graph.part_two_hop_reach_ds,
+        # degree-assortativity slope (integer regression form): do hubs
+        # link hubs or leaves in the co-purchase graph
+        "degree_assortativity": graph.degree_assortativity_ds,
         # fixed-round k-core peeling (adaptive keep-set filter per round)
         "kcore_parts": graph.kcore_parts_ds,
         # local clustering coefficient (triangles + degree, integer pm)
@@ -3290,6 +3293,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.node AS partkey, d.n1, r.reach2
             FROM deg d JOIN reach r USING (node)
             ORDER BY partkey
+        """,
+        # degree-assortativity slope (ops/graph.degree_assortativity_ds):
+        # x=deg(src), y=deg(dst) over directed cosupport edges, trunc-div
+        "degree_assortativity": f"""
+            WITH {_COSUPPORT_NB_CTE}, deg AS (
+              SELECT node, count(*)::BIGINT AS d FROM nb GROUP BY node
+            ), xy AS (
+              SELECT ds.d AS x, dt.d AS y
+              FROM nb e JOIN deg ds ON ds.node = e.node
+                        JOIN deg dt ON dt.node = e.nb
+            ), s AS (
+              SELECT count(*)::BIGINT AS n,
+                     COALESCE(sum(x), 0)::BIGINT AS sx,
+                     COALESCE(sum(y), 0)::BIGINT AS sy,
+                     COALESCE(sum(x * y), 0)::BIGINT AS sxy,
+                     COALESCE(sum(x * x), 0)::BIGINT AS sxx
+              FROM xy
+            )
+            SELECT n AS n_dir_edges,
+                   CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                        ELSE CAST(n * sxy - sx * sy AS HUGEINT) * 1000
+                             // (n * sxx - sx * sx) END AS BIGINT)
+                       AS slope_pm
+            FROM s
         """,
         "trade_pagerank": _pagerank_oracle_sql(iters=3),
         # r5: the crawl-native pagerank face, simulator-edge-fixture oracled

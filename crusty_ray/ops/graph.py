@@ -1511,3 +1511,91 @@ def part_two_hop_reach_ds(sf_dir: str, min_support: int = 2,
                                                  dtype="int64")})
 
     return partitioned_group_apply(tagged, ["u"], pivot, num_partitions)
+
+
+# -------------------------------------------------- degree assortativity
+
+def degree_assortativity_ds(sf_dir: str, min_support: int = 2,
+                            num_partitions: int = 32):
+    """Degree-assortativity SLOPE of the co-purchase graph — the
+    regression slope of neighbor degree on node degree over every
+    directed edge (Newman 2002's mixing-by-degree, in the repo's exact
+    integer regression-slope form rather than the sqrt-normalized r):
+    ``slope_pm = (n·Σxy − Σx·Σy)·1000 // (n·Σx² − (Σx)²)`` with
+    x = deg(src), y = deg(dst), truncating division (``_trunc_div``).
+    Positive = hubs link hubs (assortative); negative = hubs link leaves
+    (the hub-and-spoke shape most retail co-purchase graphs show);
+    0 row on a degree-regular graph (zero variance — both engines agree
+    by convention rather than raising).
+
+    Plan: the memoized cosupport graph melts to directed rows; TWO
+    co-partitioned attach passes (the CC label-attach shape) put each
+    endpoint's degree on the edge; per-block algebraic partials
+    (n, Σx, Σy, Σxy, Σx²) collapse to ONE slim row each, the driver
+    folds a handful of partials with Python ints — no magnitude limit.
+
+    Returns one row (n_dir_edges, slope_pm) — bit-exact vs
+    ``oracle_sql()['degree_assortativity']``."""
+    from .agg import grouped_count, partitioned_group_apply
+    from .stats import _trunc_div
+
+    edges = part_cosupport_edges(sf_dir, min_support, num_partitions)
+    sym = edges.map_batches(
+        lambda df: _melt_edges(df, out_node="src", out_nb="dst"),
+        batch_format="pandas")
+    deg = grouped_count(sym.map_batches(
+        lambda df: pd.DataFrame({"node": df["src"].astype("int64")}),
+        batch_format="pandas"), ["node"], "d", num_partitions)
+
+    # attach pass 1: x = deg(src). Tagged union co-partitioned on src.
+    def tag_edge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["src"].astype("int64"),
+                             "dst": df["dst"].astype("int64"),
+                             "d": np.int64(-1)})
+
+    def tag_deg(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["node"].astype("int64"),
+                             "dst": np.int64(-1),
+                             "d": df["d"].astype("int64")})
+
+    def attach_x(df: pd.DataFrame) -> pd.DataFrame:
+        dmap = df.loc[df["dst"] < 0].set_index("node")["d"]
+        e = df.loc[df["dst"] >= 0]
+        return pd.DataFrame({"node": e["dst"].to_numpy(np.int64),
+                             "dst": np.int64(-1) * np.ones(len(e), np.int64),
+                             "x": e["node"].map(dmap).to_numpy(np.int64)})
+
+    with_x = partitioned_group_apply(
+        sym.map_batches(tag_edge, batch_format="pandas")
+           .union(deg.map_batches(tag_deg, batch_format="pandas")),
+        ["node"], attach_x, num_partitions)
+
+    # attach pass 2: y = deg(dst); co-partition (x-rows ∪ degrees) on the
+    # dst endpoint (carried as "node"), then per-partition partial sums
+    def tag_deg2(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["node"].astype("int64"),
+                             "dst": np.int64(-2),
+                             "x": df["d"].astype("int64")})
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        dmap = df.loc[df["dst"] == -2].set_index("node")["x"]
+        e = df.loc[df["dst"] == -1]
+        x = e["x"].to_numpy(np.int64)
+        y = e["node"].map(dmap).to_numpy(np.int64)
+        return pd.DataFrame({
+            "n": [np.int64(len(e))],
+            "sx": [x.sum(dtype=np.int64)], "sy": [y.sum(dtype=np.int64)],
+            "sxy": [(x * y).sum(dtype=np.int64)],
+            "sxx": [(x * x).sum(dtype=np.int64)]}).astype("int64")
+
+    p = partitioned_group_apply(
+        with_x.union(deg.map_batches(tag_deg2, batch_format="pandas")),
+        ["node"], partials, num_partitions).to_pandas()
+    n = int(p["n"].sum()); sx = int(p["sx"].sum()); sy = int(p["sy"].sum())
+    sxy = int(p["sxy"].sum()); sxx = int(p["sxx"].sum())
+    den = n * sxx - sx * sx
+    slope = 0 if den == 0 else int(_trunc_div(
+        np.array([(n * sxy - sx * sy) * 1000], dtype=object),
+        np.array([den], dtype=object))[0])
+    return pd.DataFrame({"n_dir_edges": [n],
+                         "slope_pm": [slope]}).astype("int64")

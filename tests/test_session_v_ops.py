@@ -275,3 +275,34 @@ def test_mutual_knn_edges_are_symmetric_subset(ray_session):
     assert roots <= set(got["vec_id"])
     mins = got.groupby("component_id")["vec_id"].min()
     assert (mins.index == mins.values).all()
+
+
+# --------------------------------------------- degree assortativity
+
+def test_degree_assortativity_matches_oracle(ray_session):
+    from crusty_ray.ops import graph
+    got = graph.degree_assortativity_ds(SF).reset_index(drop=True)
+    want = _oracle_on(SF, entry.oracle_sql()["degree_assortativity"],
+                      tables=("lineitem",)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+
+
+def test_degree_assortativity_star_graph(ray_session, tmp_path):
+    """Planted star (hub 1 — leaves 2..5, support 2 each): perfectly
+    DISassortative — x,y pairs are (4,1)×4 and (1,4)×4, slope −1000 pm."""
+    rows, ok = [], 0
+    for leaf in (2, 3, 4, 5):
+        for _ in range(2):
+            rows += [(ok, 1), (ok, leaf)]
+            ok += 1
+    df = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    df["l_linenumber"] = df.groupby("l_orderkey").cumcount() + 1
+    df["l_quantity"] = 1.0
+    df["l_extendedprice"] = 1.0
+    df["l_returnflag"] = "N"
+    df["l_shipdate"] = pd.to_datetime("2024-01-01")
+    df.to_parquet(tmp_path / "lineitem.parquet")
+    from crusty_ray.ops import graph
+    got = graph.degree_assortativity_ds(str(tmp_path))
+    assert int(got["n_dir_edges"].iloc[0]) == 8
+    assert int(got["slope_pm"].iloc[0]) == -1000
