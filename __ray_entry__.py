@@ -823,6 +823,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (5*cum >= 4*total, exact integers, in-worker single window)
         "value_pareto_point": stats.value_pareto_point_ds,
         "funnel_counts": behavior.funnel_counts_ds,
+        # audience overlap: exact distinct-user Jaccard per type pair
+        "event_type_user_jaccard": behavior.event_type_user_jaccard_ds,
         # first-order Markov transition counts between consecutive event
         # types per user (ties on ts broken by event_id — total order)
         "event_transitions": behavior.event_transition_matrix_ds,
@@ -3253,6 +3255,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT cohort_week, week, count(*)::BIGINT AS n_users
             FROM uw JOIN c USING (user_id) GROUP BY 1, 2
+        """,
+        # audience-overlap Jaccard (ops/behavior.event_type_user_jaccard_ds)
+        "event_type_user_jaccard": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+            sz AS (
+              SELECT event_type, count(*)::BIGINT AS n
+              FROM ut GROUP BY event_type
+            ), inter AS (
+              SELECT a.event_type AS type_a, b.event_type AS type_b,
+                     count(*)::BIGINT AS inter
+              FROM ut a JOIN ut b ON a.user_id = b.user_id
+                                 AND a.event_type < b.event_type
+              GROUP BY 1, 2
+            )
+            SELECT i.type_a, i.type_b, i.inter,
+                   sa.n + sb.n - i.inter AS uni,
+                   CAST((1000 * i.inter) // (sa.n + sb.n - i.inter)
+                        AS BIGINT) AS jaccard_pm
+            FROM inter i JOIN sz sa ON sa.event_type = i.type_a
+                         JOIN sz sb ON sb.event_type = i.type_b
+            ORDER BY type_a, type_b
         """,
         "funnel_counts": """
             WITH s1 AS (

@@ -459,3 +459,69 @@ def user_inactivity_report_ds(sf_dir: str, idle_hours: int = 72,
     per_user["churned"] = (per_user["idle_hours"] >= idle_hours) \
         .astype("int64")
     return per_user.sort_values("user_id").reset_index(drop=True)
+
+
+def event_type_user_jaccard_ds(sf_dir: str, num_partitions: int = 32):
+    """Audience-overlap matrix: exact Jaccard of the DISTINCT-user sets of
+    every event-type pair — the segmentation diagnostic behind funnel
+    design (near-1 pairs are the same audience twice; near-0 pairs are
+    disjoint populations worth separate treatments).
+
+    Plan (the set-similarity shuffle discipline at user grain): distinct
+    (user, type) rows pre-dedup in-batch; ONE user-keyed partition emits
+    each user's type-pair memberships (types-per-user is ≤ the type
+    cardinality — card-sized); a pair-keyed count + the card-sized
+    per-type distinct totals finish ``|∩|`` and ``|A|+|B|−|∩|``. Integer
+    per-mille output (floor — the repo threshold convention).
+
+    Returns (type_a, type_b, inter, uni, jaccard_pm) for type_a < type_b
+    — bit-exact vs ``oracle_sql()['event_type_user_jaccard']``."""
+    from .io import read_table
+    from .agg import grouped_count, partitioned_group_apply
+
+    ev = read_table(sf_dir, "events", ["user_id", "event_type"])
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["user_id", "event_type"]].drop_duplicates()
+
+    ut = ev.map_batches(slim, batch_format="pandas")
+
+    # card-sized per-type distinct-user totals (one tiny aggregate)
+    sizes = grouped_count(
+        partitioned_group_apply(ut, ["user_id", "event_type"],
+                                lambda df: df.drop_duplicates(),
+                                num_partitions),
+        ["event_type"], "n_users", num_partitions).to_pandas()
+    size_map = dict(zip(sizes["event_type"], sizes["n_users"].astype(int)))
+
+    def user_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        outs_a, outs_b = [], []
+        for _, grp in df.groupby("user_id", sort=False):
+            ts = np.sort(grp["event_type"].unique())
+            if len(ts) < 2:
+                continue
+            n = len(ts)
+            ia, ib = np.triu_indices(n, k=1)
+            outs_a.append(ts[ia])
+            outs_b.append(ts[ib])
+        if not outs_a:
+            return pd.DataFrame({"type_a": pd.Series([], dtype=object),
+                                 "type_b": pd.Series([], dtype=object)})
+        return pd.DataFrame({"type_a": np.concatenate(outs_a),
+                             "type_b": np.concatenate(outs_b)})
+
+    pairs = partitioned_group_apply(ut, ["user_id"], user_pairs,
+                                    num_partitions)
+    inter = grouped_count(pairs, ["type_a", "type_b"], "inter",
+                          num_partitions)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        na = df["type_a"].map(size_map).astype("int64")
+        nb = df["type_b"].map(size_map).astype("int64")
+        uni = na + nb - df["inter"].astype("int64")
+        return pd.DataFrame({
+            "type_a": df["type_a"], "type_b": df["type_b"],
+            "inter": df["inter"].astype("int64"), "uni": uni,
+            "jaccard_pm": (1000 * df["inter"].astype("int64")) // uni})
+
+    return inter.map_batches(finish, batch_format="pandas")

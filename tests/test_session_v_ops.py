@@ -306,3 +306,36 @@ def test_degree_assortativity_star_graph(ray_session, tmp_path):
     got = graph.degree_assortativity_ds(str(tmp_path))
     assert int(got["n_dir_edges"].iloc[0]) == 8
     assert int(got["slope_pm"].iloc[0]) == -1000
+
+
+# --------------------------------------------- audience overlap jaccard
+
+def test_event_type_user_jaccard_matches_oracle(ray_session):
+    from crusty_ray.ops import behavior
+    got = behavior.event_type_user_jaccard_ds(SF).to_pandas() \
+        .sort_values(["type_a", "type_b"]).reset_index(drop=True)
+    want = _oracle_on(SF, entry.oracle_sql()["event_type_user_jaccard"]) \
+        .sort_values(["type_a", "type_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
+
+
+def test_event_type_user_jaccard_planted_overlap(ray_session, tmp_path):
+    """Users 0-9 click; users 5-14 view; users 20+ purchase (disjoint):
+    click∩view = 5 of 15 → 333 pm; purchase pairs never co-occur."""
+    rows = ([("click", u) for u in range(10)]
+            + [("view", u) for u in range(5, 15)]
+            + [("purchase", u) for u in range(20, 30)])
+    df = pd.DataFrame(rows, columns=["event_type", "user_id"])
+    df["event_id"] = np.arange(len(df), dtype=np.int64)
+    df["ts"] = pd.to_datetime("2024-01-01")
+    df["value"] = 1.0
+    df["props"] = "{}"
+    df.to_parquet(tmp_path / "events.parquet")
+    from crusty_ray.ops import behavior
+    got = behavior.event_type_user_jaccard_ds(str(tmp_path)).to_pandas()
+    assert len(got) == 1  # only click/view co-occur
+    r = got.iloc[0]
+    assert (r["type_a"], r["type_b"]) == ("click", "view")
+    assert (int(r["inter"]), int(r["uni"]), int(r["jaccard_pm"])) \
+        == (5, 15, 333)
