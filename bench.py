@@ -16,6 +16,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import subprocess
 import sys
 import tempfile
@@ -630,7 +631,9 @@ def run_scaling_protocol() -> dict:
     return {
         "metric": "node scaling efficiency, quiet-window protocol "
                   f"(control-qualified windows, 1 vs 4 raylets × {nc} cpus)",
-        "value": valid[len(valid) // 2] if valid else None,
+        # true median (even-length series interpolate — the upper-middle
+        # element would overstate an even series by up to half the gap)
+        "value": round(statistics.median(valid), 4) if valid else None,
         "unit": "efficiency (median of valid windows)",
         "control_floor": floor,
         "n_valid": len(valid), "n_windows": len(windows),

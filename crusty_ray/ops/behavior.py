@@ -486,11 +486,12 @@ def event_type_user_jaccard_ds(sf_dir: str, num_partitions: int = 32):
 
     ut = ev.map_batches(slim, batch_format="pandas")
 
-    # card-sized per-type distinct-user totals (one tiny aggregate)
+    # card-sized per-type distinct-user totals (one tiny aggregate over
+    # the shared global-DISTINCT helper — local per-batch dedup shrinks
+    # the shuffle to each block's distinct rows)
+    from .graph import distinct_rows
     sizes = grouped_count(
-        partitioned_group_apply(ut, ["user_id", "event_type"],
-                                lambda df: df.drop_duplicates(),
-                                num_partitions),
+        distinct_rows(ut, ["user_id", "event_type"], num_partitions),
         ["event_type"], "n_users", num_partitions).to_pandas()
     size_map = dict(zip(sizes["event_type"], sizes["n_users"].astype(int)))
 

@@ -1900,12 +1900,8 @@ def prefix_jaccard_pairs_ds(sf_dir: str, threshold_pm: int = 500,
 
     pairs = partitioned_group_apply(pref, ["w"], pairs_in_bucket,
                                     num_partitions)
-
-    def distinct_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates().reset_index(drop=True)
-
-    cands = partitioned_group_apply(pairs, ["doc_a", "doc_b"],
-                                    distinct_pairs, num_partitions)
+    from .graph import distinct_rows
+    cands = distinct_rows(pairs, ["doc_a", "doc_b"], num_partitions)
 
     # 5. exact verify over full token sets (shared bucketed two-shuffle)
     return _verified_jaccard_pairs(cands, sf_dir, _md5_gram_hashes,

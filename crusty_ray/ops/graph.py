@@ -533,19 +533,23 @@ def triangle_counts(edges, num_partitions: int = 32,
 # ~10 graph faces consume these two derived tables, and rebuilding the
 # lineitem sweep per face was the dominant shared cost of the graph suite
 # (the `_nation_star_rollup` shared-scan pattern, labeled in BASELINE.md).
-# Keyed by node id so a fresh ray.init() can never serve blocks from a
-# dead session; edges are slim int64 pairs, so the pinned footprint is
-# small even at sf-bench scale.
+# Keyed by the driver JOB id (per-ray.init(), even against a persistent
+# cluster — a node id would survive a reconnect and serve object refs
+# owned by the dead job), so a fresh session always recomputes. Edges are
+# slim int64 pairs, so the pinned footprint is small even at sf-bench
+# scale. Known limits, by design: no eviction (entries die with the
+# process) and path-keyed (a table REWRITTEN in place mid-session would
+# serve stale edges — the repo's tables are immutable per sf_dir).
 _EDGE_MEMO: dict = {}
 
 
 def _edge_memo_key(*parts):
     import ray as _ray
     try:
-        nid = _ray.get_runtime_context().get_node_id()
+        jid = _ray.get_runtime_context().get_job_id()
     except Exception:  # no session yet: never cache across unknown sessions
-        nid = object()
-    return (nid,) + parts
+        jid = object()
+    return (jid,) + parts
 
 
 def part_cooccurrence_edges(sf_dir: str, num_partitions: int = 32):
@@ -1591,6 +1595,11 @@ def degree_assortativity_ds(sf_dir: str, min_support: int = 2,
     p = partitioned_group_apply(
         with_x.union(deg.map_batches(tag_deg2, batch_format="pandas")),
         ["node"], partials, num_partitions).to_pandas()
+    if "n" not in p.columns or not len(p):
+        # empty cosupport graph (no pair reaches min_support): the SQL
+        # aggregate still yields one (0, 0) row — match it, don't crash
+        return pd.DataFrame({"n_dir_edges": [0],
+                             "slope_pm": [0]}).astype("int64")
     n = int(p["n"].sum()); sx = int(p["sx"].sum()); sy = int(p["sy"].sum())
     sxy = int(p["sxy"].sum()); sxx = int(p["sxx"].sum())
     den = n * sxx - sx * sx
