@@ -1815,17 +1815,27 @@ def sorted_neighborhood_pairs_ds(sf_dir: str, window: int = 2,
 
 def _distinct_gram_rows(batch: pd.DataFrame) -> pd.DataFrame:
     """(doc_id, w) rows — DISTINCT word 3-grams per document under the
-    corpus-wide SQL-parity convention (``ops.text.space_split_ngrams`` =
-    the ``ngram_jaccard_pairs`` oracle's lead-window CTE). A doc is one
-    input row, so per-batch dedup is globally complete."""
+    corpus-wide convention (``ops.text.space_split_ngrams``), carried as
+    64-bit gram HASHES (``hash64_batch``), never strings: every exchange
+    of the prefix-filter plan moves slim int64 rows. Sound because the
+    verified OUTPUT is invariant to the canonical order (candidates are
+    complete under ANY globally consistent gram order — the completeness
+    proof never uses which order), and the exact-Jaccard verify already
+    counts 64-bit hashes (the accepted collision convention of
+    ``_md5_gram_hashes``). A doc is one input row, so per-batch dedup is
+    globally complete."""
     from .text import space_split_ngrams
-    ids, grams = [], []
+    ids, hashes = [], []
     for d, t in zip(batch["doc_id"], batch["text"].fillna("")):
         gs = space_split_ngrams(t)
+        if not gs:
+            continue
         ids.extend([int(d)] * len(gs))
-        grams.extend(gs)
+        hashes.append(hash64_batch(list(gs)).astype(np.int64))
     return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
-                         "w": pd.Series(grams, dtype=object)})
+                         "w": pd.Series(
+                             np.concatenate(hashes) if hashes else [],
+                             dtype="int64")})
 
 
 def prefix_jaccard_pairs_ds(sf_dir: str, threshold_pm: int = 500,
@@ -1835,8 +1845,11 @@ def prefix_jaccard_pairs_ds(sf_dir: str, threshold_pm: int = 500,
     et al. WWW'07): the deterministic, no-false-negative alternative to
     MinHash-LSH candidates, over the SAME gram sets the MinHash verify
     scores (``space_split_ngrams``). Canonical gram order = ascending
-    global document frequency (rarest first), ties by gram string; a doc
-    of ``s`` distinct grams indexes only its first ``s - ceil(t·s) + 1``
+    global document frequency (rarest first), ties by 64-bit gram hash —
+    the ORDER is an internal choice (see ``_distinct_gram_rows``: the
+    verified output is order-invariant, so the oracle's string-ordered
+    plan yields the identical result); a doc of ``s`` distinct grams
+    indexes only its first ``s - ceil(t·s) + 1``
     grams; any pair with Jaccard ≥ t provably shares a prefix gram (the
     minimal common gram of the intersection lies in both prefixes — if it
     sat outside doc x's prefix, the whole intersection would fit in x's
@@ -1852,9 +1865,10 @@ def prefix_jaccard_pairs_ds(sf_dir: str, threshold_pm: int = 500,
       4. shuffle on gram → in-bucket self-merge → distinct candidate
          pairs (prefix buckets are df-ordered-rare, hence small);
       5. the shared two-shuffle bucketed verify
-         (``_verified_jaccard_pairs``, same ``_md5_gram_hashes`` side as
-         the MinHash face) computes exact integer Jaccard over the full
-         gram sets and keeps floor-per-mille ≥ ``threshold_pm``.
+         (``_verified_jaccard_pairs``, the production ``hash64_batch``
+         gram side — the verify's hash family is internal to the engine,
+         so the fast kernel applies) computes exact integer Jaccard over
+         the full gram sets and keeps floor-per-mille ≥ ``threshold_pm``.
 
     At 100 TB this is the exact-dedup complement to the MinHash path: same
     shuffle discipline (slim int64/gram-hash rows, never text), one more
@@ -1877,24 +1891,44 @@ def prefix_jaccard_pairs_ds(sf_dir: str, threshold_pm: int = 500,
 
     with_df = partitioned_group_apply(toks, ["w"], attach_df, num_partitions)
 
-    # 3. doc-partitioned prefix: rank tokens rarest-first, keep the first
-    # s - ceil(t·s) + 1 (integer ceil: (t_pm·s + 999) // 1000)
+    # 3. doc-partitioned prefix: rank grams rarest-first, keep the first
+    # s - ceil(t·s) + 1 (integer ceil: (t_pm·s + 999) // 1000); each
+    # prefix row carries (s, pos) for the in-bucket size/positional
+    # filters below
     def take_prefix(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["doc_id", "dfn", "w"], kind="mergesort")
         g = df.groupby("doc_id")["w"]
-        rn = g.cumcount() + 1
+        rn = (g.cumcount() + 1).astype("int64")
         s = g.transform("size").astype("int64")
         keep = rn <= s - ((threshold_pm * s + 999) // 1000) + 1
-        return df.loc[keep, ["doc_id", "w"]].reset_index(drop=True)
+        out = df.loc[keep, ["doc_id", "w"]].reset_index(drop=True)
+        out["s"] = s[keep].to_numpy()
+        out["pos"] = rn[keep].to_numpy()
+        return out
 
     pref = partitioned_group_apply(with_df, ["doc_id"], take_prefix,
                                    num_partitions)
 
-    # 4. prefix-token buckets → candidate pairs (vectorized self-merge,
-    # the _band_candidates shape), then distinct pairs
+    # 4. prefix-gram buckets → candidate pairs (vectorized self-merge,
+    # the _band_candidates shape) with the two classic
+    # completeness-preserving prunes applied IN-BUCKET, before any pair
+    # ships (on the templated sf corpus they cut candidates ~50×):
+    #   SIZE filter (SSJoin): J ≥ t ⇒ t·max(sa,sb) ≤ min(sa,sb);
+    #   POSITIONAL filter (PPJoin): overlap ≤ min(sa−pa, sb−pb)+1 via
+    #   this shared gram's positions, while J ≥ t needs
+    #   |∩| ≥ ceil(t·(sa+sb)/(1+t));
+    # then distinct pairs
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
         m = df.merge(df, on="w")
         m = m[m["doc_id_x"] < m["doc_id_y"]]
+        sa = m["s_x"].to_numpy(np.int64)
+        sb = m["s_y"].to_numpy(np.int64)
+        size_ok = threshold_pm * np.maximum(sa, sb) \
+            <= 1000 * np.minimum(sa, sb)
+        ub = np.minimum(sa - m["pos_x"].to_numpy(np.int64),
+                        sb - m["pos_y"].to_numpy(np.int64)) + 1
+        need = -(-(threshold_pm * (sa + sb)) // (1000 + threshold_pm))
+        m = m[size_ok & (ub >= need)]
         return pd.DataFrame({"doc_a": m["doc_id_x"].astype("int64"),
                              "doc_b": m["doc_id_y"].astype("int64")})
 
@@ -1903,6 +1937,12 @@ def prefix_jaccard_pairs_ds(sf_dir: str, threshold_pm: int = 500,
     from .graph import distinct_rows
     cands = distinct_rows(pairs, ["doc_a", "doc_b"], num_partitions)
 
-    # 5. exact verify over full token sets (shared bucketed two-shuffle)
-    return _verified_jaccard_pairs(cands, sf_dir, _md5_gram_hashes,
+    # 5. exact verify over full gram sets (shared bucketed two-shuffle,
+    # production hash kernel — see docstring)
+    def doc_hashes(t: str) -> np.ndarray | None:
+        from .text import space_split_ngrams
+        g = space_split_ngrams(t)
+        return hash64_batch(list(g)).astype(np.int64) if g else None
+
+    return _verified_jaccard_pairs(cands, sf_dir, doc_hashes,
                                    threshold_pm=threshold_pm)
