@@ -972,6 +972,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # walk corpus — the word2vec preprocessing composition
         "part_skipgram_pairs": graph.part_skipgram_pairs_ds,
         "sample_stratified": sample.sample_stratified_ds,
+        # priority sampling (Duffield-Lund-Thorup): deterministic PPS
+        # bottom-k without replacement, 128-bit exact priorities
+        "pps_sample_orders": sample.pps_sample_orders_ds,
         "split_assignment": sample.split_assignment_ds,
         # exactly-k-per-stratum deterministic sample (md5-rank top-k —
         # fixed-size eval sets, vs the Bernoulli sampler's rate)
@@ -4201,6 +4204,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         # integer priority sampling: u = md5_48('ws:'||id), key u//w,
         # global bottom-100 by (priority, id)
+        # priority sampling (ops/sample.pps_sample_orders_ds): q = w·2^60
+        # // h ranked in HUGEINT, ties by orderkey, top 32
+        "pps_sample_orders": """
+            WITH w AS (
+              SELECT o_orderkey,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                         AS w_cents,
+                     ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                     1, 15))::BIGINT AS hv
+              FROM orders
+            )
+            SELECT o_orderkey, w_cents, hv, CAST(rnk AS BIGINT) AS rnk
+            FROM (
+              SELECT *, row_number() OVER (
+                   ORDER BY CAST(w_cents AS HUGEINT)
+                            * CAST(1::BIGINT << 60 AS HUGEINT)
+                            // greatest(hv, 1) DESC, o_orderkey) AS rnk
+              FROM w) WHERE rnk <= 32
+            ORDER BY rnk
+        """,
         "weighted_doc_sample": """
             WITH pri AS (
               SELECT doc_id, n_chars,

@@ -170,7 +170,7 @@ def bench_queries(sf_dir: str) -> dict:
              "ann_ivf_append", "knn_graph", "kmv_distinct_by_type",
              "source_token_chi2", "part_two_hop_reach",
              "mutual_knn_clusters", "degree_assortativity",
-             "event_type_user_jaccard",
+             "event_type_user_jaccard", "pps_sample_orders",
              "topk_heavy_hitters", "event_minute_buckets",
              "embedding_quant_dedup", "doc_dedup_groups", "trade_pagerank",
              "cohort_retention", "corpus_curation", "semdedup",

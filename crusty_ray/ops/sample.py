@@ -326,3 +326,68 @@ def source_quota_allocation_ds(sf_dir: str, k: int = 100_000):
     s["quota"] = pd.Series([floors[i] + (1 if i in bump else 0)
                             for i in range(len(s))], dtype="int64")
     return s.sort_values("source").reset_index(drop=True)
+
+
+# ------------------------------------- priority (PPS bottom-k) sampling
+
+def pps_sample_orders_ds(sf_dir: str, k: int = 32):
+    """Priority sampling (Duffield, Lund & Thorup, JACM 2007): a
+    deterministic weight-proportional sample WITHOUT replacement of ``k``
+    orders — each order gets priority ``q = w·2^60 // h`` (w = price in
+    cents, h = its uniform 60-bit md5 hash), the k largest q win. The
+    classic one-pass mergeable PPS scheme: heavy rows are near-certain
+    members, light rows enter with probability ∝ w, and subset-sum
+    estimates over the sample are unbiased (up to the integer floor).
+
+    Mergeability is the bottom-k fold contract (KMV's, with max instead
+    of min): top-k of a union = top-k of per-block top-k's — one slim
+    partial per block, a tree merge, a card-sized driver finish. q needs
+    128-bit arithmetic (w·2^60 overflows int64), so blocks rank with
+    Python bignums and the OUTPUT carries (w_cents, hv, rnk), never q —
+    DuckDB mirrors the ranking in HUGEINT (``ORDER BY
+    CAST(w AS HUGEINT) * (1 << 60) // h DESC``).
+
+    Returns (o_orderkey, w_cents, hv, rnk), rnk 1..k — bit-exact vs
+    ``oracle_sql()['pps_sample_orders']``."""
+    import hashlib
+
+    from .io import read_table
+
+    ds = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"o_orderkey": pd.Series([], dtype="int64"),
+                                 "w_cents": pd.Series([], dtype="int64"),
+                                 "hv": pd.Series([], dtype="int64")})
+        keys = df["o_orderkey"].astype("int64").to_numpy()
+        w = np.floor(df["o_totalprice"].to_numpy(np.float64) * 100 + 0.5) \
+            .astype(np.int64)
+        hv = np.array([int(hashlib.md5(str(int(x)).encode())
+                           .hexdigest()[:15], 16) for x in keys],
+                      dtype=np.int64)
+        # rank by exact bigint q desc, tie by orderkey asc
+        q = [(int(wi) << 60) // max(int(hi), 1) for wi, hi in zip(w, hv)]
+        order = sorted(range(len(keys)), key=lambda i: (-q[i], keys[i]))[:k]
+        return pd.DataFrame({"o_orderkey": keys[order],
+                             "w_cents": w[order],
+                             "hv": hv[order]}).astype("int64")
+
+    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        df = df.drop_duplicates("o_orderkey")
+        q = [((int(wi) << 60) // max(int(hi), 1), int(ki))
+             for wi, hi, ki in zip(df["w_cents"], df["hv"],
+                                   df["o_orderkey"])]
+        order = sorted(range(len(df)),
+                       key=lambda i: (-q[i][0], q[i][1]))[:k]
+        return df.iloc[order].reset_index(drop=True)
+
+    parts = ds.map_batches(local_topk, batch_format="pandas",
+                           batch_size=None) \
+        .map_batches(merge_topk, batch_format="pandas", batch_size=64 * k) \
+        .to_pandas()
+    out = merge_topk(parts).reset_index(drop=True)
+    out["rnk"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out.astype("int64")

@@ -162,6 +162,7 @@ SQL_CHECKED = [
     "kmv_distinct_by_type", "prefix_jaccard_pairs", "knn_graph",
     "source_token_chi2", "part_two_hop_reach", "mutual_knn_clusters",
     "degree_assortativity", "event_type_user_jaccard",
+    "pps_sample_orders",
     # crawl faces — oracle is the reference simulator's expected outputs
     # materialized as parquet (sim/fixture.py), hash-checked like any other
     "crawl_log", "crawl_topk", "crawl_job_metrics",

@@ -339,3 +339,34 @@ def test_event_type_user_jaccard_planted_overlap(ray_session, tmp_path):
     assert (r["type_a"], r["type_b"]) == ("click", "view")
     assert (int(r["inter"]), int(r["uni"]), int(r["jaccard_pm"])) \
         == (5, 15, 333)
+
+
+# ------------------------------------------------- priority sampling
+
+def test_pps_sample_matches_oracle(ray_session):
+    from crusty_ray.ops import sample
+    got = sample.pps_sample_orders_ds(SF).reset_index(drop=True)
+    want = _oracle_on(SF, entry.oracle_sql()["pps_sample_orders"],
+                      tables=("orders",)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()].astype("int64"),
+                                  want.astype("int64"))
+
+
+def test_pps_sample_weight_monotone(ray_session, tmp_path):
+    """A giant-weight order is a near-certain member (its priority beats
+    any unit-weight row unless its hash is ~2^60/heavy-ratio small), and
+    a zero-weight order can never outrank ANY positive-weight row."""
+    n = 500
+    df = pd.DataFrame({
+        "o_orderkey": np.arange(n, dtype=np.int64),
+        "o_totalprice": [1.0] * (n - 2) + [10_000_000.0, 0.0],
+        "o_custkey": np.int64(1), "o_orderstatus": "O",
+        "o_orderdate": pd.to_datetime("2024-01-01"),
+        "o_orderpriority": "1-URGENT"})
+    df.to_parquet(tmp_path / "orders.parquet")
+    from crusty_ray.ops import sample
+    got = sample.pps_sample_orders_ds(str(tmp_path))
+    assert n - 2 in set(got["o_orderkey"])      # the heavy row is in
+    assert n - 1 not in set(got["o_orderkey"])  # the zero row is out
+    # bottom-k fold: per-block top-k then merge == whole-table ranking
+    assert got["rnk"].tolist() == list(range(1, 33))
