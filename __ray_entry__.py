@@ -4202,8 +4202,6 @@ def oracle_sql() -> dict[str, str]:
                    (n_rows * 1000 * 32 // total)::BIGINT AS load_pm
             FROM c, t
         """,
-        # integer priority sampling: u = md5_48('ws:'||id), key u//w,
-        # global bottom-100 by (priority, id)
         # priority sampling (ops/sample.pps_sample_orders_ds): q = w·2^60
         # // h ranked in HUGEINT, ties by orderkey, top 32
         "pps_sample_orders": """
@@ -4224,6 +4222,8 @@ def oracle_sql() -> dict[str, str]:
               FROM w) WHERE rnk <= 32
             ORDER BY rnk
         """,
+        # integer priority sampling: u = md5_48('ws:'||id), key u//w,
+        # global bottom-100 by (priority, id)
         "weighted_doc_sample": """
             WITH pri AS (
               SELECT doc_id, n_chars,

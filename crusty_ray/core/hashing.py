@@ -69,3 +69,17 @@ def stable_rng(*keys) -> np.random.Generator:
         h.update(str(k).encode("utf-8"))
         h.update(b"\x1f")
     return np.random.Generator(np.random.PCG64(int.from_bytes(h.digest(), "big")))
+
+
+def md5_int(values, hex_chars: int = 15) -> np.ndarray:
+    """SQL-parity integer md5: first ``hex_chars`` md5 hex digits of
+    ``str(int(v))`` as int64 — the exact DuckDB expression
+    ``('0x' || substr(md5(CAST(v AS VARCHAR)), 1, n))::BIGINT``. The
+    default 15 chars = 60 uniform bits, BIGINT-safe. ONE definition for
+    every oracled face that ranks or buckets by this family (KMV, PPS);
+    widening it in one face but not its oracle would silently break the
+    bit-exact contract, so both sides must quote this helper."""
+    import hashlib
+    md5 = hashlib.md5
+    return np.array([int(md5(str(int(v)).encode()).hexdigest()[:hex_chars],
+                         16) for v in values], dtype=np.int64)

@@ -1813,10 +1813,25 @@ def sorted_neighborhood_pairs_ds(sf_dir: str, window: int = 2,
 
 # ----------------------------- prefix-filter set-similarity join (SSJoin)
 
+def _gram_hash64(grams: list[str]) -> np.ndarray:
+    """Full-64-bit vectorized gram hash: siphash via
+    ``pd.util.hash_pandas_object`` (process-independent, the HLL
+    partial's convention) finalized with ``mix64``. NOT ``hash64_batch``
+    — its two-crc32 construction collapses to an effective 32-bit hash
+    for equal-length strings (crc32 is affine in the seed), which makes
+    corpus-wide collisions *expected* at moderate scale; this family
+    keeps the g²/2⁶⁵ within-pair collision odds the bit-exact-oracle
+    contract quotes."""
+    from ..core.hashing import mix64
+    h = pd.util.hash_pandas_object(
+        pd.Series(grams, dtype=object), index=False).to_numpy()
+    return mix64(h).astype(np.int64)
+
+
 def _distinct_gram_rows(batch: pd.DataFrame) -> pd.DataFrame:
     """(doc_id, w) rows — DISTINCT word 3-grams per document under the
     corpus-wide convention (``ops.text.space_split_ngrams``), carried as
-    64-bit gram HASHES (``hash64_batch``), never strings: every exchange
+    64-bit gram HASHES (``_gram_hash64``), never strings: every exchange
     of the prefix-filter plan moves slim int64 rows. Sound because the
     verified OUTPUT is invariant to the canonical order (candidates are
     complete under ANY globally consistent gram order — the completeness
@@ -1831,7 +1846,7 @@ def _distinct_gram_rows(batch: pd.DataFrame) -> pd.DataFrame:
         if not gs:
             continue
         ids.extend([int(d)] * len(gs))
-        hashes.append(hash64_batch(list(gs)).astype(np.int64))
+        hashes.append(_gram_hash64(list(gs)))
     return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
                          "w": pd.Series(
                              np.concatenate(hashes) if hashes else [],
@@ -1865,9 +1880,9 @@ def prefix_jaccard_pairs_ds(sf_dir: str, threshold_pm: int = 500,
       4. shuffle on gram → in-bucket self-merge → distinct candidate
          pairs (prefix buckets are df-ordered-rare, hence small);
       5. the shared two-shuffle bucketed verify
-         (``_verified_jaccard_pairs``, the production ``hash64_batch``
-         gram side — the verify's hash family is internal to the engine,
-         so the fast kernel applies) computes exact integer Jaccard over
+         (``_verified_jaccard_pairs`` over ``_gram_hash64`` sides — the
+         hash family is internal to the engine, so the fast vectorized
+         full-64-bit kernel applies) computes exact integer Jaccard over
          the full gram sets and keeps floor-per-mille ≥ ``threshold_pm``.
 
     At 100 TB this is the exact-dedup complement to the MinHash path: same
@@ -1938,11 +1953,11 @@ def prefix_jaccard_pairs_ds(sf_dir: str, threshold_pm: int = 500,
     cands = distinct_rows(pairs, ["doc_a", "doc_b"], num_partitions)
 
     # 5. exact verify over full gram sets (shared bucketed two-shuffle,
-    # production hash kernel — see docstring)
+    # full-64-bit vectorized hash — see _gram_hash64)
     def doc_hashes(t: str) -> np.ndarray | None:
         from .text import space_split_ngrams
         g = space_split_ngrams(t)
-        return hash64_batch(list(g)).astype(np.int64) if g else None
+        return _gram_hash64(list(g)) if g else None
 
     return _verified_jaccard_pairs(cands, sf_dir, doc_hashes,
                                    threshold_pm=threshold_pm)

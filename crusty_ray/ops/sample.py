@@ -349,8 +349,6 @@ def pps_sample_orders_ds(sf_dir: str, k: int = 32):
 
     Returns (o_orderkey, w_cents, hv, rnk), rnk 1..k — bit-exact vs
     ``oracle_sql()['pps_sample_orders']``."""
-    import hashlib
-
     from .io import read_table
 
     ds = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
@@ -360,12 +358,11 @@ def pps_sample_orders_ds(sf_dir: str, k: int = 32):
             return pd.DataFrame({"o_orderkey": pd.Series([], dtype="int64"),
                                  "w_cents": pd.Series([], dtype="int64"),
                                  "hv": pd.Series([], dtype="int64")})
+        from ..core.hashing import md5_int
         keys = df["o_orderkey"].astype("int64").to_numpy()
         w = np.floor(df["o_totalprice"].to_numpy(np.float64) * 100 + 0.5) \
             .astype(np.int64)
-        hv = np.array([int(hashlib.md5(str(int(x)).encode())
-                           .hexdigest()[:15], 16) for x in keys],
-                      dtype=np.int64)
+        hv = md5_int(keys)
         # rank by exact bigint q desc, tie by orderkey asc
         q = [(int(wi) << 60) // max(int(hi), 1) for wi, hi in zip(w, hv)]
         order = sorted(range(len(keys)), key=lambda i: (-q[i], keys[i]))[:k]

@@ -1332,8 +1332,15 @@ def embedding_drift_by_label_ds(sf_dir: str):
 
 # ------------------------------------------------ exact kNN graph (self-join)
 
-def knn_graph_quant_ds(sf_dir: str, k: int = 10, n_buckets: int = 4,
-                       num_partitions: int = 16):
+# the one k every face that SHARES the memoized graph must request — the
+# mutual-kNN clustering derives its smaller lists from this graph, so a
+# drift between its base request and this default would silently run the
+# O(N²) matmul twice per session
+KNN_GRAPH_BASE_K = 10
+
+
+def knn_graph_quant_ds(sf_dir: str, k: int = KNN_GRAPH_BASE_K,
+                       n_buckets: int = 4, num_partitions: int = 16):
     """Exact k-nearest-neighbor GRAPH over the embeddings table — for
     EVERY vector, its top-``k`` neighbors by integer quantized inner
     product (floor(x·1000), the repo-wide DuckDB-bit-exact convention),
@@ -1454,12 +1461,13 @@ def mutual_knn_clusters_ds(sf_dir: str, k: int = 5, n_buckets: int = 4,
     from .agg import partitioned_group_apply
     from .dedup import connected_components
 
-    # derive k ≤ 10 neighbor lists from the memoized k=10 graph: top-k is
-    # the rnk ≤ k prefix of the top-10 ranking (same order, same
+    # derive k ≤ base neighbor lists from the memoized base-k graph:
+    # top-k is the rnk ≤ k prefix of the base ranking (same order, same
     # tie-breaks), so the O(N²) matmul runs once per session for BOTH the
-    # knn_graph face and this one; k > 10 computes its own graph
-    if k <= 10:
-        base = knn_graph_quant_ds(sf_dir, k=10, n_buckets=n_buckets,
+    # knn_graph face and this one; k > base computes its own graph
+    if k <= KNN_GRAPH_BASE_K:
+        base = knn_graph_quant_ds(sf_dir, k=KNN_GRAPH_BASE_K,
+                                  n_buckets=n_buckets,
                                   num_partitions=num_partitions)
         knn = base.map_batches(
             lambda df: df[df["rnk"] <= k], batch_format="pandas")

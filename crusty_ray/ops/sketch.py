@@ -327,8 +327,6 @@ def kmv_distinct_by_type_ds(sf_dir: str, k: int = 64) -> pd.DataFrame:
 
     Returns one row per event_type: (event_type, n_kept, kth_hash,
     estimate), sorted by event_type."""
-    import hashlib
-
     from .io import read_table
 
     ds = read_table(sf_dir, "events", ["event_type", "user_id"])
@@ -338,10 +336,9 @@ def kmv_distinct_by_type_ds(sf_dir: str, k: int = 64) -> pd.DataFrame:
                               "hv": pd.Series([], dtype="int64")})
         if not len(df):
             return empty
+        from ..core.hashing import md5_int
         uniq = df[["event_type", "user_id"]].drop_duplicates()
-        hv = np.array([int(hashlib.md5(str(int(u)).encode()).hexdigest()[:15],
-                           16) for u in uniq["user_id"].astype("int64")],
-                      dtype=np.int64)
+        hv = md5_int(uniq["user_id"].astype("int64"))
         out = pd.DataFrame({"event_type": uniq["event_type"].to_numpy(),
                             "hv": hv}).drop_duplicates()
         out = out.sort_values(["event_type", "hv"]) \
