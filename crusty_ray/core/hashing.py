@@ -83,3 +83,21 @@ def md5_int(values, hex_chars: int = 15) -> np.ndarray:
     md5 = hashlib.md5
     return np.array([int(md5(str(int(v)).encode()).hexdigest()[:hex_chars],
                          16) for v in values], dtype=np.int64)
+
+
+def sip64(items) -> np.ndarray:
+    """Full-64-bit vectorized string hash: pandas' keyed siphash
+    (``hash_pandas_object`` — process-independent, C-speed) finalized
+    with ``mix64``. Use this wherever 64-bit collision odds are part of
+    a correctness argument (injective-by-construction ids, exact-verify
+    gram sets): ``hash64_batch``'s two-crc32 word collapses to an
+    effective 32-bit hash for equal-length strings (crc32 is affine in
+    the seed — a low-word collision between same-length strings implies
+    a full collision), so its birthday bound is ~2^16 same-length items,
+    not 2^32. hash64_batch remains the right kernel for seeded filter
+    families (bloom/cuckoo tolerate false positives by contract) and
+    quality-only signatures."""
+    import pandas as _pd
+    h = _pd.util.hash_pandas_object(
+        _pd.Series(list(items), dtype=object), index=False).to_numpy()
+    return mix64(h)

@@ -171,12 +171,14 @@ def minhash_dedup_pairs(sf_dir: str, threshold: float = 0.7):
        co-partitioning the union on doc_id attaches each side's gram list
        (docs with no candidate pairs emit nothing);
     3. co-partitioning on the pair key brings both sides' gram lists
-       together; exact Jaccard on the hash sets (64-bit — collision odds
-       negligible), integer per-mille output, ≥ threshold kept.
+       together; exact Jaccard on the hash sets (full 64-bit ``sip64``
+       — the "collision odds negligible" claim requires it; r5 review:
+       ``hash64_batch`` is effectively 32-bit on equal-length grams),
+       integer per-mille output, ≥ threshold kept.
     """
     def doc_hashes(t: str) -> np.ndarray:
         g = word_ngrams(t)
-        return hash64_batch(list(g)).astype(np.int64) if g else None
+        return _gram_hash64(list(g)) if g else None
 
     return _verified_jaccard_pairs(minhash_candidates_ds(sf_dir), sf_dir,
                                    doc_hashes, threshold=threshold)
@@ -1814,18 +1816,13 @@ def sorted_neighborhood_pairs_ds(sf_dir: str, window: int = 2,
 # ----------------------------- prefix-filter set-similarity join (SSJoin)
 
 def _gram_hash64(grams: list[str]) -> np.ndarray:
-    """Full-64-bit vectorized gram hash: siphash via
-    ``pd.util.hash_pandas_object`` (process-independent, the HLL
-    partial's convention) finalized with ``mix64``. NOT ``hash64_batch``
-    — its two-crc32 construction collapses to an effective 32-bit hash
-    for equal-length strings (crc32 is affine in the seed), which makes
-    corpus-wide collisions *expected* at moderate scale; this family
-    keeps the g²/2⁶⁵ within-pair collision odds the bit-exact-oracle
-    contract quotes."""
-    from ..core.hashing import mix64
-    h = pd.util.hash_pandas_object(
-        pd.Series(grams, dtype=object), index=False).to_numpy()
-    return mix64(h).astype(np.int64)
+    """Full-64-bit vectorized gram hash (``core.hashing.sip64``) — NOT
+    ``hash64_batch``, whose two-crc32 construction collapses to an
+    effective 32-bit hash for equal-length strings; this family keeps
+    the g²/2⁶⁵ within-pair collision odds the bit-exact-oracle contract
+    quotes (see sip64's docstring for the failure analysis)."""
+    from ..core.hashing import sip64
+    return sip64(grams).astype(np.int64)
 
 
 def _distinct_gram_rows(batch: pd.DataFrame) -> pd.DataFrame:

@@ -354,22 +354,23 @@ def domain_pagerank(crawl_log_dir: str, web_cfg, iters: int = 3):
     are dictionary-encoded to int64 ids inside the pipeline and decoded on
     the way out; returns (domain, rank_q) — the score a frontier blends
     into its priority."""
-    from ..core.hashing import hash64_batch
+    from ..core.hashing import sip64
 
     # materialize: the named edge table feeds BOTH the rank iteration and
     # the id→name mapping join; lazy, the whole re-fetch/extract subtree
     # would run twice
     edges_named = domain_link_edges(crawl_log_dir, web_cfg).materialize()
 
-    # stable injective-by-construction id: 64-bit content hash of the name
-    # (collision odds negligible at any real domain count; ids only route
-    # the shuffle — names are restored by the final join)
+    # stable injective-by-construction id: FULL-64-bit content hash of
+    # the name (sip64 — r5 review: hash64_batch is effectively 32-bit on
+    # equal-length strings, and real crawls hold millions of same-length
+    # domains, so its collisions would silently MERGE pagerank nodes;
+    # sip64 restores the 2^-64 per-pair odds the claim needs). Ids only
+    # route the shuffle — names are restored by the final join.
     def encode(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
-            "src": hash64_batch(df["src_domain"].tolist())
-            .astype(np.int64),
-            "dst": hash64_batch(df["dst_domain"].tolist())
-            .astype(np.int64),
+            "src": sip64(df["src_domain"].tolist()).astype(np.int64),
+            "dst": sip64(df["dst_domain"].tolist()).astype(np.int64),
         })
 
     ranks = pagerank(edges_named.map_batches(encode, batch_format="pandas"),
@@ -378,9 +379,9 @@ def domain_pagerank(crawl_log_dir: str, web_cfg, iters: int = 3):
     # decode node ids back to names: a slim (node, domain) mapping from the
     # edge table, joined once (distinct first: a domain appears in many edges)
     def names(df: pd.DataFrame) -> pd.DataFrame:
-        a = pd.DataFrame({"node": hash64_batch(df["src_domain"].tolist())
+        a = pd.DataFrame({"node": sip64(df["src_domain"].tolist())
                           .astype(np.int64), "domain": df["src_domain"]})
-        b = pd.DataFrame({"node": hash64_batch(df["dst_domain"].tolist())
+        b = pd.DataFrame({"node": sip64(df["dst_domain"].tolist())
                           .astype(np.int64), "domain": df["dst_domain"]})
         return pd.concat([a, b], ignore_index=True).drop_duplicates()
 
